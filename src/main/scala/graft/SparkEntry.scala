@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator category from SURVEY.md §2 contributes named queries
+  * here; each query paired with DuckDB oracle SQL in [[oracleSql]] is
+  * hash-compared by the driver at sf0.01. Queries without an oracle entry
+  * (engine-specific sketches) get a rows-only check and are covered by
+  * ScalaTest instead.
+  */
 object SparkEntry {
+
+  /** Session settings every entry point needs: UTC, nanos-as-long for the
+    * events table (parquet TIMESTAMP(NANOS)), AQE on.
+    */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder = builder
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q04JoinMultiway(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q09_agg_approx: HLL sketch values are engine-specific).
+    */
+  val oracleSql: Map[String, String] =
+    (Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles).toMap
 }

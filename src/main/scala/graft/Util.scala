@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the graft query suite.
+  *
+  * Conventions that keep every query hash-identical to the DuckDB oracle:
+  *   - Float aggregates go through exact DECIMAL sums and are cast back to
+  *     DOUBLE at the end (summation-order independent, engine independent).
+  *   - `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a bigint
+  *     (spark.sql.legacy.parquet.nanosAsLong=true) and we expose epoch
+  *     milliseconds via integer division (floor), matching DuckDB
+  *     `epoch_ms(ts)`.
+  *   - Computed integer columns are cast to LongType (DuckDB aggregates and
+  *     date parts produce BIGINT).
+  *   - Every query ends in a total `orderBy` so row order matches the ORDER
+  *     BY of the oracle SQL.
+  */
+object Util {
+  /** A named query over one scale-factor directory — the SparkEntry shape. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts_ms`: epoch millis as long (floor of the nanos column). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+
+  /** Exact sum of a 2-decimal monetary/quantity double, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact sum of a derived value on a 1e-6 grid (e.g. price*(1-disc)). */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast("double")
+
+  /** TIMESTAMP_NTZ literal (the testdata date columns are NTZ). */
+  def ldt(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+}

@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators — batch twins of the reference's replicator
+  * semantics, computed over the `events` table (which plays the Kinesis
+  * stream: event_type ≈ streamName, user_id ≈ partitionKey, event_id ≈
+  * sequenceNumber, ts ≈ commitTimestamp/arrival; FIXTURES.md §B).
+  *
+  * The live Structured Streaming pipeline with the same semantics lives in
+  * [[graft.streaming.Replicator]]; these batch formulations are the
+  * DuckDB-oracle-checkable versions the driver grades.
+  *
+  * `ts` is parquet TIMESTAMP(NANOS) read as bigint nanos; `ts_ms` (epoch
+  * millis, floor) matches DuckDB `epoch_ms(ts)`.
+  */
+object EventOps {
+
+  /** q23: schema-on-read JSON scalar extraction — the reference's
+    * `readTree(data).at("/commitTimestamp")` pattern (Handler.java:86,132)
+    * as `get_json_object` over `events.props`.
+    */
+  def q23JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum($"k").as("sum_k"),
+        countDistinct($"k").as("n_distinct_k"))
+      .orderBy($"event_type")
+  }
+
+  val q23Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q24: CDC compaction — latest record per key (the batch analogue of the
+    * reference's last-writer-wins checkpoint, Handler.java:85). Keyed
+    * dedup via ranked window on the sequence number; at scale this is one
+    * shuffle on the key, no global sort.
+    */
+  def q24CdcLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value", $"ts_ms")
+      .orderBy($"user_id")
+  }
+
+  val q24Sql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q25: checkpoint upsert semantics — `max_by(commitTimestamp,
+    * sequenceNumber)` per stream (SURVEY §2.A op 7): one row per stream
+    * instead of the reference's per-record PutItem write amplification.
+    */
+  def q25CheckpointMaxby(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        max_by($"ts_ms", $"event_id").as("last_commit_ms"),
+        max($"ts_ms").as("max_arrival_ms"),
+        min_by($"ts_ms", $"event_id").as("first_commit_ms"),
+        count(lit(1)).as("n_records"))
+      .orderBy($"event_type")
+  }
+
+  val q25Sql: String =
+    """SELECT event_type,
+      |  arg_max(epoch_ms(ts), event_id) AS last_commit_ms,
+      |  MAX(epoch_ms(ts)) AS max_arrival_ms,
+      |  arg_min(epoch_ms(ts), event_id) AS first_commit_ms,
+      |  COUNT(*) AS n_records
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q26: the active-region gate (SURVEY §2.A op 3, Handler.java:139-167)
+    * as a broadcast left-semi join: a stream passes only if its config row
+    * is unique (>1 rows → error → inactive, Handler.java:156-159) and its
+    * active region case-insensitively equals the current region
+    * (Handler.java:161). `purchase` is active elsewhere, `signup` has a
+    * duplicate config, `view` has none — only click/error pass.
+    */
+  def q26GateSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val currentRegion = "US-EAST-1"
+    val config = Seq(
+      ("click", "us-east-1"),
+      ("error", "US-East-1"),
+      ("purchase", "eu-west-1"),
+      ("signup", "us-east-1"),
+      ("signup", "eu-west-1")).toDF("streamName", "activeRegion")
+    val active = config.groupBy($"streamName")
+      .agg(count(lit(1)).as("n_cfg"), max($"activeRegion").as("region"))
+      .filter($"n_cfg" === 1 && lower($"region") === lower(lit(currentRegion)))
+      .select($"streamName")
+    events(spark, dir)
+      .join(broadcast(active), $"event_type" === $"streamName", "left_semi")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_replicated"), max($"ts_ms").as("max_arrival_ms"))
+      .orderBy($"event_type")
+  }
+
+  val q26Sql: String =
+    """WITH config(streamName, activeRegion) AS (VALUES
+      |  ('click','us-east-1'), ('error','US-East-1'), ('purchase','eu-west-1'),
+      |  ('signup','us-east-1'), ('signup','eu-west-1')),
+      |active AS (
+      |  SELECT streamName FROM config GROUP BY streamName
+      |  HAVING COUNT(*) = 1 AND LOWER(MAX(activeRegion)) = LOWER('US-EAST-1'))
+      |SELECT event_type, COUNT(*) AS n_replicated, MAX(epoch_ms(ts)) AS max_arrival_ms
+      |FROM events WHERE event_type IN (SELECT streamName FROM active)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q27: as-of join — for every purchase, the most recent signup of the
+    * same user at or before it. Implemented scalably as union + running
+    * `last(ignoreNulls)` window (one shuffle on user_id, no join blow-up),
+    * per the streaming as-of literature; the oracle states the same thing
+    * declaratively with a correlated max() subquery.
+    */
+  def q27AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Microsecond timestamps on both sides: DuckDB's epoch_us floor-
+    // truncates TIMESTAMP_NS, matching `ts div 1000` on the nanos long.
+    val ev = events(spark, dir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("signup_ts", when($"event_type" === "signup", $"ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_ts", last($"signup_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id", $"user_id", $"ts_us".as("purchase_ts_us"),
+        $"last_signup_ts".as("signup_ts_us"),
+        ($"ts_us" - $"last_signup_ts").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  val q27Sql: String =
+    """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS purchase_ts_us,
+      |  (SELECT MAX(epoch_us(b.ts)) FROM events b
+      |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+      |     AND (epoch_us(b.ts) < epoch_us(a.ts)
+      |          OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id <= a.event_id))) AS signup_ts_us,
+      |  epoch_us(a.ts) - (SELECT MAX(epoch_us(b.ts)) FROM events b
+      |   WHERE b.user_id = a.user_id AND b.event_type = 'signup'
+      |     AND (epoch_us(b.ts) < epoch_us(a.ts)
+      |          OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id <= a.event_id))) AS gap_us
+      |FROM events a WHERE a.event_type = 'purchase'
+      |ORDER BY a.event_id""".stripMargin
+
+  /** q28: interval (range) self-join — pairs of events of the same user
+    * within 60 s. Equi-join on user_id plus a range predicate: Spark plans
+    * the equi part as a shuffled join and applies the band filter on top,
+    * which is the scalable formulation (no cross product).
+    */
+  def q28IntervalPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Bucketed band join: each left row probes only its own and the next
+    // 60 s bucket, so the join is equi on (user_id, bucket) and never
+    // materializes the full per-user cross product — the formulation that
+    // survives 100 TB (pairs examined ∝ events per 2-bucket span, not n²).
+    val winUs = 60000000L
+    val ev = events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"))
+    val a = ev.select($"user_id", $"event_id".as("a_id"), $"ts_us".as("a_ts"),
+        explode(array(expr("(ts_us div 60000000)"), expr("(ts_us div 60000000) + 1"))).as("bucket"))
+    val b = ev.select($"user_id", $"event_id".as("b_id"), $"ts_us".as("b_ts"),
+        expr("ts_us div 60000000").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter($"b_ts" > $"a_ts" && $"b_ts" - $"a_ts" <= lit(winUs))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min($"b_ts" - $"a_ts").as("min_gap_us"),
+        max($"b_ts" - $"a_ts").as("max_gap_us"))
+      .orderBy($"user_id")
+  }
+
+  val q28Sql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs,
+      |  MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us,
+      |  MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE epoch_us(b.ts) > epoch_us(a.ts)
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** q29: sessionization (gaps-and-islands): a new session starts after a
+    * >30 min silence; batch twin of Structured Streaming `session_window`.
+    * One shuffle on user_id; both window passes reuse the partitioning.
+    */
+  def q29Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000L
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val sessions = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag($"ts_us", 1).over(wOrd))
+      .withColumn("is_new", when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts_us").as("t0"), max($"ts_us").as("t1"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        max($"n_events").as("max_session_events"),
+        sum($"t1" - $"t0").as("total_session_us"))
+      .orderBy($"user_id")
+  }
+
+  val q29Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, tsu,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(tsu) AS t0, MAX(tsu) AS t1
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  MAX(n_events) AS max_session_events,
+      |  CAST(SUM(t1 - t0) AS BIGINT) AS total_session_us
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q30: tumbling time window (1 h) — batch twin of Structured Streaming
+    * `window($"ts", "1 hour")` aggregation; bucket arithmetic on epoch
+    * millis is identical in both engines (floor integer division).
+    */
+  def q30TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("bucket_ms", expr("(ts_ms div 3600000) * 3600000"))
+      .groupBy($"bucket_ms", $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"bucket_ms", $"event_type")
+  }
+
+  val q30Sql: String =
+    """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin
+
+  /** q31: replication metrics twin (SURVEY §2.A ops 8+10): per
+    * minute-batch, batch size and replication lag = batch end − last
+    * arrival (Handler.java:94-98), off the data path via a plain agg here
+    * and via `observe()` in the streaming pipeline.
+    */
+  def q31ReplMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("batch_ms", expr("(ts_ms div 60000) * 60000"))
+      .groupBy($"batch_ms")
+      .agg(
+        count(lit(1)).as("batch_size"),
+        count(lit(1)).as("successful"),
+        max($"ts_ms").as("last_arrival_ms"),
+        ($"batch_ms" + 60000L - max($"ts_ms")).as("replication_lag_ms"))
+      .orderBy($"batch_ms")
+  }
+
+  val q31Sql: String =
+    """SELECT (epoch_ms(ts) // 60000) * 60000 AS batch_ms,
+      |  COUNT(*) AS batch_size, COUNT(*) AS successful,
+      |  MAX(epoch_ms(ts)) AS last_arrival_ms,
+      |  (epoch_ms(ts) // 60000) * 60000 + 60000 - MAX(epoch_ms(ts)) AS replication_lag_ms
+      |FROM events GROUP BY 1 ORDER BY batch_ms""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q23_json_extract" -> (q23JsonExtract _),
+    "q24_cdc_latest" -> (q24CdcLatest _),
+    "q25_checkpoint_maxby" -> (q25CheckpointMaxby _),
+    "q26_gate_semijoin" -> (q26GateSemijoin _),
+    "q27_asof_join" -> (q27AsofJoin _),
+    "q28_interval_pairs" -> (q28IntervalPairs _),
+    "q29_sessionize" -> (q29Sessionize _),
+    "q30_tumbling_window" -> (q30TumblingWindow _),
+    "q31_repl_metrics" -> (q31ReplMetrics _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q23_json_extract" -> q23Sql,
+    "q24_cdc_latest" -> q24Sql,
+    "q25_checkpoint_maxby" -> q25Sql,
+    "q26_gate_semijoin" -> q26Sql,
+    "q27_asof_join" -> q27Sql,
+    "q28_interval_pairs" -> q28Sql,
+    "q29_sessionize" -> q29Sql,
+    "q30_tumbling_window" -> q30Sql,
+    "q31_repl_metrics" -> q31Sql)
+}

@@ -1,0 +1,585 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator suite over the TPC-H-ish star schema.
+  *
+  * Scope per SURVEY.md §2.B (scans, projection/filter, joins of every type,
+  * aggregation incl. distinct/rollup/cube, windows, sort/limit/top-k, set
+  * ops, scalar functions). The reference itself has no relational surface
+  * beyond a point-lookup gate (SURVEY §2.A op 3, Handler.java:139-167); this
+  * is the north-star extension surface, expressed Spark-first so Catalyst
+  * does pushdown/pruning/join-selection.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/customer at TPC-H
+  * ratios) are broadcast explicitly; fact-fact joins are equi-joins that
+  * sort-merge/shuffle-hash on the join key; every aggregate is a partial
+  * (map-side) hash agg first because the exprs are algebraic (sum/count).
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary — scan+filter+hash-agg.
+    * Filter is pushed to the parquet scan; agg is partial+final hash agg.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= ldt("1999-06-30T00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: projection + predicates (IN / BETWEEN / LIKE / null-safe).
+    * Everything lands in PushedFilters on the parquet scan.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "part")
+      .filter($"p_type".isin("ECONOMY", "PROMO") &&
+        $"p_retailprice".between(500.0, 2000.0) &&
+        $"p_brand".like("Brand#1%") &&
+        $"p_name".isNotNull)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  val q02Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM part
+      |WHERE p_type IN ('ECONOMY','PROMO') AND p_retailprice BETWEEN 500.0 AND 2000.0
+      |  AND p_brand LIKE 'Brand#1%' AND p_name IS NOT NULL
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q03: broadcast hash join — fact (orders) joined to a broadcast dim
+    * (customer). At 100 TB, customer is the small side; the explicit
+    * broadcast avoids a fact-side shuffle entirely.
+    */
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        dsum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q03Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q04: multi-way join (TPC-H Q5 shape): two big equi-joins
+    * (customer⋈orders⋈lineitem) plus broadcast dims, with the Q5
+    * supplier-nation-alignment constraint. Flagship query.
+    */
+  def q04JoinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ldt("1996-01-01T00:00:00") && $"o_orderdate" < ldt("1999-01-01T00:00:00"))
+    val li = table(spark, dir, "lineitem")
+    val sup = table(spark, dir, "supplier")
+    val nat = table(spark, dir, "nation")
+    val reg = table(spark, dir, "region").filter($"r_name" === "ASIA")
+    cust.join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"n_name")
+  }
+
+  val q04Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** q05: left outer join keeping customers with zero orders. */
+  def q05JoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06: left-semi join (EXISTS) — customers with an urgent open order.
+    * Mirrors the reference's active-region gate shape (SURVEY §2.A op 3):
+    * rows pass only if a match exists in the (broadcastable) right side.
+    */
+  def q06JoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07: left-anti join (NOT EXISTS) — customers with no high-value
+    * (>150k) order.
+    */
+  def q07JoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders").filter($"o_totalprice" > 150000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08: distinct aggregates — count(distinct) expands to a two-phase
+    * agg in Spark (partial on (grp, key), final count) so it scales.
+    */
+  def q08AggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q08Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q09: HLL sketch cardinality (approx_count_distinct) next to the exact
+    * count. Sketch values are engine-specific → no DuckDB oracle (driver
+    * rows-only check); correctness of the estimate is asserted in ScalaTest
+    * (±5% of exact at these scales).
+    */
+  def q09AggApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** q10: ROLLUP hierarchy totals; NULL grouping slots coalesced to 'ALL'
+    * so both engines emit an identical, orderable shape.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n_rows")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q10Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** q11: CUBE over order status × priority. */
+  def q11Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("orderstatus"),
+        coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+        $"revenue", $"n_orders")
+      .orderBy($"orderstatus", $"orderpriority")
+  }
+
+  val q11Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** q12: ranking window functions with a total tie-break for row_number. */
+  def q12WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRn = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val wRk = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".desc)
+    table(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("rnk", rank().over(wRk))
+      .withColumn("drnk", dense_rank().over(wRk))
+      .filter($"rn" <= 5)
+      .select($"l_returnflag", $"rn".cast("long").as("rn"), $"rnk".cast("long").as("rnk"),
+        $"drnk".cast("long").as("drnk"), $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_returnflag", $"rn")
+  }
+
+  val q12Sql: String =
+    """SELECT * FROM (
+      |  SELECT l_returnflag,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+      |    RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rnk,
+      |    DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS drnk,
+      |    l_orderkey, l_linenumber, l_extendedprice
+      |  FROM lineitem)
+      |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin
+
+  /** q13: lag/lead over per-customer order history. */
+  def q13WindowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"prev_price", $"next_price")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q14: running (cumulative) sum with an explicit ROWS frame; the sum runs
+    * in DECIMAL so the cumulative values are exact in both engines.
+    */
+  def q14WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("running_total", sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"running_total")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q15: global top-k — `orderBy().limit(k)` becomes TakeOrderedAndProject
+    * (per-partition heap + driver merge: no full sort, no full shuffle).
+    */
+  def q15TopkGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+  }
+
+  val q15Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** q16: per-group top-k via ranked window. */
+  def q16TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    table(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn".cast("long").as("rn"), $"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val q16Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+      |    c_custkey, c_name, c_acctbal
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** q17: set operations — INTERSECT / EXCEPT / UNION ALL over the sets of
+    * customers active in 1997 vs 1998.
+    */
+  def q17SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+    def activeIn(year: Int) =
+      o.filter($"o_orderdate" >= ldt(s"$year-01-01T00:00:00") && $"o_orderdate" < ldt(s"${year + 1}-01-01T00:00:00"))
+        .select($"o_custkey").distinct()
+    val a = activeIn(1997)
+    val b = activeIn(1998)
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionAll(a.except(b).withColumn("op", lit("only_1997")))
+      .unionAll(b.except(a).withColumn("op", lit("only_1998")))
+      .orderBy($"op", $"o_custkey")
+  }
+
+  val q17Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |SELECT o_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL SELECT o_custkey, 'only_1997' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL SELECT o_custkey, 'only_1998' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY op, o_custkey""".stripMargin
+
+  /** q18: scalar string functions, incl. the reference's ARN→stream-name
+    * parse (Handler.java:169-171: `arn.split(":")[5].split("/")[1]`)
+    * re-expressed with split().getItem on a synthesized ARN.
+    */
+  def q18StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "customer")
+      .filter($"c_custkey" <= 200)
+      .withColumn("arn",
+        concat(lit("arn:aws:kinesis:us-east-1:123456789012:stream/kds-"), $"c_custkey", lit("/consumer/kds-replicator")))
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        length($"c_name").cast("long").as("name_len"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        concat($"c_mktsegment", lit("#"), $"c_name").as("seg_name"),
+        split($"c_name", "#").getItem(1).as("name_id"),
+        split(split($"arn", ":").getItem(5), "/").getItem(1).as("stream_name"))
+      .orderBy($"c_custkey")
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, UPPER(c_name) AS name_upper,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+      |  CONCAT(c_mktsegment, '#', c_name) AS seg_name,
+      |  string_split(c_name, '#')[2] AS name_id,
+      |  string_split(string_split(
+      |    CONCAT('arn:aws:kinesis:us-east-1:123456789012:stream/kds-', c_custkey, '/consumer/kds-replicator'),
+      |    ':')[6], '/')[2] AS stream_name
+      |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin
+
+  /** q19: date/time functions — trunc, extract, datediff. */
+  def q19DatetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy(
+        date_trunc("month", $"o_orderdate").as("order_month"),
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_mm"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"),
+        max(datediff($"o_orderdate", ldt("1995-01-01T00:00:00")).cast("long")).as("max_days_since_epoch"))
+      .orderBy($"order_month")
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  year(o_orderdate) AS order_year, month(o_orderdate) AS order_mm,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  MAX(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS max_days_since_epoch
+      |FROM orders
+      |GROUP BY 1, 2, 3 ORDER BY order_month""".stripMargin
+
+  /** q20: math + conditional expressions (CASE WHEN, coalesce/nullif,
+    * greatest/least, abs) aggregated into exact buckets.
+    */
+  def q20MathConditional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .withColumn("qty_band",
+        when($"l_quantity" >= 40, "high").when($"l_quantity" >= 15, "mid").otherwise("low"))
+      .withColumn("disc_class",
+        coalesce(nullif(when($"l_discount" > 0.05, lit("discounted")).otherwise(lit("")), lit("")), lit("full_price")))
+      .groupBy($"qty_band", $"disc_class")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(greatest($"l_extendedprice" - lit(1000.0), lit(0.0))).as("sum_over_1000"),
+        dsum6(abs($"l_discount" - lit(0.05))).as("sum_abs_disc_delta"),
+        max(least($"l_quantity", lit(25.0))).as("max_capped_qty"))
+      .orderBy($"qty_band", $"disc_class")
+  }
+
+  val q20Sql: String =
+    """SELECT
+      |  CASE WHEN l_quantity >= 40 THEN 'high' WHEN l_quantity >= 15 THEN 'mid' ELSE 'low' END AS qty_band,
+      |  COALESCE(NULLIF(CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE '' END, ''), 'full_price') AS disc_class,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(GREATEST(l_extendedprice - 1000.0, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_over_1000,
+      |  CAST(SUM(CAST(ABS(l_discount - 0.05) AS DECIMAL(24,6))) AS DOUBLE) AS sum_abs_disc_delta,
+      |  MAX(LEAST(l_quantity, 25.0)) AS max_capped_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY qty_band, disc_class""".stripMargin
+
+  /** q21: distinct projection (set semantics dedup). */
+  def q21DistinctProj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", year($"l_shipdate").cast("long").as("ship_year"))
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus", $"ship_year")
+  }
+
+  val q21Sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin
+
+  /** q22: non-equi (range/band) join against a tiny inline band table —
+    * Spark plans this as BroadcastNestedLoopJoin, which is exactly right:
+    * the band table is O(1) rows, so each fact row tests a handful of
+    * intervals without any shuffle.
+    */
+  def q22RangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("budget", 0.0, 999.99),
+      ("mainstream", 1000.0, 1499.99),
+      ("premium", 1500.0, 100000.0)).toDF("band", "lo", "hi")
+    table(spark, dir, "part")
+      .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" <= $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+      .orderBy($"band")
+  }
+
+  val q22Sql: String =
+    """SELECT band, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part
+      |JOIN (VALUES ('budget', 0.0, 999.99), ('mainstream', 1000.0, 1499.99),
+      |             ('premium', 1500.0, 100000.0)) AS bands(band, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice <= hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_join_multiway" -> (q04JoinMultiway _),
+    "q05_join_outer" -> (q05JoinOuter _),
+    "q06_join_semi" -> (q06JoinSemi _),
+    "q07_join_anti" -> (q07JoinAnti _),
+    "q08_agg_distinct" -> (q08AggDistinct _),
+    "q09_agg_approx" -> (q09AggApprox _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_cube" -> (q11Cube _),
+    "q12_window_rank" -> (q12WindowRank _),
+    "q13_window_lag_lead" -> (q13WindowLagLead _),
+    "q14_window_running" -> (q14WindowRunning _),
+    "q15_topk_global" -> (q15TopkGlobal _),
+    "q16_topk_pergroup" -> (q16TopkPerGroup _),
+    "q17_setops" -> (q17SetOps _),
+    "q18_string_funcs" -> (q18StringFuncs _),
+    "q19_datetime_funcs" -> (q19DatetimeFuncs _),
+    "q20_math_conditional" -> (q20MathConditional _),
+    "q21_distinct_proj" -> (q21DistinctProj _),
+    "q22_range_band_join" -> (q22RangeBandJoin _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_join_multiway" -> q04Sql,
+    "q05_join_outer" -> q05Sql,
+    "q06_join_semi" -> q06Sql,
+    "q07_join_anti" -> q07Sql,
+    "q08_agg_distinct" -> q08Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_cube" -> q11Sql,
+    "q12_window_rank" -> q12Sql,
+    "q13_window_lag_lead" -> q13Sql,
+    "q14_window_running" -> q14Sql,
+    "q15_topk_global" -> q15Sql,
+    "q16_topk_pergroup" -> q16Sql,
+    "q17_setops" -> q17Sql,
+    "q18_string_funcs" -> q18Sql,
+    "q19_datetime_funcs" -> q19Sql,
+    "q20_math_conditional" -> q20Sql,
+    "q21_distinct_proj" -> q21Sql,
+    "q22_range_band_join" -> q22Sql)
+}

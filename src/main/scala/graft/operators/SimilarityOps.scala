@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over `embeddings.embedding` (ArrayType(FloatType),
+  * 64-dim): brute-force cosine top-k as the exact baseline, plus an
+  * IVF-style coarse-quantizer variant as the scale path (assign every
+  * vector to its nearest centroid, probe only the matching cell — the
+  * candidate set shrinks by ~|cells|, per the distributed top-k search
+  * literature in PAPERS.md).
+  *
+  * Dot products run via codegen-friendly higher-order functions
+  * (`zip_with` + `aggregate`) in double precision, left-to-right — the
+  * same fold order DuckDB's list functions use, so scores hash-match.
+  *
+  * Scale: probes/centroids are broadcast (tiny side), so the fact-side
+  * embedding scan never shuffles; per-probe top-k is a ranked window over
+  * probe-partitioned data. At 100 TB the same plan holds: broadcast the
+  * probe set, scan+score in place, two-phase top-k.
+  */
+object SimilarityOps {
+
+  /** Double-precision dot product of two float-array columns. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+
+  private def cos(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** DuckDB twin: identical formula over DOUBLE[] casts. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
+      s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10. */
+  def q42CosineKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
+    cands.crossJoin(broadcast(probes))
+      .filter($"cand_id" =!= $"probe_id")
+      .withColumn("sim", expr(cos("p_emb", "c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"sim")
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q42Sql: String =
+    s"""SELECT probe_id, rn, cand_id, sim FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${cosSql("p.embedding", "c.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+       |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 10)
+       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+
+  /** q43: IVF-style ANN — centroids are vectors vec_id<16; every vector is
+    * assigned to its max-cosine centroid (the coarse quantizer); probes
+    * vec_id in [100,110) search only their own cell, top-3.
+    */
+  def q43IvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", expr(cos("cent_emb", "embedding")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id".as("cluster"))
+    val probes = assign.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"cluster")
+    val cands = assign.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"cluster")
+    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
+    cands.join(broadcast(probes), "cluster")
+      .filter($"cand_id" =!= $"probe_id")
+      .withColumn("sim", expr(cos("p_emb", "c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"probe_id", $"rn".cast("long").as("rn"), $"cluster", $"cand_id", $"sim")
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q43Sql: String =
+    s"""WITH assign AS (
+       |  SELECT vec_id, embedding, cent_id AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.vec_id AS cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.embedding", "e.embedding")} DESC, c.vec_id) AS arn
+       |    FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+       |  FROM assign WHERE vec_id >= 100 AND vec_id < 110)
+       |SELECT probe_id, rn, cluster, cand_id, sim FROM (
+       |  SELECT p.probe_id, p.cluster, c.vec_id AS cand_id,
+       |    ${cosSql("p.p_emb", "c.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |      ORDER BY ${cosSql("p.p_emb", "c.embedding")} DESC, c.vec_id) AS rn
+       |  FROM probes p JOIN assign c ON c.cluster = p.cluster AND c.vec_id <> p.probe_id)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q42_cosine_knn" -> (q42CosineKnn _),
+    "q43_ivf_knn" -> (q43IvfKnn _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q42_cosine_knn" -> q42Sql,
+    "q43_ivf_knn" -> q43Sql)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  * All tokenization is a plain whitespace split so both engines agree
+  * exactly; per-row arithmetic is double (deterministic), cross-row
+  * aggregation goes through exact integer/decimal sums.
+  *
+  * Scale: every query is a narrow map (split/explode) followed by one hash
+  * aggregation — embarrassingly parallel, no joins, no skew beyond token
+  * frequency (absorbed by partial aggregation).
+  */
+object TextOps {
+
+  private def toks(c: String = "text") = split(col(c), " ")
+
+  /** q32: token counting / term frequency — explode + hash agg with
+    * map-side partial aggregation absorbing the Zipf skew.
+    */
+  def q32TokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(explode(toks()).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(50)
+  }
+
+  val q32Sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** q33: corpus stats per (lang, source): doc counts, exact char/token
+    * sums, averages as exact-sum ÷ count.
+    */
+  def q33DocStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("n_tokens", size(toks()).cast("long"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"n_tokens").as("sum_tokens"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  val q33Sql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  MAX(len(string_split(text, ' '))) AS max_tokens
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** q34: language ID via an n-gram/stopword heuristic — fraction of
+    * tokens that are English function words; confusion counts against the
+    * labeled `lang` column.
+    */
+  def q34LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("n_tokens", size(toks()).cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))")).cast("long"))
+      .withColumn("en_score", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("pred_lang", when($"en_score" >= 0.08, "en").otherwise("other"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val q34Sql: String =
+    """SELECT lang, pred_lang, COUNT(*) AS n_docs FROM (
+      |  SELECT lang,
+      |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+      |           t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) >= 0.08
+      |    THEN 'en' ELSE 'other' END AS pred_lang
+      |  FROM documents)
+      |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+
+  /** q35: per-document quality scoring — length / uniqueness / stopword
+    * ratios combined into one deterministic double score.
+    */
+  def q35QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("n_tokens", size(toks()).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks())).cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))")).cast("long"))
+      .withColumn("uniq_ratio", $"n_uniq".cast("double") / $"n_tokens")
+      .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("len_score",
+        least($"n_tokens".cast("double") / lit(64.0), lit(1.0)))
+      .withColumn("quality",
+        $"len_score" * lit(0.5) + $"uniq_ratio" * lit(0.3) + (lit(1.0) - $"stop_ratio") * lit(0.2))
+      .select($"doc_id", $"n_tokens", $"n_uniq", $"uniq_ratio", $"stop_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val q35Sql: String =
+    """SELECT doc_id, n_tokens, n_uniq,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+      |    + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+      |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q36: document fingerprinting — md5 over whitespace-normalized text;
+    * groups with >1 member are exact-duplicate clusters.
+    */
+  def q36Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"fp")
+  }
+
+  val q36Sql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q32_token_freq" -> (q32TokenFreq _),
+    "q33_doc_stats" -> (q33DocStats _),
+    "q34_lang_id" -> (q34LangId _),
+    "q35_quality_score" -> (q35QualityScore _),
+    "q36_fingerprint" -> (q36Fingerprint _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q32_token_freq" -> q32Sql,
+    "q33_doc_stats" -> q33Sql,
+    "q34_lang_id" -> q34Sql,
+    "q35_quality_score" -> q35Sql,
+    "q36_fingerprint" -> q36Sql)
+}

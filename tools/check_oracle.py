@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB differential check.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet dump produced by graft.Verify and
+the oracle_sql.json next to them, runs each oracle against DuckDB views over
+<sfDir>/*.parquet, and compares: column names (sorted), row counts, and
+values (both in result order and sorted), reporting per-query PASS/FAIL.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    return repr(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        if want.num_rows != got.num_rows:
+            print(f"FAIL {name}: rows differ: oracle={want.num_rows} spark={got.num_rows}")
+            n_fail += 1
+            continue
+        wrows = [tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()]
+        grows = [tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()]
+        if wrows == grows:
+            print(f"PASS {name} ({want.num_rows} rows)")
+            n_pass += 1
+        elif sorted(wrows) == sorted(grows):
+            print(f"WARN {name}: values match only after sorting rows (order mismatch)")
+            n_fail += 1
+        else:
+            bad = next(i for i, (a, b) in enumerate(zip(wrows, grows)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"  oracle: {wrows[bad]}")
+            print(f"  spark : {grows[bad]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
