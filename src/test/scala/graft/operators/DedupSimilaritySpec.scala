@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-checks of the dedup + similarity operators against plain-Scala
+  * reimplementations on collected data.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q38: minhash signature matches a hand-rolled minwise hash for one doc") {
+    import spark.implicits._
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" === 0).head()
+    val toks = doc.getAs[String]("text").split(" ")
+    val shingles = toks.sliding(4).map(_.mkString(" ")).toSet
+    val want = (0 until 8).map(s => s.toLong -> shingles.map(sh => md5hex(s"$s|$sh")).min).toMap
+    val got = DedupOps.q38MinhashSigs(spark, sf)
+      .filter($"doc_id" === 0).collect()
+      .map(r => r.getAs[Long]("seed") -> r.getAs[String]("minhash")).toMap
+    assert(got === want)
+  }
+
+  test("q39: LSH candidate pairs report exact Jaccard of shingle sets") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").sliding(4).map(_.mkString(" ")).toSet)
+      .toMap
+    val pairs = DedupOps.q39LshPairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))
+      val want = graft.functions.Parsing.jaccard(docs(a), docs(b))
+      assert(math.abs(j - want) < 1e-12, s"pair ($a,$b): $j vs $want")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("q41: simhash is 16 hex nibbles and near-identical docs agree on most bits") {
+    val rows = DedupOps.q41Simhash(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getAs[String]("simhash64").matches("[0-9a-f]{16}")))
+  }
+
+  test("q42: top-1 neighbor matches plain-Scala brute force for every probe") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top1 = SimilarityOps.q42CosineKnn(spark, sf)
+      .filter($"rn" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("cand_id")).toMap
+    (0L until 10L).foreach { p =>
+      val want = vecs.filter(_._1 != p).maxBy { case (id, v) => (cos(vecs(p), v), -id.toDouble) }._1
+      assert(top1(p) === want, s"probe $p")
+    }
+  }
+
+  test("q43: IVF search returns neighbors from the probe's own cluster only") {
+    import spark.implicits._
+    val rows = SimilarityOps.q43IvfKnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, grp) =>
+      assert(grp.map(_.getAs[Long]("cluster")).distinct.length === 1)
+    }
+  }
+}
