@@ -11,6 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen/parquet-reader warmup so the first timed query doesn't
+    // absorb one-time JVM costs
+    try {
+      val wl = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      wl.groupBy("l_returnflag").count().count()
+      wl.join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        wl("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

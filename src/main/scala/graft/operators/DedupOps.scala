@@ -27,7 +27,10 @@ object DedupOps {
   /** Distinct 4-word shingles per doc. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // documents is a single small file (1 scan task); spread the rows
+    // before the explode/md5-heavy narrow work so it runs on all cores
     table(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 4)
       .select($"doc_id",
@@ -43,15 +46,22 @@ object DedupOps {
       |  WHERE len(toks) >= 4""".stripMargin
 
   /** MinHash signatures: per (doc, seed), min over shingles of
-    * md5(seed|shingle).
+    * md5(seed|shingle). Computed as NumSeeds parallel min-aggregates over
+    * the shingle rows (map-side partial agg, no seed-explosion shuffle),
+    * then unpivoted to (doc, seed, minhash) rows.
     */
-  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    shingles(spark, dir)
-      .select($"doc_id", $"sh", explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"))
-      .groupBy($"doc_id", $"seed")
-      .agg(min(md5(concat($"seed".cast("string"), lit("|"), $"sh"))).as("minhash"))
+  private def minhashesOf(sh: DataFrame): DataFrame = {
+    val minCols = (0 until NumSeeds)
+      .map(s => min(md5(concat(lit(s + "|"), col("sh")))).as(s"m$s"))
+    val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
   }
+
+  private def minhashes(spark: SparkSession, dir: String): DataFrame =
+    minhashesOf(shingles(spark, dir))
 
   private val minhashesSql: String =
     s"""SELECT doc_id, s AS seed, MIN(md5(CAST(s AS VARCHAR) || '|' || sh)) AS minhash
@@ -96,8 +106,11 @@ object DedupOps {
     */
   def q39LshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
-    val bandSigs = minhashes(spark, dir)
+    // The shingle set feeds signature building, sizes, and the verify
+    // join — cache it once instead of recomputing the explode+distinct
+    // chain three times.
+    val sh = shingles(spark, dir).cache()
+    val bandSigs = minhashesOf(sh)
       .withColumn("band", expr(s"seed div $BandRows"))
       .groupBy($"doc_id", $"band")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash), ',')").as("band_sig"))
@@ -106,14 +119,17 @@ object DedupOps {
     val cands = a.join(b, Seq("band", "band_sig"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
+      .cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.select($"doc_id".as("doc_a"), $"sh"), "doc_a")
+    // candidate set is tiny → broadcast it through the verify joins so the
+    // full shingle index is streamed once, never shuffled
+    val inter = broadcast(broadcast(cands)
+        .join(sh.select($"doc_id".as("doc_a"), $"sh"), "doc_a"))
       .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    cands.join(inter, Seq("doc_a", "doc_b"), "left_outer")
-      .na.fill(0L, Seq("n_inter"))
+    broadcast(cands.join(inter, Seq("doc_a", "doc_b"), "left_outer")
+        .na.fill(0L, Seq("n_inter")))
       .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .select($"doc_a", $"doc_b", $"n_inter",
@@ -153,13 +169,15 @@ object DedupOps {
     */
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir)
-    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 100).select($"sh")
-    val shRare = sh.join(rare, "sh")
+    val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = shRare.select($"sh", $"doc_id".as("doc_a"))
-      .join(shRare.select($"sh", $"doc_id".as("doc_b")), "sh")
-      .filter($"doc_a" < $"doc_b")
+    // Pair generation without a self-join: group the inverted index by
+    // shingle and explode doc-pairs from each (non-stop) posting list —
+    // one shuffle on sh instead of shuffling the whole index twice.
+    val inter = sh.groupBy($"sh").agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") <= 100 && size($"docs") >= 2)
+      .select(explode($"docs").as("doc_a"), $"docs")
+      .select($"doc_a", explode(expr("filter(docs, d -> d > doc_a)")).as("doc_b"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
     inter
@@ -195,6 +213,7 @@ object DedupOps {
   def q41Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tokens = table(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
       .filter($"tok" =!= "")
       .withColumn("h", md5($"tok"))

@@ -39,14 +39,19 @@ object SimilarityOps {
   /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10. */
   def q42CosineKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Norms are computed once per vector, not once per pair — the pair
+    // stage then does a single dot product (sim = dot / (norm_p*norm_c),
+    // bit-identical to dot/(sqrt(dd_p)*sqrt(dd_q)) evaluated pairwise).
     val emb = table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
     val probes = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
-    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"))
+    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
     val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
     cands.crossJoin(broadcast(probes))
       .filter($"cand_id" =!= $"probe_id")
-      .withColumn("sim", expr(cos("p_emb", "c_emb")))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"sim")
@@ -70,21 +75,25 @@ object SimilarityOps {
   def q43IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
     val cents = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"), $"norm".as("cent_norm"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    // cached: both the probe and candidate sides reuse the assignment
     val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(cos("cent_emb", "embedding")))
+      .withColumn("csim", expr(dot("cent_emb", "embedding")) / ($"cent_norm" * $"norm"))
       .withColumn("arn", row_number().over(wAssign))
       .filter($"arn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id".as("cluster"))
+      .select($"vec_id", $"embedding", $"norm", $"cent_id".as("cluster"))
+      .cache()
     val probes = assign.filter($"vec_id" >= 100 && $"vec_id" < 110)
-      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"cluster")
-    val cands = assign.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"cluster")
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"), $"cluster")
+    val cands = assign.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"), $"cluster")
     val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
     cands.join(broadcast(probes), "cluster")
       .filter($"cand_id" =!= $"probe_id")
-      .withColumn("sim", expr(cos("p_emb", "c_emb")))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"probe_id", $"rn".cast("long").as("rn"), $"cluster", $"cand_id", $"sim")
