@@ -536,6 +536,35 @@ object Relational {
       |  ON p_retailprice >= lo AND p_retailprice <= hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** q46: explicit GROUPING SETS (beyond rollup/cube): per-(flag,status),
+    * per-flag, per-ship-year, and grand total in one pass.
+    */
+  def q46GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .withColumn("ship_year", year($"l_shipdate").cast("long"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"ship_year"), Seq()),
+        $"l_returnflag", $"l_linestatus", $"ship_year")
+      .agg(dsum($"l_extendedprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        coalesce($"ship_year", lit(-1L)).as("ship_year"),
+        $"sum_price", $"n_rows")
+      .orderBy($"returnflag", $"linestatus", $"ship_year")
+  }
+
+  val q46Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  COALESCE(year(l_shipdate), -1) AS ship_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (year(l_shipdate)), ())
+      |ORDER BY returnflag, linestatus, ship_year""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -558,7 +587,8 @@ object Relational {
     "q19_datetime_funcs" -> (q19DatetimeFuncs _),
     "q20_math_conditional" -> (q20MathConditional _),
     "q21_distinct_proj" -> (q21DistinctProj _),
-    "q22_range_band_join" -> (q22RangeBandJoin _))
+    "q22_range_band_join" -> (q22RangeBandJoin _),
+    "q46_grouping_sets" -> (q46GroupingSets _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -581,5 +611,6 @@ object Relational {
     "q19_datetime_funcs" -> q19Sql,
     "q20_math_conditional" -> q20Sql,
     "q21_distinct_proj" -> q21Sql,
-    "q22_range_band_join" -> q22Sql)
+    "q22_range_band_join" -> q22Sql,
+    "q46_grouping_sets" -> q46Sql)
 }

@@ -23,8 +23,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  /** Double-precision dot product of two float-array columns. */
-  private def dot(a: String, b: String): String =
+  /** Double-precision dot product of two float-array columns — the
+    * codegen'd native expression ([[graft.functions.VectorDot]]); queries
+    * register it per session. [[hofDot]] is the built-in higher-order-
+    * function formulation, kept for the bit-equality spec.
+    */
+  private def dot(a: String, b: String): String = s"vector_dot($a, $b)"
+
+  /** Built-in (interpreted) formulation of the same fold. */
+  def hofDot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
 
   private def cos(a: String, b: String): String =
@@ -39,6 +46,7 @@ object SimilarityOps {
   /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10. */
   def q42CosineKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     // Norms are computed once per vector, not once per pair — the pair
     // stage then does a single dot product (sim = dot / (norm_p*norm_c),
     // bit-identical to dot/(sqrt(dd_p)*sqrt(dd_q)) evaluated pairwise).
@@ -74,6 +82,7 @@ object SimilarityOps {
     */
   def q43IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     val emb = table(spark, dir, "embeddings")
       .repartition(col("vec_id"))
       .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
@@ -119,11 +128,49 @@ object SimilarityOps {
        |  FROM probes p JOIN assign c ON c.cluster = p.cluster AND c.vec_id <> p.probe_id)
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** q45: the same top-k semantics via the typed [[graft.functions.TopKAggregator]]
+    * registered with `udaf()` — partial aggregation reduces every partition
+    * to ≤k candidates before the shuffle (two-phase top-k, the 100 TB
+    * formulation), oracle-checked against the declarative ranked window.
+    */
+  def q45TopkUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+    val probes = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"))
+    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
+    cands.crossJoin(broadcast(probes))
+      .filter($"cand_id" =!= $"probe_id")
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
+      .groupBy($"probe_id")
+      .agg(topk($"cand_id", $"sim").as("top"))
+      .select($"probe_id", posexplode($"top"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("cand_id"), $"col.score".as("sim"))
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q45Sql: String =
+    s"""SELECT probe_id, rn, cand_id, sim FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${cosSql("p.embedding", "c.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+       |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id >= 10 AND p.vec_id < 20)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q42_cosine_knn" -> (q42CosineKnn _),
-    "q43_ivf_knn" -> (q43IvfKnn _))
+    "q43_ivf_knn" -> (q43IvfKnn _),
+    "q45_topk_udaf" -> (q45TopkUdaf _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_cosine_knn" -> q42Sql,
-    "q43_ivf_knn" -> q43Sql)
+    "q43_ivf_knn" -> q43Sql,
+    "q45_topk_udaf" -> q45Sql)
 }

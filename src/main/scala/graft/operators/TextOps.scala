@@ -142,7 +142,24 @@ object TextOps {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** q47: rolling-hash (Karp–Rabin) document fingerprints via the one
+    * scalar UDF in the engine ([[graft.functions.TextHash]] — a sequential
+    * rolling recurrence has no builtin equivalent). No DuckDB oracle
+    * (rows-only check); the hash math is property-tested in ScalaTest.
+    */
+  def q47RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val poly = udf((s: String) => graft.functions.TextHash.polyHash(s))
+    val winnow = udf((s: String) => graft.functions.TextHash.minRollingHash(s, 32))
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        poly($"text").as("doc_hash"),
+        winnow($"text").as("winnow_fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q47_rolling_fingerprint" -> (q47RollingFingerprint _),
     "q32_token_freq" -> (q32TokenFreq _),
     "q33_doc_stats" -> (q33DocStats _),
     "q34_lang_id" -> (q34LangId _),

@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Tests of the custom function surface: the codegen'd VectorDot
+  * expression (vs the interpreted higher-order-function fold), the TopK
+  * aggregator, and the rolling-hash math.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("VectorDot: bit-identical to the zip_with/aggregate fold on real embeddings") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+      .select($"vec_id", $"embedding".as("a"), $"embedding".as("b"))
+    val cmp = emb.withColumn("native", expr("vector_dot(a, b)"))
+      .withColumn("hof", expr(graft.operators.SimilarityOps.hofDot("a", "b")))
+      .filter($"native" =!= $"hof")
+    assert(cmp.count() === 0)
+  }
+
+  test("VectorDot: null in, null out") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(expr("vector_dot(a, b)").as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("TopKAggregator: exact top-k regardless of partitioning") {
+    import spark.implicits._
+    val topk = udaf(new TopKAggregator(3))
+    val data = (1L to 1000L).map(i => ("g" + (i % 4), i, (i * 37 % 1001).toDouble))
+    val got = data.toDF("g", "id", "score").repartition(13)
+      .groupBy($"g").agg(topk($"id", $"score").as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1))))
+      .toMap
+    val want = data.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).take(3)).toMap
+    assert(got === want)
+  }
+
+  test("rollingHashes: each window hash equals polyHash of that substring") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    val w = 7
+    val hs = TextHash.rollingHashes(s, w)
+    assert(hs.length === s.length - w + 1)
+    hs.zipWithIndex.foreach { case (h, i) =>
+      assert(h === TextHash.polyHash(s.substring(i, i + w)), s"window $i")
+    }
+  }
+
+  test("minRollingHash: invariant under content-preserving relocation of a window") {
+    val a = "aaaa_MARKER_WINDOW_bbbb"
+    val b = "bbbb_MARKER_WINDOW_aaaa"
+    // the window content exists in both; min over all windows of the
+    // shared 14-char region is present in both hash sets
+    val shared = TextHash.rollingHashes("_MARKER_WINDOW_", 8).toSet
+    assert(TextHash.rollingHashes(a, 8).toSet.intersect(shared) === shared)
+    assert(TextHash.rollingHashes(b, 8).toSet.intersect(shared) === shared)
+  }
+}
