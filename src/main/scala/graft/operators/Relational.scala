@@ -536,6 +536,38 @@ object Relational {
       |  ON p_retailprice >= lo AND p_retailprice <= hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** q48: full outer join across fact domains — customers vs per-user
+    * event activity (customer keys and event users only partially
+    * overlap, so both null sides appear).
+    */
+  def q48OuterFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    val ev = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+    c.join(ev, $"c_custkey" === $"user_id", "full_outer")
+      .select(
+        coalesce($"c_custkey", lit(-1L)).as("custkey"),
+        coalesce($"user_id", lit(-1L)).as("user_id"),
+        coalesce($"c_mktsegment", lit("NONE")).as("mktsegment"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(0.0)).as("total_value"))
+      .orderBy($"custkey", $"user_id")
+  }
+
+  val q48Sql: String =
+    """SELECT COALESCE(c_custkey, -1) AS custkey, COALESCE(user_id, -1) AS user_id,
+      |  COALESCE(c_mktsegment, 'NONE') AS mktsegment,
+      |  COALESCE(n_events, 0) AS n_events, COALESCE(total_value, 0.0) AS total_value
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+      |FULL OUTER JOIN (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id) e
+      |ON c_custkey = user_id
+      |ORDER BY custkey, user_id""".stripMargin
+
   /** q46: explicit GROUPING SETS (beyond rollup/cube): per-(flag,status),
     * per-flag, per-ship-year, and grand total in one pass.
     */
@@ -588,7 +620,8 @@ object Relational {
     "q20_math_conditional" -> (q20MathConditional _),
     "q21_distinct_proj" -> (q21DistinctProj _),
     "q22_range_band_join" -> (q22RangeBandJoin _),
-    "q46_grouping_sets" -> (q46GroupingSets _))
+    "q46_grouping_sets" -> (q46GroupingSets _),
+    "q48_outer_full" -> (q48OuterFull _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -612,5 +645,6 @@ object Relational {
     "q20_math_conditional" -> q20Sql,
     "q21_distinct_proj" -> q21Sql,
     "q22_range_band_join" -> q22Sql,
-    "q46_grouping_sets" -> q46Sql)
+    "q46_grouping_sets" -> q46Sql,
+    "q48_outer_full" -> q48Sql)
 }

@@ -164,13 +164,42 @@ object SimilarityOps {
        |  WHERE p.vec_id >= 10 AND p.vec_id < 20)
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** q49: embedding-cosine near-duplicate pairs (all pairs with sim ≥
+    * 0.45, a<b). Exact all-pairs here; at 100 TB the blocked variant is
+    * q43's IVF assignment (compare within cells only) — this query is the
+    * exact baseline the blocked path is measured against.
+    */
+  def q49EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val emb = table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("a_emb"), $"norm".as("a_norm"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("b_emb"), $"norm".as("b_norm"))
+    a.join(broadcast(b), $"vec_a" < $"vec_b")
+      .withColumn("sim", expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm"))
+      .filter($"sim" >= 0.45)
+      .select($"vec_a", $"vec_b", $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q49Sql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosSql("a.embedding", "b.embedding")} AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q42_cosine_knn" -> (q42CosineKnn _),
     "q43_ivf_knn" -> (q43IvfKnn _),
-    "q45_topk_udaf" -> (q45TopkUdaf _))
+    "q45_topk_udaf" -> (q45TopkUdaf _),
+    "q49_embed_near_dup" -> (q49EmbedNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_cosine_knn" -> q42Sql,
     "q43_ivf_knn" -> q43Sql,
-    "q45_topk_udaf" -> q45Sql)
+    "q45_topk_udaf" -> q45Sql,
+    "q49_embed_near_dup" -> q49Sql)
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming window/watermark/dedup operators (SURVEY §2.B streaming
+  * row): the live Structured Streaming counterparts of the batch twins
+  * q29 (sessionize) / q30 (tumbling) / q24 (keyed dedup). Each takes a
+  * streaming DataFrame with an event-time Timestamp column and returns a
+  * transformed streaming DataFrame ready for writeStream.
+  *
+  * Scale: all three are the built-in stateful operators — state is
+  * partitioned by group key across executors, bounded by the watermark
+  * (late state is evicted), which is exactly the behavior that survives
+  * an unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums with a watermark: late events beyond
+    * `lateness` are dropped; in append mode a window emits once final.
+    */
+  def tumblingAgg(events: DataFrame, tsCol: String, lateness: String,
+      windowLen: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows: events of one user within `gap` of each other merge
+    * into one session (the streaming form of q29's gaps-and-islands).
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, lateness: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful dedup bounded by the watermark: duplicates of `idCols`
+    * arriving within the lateness window are dropped; state for old ids
+    * is evicted as the watermark advances (at-least-once upstream →
+    * effectively-once downstream, the §2.A op-9 duplicate-acceptance
+    * semantics tightened).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, lateness: String,
+      idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+}

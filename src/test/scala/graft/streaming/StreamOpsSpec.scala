@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Behavioral tests of the streaming window/watermark/dedup operators
+  * with MemoryStream, forcing micro-batch boundaries so the watermark
+  * actually advances between batches.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  case class Evt(ts: Timestamp, event_type: String, user_id: Long, value: Double, id: Long)
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumblingAgg + watermark: late event beyond lateness is dropped") {
+    import spark.implicits._
+    val mem = MemoryStream[Evt](spark)
+    val q = StreamOps.tumblingAgg(mem.toDF(), "ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("append").start()
+
+    mem.addData(Evt(t(1), "click", 1, 1.0, 1), Evt(t(4), "click", 1, 2.0, 2))
+    q.processAllAvailable()
+    // advance event time far past window end + lateness → closes [10:00,10:10)
+    mem.addData(Evt(t(31), "click", 1, 9.0, 3))
+    q.processAllAvailable()
+    // this event targets the closed window → must be dropped
+    mem.addData(Evt(t(2), "click", 1, 100.0, 4))
+    q.processAllAvailable()
+    mem.addData(Evt(t(59), "click", 1, 0.0, 5))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling_out")
+      .collect().map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+    val first = rows.find(_._1 == t(0)).get
+    assert(first._2 === 2L && first._3 === 3.0) // late id=4 (value 100) not included
+  }
+
+  test("sessionAgg: events within the gap merge into one session, a distant one opens another") {
+    import spark.implicits._
+    val mem = MemoryStream[Evt](spark)
+    val q = StreamOps.sessionAgg(mem.toDF(), "ts", "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("session_out").outputMode("append").start()
+
+    mem.addData(
+      Evt(t(0), "x", 7, 0, 1), Evt(t(2), "x", 7, 0, 2), Evt(t(4), "x", 7, 0, 3), // one session
+      Evt(t(20), "x", 7, 0, 4)) // separate session
+    q.processAllAvailable()
+    mem.addData(Evt(t(59), "x", 7, 0, 5)) // advance watermark to finalize
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("session_out")
+      .collect().map(r => (r.getAs[Timestamp]("sess_start"), r.getAs[Long]("n_events"))).sortBy(_._1.getTime)
+    assert(sessions.take(2).map(_._2).toSeq === Seq(3L, 1L))
+    assert(sessions.head._1 === t(0))
+  }
+
+  test("dedupWithinWatermark: duplicate ids within the watermark are dropped once") {
+    import spark.implicits._
+    val mem = MemoryStream[Evt](spark)
+    val q = StreamOps.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes", Seq("id"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+
+    mem.addData(Evt(t(1), "a", 1, 1.0, 100), Evt(t(2), "a", 1, 1.0, 100)) // dup in same batch
+    q.processAllAvailable()
+    mem.addData(Evt(t(3), "a", 1, 1.0, 100), Evt(t(4), "b", 2, 2.0, 200)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.toSeq === Seq(100L, 200L))
+  }
+}
