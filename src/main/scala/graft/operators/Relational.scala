@@ -597,6 +597,49 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (year(l_shipdate)), ())
       |ORDER BY returnflag, linestatus, ship_year""".stripMargin
 
+  /** q50: PIVOT — linestatus columns out of rows (explicit value list so
+    * the output schema is static, as a scale-safe pivot must be).
+    */
+  def q50Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum($"l_quantity"))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0.0)).as("qty_f"),
+        coalesce($"O", lit(0.0)).as("qty_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE), 0.0) AS qty_f,
+      |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE), 0.0) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q51: exact percentiles (continuous interpolation) — rounded to 4
+    * decimals because Spark computes lo + (hi-lo)·f and DuckDB's
+    * quantile_cont may associate differently in the last ulp.
+    */
+  def q51Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q51Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -621,7 +664,9 @@ object Relational {
     "q21_distinct_proj" -> (q21DistinctProj _),
     "q22_range_band_join" -> (q22RangeBandJoin _),
     "q46_grouping_sets" -> (q46GroupingSets _),
-    "q48_outer_full" -> (q48OuterFull _))
+    "q48_outer_full" -> (q48OuterFull _),
+    "q50_pivot" -> (q50Pivot _),
+    "q51_percentiles" -> (q51Percentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -646,5 +691,7 @@ object Relational {
     "q21_distinct_proj" -> q21Sql,
     "q22_range_band_join" -> q22Sql,
     "q46_grouping_sets" -> q46Sql,
-    "q48_outer_full" -> q48Sql)
+    "q48_outer_full" -> q48Sql,
+    "q50_pivot" -> q50Sql,
+    "q51_percentiles" -> q51Sql)
 }

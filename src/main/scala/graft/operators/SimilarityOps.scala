@@ -191,15 +191,46 @@ object SimilarityOps {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q52: per-(label, dimension) embedding statistics via posexplode —
+    * the array-column analytics path (min/max/count are order-insensitive
+    * and exact on floats, so no summation-order hazard).
+    */
+  def q52EmbedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .filter($"dim" < 8)
+      .groupBy($"label", $"dim".cast("long").as("dim"))
+      .agg(
+        min($"v").cast("double").as("min_v"),
+        max($"v").cast("double").as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"dim")
+  }
+
+  val q52Sql: String =
+    """SELECT label, CAST(dim AS BIGINT) AS dim,
+      |  CAST(MIN(v) AS DOUBLE) AS min_v,
+      |  CAST(MAX(v) AS DOUBLE) AS max_v,
+      |  COUNT(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        unnest(range(len(embedding))) AS dim
+      |      FROM embeddings)
+      |WHERE dim < 8
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q42_cosine_knn" -> (q42CosineKnn _),
     "q43_ivf_knn" -> (q43IvfKnn _),
     "q45_topk_udaf" -> (q45TopkUdaf _),
-    "q49_embed_near_dup" -> (q49EmbedNearDup _))
+    "q49_embed_near_dup" -> (q49EmbedNearDup _),
+    "q52_embed_dim_stats" -> (q52EmbedDimStats _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_cosine_knn" -> q42Sql,
     "q43_ivf_knn" -> q43Sql,
     "q45_topk_udaf" -> q45Sql,
-    "q49_embed_near_dup" -> q49Sql)
+    "q49_embed_near_dup" -> q49Sql,
+    "q52_embed_dim_stats" -> q52Sql)
 }

@@ -25,16 +25,7 @@ object ReplicatorDemo {
 
     // Kinesis-shaped source table from events (file source plays the stream).
     val recordsDir = s"$outDir/records"
-    graft.Util.events(spark, sfDir)
-      .select(
-        to_json(struct(
-          $"event_id".as("key"),
-          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-            .as("commitTimestamp"))).cast("binary").as("data"),
-        $"user_id".cast("string").as("partitionKey"),
-        $"event_id".cast("string").as("sequenceNumber"),
-        timestamp_micros(expr("ts div 1000")).as("approximateArrivalTimestamp"),
-        $"event_type".as("streamName"))
+    graft.sources.KinesisShapedSource.fromEvents(spark, sfDir)
       .write.mode("overwrite").parquet(recordsDir)
 
     val cfgDir = s"$outDir/config"
@@ -42,9 +33,7 @@ object ReplicatorDemo {
       .toDF("streamName", "activeRegion")
       .write.mode("overwrite").parquet(cfgDir)
 
-    val stream = spark.readStream
-      .schema(spark.read.parquet(recordsDir).schema)
-      .parquet(recordsDir)
+    val stream = graft.sources.KinesisShapedSource.fromParquetDir(spark, recordsDir)
     val q = Replicator.run(spark, stream, cfgDir, "us-east-1",
       s"$outDir/target", s"$outDir/checkpointTable", s"$outDir/metrics",
       s"$outDir/streamCheckpoint")
