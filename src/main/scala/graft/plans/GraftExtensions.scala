@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorDot
+
+/** Library entry point for `spark.sql.extensions`: injects graft's
+  * function surface into every session built with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (the
+  * standard way to ship Catalyst extensions with a library), so SQL text
+  * like `SELECT vector_dot(a, b)` works without programmatic
+  * registration.
+  *
+  * Deliberately minimal: per SURVEY.md §4/§7.3, every operator semantics
+  * in this engine is expressible with Catalyst's existing optimizer —
+  * predicate pushdown, column pruning, broadcast selection, AQE, and
+  * WindowGroupLimit (two-phase ranked-window top-k) all fire on our plans
+  * without custom rules, so no `Rule[LogicalPlan]`/`SparkStrategy` is
+  * injected. The one genuine gap is the codegen'd embedding dot product
+  * ([[graft.functions.VectorDot]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+  }
+}

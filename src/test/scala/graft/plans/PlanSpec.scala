@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast dims, two-phase window top-k)
+  * must stay visible in the physical plan.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q02: every predicate reaches the parquet scan") {
+    val p = planOf(graft.operators.Relational.q02FilterProject(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("In(p_type"))
+    assert(p.contains("StringStartsWith(p_brand"))
+    assert(p.contains("GreaterThanOrEqual(p_retailprice,500.0)"))
+  }
+
+  test("q01: date filter pushed; scan pruned to needed columns only") {
+    val p = planOf(graft.operators.Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan must not read unused columns")
+  }
+
+  test("q04: dimension joins are broadcast (no fact-side shuffle for dims)") {
+    val p = planOf(graft.operators.Relational.q04JoinMultiway(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q24: rn=1 dedup uses WindowGroupLimit (partial top-k before the shuffle)") {
+    val p = planOf(graft.operators.EventOps.q24CdcLatest(spark, sf))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q23: JSON extraction prunes events scan to the used columns") {
+    val p = planOf(graft.operators.EventOps.q23JsonExtract(spark, sf))
+    assert(!p.contains("value:double"), "value column must be pruned")
+  }
+
+  test("GraftExtensions: vector_dot reaches SQL text through extension injection") {
+    // newSession() has a fresh temp-function registry but re-applies the
+    // builder extensions — vector_dot resolving there proves injection,
+    // not a leftover temp registration from another suite.
+    val fresh = spark.newSession()
+    val r = fresh.sql("SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head().getDouble(0)
+    assert(r === 11.0)
+  }
+}
