@@ -50,6 +50,34 @@ object MultimodalOps {
     }.toDF("media_id", "mime", "n_bytes", "features")
   }
 
+  /** Resize: box-downsample the payload to `targetLen` "pixels" by
+    * averaging fixed-size byte blocks — the stand-in for an image resize
+    * kernel; same narrow per-partition shape as a real one.
+    */
+  def resize(ds: Dataset[MediaRecord], targetLen: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out = new Array[Float](math.min(targetLen, math.max(n, 1)))
+        if (n > 0) {
+          val block = math.max(1, n / out.length)
+          var i = 0
+          while (i < out.length) {
+            val from = i * block
+            val until = math.min(n, from + block)
+            var s = 0
+            var j = from
+            while (j < until) { s += r.payload(j) & 0xff; j += 1 }
+            out(i) = if (until > from) s.toFloat / (until - from) else 0f
+            i += 1
+          }
+        }
+        (r.media_id, out.length, out)
+      }
+    }.toDF("media_id", "resized_len", "resized")
+  }
+
   /** Frame sampling: every `stride`-th byte of the payload (stand-in for
     * every k-th video frame), keeping at most `maxFrames`.
     */

@@ -536,6 +536,35 @@ object Relational {
       |  ON p_retailprice >= lo AND p_retailprice <= hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** q54: multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate counts (per-customer order multiplicities across years).
+    */
+  def q54SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+    def keysIn(year: Int) =
+      o.filter($"o_orderdate" >= ldt(s"$year-01-01T00:00:00") && $"o_orderdate" < ldt(s"${year + 1}-01-01T00:00:00"))
+        .select($"o_custkey")
+    val a = keysIn(1997)
+    val b = keysIn(1998)
+    a.intersectAll(b).groupBy($"o_custkey").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionAll(a.exceptAll(b).groupBy($"o_custkey").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .orderBy($"op", $"o_custkey")
+  }
+
+  val q54Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |     b AS (SELECT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |SELECT o_custkey, n, op FROM (
+      |  SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op
+      |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op
+      |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY o_custkey)
+      |ORDER BY op, o_custkey""".stripMargin
+
   /** q48: full outer join across fact domains — customers vs per-user
     * event activity (customer keys and event users only partially
     * overlap, so both null sides appear).
@@ -666,7 +695,8 @@ object Relational {
     "q46_grouping_sets" -> (q46GroupingSets _),
     "q48_outer_full" -> (q48OuterFull _),
     "q50_pivot" -> (q50Pivot _),
-    "q51_percentiles" -> (q51Percentiles _))
+    "q51_percentiles" -> (q51Percentiles _),
+    "q54_setops_all" -> (q54SetopsAll _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -693,5 +723,6 @@ object Relational {
     "q46_grouping_sets" -> q46Sql,
     "q48_outer_full" -> q48Sql,
     "q50_pivot" -> q50Sql,
-    "q51_percentiles" -> q51Sql)
+    "q51_percentiles" -> q51Sql,
+    "q54_setops_all" -> q54Sql)
 }

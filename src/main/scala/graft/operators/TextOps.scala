@@ -158,7 +158,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q53: BPE-ish regex tokenization — letter runs, digit runs, and
+    * single punctuation marks as separate tokens (the pre-tokenizer shape
+    * BPE vocabularies train on), compared against whitespace counts.
+    * ASCII-only character classes so Java and RE2 regex agree.
+    */
+  def q53BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    table(spark, dir, "documents")
+      .withColumn("bpe", expr(s"regexp_extract_all(text, '$pat', 0)"))
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        size($"bpe").cast("long").as("n_bpe_tokens"),
+        size(array_distinct($"bpe")).cast("long").as("n_bpe_uniq"))
+      .orderBy($"doc_id")
+  }
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpe_uniq
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q53_bpe_tokens" -> (q53BpeTokens _),
     "q47_rolling_fingerprint" -> (q47RollingFingerprint _),
     "q32_token_freq" -> (q32TokenFreq _),
     "q33_doc_stats" -> (q33DocStats _),
@@ -167,6 +193,7 @@ object TextOps {
     "q36_fingerprint" -> (q36Fingerprint _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q53_bpe_tokens" -> q53Sql,
     "q32_token_freq" -> q32Sql,
     "q33_doc_stats" -> q33Sql,
     "q34_lang_id" -> q34Sql,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming window/watermark/dedup operators (SURVEY §2.B streaming
   * row): the live Structured Streaming counterparts of the batch twins
@@ -51,4 +52,46 @@ object StreamOps {
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** One parsed record on the checkpoint-tracker path. */
+  case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
+
+  /** Tracker state: the highest sequence seen and its commit timestamp. */
+  case class CheckpointState(maxSeqLen: Int, maxSeq: String, commitTimestamp: String)
+
+  /** Emitted on every state change. */
+  case class CheckpointUpdate(streamName: String, lastReplicatedCommitTimestamp: String)
+
+  /** Custom keyed state via flatMapGroupsWithState: maintains the
+    * max-sequence commit timestamp per stream ACROSS micro-batches (the
+    * reference's checkpoint item, Handler.java:129-137, as long-lived
+    * operator state instead of a per-batch aggregate) and emits an update
+    * only when the frontier advances — the op-7 semantics with
+    * write-on-change instead of write-per-record. Sequence order is the
+    * numeric-string order ((length, lex) — Parsing.sequenceOrderKey).
+    */
+  def runningCheckpoint(spark: SparkSession, records: DataFrame): Dataset[CheckpointUpdate] = {
+    import spark.implicits._
+    records
+      .select($"streamName", $"sequenceNumber", $"commitTimestamp")
+      .as[SeqRecord]
+      .groupByKey(_.streamName)
+      .flatMapGroupsWithState[CheckpointState, CheckpointUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stream: String, recs: Iterator[SeqRecord], state: GroupState[CheckpointState]) =>
+          val incoming = recs.maxByOption(r => (r.sequenceNumber.length, r.sequenceNumber))
+          incoming match {
+            case None => Iterator.empty
+            case Some(top) =>
+              val ord = Ordering.Tuple2[Int, String]
+              val advanced = state.getOption.forall(s =>
+                ord.gt((top.sequenceNumber.length, top.sequenceNumber), (s.maxSeqLen, s.maxSeq)))
+              if (advanced) {
+                state.update(CheckpointState(
+                  top.sequenceNumber.length, top.sequenceNumber, top.commitTimestamp))
+                Iterator.single(CheckpointUpdate(stream, top.commitTimestamp))
+              } else Iterator.empty
+          }
+      }
+  }
 }

@@ -26,6 +26,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() === media.count())
   }
 
+  test("resize: box-downsample to the target length with byte-mean values") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sf)
+    val out = MultimodalOps.resize(media, targetLen = 16)
+    out.collect().foreach { r =>
+      assert(r.getAs[Int]("resized_len") === 16)
+      r.getSeq[Float](2).foreach(v => assert(v >= 0f && v <= 255f))
+    }
+    // deterministic: same input → same output
+    val a = out.filter(out("media_id") === 1).head().getSeq[Float](2)
+    val out2 = MultimodalOps.resize(media, 16)
+    val b = out2.filter(out2("media_id") === 1).head().getSeq[Float](2)
+    assert(a.toList === b.toList)
+  }
+
   test("sampleFrames: stride sampling bounded by maxFrames") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf)
     val frames = MultimodalOps.sampleFrames(media, stride = 10, maxFrames = 5)

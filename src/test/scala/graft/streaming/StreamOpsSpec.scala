@@ -75,4 +75,26 @@ class StreamOpsSpec extends SparkSpec {
     val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("id")).sorted
     assert(ids.toSeq === Seq(100L, 200L))
   }
+
+  case class Rec(streamName: String, sequenceNumber: String, commitTimestamp: String)
+
+  test("runningCheckpoint: custom state advances only on higher sequence, across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[Rec](spark)
+    val q = StreamOps.runningCheckpoint(spark, mem.toDF())
+      .writeStream.format("memory").queryName("ckpt_out").outputMode("append").start()
+
+    mem.addData(Rec("s1", "9", "T09"), Rec("s1", "10", "T10"), Rec("s2", "5", "T05"))
+    q.processAllAvailable()
+    // batch 2: s1 regresses (seq 8 < 10, no emit); s2 advances
+    mem.addData(Rec("s1", "8", "T08"), Rec("s2", "7", "T07"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ckpt_out").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // s1: one emit ("10" beats "9" numerically despite lex order); no T08 regression
+    assert(rows.filter(_._1 == "s1").toSeq === Seq(("s1", "T10")))
+    assert(rows.filter(_._1 == "s2").toSeq === Seq(("s2", "T05"), ("s2", "T07")))
+  }
 }
