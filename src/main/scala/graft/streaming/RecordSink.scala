@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import org.apache.spark.sql.{ForeachWriter, Row}
+
+/** Op 6 in its per-record form (SURVEY §2.A): the reference does one
+  * synchronous `putRecord` per record against a client built once in the
+  * ctor (Handler.java:48-51,79-84). The Spark shape is a
+  * [[ForeachWriter]]: `open` plays the client construction (once per
+  * partition per epoch — the executor-lifetime connection-reuse pattern),
+  * `process` the per-record put, `close` the teardown. The offline
+  * "region" is a directory of JSON-lines part files.
+  *
+  * The batched `foreachBatch` path in [[Replicator.run]] is the
+  * preferred high-throughput sink (SURVEY §4: the per-record RTT-bound
+  * loop is the reference's anti-pattern); this writer exists because a
+  * per-record sink with ordered delivery per shard is part of the
+  * reference's operator surface.
+  */
+class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
+  @transient private var writer: BufferedWriter = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    // "client" construction — once per (partition, epoch), reused for
+    // every record processed by this task
+    val dir = new File(targetDir)
+    dir.mkdirs()
+    writer = new BufferedWriter(new FileWriter(
+      new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl"), true))
+    true
+  }
+
+  override def process(row: Row): Unit = {
+    val q = (s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    writer.write(
+      s"""{"streamName": ${q(row.getAs[String]("streamName"))}, """ +
+        s""""partitionKey": ${q(row.getAs[String]("partitionKey"))}, """ +
+        s""""sequenceNumber": ${q(row.getAs[String]("sequenceNumber"))}}""")
+    writer.newLine()
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (writer != null) writer.close()
+}

@@ -76,6 +76,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids.toSeq === Seq(100L, 200L))
   }
 
+  test("ObservedMetricsListener captures observe() metrics per micro-batch") {
+    import spark.implicits._
+    val listener = new ObservedMetricsListener("streamops_test")
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Evt](spark)
+      val q = mem.toDF()
+        .observe("streamops_test",
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("records"),
+          org.apache.spark.sql.functions.max($"ts").as("lastArrival"))
+        .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+      mem.addData(Evt(t(1), "a", 1, 1.0, 1), Evt(t(2), "a", 1, 1.0, 2), Evt(t(3), "a", 1, 1.0, 3))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async — wait for delivery
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.batches.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val batch = listener.batches.peek()
+      assert(batch != null, "listener never saw the observation")
+      assert(batch.records === 3L)
+      assert(batch.lastArrivalMs === t(3).getTime)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("JsonLinesRecordWriter: per-record foreach sink with open/process/close lifecycle") {
+    import spark.implicits._
+    val mem = MemoryStream[Evt](spark)
+    val dir = tmpDir("recsink")
+    val q = mem.toDF()
+      .selectExpr("event_type AS streamName", "CAST(user_id AS STRING) AS partitionKey",
+        "CAST(id AS STRING) AS sequenceNumber")
+      .writeStream.foreach(new JsonLinesRecordWriter(dir)).outputMode("append").start()
+    mem.addData(Evt(t(1), "click", 1, 0, 11), Evt(t(2), "error", 2, 0, 12))
+    q.processAllAvailable()
+    q.stop()
+    val lines = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+    assert(lines.length === 2)
+    assert(lines.exists(_.contains("\"sequenceNumber\": \"11\"")))
+    assert(lines.exists(_.contains("\"streamName\": \"error\"")))
+  }
+
   case class Rec(streamName: String, sequenceNumber: String, commitTimestamp: String)
 
   test("runningCheckpoint: custom state advances only on higher sequence, across batches") {
