@@ -41,6 +41,42 @@ class OperatorSpec extends SparkSpec {
     assert(types === Set("click", "error"))
   }
 
+  test("saltedJoin: equals the plain join exactly, spread over salts") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select($"l_orderkey", $"l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = li.join(o, "l_orderkey")
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", saltFactor = 4)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedCountSum: equals plain groupBy aggregation") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet").select($"event_type", $"value")
+    val plain = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sum")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Skew.saltedCountSum(ev, "event_type", "value", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted === plain)
+  }
+
+  test("q50: pivot equals conditional aggregation") {
+    import spark.implicits._
+    val got = Relational.q50Pivot(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val want = li.groupBy($"l_returnflag").agg(
+      sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(0.0)).as("f"),
+      sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(0.0)).as("o")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (k, (f, o)) =>
+      assert(math.abs(f - want(k)._1) < 1e-6 && math.abs(o - want(k)._2) < 1e-6)
+    }
+  }
+
   test("q24: CDC latest-per-key picks the max event_id per user") {
     import spark.implicits._
     val got = EventOps.q24CdcLatest(spark, sf)
