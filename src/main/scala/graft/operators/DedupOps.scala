@@ -106,6 +106,14 @@ object DedupOps {
     */
   def q39LshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    lshPairs(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** LSH candidate pairs with verified Jaccard (unordered) — shared by
+    * q39 (pair listing) and q55 (cluster construction).
+    */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // The shingle set feeds signature building, sizes, and the verify
     // join — cache it once instead of recomputing the explode+distinct
     // chain three times.
@@ -134,7 +142,6 @@ object DedupOps {
       .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .select($"doc_a", $"doc_b", $"n_inter",
         ($"n_inter" / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val q39Sql: String =
@@ -250,7 +257,88 @@ object DedupOps {
       |SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash64
       |FROM nibbles GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q55: dedup clustering — connected components over the near-dup
+    * graph (LSH pairs with Jaccard ≥ 0.5), keeping the min-doc_id
+    * representative per cluster. Spark side: min-label propagation via
+    * joins to a fixpoint (distributed; only loop control on the driver,
+    * iterations bounded by cluster diameter). Oracle: recursive-CTE
+    * transitive closure.
+    */
+  def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = lshPairs(spark, dir)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+      .cache()
+    val nodes = pairs.select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val undirected = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    var labels = nodes.withColumn("label", $"doc_id").cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val next = undirected.join(labels.select($"doc_id".as("src"), $"label"), "src")
+        .select($"dst".as("doc_id"), $"label")
+        .unionAll(labels)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster"), $"cluster_size",
+        ($"doc_id" === $"label").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |bands AS (
+       |  SELECT doc_id, seed // $BandRows AS band,
+       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
+       |  FROM mh GROUP BY doc_id, seed // $BandRows),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+       |  WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)
+       |SELECT m.doc_id, m.cluster, CAST(s.cnt AS BIGINT) AS cluster_size,
+       |  (m.doc_id = m.cluster) AS is_keeper
+       |FROM members m
+       |JOIN (SELECT cluster, COUNT(*) AS cnt FROM members GROUP BY cluster) s
+       |  USING (cluster)
+       |ORDER BY m.doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q55_dedup_clusters" -> (q55DedupClusters _),
     "q37_dedup_exact" -> (q37DedupExact _),
     "q38_minhash_sigs" -> (q38MinhashSigs _),
     "q39_lsh_pairs" -> (q39LshPairs _),
@@ -258,6 +346,7 @@ object DedupOps {
     "q41_simhash" -> (q41Simhash _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q55_dedup_clusters" -> q55Sql,
     "q37_dedup_exact" -> q37Sql,
     "q38_minhash_sigs" -> q38Sql,
     "q39_lsh_pairs" -> q39Sql,

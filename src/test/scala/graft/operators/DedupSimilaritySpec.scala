@@ -43,6 +43,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q55: clusters equal plain union-find over the ≥0.5-Jaccard pairs") {
+    import spark.implicits._
+    val pairs = DedupOps.q39LshPairs(spark, sf)
+      .filter($"jaccard" >= 0.5).select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(d => d -> find(d)).toMap
+    val got = DedupOps.q55DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // keeper flag is exactly "I am my cluster's min"
+    DedupOps.q55DedupClusters(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("q41: simhash is 16 hex nibbles and near-identical docs agree on most bits") {
     val rows = DedupOps.q41Simhash(spark, sf).collect()
     assert(rows.length === 500)
