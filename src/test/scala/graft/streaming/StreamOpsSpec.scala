@@ -118,6 +118,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"streamName\": \"error\"")))
   }
 
+  test("streaming tumblingAgg equals the batch tumbling aggregation over the same events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Util.events(spark, sf)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type", $"value")
+    val srcDir = tmpDir("parity_src")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = StreamOps.tumblingAgg(stream, "ts", "1 minute", "1 hour")
+      .writeStream.format("memory").queryName("parity_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streaming = spark.table("parity_out")
+      .select($"win_start", $"event_type", $"n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ev.groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n")).select($"win.start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streaming === batch)
+  }
+
+  test("micro-batch replay: checkpoint upsert is idempotent, target accepts duplicates (SURVEY §7.4)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val recs = Seq(
+      ("s1", "7", "T07", "pk"), ("s1", "10", "T10", "pk"), ("s2", "3", "T03", "pk"))
+      .toDF("streamName", "sequenceNumber", "commitTimestamp", "partitionKey")
+    val cpDir = tmpDir("replay_cp")
+    // deliver the same micro-batch twice (at-least-once re-delivery)
+    (1 to 2).foreach { _ =>
+      Replicator.checkpointRows(recs)
+        .write.mode("overwrite").partitionBy("streamName").parquet(cpDir)
+    }
+    val cp = spark.read.parquet(cpDir).collect()
+      .map(r => r.getAs[String]("streamName") -> r.getAs[String]("lastReplicatedCommitTimestamp")).toMap
+    assert(cp === Map("s1" -> "T10", "s2" -> "T03"))
+  }
+
   case class Rec(streamName: String, sequenceNumber: String, commitTimestamp: String)
 
   test("runningCheckpoint: custom state advances only on higher sequence, across batches") {
