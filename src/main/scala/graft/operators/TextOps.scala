@@ -144,8 +144,9 @@ object TextOps {
 
   /** q47: rolling-hash (Karp–Rabin) document fingerprints via the one
     * scalar UDF in the engine ([[graft.functions.TextHash]] — a sequential
-    * rolling recurrence has no builtin equivalent). No DuckDB oracle
-    * (rows-only check); the hash math is property-tested in ScalaTest.
+    * rolling recurrence has no builtin equivalent). Oracle replays the
+    * same recurrence declaratively with DuckDB list_reduce (O(n·w) there,
+    * O(n) here — same values, the corpus is ASCII so ord == charAt).
     */
   def q47RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -192,7 +193,20 @@ object TextOps {
     "q35_quality_score" -> (q35QualityScore _),
     "q36_fingerprint" -> (q36Fingerprint _))
 
+  val q47Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (h, c) -> (h * 257 + c) % 1000000007) AS doc_hash,
+      |  list_min(list_transform(range(1, length(text) - 32 + 2),
+      |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(substring(text, CAST(i AS INT), 32), ''),
+      |             c -> CAST(ord(c) AS BIGINT))),
+      |         (h, c) -> (h * 257 + c) % 1000000007))) AS winnow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "q47_rolling_fingerprint" -> q47Sql,
     "q53_bpe_tokens" -> q53Sql,
     "q32_token_freq" -> q32Sql,
     "q33_doc_stats" -> q33Sql,
