@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Sink maintenance: streaming appends (op 6's target table) accumulate
+  * one small file per partition per micro-batch; at 100 TB that kills
+  * scan performance (footer-per-file overhead, no row-group locality).
+  * Compaction rewrites a partitioned parquet table into a bounded number
+  * of files per partition, preserving the partition layout.
+  */
+object Maintenance {
+
+  /** Rewrite `dir` (partitioned by `partitionCol`) with ≤
+    * `filesPerPartition` files per partition value. Reads and rewrites
+    * atomically-enough for the offline harness via a temp dir + move;
+    * production would do this under a table format's transaction.
+    */
+  def compact(spark: SparkSession, dir: String, partitionCol: String,
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    val tmp = dir + ".compact-tmp"
+    val df = spark.read.parquet(dir)
+    // shuffle on (partition value, bounded salt): every partition value
+    // spreads over at most filesPerPartition tasks → ≤ that many files
+    df.withColumn("__salt",
+        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition)))
+      .repartition(col(partitionCol), col("__salt"))
+      .drop("__salt")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val (src, dst) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+    fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+
+  /** Number of data files under a table directory (recursive). */
+  def dataFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      Option(f.listFiles()).toSeq.flatten.map {
+        c => if (c.isDirectory) walk(c) else if (c.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    walk(new java.io.File(dir))
+  }
+}

@@ -53,6 +53,29 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each left event pairs with right-stream
+    * events of the same key whose event time lies in [leftTs - before,
+    * leftTs]. Both sides carry watermarks so Spark can bound the join
+    * state (right rows older than the watermark minus the interval are
+    * evicted) — the streaming form of the q27/q28 batch as-of/interval
+    * joins, and the state-bounding discipline that survives an unbounded
+    * stream.
+    *
+    * Column requirements: left has (key, ts: Timestamp, ...), right has
+    * (key, rts: Timestamp, ...); pass distinct column names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lateness: String, before: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) <= l(leftTs) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before"),
+      "inner")
+      .drop(r(key))
+  }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

@@ -118,6 +118,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"streamName\": \"error\"")))
   }
 
+  case class L(k: Long, lts: Timestamp, what: String)
+  case class R(k: Long, rts: Timestamp, tag: String)
+
+  test("intervalJoin: stream-stream join pairs right events within the lookback interval") {
+    import spark.implicits._
+    val lm = MemoryStream[L](spark)
+    val rm = MemoryStream[R](spark)
+    val joined = StreamOps.intervalJoin(lm.toDF(), rm.toDF(), "k", "lts", "rts",
+      lateness = "1 minute", before = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    rm.addData(R(1, t(0), "in-window"), R(1, t(20), "too-late-for-left"), R(2, t(3), "other-key"))
+    lm.addData(L(1, t(4), "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_out").collect().map(_.getAs[String]("tag"))
+    assert(rows.toSeq === Seq("in-window")) // t(20) after left ts; key 2 doesn't match
+  }
+
+  test("Maintenance.compact: bounded files per partition, data preserved") {
+    import spark.implicits._
+    val dir = tmpDir("compact")
+    // simulate many micro-batch appends → many small files
+    (1 to 6).foreach { i =>
+      Seq((s"s${i % 2}", i.toLong)).toDF("streamName", "seq")
+        .write.mode("append").partitionBy("streamName").parquet(dir)
+    }
+    val before = Maintenance.dataFileCount(dir)
+    val data = spark.read.parquet(dir).collect().map(_.toString).sorted
+    Maintenance.compact(spark, dir, "streamName", filesPerPartition = 1)
+    val after = Maintenance.dataFileCount(dir)
+    assert(before === 6 && after <= 2, s"before=$before after=$after")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === data.toSeq)
+  }
+
   test("streaming tumblingAgg equals the batch tumbling aggregation over the same events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
