@@ -20,6 +20,11 @@ object SparkEntry {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    // the 55-query suite generates far more codegen fragments than the
+    // default 100-entry class cache; evictions trigger janino recompile
+    // storms that slow late-suite queries 10-30x (static conf — must be
+    // set before the session exists)
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
