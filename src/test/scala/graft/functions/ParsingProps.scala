@@ -28,6 +28,14 @@ object ParsingProps extends Properties("Parsing") {
       Ordering[(Int, String)].compare(ka, kb).sign == a.compare(b).sign
     }
 
+  property("rollingHashes: every window hash equals polyHash of that substring") =
+    forAll(Gen.alphaNumStr, Gen.choose(1, 12)) { (s, w) =>
+      val hs = TextHash.rollingHashes(s, w)
+      (s.length < w && hs.isEmpty) ||
+        (hs.length == s.length - w + 1 &&
+          hs.zipWithIndex.forall { case (h, i) => h == TextHash.polyHash(s.substring(i, i + w)) })
+    }
+
   property("jaccard ∈ [0,1], symmetric, 1 on identical sets") =
     forAll { (a: Set[Int], b: Set[Int]) =>
       val j = Parsing.jaccard(a, b)
