@@ -25,12 +25,13 @@ object Bench {
     // execution instead of scheduler noise.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query cached plans so storage memory never builds up
       // across the suite
       spark.sharedState.cacheManager.clearCache()
-      dt
+      // a failed query must NOT masquerade as a fast success in the total
+      if (ok) dt else -1.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))

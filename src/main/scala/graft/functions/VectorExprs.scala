@@ -15,36 +15,46 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * left-to-right in double — bit-identical to the HOF fold (and to the
   * DuckDB oracle's list_dot_product over DOUBLE[] casts).
   *
-  * Null semantics: null if either side is null (nullIntolerant).
+  * Null semantics: null if either side is null (nullIntolerant) OR the
+  * lengths differ — the same result the zip_with/aggregate fold produces
+  * (zip_with pads the shorter side with nulls, which poison the sum).
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // mismatched lengths → null
   override def prettyName: String = "vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * an equi-join on (band, signature) — no n² pair enumeration. The only
   * skew risk is a hot LSH bucket; the direct n-gram variant additionally
   * drops stop-shingles (doc frequency > 100) like any production pipeline.
+  *
+  * Note for library callers: the query builders cache intermediates
+  * (shingle/candidate tables) for intra-query reuse and do not unpersist
+  * (the result is still lazy when they return). The harness entry points
+  * clear the cache manager between queries; long-lived sessions embedding
+  * these queries should do the same.
   */
 object DedupOps {
 
@@ -283,9 +289,14 @@ object DedupOps {
       .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // iterative find with full path compression — recursion would
+        // overflow the stack on a pathological chain (one hot LSH bucket
+        // can link 10^4+ docs)
         def find(x: Long): Long = {
-          var r = parent.getOrElseUpdate(x, x)
-          if (r != x) { r = find(r); parent(x) = r }
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
         it.foreach { case (a, b) =>

@@ -23,6 +23,13 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit saltFactor null-extended copies of every
+    // unmatched small-side row (it was replicated per salt) — the salted
+    // form is only equivalent for join types that never emit unmatched
+    // small-side rows
+    require(!Set("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin cannot preserve $joinType semantics (small side is replicated per salt)")
     val salted = large.withColumn("__salt",
       pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",

@@ -198,11 +198,15 @@ object TextOps {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
       |    (h, c) -> (h * 257 + c) % 1000000007) AS doc_hash,
-      |  list_min(list_transform(range(1, length(text) - 32 + 2),
-      |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |           list_transform(string_split(substring(text, CAST(i AS INT), 32), ''),
-      |             c -> CAST(ord(c) AS BIGINT))),
-      |         (h, c) -> (h * 257 + c) % 1000000007))) AS winnow_fp
+      |  COALESCE(
+      |    list_min(list_transform(range(1, length(text) - 32 + 2),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(substring(text, CAST(i AS INT), 32), ''),
+      |               c -> CAST(ord(c) AS BIGINT))),
+      |           (h, c) -> (h * 257 + c) % 1000000007))),
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |      (h, c) -> (h * 257 + c) % 1000000007)) AS winnow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(

@@ -23,11 +23,13 @@ class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     // "client" construction — once per (partition, epoch), reused for
-    // every record processed by this task
+    // every record processed by this task. The file name is deterministic
+    // per (partition, epoch) and is TRUNCATED on open so a task retry or
+    // speculative attempt rewrites rather than appending duplicates.
     val dir = new File(targetDir)
     dir.mkdirs()
     writer = new BufferedWriter(new FileWriter(
-      new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl"), true))
+      new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl"), false))
     true
   }
 

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   *     becomes batched writes + ONE checkpoint row per (stream, batch) via
   *     `max_by` — O(streams) instead of O(records) writes;
   *   - offset recovery comes from Structured Streaming's
-  *     `checkpointLocation`; idempotence from the last-writer-wins
-  *     partition overwrite (the op-9 sub-batch resume is documented as a
-  *     coarser-granularity semantic difference, SURVEY §7.4).
+  *     `checkpointLocation`. The CHECKPOINT TABLE is idempotent under
+  *     batch replay (last-writer-wins partition overwrite); the record
+  *     TARGET is append-mode and therefore at-least-once — a replayed
+  *     micro-batch duplicates its records there, exactly the duplicate-
+  *     acceptance semantics the reference documents (README.md:72-75;
+  *     SURVEY §7.4 covers the coarser-than-per-record resume granularity).
   *
   * Scale: gate + checkpoint shuffle only O(#streams) rows; the record path
   * is narrow (decode/parse fused into one codegen stage) and writes
@@ -108,7 +111,6 @@ object Replicator {
       metricsDir: String,
       streamCheckpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     parse(records)
       .observe("replicator", count(lit(1)).as("records"),
         max(col("approximateArrivalTimestamp")).as("lastArrival"))
@@ -126,9 +128,13 @@ object Replicator {
             .select("streamName", "partitionKey", "sequenceNumber", "data",
               "approximateArrivalTimestamp", "cdc_key", "commitTimestamp")
             .write.mode("append").partitionBy("streamName").parquet(targetDir)
-          // Op 7: one checkpoint row per stream, last-writer-wins.
+          // Op 7: one checkpoint row per stream, last-writer-wins. The
+          // dynamic overwrite is scoped to THIS write (not session conf)
+          // so unrelated overwrite writes keep their default semantics.
           checkpointRows(gated)
-            .write.mode("overwrite").partitionBy("streamName").parquet(checkpointTableDir)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("streamName").parquet(checkpointTableDir)
           // Ops 8/10: metrics off the data path, failures swallowed
           // (Handler.java:120-122).
           try metricsRows(gated, batchId, System.currentTimeMillis())
