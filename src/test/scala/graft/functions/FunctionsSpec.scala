@@ -29,6 +29,17 @@ class FunctionsSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("VectorDot: mismatched lengths → null (same as the HOF fold)") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(expr("vector_dot(a, b)").as("native"),
+        expr(graft.operators.SimilarityOps.hofDot("a", "b")).as("hof"))
+    val row = df.head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("TopKAggregator: exact top-k regardless of partitioning") {
     import spark.implicits._
     val topk = udaf(new TopKAggregator(3))
