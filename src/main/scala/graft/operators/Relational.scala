@@ -669,6 +669,110 @@ object Relational {
       |  ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q56: schema-evolution union — unionByName with missing columns
+    * null-filled (the "new field added to the stream" case of §1.1's
+    * schema-on-read model).
+    */
+  def q56UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = table(spark, dir, "customer").filter($"c_custkey" <= 100)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val v2 = table(spark, dir, "customer")
+      .filter($"c_custkey" > 100 && $"c_custkey" <= 200)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select($"c_custkey", $"c_name",
+        coalesce($"c_mktsegment", lit("?")).as("mktsegment"),
+        coalesce($"c_acctbal", lit(-1.0)).as("acctbal"))
+      .orderBy($"c_custkey")
+  }
+
+  val q56Sql: String =
+    """SELECT c_custkey, c_name,
+      |  COALESCE(c_mktsegment, '?') AS mktsegment,
+      |  COALESCE(c_acctbal, -1.0) AS acctbal
+      |FROM (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 100
+      |  UNION ALL BY NAME
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer
+      |  WHERE c_custkey > 100 AND c_custkey <= 200)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q57: explode_outer — rows with empty arrays survive as nulls
+    * (the oracle emulates it by substituting [NULL] for empty lists).
+    */
+  def q57ExplodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("rare_toks", expr("filter(split(text, ' '), t -> t IN ('window', 'stream'))"))
+      .select($"source", explode_outer($"rare_toks").as("tok"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"tok").as("n_toks"),
+        sum(when($"tok".isNull, 1L).otherwise(0L)).as("n_docs_without"))
+      .orderBy($"source")
+  }
+
+  val q57Sql: String =
+    """SELECT source, COUNT(*) AS n_rows, COUNT(tok) AS n_toks,
+      |  CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_without
+      |FROM (
+      |  SELECT source, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+      |  FROM (SELECT source, list_filter(string_split(text, ' '),
+      |          t -> t IN ('window', 'stream')) AS l
+      |        FROM documents))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q59: array functions — per-row sort/slice/reverse over the embedding
+    * arrays (element extraction is exact on floats).
+    */
+  def q59ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .filter($"vec_id" < 50)
+      .select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        element_at(array_sort($"embedding"), 1).cast("double").as("min_elem"),
+        element_at(array_sort($"embedding"), -1).cast("double").as("max_elem"),
+        element_at(reverse($"embedding"), 1).cast("double").as("last_elem"),
+        expr("CAST(slice(array_sort(embedding), 1, 3) AS ARRAY<DOUBLE>)").as("bottom3"))
+      .orderBy($"vec_id")
+  }
+
+  val q59Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_elem,
+      |  CAST(list_sort(embedding)[-1] AS DOUBLE) AS max_elem,
+      |  CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_elem,
+      |  CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3
+      |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+
+  /** q60: boolean/conditional aggregates — count_if, bool_and/bool_or,
+    * FILTER-style conditional sums.
+    */
+  def q60BoolAggs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count_if($"o_totalprice" > 100000.0).as("n_big"),
+        bool_and($"o_totalprice" > 0.0).as("all_positive"),
+        bool_or($"o_orderstatus" === "P").as("any_pending"),
+        dsum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(0.0)).as("sum_f"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q60Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
+      |  bool_and(o_totalprice > 0.0) AS all_positive,
+      |  bool_or(o_orderstatus = 'P') AS any_pending,
+      |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -696,7 +800,11 @@ object Relational {
     "q48_outer_full" -> (q48OuterFull _),
     "q50_pivot" -> (q50Pivot _),
     "q51_percentiles" -> (q51Percentiles _),
-    "q54_setops_all" -> (q54SetopsAll _))
+    "q54_setops_all" -> (q54SetopsAll _),
+    "q56_union_by_name" -> (q56UnionByName _),
+    "q57_explode_outer" -> (q57ExplodeOuter _),
+    "q59_array_funcs" -> (q59ArrayFuncs _),
+    "q60_bool_aggs" -> (q60BoolAggs _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -724,5 +832,9 @@ object Relational {
     "q48_outer_full" -> q48Sql,
     "q50_pivot" -> q50Sql,
     "q51_percentiles" -> q51Sql,
-    "q54_setops_all" -> q54Sql)
+    "q54_setops_all" -> q54Sql,
+    "q56_union_by_name" -> q56Sql,
+    "q57_explode_outer" -> q57Sql,
+    "q59_array_funcs" -> q59Sql,
+    "q60_bool_aggs" -> q60Sql)
 }
