@@ -773,6 +773,30 @@ object Relational {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q61: null-safe equality (`<=>` / IS NOT DISTINCT FROM) — nulls
+    * synthesized with nullif compare equal to each other, unlike `=`.
+    */
+  def q61NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = table(spark, dir, "customer")
+      .select($"c_custkey", nullif($"c_nationkey", lit(3)).as("nk"))
+    val n = table(spark, dir, "nation")
+      .select(nullif($"n_nationkey", lit(3)).as("nk"), $"n_name")
+    c.join(broadcast(n), c("nk") <=> n("nk"))
+      .groupBy(coalesce(c("nk"), lit(-1)).cast("long").as("nationkey"),
+        $"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"nationkey", $"n_name")
+  }
+
+  val q61Sql: String =
+    """SELECT CAST(COALESCE(c.nk, -1) AS BIGINT) AS nationkey, n.n_name,
+      |  COUNT(*) AS n_customers
+      |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer) c
+      |JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+      |  ON c.nk IS NOT DISTINCT FROM n.nk
+      |GROUP BY 1, 2 ORDER BY nationkey, n_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -804,7 +828,8 @@ object Relational {
     "q56_union_by_name" -> (q56UnionByName _),
     "q57_explode_outer" -> (q57ExplodeOuter _),
     "q59_array_funcs" -> (q59ArrayFuncs _),
-    "q60_bool_aggs" -> (q60BoolAggs _))
+    "q60_bool_aggs" -> (q60BoolAggs _),
+    "q61_null_safe_join" -> (q61NullSafeJoin _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -836,5 +861,6 @@ object Relational {
     "q56_union_by_name" -> q56Sql,
     "q57_explode_outer" -> q57Sql,
     "q59_array_funcs" -> q59Sql,
-    "q60_bool_aggs" -> q60Sql)
+    "q60_bool_aggs" -> q60Sql,
+    "q61_null_safe_join" -> q61Sql)
 }
