@@ -51,14 +51,19 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 4""".stripMargin
 
-  /** MinHash signatures: per (doc, seed), min over shingles of
-    * md5(seed|shingle). Computed as NumSeeds parallel min-aggregates over
-    * the shingle rows (map-side partial agg, no seed-explosion shuffle),
-    * then unpivoted to (doc, seed, minhash) rows.
+  /** MinHash signatures: per (doc, seed), min over shingles of an
+    * 8-hex-char slice of md5 — seeds 0–3 slice md5(sh), seeds 4–7 slice
+    * md5('x'|sh), so each shingle row computes TWO digests instead of
+    * eight (a min over any fixed slice of a uniform hash is a valid
+    * minwise signature). NumSeeds parallel min-aggregates (map-side
+    * partial agg, no seed-explosion shuffle), then unpivoted to
+    * (doc, seed, minhash) rows.
     */
   private def minhashesOf(sh: DataFrame): DataFrame = {
-    val minCols = (0 until NumSeeds)
-      .map(s => min(md5(concat(lit(s + "|"), col("sh")))).as(s"m$s"))
+    val minCols = (0 until NumSeeds).map { s =>
+      val src = if (s < 4) md5(col("sh")) else md5(concat(lit("x"), col("sh")))
+      min(substring(src, (s % 4) * 8 + 1, 8)).as(s"m$s")
+    }
     val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
     sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
@@ -70,7 +75,9 @@ object DedupOps {
     minhashesOf(shingles(spark, dir))
 
   private val minhashesSql: String =
-    s"""SELECT doc_id, s AS seed, MIN(md5(CAST(s AS VARCHAR) || '|' || sh)) AS minhash
+    s"""SELECT doc_id, s AS seed,
+       |    MIN(substring(CASE WHEN s < 4 THEN md5(sh) ELSE md5('x' || sh) END,
+       |        CAST((s % 4) * 8 + 1 AS INT), 8)) AS minhash
        |  FROM sh, unnest(range(0, $NumSeeds)) AS se(s)
        |  GROUP BY doc_id, s""".stripMargin
 
@@ -102,7 +109,9 @@ object DedupOps {
 
   val q38Sql: String =
     s"""WITH sh AS ($shinglesSql)
-       |SELECT doc_id, s AS seed, MIN(md5(CAST(s AS VARCHAR) || '|' || sh)) AS minhash
+       |SELECT doc_id, s AS seed,
+       |  MIN(substring(CASE WHEN s < 4 THEN md5(sh) ELSE md5('x' || sh) END,
+       |      CAST((s % 4) * 8 + 1 AS INT), 8)) AS minhash
        |FROM sh, unnest(range(0, $NumSeeds)) AS se(s)
        |GROUP BY doc_id, s ORDER BY doc_id, seed""".stripMargin
 

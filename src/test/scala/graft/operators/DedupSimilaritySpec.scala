@@ -20,7 +20,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter($"doc_id" === 0).head()
     val toks = doc.getAs[String]("text").split(" ")
     val shingles = toks.sliding(4).map(_.mkString(" ")).toSet
-    val want = (0 until 8).map(s => s.toLong -> shingles.map(sh => md5hex(s"$s|$sh")).min).toMap
+    val want = (0 until 8).map { s =>
+      s.toLong -> shingles.map { sh =>
+        val h = if (s < 4) md5hex(sh) else md5hex("x" + sh)
+        h.substring((s % 4) * 8, (s % 4) * 8 + 8)
+      }.min
+    }.toMap
     val got = DedupOps.q38MinhashSigs(spark, sf)
       .filter($"doc_id" === 0).collect()
       .map(r => r.getAs[Long]("seed") -> r.getAs[String]("minhash")).toMap
