@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * MinHash-LSH banding (shingle → minhash → band → bucket join), n-gram
   * Jaccard, and SimHash fingerprints.
   *
-  * Determinism across engines: the hash family is `md5(seed || '|' ||
-  * shingle)` — lexicographic min of md5 hex strings is a valid minwise
-  * hash and is identical in Spark and DuckDB, so signatures (and therefore
-  * LSH buckets) hash-match the oracle exactly.
+  * Determinism across engines: the hash family is 8-hex-char slices of
+  * `md5(shingle)` (seeds 0–3) and `md5('x' || shingle)` (seeds 4–7) —
+  * lexicographic min of a fixed slice of a uniform hex digest is a valid
+  * minwise hash and is identical in Spark and DuckDB, so signatures (and
+  * therefore LSH buckets) hash-match the oracle exactly.
   *
   * Scale: the whole point of MinHash-LSH is that candidate generation is
   * an equi-join on (band, signature) — no n² pair enumeration. The only

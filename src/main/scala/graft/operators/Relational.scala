@@ -718,7 +718,7 @@ object Relational {
     """SELECT source, COUNT(*) AS n_rows, COUNT(tok) AS n_toks,
       |  CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_without
       |FROM (
-      |  SELECT source, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+      |  SELECT source, unnest(CASE WHEN l IS NULL OR len(l) = 0 THEN [NULL] ELSE l END) AS tok
       |  FROM (SELECT source, list_filter(string_split(text, ' '),
       |          t -> t IN ('window', 'stream')) AS l
       |        FROM documents))
@@ -736,7 +736,7 @@ object Relational {
         size($"embedding").cast("long").as("dim"),
         element_at(array_sort($"embedding"), 1).cast("double").as("min_elem"),
         element_at(array_sort($"embedding"), -1).cast("double").as("max_elem"),
-        element_at(reverse($"embedding"), 1).cast("double").as("last_elem"),
+        element_at($"embedding", -1).cast("double").as("last_elem"),
         expr("CAST(slice(array_sort(embedding), 1, 3) AS ARRAY<DOUBLE>)").as("bottom3"))
       .orderBy($"vec_id")
   }
@@ -745,7 +745,7 @@ object Relational {
     """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
       |  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_elem,
       |  CAST(list_sort(embedding)[-1] AS DOUBLE) AS max_elem,
-      |  CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_elem,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
       |  CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3
       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
