@@ -65,14 +65,16 @@ object StreamOps {
     * (key, rts: Timestamp, ...); pass distinct column names.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, lateness: String, before: String): DataFrame = {
+      leftTs: String, rightTs: String, lateness: String, before: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) <= l(leftTs) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before"),
-      "inner")
+      joinType) // left_outer: unmatched left rows emit null-extended once
+                // the watermark proves no matching right row can arrive
       .drop(r(key))
   }
 

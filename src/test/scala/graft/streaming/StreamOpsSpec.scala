@@ -136,6 +136,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq("in-window")) // t(20) after left ts; key 2 doesn't match
   }
 
+  test("intervalJoin left_outer: unmatched left emits null row only after the watermark closes it") {
+    import spark.implicits._
+    val lm = MemoryStream[L](spark)
+    val rm = MemoryStream[R](spark)
+    val joined = StreamOps.intervalJoin(lm.toDF(), rm.toDF(), "k", "lts", "rts",
+      lateness = "1 minute", before = "5 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ijo_out").outputMode("append").start()
+    rm.addData(R(1, t(0), "match"))
+    lm.addData(L(1, t(4), "matched-left"), L(2, t(4), "lonely-left"))
+    q.processAllAvailable()
+    // watermark far ahead on BOTH sides closes the join window for t(4)
+    rm.addData(R(9, t(59), "wm"))
+    lm.addData(L(9, t(59), "wm"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ijo_out").collect()
+      .map(r => (r.getAs[String]("what"), Option(r.getAs[String]("tag")))).toSet
+    assert(rows.contains(("matched-left", Some("match"))))
+    assert(rows.contains(("lonely-left", None)), s"got $rows") // null-extended after watermark
+  }
+
   test("Maintenance.compact: bounded files per partition, data preserved") {
     import spark.implicits._
     val dir = tmpDir("compact")
