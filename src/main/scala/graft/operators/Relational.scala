@@ -773,6 +773,37 @@ object Relational {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q62: window value functions — first_value/last_value (full frame),
+    * nth_value, ntile quartiles over per-customer order history.
+    */
+  def q62WindowValues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 50)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        first($"o_totalprice").over(full).as("first_price"),
+        last($"o_totalprice").over(full).as("last_price"),
+        nth_value($"o_totalprice", 2).over(full).as("second_price"),
+        ntile(4).over(ord).cast("long").as("quartile"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q62Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  FIRST_VALUE(o_totalprice) OVER w_full AS first_price,
+      |  LAST_VALUE(o_totalprice)  OVER w_full AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price,
+      |  NTILE(4) OVER w_ord AS quartile
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW
+      |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** q61: null-safe equality (`<=>` / IS NOT DISTINCT FROM) — nulls
     * synthesized with nullif compare equal to each other, unlike `=`.
     */
@@ -829,7 +860,8 @@ object Relational {
     "q57_explode_outer" -> (q57ExplodeOuter _),
     "q59_array_funcs" -> (q59ArrayFuncs _),
     "q60_bool_aggs" -> (q60BoolAggs _),
-    "q61_null_safe_join" -> (q61NullSafeJoin _))
+    "q61_null_safe_join" -> (q61NullSafeJoin _),
+    "q62_window_values" -> (q62WindowValues _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -862,5 +894,6 @@ object Relational {
     "q57_explode_outer" -> q57Sql,
     "q59_array_funcs" -> q59Sql,
     "q60_bool_aggs" -> q60Sql,
-    "q61_null_safe_join" -> q61Sql)
+    "q61_null_safe_join" -> q61Sql,
+    "q62_window_values" -> q62Sql)
 }
