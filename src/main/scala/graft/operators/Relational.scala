@@ -773,6 +773,35 @@ object Relational {
       |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q63: string shaping functions — pad, repeat, translate, left/right
+    * slices, reverse (all dialect-shared).
+    */
+  def q63StringShaping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "nation")
+      .select(
+        $"n_nationkey".cast("long").as("nationkey"),
+        lpad($"n_name", 20, ".").as("padded_l"),
+        rpad($"n_name", 20, "_").as("padded_r"),
+        expr("repeat('*', CAST(n_nationkey % 5 AS INT))").as("stars"),
+        translate($"n_name", "AEIOU", "aeiou").as("lower_vowels"),
+        expr("left(n_name, 4)").as("prefix4"),
+        expr("right(n_name, 3)").as("suffix3"),
+        reverse($"n_name").as("reversed"))
+      .orderBy($"nationkey")
+  }
+
+  val q63Sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+      |  lpad(n_name, 20, '.') AS padded_l,
+      |  rpad(n_name, 20, '_') AS padded_r,
+      |  repeat('*', CAST(n_nationkey % 5 AS INT)) AS stars,
+      |  translate(n_name, 'AEIOU', 'aeiou') AS lower_vowels,
+      |  left(n_name, 4) AS prefix4,
+      |  right(n_name, 3) AS suffix3,
+      |  reverse(n_name) AS reversed
+      |FROM nation ORDER BY nationkey""".stripMargin
+
   /** q62: window value functions — first_value/last_value (full frame),
     * nth_value, ntile quartiles over per-customer order history.
     */
@@ -861,7 +890,8 @@ object Relational {
     "q59_array_funcs" -> (q59ArrayFuncs _),
     "q60_bool_aggs" -> (q60BoolAggs _),
     "q61_null_safe_join" -> (q61NullSafeJoin _),
-    "q62_window_values" -> (q62WindowValues _))
+    "q62_window_values" -> (q62WindowValues _),
+    "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q01_pricing_summary" -> q01Sql,
@@ -895,5 +925,6 @@ object Relational {
     "q59_array_funcs" -> q59Sql,
     "q60_bool_aggs" -> q60Sql,
     "q61_null_safe_join" -> q61Sql,
-    "q62_window_values" -> q62Sql)
+    "q62_window_values" -> q62Sql,
+    "q63_string_shaping" -> q63Sql)
 }
