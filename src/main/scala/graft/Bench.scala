@@ -38,8 +38,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries keep their -1 sentinel in the per-query map but must
+    // not subtract from the total; surface them explicitly instead
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -737,7 +737,13 @@ object Relational {
         element_at(array_sort($"embedding"), 1).cast("double").as("min_elem"),
         element_at(array_sort($"embedding"), -1).cast("double").as("max_elem"),
         element_at($"embedding", -1).cast("double").as("last_elem"),
-        expr("CAST(slice(array_sort(embedding), 1, 3) AS ARRAY<DOUBLE>)").as("bottom3"))
+        // scalar extraction from the sliced array: the driver's pandas
+        // hash-compare cannot hash array cells, so the slice is surfaced
+        // as scalar doubles (ADVICE r1)
+        element_at(expr("slice(array_sort(embedding), 1, 3)"), 2)
+          .cast("double").as("bottom2"),
+        element_at(expr("slice(array_sort(embedding), 1, 3)"), 3)
+          .cast("double").as("bottom3"))
       .orderBy($"vec_id")
   }
 
@@ -746,7 +752,8 @@ object Relational {
       |  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_elem,
       |  CAST(list_sort(embedding)[-1] AS DOUBLE) AS max_elem,
       |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
-      |  CAST(list_sort(embedding)[1:3] AS DOUBLE[]) AS bottom3
+      |  CAST(list_sort(embedding)[1:3][2] AS DOUBLE) AS bottom2,
+      |  CAST(list_sort(embedding)[1:3][3] AS DOUBLE) AS bottom3
       |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
   /** q60: boolean/conditional aggregates — count_if, bool_and/bool_or,

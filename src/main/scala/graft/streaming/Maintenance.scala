@@ -30,8 +30,17 @@ object Maintenance {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val (src, dst) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
-    fs.delete(dst, true)
-    fs.rename(src, dst)
+    // swap via a .old hop so every crash point leaves a recoverable copy:
+    // before step 2 the live table is still at .old; after it, at dst.
+    // (delete-then-rename would lose the table if the rename never ran.)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    fs.delete(old, true)
+    fs.rename(dst, old)
+    if (!fs.rename(src, dst)) {
+      fs.rename(old, dst) // roll back to the pre-compaction table
+      throw new java.io.IOException(s"compact: rename $src -> $dst failed; rolled back")
+    }
+    fs.delete(old, true)
   }
 
   /** Number of data files under a table directory (recursive). */

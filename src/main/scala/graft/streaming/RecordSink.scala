@@ -20,16 +20,24 @@ import org.apache.spark.sql.{ForeachWriter, Row}
   */
 class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
   @transient private var writer: BufferedWriter = _
+  @transient private var tmpFile: File = _
+  @transient private var dstFile: File = _
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     // "client" construction — once per (partition, epoch), reused for
-    // every record processed by this task. The file name is deterministic
-    // per (partition, epoch) and is TRUNCATED on open so a task retry or
-    // speculative attempt rewrites rather than appending duplicates.
+    // every record processed by this task. Each ATTEMPT writes its own
+    // temp file and atomically renames into the deterministic
+    // per-(partition, epoch) name on successful close: concurrent
+    // speculative/zombie attempts for the same task then race only on
+    // the rename (last complete file wins) instead of interleaving
+    // writes into one shared file.
     val dir = new File(targetDir)
     dir.mkdirs()
-    writer = new BufferedWriter(new FileWriter(
-      new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl"), false))
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(System.nanoTime())
+    dstFile = new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl")
+    tmpFile = new File(dir, f".part-$partitionId%05d-$epochId%05d-$attempt.jsonl.tmp")
+    writer = new BufferedWriter(new FileWriter(tmpFile, false))
     true
   }
 
@@ -42,6 +50,17 @@ class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
     writer.newLine()
   }
 
-  override def close(errorOrNull: Throwable): Unit =
+  override def close(errorOrNull: Throwable): Unit = {
     if (writer != null) writer.close()
+    if (tmpFile != null) {
+      if (errorOrNull == null) {
+        // complete output: move into place (replacing any prior attempt's
+        // complete file — idempotent for retries)
+        java.nio.file.Files.move(tmpFile.toPath, dstFile.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        tmpFile.delete() // failed attempt leaves no partial output
+      }
+    }
+  }
 }
