@@ -20,29 +20,34 @@ import org.apache.spark.sql.functions._
   * skew risk is a hot LSH bucket; the direct n-gram variant additionally
   * drops stop-shingles (doc frequency > 100) like any production pipeline.
   *
-  * Note for library callers: the query builders cache intermediates
-  * (shingle/candidate tables) for intra-query reuse and do not unpersist
-  * (the result is still lazy when they return). The harness entry points
-  * clear the cache manager between queries; long-lived sessions embedding
-  * these queries should do the same.
+  * Shape: each document's distinct shingle SET is a per-row array built
+  * with higher-order functions, so shingling, minhashing, and banding are
+  * all narrow (one codegen stage per doc, embarrassingly parallel); the
+  * only wide ops are the tiny (band, band_sig) bucket groupBy and the
+  * final sort. Candidate verification intersects the two shingle arrays
+  * in place via broadcast joins — the shingle data itself never shuffles.
   */
 object DedupOps {
 
   private val NumSeeds = 8
   private val BandRows = 4 // 2 bands × 4 rows
 
-  /** Distinct 4-word shingles per doc. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc distinct 4-word shingle array + its cardinality — fully
+    * narrow, one codegen'd pass per document via the native
+    * [[graft.functions.TextShingles]] expression. `repartition(doc_id)`
+    * only spreads the single-file scan across cores before the
+    * shingle-heavy projection. A doc has ≥1 shingle iff it has ≥4
+    * tokens, so `size > 0` is exactly the oracle's `len(toks) >= 4`.
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // documents is a single small file (1 scan task); spread the rows
-    // before the explode/md5-heavy narrow work so it runs on all cores
+    graft.functions.ShingleFunctions.register(spark)
     table(spark, dir, "documents")
       .repartition(col("doc_id"))
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 4)
       .select($"doc_id",
-        explode(expr("transform(sequence(1, size(toks) - 3), i -> array_join(slice(toks, i, 4), ' '))")).as("sh"))
-      .distinct()
+        graft.functions.ShingleFunctions.textShingles($"text", 4).as("sh_arr"))
+      .filter(size($"sh_arr") > 0)
+      .withColumn("n_sh", size($"sh_arr").cast("long"))
   }
 
   private val shinglesSql: String =
@@ -52,28 +57,20 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 4""".stripMargin
 
-  /** MinHash signatures: per (doc, seed), min over shingles of an
-    * 8-hex-char slice of md5 — seeds 0–3 slice md5(sh), seeds 4–7 slice
-    * md5('x'|sh), so each shingle row computes TWO digests instead of
+  /** Wide minhash columns m0..m7 per doc: min over the shingle array of
+    * an 8-hex-char slice of md5 — seeds 0–3 slice md5(sh), seeds 4–7
+    * slice md5('x'|sh), so each shingle computes TWO digests instead of
     * eight (a min over any fixed slice of a uniform hash is a valid
-    * minwise signature). NumSeeds parallel min-aggregates (map-side
-    * partial agg, no seed-explosion shuffle), then unpivoted to
-    * (doc, seed, minhash) rows.
+    * minwise signature). The native [[graft.functions.MinHashSigs]]
+    * expression computes all 8 mins in one codegen'd pass — zero
+    * shuffles, zero intermediate arrays.
     */
-  private def minhashesOf(sh: DataFrame): DataFrame = {
-    val minCols = (0 until NumSeeds).map { s =>
-      val src = if (s < 4) md5(col("sh")) else md5(concat(lit("x"), col("sh")))
-      min(substring(src, (s % 4) * 8 + 1, 8)).as(s"m$s")
-    }
-    val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
-    sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
+  private def minhashWide(doc: DataFrame): DataFrame = {
+    val withSigs = doc.withColumn("sigs",
+      graft.functions.ShingleFunctions.minhashSigs(col("sh_arr")))
+    val mins = (0 until NumSeeds).map(s => col("sigs").getItem(s).as(s"m$s"))
+    withSigs.select(col("doc_id") +: col("n_sh") +: mins: _*)
   }
-
-  private def minhashes(spark: SparkSession, dir: String): DataFrame =
-    minhashesOf(shingles(spark, dir))
 
   private val minhashesSql: String =
     s"""SELECT doc_id, s AS seed,
@@ -100,11 +97,14 @@ object DedupOps {
       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** q38: MinHash signature table (doc × 8 seeds). */
+  /** q38: MinHash signature table (doc × 8 seeds) — narrow per-doc wide
+    * signature unpivoted with `stack`; the only wide op is the output sort.
+    */
   def q38MinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashes(spark, dir)
-      .select($"doc_id", $"seed".cast("long").as("seed"), $"minhash")
+    val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
+    minhashWide(docShingles(spark, dir))
+      .select($"doc_id", expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
       .orderBy($"doc_id", $"seed")
   }
 
@@ -130,32 +130,32 @@ object DedupOps {
     */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The shingle set feeds signature building, sizes, and the verify
-    // join — cache it once instead of recomputing the explode+distinct
-    // chain three times.
-    val sh = shingles(spark, dir).cache()
-    val bandSigs = minhashesOf(sh)
-      .withColumn("band", expr(s"seed div $BandRows"))
-      .groupBy($"doc_id", $"band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, minhash))), x -> x.minhash), ',')").as("band_sig"))
-    val a = bandSigs.select($"band", $"band_sig", $"doc_id".as("doc_a"))
-    val b = bandSigs.select($"band", $"band_sig", $"doc_id".as("doc_b"))
-    val cands = a.join(b, Seq("band", "band_sig"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-      .cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // candidate set is tiny → broadcast it through the verify joins so the
-    // full shingle index is streamed once, never shuffled
-    val inter = broadcast(broadcast(cands)
-        .join(sh.select($"doc_id".as("doc_a"), $"sh"), "doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    broadcast(cands.join(inter, Seq("doc_a", "doc_b"), "left_outer")
-        .na.fill(0L, Seq("n_inter")))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+    val doc = docShingles(spark, dir)
+    // band signature = the 4 seed minhashes of the band joined in seed
+    // order; stack unpivots the wide row to (doc_id, band, band_sig) —
+    // still narrow, and the shuffle that follows carries only those three
+    // small columns (never the shingle arrays)
+    val bands = minhashWide(doc).select(
+      $"doc_id",
+      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+    // pair generation without a self-join: bucket the signatures and
+    // explode ordered pairs from each bucket's posting list (a bucket is
+    // a set of mutually-near-duplicate docs, so lists stay short; one hot
+    // bucket at extreme scale would call for a posting-list length cap)
+    val cands = bands.groupBy($"band", $"band_sig")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") >= 2)
+      .select(explode($"docs").as("doc_a"), $"docs")
+      .select($"doc_a", explode(expr("filter(docs, d -> d > doc_a)")).as("doc_b"))
+      .distinct()
+    // verify: pull each pair's two shingle arrays side by side via two
+    // broadcast joins (candidates are tiny) and intersect in place — the
+    // full shingle data is only ever scanned, never shuffled
+    val aSide = doc.select($"doc_id".as("doc_a"), $"sh_arr".as("a_arr"), $"n_sh".as("n_a"))
+    val bSide = doc.select($"doc_id".as("doc_b"), $"sh_arr".as("b_arr"), $"n_sh".as("n_b"))
+    val withA = aSide.join(broadcast(cands), "doc_a")
+    bSide.join(broadcast(withA), "doc_b")
+      .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
       .select($"doc_a", $"doc_b", $"n_inter",
         ($"n_inter" / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
   }
@@ -192,20 +192,22 @@ object DedupOps {
     */
   def q40NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // Pair generation without a self-join: group the inverted index by
-    // shingle and explode doc-pairs from each (non-stop) posting list —
-    // one shuffle on sh instead of shuffling the whole index twice.
-    val inter = sh.groupBy($"sh").agg(collect_list($"doc_id").as("docs"))
+    val doc = docShingles(spark, dir)
+    // the inverted index (sh → docs) comes from a narrow explode of the
+    // per-doc distinct shingle arrays — no pre-distinct shuffle needed.
+    // Pair generation without a self-join: group by shingle and explode
+    // doc-pairs from each (non-stop) posting list. Each posting carries
+    // its doc's shingle count, so the Jaccard denominator needs no size
+    // joins afterwards — one shuffle for the index, one for the pair agg.
+    val sh = doc.select(struct($"doc_id", $"n_sh").as("d"), explode($"sh_arr").as("sh"))
+    sh.groupBy($"sh").agg(collect_list($"d").as("docs"))
       .filter(size($"docs") <= 100 && size($"docs") >= 2)
-      .select(explode($"docs").as("doc_a"), $"docs")
-      .select($"doc_a", explode(expr("filter(docs, d -> d > doc_a)")).as("doc_b"))
-      .groupBy($"doc_a", $"doc_b")
+      .select(explode($"docs").as("a"), $"docs")
+      .select($"a.doc_id".as("doc_a"), $"a.n_sh".as("n_a"),
+        explode(expr("filter(docs, d -> d.doc_id > a.doc_id)")).as("b"))
+      .select($"doc_a", $"n_a", $"b.doc_id".as("doc_b"), $"b.n_sh".as("n_b"))
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
       .withColumn("jaccard", $"n_shared" / ($"n_a" + $"n_b" - $"n_shared"))
       .filter($"jaccard" >= 0.2)
       .select($"doc_a", $"doc_b", $"n_shared", $"jaccard")

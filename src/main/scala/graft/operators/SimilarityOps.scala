@@ -60,6 +60,8 @@ object SimilarityOps {
     cands.crossJoin(broadcast(probes))
       .filter($"cand_id" =!= $"probe_id")
       .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
+      // drop the arrays before the window shuffle — only scalars move
+      .select($"probe_id", $"cand_id", $"sim")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"sim")
@@ -86,16 +88,19 @@ object SimilarityOps {
     val emb = table(spark, dir, "embeddings")
       .repartition(col("vec_id"))
       .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
-    val cents = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"), $"norm".as("cent_norm"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
-    // cached: both the probe and candidate sides reuse the assignment
-    val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", expr(dot("cent_emb", "embedding")) / ($"cent_norm" * $"norm"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
-      .select($"vec_id", $"embedding", $"norm", $"cent_id".as("cluster"))
-      .cache()
+    // coarse quantizer: the 16 centroids collapse to ONE array row that is
+    // broadcast, so assignment is a narrow per-row argmax (max of
+    // (csim, -cent_id) structs = highest sim, ties to the lowest id) —
+    // no 16×-row blowup, no window shuffle carrying embedding arrays
+    val centArr = emb.filter($"vec_id" < 16)
+      .agg(collect_list(struct($"vec_id".as("cent_id"), $"embedding".as("cent_emb"),
+        $"norm".as("cent_norm"))).as("cents"))
+    val assign = emb.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        s"""array_max(transform(cents, c ->
+           |  struct(${dot("c.cent_emb", "embedding")} / (c.cent_norm * norm) AS csim,
+           |         -c.cent_id AS neg_id)))""".stripMargin))
+      .select($"vec_id", $"embedding", $"norm", (-$"best.neg_id").as("cluster"))
     val probes = assign.filter($"vec_id" >= 100 && $"vec_id" < 110)
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"), $"cluster")
     val cands = assign.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"), $"cluster")
@@ -103,6 +108,9 @@ object SimilarityOps {
     cands.join(broadcast(probes), "cluster")
       .filter($"cand_id" =!= $"probe_id")
       .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
+      // project away the arrays BEFORE the top-k window so the shuffle
+      // moves only scalar (probe, cand, cluster, sim) rows
+      .select($"probe_id", $"cluster", $"cand_id", $"sim")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"probe_id", $"rn".cast("long").as("rn"), $"cluster", $"cand_id", $"sim")
