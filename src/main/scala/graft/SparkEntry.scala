@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries).toMap
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      Extended.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -41,5 +42,6 @@ object SparkEntry {
     */
   val oracleSql: Map[String, String] =
     (Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles).toMap
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      Extended.oracles).toMap
 }

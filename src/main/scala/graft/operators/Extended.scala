@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second-wave relational surface: statistical aggregates, regex
+  * functions, SQL subqueries, calendar scaffolds, deterministic
+  * sampling, histograms, date arithmetic, RANGE window frames, ordered
+  * string aggregation, and bitwise functions.
+  *
+  * Determinism notes (same rules as [[graft.Util]]): moment-based stats
+  * are computed over small-magnitude columns and rounded to 4 decimals
+  * (summation-order noise ~1e-10 ≪ the rounding grid); threshold
+  * comparisons against an average use an exact DECIMAL-sum average on
+  * both engines; sampling hashes a key with md5 so the sampled set is
+  * a pure function of the data.
+  */
+object Extended {
+
+  /** q64: moment-based statistical aggregates (stddev/variance samp+pop,
+    * corr, covar) per return flag.
+    */
+  def q64StatsAggs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(stddev_pop($"l_quantity"), 4).as("sdp_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(var_pop($"l_quantity"), 4).as("varp_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qty_disc"),
+        round(covar_pop($"l_quantity", $"l_discount"), 4).as("covp_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q64Sql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(var_pop(l_quantity), 4) AS varp_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+      |  round(covar_pop(l_quantity, l_discount), 4) AS covp_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q65: regex surface — extract, count, global replace, match test
+    * (patterns restricted to the regex subset Java and RE2 share).
+    */
+  def q65RegexFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .filter($"doc_id" < 200)
+      .select(
+        $"doc_id",
+        regexp_extract($"text", "[a-z]{7,}", 0).as("first_long_word"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("n_numbers"),
+        length(regexp_replace($"text", "[aeiou]", "")).cast("long").as("len_novowels"),
+        $"text".rlike("stream").as("mentions_stream"))
+      .orderBy($"doc_id")
+  }
+
+  val q65Sql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '[a-z]{7,}') AS first_long_word,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowels,
+      |  regexp_matches(text, 'stream') AS mentions_stream
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** q66: SQL subquery surface — an uncorrelated scalar subquery
+    * (exact-decimal average threshold) and a correlated EXISTS, executed
+    * through `spark.sql` over the parquet files directly.
+    */
+  def q66Subqueries(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+         |FROM parquet.`$dir/customer.parquet` c
+         |WHERE c.c_acctbal > (
+         |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         |    FROM parquet.`$dir/customer.parquet` c2)
+         |  AND EXISTS (
+         |    SELECT 1 FROM parquet.`$dir/orders.parquet` o
+         |    WHERE o.o_custkey = c.c_custkey)
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin)
+
+  val q66Sql: String =
+    """SELECT c.c_mktsegment, COUNT(*) AS n_cust
+      |FROM customer c
+      |WHERE c.c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer c2)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
+  /** q67: calendar scaffold — a generated month series left-joined
+    * against per-month order counts (gap months survive with zero).
+    */
+  def q67CalendarJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val months = spark.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1996-12-01', interval 1 month)")).as("month_start"))
+    val perMonth = table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("cnt"))
+    months.join(broadcast(perMonth), Seq("month_start"), "left_outer")
+      .select($"month_start", coalesce($"cnt", lit(0L)).as("n_orders"))
+      .orderBy($"month_start")
+  }
+
+  val q67Sql: String =
+    """SELECT CAST(m AS DATE) AS month_start, COALESCE(cnt, 0) AS n_orders
+      |FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+      |        INTERVAL 1 MONTH)) AS m)
+      |LEFT JOIN (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS cnt
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |  ON CAST(m AS DATE) = mo
+      |ORDER BY month_start""".stripMargin
+
+  /** q68: deterministic hash sampling — an md5-keyed 1/8 sample is a pure
+    * function of the data (reproducible across engines and runs, unlike
+    * TABLESAMPLE), aggregated per order status.
+    */
+  def q68HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .filter(substring(md5($"o_orderkey".cast("string")), 1, 1).isin("0", "1"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q68Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q69: fixed-width histogram of order totals (floor-bucketed — floor
+    * over identical doubles is engine-independent).
+    */
+  def q69Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .groupBy(floor($"o_totalprice" / 50000.0).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+      .orderBy($"bucket")
+  }
+
+  val q69Sql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q70: date arithmetic — add_months (end-of-month clamped identically
+    * in both engines), last_day, quarter, day difference from an epoch.
+    */
+  def q70DateArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .filter($"o_orderkey" < 500)
+      .select(
+        $"o_orderkey",
+        add_months($"o_orderdate", 3).as("plus3m"),
+        last_day($"o_orderdate").as("month_end"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        datediff($"o_orderdate", ldt("1992-01-01T00:00:00")).cast("long").as("days_since_92"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_92
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
+  /** q71: RANGE window frames — a 30-day trailing sum/count per customer,
+    * framed by VALUE (day offset), so peers with equal days aggregate
+    * together regardless of row order.
+    */
+  def q71RangeFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-30, 0)
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 100)
+      .withColumn("day", datediff($"o_orderdate", ldt("1992-01-01T00:00:00")).cast("long"))
+      .select(
+        $"o_orderkey", $"o_custkey", $"day",
+        sum($"o_totalprice".cast(DecimalType(18, 2))).over(w).cast("double").as("trail30_sum"),
+        count(lit(1)).over(w).as("trail30_n"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderkey, o_custkey, day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail30_sum,
+      |  COUNT(*) OVER w AS trail30_n
+      |FROM (SELECT *, date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day
+      |      FROM orders WHERE o_custkey < 100)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q72: ordered string aggregation — csv of nation names per region in
+    * deterministic (sorted) order.
+    */
+  def q72StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = table(spark, dir, "nation")
+    val region = table(spark, dir, "region")
+    nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        concat_ws(",", array_sort(collect_list($"n_name"))).as("nations_csv"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  val q72Sql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** q73: bitwise functions over key columns (and/or/xor, shifts,
+    * popcount).
+    */
+  def q73Bitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .filter($"o_orderkey" < 300)
+      .select(
+        $"o_orderkey",
+        ($"o_orderkey".bitwiseAND(255L)).as("k_and"),
+        ($"o_orderkey".bitwiseOR(4096L)).as("k_or"),
+        ($"o_orderkey".bitwiseXOR(12345L)).as("k_xor"),
+        expr("shiftleft(o_orderkey, 2)").as("k_shl"),
+        expr("shiftright(o_orderkey, 1)").as("k_shr"),
+        bit_count($"o_orderkey").cast("long").as("k_bits"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q73Sql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS k_and,
+      |  o_orderkey | 4096 AS k_or,
+      |  xor(o_orderkey, 12345) AS k_xor,
+      |  o_orderkey << 2 AS k_shl,
+      |  o_orderkey >> 1 AS k_shr,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
+      |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q64_stats_aggs" -> (q64StatsAggs _),
+    "q65_regex_funcs" -> (q65RegexFuncs _),
+    "q66_subqueries" -> (q66Subqueries(_, _)),
+    "q67_calendar_join" -> (q67CalendarJoin _),
+    "q68_hash_sample" -> (q68HashSample _),
+    "q69_histogram" -> (q69Histogram _),
+    "q70_date_arith" -> (q70DateArith _),
+    "q71_range_frames" -> (q71RangeFrames _),
+    "q72_string_agg" -> (q72StringAgg _),
+    "q73_bitwise" -> (q73Bitwise _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q64_stats_aggs" -> q64Sql,
+    "q65_regex_funcs" -> q65Sql,
+    "q66_subqueries" -> q66Sql,
+    "q67_calendar_join" -> q67Sql,
+    "q68_hash_sample" -> q68Sql,
+    "q69_histogram" -> q69Sql,
+    "q70_date_arith" -> q70Sql,
+    "q71_range_frames" -> q71Sql,
+    "q72_string_agg" -> q72Sql,
+    "q73_bitwise" -> q73Sql)
+}
