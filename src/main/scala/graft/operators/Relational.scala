@@ -286,16 +286,33 @@ object Relational {
   /** q12: ranking window functions with a total tie-break for row_number. */
   def q12WindowRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Two-phase top-k: partitioning by l_returnflag alone has ~4 distinct
+    // values, so a monolithic 3-window plan sorts the whole table in 4
+    // tasks. Phase 1 keeps only the single row_number window, which the
+    // optimizer prunes with a WindowGroupLimit (each map partition
+    // pre-filters to its local top-5 per flag before the tiny shuffle).
+    // Phase 2 reconstructs rank/dense_rank of the ~20 survivors from
+    // their definitions — rank = 1 + #rows strictly greater, dense_rank
+    // = 1 + #distinct greater values — via one broadcast-join scan.
     val wRn = Window.partitionBy($"l_returnflag")
       .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
-    val wRk = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice".desc)
-    table(spark, dir, "lineitem")
+    val li = table(spark, dir, "lineitem")
+    val top5 = li
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       .withColumn("rn", row_number().over(wRn))
-      .withColumn("rnk", rank().over(wRk))
-      .withColumn("drnk", dense_rank().over(wRk))
       .filter($"rn" <= 5)
-      .select($"l_returnflag", $"rn".cast("long").as("rn"), $"rnk".cast("long").as("rnk"),
-        $"drnk".cast("long").as("drnk"), $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val probes = top5.select($"l_returnflag".as("flag"), $"rn".as("trn"),
+      $"l_extendedprice".as("tprice"))
+    val cnts = li.join(broadcast(probes),
+        $"l_returnflag" === $"flag" && $"l_extendedprice" > $"tprice")
+      .groupBy($"flag", $"trn")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"l_extendedprice").as("cntd"))
+    top5.join(broadcast(cnts),
+        $"l_returnflag" === $"flag" && $"rn" === $"trn", "left_outer")
+      .select($"l_returnflag", $"rn".cast("long").as("rn"),
+        (coalesce($"cnt", lit(0L)) + 1L).as("rnk"),
+        (coalesce($"cntd", lit(0L)) + 1L).as("drnk"),
+        $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       .orderBy($"l_returnflag", $"rn")
   }
 
