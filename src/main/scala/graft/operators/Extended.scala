@@ -267,6 +267,55 @@ object Extended {
       |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_bits
       |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin
 
+  /** q77: pagination — LIMIT/OFFSET over a total order (page 6 of 20-row
+    * pages). At scale OFFSET is a driver-side skip of a sorted prefix;
+    * keyset pagination is the production path, but the operator itself
+    * is part of the SQL surface.
+    */
+  def q77LimitOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .offset(100)
+      .limit(20)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 100""".stripMargin
+
+  /** q78: unpivot — wide per-flag aggregates turned long with `stack`
+    * (the oracle uses the equivalent UNION ALL).
+    */
+  def q78Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("qty"),
+        dsum($"l_extendedprice").as("price"),
+        dsum($"l_discount").as("disc"))
+      .select($"l_returnflag",
+        expr("stack(3, 'disc', disc, 'price', price, 'qty', qty) AS (metric, value)"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q78Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'disc' AS metric, disc AS value FROM w
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM w
+      |  UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),
@@ -277,7 +326,9 @@ object Extended {
     "q70_date_arith" -> (q70DateArith _),
     "q71_range_frames" -> (q71RangeFrames _),
     "q72_string_agg" -> (q72StringAgg _),
-    "q73_bitwise" -> (q73Bitwise _))
+    "q73_bitwise" -> (q73Bitwise _),
+    "q77_limit_offset" -> (q77LimitOffset _),
+    "q78_unpivot" -> (q78Unpivot _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q64_stats_aggs" -> q64Sql,
@@ -289,5 +340,7 @@ object Extended {
     "q70_date_arith" -> q70Sql,
     "q71_range_frames" -> q71Sql,
     "q72_string_agg" -> q72Sql,
-    "q73_bitwise" -> q73Sql)
+    "q73_bitwise" -> q73Sql,
+    "q77_limit_offset" -> q77Sql,
+    "q78_unpivot" -> q78Sql)
 }

@@ -228,17 +228,47 @@ object SimilarityOps {
       |WHERE dim < 8
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** q76: per-label centroids (the k-means update step) — mean embedding
+    * per label over the first 8 dimensions; posexplode + partial hash agg
+    * means each executor contributes one partial (sum, count) per
+    * (label, dim) regardless of row count. Rounded to 6 decimals
+    * (summation-order noise ~1e-13 over values in [-1, 1]).
+    */
+  def q76LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "embeddings")
+      .repartition(col("vec_id"))
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .filter($"dim" < 8)
+      .groupBy($"label", $"dim".cast("long").as("dim"))
+      .agg(
+        round(avg($"v".cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"dim")
+  }
+
+  val q76Sql: String =
+    """SELECT label, CAST(dim AS BIGINT) AS dim,
+      |  round(AVG(CAST(v AS DOUBLE)), 6) AS centroid, COUNT(*) AS n
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        unnest(range(len(embedding))) AS dim
+      |      FROM embeddings)
+      |WHERE dim < 8
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q42_cosine_knn" -> (q42CosineKnn _),
     "q43_ivf_knn" -> (q43IvfKnn _),
     "q45_topk_udaf" -> (q45TopkUdaf _),
     "q49_embed_near_dup" -> (q49EmbedNearDup _),
-    "q52_embed_dim_stats" -> (q52EmbedDimStats _))
+    "q52_embed_dim_stats" -> (q52EmbedDimStats _),
+    "q76_label_centroids" -> (q76LabelCentroids _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_cosine_knn" -> q42Sql,
     "q43_ivf_knn" -> q43Sql,
     "q45_topk_udaf" -> q45Sql,
     "q49_embed_near_dup" -> q49Sql,
-    "q52_embed_dim_stats" -> q52Sql)
+    "q52_embed_dim_stats" -> q52Sql,
+    "q76_label_centroids" -> q76Sql)
 }

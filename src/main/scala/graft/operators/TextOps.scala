@@ -191,7 +191,9 @@ object TextOps {
     "q33_doc_stats" -> (q33DocStats _),
     "q34_lang_id" -> (q34LangId _),
     "q35_quality_score" -> (q35QualityScore _),
-    "q36_fingerprint" -> (q36Fingerprint _))
+    "q36_fingerprint" -> (q36Fingerprint _),
+    "q74_tfidf" -> (q74Tfidf _),
+    "q75_bigram_df" -> (q75BigramDf _))
 
   val q47Sql: String =
     """SELECT doc_id,
@@ -209,6 +211,77 @@ object TextOps {
       |      (h, c) -> (h * 257 + c) % 1000000007)) AS winnow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q74: TF-IDF — term frequency from the probe docs, document frequency
+    * from the whole corpus (distinct tokens per doc via the native
+    * [[graft.functions.TextShingles]] with n=1, so the df side is one
+    * narrow pass + hash agg). The tf side is tiny → broadcast through
+    * the df join. idf = ln(N/df); the product is rounded to 4 decimals
+    * (libm-vs-JVM log differs only in the last ulp).
+    */
+  def q74Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    val docs = table(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.filter($"doc_id" < 20)
+      .select($"doc_id", explode(toks()).as("tok"))
+      .filter(length($"tok") >= 4)
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(graft.functions.ShingleFunctions.textShingles($"text", 1)).as("tok"))
+      .filter(length($"tok") >= 4)
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("df"))
+    df.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"tok", $"tf", $"df",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 4).as("tfidf"))
+      .orderBy($"doc_id", $"tok")
+  }
+
+  val q74Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id < 20)
+      |  WHERE length(tok) >= 4 GROUP BY doc_id, tok),
+      |df AS (
+      |  SELECT tok, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) >= 4 GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, tok, tf.tf, df.df,
+      |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      |FROM tf JOIN df USING (tok) CROSS JOIN n
+      |ORDER BY doc_id, tok""".stripMargin
+
+  /** q75: bigram document frequency (collocation mining) — distinct
+    * bigrams per doc via the native shingle expression with n=2, top 25
+    * with a total tie-break.
+    */
+  def q75BigramDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    table(spark, dir, "documents")
+      .select(explode(graft.functions.ShingleFunctions.textShingles($"text", 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n_docs_with"))
+      .orderBy($"n_docs_with".desc, $"bigram")
+      .limit(25)
+  }
+
+  val q75Sql: String =
+    """SELECT bigram, COUNT(*) AS n_docs_with
+      |FROM (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2)
+      |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "q47_rolling_fingerprint" -> q47Sql,
     "q53_bpe_tokens" -> q53Sql,
@@ -216,5 +289,7 @@ object TextOps {
     "q33_doc_stats" -> q33Sql,
     "q34_lang_id" -> q34Sql,
     "q35_quality_score" -> q35Sql,
-    "q36_fingerprint" -> q36Sql)
+    "q36_fingerprint" -> q36Sql,
+    "q74_tfidf" -> q74Sql,
+    "q75_bigram_df" -> q75Sql)
 }
