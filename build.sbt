@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g beats larger heaps for this suite: the workload churns short-lived
   // allocations and G1 pause behavior degrades with a huge heap
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~80 queries x 2 runs generate thousands of janino classes; the
+  // default 240m JIT code cache fills mid-suite, compilation stops, and
+  // every later query runs 3-5x slower. Size it so the whole suite stays
+  // JIT-compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )
