@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSigs, TextShingles, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -17,8 +17,10 @@ import graft.functions.VectorDot
   * predicate pushdown, column pruning, broadcast selection, AQE, and
   * WindowGroupLimit (two-phase ranked-window top-k) all fire on our plans
   * without custom rules, so no `Rule[LogicalPlan]`/`SparkStrategy` is
-  * injected. The one genuine gap is the codegen'd embedding dot product
-  * ([[graft.functions.VectorDot]]).
+  * injected. The genuine gaps are the codegen'd hot-path kernels: the
+  * embedding dot product ([[graft.functions.VectorDot]]) and the fused
+  * dedup shingle/minhash pipeline ([[graft.functions.TextShingles]],
+  * [[graft.functions.MinHashSigs]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -26,5 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("text_shingles"),
+      new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
+      (exprs: Seq[Expression]) => TextShingles(exprs.head,
+        exprs.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(4))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
   }
 }
