@@ -1,0 +1,165 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library API for near-duplicate detection — DataFrame-in/DataFrame-out,
+  * column names parameterized, so callers run these operators over their
+  * own corpora (the `graft.operators.DedupOps` oracle queries are thin
+  * bindings of this API to the harness tables).
+  *
+  * Hash family and plan shapes are documented in
+  * [[graft.operators.DedupOps]] and docs/SCALING.md: shingling and
+  * minhashing are fused native codegen expressions and stay narrow; only
+  * band signatures and posting lists ever shuffle; candidate verification
+  * broadcasts pairs and intersects shingle arrays in place.
+  */
+object Dedup {
+
+  val NumSeeds = 8
+  private val BandRows = 4 // 2 bands × 4 rows
+
+  /** Per-row distinct n-word shingle set: (idCol, sh_arr, n_sh). Rows
+    * with fewer than n tokens (no shingles) are dropped.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol),
+        graft.functions.ShingleFunctions.textShingles(col(textCol), n).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
+      .withColumn("n_sh", size(col("sh_arr")).cast("long"))
+  }
+
+  /** Wide 8-seed minhash signature columns m0..m7 appended to a
+    * [[shingleSets]] output (keeps idCol + n_sh).
+    */
+  def minhashWide(shingled: DataFrame, idCol: String): DataFrame = {
+    val withSigs = shingled.withColumn("sigs",
+      graft.functions.ShingleFunctions.minhashSigs(col("sh_arr")))
+    val mins = (0 until NumSeeds).map(s => col("sigs").getItem(s).as(s"m$s"))
+    withSigs.select(col(idCol) +: col("n_sh") +: mins: _*)
+  }
+
+  /** Long-form signature table: (idCol, seed, minhash). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
+    minhashWide(shingleSets(docs, idCol, textCol, n), idCol)
+      .select(col(idCol), expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
+  }
+
+  /** MinHash-LSH candidate pairs with exact verified Jaccard:
+    * (id_a, id_b, n_inter, jaccard), id_a < id_b, unordered output.
+    * Banding: 2 bands × 4 rows over the 8-seed signatures.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    val doc = shingleSets(docs, idCol, textCol, n)
+    // band signature = the 4 seed minhashes of the band joined in seed
+    // order; the shuffle that follows carries only (id, band, band_sig)
+    val bands = minhashWide(doc, idCol).select(
+      col(idCol).as("id"),
+      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+    // pair generation without a self-join: bucket the signatures and
+    // explode ordered pairs from each bucket's posting list (a bucket is
+    // a set of mutually-near-duplicate docs, so lists stay short; one hot
+    // bucket at extreme scale would call for a posting-list length cap)
+    val cands = bands.groupBy(col("band"), col("band_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
+      .distinct()
+    // verify: pull each pair's two shingle arrays side by side via two
+    // broadcast joins (candidates are tiny) and intersect in place — the
+    // full shingle data is only ever scanned, never shuffled
+    val aSide = doc.select(col(idCol).as("id_a"), col("sh_arr").as("a_arr"), col("n_sh").as("n_a"))
+    val bSide = doc.select(col(idCol).as("id_b"), col("sh_arr").as("b_arr"), col("n_sh").as("n_b"))
+    val withA = aSide.join(broadcast(cands), "id_a")
+    bSide.join(broadcast(withA), "id_b")
+      .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Connected components over an edge list (id_a, id_b) — cluster id is
+    * the component minimum: (id, cluster, cluster_size, is_keeper).
+    *
+    * The edge set is assumed sparse (LSH/threshold-filtered), so
+    * components resolve in one union-find pass on a single partition — a
+    * single narrow job, no driver collect, no per-iteration scheduling
+    * latency (join-iterated label propagation measured 10–100× slower
+    * here). Past ~10^8 edges the right tool is iterative
+    * large-star/small-star CC; the cutover is an edge-count check away.
+    * Result is order-independent: union-by-min-root yields the same
+    * component minima for any edge order.
+    */
+  def clusterComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val comps = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        // iterative find with full path compression — recursion would
+        // overflow the stack on a pathological chain (one hot LSH bucket
+        // can link 10^4+ docs)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.map(d => (d, find(d))).toSeq.iterator
+      }
+      .toDF("id", "cluster")
+    val sizes = comps.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    comps.join(broadcast(sizes), "cluster")
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        (col("id") === col("cluster")).as("is_keeper"))
+  }
+
+  /** Exact-duplicate statistics per group: (groupCol, n_docs,
+    * n_distinct_texts, n_exact_dups). Texts are md5'd before the distinct
+    * count so the aggregation state is 16 bytes per distinct text, not
+    * the text itself.
+    */
+  def exactDupStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(md5(col(textCol)))).as("n_exact_dups"))
+
+  /** 64-bit SimHash fingerprint per row: (idCol, simhash64) — per
+    * distinct token, md5's first 16 nibbles vote ±1 on each of 64 bit
+    * positions; the sign vector packs back into a 16-nibble hex string.
+    * All stages are hash aggregations with map-side partial combine.
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val tokens = docs
+      .select(id, explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val votes = tokens
+      .select(id, col("h"), explode(sequence(lit(0), lit(15))).as("p"))
+      .withColumn("v", expr("position(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
+      .select(id, col("p"), col("v"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("contrib", expr("2 * (shiftright(v, b) & 1) - 1"))
+    val bits = votes.groupBy(id, col("p"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("fbit", when(col("s") > 0, 1).otherwise(0))
+    val nibbles = bits.groupBy(id, col("p"))
+      .agg(sum(expr("shiftleft(fbit, b)")).as("nib"))
+      .withColumn("ch", expr("substr('0123456789abcdef', CAST(nib AS INT) + 1, 1)"))
+    nibbles.groupBy(id)
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, ch))), x -> x.ch), '')").as("simhash64"))
+  }
+}

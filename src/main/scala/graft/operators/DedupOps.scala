@@ -32,23 +32,20 @@ object DedupOps {
   private val NumSeeds = 8
   private val BandRows = 4 // 2 bands × 4 rows
 
-  /** Per-doc distinct 4-word shingle array + its cardinality — fully
-    * narrow, one codegen'd pass per document via the native
-    * [[graft.functions.TextShingles]] expression. `repartition(doc_id)`
-    * only spreads the single-file scan across cores before the
-    * shingle-heavy projection. A doc has ≥1 shingle iff it has ≥4
-    * tokens, so `size > 0` is exactly the oracle's `len(toks) >= 4`.
+  /** The harness documents table, pre-spread across cores (it is a
+    * single small file → 1 scan task otherwise) for the shingle-heavy
+    * narrow stages downstream.
     */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.ShingleFunctions.register(spark)
-    table(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .select($"doc_id",
-        graft.functions.ShingleFunctions.textShingles($"text", 4).as("sh_arr"))
-      .filter(size($"sh_arr") > 0)
-      .withColumn("n_sh", size($"sh_arr").cast("long"))
-  }
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").repartition(col("doc_id"))
+
+  /** Per-doc distinct 4-word shingle array + cardinality via
+    * [[graft.api.Dedup.shingleSets]] (fully narrow; a doc has ≥1 shingle
+    * iff it has ≥4 tokens, so the implicit `size > 0` filter is exactly
+    * the oracle's `len(toks) >= 4`).
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.shingleSets(docs(spark, dir), "doc_id", "text", n = 4)
 
   private val shinglesSql: String =
     """SELECT DISTINCT doc_id,
@@ -56,21 +53,6 @@ object DedupOps {
       |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 4""".stripMargin
-
-  /** Wide minhash columns m0..m7 per doc: min over the shingle array of
-    * an 8-hex-char slice of md5 — seeds 0–3 slice md5(sh), seeds 4–7
-    * slice md5('x'|sh), so each shingle computes TWO digests instead of
-    * eight (a min over any fixed slice of a uniform hash is a valid
-    * minwise signature). The native [[graft.functions.MinHashSigs]]
-    * expression computes all 8 mins in one codegen'd pass — zero
-    * shuffles, zero intermediate arrays.
-    */
-  private def minhashWide(doc: DataFrame): DataFrame = {
-    val withSigs = doc.withColumn("sigs",
-      graft.functions.ShingleFunctions.minhashSigs(col("sh_arr")))
-    val mins = (0 until NumSeeds).map(s => col("sigs").getItem(s).as(s"m$s"))
-    withSigs.select(col("doc_id") +: col("n_sh") +: mins: _*)
-  }
 
   private val minhashesSql: String =
     s"""SELECT doc_id, s AS seed,
@@ -82,12 +64,7 @@ object DedupOps {
   /** q37: exact dedup stats — hash-groupBy distinct texts per source. */
   def q37DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "documents")
-      .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(md5($"text")).as("n_distinct_texts"),
-        (count(lit(1)) - countDistinct(md5($"text"))).as("n_exact_dups"))
+    graft.api.Dedup.exactDupStats(table(spark, dir, "documents"), "source", "text")
       .orderBy($"source")
   }
 
@@ -102,9 +79,7 @@ object DedupOps {
     */
   def q38MinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
-    minhashWide(docShingles(spark, dir))
-      .select($"doc_id", expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
+    graft.api.Dedup.minhashSignatures(docs(spark, dir), "doc_id", "text")
       .orderBy($"doc_id", $"seed")
   }
 
@@ -126,38 +101,13 @@ object DedupOps {
   }
 
   /** LSH candidate pairs with verified Jaccard (unordered) — shared by
-    * q39 (pair listing) and q55 (cluster construction).
+    * q39 (pair listing) and q55 (cluster construction). Plan shape is
+    * documented on [[graft.api.Dedup.lshCandidatePairs]].
     */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val doc = docShingles(spark, dir)
-    // band signature = the 4 seed minhashes of the band joined in seed
-    // order; stack unpivots the wide row to (doc_id, band, band_sig) —
-    // still narrow, and the shuffle that follows carries only those three
-    // small columns (never the shingle arrays)
-    val bands = minhashWide(doc).select(
-      $"doc_id",
-      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
-    // pair generation without a self-join: bucket the signatures and
-    // explode ordered pairs from each bucket's posting list (a bucket is
-    // a set of mutually-near-duplicate docs, so lists stay short; one hot
-    // bucket at extreme scale would call for a posting-list length cap)
-    val cands = bands.groupBy($"band", $"band_sig")
-      .agg(collect_list($"doc_id").as("docs"))
-      .filter(size($"docs") >= 2)
-      .select(explode($"docs").as("doc_a"), $"docs")
-      .select($"doc_a", explode(expr("filter(docs, d -> d > doc_a)")).as("doc_b"))
-      .distinct()
-    // verify: pull each pair's two shingle arrays side by side via two
-    // broadcast joins (candidates are tiny) and intersect in place — the
-    // full shingle data is only ever scanned, never shuffled
-    val aSide = doc.select($"doc_id".as("doc_a"), $"sh_arr".as("a_arr"), $"n_sh".as("n_a"))
-    val bSide = doc.select($"doc_id".as("doc_b"), $"sh_arr".as("b_arr"), $"n_sh".as("n_b"))
-    val withA = aSide.join(broadcast(cands), "doc_a")
-    bSide.join(broadcast(withA), "doc_b")
-      .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
-      .select($"doc_a", $"doc_b", $"n_inter",
-        ($"n_inter" / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
+    graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_inter", $"jaccard")
   }
 
   val q39Sql: String =
@@ -237,24 +187,7 @@ object DedupOps {
     */
   def q41Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tokens = table(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      .filter($"tok" =!= "")
-      .withColumn("h", md5($"tok"))
-    val votes = tokens
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(15))).as("p"))
-      .withColumn("v", expr("position(substr(h, p + 1, 1), '0123456789abcdef') - 1"))
-      .select($"doc_id", $"p", $"v", explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("contrib", expr("2 * (shiftright(v, b) & 1) - 1"))
-    val bits = votes.groupBy($"doc_id", $"p", $"b")
-      .agg(sum($"contrib").as("s"))
-      .withColumn("fbit", when($"s" > 0, 1).otherwise(0))
-    val nibbles = bits.groupBy($"doc_id", $"p")
-      .agg(sum(expr("shiftleft(fbit, b)")).as("nib"))
-      .withColumn("ch", expr("substr('0123456789abcdef', CAST(nib AS INT) + 1, 1)"))
-    nibbles.groupBy($"doc_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, ch))), x -> x.ch), '')").as("simhash64"))
+    graft.api.Dedup.simhash64(docs(spark, dir), "doc_id", "text")
       .orderBy($"doc_id")
   }
 
@@ -294,34 +227,11 @@ object DedupOps {
     */
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = lshPairs(spark, dir)
+    val pairs = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
       .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b")
-    val comps = pairs.as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        // iterative find with full path compression — recursion would
-        // overflow the stack on a pathological chain (one hot LSH bucket
-        // can link 10^4+ docs)
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        parent.keysIterator.map(d => (d, find(d))).toSeq.iterator
-      }
-      .toDF("doc_id", "cluster")
-    val sizes = comps.groupBy($"cluster").agg(count(lit(1)).as("cluster_size"))
-    comps.join(broadcast(sizes), "cluster")
-      .select($"doc_id", $"cluster", $"cluster_size",
-        ($"doc_id" === $"cluster").as("is_keeper"))
+      .select($"id_a", $"id_b")
+    graft.api.Dedup.clusterComponents(pairs)
+      .select($"id".as("doc_id"), $"cluster", $"cluster_size", $"is_keeper")
       .orderBy($"doc_id")
   }
 

@@ -43,28 +43,22 @@ object SimilarityOps {
       s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
       s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
-  /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10. */
+  /** The harness embeddings table, pre-spread across cores (single small
+    * file → 1 scan task otherwise) for the dot-product-heavy stages.
+    */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").repartition(col("vec_id"))
+
+  /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10
+    * via [[graft.api.Similarity.cosineKnn]] (norms computed once per
+    * vector; sim = dot / (norm_p·norm_c), bit-identical to the pairwise
+    * dot/(sqrt·sqrt) the oracle evaluates).
+    */
   def q42CosineKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    // Norms are computed once per vector, not once per pair — the pair
-    // stage then does a single dot product (sim = dot / (norm_p*norm_c),
-    // bit-identical to dot/(sqrt(dd_p)*sqrt(dd_q)) evaluated pairwise).
-    val emb = table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
-      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
-    val probes = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"))
-    val cands = emb.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
-    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
-    cands.crossJoin(broadcast(probes))
-      .filter($"cand_id" =!= $"probe_id")
-      .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
-      // drop the arrays before the window shuffle — only scalars move
-      .select($"probe_id", $"cand_id", $"sim")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"sim")
+    val corpus = emb(spark, dir)
+    graft.api.Similarity.cosineKnn(corpus, corpus.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 5)
       .orderBy($"probe_id", $"rn")
   }
 
@@ -84,36 +78,11 @@ object SimilarityOps {
     */
   def q43IvfKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    val emb = table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
-      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
-    // coarse quantizer: the 16 centroids collapse to ONE array row that is
-    // broadcast, so assignment is a narrow per-row argmax (max of
-    // (csim, -cent_id) structs = highest sim, ties to the lowest id) —
-    // no 16×-row blowup, no window shuffle carrying embedding arrays
-    val centArr = emb.filter($"vec_id" < 16)
-      .agg(collect_list(struct($"vec_id".as("cent_id"), $"embedding".as("cent_emb"),
-        $"norm".as("cent_norm"))).as("cents"))
-    val assign = emb.crossJoin(broadcast(centArr))
-      .withColumn("best", expr(
-        s"""array_max(transform(cents, c ->
-           |  struct(${dot("c.cent_emb", "embedding")} / (c.cent_norm * norm) AS csim,
-           |         -c.cent_id AS neg_id)))""".stripMargin))
-      .select($"vec_id", $"embedding", $"norm", (-$"best.neg_id").as("cluster"))
-    val probes = assign.filter($"vec_id" >= 100 && $"vec_id" < 110)
-      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"), $"cluster")
-    val cands = assign.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"norm".as("c_norm"), $"cluster")
-    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"cand_id")
-    cands.join(broadcast(probes), "cluster")
-      .filter($"cand_id" =!= $"probe_id")
-      .withColumn("sim", expr(dot("p_emb", "c_emb")) / ($"p_norm" * $"c_norm"))
-      // project away the arrays BEFORE the top-k window so the shuffle
-      // moves only scalar (probe, cand, cluster, sim) rows
-      .select($"probe_id", $"cluster", $"cand_id", $"sim")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3)
-      .select($"probe_id", $"rn".cast("long").as("rn"), $"cluster", $"cand_id", $"sim")
+    val corpus = emb(spark, dir)
+    val assigned = graft.api.Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    graft.api.Similarity.ivfKnn(assigned,
+        $"vec_id" >= 100 && $"vec_id" < 110, "vec_id", "embedding", k = 3)
       .orderBy($"probe_id", $"rn")
   }
 
@@ -179,16 +148,8 @@ object SimilarityOps {
     */
   def q49EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.VectorFunctions.register(spark)
-    val emb = table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
-      .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("a_emb"), $"norm".as("a_norm"))
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("b_emb"), $"norm".as("b_norm"))
-    a.join(broadcast(b), $"vec_a" < $"vec_b")
-      .withColumn("sim", expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm"))
-      .filter($"sim" >= 0.45)
-      .select($"vec_a", $"vec_b", $"sim")
+    graft.api.Similarity.nearDupPairs(emb(spark, dir), "vec_id", "embedding", 0.45)
+      .select($"id_a".as("vec_a"), $"id_b".as("vec_b"), $"sim")
       .orderBy($"vec_a", $"vec_b")
   }
 
