@@ -42,6 +42,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("value:double"), "value column must be pruned")
   }
 
+  test("q12: two-phase top-k keeps WindowGroupLimit and a single Window") {
+    val p = planOf(graft.operators.Relational.q12WindowRank(spark, sf))
+    assert(p.contains("WindowGroupLimit"))
+    // rank/dense_rank are reconstructed via joins, so no multi-function
+    // window over the low-cardinality flag partitioning survives
+    assert(!p.contains("dense_rank("))
+  }
+
+  test("q43: centroid assignment is narrow (no Window before the cell join)") {
+    val p = planOf(graft.operators.SimilarityOps.q43IvfKnn(spark, sf))
+    // exactly one Window node: the final per-probe top-k
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q38: minhash signatures plan has no shuffle before the output sort") {
+    val p = planOf(graft.operators.DedupOps.q38MinhashSigs(spark, sf))
+    // the only exchanges allowed: the deliberate repartition(doc_id) spread
+    // and the final rangepartitioning sort
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n$p")
+    assert(p.contains("text_shingles") || p.contains("minhash_sigs"))
+  }
+
   test("GraftExtensions: vector_dot reaches SQL text through extension injection") {
     // newSession() has a fresh temp-function registry but re-applies the
     // builder extensions — vector_dot resolving there proves injection,
