@@ -1,0 +1,79 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library API for text analysis — mostly COLUMN-level builders (compose
+  * into any projection; all codegen-friendly built-ins), plus the
+  * corpus-level TF-IDF table. The `graft.operators.TextOps` oracle
+  * queries are thin bindings of these builders to the harness tables.
+  *
+  * Tokenization is a plain single-space split everywhere so results are
+  * engine-exact; per-row arithmetic is double (deterministic).
+  */
+object Text {
+
+  /** English function words used by the language-ID heuristic. */
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** Distinct whitespace token count. */
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(split(text, " "))).cast("long")
+
+  /** Tokens ∈ `stopwords` count. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(split(text, " "), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Stopword-density language score in [0, 1]. */
+  def englishScore(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Threshold language-ID: 'en' when the stopword density clears
+    * `threshold`, else 'other'.
+    */
+  def langIdPredict(text: Column, threshold: Double = 0.08): Column =
+    when(englishScore(text) >= threshold, "en").otherwise("other")
+
+  /** The engine's document quality score: 0.5·length + 0.3·uniqueness +
+    * 0.2·(1 − stopword density), each term in [0, 1].
+    */
+  def qualityScore(text: Column, lengthNorm: Double = 64.0): Column = {
+    val nTok = tokenCount(text).cast("double")
+    least(nTok / lit(lengthNorm), lit(1.0)) * lit(0.5) +
+      (uniqueTokenCount(text).cast("double") / nTok) * lit(0.3) +
+      (lit(1.0) - stopwordCount(text).cast("double") / nTok) * lit(0.2)
+  }
+
+  /** Whitespace-normalized md5 content fingerprint (exact-dup key). */
+  def normalizedFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** TF-IDF table (id, tok, tf, df, tfidf) for rows matching
+    * `probeFilter`: term frequencies from the probe rows, document
+    * frequencies from the whole corpus (distinct tokens per row via the
+    * native shingle expression with n=1 — one narrow pass + hash agg).
+    * The tf side is tiny → broadcast through the df join.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      probeFilter: Column, minTokenLen: Int = 4): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.filter(probeFilter)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) >= minTokenLen)
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(graft.functions.ShingleFunctions.textShingles(col(textCol), 1)).as("tok"))
+      .filter(length(col("tok")) >= minTokenLen)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    df.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+  }
+}

@@ -69,11 +69,7 @@ object TextOps {
   def q34LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
-      .withColumn("n_tokens", size(toks()).cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))")).cast("long"))
-      .withColumn("en_score", $"n_stop".cast("double") / $"n_tokens")
-      .withColumn("pred_lang", when($"en_score" >= 0.08, "en").otherwise("other"))
+      .withColumn("pred_lang", graft.api.Text.langIdPredict($"text"))
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred_lang")
@@ -95,16 +91,12 @@ object TextOps {
   def q35QualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
-      .withColumn("n_tokens", size(toks()).cast("long"))
-      .withColumn("n_uniq", size(array_distinct(toks())).cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))")).cast("long"))
+      .withColumn("n_tokens", graft.api.Text.tokenCount($"text"))
+      .withColumn("n_uniq", graft.api.Text.uniqueTokenCount($"text"))
+      .withColumn("n_stop", graft.api.Text.stopwordCount($"text"))
       .withColumn("uniq_ratio", $"n_uniq".cast("double") / $"n_tokens")
       .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
-      .withColumn("len_score",
-        least($"n_tokens".cast("double") / lit(64.0), lit(1.0)))
-      .withColumn("quality",
-        $"len_score" * lit(0.5) + $"uniq_ratio" * lit(0.3) + (lit(1.0) - $"stop_ratio") * lit(0.2))
+      .withColumn("quality", graft.api.Text.qualityScore($"text"))
       .select($"doc_id", $"n_tokens", $"n_uniq", $"uniq_ratio", $"stop_ratio", $"quality")
       .orderBy($"doc_id")
   }
@@ -131,7 +123,7 @@ object TextOps {
   def q36Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
-      .withColumn("fp", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))))
+      .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
       .groupBy($"fp")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
       .orderBy($"fp")
@@ -220,23 +212,8 @@ object TextOps {
     */
   def q74Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.ShingleFunctions.register(spark)
-    val docs = table(spark, dir, "documents")
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.filter($"doc_id" < 20)
-      .select($"doc_id", explode(toks()).as("tok"))
-      .filter(length($"tok") >= 4)
-      .groupBy($"doc_id", $"tok")
-      .agg(count(lit(1)).as("tf"))
-    val df = docs
-      .select(explode(graft.functions.ShingleFunctions.textShingles($"text", 1)).as("tok"))
-      .filter(length($"tok") >= 4)
-      .groupBy($"tok")
-      .agg(count(lit(1)).as("df"))
-    df.join(broadcast(tf), "tok")
-      .crossJoin(broadcast(nDocs))
-      .select($"doc_id", $"tok", $"tf", $"df",
-        round($"tf" * log($"n_docs".cast("double") / $"df"), 4).as("tfidf"))
+    graft.api.Text.tfidf(table(spark, dir, "documents"), "doc_id", "text",
+        probeFilter = $"doc_id" < 20)
       .orderBy($"doc_id", $"tok")
   }
 

@@ -37,6 +37,37 @@ class ApiSpec extends SparkSpec {
     assert(clusters.filter($"id" === $"cluster").count() === keeper.length)
   }
 
+  test("Text API column builders compute expected features") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zebra quux flarp")
+    ).toDF("id", "body")
+      .select($"id",
+        Text.tokenCount($"body").as("nt"),
+        Text.uniqueTokenCount($"body").as("nu"),
+        Text.stopwordCount($"body").as("ns"),
+        Text.langIdPredict($"body").as("lang"),
+        Text.normalizedFingerprint($"body").as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(rows(1L) === ((6L, 5L, 2L, "en"))) // 'the' twice, 'on' not a stopword
+    assert(rows(2L) === ((3L, 3L, 0L, "other")))
+    // fingerprint normalizes whitespace runs and case
+    val fps = Seq("A  b", "a b").toDF("t")
+      .select(Text.normalizedFingerprint($"t")).distinct().count()
+    assert(fps === 1)
+
+    val tfidf = Text.tfidf(
+      Seq((1L, "alpha beta alpha"), (2L, "alpha gamma")).toDF("id", "body"),
+      "id", "body", probeFilter = $"id" === 1L, minTokenLen = 4)
+    val byTok = tfidf.select($"tok", $"tf", $"df").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byTok("alpha") === ((2L, 2L))) // tf counts occurrences, df counts docs
+    assert(byTok("beta") === ((1L, 1L)))
+    assert(!byTok.contains("gamma")) // not in probe doc
+  }
+
   test("Similarity API ranks an identical vector first under custom names") {
     import spark.implicits._
     val corpus = Seq(
