@@ -316,6 +316,66 @@ object Extended {
       |  UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** q79: distribution window functions — percent_rank and cume_dist are
+    * exact integer-ratio doubles ((rank−1)/(n−1), peers/n), so both
+    * engines produce identical bits.
+    */
+  def q79WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    table(spark, dir, "orders")
+      .filter($"o_custkey" < 50)
+      .select(
+        $"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q79Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q80: error-safe casts — TRY_CAST over a deliberately mixed
+    * string column (half numeric, half prefixed) and over a
+    * never-numeric column; failures become NULLs that the aggregates
+    * skip.
+    */
+  def q80TryCast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("s", when($"k" % 2 === 0, $"k".cast("string"))
+        .otherwise(concat(lit("v"), $"k".cast("string"))))
+      .withColumn("k_try", expr("try_cast(s AS BIGINT)"))
+      .withColumn("t_try", expr("try_cast(event_type AS BIGINT)"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"k_try").as("n_numeric"),
+        sum($"k_try").as("sum_numeric"),
+        count($"t_try").as("n_type_numeric"))
+      .orderBy($"event_type")
+  }
+
+  val q80Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(k_try) AS n_numeric,
+      |  CAST(SUM(k_try) AS BIGINT) AS sum_numeric,
+      |  COUNT(TRY_CAST(event_type AS BIGINT)) AS n_type_numeric
+      |FROM (
+      |  SELECT event_type,
+      |    TRY_CAST(CASE WHEN k % 2 = 0 THEN CAST(k AS VARCHAR)
+      |             ELSE 'v' || CAST(k AS VARCHAR) END AS BIGINT) AS k_try
+      |  FROM (SELECT event_type,
+      |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |        FROM events))
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),
@@ -328,7 +388,9 @@ object Extended {
     "q72_string_agg" -> (q72StringAgg _),
     "q73_bitwise" -> (q73Bitwise _),
     "q77_limit_offset" -> (q77LimitOffset _),
-    "q78_unpivot" -> (q78Unpivot _))
+    "q78_unpivot" -> (q78Unpivot _),
+    "q79_window_dist" -> (q79WindowDist _),
+    "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q64_stats_aggs" -> q64Sql,
@@ -342,5 +404,7 @@ object Extended {
     "q72_string_agg" -> q72Sql,
     "q73_bitwise" -> q73Sql,
     "q77_limit_offset" -> q77Sql,
-    "q78_unpivot" -> q78Sql)
+    "q78_unpivot" -> q78Sql,
+    "q79_window_dist" -> q79Sql,
+    "q80_try_cast" -> q80Sql)
 }
