@@ -73,11 +73,18 @@ object Dedup {
       .distinct()
     // verify: pull each pair's two shingle arrays side by side via two
     // broadcast joins (candidates are tiny) and intersect in place — the
-    // full shingle data is only ever scanned, never shuffled
-    val aSide = doc.select(col(idCol).as("id_a"), col("sh_arr").as("a_arr"), col("n_sh").as("n_a"))
-    val bSide = doc.select(col(idCol).as("id_b"), col("sh_arr").as("b_arr"), col("n_sh").as("n_b"))
-    val withA = aSide.join(broadcast(cands), "id_a")
-    bSide.join(broadcast(withA), "id_b")
+    // full shingle data is only ever scanned, never shuffled. The
+    // broadcast semi-restriction to candidate ids happens on the RAW docs,
+    // BEFORE the shingle kernel, so the full-corpus kernel runs exactly
+    // once (in the banding pass); the verify passes re-shingle only the
+    // candidate subset.
+    def candSide(pairCol: String, arrName: String, nName: String): DataFrame = {
+      val ids = cands.select(col(pairCol).as(idCol)).distinct()
+      shingleSets(docs.join(broadcast(ids), idCol), idCol, textCol, n)
+        .select(col(idCol).as(pairCol), col("sh_arr").as(arrName), col("n_sh").as(nName))
+    }
+    val withA = candSide("id_a", "a_arr", "n_a").join(broadcast(cands), "id_a")
+    candSide("id_b", "b_arr", "n_b").join(broadcast(withA), "id_b")
       .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))

@@ -140,14 +140,32 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
 }
 
 object ShingleFunctions {
+
+  /** Shared n-argument extraction for both registration paths: accepts
+    * any foldable integral expression, fails loudly otherwise (a silent
+    * default would compute wrong-n shingles).
+    */
+  private[graft] def extractN(exprs: Seq[Expression]): Int = exprs.lift(1) match {
+    case None => 4
+    case Some(e) if e.foldable => e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"text_shingles: n must be an integral literal, got $other")
+    }
+    case Some(e) => throw new IllegalArgumentException(
+      s"text_shingles: n must be foldable, got $e")
+  }
+
   /** Idempotent per-session registration (SQL names `text_shingles`,
     * `minhash_sigs`).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_shingles",
-      exprs => TextShingles(exprs.head,
-        exprs.lift(1).map(_.eval(null).asInstanceOf[Int]).getOrElse(4)),
+      exprs => TextShingles(exprs.head, extractN(exprs)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "scala_udf")

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSigs, TextShingles, VectorDot}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{MinHashSigs, ShingleFunctions, TextShingles, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_shingles"),
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),
       (exprs: Seq[Expression]) => TextShingles(exprs.head,
-        exprs.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(4))))
+        ShingleFunctions.extractN(exprs))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),

@@ -35,7 +35,13 @@ object Maintenance {
     // (delete-then-rename would lose the table if the rename never ran.)
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
     fs.delete(old, true)
-    fs.rename(dst, old)
+    if (!fs.rename(dst, old)) {
+      // dst must actually move: renaming src onto a still-existing dst
+      // would NEST the new data inside the live table (Hadoop rename
+      // semantics) and silently corrupt it
+      fs.delete(src, true)
+      throw new java.io.IOException(s"compact: rename $dst -> $old failed; aborted")
+    }
     if (!fs.rename(src, dst)) {
       fs.rename(old, dst) // roll back to the pre-compaction table
       throw new java.io.IOException(s"compact: rename $src -> $dst failed; rolled back")

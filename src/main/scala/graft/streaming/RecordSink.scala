@@ -35,8 +35,17 @@ class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
     dir.mkdirs()
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId()).getOrElse(System.nanoTime())
-    dstFile = new File(dir, f"part-$partitionId%05d-$epochId%05d.jsonl")
-    tmpFile = new File(dir, f".part-$partitionId%05d-$epochId%05d-$attempt.jsonl.tmp")
+    val stem = f"part-$partitionId%05d-$epochId%05d"
+    dstFile = new File(dir, s"$stem.jsonl")
+    tmpFile = new File(dir, s".$stem-$attempt.jsonl.tmp")
+    // garbage-collect temp files left by prior attempts of this same
+    // (partition, epoch) that died before reaching close(); a live zombie
+    // attempt losing its tmp file just fails its (already superseded)
+    // rename, which is the desired outcome
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(s".$stem-") && f.getName.endsWith(".jsonl.tmp") &&
+        f.getName != tmpFile.getName)
+      .foreach(_.delete())
     writer = new BufferedWriter(new FileWriter(tmpFile, false))
     true
   }
