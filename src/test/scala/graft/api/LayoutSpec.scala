@@ -1,0 +1,65 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketing must actually buy shuffle-free joins and aggregations on
+  * the bucket keys — asserted against the physical plan, and results
+  * must match the unbucketed equivalents.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("bucket-key join and aggregation plan with zero shuffle exchanges") {
+    import spark.implicits._
+    // managed tables land in the session's default warehouse; DROP TABLE
+    // below removes their data (warehouse.dir is a static conf, so it
+    // cannot be redirected on the shared test session)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    Layout.writeBucketed(orders, "orders_b", 4, Seq("o_orderkey"), Seq("o_orderkey"))
+    Layout.writeBucketed(lineitem, "lineitem_b", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    try {
+      val ob = Layout.readBucketed(spark, "orders_b")
+      val lb = Layout.readBucketed(spark, "lineitem_b")
+
+      // co-located join: both sides bucketed on the join key, same count
+      val joined = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n"))
+      // disable AQE-side broadcast demotion noise: assert on the plan of
+      // a sort-merge-eligible join
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = lb.join(ob, lb("l_orderkey") === ob("o_orderkey"))
+          .select(lb("l_orderkey"))
+        j.count() // materialize so AQE finalizes the plan
+        assert(Layout.isShuffleFree(j), j.queryExecution.executedPlan.toString)
+      }
+
+      // correctness: same result as the unbucketed join
+      val expected = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey")).count()
+      val actual = lb.join(ob, lb("l_orderkey") === ob("o_orderkey")).count()
+      assert(actual === expected)
+
+      // single-table agg on the bucket key is also exchange-free
+      withSQLConf() {
+        val agg = lb.groupBy($"l_orderkey").agg(sum($"l_quantity"))
+        agg.count()
+        assert(Layout.isShuffleFree(agg), agg.queryExecution.executedPlan.toString)
+      }
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
