@@ -23,9 +23,15 @@ object Bench {
     // transient multi-second kernel/hypervisor stalls (sys time ~ user
     // time) that land on random queries; min-of-2 reports steady-state
     // execution instead of scheduler noise.
+    // Evaluate through the noop sink, NOT count(): count() lets the
+    // optimizer prune every expression the row count doesn't need (e.g.
+    // aggregate values, per-row scores), silently under-measuring most
+    // queries; the noop write materializes every output column.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // release per-query cached plans so storage memory never builds up
       // across the suite

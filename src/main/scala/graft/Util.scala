@@ -22,7 +22,32 @@ object Util {
   /** A named query over one scale-factor directory — the SparkEntry shape. */
   type Q = (SparkSession, String) => DataFrame
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** The testdata files are single-row-group parquet — unsplittable, so a
+    * bare scan is ONE task no matter the cluster size and every narrow
+    * compute stage (JSON parse, hashing, percentile partials) runs
+    * serially. Big tables are therefore spread by their primary key right
+    * after the scan: hash partitioning on the PK parallelizes narrow
+    * work AND satisfies the distribution requirement of PK equi-joins
+    * and PK aggregations, so those reuse it instead of shuffling again.
+    * (On a real multi-file/multi-row-group layout the scan splits
+    * naturally and this map would be empty.)
+    */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "customer" -> "c_custkey",
+    "part" -> "p_partkey",
+    "events" -> "event_id",
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    spreadKey.get(name).fold(df)(k => df.repartition(col(k)))
+  }
+
+  /** The raw single-partition scan (for broadcast-only dims or tests). */
+  def rawTable(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events with `ts_ms`: epoch millis as long (floor of the nanos column). */

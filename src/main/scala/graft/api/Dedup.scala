@@ -65,12 +65,19 @@ object Dedup {
     // explode ordered pairs from each bucket's posting list (a bucket is
     // a set of mutually-near-duplicate docs, so lists stay short; one hot
     // bucket at extreme scale would call for a posting-list length cap)
+    // cached: the pair list is tiny (near-duplicates only) but its
+    // lineage is the full-corpus banding pipeline, and it feeds three
+    // broadcast builds below — without the cache each broadcast would
+    // re-run the whole minhash pass. Callers embedding this in long
+    // sessions should clear the cache manager when done (the harness
+    // does so between queries).
     val cands = bands.groupBy(col("band"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
       .distinct()
+      .cache()
     // verify: pull each pair's two shingle arrays side by side via two
     // broadcast joins (candidates are tiny) and intersect in place — the
     // full shingle data is only ever scanned, never shuffled. The
@@ -126,6 +133,10 @@ object Dedup {
         parent.keysIterator.map(d => (d, find(d))).toSeq.iterator
       }
       .toDF("id", "cluster")
+      // cached: one tiny row per clustered doc, but the lineage is the
+      // whole candidate pipeline — both the size aggregate and the final
+      // join read it
+      .cache()
     val sizes = comps.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
     comps.join(broadcast(sizes), "cluster")
       .select(col("id"), col("cluster"), col("cluster_size"),
@@ -147,9 +158,23 @@ object Dedup {
   /** 64-bit SimHash fingerprint per row: (idCol, simhash64) — per
     * distinct token, md5's first 16 nibbles vote ±1 on each of 64 bit
     * positions; the sign vector packs back into a 16-nibble hex string.
-    * All stages are hash aggregations with map-side partial combine.
+    * One codegen'd pass per row via [[graft.functions.Simhash64Expr]]
+    * (rows with no non-empty token are dropped, matching the
+    * explode/groupBy formulation it replaced — see
+    * [[simhash64Relational]]).
     */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash64"))
+      .filter(col("simhash64").isNotNull)
+  }
+
+  /** The declarative explode/groupBy formulation of [[simhash64]] —
+    * kept as the parity reference for the fused kernel (all stages are
+    * hash aggregations with map-side partial combine).
+    */
+  def simhash64Relational(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val tokens = docs
       .select(id, explode(array_distinct(split(col(textCol), " "))).as("tok"))

@@ -65,6 +65,57 @@ object ShingleOps {
     new String(cs)
   }
 
+  /** 64-bit SimHash of a document in one pass, identical to the
+    * relational formulation (distinct non-empty space-split tokens; per
+    * token the first 16 md5 hex nibbles vote ±1 on each of 4 bit
+    * positions; positive vote sums set bits; nibbles re-encode as 16
+    * lowercase-hex chars in position order). Null when the text has no
+    * non-empty token (those rows vanish from the groupBy formulation).
+    */
+  def simhash64(text: UTF8String): UTF8String = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val votes = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    var any = false
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty && seen.add(tok)) {
+        any = true
+        md.reset()
+        val digest = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var p = 0
+        while (p < 16) {
+          // hex char p of the digest = high nibble of byte p/2 for even
+          // p, low nibble for odd p
+          val v = if ((p & 1) == 0) (digest(p >> 1) >> 4) & 0xf else digest(p >> 1) & 0xf
+          var b = 0
+          while (b < 4) {
+            votes(p * 4 + b) += (if (((v >> b) & 1) == 1) 1 else -1)
+            b += 1
+          }
+          p += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) return null
+    val cs = new Array[Char](16)
+    var p = 0
+    while (p < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (votes(p * 4 + b) > 0) nib |= 1 << b
+        b += 1
+      }
+      cs(p) = HexDigits(nib)
+      p += 1
+    }
+    UTF8String.fromString(new String(cs))
+  }
+
   /** 8 minhash signatures of a shingle array: seeds 0–3 are the four
     * 8-hex-char slices of md5(sh), seeds 4–7 the slices of md5('x'‖sh) —
     * exactly `min(substring(md5(...), (s%4)*8+1, 8))` per seed (the
@@ -139,6 +190,29 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash64(text)` — one-pass 64-bit SimHash fingerprint (see
+  * [[ShingleOps.simhash64]]); null when the text has no non-empty token.
+  */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ShingleOps.simhash64($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
 
   /** Shared n-argument extraction for both registration paths: accepts
@@ -169,10 +243,14 @@ object ShingleFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64Expr(exprs.head), "scala_udf")
   }
 
   def textShingles(text: Column, n: Int): Column =
     call_function("text_shingles", text, lit(n))
 
   def minhashSigs(shArr: Column): Column = call_function("minhash_sigs", shArr)
+
+  def simhash64(text: Column): Column = call_function("simhash64", text)
 }

@@ -37,7 +37,7 @@ object DedupOps {
     * narrow stages downstream.
     */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents").repartition(col("doc_id"))
+    table(spark, dir, "documents")
 
   /** Per-doc distinct 4-word shingle array + cardinality via
     * [[graft.api.Dedup.shingleSets]] (fully narrow; a doc has ≥1 shingle

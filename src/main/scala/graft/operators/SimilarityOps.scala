@@ -47,7 +47,7 @@ object SimilarityOps {
     * file → 1 scan task otherwise) for the dot-product-heavy stages.
     */
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings").repartition(col("vec_id"))
+    table(spark, dir, "embeddings")
 
   /** q42: brute-force cosine top-5 neighbors for probe vectors vec_id<10
     * via [[graft.api.Similarity.cosineKnn]] (norms computed once per
@@ -115,7 +115,6 @@ object SimilarityOps {
     graft.functions.VectorFunctions.register(spark)
     val topk = udaf(new graft.functions.TopKAggregator(3))
     val emb = table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
       .withColumn("norm", expr(s"sqrt(${dot("embedding", "embedding")})"))
     val probes = emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"norm".as("p_norm"))
@@ -167,7 +166,6 @@ object SimilarityOps {
   def q52EmbedDimStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
       .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
       .filter($"dim" < 8)
       .groupBy($"label", $"dim".cast("long").as("dim"))
@@ -198,7 +196,6 @@ object SimilarityOps {
   def q76LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "embeddings")
-      .repartition(col("vec_id"))
       .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
       .filter($"dim" < 8)
       .groupBy($"label", $"dim".cast("long").as("dim"))

