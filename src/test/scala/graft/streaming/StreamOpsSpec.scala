@@ -118,6 +118,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"streamName\": \"error\"")))
   }
 
+  test("JsonLinesRecordWriter: atomic rename, orphan-tmp cleanup, failure leaves no output") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("recsink-atomic")
+    val schema = StructType(Seq(
+      StructField("streamName", StringType), StructField("partitionKey", StringType),
+      StructField("sequenceNumber", StringType)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("s", "p", "1"), schema).asInstanceOf[Row]
+    // a stale tmp from a dead prior attempt of the same (partition, epoch)
+    val stale = new java.io.File(dir, ".part-00003-00007-99.jsonl.tmp")
+    java.nio.file.Files.writeString(stale.toPath, "half-written garbage")
+    val w = new JsonLinesRecordWriter(dir)
+    assert(w.open(3, 7))
+    assert(!stale.exists(), "stale tmp of a prior attempt must be garbage-collected")
+    w.process(row)
+    w.close(null)
+    val dst = new java.io.File(dir, "part-00003-00007.jsonl")
+    assert(dst.exists())
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tmp")) === 0,
+      "successful close leaves no tmp files")
+    // a failing attempt deletes its tmp and does not touch the output
+    val w2 = new JsonLinesRecordWriter(dir)
+    w2.open(3, 7)
+    w2.process(row)
+    w2.close(new RuntimeException("boom"))
+    assert(dst.exists(), "failed attempt must not clobber the committed file")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tmp")) === 0)
+  }
+
   case class L(k: Long, lts: Timestamp, what: String)
   case class R(k: Long, rts: Timestamp, tag: String)
 
