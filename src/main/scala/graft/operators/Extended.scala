@@ -376,7 +376,34 @@ object Extended {
       |        FROM events))
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q81: salted two-phase aggregation over a skewed key (order priority
+    * has ~5 values — every row of a 100 TB table lands on 5 reducers
+    * without salting). Stage 1 aggregates per (key, salt) so each hot
+    * key spreads over 8 reducers; stage 2 combines partials. Counts are
+    * exact; sums go through the decimal path in stage 1 so the combine
+    * is order-independent.
+    */
+  def q81SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = table(spark, dir, "orders")
+    val salted = orders.withColumn("__salt",
+      pmod(hash(orders.columns.map(col).toIndexedSeq: _*), lit(8)))
+    salted.groupBy($"o_orderpriority", $"__salt")
+      .agg(count(lit(1)).as("pn"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("ps"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"pn").as("n_orders"), sum($"ps").cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The salted plan must produce exactly the direct aggregation. */
+  val q81Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q81_salted_agg" -> (q81SaltedAgg _),
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),
     "q66_subqueries" -> (q66Subqueries(_, _)),
@@ -393,6 +420,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q81_salted_agg" -> q81Sql,
     "q64_stats_aggs" -> q64Sql,
     "q65_regex_funcs" -> q65Sql,
     "q66_subqueries" -> q66Sql,
