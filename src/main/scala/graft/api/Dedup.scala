@@ -19,6 +19,35 @@ object Dedup {
   val NumSeeds = 8
   private val BandRows = 4 // 2 bands × 4 rows
 
+  /** Intermediates cached by the ops below, tracked per thread so
+    * [[cacheScope]] can release exactly them (and nothing else the
+    * caller has cached).
+    */
+  private val scopeCaches =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  private def tracked(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    Option(scopeCaches.get()).foreach(_ += cached)
+    cached
+  }
+
+  /** Run `body` with scoped caching: every intermediate the dedup ops
+    * cache inside is unpersisted on exit, so long-lived sessions calling
+    * these operators per-corpus do not accumulate pinned storage.
+    * Evaluate (collect/write) the results INSIDE the scope — after exit
+    * the intermediates recompute from scratch.
+    */
+  def cacheScope[T](body: => T): T = {
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    val prev = scopeCaches.get()
+    scopeCaches.set(buf)
+    try body finally {
+      scopeCaches.set(prev)
+      buf.foreach(_.unpersist(false))
+    }
+  }
+
   /** Per-row distinct n-word shingle set: (idCol, sh_arr, n_sh). Rows
     * with fewer than n tokens (no shingles) are dropped.
     */
@@ -68,16 +97,14 @@ object Dedup {
     // cached: the pair list is tiny (near-duplicates only) but its
     // lineage is the full-corpus banding pipeline, and it feeds three
     // broadcast builds below — without the cache each broadcast would
-    // re-run the whole minhash pass. Callers embedding this in long
-    // sessions should clear the cache manager when done (the harness
-    // does so between queries).
-    val cands = bands.groupBy(col("band"), col("band_sig"))
+    // re-run the whole minhash pass. Long-lived sessions should wrap
+    // calls in [[cacheScope]] to release these on completion.
+    val cands = tracked(bands.groupBy(col("band"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
-      .distinct()
-      .cache()
+      .distinct())
     // verify: pull each pair's two shingle arrays side by side via two
     // broadcast joins (candidates are tiny) and intersect in place — the
     // full shingle data is only ever scanned, never shuffled. The
@@ -133,12 +160,12 @@ object Dedup {
         parent.keysIterator.map(d => (d, find(d))).toSeq.iterator
       }
       .toDF("id", "cluster")
-      // cached: one tiny row per clustered doc, but the lineage is the
-      // whole candidate pipeline — both the size aggregate and the final
-      // join read it
-      .cache()
-    val sizes = comps.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-    comps.join(broadcast(sizes), "cluster")
+    // cached: one tiny row per clustered doc, but the lineage is the
+    // whole candidate pipeline — both the size aggregate and the final
+    // join read it (released by [[cacheScope]])
+    val compsC = tracked(comps)
+    val sizes = compsC.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    compsC.join(broadcast(sizes), "cluster")
       .select(col("id"), col("cluster"), col("cluster_size"),
         (col("id") === col("cluster")).as("is_keeper"))
   }

@@ -386,13 +386,12 @@ object Extended {
   def q81SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val orders = table(spark, dir, "orders")
-    val salted = orders.withColumn("__salt",
-      pmod(hash(orders.columns.map(col).toIndexedSeq: _*), lit(8)))
-    salted.groupBy($"o_orderpriority", $"__salt")
-      .agg(count(lit(1)).as("pn"),
-        sum($"o_totalprice".cast(DecimalType(18, 2))).as("ps"))
-      .groupBy($"o_orderpriority")
-      .agg(sum($"pn").as("n_orders"), sum($"ps").cast("double").as("sum_price"))
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price_dec"))
+    Skew.saltedCountSum(orders, "o_orderpriority", "price_dec",
+        saltFactor = 8, saltCols = Seq("o_orderkey"))
+      .select($"o_orderpriority", $"n".as("n_orders"),
+        $"sum".cast("double").as("sum_price"))
       .orderBy($"o_orderpriority")
   }
 

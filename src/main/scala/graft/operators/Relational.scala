@@ -83,7 +83,10 @@ object Relational {
   def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = table(spark, dir, "orders")
-    val c = table(spark, dir, "customer")
+    // rawTable: a broadcast side must not pass through the scan-spread
+    // repartition — BroadcastDistribution cannot reuse it, so the
+    // exchange would be a pure wasted shuffle before the collect
+    val c = rawTable(spark, dir, "customer")
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($"c_mktsegment")
       .agg(
@@ -233,13 +236,16 @@ object Relational {
     import spark.implicits._
     // HLL and exact distinct run as separate aggregations joined on the
     // 4-row key: mixing them in one agg plans an Expand that duplicates
-    // every input row per aggregate family (measured 3x slower)
+    // every input row per aggregate family (measured 3x slower). The
+    // join is NULL-SAFE so a null group (legal for a group key) survives
+    // exactly as the single-aggregate formulation would emit it.
     val li = table(spark, dir, "lineitem")
     val approx = li.groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
-    val exact = li.groupBy($"l_returnflag")
+    val exact = li.groupBy($"l_returnflag".as("rf"))
       .agg(countDistinct($"l_orderkey").as("exact_orders"))
-    approx.join(exact, "l_returnflag")
+    approx.join(exact, $"l_returnflag" <=> $"rf")
+      .select($"l_returnflag", $"approx_orders", $"exact_orders")
       .orderBy($"l_returnflag")
   }
 

@@ -42,11 +42,16 @@ object Skew {
     * `saltFactor` reducers, stage 2 combines the partials. `aggs` must be
     * algebraic pairs (partialExpr, combineExpr over the partial column).
     * Provided for counts/sums, the common hot-key case.
+    *
+    * `saltCols` picks the columns hashed into the salt; default (empty) is
+    * every column — always correct but hashes wide strings per row. When a
+    * high-cardinality column (a PK) exists, pass just that: strictly
+    * cheaper, spreads at least as well.
     */
   def saltedCountSum(df: DataFrame, key: String, sumCol: String,
-      saltFactor: Int = 8): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      saltFactor: Int = 8, saltCols: Seq[String] = Nil): DataFrame = {
+    val hashed = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
+    val salted = df.withColumn("__salt", pmod(hash(hashed: _*), lit(saltFactor)))
     salted.groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
       .groupBy(col(key))

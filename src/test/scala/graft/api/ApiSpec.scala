@@ -37,6 +37,19 @@ class ApiSpec extends SparkSpec {
     assert(clusters.filter($"id" === $"cluster").count() === keeper.length)
   }
 
+  test("cacheScope releases exactly the dedup intermediates") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("k", "body")
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.cacheScope {
+      val pairs = Dedup.lshCandidatePairs(corpus, "k", "body")
+      Dedup.clusterComponents(pairs.select($"id_a", $"id_b")).collect()
+      assert(!spark.sharedState.cacheManager.isEmpty, "intermediates cached in scope")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scope exit must unpersist every dedup intermediate")
+  }
+
   test("Text API column builders compute expected features") {
     import spark.implicits._
     val df = Seq(
