@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline over the library APIs —
+  * the composed shape a user runs against their own corpus:
+  *
+  *   1. quality gate     — graft.api.Text score ≥ threshold
+  *   2. exact dedup      — normalized-fingerprint keeper per group
+  *   3. near-dup dedup   — MinHash-LSH pairs → components → keepers
+  *   4. feature columns  — token counts, language ID, TF-IDF terms
+  *
+  * Every stage is DataFrame-in/DataFrame-out, so the whole pipeline is
+  * ONE lazy plan until the final write; Catalyst fuses the narrow
+  * stages and the only wide ops are the LSH bucket groupBy and the
+  * final join against the keeper set.
+  *
+  * Usage: runMain graft.PipelineDemo [sfDir]
+  */
+object PipelineDemo {
+
+  /** The curation pipeline: returns the kept, feature-annotated corpus. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+      nearDupJaccard: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+
+    // 1. quality gate (narrow)
+    val scored = docs
+      .withColumn("quality", graft.api.Text.qualityScore($"text"))
+      .withColumn("lang_pred", graft.api.Text.langIdPredict($"text"))
+      .withColumn("n_tokens", graft.api.Text.tokenCount($"text"))
+      .filter($"quality" >= minQuality)
+
+    // 2. exact dedup: keep the smallest doc_id per normalized fingerprint
+    val exactKept = scored
+      .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn", "fp")
+
+    // 3. near-dup dedup: drop every non-keeper member of an LSH cluster
+    val clusters = graft.api.Dedup.clusterComponents(
+      graft.api.Dedup.lshCandidatePairs(exactKept, "doc_id", "text")
+        .filter($"jaccard" >= nearDupJaccard)
+        .select($"id_a", $"id_b"))
+    val dropIds = clusters.filter(!$"is_keeper").select($"id".as("doc_id"))
+    exactKept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkEntry.configure(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // evaluate inside the cache scope — dedup intermediates release on exit
+    graft.api.Dedup.cacheScope {
+      val kept = curate(docs)
+      println(s"[pipeline] in=${docs.count()} kept=${kept.count()}")
+      kept.groupBy("lang_pred").count().show()
+    }
+    spark.stop()
+  }
+}

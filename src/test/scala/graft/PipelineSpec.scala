@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the composed curation pipeline. */
+class PipelineSpec extends SparkSpec {
+
+  test("curate keeps a quality-gated, exact- and near-dup-free subset") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.api.Dedup.cacheScope {
+      val kept = PipelineDemo.curate(docs, minQuality = 0.4, nearDupJaccard = 0.5)
+
+      // subset of the input, no new rows
+      assert(kept.count() > 0)
+      assert(kept.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+
+      // quality gate applied
+      assert(kept.filter($"quality" < 0.4).count() === 0)
+
+      // no two kept docs share a normalized fingerprint
+      val dupFps = kept
+        .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
+        .groupBy($"fp").count().filter($"count" > 1).count()
+      assert(dupFps === 0)
+
+      // no kept pair is still a near-duplicate at the threshold
+      val residual = graft.api.Dedup.lshCandidatePairs(kept, "doc_id", "text")
+        .filter($"jaccard" >= 0.5).count()
+      assert(residual === 0)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
