@@ -53,6 +53,36 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming NEAR-duplicate filter (the streaming set-similarity-join
+    * shape): each document's MinHash band signature is computed inline
+    * by the native codegen kernels, and a document is dropped when its
+    * band signature was already seen within the watermark — band
+    * collision is the batch LSH candidate criterion
+    * ([[graft.api.Dedup.lshCandidatePairs]], here the first 4-row
+    * band), so this is the streaming analogue with state bounded by the
+    * lateness window. Texts with no shingles key on their own id (never
+    * near-dups of anything).
+    *
+    * Asymmetry vs batch: streaming drops collision successors WITHOUT
+    * the exact-Jaccard verify (state cannot hold shingle sets
+    * unboundedly); run the batch verify over the kept set where
+    * precision matters.
+    */
+  def nearDupFilterWithinWatermark(docs: DataFrame, tsCol: String,
+      lateness: String, idCol: String, textCol: String): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    val sigs = graft.functions.ShingleFunctions.minhashSigs(
+      graft.functions.ShingleFunctions.textShingles(col(textCol), 4))
+    docs
+      .withColumn("__sigs", sigs)
+      .withColumn("__band_key", when(col("__sigs").isNotNull,
+          concat_ws(",", expr("slice(__sigs, 1, 4)")))
+        .otherwise(concat(lit("id:"), col(idCol).cast("string"))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("__band_key"))
+      .drop("__sigs", "__band_key")
+  }
+
   /** Stream-stream interval join: each left event pairs with right-stream
     * events of the same key whose event time lies in [leftTs - before,
     * leftTs]. Both sides carry watermarks so Spark can bound the join

@@ -118,6 +118,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(lines.exists(_.contains("\"streamName\": \"error\"")))
   }
 
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("nearDupFilterWithinWatermark drops band-colliding successors, keeps firsts") {
+    import spark.implicits._
+    val mem = MemoryStream[Doc](spark)
+    val filtered = StreamOps.nearDupFilterWithinWatermark(
+      mem.toDF(), "ts", "10 minutes", "doc_id", "text")
+    val q = filtered.writeStream.format("memory").queryName("ndf_out")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    mem.addData(
+      Doc(t(1), 1, base),
+      Doc(t(2), 2, base),              // exact dup of 1 → same bands → dropped
+      Doc(t(3), 3, "totally different words forming another document body here"),
+      Doc(t(4), 4, "x y"))             // no shingles → keyed by id, kept
+    mem.addData(
+      Doc(t(5), 5, base),              // still within watermark → dropped
+      Doc(t(6), 6, "x y"))             // no shingles, own id → kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ndf_out").select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 6L))
+  }
+
   test("JsonLinesRecordWriter: atomic rename, orphan-tmp cleanup, failure leaves no output") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
