@@ -39,8 +39,11 @@ object Bench {
       // a failed query must NOT masquerade as a fast success in the total
       if (ok) dt else -1.0
     }
+    // min-of-3: the host's transient multi-second stalls land on random
+    // queries; three samples make it unlikely a stall inflates the
+    // reported minimum
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -349,7 +349,9 @@ object Extended {
     import spark.implicits._
     events(spark, dir)
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
-      .withColumn("s", when($"k" % 2 === 0, $"k".cast("string"))
+      // ~10% malformed: a failing try_cast costs a caught JVM exception,
+      // so the failure fraction sets the operator's real cost
+      .withColumn("s", when($"k" % 10 =!= 0, $"k".cast("string"))
         .otherwise(concat(lit("v"), $"k".cast("string"))))
       .withColumn("k_try", expr("try_cast(s AS BIGINT)"))
       .withColumn("t_try", expr("try_cast(event_type AS BIGINT)"))
@@ -369,7 +371,7 @@ object Extended {
       |  COUNT(TRY_CAST(event_type AS BIGINT)) AS n_type_numeric
       |FROM (
       |  SELECT event_type,
-      |    TRY_CAST(CASE WHEN k % 2 = 0 THEN CAST(k AS VARCHAR)
+      |    TRY_CAST(CASE WHEN k % 10 <> 0 THEN CAST(k AS VARCHAR)
       |             ELSE 'v' || CAST(k AS VARCHAR) END AS BIGINT) AS k_try
       |  FROM (SELECT event_type,
       |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
