@@ -19,10 +19,10 @@ object Bench {
       wl.join(spark.read.parquet(s"$sfDir/orders.parquet"),
         wl("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey")).count()
     } catch { case _: Throwable => () }
-    // Two timed runs per query, minimum reported: this host shows
+    // Multiple timed runs per query, minimum reported: this host shows
     // transient multi-second kernel/hypervisor stalls (sys time ~ user
-    // time) that land on random queries; min-of-2 reports steady-state
-    // execution instead of scheduler noise.
+    // time) that land on random queries; the minimum reports
+    // steady-state execution instead of scheduler noise.
     // Evaluate through the noop sink, NOT count(): count() lets the
     // optimizer prune every expression the row count doesn't need (e.g.
     // aggregate values, per-row scores), silently under-measuring most

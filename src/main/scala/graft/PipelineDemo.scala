@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline over the library APIs —
   * the composed shape a user runs against their own corpus:
   *
-  *   1. quality gate     — graft.api.Text score ≥ threshold
-  *   2. exact dedup      — normalized-fingerprint keeper per group
-  *   3. near-dup dedup   — MinHash-LSH pairs → components → keepers
-  *   4. feature columns  — token counts, language ID, TF-IDF terms
+  *   1. feature columns  — quality score, language ID, token counts
+  *   2. quality gate     — score ≥ threshold
+  *   3. exact dedup      — normalized-fingerprint keeper per group
+  *   4. near-dup dedup   — MinHash-LSH pairs → components → keepers
   *
-  * Every stage is DataFrame-in/DataFrame-out, so the whole pipeline is
-  * ONE lazy plan until the final write; Catalyst fuses the narrow
-  * stages and the only wide ops are the LSH bucket groupBy and the
-  * final join against the keeper set.
+  * Every stage is DataFrame-in/DataFrame-out; the wide ops are the
+  * exact-dedup fingerprint window, the LSH bucket groupBy, and the
+  * final anti-join against the drop set. The exact-deduped corpus is
+  * cached through [[graft.api.Dedup.trackCache]] because the LSH pass
+  * scans it multiple times (banding + candidate verification + final
+  * join); run inside [[graft.api.Dedup.cacheScope]] to release it.
   *
   * Usage: runMain graft.PipelineDemo [sfDir]
   */
@@ -32,12 +34,14 @@ object PipelineDemo {
       .withColumn("n_tokens", graft.api.Text.tokenCount($"text"))
       .filter($"quality" >= minQuality)
 
-    // 2. exact dedup: keep the smallest doc_id per normalized fingerprint
-    val exactKept = scored
+    // 2. exact dedup: keep the smallest doc_id per normalized
+    // fingerprint; cached (scope-tracked) — the LSH stage below scans
+    // this frame several times
+    val exactKept = graft.api.Dedup.trackCache(scored
       .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
-      .filter($"rn" === 1).drop("rn", "fp")
+      .filter($"rn" === 1).drop("rn", "fp"))
 
     // 3. near-dup dedup: drop every non-keeper member of an LSH cluster
     val clusters = graft.api.Dedup.clusterComponents(

@@ -32,6 +32,13 @@ object Dedup {
     cached
   }
 
+  /** Cache `df` and register it with the enclosing [[cacheScope]] (if
+    * any) so it is unpersisted on scope exit — for caller-side
+    * intermediates that feed multiple dedup passes (e.g. a filtered
+    * corpus consumed by both banding and verification).
+    */
+  def trackCache(df: DataFrame): DataFrame = tracked(df)
+
   /** Run `body` with scoped caching: every intermediate the dedup ops
     * cache inside is unpersisted on exit, so long-lived sessions calling
     * these operators per-corpus do not accumulate pinned storage.

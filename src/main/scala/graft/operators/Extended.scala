@@ -341,7 +341,7 @@ object Extended {
       |ORDER BY o_orderkey""".stripMargin
 
   /** q80: error-safe casts — TRY_CAST over a deliberately mixed
-    * string column (half numeric, half prefixed) and over a
+    * string column (~90% numeric, ~10% prefixed-malformed) and over a
     * never-numeric column; failures become NULLs that the aggregates
     * skip.
     */

@@ -70,14 +70,20 @@ object StreamOps {
     */
   def nearDupFilterWithinWatermark(docs: DataFrame, tsCol: String,
       lateness: String, idCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.contains("__sigs") && !docs.columns.contains("__band_key"),
+      "nearDupFilterWithinWatermark reserves the __sigs/__band_key column names")
     graft.functions.ShingleFunctions.register(docs.sparkSession)
     val sigs = graft.functions.ShingleFunctions.minhashSigs(
       graft.functions.ShingleFunctions.textShingles(col(textCol), 4))
     docs
       .withColumn("__sigs", sigs)
+      // no-shingle rows must never be deduped against each other: key on
+      // the id, or a per-row uuid when the id itself is null (null keys
+      // compare equal in dropDuplicates)
       .withColumn("__band_key", when(col("__sigs").isNotNull,
           concat_ws(",", expr("slice(__sigs, 1, 4)")))
-        .otherwise(concat(lit("id:"), col(idCol).cast("string"))))
+        .otherwise(concat(lit("id:"),
+          coalesce(col(idCol).cast("string"), expr("uuid()")))))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("__band_key"))
       .drop("__sigs", "__band_key")

@@ -8,6 +8,10 @@ class PipelineSpec extends SparkSpec {
   test("curate keeps a quality-gated, exact- and near-dup-free subset") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // other suites share this session and may leave untracked caches;
+    // start from a clean slate so the end-of-scope assertion is about
+    // THIS scope's caches
+    spark.sharedState.cacheManager.clearCache()
     graft.api.Dedup.cacheScope {
       val kept = PipelineDemo.curate(docs, minQuality = 0.4, nearDupJaccard = 0.5)
 
