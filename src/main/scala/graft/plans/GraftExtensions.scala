@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSigs, ShingleFunctions, TextShingles, VectorDot}
+import graft.functions.{MinHashSigs, ShingleFunctions, Simhash64Expr, TextShingles, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => Simhash64Expr(exprs.head)))
   }
 }

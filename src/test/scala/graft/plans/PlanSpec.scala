@@ -77,4 +77,22 @@ class PlanSpec extends SparkSpec {
     val r = fresh.sql("SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").head().getDouble(0)
     assert(r === 11.0)
   }
+
+  test("GraftExtensions: text kernels reach SQL text through extension injection") {
+    val fresh = spark.newSession()
+    val sh = fresh.sql("SELECT text_shingles('a b c d e', 4) AS s").head().getSeq[String](0)
+    assert(sh === Seq("a b c d", "b c d e"))
+    val sigs = fresh.sql("SELECT minhash_sigs(text_shingles('a b c d e', 4)) AS m")
+      .head().getSeq[String](0)
+    assert(sigs.length === 8 && sigs.forall(_.matches("[0-9a-f]{8}")))
+    val sim = fresh.sql("SELECT simhash64('alpha beta gamma delta') AS h").head().getString(0)
+    assert(sim.matches("[0-9a-f]{16}"))
+    // a foldable expression works (constant-folds to 2)...
+    val sh2 = fresh.sql("SELECT text_shingles('a b c', length('xx')) AS s").head().getSeq[String](0)
+    assert(sh2 === Seq("a b", "b c"))
+    // ...but a non-foldable n must fail loudly, not silently default
+    intercept[Exception] {
+      fresh.sql("SELECT text_shingles('a b c', CAST(id AS INT)) AS s FROM range(1)").collect()
+    }
+  }
 }
