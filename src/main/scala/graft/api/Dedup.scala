@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val NumSeeds = 8
   private val BandRows = 4 // 2 bands × 4 rows
+
+  /** Hot-bucket guard for [[lshCandidatePairs]]: LSH buckets with more
+    * than this many postings are dropped (and counted) instead of
+    * exploded into pairs — one degenerate band signature (boilerplate
+    * docs sharing a shingle set) would otherwise materialize a quadratic
+    * posting list in a single aggregation state. 1000 postings ≈ 500k
+    * candidate pairs from one bucket is already far beyond any genuine
+    * near-duplicate clique worth verifying pairwise.
+    */
+  val DefaultMaxBucketSize = 1000
 
   /** Intermediates cached by the ops below, tracked per thread so
     * [[cacheScope]] can release exactly them (and nothing else the
@@ -26,9 +38,24 @@ object Dedup {
   private val scopeCaches =
     new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
 
+  /** One-shot flag for the unscoped-cache warning (warn once per JVM,
+    * not once per query — batch drivers that clear the cache manager
+    * between queries are a legitimate caller).
+    */
+  private val warnedNoScope = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def tracked(df: DataFrame): DataFrame = {
     val cached = df.cache()
-    Option(scopeCaches.get()).foreach(_ += cached)
+    Option(scopeCaches.get()) match {
+      case Some(buf) => buf += cached
+      case None =>
+        if (warnedNoScope.compareAndSet(false, true))
+          log.warn("graft dedup op caching an intermediate with no enclosing " +
+            "Dedup.cacheScope (or called from a different thread than the scope): " +
+            "the cache stays pinned until the caller unpersists or the session " +
+            "ends. Wrap per-corpus calls in Dedup.cacheScope { ... } to release " +
+            "them automatically.")
+    }
     cached
   }
 
@@ -90,25 +117,42 @@ object Dedup {
     * Banding: 2 bands × 4 rows over the 8-seed signatures.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 4): DataFrame = {
+      n: Int = 4, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val doc = shingleSets(docs, idCol, textCol, n)
     // band signature = the 4 seed minhashes of the band joined in seed
-    // order; the shuffle that follows carries only (id, band, band_sig)
-    val bands = minhashWide(doc, idCol).select(
+    // order; the shuffle that follows carries only (id, band, band_sig).
+    // Cached: read twice below (bucket cardinalities, then the capped
+    // posting-list build) and its lineage is the full minhash pass.
+    val bands = tracked(minhashWide(doc, idCol).select(
       col(idCol).as("id"),
-      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)")))
+    // hot-bucket guard, two-pass: bucket CARDINALITIES first (a count is
+    // 8 bytes of aggregation state no matter how hot the bucket), then
+    // only surviving buckets ever materialize a posting list — a
+    // degenerate band signature is dropped before it can OOM a task.
+    val bucketCounts = bands.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n_post"))
+    val droppedBuckets = bucketCounts.filter(col("n_post") > maxBucketSize).count()
+    if (droppedBuckets > 0)
+      log.warn(s"lshCandidatePairs: dropped $droppedBuckets LSH bucket(s) with " +
+        s"more than $maxBucketSize postings (degenerate band signatures); " +
+        "pairs within those buckets are not emitted")
+    val keep = bucketCounts
+      .filter(col("n_post") >= 2 && col("n_post") <= maxBucketSize)
+      .select(col("band"), col("band_sig"))
     // pair generation without a self-join: bucket the signatures and
     // explode ordered pairs from each bucket's posting list (a bucket is
-    // a set of mutually-near-duplicate docs, so lists stay short; one hot
-    // bucket at extreme scale would call for a posting-list length cap)
-    // cached: the pair list is tiny (near-duplicates only) but its
+    // a set of mutually-near-duplicate docs ≤ maxBucketSize, so lists
+    // stay short). The join and the groupBy share the (band, band_sig)
+    // partitioning, so capping costs one extra shuffle of the slim bands
+    // frame. Cached: the pair list is tiny (near-duplicates only) but its
     // lineage is the full-corpus banding pipeline, and it feeds three
     // broadcast builds below — without the cache each broadcast would
     // re-run the whole minhash pass. Long-lived sessions should wrap
     // calls in [[cacheScope]] to release these on completion.
-    val cands = tracked(bands.groupBy(col("band"), col("band_sig"))
+    val cands = tracked(bands.join(keep, Seq("band", "band_sig"))
+      .groupBy(col("band"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
       .distinct())
@@ -131,22 +175,65 @@ object Dedup {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Edge-count cutover between the two [[clusterComponents]] plans.
+    * Below it, a single-partition union-find pass wins outright: one
+    * narrow job, no per-iteration scheduling latency (join-iterated
+    * label propagation measured 10–100× slower on sparse edge sets), and
+    * 5·10⁷ 16-byte edges ≈ 800 MB — comfortably one task. Above it, the
+    * iterative large-star/small-star contraction is the only plan that
+    * does not funnel the whole edge set through one task.
+    */
+  val CcCutoverEdges: Long = 50L * 1000 * 1000
+
   /** Connected components over an edge list (id_a, id_b) — cluster id is
     * the component minimum: (id, cluster, cluster_size, is_keeper).
     *
-    * The edge set is assumed sparse (LSH/threshold-filtered), so
-    * components resolve in one union-find pass on a single partition — a
-    * single narrow job, no driver collect, no per-iteration scheduling
-    * latency (join-iterated label propagation measured 10–100× slower
-    * here). Past ~10^8 edges the right tool is iterative
-    * large-star/small-star CC; the cutover is an edge-count check away.
-    * Result is order-independent: union-by-min-root yields the same
-    * component minima for any edge order.
+    * Two physical plans behind one result, picked by edge count (the
+    * edge frame is cached, so the count is not a wasted pass):
+    *
+    *   - ≤ `cutoverEdges` (sparse LSH/threshold-filtered sets, the
+    *     common case): one union-find pass on a single partition.
+    *   - above it: alternating large-star/small-star edge contraction
+    *     (Kiveris et al., "Connected Components in MapReduce and
+    *     Beyond") — every round is groupBy/join parallelism over the
+    *     whole cluster, converging in O(log n) rounds, so a 10⁹-edge
+    *     near-dup graph never serializes through one task.
+    *
+    * Both paths yield the same component minima for any edge order
+    * (union-by-min-root below; the star contraction's fixed point is the
+    * min-centered star, proven in the paper).
     */
-  def clusterComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  def clusterComponents(pairs: DataFrame,
+      cutoverEdges: Long = CcCutoverEdges): DataFrame = {
+    // cached: the edge list is tiny relative to the corpus, but its
+    // lineage is the whole candidate pipeline — the count below, the
+    // chosen CC pass, and (iterative path) every contraction round read it
+    val edges = tracked(pairs.select(col("id_a"), col("id_b")))
+    val nEdges = edges.count()
+    val comps =
+      if (nEdges <= cutoverEdges) unionFindComponents(edges)
+      else {
+        log.info(s"clusterComponents: $nEdges edges > cutover $cutoverEdges, " +
+          "using iterative large-star/small-star contraction")
+        starContractComponents(edges)
+      }
+    // cached: one tiny row per clustered doc — both the size aggregate
+    // and the final join read it (released by [[cacheScope]])
+    val compsC = tracked(comps)
+    val sizes = compsC.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    compsC.join(broadcast(sizes), "cluster")
+      .select(col("id"), col("cluster"), col("cluster_size"),
+        (col("id") === col("cluster")).as("is_keeper"))
+  }
+
+  /** Single-pass union-find on one partition: (id, cluster) for every
+    * node in `edges`. The right plan for sparse edge sets — see
+    * [[CcCutoverEdges]].
+    */
+  private def unionFindComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    val comps = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)]
+    edges.as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -167,14 +254,54 @@ object Dedup {
         parent.keysIterator.map(d => (d, find(d))).toSeq.iterator
       }
       .toDF("id", "cluster")
-    // cached: one tiny row per clustered doc, but the lineage is the
-    // whole candidate pipeline — both the size aggregate and the final
-    // join read it (released by [[cacheScope]])
-    val compsC = tracked(comps)
-    val sizes = compsC.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-    compsC.join(broadcast(sizes), "cluster")
-      .select(col("id"), col("cluster"), col("cluster_size"),
-        (col("id") === col("cluster")).as("is_keeper"))
+  }
+
+  /** Iterative large-star/small-star contraction: (id, cluster) for
+    * every node in `edges`, cluster = component minimum. Each round is
+    * two rounds of hash-partitioned groupBy/join — fully parallel, no
+    * single-task funnel — and the edge set converges to min-centered
+    * stars in O(log n) rounds. Every round ends in an EAGER
+    * `localCheckpoint` so the loop's plans stay flat (self-referencing
+    * iterative plans otherwise grow exponentially and re-run prior
+    * rounds per action).
+    */
+  private def starContractComponents(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val nodes = edges0
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // canonical orientation u > v; self-loops drop (their nodes re-enter
+    // as singletons through the final left join)
+    var edges = edges0
+      .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint(true)
+    var done = false
+    while (!done) {
+      // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val lmins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val large = sym.join(lmins, "u")
+        .filter($"v" > $"u" && $"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // small-star (edges now oriented u > v ≥ m): all smaller neighbors
+      // and u itself link to m = min(Γ⁻(u))
+      val smins = large.groupBy($"u").agg(min($"v").as("m"))
+      val small = large.join(smins, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(smins.select($"u", $"m".as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: both sets are distinct, so equal counts plus an
+      // empty one-sided except proves set equality
+      done = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+    }
+    nodes.join(edges.select($"u".as("id"), $"v".as("cluster")), Seq("id"), "left")
+      .select($"id", coalesce($"cluster", $"id").as("cluster"))
   }
 
   /** Exact-duplicate statistics per group: (groupCol, n_docs,

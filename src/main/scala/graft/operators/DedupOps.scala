@@ -61,6 +61,25 @@ object DedupOps {
        |  FROM sh, unnest(range(0, $NumSeeds)) AS se(s)
        |  GROUP BY doc_id, s""".stripMargin
 
+  /** Shared bands→candidates SQL: the hot-bucket cap mirrors
+    * [[graft.api.Dedup.DefaultMaxBucketSize]] — buckets above the cap
+    * emit no pairs on either engine.
+    */
+  private val bandsCandsSql: String =
+    s"""bands AS (
+       |  SELECT doc_id, seed // $BandRows AS band,
+       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
+       |  FROM mh GROUP BY doc_id, seed // $BandRows),
+       |okb AS (
+       |  SELECT band, band_sig FROM bands GROUP BY band, band_sig
+       |  HAVING COUNT(*) BETWEEN 2 AND ${graft.api.Dedup.DefaultMaxBucketSize}),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM okb o
+       |  JOIN bands a ON a.band = o.band AND a.band_sig = o.band_sig
+       |  JOIN bands b ON b.band = o.band AND b.band_sig = o.band_sig
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   /** q37: exact dedup stats — hash-groupBy distinct texts per source. */
   def q37DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -113,14 +132,7 @@ object DedupOps {
   val q39Sql: String =
     s"""WITH sh AS ($shinglesSql),
        |mh AS ($minhashesSql),
-       |bands AS (
-       |  SELECT doc_id, seed // $BandRows AS band,
-       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
-       |  FROM mh GROUP BY doc_id, seed // $BandRows),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-       |  WHERE a.doc_id < b.doc_id),
+       |$bandsCandsSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -214,16 +226,16 @@ object DedupOps {
     *
     * The edge set is sparse BY CONSTRUCTION (LSH banding emits only
     * near-duplicate candidates, orders of magnitude smaller than the
-    * corpus), so components resolve in one pass: gather the edges onto
-    * one partition and run union-find inside `mapPartitions` — a single
-    * narrow job, no driver collect, no per-iteration scheduling latency.
-    * (Join-iterated min-label propagation measured 10–100× slower here:
-    * each propagation round is a full Spark job over a tiny frame. Past
-    * ~10^8 candidate edges the right tool is an iterative large-star/
-    * small-star CC; the cutover is an edge-count check away.)
-    * Result is order-independent: union-by-min-root yields the same
-    * component minima for any edge order. Oracle: recursive-CTE
-    * transitive closure.
+    * corpus), so [[graft.api.Dedup.clusterComponents]] resolves it in one
+    * union-find pass — a single narrow job, no driver collect, no
+    * per-iteration scheduling latency. (Join-iterated min-label
+    * propagation measured 10–100× slower here: each propagation round is
+    * a full Spark job over a tiny frame.) Past the
+    * [[graft.api.Dedup.CcCutoverEdges]] edge count the same call switches
+    * to the iterative large-star/small-star contraction, which never
+    * funnels the edge set through one task — both paths produce
+    * identical components (parity-tested in ApiSpec). Oracle:
+    * recursive-CTE transitive closure.
     */
   def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -238,14 +250,7 @@ object DedupOps {
   val q55Sql: String =
     s"""WITH RECURSIVE sh AS ($shinglesSql),
        |mh AS ($minhashesSql),
-       |bands AS (
-       |  SELECT doc_id, seed // $BandRows AS band,
-       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
-       |  FROM mh GROUP BY doc_id, seed // $BandRows),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-       |  WHERE a.doc_id < b.doc_id),
+       |$bandsCandsSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter

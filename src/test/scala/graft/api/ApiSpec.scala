@@ -37,6 +37,72 @@ class ApiSpec extends SparkSpec {
     assert(clusters.filter($"id" === $"cluster").count() === keeper.length)
   }
 
+  test("clusterComponents: star-contraction path matches union-find on a multi-component graph") {
+    import spark.implicits._
+    // deterministic multi-component graph big enough to cross a small
+    // cutover: 10 blocks of 300 node ids, ~150 random intra-block edges
+    // each (several components per block), plus a 50-node chain (deep
+    // component) and a self-loop (singleton via the iterative path's
+    // node re-join)
+    val rnd = new scala.util.Random(42)
+    val blockEdges = for {
+      blk <- 0 until 10
+      _ <- 0 until 150
+    } yield {
+      val base = blk * 1000L
+      (base + rnd.nextInt(300), base + rnd.nextInt(300))
+    }
+    val chain = (0 until 50).map(i => (20000L + i, 20000L + i + 1))
+    val edges = (blockEdges ++ chain :+ ((30000L, 30000L)))
+      .toDF("id_a", "id_b")
+    assert(edges.count() > 1000) // crosses the forced cutover below
+    val viaUnionFind = Dedup.clusterComponents(edges, cutoverEdges = Long.MaxValue)
+      .select($"id", $"cluster", $"cluster_size", $"is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val viaStars = Dedup.clusterComponents(edges, cutoverEdges = 1000L)
+      .select($"id", $"cluster", $"cluster_size", $"is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(viaStars === viaUnionFind)
+    // sanity: the 51-node chain is one component rooted at its minimum
+    val chainRows = viaStars.filter(t => t._1 >= 20000L && t._1 <= 20050L)
+    assert(chainRows.size === 51)
+    assert(chainRows.forall { case (_, c, s, _) => c == 20000L && s == 51L })
+    assert(viaStars.contains((30000L, 30000L, 1L, true))) // self-loop → singleton
+  }
+
+  test("q55 cluster pipeline is identical through the forced iterative CC path") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(cutover: Long) = Dedup.cacheScope {
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .filter($"jaccard" >= 0.5).select($"id_a", $"id_b")
+      Dedup.clusterComponents(pairs, cutoverEdges = cutover)
+        .select($"id", $"cluster", $"cluster_size", $"is_keeper")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    }
+    val sparse = run(Long.MaxValue) // union-find path
+    val iter = run(0L)              // star-contraction path
+    assert(sparse.nonEmpty)
+    assert(iter === sparse)
+  }
+
+  test("lshCandidatePairs drops oversized LSH buckets instead of exploding them") {
+    import spark.implicits._
+    val hotText = "a b c d e f g h i j"
+    val pairText = "completely different near duplicate candidate body of words"
+    val corpus = ((0 until 50).map(i => (i.toLong, hotText)) ++
+      Seq((100L, pairText), (101L, pairText))).toDF("k", "body")
+    // cap below the 50-doc degenerate bucket: its pairs vanish, the
+    // small 2-doc bucket still pairs
+    val capped = Dedup.lshCandidatePairs(corpus, "k", "body", maxBucketSize = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+    // default cap keeps both
+    val full = Dedup.lshCandidatePairs(corpus, "k", "body")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(full.size === 50 * 49 / 2 + 1)
+  }
+
   test("cacheScope releases exactly the dedup intermediates") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("k", "body")
