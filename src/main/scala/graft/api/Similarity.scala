@@ -19,11 +19,16 @@ object Similarity {
   private def dot(a: String, b: String): String = s"vector_dot($a, $b)"
 
   /** Corpus with a precomputed L2 norm column (`norm`) — norms are
-    * computed once per vector, never once per pair.
+    * computed once per vector, never once per pair. Rows whose norm is
+    * not strictly positive (zero vectors, or vectors containing NaN) are
+    * DROPPED: they have no cosine direction, and their NaN similarities
+    * would otherwise rank above every real score in the descending
+    * top-k windows (Spark orders NaN greater than any double).
     */
   def withNorm(corpus: DataFrame, embCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.withColumn("norm", expr(s"sqrt(${dot(embCol, embCol)})"))
+      .filter(col("norm") > 0)
   }
 
   /** Exact cosine top-k: for every probe row, the k most similar corpus
@@ -92,7 +97,8 @@ object Similarity {
 
   /** All embedding pairs with cosine ≥ threshold (id_a < id_b):
     * (id_a, id_b, sim). Exact all-pairs via a broadcast of one side —
-    * the blocked scale path is [[ivfAssign]] + within-cell pairing.
+    * the corpus must fit a broadcast; the blocked scale path is
+    * [[ivfNearDupPairs]], measured against this exact baseline.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
@@ -103,5 +109,59 @@ object Similarity {
       .withColumn("sim", expr(dot("a_emb", "b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** BLOCKED near-duplicate pairs — the 10⁹-vector formulation: pairs
+    * are examined only WITHIN each IVF cell of an [[ivfAssign]]ed
+    * corpus, so the plan is an equi-join shuffle on `cluster` (both
+    * sides hash-partitioned, no broadcast of either) and the work is
+    * Σ|cell|² instead of |corpus|². Exactness trade: a pair whose two
+    * sides quantize to different cells is missed — recall against the
+    * exact [[nearDupPairs]] baseline is measured in ApiSpec; every pair
+    * that IS emitted carries the exact cosine (blocked output ⊆ exact
+    * output at the same threshold).
+    */
+  def ivfNearDupPairs(assigned: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(embCol).as("a_emb"), col("norm").as("a_norm"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(embCol).as("b_emb"), col("norm").as("b_norm"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", expr(dot("a_emb", "b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the
+    * [[cosineKnn]] contract requires broadcastable probes): the corpus
+    * hashes into `blocks` blocks, probes replicate to every block, and
+    * the shuffle-hash equi-join on the block key bounds per-task memory
+    * at |corpus|/blocks with no broadcast of either side. The typed
+    * top-k aggregator then reduces every partition to ≤k candidates per
+    * probe before the final merge shuffle (two-phase top-k). Same
+    * O(|probes|·|corpus|) similarity work as the broadcast plan — this
+    * buys scale-out memory shape, not fewer comparisons. Size `blocks`
+    * so corpus/blocks fits an executor (and ≥ cluster parallelism).
+    */
+  def cosineKnnShuffled(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, k: Int, blocks: Int = 64): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val c = withNorm(corpus, embCol).select(
+      pmod(hash(col(idCol)), lit(blocks)).as("blk"),
+      col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("norm").as("c_norm"))
+    val p = withNorm(probes, embCol).select(
+      col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+    c.hint("shuffle_hash").join(p, Seq("blk"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm")))
+      .select(col("probe_id"), col("cand_id"), col("sim"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("cand_id"), col("sim")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("cand_id"), col("col.score").as("sim"))
   }
 }

@@ -86,14 +86,21 @@ object SimilarityOps {
       .orderBy($"probe_id", $"rn")
   }
 
-  val q43Sql: String =
-    s"""WITH assign AS (
+  /** Shared IVF coarse-assignment CTE (centroids = vec_id < 16), the
+    * DuckDB twin of [[graft.api.Similarity.ivfAssign]] — used by q43 and
+    * q82.
+    */
+  private val assignSql: String =
+    s"""assign AS (
        |  SELECT vec_id, embedding, cent_id AS cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("c.embedding", "e.embedding")} DESC, c.vec_id) AS arn
        |    FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
-       |  WHERE arn = 1),
+       |  WHERE arn = 1)""".stripMargin
+
+  val q43Sql: String =
+    s"""WITH $assignSql,
        |probes AS (
        |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
        |  FROM assign WHERE vec_id >= 100 AND vec_id < 110)
@@ -159,6 +166,55 @@ object SimilarityOps {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q82: BLOCKED embedding near-dup pairs — q49's semantics restricted
+    * to within-IVF-cell pairs ([[graft.api.Similarity.ivfNearDupPairs]]):
+    * the 10⁹-vector plan (equi-join shuffle on cluster, no corpus
+    * broadcast, Σ|cell|² work). Emitted pairs ⊆ q49's exact output;
+    * recall vs exact is measured in ApiSpec.
+    */
+  def q82IvfNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val assigned = graft.api.Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    graft.api.Similarity.ivfNearDupPairs(assigned, "vec_id", "embedding", 0.45)
+      .select($"id_a".as("vec_a"), $"id_b".as("vec_b"), $"sim")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q82Sql: String =
+    s"""WITH $assignSql
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosSql("a.embedding", "b.embedding")} AS sim
+       |FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q83: exact top-3 for a LARGE probe set (10% of the corpus — far
+    * beyond the broadcast contract of q42) via
+    * [[graft.api.Similarity.cosineKnnShuffled]]: block-partitioned
+    * shuffle-hash join + two-phase top-k aggregator, no broadcast of
+    * either side.
+    */
+  def q83KnnShuffled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    graft.api.Similarity.cosineKnnShuffled(corpus,
+        corpus.filter($"vec_id" % 10 === 0), "vec_id", "embedding", k = 3,
+        blocks = 8)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q83Sql: String =
+    s"""SELECT probe_id, rn, cand_id, sim FROM (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${cosSql("p.embedding", "c.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+       |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id % 10 = 0)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
   /** q52: per-(label, dimension) embedding statistics via posexplode —
     * the array-column analytics path (min/max/count are order-insensitive
     * and exact on floats, so no summation-order hazard).
@@ -220,7 +276,9 @@ object SimilarityOps {
     "q45_topk_udaf" -> (q45TopkUdaf _),
     "q49_embed_near_dup" -> (q49EmbedNearDup _),
     "q52_embed_dim_stats" -> (q52EmbedDimStats _),
-    "q76_label_centroids" -> (q76LabelCentroids _))
+    "q76_label_centroids" -> (q76LabelCentroids _),
+    "q82_ivf_near_dup" -> (q82IvfNearDup _),
+    "q83_knn_shuffled" -> (q83KnnShuffled _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q42_cosine_knn" -> q42Sql,
@@ -228,5 +286,7 @@ object SimilarityOps {
     "q45_topk_udaf" -> q45Sql,
     "q49_embed_near_dup" -> q49Sql,
     "q52_embed_dim_stats" -> q52Sql,
-    "q76_label_centroids" -> q76Sql)
+    "q76_label_centroids" -> q76Sql,
+    "q82_ivf_near_dup" -> q82Sql,
+    "q83_knn_shuffled" -> q83Sql)
 }

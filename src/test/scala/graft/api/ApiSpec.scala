@@ -147,6 +147,54 @@ class ApiSpec extends SparkSpec {
     assert(!byTok.contains("gamma")) // not in probe doc
   }
 
+  test("ivfNearDupPairs: subset of exact pairs, identical sims, measured recall") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val assigned = Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    val blocked = Similarity.ivfNearDupPairs(assigned, "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(blocked.nonEmpty)
+    blocked.foreach { case (pair, s) =>
+      assert(exact.contains(pair), s"blocked pair $pair absent from exact set")
+      assert(exact(pair) === s, s"blocked sim differs for $pair")
+    }
+    val recall = blocked.size.toDouble / exact.size
+    info(f"blocked near-dup recall vs exact at sf0.001: $recall%.3f (${blocked.size}/${exact.size})")
+    assert(recall > 0.0)
+  }
+
+  test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = corpus.filter($"vec_id" % 10 === 0)
+    val viaBroadcast = Similarity.cosineKnn(corpus, probes, "vec_id", "embedding", k = 3)
+      .select($"probe_id", $"rn", $"cand_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaShuffle = Similarity.cosineKnnShuffled(corpus, probes, "vec_id", "embedding",
+        k = 3, blocks = 4)
+      .select($"probe_id", $"rn", $"cand_id", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle === viaBroadcast)
+  }
+
+  test("withNorm drops zero-norm vectors so NaN sims never occupy top-k slots") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))   // zero vector: cosine undefined
+    ).toDF("vid", "vec")
+    val knn = Similarity.cosineKnn(corpus, corpus.filter($"vid" === 1L), "vid", "vec", k = 2)
+      .select($"cand_id").as[Long].collect().toSet
+    assert(knn === Set(2L)) // 3 is dropped, not ranked first on NaN
+  }
+
   test("Similarity API ranks an identical vector first under custom names") {
     import spark.implicits._
     val corpus = Seq(

@@ -69,6 +69,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("text_shingles") || p.contains("minhash_sigs"))
   }
 
+  test("q83: large-probe kNN is a shuffle-hash join, no broadcast of either side") {
+    val p = planOf(graft.operators.SimilarityOps.q83KnnShuffled(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin, plan:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "neither side may broadcast in the large-probe plan")
+    // two-phase top-k: the TopK udaf must show a partial aggregation pass
+    assert(p.contains("partial_topkaggregator") || p.contains("ObjectHashAggregate"),
+      s"expected partial aggregation for the top-k udaf, plan:\n$p")
+  }
+
+  test("q82: blocked near-dup pairing is an equi-join on cluster (no all-pairs corpus broadcast)") {
+    // at sf0.001 Catalyst rightly broadcasts the tiny pair side; disable
+    // auto-broadcast to see the at-scale shape (the explicit broadcast()
+    // hint on the single-row centroid array is still honored — that one
+    // SHOULD broadcast at any scale)
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = planOf(graft.operators.SimilarityOps.q82IvfNearDup(fresh, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on cluster for the pair step, plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the single-row centroid-array broadcast must survive the threshold override")
+  }
+
   test("GraftExtensions: vector_dot reaches SQL text through extension injection") {
     // newSession() has a fresh temp-function registry but re-applies the
     // builder extensions — vector_dot resolving there proves injection,
