@@ -37,7 +37,28 @@ object Layout {
 
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketing is meant to buy for bucket-key joins.
+    * Counts actual [[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]]
+    * nodes (descending into adaptive plans and materialized query
+    * stages) rather than string-matching the plan text, so range
+    * partitioning, single-partition exchanges, and AQE's re-printed
+    * shuffles all count.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(shuffles).sum
+    }
+    shuffles(df.queryExecution.executedPlan) == 0
+  }
 }

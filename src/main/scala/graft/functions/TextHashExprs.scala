@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** UTF8String-accepting forwarders over the pure-Scala [[TextHash]]
+  * kernels, called from generated code (Scala objects expose static
+  * forwarders) — the same static-forwarder kernel treatment as
+  * [[ShingleOps]], replacing the boxed per-row Scala UDFs the q47
+  * rolling-fingerprint query originally used (a ScalaUDF is
+  * codegen-opaque: it breaks the whole-stage span and boxes every
+  * argument and result).
+  */
+object TextHashOps {
+  def polyHash(s: UTF8String): Long = TextHash.polyHash(s.toString)
+  def minRollingHash(s: UTF8String, w: Int): Long = TextHash.minRollingHash(s.toString, w)
+}
+
+/** `poly_hash(text)` — polynomial (Karp–Rabin) hash of the whole string,
+  * fully codegen'd (see [[TextHash.polyHash]]).
+  */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.polyHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.polyHash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `min_rolling_hash(text, w)` — the minimum length-`w` rolling window
+  * hash (winnowing-style fingerprint; falls back to the whole-string
+  * hash for texts shorter than the window — see
+  * [[TextHash.minRollingHash]]).
+  */
+case class MinRollingHashExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "min_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.minRollingHash(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.minRollingHash($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashFunctions {
+
+  /** Window-size extraction: any foldable integral expression, loud
+    * failure otherwise (a silent default would fingerprint with the
+    * wrong window).
+    */
+  private[graft] def extractW(exprs: Seq[Expression]): Int = exprs.lift(1) match {
+    case None => 32
+    case Some(e) if e.foldable => e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"min_rolling_hash: w must be an integral literal, got $other")
+    }
+    case Some(e) => throw new IllegalArgumentException(
+      s"min_rolling_hash: w must be foldable, got $e")
+  }
+
+  /** Idempotent per-session registration (SQL names `poly_hash`,
+    * `min_rolling_hash`).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHashExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_rolling_hash",
+      exprs => MinRollingHashExpr(exprs.head, extractW(exprs)), "scala_udf")
+  }
+
+  def polyHash(text: Column): Column = call_function("poly_hash", text)
+
+  def minRollingHash(text: Column, w: Int): Column =
+    call_function("min_rolling_hash", text, lit(w))
+}

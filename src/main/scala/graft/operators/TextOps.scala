@@ -134,20 +134,22 @@ object TextOps {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
-  /** q47: rolling-hash (Karp–Rabin) document fingerprints via the one
-    * scalar UDF in the engine ([[graft.functions.TextHash]] — a sequential
-    * rolling recurrence has no builtin equivalent). Oracle replays the
-    * same recurrence declaratively with DuckDB list_reduce (O(n·w) there,
-    * O(n) here — same values, the corpus is ASCII so ord == charAt).
+  /** q47: rolling-hash (Karp–Rabin) document fingerprints via the
+    * native codegen kernels ([[graft.functions.PolyHashExpr]] /
+    * [[graft.functions.MinRollingHashExpr]] — a sequential rolling
+    * recurrence has no builtin equivalent, and the static-forwarder
+    * kernel keeps the row inside whole-stage codegen where a Scala UDF
+    * would box it). Oracle replays the same recurrence declaratively
+    * with DuckDB list_reduce (O(n·w) there, O(n) here — same values,
+    * the corpus is ASCII so ord == charAt).
     */
   def q47RollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val poly = udf((s: String) => graft.functions.TextHash.polyHash(s))
-    val winnow = udf((s: String) => graft.functions.TextHash.minRollingHash(s, 32))
+    graft.functions.TextHashFunctions.register(spark)
     table(spark, dir, "documents")
       .select($"doc_id",
-        poly($"text").as("doc_hash"),
-        winnow($"text").as("winnow_fp"))
+        graft.functions.TextHashFunctions.polyHash($"text").as("doc_hash"),
+        graft.functions.TextHashFunctions.minRollingHash($"text", 32).as("winnow_fp"))
       .orderBy($"doc_id")
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSigs, ShingleFunctions, Simhash64Expr, TextShingles, VectorDot}
+import graft.functions.{MinHashSigs, MinRollingHashExpr, PolyHashExpr, ShingleFunctions, Simhash64Expr, TextHashFunctions, TextShingles, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -41,5 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
       (exprs: Seq[Expression]) => Simhash64Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_rolling_hash"),
+      new ExpressionInfo(classOf[MinRollingHashExpr].getName, "min_rolling_hash"),
+      (exprs: Seq[Expression]) => MinRollingHashExpr(exprs.head,
+        TextHashFunctions.extractW(exprs))))
   }
 }

@@ -14,10 +14,18 @@ object Maintenance {
     * `filesPerPartition` files per partition value. Reads and rewrites
     * atomically-enough for the offline harness via a temp dir + move;
     * production would do this under a table format's transaction.
+    *
+    * Swap discipline (two renames via a `.compact-old` hop): between the
+    * renames there is a reader-visible window where `dir` is absent —
+    * concurrent readers error rather than see partial data. A crash in
+    * that window leaves the live table at `dir + ".compact-old"`; the
+    * next `compact` call detects and restores it automatically (or call
+    * [[recoverFromCrash]] directly).
     */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
       filesPerPartition: Int = 1): Unit = {
     import org.apache.spark.sql.functions._
+    recoverFromCrash(spark, dir)
     val tmp = dir + ".compact-tmp"
     val df = spark.read.parquet(dir)
     // shuffle on (partition value, bounded salt): every partition value
@@ -47,6 +55,24 @@ object Maintenance {
       throw new java.io.IOException(s"compact: rename $src -> $dst failed; rolled back")
     }
     fs.delete(old, true)
+  }
+
+  /** Restore a table stranded at `dir + ".compact-old"` by a crash
+    * between the two swap renames of a prior [[compact]] (live table
+    * absent from `dir`). No-op when `dir` exists — then a leftover
+    * `.compact-old` is just the pre-swap copy that the crashed run never
+    * got to delete, and the completed swap at `dir` wins.
+    */
+  def recoverFromCrash(spark: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (!fs.exists(dst) && fs.exists(old)) {
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(
+          s"compact recovery: rename $old -> $dst failed; table remains at $old")
+    }
   }
 
   /** Number of data files under a table directory (recursive). */

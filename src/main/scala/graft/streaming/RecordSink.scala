@@ -64,9 +64,21 @@ class JsonLinesRecordWriter(targetDir: String) extends ForeachWriter[Row] {
     if (tmpFile != null) {
       if (errorOrNull == null) {
         // complete output: move into place (replacing any prior attempt's
-        // complete file — idempotent for retries)
-        java.nio.file.Files.move(tmpFile.toPath, dstFile.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // complete file — idempotent for retries). ATOMIC_MOVE so a
+        // concurrent reader can never observe a partially-copied
+        // destination; on filesystems that cannot move atomically, fall
+        // back to the plain replace (same-directory moves on local
+        // filesystems are renames, so the fallback is effectively
+        // unreachable there)
+        try
+          java.nio.file.Files.move(tmpFile.toPath, dstFile.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmpFile.toPath, dstFile.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       } else {
         tmpFile.delete() // failed attempt leaves no partial output
       }

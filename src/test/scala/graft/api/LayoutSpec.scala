@@ -54,6 +54,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("isShuffleFree rejects range, hash, and single-partition exchanges") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    // hash exchange
+    assert(!Layout.isShuffleFree(df.groupBy($"o_custkey").count()))
+    // range exchange (the case the old substring check missed)
+    assert(!Layout.isShuffleFree(df.orderBy($"o_orderkey")))
+    // round-robin exchange (also missed by the substring check)
+    assert(!Layout.isShuffleFree(df.repartition(4)))
+    // global agg over a multi-partition child needs a SinglePartition
+    // exchange (the scan itself is 1 partition, hence the repartition)
+    assert(!Layout.isShuffleFree(df.repartition(4).agg(count(lit(1)))))
+    // narrow plan really is shuffle-free
+    assert(Layout.isShuffleFree(df.filter($"o_orderkey" > 100).select($"o_orderkey")))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

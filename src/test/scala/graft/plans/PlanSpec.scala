@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpec {
       "the single-row centroid-array broadcast must survive the threshold override")
   }
 
+  test("q47: rolling-hash fingerprints run as native kernels, not Scala UDFs") {
+    val p = planOf(graft.operators.TextOps.q47RollingFingerprint(spark, sf))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"q47 must not plan boxed UDF nodes:\n$p")
+    assert(p.contains("poly_hash") && p.contains("min_rolling_hash"))
+  }
+
+  test("GraftExtensions: rolling-hash kernels reach SQL text through extension injection") {
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ===
+      graft.functions.TextHash.polyHash("abc"))
+    assert(fresh.sql("SELECT min_rolling_hash('abcdefgh', 4) AS h").head().getLong(0) ===
+      graft.functions.TextHash.minRollingHash("abcdefgh", 4))
+    // non-foldable w must fail loudly, not silently default
+    intercept[Exception] {
+      fresh.sql("SELECT min_rolling_hash('abc', CAST(id AS INT)) FROM range(1)").collect()
+    }
+  }
+
   test("GraftExtensions: vector_dot reaches SQL text through extension injection") {
     // newSession() has a fresh temp-function registry but re-applies the
     // builder extensions — vector_dot resolving there proves injection,

@@ -227,6 +227,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === data.toSeq)
   }
 
+  test("Maintenance: crash between swap renames is auto-recovered on the next compact") {
+    import spark.implicits._
+    val dir = tmpDir("compact_crash") + "/table"
+    Seq(("s0", 1L), ("s1", 2L)).toDF("streamName", "seq")
+      .write.partitionBy("streamName").parquet(dir)
+    val data = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // simulate a crash after rename(dst -> old) but before rename(src -> dst):
+    // the live table sits at .compact-old, dir is absent
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact-old")))
+    // next compact run restores the table first, then compacts it
+    Maintenance.compact(spark, dir, "streamName", filesPerPartition = 1)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === data)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact-old")))
+  }
+
   test("streaming tumblingAgg equals the batch tumbling aggregation over the same events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
