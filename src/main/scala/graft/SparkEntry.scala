@@ -38,7 +38,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q09_agg_approx: HLL sketch values are engine-specific).
+    * (q09_agg_approx: HLL sketch values are engine-specific, so it gets
+    * the driver's rows-only check; its QUANTITATIVE grade is the
+    * tolerance check in tools/check_oracle.py — Spark's and DuckDB's
+    * approx_count_distinct each within 5% relative error of the exact
+    * twin — plus the ±5%-of-exact bound in OperatorSpec).
     */
   val oracleSql: Map[String, String] =
     (Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++

@@ -118,31 +118,59 @@ object Replicator {
       .option("checkpointLocation", streamCheckpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val config = spark.read.parquet(configDir)
-        val gated = gate(batch, config, currentRegion).cache()
-        try {
-          // Op 6: batched forward, shard order restored per partition.
-          gated
-            .repartition(col("streamName"))
-            .sortWithinPartitions(length(col("sequenceNumber")), col("sequenceNumber"))
-            .select("streamName", "partitionKey", "sequenceNumber", "data",
-              "approximateArrivalTimestamp", "cdc_key", "commitTimestamp")
-            .write.mode("append").partitionBy("streamName").parquet(targetDir)
-          // Op 7: one checkpoint row per stream, last-writer-wins. The
-          // dynamic overwrite is scoped to THIS write (not session conf)
-          // so unrelated overwrite writes keep their default semantics.
-          checkpointRows(gated)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("streamName").parquet(checkpointTableDir)
-          // Ops 8/10: metrics off the data path, failures swallowed
-          // (Handler.java:120-122).
-          try metricsRows(gated, batchId, System.currentTimeMillis())
-            .write.mode("append").parquet(metricsDir)
-          catch { case e: Exception => System.err.println(s"[replicator] metrics write failed: $e") }
-        } finally gated.unpersist()
+        runBatch(spark, batch, batchId, configDir, currentRegion, targetDir,
+          checkpointTableDir, metricsDir)
         ()
       }
       .start()
+  }
+
+  private def runBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      configDir: String, currentRegion: String, targetDir: String,
+      checkpointTableDir: String, metricsDir: String): Unit = {
+    val config = spark.read.parquet(configDir)
+    val gated = gate(batch, config, currentRegion).cache()
+    try {
+      // Op 6: batched forward, shard order restored per partition.
+      gated
+        .repartition(col("streamName"))
+        .sortWithinPartitions(length(col("sequenceNumber")), col("sequenceNumber"))
+        .select("streamName", "partitionKey", "sequenceNumber", "data",
+          "approximateArrivalTimestamp", "cdc_key", "commitTimestamp")
+        .write.mode("append").partitionBy("streamName").parquet(targetDir)
+      // Op 7: one checkpoint row per stream, last-writer-wins. The
+      // dynamic overwrite is scoped to THIS write (not session conf)
+      // so unrelated overwrite writes keep their default semantics.
+      checkpointRows(gated)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("streamName").parquet(checkpointTableDir)
+      // Ops 8/10: metrics off the data path, failures swallowed
+      // (Handler.java:120-122).
+      try metricsRows(gated, batchId, System.currentTimeMillis())
+        .write.mode("append").parquet(metricsDir)
+      catch { case e: Exception => System.err.println(s"[replicator] metrics write failed: $e") }
+    } finally gated.unpersist()
+  }
+
+  /** Post-run maintenance for the op-6 target table: streaming appends
+    * leave one file per stream partition per micro-batch, which at
+    * production batch cadence degrades every later scan
+    * (footer-per-file overhead, no row-group locality).
+    * [[Maintenance.compact]] rewrites the table to ≤ `filesPerPartition`
+    * files per streamName; `bucketTable = Some((name, buckets))`
+    * additionally re-publishes it as a catalog table bucketed+sorted on
+    * streamName, so repeated downstream per-stream joins/aggregations
+    * run shuffle-free ([[graft.api.Layout]]). Run between streaming
+    * restarts (the compaction swap must not race a live appender).
+    */
+  def maintainTarget(spark: SparkSession, targetDir: String,
+      filesPerPartition: Int = 1,
+      bucketTable: Option[(String, Int)] = None): Unit = {
+    Maintenance.compact(spark, targetDir, "streamName", filesPerPartition)
+    bucketTable.foreach { case (name, buckets) =>
+      graft.api.Layout.writeBucketed(spark.read.parquet(targetDir), name,
+        buckets, Seq("streamName"), Seq("streamName"))
+    }
   }
 }

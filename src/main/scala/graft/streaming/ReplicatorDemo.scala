@@ -39,6 +39,14 @@ object ReplicatorDemo {
       s"$outDir/streamCheckpoint")
     q.awaitTermination(120000)
 
+    // post-run maintenance: compact the many small micro-batch files and
+    // publish a bucketed copy for shuffle-free per-stream joins
+    val filesBefore = Maintenance.dataFileCount(s"$outDir/target")
+    Replicator.maintainTarget(spark, s"$outDir/target",
+      filesPerPartition = 1, bucketTable = Some(("replicator_target_b", 4)))
+    println(s"[demo] target data files: $filesBefore -> " +
+      s"${Maintenance.dataFileCount(s"$outDir/target")} after compaction")
+
     println(s"[demo] outDir=$outDir")
     println("[demo] forwarded per stream:")
     spark.read.parquet(s"$outDir/target").groupBy("streamName").count().show()

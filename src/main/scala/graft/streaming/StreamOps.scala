@@ -63,10 +63,12 @@ object StreamOps {
     * lateness window. Texts with no shingles key on their own id (never
     * near-dups of anything).
     *
-    * Asymmetry vs batch: streaming drops collision successors WITHOUT
-    * the exact-Jaccard verify (state cannot hold shingle sets
-    * unboundedly); run the batch verify over the kept set where
-    * precision matters.
+    * Asymmetry vs batch: this variant drops collision successors WITHOUT
+    * the exact-Jaccard verify — cheapest state (one seen-marker per band
+    * signature), but a false-positive band collision is dropped too.
+    * [[nearDupFilterVerifiedWithinWatermark]] adds the in-stream verify
+    * stage (watermark-bounded shingle-set state) where precision
+    * matters.
     */
   def nearDupFilterWithinWatermark(docs: DataFrame, tsCol: String,
       lateness: String, idCol: String, textCol: String): DataFrame = {
@@ -87,6 +89,95 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("__band_key"))
       .drop("__sigs", "__band_key")
+  }
+
+  /** One document on the verified near-dup path. */
+  case class NearDupIn(bandKey: String, id: Long, ts: java.sql.Timestamp,
+    text: String, sh: Seq[String])
+
+  /** A kept document's verification state: its shingle set and arrival
+    * time (evicted once the watermark passes ts + lateness).
+    */
+  case class KeptDoc(sh: Seq[String], tsMs: Long)
+
+  /** An emitted (kept) document. */
+  case class NearDupOut(id: Long, ts: java.sql.Timestamp, text: String)
+
+  private def latenessToMs(lateness: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+    require(iv.months == 0, s"month-valued lateness unsupported: $lateness")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** [[nearDupFilterWithinWatermark]] with the exact-verify stage the
+    * band-only filter lacks: a band collision makes a document a
+    * CANDIDATE, and it is dropped only when its exact shingle-set
+    * Jaccard against a kept document of the same band bucket (within
+    * the watermark) reaches `jaccardThreshold` — a false-positive band
+    * collision (same 4-minhash signature, dissimilar sets) now survives.
+    * This closes the documented precision asymmetry vs the batch path
+    * at the price of holding each kept document's shingle set in keyed
+    * state; state stays bounded because entries evict once the
+    * watermark passes ts + lateness (and whole keys time out via
+    * EventTimeTimeout).
+    *
+    * Narrowed contract vs the band-only filter: the output carries
+    * exactly (idCol: long, tsCol, textCol). Docs with no shingles key
+    * on their own id (jaccard(∅,∅) = 1, so same-id re-deliveries still
+    * dedup; distinct ids never meet). Within a micro-batch, documents
+    * are processed in (ts, id) order for determinism.
+    */
+  def nearDupFilterVerifiedWithinWatermark(docs: DataFrame, tsCol: String,
+      lateness: String, idCol: String, textCol: String,
+      jaccardThreshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    val latenessMs = latenessToMs(lateness)
+    val sigs = graft.functions.ShingleFunctions.minhashSigs(col("__sh"))
+    val keyed = docs
+      .withColumn("__sh", graft.functions.ShingleFunctions.textShingles(col(textCol), 4))
+      .withColumn("__sigs", sigs)
+      .withColumn("__band_key", when(col("__sigs").isNotNull,
+          concat_ws(",", expr("slice(__sigs, 1, 4)")))
+        .otherwise(concat(lit("id:"),
+          coalesce(col(idCol).cast("string"), expr("uuid()")))))
+      .withWatermark(tsCol, lateness)
+      .select(col("__band_key").as("bandKey"), col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"), col(textCol).as("text"), col("__sh").as("sh"))
+      .as[NearDupIn]
+    keyed
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState[List[KeptDoc], NearDupOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[NearDupIn], state: GroupState[List[KeptDoc]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var kept = state.getOption.getOrElse(Nil)
+              .filter(_.tsMs + latenessMs >= wm)
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).flatMap { r =>
+              val shSet = r.sh.toSet
+              val isDup = kept.exists(k =>
+                graft.functions.Parsing.jaccard(k.sh.toSet, shSet) >= jaccardThreshold)
+              if (isDup) None
+              else {
+                kept = KeptDoc(r.sh, r.ts.getTime) :: kept
+                Some(NearDupOut(r.id, r.ts, r.text))
+              }
+            }
+            if (kept.nonEmpty) {
+              state.update(kept)
+              state.setTimeoutTimestamp(kept.map(_.tsMs).max + latenessMs)
+            } else state.remove()
+            out.iterator
+          }
+      }
+      .toDF("id", "ts", "text")
+      .select(col("id").as(idCol), col("ts").as(tsCol), col("text").as(textCol))
   }
 
   /** Stream-stream interval join: each left event pairs with right-stream

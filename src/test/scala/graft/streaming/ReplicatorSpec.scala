@@ -110,6 +110,49 @@ class ReplicatorSpec extends SparkSpec {
     assert(cp.head.getAs[String]("lastReplicatedCommitTimestamp") === "2021-11-10T01:00:01Z")
   }
 
+  test("maintainTarget: N micro-batches compact to bounded files, rows preserved, bucketed copy shuffle-free") {
+    import spark.implicits._
+    val mem = MemoryStream[KinesisRecord](spark)
+    val cfgDir = tmpDir("cfg4")
+    Seq(("s-a", "us-east-1"), ("s-b", "us-east-1"))
+      .toDF("streamName", "activeRegion").write.mode("overwrite").parquet(cfgDir)
+    val (target, cpTable, metrics, scp) =
+      (tmpDir("target4"), tmpDir("cptable4"), tmpDir("metrics4"), tmpDir("scp4"))
+
+    // 5 micro-batches × 2 streams → ≥10 small files before maintenance
+    (1 to 5).foreach { i =>
+      mem.addData(
+        rec("s-a", "pk", s"${600 + i}", i * 1000L, i.toLong, f"2021-11-10T03:00:$i%02dZ"),
+        rec("s-b", "pk", s"${700 + i}", i * 1000L, i.toLong, f"2021-11-10T03:00:$i%02dZ"))
+      Replicator.run(spark, mem.toDF(), cfgDir, "us-east-1", target, cpTable, metrics, scp)
+        .awaitTermination(60000)
+    }
+    val before = Maintenance.dataFileCount(target)
+    assert(before >= 10, s"expected >=10 pre-compaction files, got $before")
+    // binary `data` stringifies by identity — cast it for value comparison
+    def snapshot() = spark.read.parquet(target)
+      .withColumn("data", $"data".cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    val rows = snapshot()
+
+    try {
+      Replicator.maintainTarget(spark, target, filesPerPartition = 1,
+        bucketTable = Some(("repl_target_b", 2)))
+      // ≤ filesPerPartition × #partition-values data files
+      assert(Maintenance.dataFileCount(target) <= 2,
+        s"expected <=2 post-compaction files, got ${Maintenance.dataFileCount(target)}")
+      assert(snapshot() === rows)
+      // the bucketed copy holds the same rows and aggregates shuffle-free
+      // on the bucket key
+      val b = graft.api.Layout.readBucketed(spark, "repl_target_b")
+      assert(b.count() === rows.length)
+      val agg = b.groupBy($"streamName").agg(count(lit(1)).as("n"))
+      agg.count()
+      assert(graft.api.Layout.isShuffleFree(agg),
+        agg.queryExecution.executedPlan.toString)
+    } finally spark.sql("DROP TABLE IF EXISTS repl_target_b")
+  }
+
   test("failover: flipping the config row re-gates the NEXT micro-batch without restart (SURVEY §3.2)") {
     import spark.implicits._
     val mem = MemoryStream[KinesisRecord](spark)

@@ -142,6 +142,72 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L, 6L))
   }
 
+  /** Deterministically grow `base` with filler words that leave the
+    * first-band signature (first 4 minhashes) UNCHANGED — producing a
+    * text whose band signature collides with base's while its shingle
+    * set barely overlaps (a genuine LSH false positive).
+    */
+  private def buildBandCollision(base: String, extraShingles: Int): String = {
+    def band(text: String): Seq[String] = {
+      val sh = graft.functions.ShingleOps.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 4)
+      val sigs = graft.functions.ShingleOps.minhashSigs(sh)
+      (0 until 4).map(sigs.getUTF8String(_).toString)
+    }
+    val want = band(base)
+    var text = base
+    var added = 0
+    var i = 0
+    while (added < extraShingles && i < 10000) {
+      val cand = text + s" filler$i"
+      if (band(cand) == want) { text = cand; added += 1 }
+      i += 1
+    }
+    assert(added == extraShingles, s"could not build collision ($added/$extraShingles)")
+    text
+  }
+
+  test("verified near-dup filter rejects a false-positive band collision the band-only filter drops") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    // same first-band signature as base, but mostly-disjoint shingles:
+    // 8 shingles from base + 24 filler shingles → jaccard ≈ 8/32 < 0.5
+    val collider = buildBandCollision(base, 24)
+    val baseSh = base.split(" ").sliding(4).map(_.mkString(" ")).toSet
+    val collSh = collider.split(" ").sliding(4).map(_.mkString(" ")).toSet
+    val j = graft.functions.Parsing.jaccard(baseSh, collSh)
+    assert(j < 0.5, s"collider must be dissimilar, jaccard=$j")
+
+    // band-only filter: the collision is dropped (the documented asymmetry)
+    val mem1 = MemoryStream[Doc](spark)
+    val q1 = StreamOps.nearDupFilterWithinWatermark(
+        mem1.toDF(), "ts", "10 minutes", "doc_id", "text")
+      .writeStream.format("memory").queryName("ndfv_bandonly").outputMode("append").start()
+    mem1.addData(Doc(t(1), 1, base), Doc(t(2), 2, collider))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("ndfv_bandonly").select($"doc_id").as[Long].collect().toSet
+      === Set(1L), "band-only filter drops the false positive")
+
+    // verified filter: the collision survives; true near-dups still drop
+    val mem2 = MemoryStream[Doc](spark)
+    val q2 = StreamOps.nearDupFilterVerifiedWithinWatermark(
+        mem2.toDF(), "ts", "10 minutes", "doc_id", "text", jaccardThreshold = 0.5)
+      .writeStream.format("memory").queryName("ndfv_verified").outputMode("append").start()
+    mem2.addData(
+      Doc(t(1), 1, base),
+      Doc(t(2), 2, collider),          // band collision, jaccard < 0.5 → KEPT
+      Doc(t(3), 3, base),              // exact dup of 1 → dropped
+      Doc(t(4), 4, "x y"))             // no shingles → keyed by id, kept
+    mem2.addData(
+      Doc(t(5), 5, base),              // cross-batch dup within watermark → dropped
+      Doc(t(6), 4, "x y"))             // same-id no-shingle redelivery → dropped
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("ndfv_verified").select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L))
+  }
+
   test("JsonLinesRecordWriter: atomic rename, orphan-tmp cleanup, failure leaves no output") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

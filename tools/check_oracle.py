@@ -17,6 +17,45 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Sketch-valued queries have no hash oracle (HLL implementations are
+# engine-specific), but their ESTIMATES are cross-checkable: each entry
+# runs a DuckDB twin and asserts every approx column within rel_tol of
+# the exact column on BOTH engines (the quantitative grade that replaces
+# the hash match). Keys: spark output dir name -> (duckdb sql, group col,
+# approx col, exact col, rel_tol).
+TOLERANCE = {
+    "q09_agg_approx": (
+        "SELECT l_returnflag, approx_count_distinct(l_orderkey) AS approx_orders, "
+        "COUNT(DISTINCT l_orderkey) AS exact_orders "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        "l_returnflag", "approx_orders", "exact_orders", 0.05),
+}
+
+
+def check_tolerance(con, out_dir, name, spec):
+    sql, key, approx_c, exact_c, tol = spec
+    want = {r[key]: r for r in con.execute(sql).fetch_arrow_table().to_pylist()}
+    got = {r[key]: r for r in con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table().to_pylist()}
+    if sorted(want) != sorted(got):
+        print(f"FAIL {name}: group keys differ: {sorted(want)} vs {sorted(got)}")
+        return False
+    worst = 0.0
+    for k, g in got.items():
+        w = want[k]
+        if g[exact_c] != w[exact_c]:
+            print(f"FAIL {name}: exact col differs at {k}: {g[exact_c]} vs {w[exact_c]}")
+            return False
+        for eng, approx in (("spark", g[approx_c]), ("duckdb", w[approx_c])):
+            err = abs(approx - g[exact_c]) / g[exact_c]
+            worst = max(worst, err)
+            if err >= tol:
+                print(f"FAIL {name}: {eng} approx {approx} off exact "
+                      f"{g[exact_c]} by {err:.3f} >= {tol}")
+                return False
+    print(f"PASS {name} (tolerance check: worst rel err {worst:.4f} < {tol}, both engines)")
+    return True
+
 
 def norm(v):
     if isinstance(v, float):
@@ -32,6 +71,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    for name, spec in sorted(TOLERANCE.items()):
+        try:
+            ok = check_tolerance(con, out_dir, name, spec)
+        except Exception as e:
+            print(f"FAIL {name}: tolerance check error: {e}")
+            ok = False
+        n_pass, n_fail = n_pass + ok, n_fail + (not ok)
     for name in sorted(oracle):
         sql = oracle[name]
         try:
