@@ -130,32 +130,49 @@ object Dedup {
     // 8 bytes of aggregation state no matter how hot the bucket), then
     // only surviving buckets ever materialize a posting list — a
     // degenerate band signature is dropped before it can OOM a task.
-    val bucketCounts = bands.groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("n_post"))
-    val droppedBuckets = bucketCounts.filter(col("n_post") > maxBucketSize).count()
-    if (droppedBuckets > 0)
-      log.warn(s"lshCandidatePairs: dropped $droppedBuckets LSH bucket(s) with " +
-        s"more than $maxBucketSize postings (degenerate band signatures); " +
-        "pairs within those buckets are not emitted")
-    val keep = bucketCounts
-      .filter(col("n_post") >= 2 && col("n_post") <= maxBucketSize)
-      .select(col("band"), col("band_sig"))
-    // pair generation without a self-join: bucket the signatures and
-    // explode ordered pairs from each bucket's posting list (a bucket is
-    // a set of mutually-near-duplicate docs ≤ maxBucketSize, so lists
-    // stay short). The join and the groupBy share the (band, band_sig)
-    // partitioning, so capping costs one extra shuffle of the slim bands
-    // frame. Cached: the pair list is tiny (near-duplicates only) but its
-    // lineage is the full-corpus banding pipeline, and it feeds three
-    // broadcast builds below — without the cache each broadcast would
-    // re-run the whole minhash pass. Long-lived sessions should wrap
-    // calls in [[cacheScope]] to release these on completion.
-    val cands = tracked(bands.join(keep, Seq("band", "band_sig"))
-      .groupBy(col("band"), col("band_sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
-      .distinct())
+    // bucketCounts is cached so the drop-count action and the keep join
+    // read one materialization; note the count IS an action at call
+    // time (the price of a timely guard metric — the result of this
+    // operator is always evaluated by real dedup runs anyway). Pass
+    // maxBucketSize = Int.MaxValue to skip the guard and stay fully
+    // lazy (plan-inspection callers).
+    val cands = if (maxBucketSize == Int.MaxValue) {
+      tracked(bands.groupBy(col("band"), col("band_sig"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
+        .distinct())
+    } else {
+      val bucketCounts = tracked(bands.groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("n_post"))
+        .filter(col("n_post") >= 2))
+      val droppedBuckets = bucketCounts.filter(col("n_post") > maxBucketSize).count()
+      if (droppedBuckets > 0)
+        log.warn(s"lshCandidatePairs: dropped $droppedBuckets LSH bucket(s) with " +
+          s"more than $maxBucketSize postings (degenerate band signatures); " +
+          "pairs within those buckets are not emitted")
+      val keep = bucketCounts
+        .filter(col("n_post") <= maxBucketSize)
+        .select(col("band"), col("band_sig"))
+      // pair generation without a self-join: bucket the signatures and
+      // explode ordered pairs from each bucket's posting list (a bucket
+      // is a set of mutually-near-duplicate docs ≤ maxBucketSize, so
+      // lists stay short). The join and the groupBy share the
+      // (band, band_sig) partitioning, so capping costs one extra
+      // shuffle of the slim bands frame. Cached: the pair list is tiny
+      // (near-duplicates only) but its lineage is the full-corpus
+      // banding pipeline, and it feeds three broadcast builds below —
+      // without the cache each broadcast would re-run the whole minhash
+      // pass. Long-lived sessions should wrap calls in [[cacheScope]]
+      // to release these on completion.
+      tracked(bands.join(keep, Seq("band", "band_sig"))
+        .groupBy(col("band"), col("band_sig"))
+        .agg(collect_list(col("id")).as("ids"))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
+        .distinct())
+    }
     // verify: pull each pair's two shingle arrays side by side via two
     // broadcast joins (candidates are tiny) and intersect in place — the
     // full shingle data is only ever scanned, never shuffled. The
@@ -260,44 +277,53 @@ object Dedup {
     * every node in `edges`, cluster = component minimum. Each round is
     * two rounds of hash-partitioned groupBy/join — fully parallel, no
     * single-task funnel — and the edge set converges to min-centered
-    * stars in O(log n) rounds. Every round ends in an EAGER
-    * `localCheckpoint` so the loop's plans stay flat (self-referencing
-    * iterative plans otherwise grow exponentially and re-run prior
-    * rounds per action).
+    * stars in O(log n) rounds. Every round ends in an EAGER checkpoint
+    * so the loop's plans stay flat (self-referencing iterative plans
+    * otherwise grow exponentially and re-run prior rounds per action):
+    * a RELIABLE `checkpoint` when the context has a checkpoint dir —
+    * set one for multi-round jobs on real clusters, where an executor
+    * loss mid-iteration would otherwise lose `localCheckpoint` blocks
+    * irrecoverably — falling back to `localCheckpoint` otherwise.
     */
   private def starContractComponents(edges0: DataFrame): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
     val nodes = edges0
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // canonical orientation u > v; self-loops drop (their nodes re-enter
     // as singletons through the final left join)
-    var edges = edges0
+    var edges = snap(edges0
       .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
-      .filter($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .filter($"u" =!= $"v").distinct())
     var done = false
     while (!done) {
       // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
       val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
       val lmins = sym.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
+      // cached: referenced twice below (smins aggregate + join probe) —
+      // without it each round would run the whole large-star stage
+      // twice; unpersisted at round end, so NOT scope-tracked
       val large = sym.join(lmins, "u")
         .filter($"v" > $"u" && $"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .distinct()
+        .cache()
       // small-star (edges now oriented u > v ≥ m): all smaller neighbors
       // and u itself link to m = min(Γ⁻(u))
       val smins = large.groupBy($"u").agg(min($"v").as("m"))
-      val small = large.join(smins, "u")
+      val small = snap(large.join(smins, "u")
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .union(smins.select($"u", $"m".as("v")))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // fixed point: both sets are distinct, so equal counts plus an
       // empty one-sided except proves set equality
       done = small.count() == edges.count() && small.except(edges).isEmpty
+      large.unpersist(false)
       edges = small
     }
     nodes.join(edges.select($"u".as("id"), $"v".as("cluster")), Seq("id"), "left")

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -151,7 +151,9 @@ object ShingleOps {
 /** `text_shingles(text, n)` — distinct n-word shingle array, fully
   * codegen'd (see [[ShingleOps.shingles]]).
   */
-case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
+case class TextShingles(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "text_shingles"
@@ -170,7 +172,9 @@ case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
 /** `minhash_sigs(sh_arr)` — the 8-seed minhash signature vector of a
   * shingle array in one codegen'd pass (see [[ShingleOps.minhashSigs]]).
   */
-case class MinHashSigs(child: Expression) extends UnaryExpression {
+case class MinHashSigs(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // empty shingle array → null
@@ -193,7 +197,9 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
 /** `simhash64(text)` — one-pass 64-bit SimHash fingerprint (see
   * [[ShingleOps.simhash64]]); null when the text has no non-empty token.
   */
-case class Simhash64Expr(child: Expression) extends UnaryExpression {
+case class Simhash64Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
@@ -216,21 +222,27 @@ case class Simhash64Expr(child: Expression) extends UnaryExpression {
 object ShingleFunctions {
 
   /** Shared n-argument extraction for both registration paths: accepts
-    * any foldable integral expression, fails loudly otherwise (a silent
-    * default would compute wrong-n shingles).
+    * a foldable positive int-range integral expression, fails loudly
+    * otherwise (a silent default, a truncated long, or n < 1 would all
+    * compute wrong-n shingles).
     */
-  private[graft] def extractN(exprs: Seq[Expression]): Int = exprs.lift(1) match {
-    case None => 4
-    case Some(e) if e.foldable => e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case s: Short => s.toInt
-      case b: Byte => b.toInt
-      case other => throw new IllegalArgumentException(
-        s"text_shingles: n must be an integral literal, got $other")
+  private[graft] def extractN(exprs: Seq[Expression]): Int = {
+    val n = exprs.lift(1) match {
+      case None => 4
+      case Some(e) if e.foldable => e.eval(null) match {
+        case i: Int => i
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"text_shingles: n must be an int-range integral literal, got $other")
+      }
+      case Some(e) => throw new IllegalArgumentException(
+        s"text_shingles: n must be foldable, got $e")
     }
-    case Some(e) => throw new IllegalArgumentException(
-      s"text_shingles: n must be foldable, got $e")
+    if (n < 1) throw new IllegalArgumentException(
+      s"text_shingles: n must be >= 1, got $n")
+    n
   }
 
   /** Idempotent per-session registration (SQL names `text_shingles`,

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** UTF8String-accepting forwarders over the pure-Scala [[TextHash]]
@@ -23,7 +23,9 @@ object TextHashOps {
 /** `poly_hash(text)` — polynomial (Karp–Rabin) hash of the whole string,
   * fully codegen'd (see [[TextHash.polyHash]]).
   */
-case class PolyHashExpr(child: Expression) extends UnaryExpression {
+case class PolyHashExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "poly_hash"
@@ -44,7 +46,9 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   * hash for texts shorter than the window — see
   * [[TextHash.minRollingHash]]).
   */
-case class MinRollingHashExpr(child: Expression, w: Int) extends UnaryExpression {
+case class MinRollingHashExpr(child: Expression, w: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "min_rolling_hash"
@@ -62,22 +66,47 @@ case class MinRollingHashExpr(child: Expression, w: Int) extends UnaryExpression
 
 object TextHashFunctions {
 
-  /** Window-size extraction: any foldable integral expression, loud
-    * failure otherwise (a silent default would fingerprint with the
+  /** Window-size extraction: a foldable positive int-range integral
+    * expression, loud failure otherwise (a silent default, a truncated
+    * long, or a non-positive window would all fingerprint with the
     * wrong window).
     */
-  private[graft] def extractW(exprs: Seq[Expression]): Int = exprs.lift(1) match {
-    case None => 32
-    case Some(e) if e.foldable => e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case s: Short => s.toInt
-      case b: Byte => b.toInt
-      case other => throw new IllegalArgumentException(
-        s"min_rolling_hash: w must be an integral literal, got $other")
+  private[graft] def extractW(exprs: Seq[Expression]): Int = {
+    val w = exprs.lift(1) match {
+      case None => 32
+      case Some(e) if e.foldable => e.eval(null) match {
+        case i: Int => i
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"min_rolling_hash: w must be an int-range integral literal, got $other")
+      }
+      case Some(e) => throw new IllegalArgumentException(
+        s"min_rolling_hash: w must be foldable, got $e")
     }
-    case Some(e) => throw new IllegalArgumentException(
-      s"min_rolling_hash: w must be foldable, got $e")
+    if (w < 1) throw new IllegalArgumentException(
+      s"min_rolling_hash: w must be >= 1, got $w")
+    w
+  }
+
+  private def arity(name: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new IllegalArgumentException(
+        s"$name expects $min to $max arguments, got ${exprs.size}")
+
+  /** Arity-checked builders shared by [[register]] and the session
+    * extension ([[graft.plans.GraftExtensions]]) — extra arguments fail
+    * loudly instead of being silently ignored.
+    */
+  private[graft] def buildPolyHash(exprs: Seq[Expression]): Expression = {
+    arity("poly_hash", exprs, 1, 1)
+    PolyHashExpr(exprs.head)
+  }
+
+  private[graft] def buildMinRollingHash(exprs: Seq[Expression]): Expression = {
+    arity("min_rolling_hash", exprs, 1, 2)
+    MinRollingHashExpr(exprs.head, extractW(exprs))
   }
 
   /** Idempotent per-session registration (SQL names `poly_hash`,
@@ -85,10 +114,9 @@ object TextHashFunctions {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHashExpr(exprs.head), "scala_udf")
+      "poly_hash", buildPolyHash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "min_rolling_hash",
-      exprs => MinRollingHashExpr(exprs.head, extractW(exprs)), "scala_udf")
+      "min_rolling_hash", buildMinRollingHash, "scala_udf")
   }
 
   def polyHash(text: Column): Column = call_function("poly_hash", text)

@@ -43,6 +43,14 @@ object SimilarityOps {
       s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
       s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
+  /** DuckDB twin of [[graft.api.Similarity.withNorm]]'s zero-norm row
+    * drop — every oracle carries it so the cross-engine contract holds
+    * even for corpora containing zero/NaN embeddings (the harness data
+    * has none, but the SQL documents the executable semantics).
+    */
+  private def posNormSql(e: String): String =
+    s"list_dot_product(CAST($e AS DOUBLE[]), CAST($e AS DOUBLE[])) > 0"
+
   /** The harness embeddings table, pre-spread across cores (single small
     * file → 1 scan task otherwise) for the dot-product-heavy stages.
     */
@@ -69,7 +77,8 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
        |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
-       |  WHERE p.vec_id < 10)
+       |  WHERE p.vec_id < 10
+       |    AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
 
   /** q43: IVF-style ANN — centroids are vectors vec_id<16; every vector is
@@ -96,7 +105,8 @@ object SimilarityOps {
        |    SELECT e.vec_id, e.embedding, c.vec_id AS cent_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("c.embedding", "e.embedding")} DESC, c.vec_id) AS arn
-       |    FROM embeddings e JOIN embeddings c ON c.vec_id < 16)
+       |    FROM embeddings e JOIN embeddings c ON c.vec_id < 16
+       |    WHERE ${posNormSql("e.embedding")} AND ${posNormSql("c.embedding")})
        |  WHERE arn = 1)""".stripMargin
 
   val q43Sql: String =
@@ -144,7 +154,8 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
        |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
-       |  WHERE p.vec_id >= 10 AND p.vec_id < 20)
+       |  WHERE p.vec_id >= 10 AND p.vec_id < 20
+       |    AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
   /** q49: embedding-cosine near-duplicate pairs (all pairs with sim ≥
@@ -164,6 +175,7 @@ object SimilarityOps {
        |  ${cosSql("a.embedding", "b.embedding")} AS sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
+       |  AND ${posNormSql("a.embedding")} AND ${posNormSql("b.embedding")}
        |ORDER BY vec_a, vec_b""".stripMargin
 
   /** q82: BLOCKED embedding near-dup pairs — q49's semantics restricted
@@ -212,7 +224,8 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
        |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
-       |  WHERE p.vec_id % 10 = 0)
+       |  WHERE p.vec_id % 10 = 0
+       |    AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
   /** q52: per-(label, dimension) embedding statistics via posexplode —

@@ -44,11 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
-      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+      TextHashFunctions.buildPolyHash))
     ext.injectFunction((
       FunctionIdentifier("min_rolling_hash"),
       new ExpressionInfo(classOf[MinRollingHashExpr].getName, "min_rolling_hash"),
-      (exprs: Seq[Expression]) => MinRollingHashExpr(exprs.head,
-        TextHashFunctions.extractW(exprs))))
+      TextHashFunctions.buildMinRollingHash))
   }
 }

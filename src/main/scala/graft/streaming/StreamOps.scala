@@ -91,9 +91,13 @@ object StreamOps {
       .drop("__sigs", "__band_key")
   }
 
-  /** One document on the verified near-dup path. */
-  case class NearDupIn(bandKey: String, id: Long, ts: java.sql.Timestamp,
-    text: String, sh: Seq[String])
+  /** One document on the verified near-dup path (`id` boxed: null ids
+    * are legal input — they key on a per-row uuid — and a primitive
+    * field's encoder null-assertion would kill the query on the exact
+    * rows the uuid fallback exists for).
+    */
+  case class NearDupIn(bandKey: String, id: java.lang.Long,
+    ts: java.sql.Timestamp, text: String, sh: Seq[String])
 
   /** A kept document's verification state: its shingle set and arrival
     * time (evicted once the watermark passes ts + lateness).
@@ -101,7 +105,7 @@ object StreamOps {
   case class KeptDoc(sh: Seq[String], tsMs: Long)
 
   /** An emitted (kept) document. */
-  case class NearDupOut(id: Long, ts: java.sql.Timestamp, text: String)
+  case class NearDupOut(id: java.lang.Long, ts: java.sql.Timestamp, text: String)
 
   private def latenessToMs(lateness: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -123,10 +127,14 @@ object StreamOps {
     * EventTimeTimeout).
     *
     * Narrowed contract vs the band-only filter: the output carries
-    * exactly (idCol: long, tsCol, textCol). Docs with no shingles key
-    * on their own id (jaccard(∅,∅) = 1, so same-id re-deliveries still
-    * dedup; distinct ids never meet). Within a micro-batch, documents
-    * are processed in (ts, id) order for determinism.
+    * exactly (idCol: long, tsCol, textCol), and rows with a NULL event
+    * time are dropped explicitly (a watermarked stateful operator has
+    * no ordering or eviction point for them). Null ids stay legal —
+    * they key on a per-row uuid, like the band-only filter. Docs with
+    * no shingles key on their own id (jaccard(∅,∅) = 1, so same-id
+    * re-deliveries still dedup; distinct ids never meet). Within a
+    * micro-batch, documents are processed in (ts, id) order for
+    * determinism (null ids order first).
     */
   def nearDupFilterVerifiedWithinWatermark(docs: DataFrame, tsCol: String,
       lateness: String, idCol: String, textCol: String,
@@ -144,6 +152,7 @@ object StreamOps {
         .otherwise(concat(lit("id:"),
           coalesce(col(idCol).cast("string"), expr("uuid()")))))
       .withWatermark(tsCol, lateness)
+      .filter(col(tsCol).isNotNull)
       .select(col("__band_key").as("bandKey"), col(idCol).cast("long").as("id"),
         col(tsCol).as("ts"), col(textCol).as("text"), col("__sh").as("sh"))
       .as[NearDupIn]
@@ -159,13 +168,19 @@ object StreamOps {
             val wm = state.getCurrentWatermarkMs()
             var kept = state.getOption.getOrElse(Nil)
               .filter(_.tsMs + latenessMs >= wm)
-            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).flatMap { r =>
-              val shSet = r.sh.toSet
+            val out = rows.toSeq
+              .sortBy(r => (r.ts.getTime,
+                Option(r.id).map(_.toLong).getOrElse(Long.MinValue)))
+              .flatMap { r =>
+              // null text → null shingle array (the kernels are
+              // null-intolerant); treat as the empty set
+              val shingles = Option(r.sh).getOrElse(Seq.empty)
+              val shSet = shingles.toSet
               val isDup = kept.exists(k =>
                 graft.functions.Parsing.jaccard(k.sh.toSet, shSet) >= jaccardThreshold)
               if (isDup) None
               else {
-                kept = KeptDoc(r.sh, r.ts.getTime) :: kept
+                kept = KeptDoc(shingles, r.ts.getTime) :: kept
                 Some(NearDupOut(r.id, r.ts, r.text))
               }
             }

@@ -101,6 +101,11 @@ class ApiSpec extends SparkSpec {
     val full = Dedup.lshCandidatePairs(corpus, "k", "body")
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(full.size === 50 * 49 / 2 + 1)
+    // Int.MaxValue takes the guard-free lazy path; same pairs
+    val lazyFull = Dedup.lshCandidatePairs(corpus, "k", "body",
+        maxBucketSize = Int.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lazyFull === full)
   }
 
   test("cacheScope releases exactly the dedup intermediates") {

@@ -204,8 +204,10 @@ class StreamOpsSpec extends SparkSpec {
       Doc(t(6), 4, "x y"))             // same-id no-shingle redelivery → dropped
     q2.processAllAvailable()
     q2.stop()
-    assert(spark.table("ndfv_verified").select($"doc_id").as[Long].collect().toSet
-      === Set(1L, 2L, 4L))
+    // sorted multiset, not a set: the id-4 redelivery dedup would be
+    // invisible if duplicates collapsed into a Set
+    assert(spark.table("ndfv_verified").select($"doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 4L))
   }
 
   test("JsonLinesRecordWriter: atomic rename, orphan-tmp cleanup, failure leaves no output") {
