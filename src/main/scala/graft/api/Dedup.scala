@@ -173,23 +173,74 @@ object Dedup {
         .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
         .distinct())
     }
-    // verify: pull each pair's two shingle arrays side by side via two
-    // broadcast joins (candidates are tiny) and intersect in place — the
-    // full shingle data is only ever scanned, never shuffled. The
-    // broadcast semi-restriction to candidate ids happens on the RAW docs,
-    // BEFORE the shingle kernel, so the full-corpus kernel runs exactly
-    // once (in the banding pass); the verify passes re-shingle only the
-    // candidate subset.
-    def candSide(pairCol: String, arrName: String, nName: String): DataFrame = {
+    verifyExactJaccard(cands, docs, docs, idCol, textCol, n, "id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of a (tiny) candidate-pair frame: pull
+    * each pair's two shingle arrays side by side via two broadcast
+    * joins and intersect in place — the full shingle data is only ever
+    * scanned, never shuffled. The broadcast semi-restriction to
+    * candidate ids happens on the RAW docs, BEFORE the shingle kernel,
+    * so each side's full-corpus kernel runs exactly once (in its
+    * banding pass); the verify passes re-shingle only the candidate
+    * subset.
+    */
+  private def verifyExactJaccard(cands: DataFrame, docsA: DataFrame,
+      docsB: DataFrame, idCol: String, textCol: String, n: Int,
+      aCol: String, bCol: String): DataFrame = {
+    def candSide(src: DataFrame, pairCol: String, arrName: String,
+        nName: String): DataFrame = {
       val ids = cands.select(col(pairCol).as(idCol)).distinct()
-      shingleSets(docs.join(broadcast(ids), idCol), idCol, textCol, n)
+      shingleSets(src.join(broadcast(ids), idCol), idCol, textCol, n)
         .select(col(idCol).as(pairCol), col("sh_arr").as(arrName), col("n_sh").as(nName))
     }
-    val withA = candSide("id_a", "a_arr", "n_a").join(broadcast(cands), "id_a")
-    candSide("id_b", "b_arr", "n_b").join(broadcast(withA), "id_b")
+    val withA = candSide(docsA, aCol, "a_arr", "n_a").join(broadcast(cands), aCol)
+    candSide(docsB, bCol, "b_arr", "n_b").join(broadcast(withA), bCol)
       .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
-      .select(col("id_a"), col("id_b"), col("n_inter"),
+      .select(col(aCol), col(bCol), col("n_inter"),
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Incremental ingest dedup: verified LSH candidate pairs BETWEEN a
+    * new batch and an existing corpus — (new_id, corpus_id, n_inter,
+    * jaccard), unordered. The production shape for "dedupe incoming
+    * documents against everything already ingested": both sides band
+    * independently, the equi-join on (band, band_sig) touches only
+    * corpus buckets the BATCH collides with, and pair count is
+    * proportional to the batch's near-dup density, never the corpus
+    * size. Corpus-side buckets above `maxBucketSize` are dropped with a
+    * logged count, like [[lshCandidatePairs]] (at real scale the corpus
+    * bands/signatures would be precomputed once and stored columnar —
+    * this recomputes them for self-containment; ids that appear on both
+    * sides never pair with themselves).
+    */
+  def lshCandidatePairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    def bandsOf(df: DataFrame, outCol: String): DataFrame =
+      minhashWide(shingleSets(df, idCol, textCol, n), idCol).select(
+        col(idCol).as(outCol),
+        expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+    val newBands = bandsOf(newDocs, "new_id")
+    val corpusBands = tracked(bandsOf(corpus, "corpus_id"))
+    val keepCorpus =
+      if (maxBucketSize == Int.MaxValue) corpusBands
+      else {
+        val counts = tracked(corpusBands.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("n_post")))
+        val dropped = counts.filter(col("n_post") > maxBucketSize).count()
+        if (dropped > 0)
+          log.warn(s"lshCandidatePairsAgainst: dropped $dropped corpus LSH " +
+            s"bucket(s) with more than $maxBucketSize postings")
+        corpusBands.join(
+          counts.filter(col("n_post") <= maxBucketSize).select(col("band"), col("band_sig")),
+          Seq("band", "band_sig"))
+      }
+    val cands = tracked(newBands.join(keepCorpus, Seq("band", "band_sig"))
+      .select(col("new_id"), col("corpus_id"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .distinct())
+    verifyExactJaccard(cands, newDocs, corpus, idCol, textCol, n, "new_id", "corpus_id")
   }
 
   /** Edge-count cutover between the two [[clusterComponents]] plans.
