@@ -281,8 +281,60 @@ object DedupOps {
        |  USING (cluster)
        |ORDER BY m.doc_id""".stripMargin
 
+  /** q84: incremental ingest dedup — verified LSH pairs BETWEEN an
+    * incoming batch (odd doc ids) and the standing corpus (even ids),
+    * the production shape for "dedupe new documents against everything
+    * already ingested". Both sides band independently and meet in an
+    * equi-join on (band, band signature), so work scales with the
+    * BATCH's near-dup density, never the corpus size; within-batch and
+    * within-corpus pairs are never emitted (those are
+    * [[graft.api.Dedup.lshCandidatePairs]]'s job on each side alone).
+    */
+  def q84IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = docs(spark, dir)
+    graft.api.Dedup.lshCandidatePairsAgainst(
+        all.filter($"doc_id" % 2 === 1), all.filter($"doc_id" % 2 === 0),
+        "doc_id", "text")
+      .select($"new_id", $"corpus_id", $"n_inter", $"jaccard")
+      .orderBy($"new_id", $"corpus_id")
+  }
+
+  val q84Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |bands AS (
+       |  SELECT doc_id, seed // $BandRows AS band,
+       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
+       |  FROM mh GROUP BY doc_id, seed // $BandRows),
+       |newb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+       |corpb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+       |okb AS (
+       |  SELECT band, band_sig FROM corpb GROUP BY band, band_sig
+       |  HAVING COUNT(*) <= ${graft.api.Dedup.DefaultMaxBucketSize}),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM newb n
+       |  JOIN corpb c ON c.band = n.band AND c.band_sig = n.band_sig
+       |  JOIN okb o ON o.band = c.band AND o.band_sig = c.band_sig),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.new_id
+       |  JOIN sh sb ON sb.doc_id = c.corpus_id AND sb.sh = sa.sh
+       |  GROUP BY c.new_id, c.corpus_id)
+       |SELECT c.new_id, c.corpus_id, COALESCE(i.n_inter, 0) AS n_inter,
+       |  COALESCE(i.n_inter, 0) / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+       |FROM cands c
+       |LEFT JOIN inter i ON i.new_id = c.new_id AND i.corpus_id = c.corpus_id
+       |JOIN sizes za ON za.doc_id = c.new_id
+       |JOIN sizes zb ON zb.doc_id = c.corpus_id
+       |ORDER BY c.new_id, c.corpus_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q55_dedup_clusters" -> (q55DedupClusters _),
+    "q84_incremental_dedup" -> (q84IncrementalDedup _),
     "q37_dedup_exact" -> (q37DedupExact _),
     "q38_minhash_sigs" -> (q38MinhashSigs _),
     "q39_lsh_pairs" -> (q39LshPairs _),
@@ -291,6 +343,7 @@ object DedupOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q55_dedup_clusters" -> q55Sql,
+    "q84_incremental_dedup" -> q84Sql,
     "q37_dedup_exact" -> q37Sql,
     "q38_minhash_sigs" -> q38Sql,
     "q39_lsh_pairs" -> q39Sql,

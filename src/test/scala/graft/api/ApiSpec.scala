@@ -86,6 +86,40 @@ class ApiSpec extends SparkSpec {
     assert(iter === sparse)
   }
 
+  test("lshCandidatePairsAgainst pairs the batch against the corpus only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words in this unrelated document body here"
+    val corpus = Seq(
+      (1L, base),
+      (2L, other),
+      (3L, base + " extra")
+    ).toDF("k", "body")
+    val batch = Seq(
+      (10L, base),       // near-dup of corpus 1 and 3
+      (12L, base),       // identical to batch 10 — but within-batch pairs are not this op's job
+      (11L, "nothing shaped like anything stored before inside that corpus at all"),
+      (2L, other)        // same id AND text on both sides: must not self-pair
+    ).toDF("k", "body")
+    val got = Dedup.lshCandidatePairsAgainst(batch, corpus, "k", "body")
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((12L, 1L)))
+    assert(!pairs.exists(p => p._1 == p._2), "shared id must never self-pair")
+    assert(!pairs.contains((10L, 12L)) && !pairs.contains((12L, 10L)),
+      "within-batch pairs are out of scope")
+    assert(!pairs.exists(_._1 == 11L), "novel doc pairs with nothing")
+    assert(got.filter(t => t._1 == 10L && t._2 == 1L).head._3 === 1.0)
+
+    // corpus-side hot-bucket cap: a degenerate corpus bucket emits nothing
+    val hot = (0 until 50).map(i => (100L + i, base)).toDF("k", "body")
+    val capped = Dedup.lshCandidatePairsAgainst(batch, hot, "k", "body",
+        maxBucketSize = 10)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect()
+    assert(capped.isEmpty)
+  }
+
   test("lshCandidatePairs drops oversized LSH buckets instead of exploding them") {
     import spark.implicits._
     val hotText = "a b c d e f g h i j"
