@@ -243,6 +243,34 @@ object Dedup {
     verifyExactJaccard(cands, newDocs, corpus, idCol, textCol, n, "new_id", "corpus_id")
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * n-word shingles appear anywhere in `benchmark` — (idCol, n_sh,
+    * n_contaminated, contamination_frac), contaminated docs only. The
+    * training-data hygiene op ("drop documents that leak eval-set
+    * n-grams"): production pipelines do exactly this with 8–13-gram
+    * overlap against held-out benchmarks.
+    *
+    * Scale shape: the benchmark shingle set is small BY DEFINITION
+    * (eval sets are thousands of docs, not billions) — it distincts on
+    * its own tiny side and BROADCASTS, so the corpus side is one narrow
+    * shingle-kernel pass + broadcast-hash semi-restriction; only the
+    * matching (contaminated) shingle hits ever shuffle, and those are
+    * proportional to the leak rate, not the corpus. Anti-join the
+    * result against the corpus to keep the clean remainder.
+    */
+  def decontaminationStats(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val benchSh = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh_arr")).as("sh")).distinct()
+    shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy(col(idCol), col("n_sh"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col(idCol), col("n_sh"), col("n_contaminated"),
+        (col("n_contaminated") / col("n_sh")).as("contamination_frac"))
+  }
+
   /** Edge-count cutover between the two [[clusterComponents]] plans.
     * Below it, a single-partition union-find pass wins outright: one
     * narrow job, no per-iteration scheduling latency (join-iterated

@@ -134,6 +134,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * half of a scaled ANN index (4× smaller than float32, 8× smaller
+    * than the float64 Spark would otherwise box): per vector,
+    * `scale = max|x| / 127` and `q_i = floor(x_i/scale + 0.5)`, so every
+    * component lands in [-127, 127] and the max-magnitude component maps
+    * to ±127 exactly. Returns (idCol, scale, q_emb, n_clipped) where
+    * `n_clipped` counts full-scale components. Fully narrow per-row
+    * arithmetic (element-wise doubles + an order-independent array max —
+    * engine-exact, no reduction-order hazard); zero vectors are dropped
+    * (no direction to preserve, matching [[withNorm]]).
+    *
+    * Reconstruct with `transform(q_emb, q -> q * scale)`; worst-case
+    * per-component error is scale/2, i.e. max|x|/254.
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    corpus
+      .withColumn("maxabs",
+        expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", col("maxabs") / 127)
+      .withColumn("q_emb",
+        expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))"))
+      .select(col(idCol), col("scale"), col("q_emb"),
+        expr("size(filter(q_emb, q -> abs(q) = 127))").cast("long").as("n_clipped"))
+
   /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the
     * [[cosineKnn]] contract requires broadcastable probes): the corpus
     * hashes into `blocks` blocks, probes replicate to every block, and

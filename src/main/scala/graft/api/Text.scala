@@ -47,6 +47,24 @@ object Text {
       (lit(1.0) - stopwordCount(text).cast("double") / nTok) * lit(0.2)
   }
 
+  /** Within-document repetition signal: the fraction of n-gram
+    * OCCURRENCES that repeat an earlier occurrence in the same document
+    * (`1 − distinct/total`, the duplicate-n-gram fraction used as a
+    * quality filter in large-corpus curation — boilerplate and
+    * auto-generated text score high). Null when the document has fewer
+    * than n tokens. Fully narrow per-row array arithmetic — no explode,
+    * no shuffle; integer-ratio doubles, so engine-exact.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val grams =
+      if (n == 1) toks
+      else transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
   /** Whitespace-normalized md5 content fingerprint (exact-dup key). */
   def normalizedFingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))

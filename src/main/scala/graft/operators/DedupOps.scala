@@ -332,9 +332,39 @@ object DedupOps {
        |JOIN sizes zb ON zb.doc_id = c.corpus_id
        |ORDER BY c.new_id, c.corpus_id""".stripMargin
 
+  /** q85: benchmark decontamination — per corpus doc (doc_id % 25 ≠ 0),
+    * how many of its 4-word shingles appear anywhere in the "benchmark"
+    * slice (doc_id % 25 = 0); contaminated docs only. Plan shape on
+    * [[graft.api.Dedup.decontaminationStats]]: the benchmark shingle set
+    * broadcasts, the corpus pass is one narrow kernel + broadcast-hash
+    * join, only hits shuffle.
+    */
+  def q85Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = docs(spark, dir)
+    graft.api.Dedup.decontaminationStats(
+        all.filter($"doc_id" % 25 =!= 0), all.filter($"doc_id" % 25 === 0),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val q85Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0),
+       |corp AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_contaminated
+       |  FROM corp c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+       |SELECT h.doc_id, s.n_sh, h.n_contaminated,
+       |  h.n_contaminated / s.n_sh AS contamination_frac
+       |FROM hits h JOIN sizes s USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
+    "q85_decontaminate" -> (q85Decontaminate _),
     "q37_dedup_exact" -> (q37DedupExact _),
     "q38_minhash_sigs" -> (q38MinhashSigs _),
     "q39_lsh_pairs" -> (q39LshPairs _),
@@ -344,6 +374,7 @@ object DedupOps {
   val oracles: Seq[(String, String)] = Seq(
     "q55_dedup_clusters" -> q55Sql,
     "q84_incremental_dedup" -> q84Sql,
+    "q85_decontaminate" -> q85Sql,
     "q37_dedup_exact" -> q37Sql,
     "q38_minhash_sigs" -> q38Sql,
     "q39_lsh_pairs" -> q39Sql,

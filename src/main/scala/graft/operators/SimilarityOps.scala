@@ -283,7 +283,34 @@ object SimilarityOps {
       |WHERE dim < 8
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** q87: symmetric int8 quantization of the embedding column — the
+    * storage half of a scaled ANN index (4× smaller than float32). Per
+    * vector: scale = max|x|/127, components floor(x/scale + 0.5), plus
+    * the clipped-component count. All element-wise double arithmetic +
+    * an order-independent array max, so both engines agree bit-for-bit;
+    * plan is one narrow projection, the only wide op is the output sort.
+    */
+  def q87QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Similarity.quantizeInt8(table(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy($"vec_id")
+  }
+
+  val q87Sql: String =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, maxabs / 127 AS scale,
+      |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
+      |  FROM m WHERE maxabs > 0)
+      |SELECT vec_id, scale, q_emb,
+      |  CAST(len(list_filter(q_emb, q -> abs(q) = 127)) AS BIGINT) AS n_clipped
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q87_quantize_int8" -> (q87QuantizeInt8 _),
     "q42_cosine_knn" -> (q42CosineKnn _),
     "q43_ivf_knn" -> (q43IvfKnn _),
     "q45_topk_udaf" -> (q45TopkUdaf _),
@@ -294,6 +321,7 @@ object SimilarityOps {
     "q83_knn_shuffled" -> (q83KnnShuffled _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q87_quantize_int8" -> q87Sql,
     "q42_cosine_knn" -> q42Sql,
     "q43_ivf_knn" -> q43Sql,
     "q45_topk_udaf" -> q45Sql,

@@ -178,7 +178,43 @@ object TextOps {
       |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_bpe_uniq
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q86: within-document repetition scoring — the duplicate-n-gram
+    * fraction quality signal (boilerplate/auto-generated text scores
+    * high): per doc with ≥3 tokens, `1 − distinct/total` over token,
+    * bigram, and trigram occurrences via [[graft.api.Text.dupNgramFrac]].
+    * Fully narrow per-row array arithmetic — the only wide op is the
+    * output sort.
+    */
+  def q86Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        graft.api.Text.tokenCount($"text").as("n_tokens"),
+        graft.api.Text.dupNgramFrac($"text", 1).as("dup_token_frac"),
+        graft.api.Text.dupNgramFrac($"text", 2).as("dup_2gram_frac"),
+        graft.api.Text.dupNgramFrac($"text", 3).as("dup_3gram_frac"))
+      .filter($"n_tokens" >= 3)
+      .orderBy($"doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, toks, len(toks) AS n
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3),
+      |g AS (
+      |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, toks,
+      |    list_transform(range(1, n), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+      |    list_transform(range(1, n - 1), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      |  FROM b)
+      |SELECT doc_id, n_tokens,
+      |  1 - len(list_distinct(toks)) / len(toks) AS dup_token_frac,
+      |  1 - len(list_distinct(g2)) / len(g2) AS dup_2gram_frac,
+      |  1 - len(list_distinct(g3)) / len(g3) AS dup_3gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q86_repetition" -> (q86Repetition _),
     "q53_bpe_tokens" -> (q53BpeTokens _),
     "q47_rolling_fingerprint" -> (q47RollingFingerprint _),
     "q32_token_freq" -> (q32TokenFreq _),
@@ -262,6 +298,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q86_repetition" -> q86Sql,
     "q47_rolling_fingerprint" -> q47Sql,
     "q53_bpe_tokens" -> q53Sql,
     "q32_token_freq" -> q32Sql,

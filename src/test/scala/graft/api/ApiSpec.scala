@@ -155,6 +155,65 @@ class ApiSpec extends SparkSpec {
       "scope exit must unpersist every dedup intermediate")
   }
 
+  test("decontaminationStats counts benchmark shingle leaks per corpus doc") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchmark = Seq((100L, benchText)).toDF("k", "body")
+    val corpus = Seq(
+      // shares the 'alpha beta gamma delta' + following 4-gram windows
+      (1L, "alpha beta gamma delta epsilon unrelated tail words here now"),
+      (2L, "totally clean document with no benchmark overlap at all today"),
+      (3L, benchText) // full leak: every shingle contaminated
+    ).toDF("k", "body")
+    val stats = Dedup.decontaminationStats(corpus, benchmark, "k", "body")
+      .select($"k", $"n_sh", $"n_contaminated", $"contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(!stats.contains(2L), "clean docs are absent from the stats")
+    assert(stats(3L)._2 === stats(3L)._3, "identical doc: all shingles hit")
+    assert(stats(3L)._4 === 1.0)
+    // doc 1: 7 shingles, the first two 4-grams are inside the benchmark
+    assert(stats(1L)._2 === 7L)
+    assert(stats(1L)._3 === 2L)
+  }
+
+  test("dupNgramFrac measures within-document repetition exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),            // tokens: 5 total / 2 distinct; bigrams: 4/2
+      (2L, "w x y z"),              // no repetition at any n
+      (3L, "q r")                   // too short for trigrams
+    ).toDF("id", "body")
+      .select($"id",
+        Text.dupNgramFrac($"body", 1).as("f1"),
+        Text.dupNgramFrac($"body", 2).as("f2"),
+        Text.dupNgramFrac($"body", 3).as("f3"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L) === ((Some(1.0 - 2.0 / 5), Some(0.5), Some(1.0 - 2.0 / 3))))
+    assert(rows(2L) === ((Some(0.0), Some(0.0), Some(0.0))))
+    assert(rows(3L)._3 === None, "shorter than n yields null, not an error")
+  }
+
+  test("quantizeInt8 maps the max component to ±127 and bounds error by scale/2") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))   // zero vector: dropped
+    ).toDF("vid", "vec")
+    val out = Similarity.quantizeInt8(corpus, "vid", "vec")
+    val rows = out.select($"vid", $"scale", $"q_emb", $"n_clipped")
+      .as[(Long, Double, Seq[Int], Long)].collect()
+    assert(rows.map(_._1).toSet === Set(1L))
+    val (_, scale, q, nClipped) = rows.head
+    assert(q === Seq(64, -127, 32, 0)) // 0.5/(1/127)+0.5 → 64.0; -127 exact
+    assert(nClipped === 1L)
+    // reconstruction error ≤ scale/2 per component
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    q.zip(orig).foreach { case (qi, x) =>
+      assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12)
+    }
+  }
+
   test("Text API column builders compute expected features") {
     import spark.implicits._
     val df = Seq(
