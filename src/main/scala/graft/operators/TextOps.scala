@@ -187,6 +187,7 @@ object TextOps {
     */
   def q86Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
     table(spark, dir, "documents")
       .select($"doc_id",
         graft.api.Text.tokenCount($"text").as("n_tokens"),
