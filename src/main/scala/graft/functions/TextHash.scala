@@ -48,4 +48,32 @@ object TextHash {
     val hs = rollingHashes(s, w)
     if (hs.isEmpty) polyHash(s) else hs.min
   }
+
+  private val Log2 = math.log(2.0)
+
+  /** Shannon entropy in bits of the document's code-point distribution —
+    * a cheap perplexity proxy for corpus quality filtering (near-zero for
+    * degenerate repeated-character text, ~4.2 for natural English).
+    * One pass + a sorted count map, so the p·log₂p summation order is
+    * deterministic (ascending code point); 0.0 for the empty string.
+    */
+  def charEntropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Int, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.put(cp, counts.getOrDefault(cp, 0L) + 1L)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / Log2)
+    }
+    h
+  }
 }

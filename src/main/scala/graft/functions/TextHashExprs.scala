@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** UTF8String-accepting forwarders over the pure-Scala [[TextHash]]
@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashOps {
   def polyHash(s: UTF8String): Long = TextHash.polyHash(s.toString)
   def minRollingHash(s: UTF8String, w: Int): Long = TextHash.minRollingHash(s.toString, w)
+  def charEntropy(s: UTF8String): Double = TextHash.charEntropy(s.toString)
 }
 
 /** `poly_hash(text)` — polynomial (Karp–Rabin) hash of the whole string,
@@ -59,6 +60,28 @@ case class MinRollingHashExpr(child: Expression, w: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHashOps.minRollingHash($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_entropy(text)` — Shannon entropy (bits) of the code-point
+  * distribution, one codegen'd pass per document (see
+  * [[TextHash.charEntropy]]).
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.charEntropy($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -109,6 +132,11 @@ object TextHashFunctions {
     MinRollingHashExpr(exprs.head, extractW(exprs))
   }
 
+  private[graft] def buildCharEntropy(exprs: Seq[Expression]): Expression = {
+    arity("char_entropy", exprs, 1, 1)
+    CharEntropyExpr(exprs.head)
+  }
+
   /** Idempotent per-session registration (SQL names `poly_hash`,
     * `min_rolling_hash`).
     */
@@ -117,10 +145,14 @@ object TextHashFunctions {
       "poly_hash", buildPolyHash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_rolling_hash", buildMinRollingHash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", buildCharEntropy, "scala_udf")
   }
 
   def polyHash(text: Column): Column = call_function("poly_hash", text)
 
   def minRollingHash(text: Column, w: Int): Column =
     call_function("min_rolling_hash", text, lit(w))
+
+  def charEntropy(text: Column): Column = call_function("char_entropy", text)
 }

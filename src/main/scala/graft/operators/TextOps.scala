@@ -214,8 +214,121 @@ object TextOps {
       |  1 - len(list_distinct(g3)) / len(g3) AS dup_3gram_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** q88: tokenizer-vocabulary coverage — global token frequencies
+    * ranked, with the running cumulative share of all token occurrences
+    * ("the 100 most frequent tokens cover X% of the corpus", the curve
+    * that sizes a vocabulary). The explode + hash agg is map-side
+    * partial; the ranked window runs over the DISTINCT-TOKEN frame
+    * (vocab ≪ corpus — a few 10⁵ rows at any corpus size, one
+    * partition is fine), and the corpus total is one broadcast scalar.
+    */
+  def q88VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = table(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum($"cnt").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")).cast("long"))
+      .withColumn("cum_frac", sum($"cnt").over(w) / $"n_total")
+      .filter($"rank" <= 100)
+      .select($"rank", $"tok", $"cnt", $"cum_frac")
+      .orderBy($"rank")
+  }
+
+  val q88Sql: String =
+    """WITH c AS (
+      |  SELECT tok, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY tok),
+      |r AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank, tok, cnt,
+      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      / CAST((SELECT SUM(cnt) FROM c) AS BIGINT) AS cum_frac
+      |  FROM c)
+      |SELECT rank, tok, cnt, cum_frac FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  /** q89: curation filter funnel — per source, how many docs each
+    * quality gate rejects (length, language-ID, within-doc repetition)
+    * and how many survive all gates. One narrow pass over the corpus
+    * (every signal is a per-row column builder incl. the fused shingle
+    * kernel) + a 20-group conditional aggregation — the funnel report a
+    * training-data pipeline emits per ingest batch.
+    */
+  def q89FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    val sig = table(spark, dir, "documents").select($"source",
+      graft.api.Text.tokenCount($"text").as("nt"),
+      graft.api.Text.langIdPredict($"text").as("plang"),
+      graft.api.Text.dupNgramFrac($"text", 2).as("rep"))
+    sig.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"nt" < 25, 1L).otherwise(0L)).as("n_too_short"),
+        sum(when($"plang" =!= "en", 1L).otherwise(0L)).as("n_non_english"),
+        sum(when($"rep" > 0.06, 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when($"nt" >= 25 && $"plang" === "en" && $"rep" <= 0.06, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val q89Sql: String =
+    """WITH f AS (
+      |  SELECT source, len(toks) AS nt,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+      |      / len(toks) AS esc,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      1 - len(list_distinct(list_transform(range(1, len(toks)),
+      |            i -> array_to_string(toks[i:i+1], ' ')))) / (len(toks) - 1)
+      |    END AS rep
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN nt < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+      |  CAST(SUM(CASE WHEN esc < 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_english,
+      |  CAST(SUM(CASE WHEN rep > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  CAST(SUM(CASE WHEN nt >= 25 AND esc >= 0.08 AND rep <= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** q90: character-entropy quality scoring — Shannon entropy (bits) of
+    * each document's code-point distribution, a cheap perplexity proxy
+    * (degenerate repeated-character text scores near 0). One pass of the
+    * codegen'd [[graft.functions.CharEntropyExpr]] kernel per row — no
+    * explode, no shuffle beyond the output sort; rounded to 4 decimals
+    * (different p·log₂p summation orders across engines differ at
+    * ~1e-14).
+    */
+  def q90CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextHashFunctions.register(spark)
+    table(spark, dir, "documents")
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+        round(graft.functions.TextHashFunctions.charEntropy($"text"), 4).as("char_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val q90Sql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |        FROM documents WHERE text <> '')
+      |  GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+      |SELECT cc.doc_id, round(-SUM((cc.c / tot.n) * log2(cc.c / tot.n)), 4) AS char_entropy
+      |FROM cc JOIN tot USING (doc_id)
+      |GROUP BY cc.doc_id, tot.n
+      |ORDER BY cc.doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q86_repetition" -> (q86Repetition _),
+    "q88_vocab_coverage" -> (q88VocabCoverage _),
+    "q89_filter_funnel" -> (q89FilterFunnel _),
+    "q90_char_entropy" -> (q90CharEntropy _),
     "q53_bpe_tokens" -> (q53BpeTokens _),
     "q47_rolling_fingerprint" -> (q47RollingFingerprint _),
     "q32_token_freq" -> (q32TokenFreq _),
@@ -300,6 +413,9 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q86_repetition" -> q86Sql,
+    "q88_vocab_coverage" -> q88Sql,
+    "q89_filter_funnel" -> q89Sql,
+    "q90_char_entropy" -> q90Sql,
     "q47_rolling_fingerprint" -> q47Sql,
     "q53_bpe_tokens" -> q53Sql,
     "q32_token_freq" -> q32Sql,

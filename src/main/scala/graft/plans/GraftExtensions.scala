@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSigs, MinRollingHashExpr, PolyHashExpr, ShingleFunctions, Simhash64Expr, TextHashFunctions, TextShingles, VectorDot}
+import graft.functions.{CharEntropyExpr, MinHashSigs, MinRollingHashExpr, PolyHashExpr, ShingleFunctions, Simhash64Expr, TextHashFunctions, TextShingles, VectorDot}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("min_rolling_hash"),
       new ExpressionInfo(classOf[MinRollingHashExpr].getName, "min_rolling_hash"),
       TextHashFunctions.buildMinRollingHash))
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
+      TextHashFunctions.buildCharEntropy))
   }
 }

@@ -40,6 +40,26 @@ class FunctionsSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
 
+  test("charEntropy: known distributions, SQL surface, null passthrough") {
+    // uniform over k symbols → log2(k) bits; single symbol → 0
+    assert(TextHash.charEntropy("") === 0.0)
+    assert(TextHash.charEntropy("aaaa") === 0.0)
+    assert(math.abs(TextHash.charEntropy("abab") - 1.0) < 1e-12)
+    assert(math.abs(TextHash.charEntropy("abcdabcd") - 2.0) < 1e-12)
+    // 3/4 vs 1/4 split: H = -(3/4)log2(3/4) - (1/4)log2(1/4)
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2.0)
+    assert(math.abs(TextHash.charEntropy("aaab") - expected) < 1e-12)
+
+    TextHashFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq((1L, Some("abab")), (2L, None))
+      .toDF("id", "t")
+      .select($"id", expr("char_entropy(t)").as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L) === Some(1.0))
+    assert(rows(2L) === None)
+  }
+
   test("TopKAggregator: exact top-k regardless of partitioning") {
     import spark.implicits._
     val topk = udaf(new TopKAggregator(3))
