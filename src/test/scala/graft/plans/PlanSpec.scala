@@ -100,6 +100,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("poly_hash") && p.contains("min_rolling_hash"))
   }
 
+  test("q86/q90: per-row quality kernels plan narrow — no UDFs, no explode, one sort exchange") {
+    for ((name, df) <- Seq(
+        "q86" -> graft.operators.TextOps.q86Repetition(spark, sf),
+        "q90" -> graft.operators.TextOps.q90CharEntropy(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("ScalaUDF"), s"$name must not plan boxed UDF nodes:\n$p")
+      assert(!p.contains("Generate"), s"$name must not explode rows:\n$p")
+      // the deliberate scan-spread repartition and the output sort only
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+        s"$name expected <=2 exchanges:\n$p")
+    }
+  }
+
+  test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
+    val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast-join the corpus shingles:\n$p")
+    assert(p.contains("text_shingles"), "shingling must use the fused kernel")
+  }
+
+  test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
+    val fresh = spark.newSession()
+    val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
+    assert(h === 1.0)
+  }
+
   test("GraftExtensions: rolling-hash kernels reach SQL text through extension injection") {
     val fresh = spark.newSession()
     assert(fresh.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ===
