@@ -142,8 +142,11 @@ object Similarity {
     * to ±127 exactly. Returns (idCol, scale, q_emb, n_clipped) where
     * `n_clipped` counts full-scale components. Fully narrow per-row
     * arithmetic (element-wise doubles + an order-independent array max —
-    * engine-exact, no reduction-order hazard); zero vectors are dropped
-    * (no direction to preserve, matching [[withNorm]]).
+    * engine-exact, no reduction-order hazard); zero vectors AND vectors
+    * containing NaN are dropped (no direction / no finite scale to
+    * preserve, matching [[withNorm]] — NaN orders above every double in
+    * both engines, so `maxabs > 0` alone would pass it through and the
+    * ANSI int cast would then kill the whole job).
     *
     * Reconstruct with `transform(q_emb, q -> q * scale)`; worst-case
     * per-component error is scale/2, i.e. max|x|/254.
@@ -152,7 +155,7 @@ object Similarity {
     corpus
       .withColumn("maxabs",
         expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
-      .filter(col("maxabs") > 0)
+      .filter(col("maxabs") > 0 && !isnan(col("maxabs")))
       .withColumn("scale", col("maxabs") / 127)
       .withColumn("q_emb",
         expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))"))

@@ -304,7 +304,7 @@ object SimilarityOps {
       |q AS (
       |  SELECT vec_id, maxabs / 127 AS scale,
       |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
-      |  FROM m WHERE maxabs > 0)
+      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs))
       |SELECT vec_id, scale, q_emb,
       |  CAST(len(list_filter(q_emb, q -> abs(q) = 127)) AS BIGINT) AS n_clipped
       |FROM q ORDER BY vec_id""".stripMargin

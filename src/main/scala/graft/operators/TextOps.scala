@@ -228,14 +228,20 @@ object TextOps {
       .select(explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "")
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum($"cnt").as("n_total"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"cnt".desc, $"tok")
+    // the corpus total comes from an unbounded window over the SAME
+    // single-partition vocab frame the rank/cumsum windows use — a
+    // separate counts.agg(...) broadcast subtree would re-run the whole
+    // corpus explode+agg a second time per execution (broadcast builds
+    // replay their lineage)
+    val wOrder = org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")
+    val wCum = wOrder
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")).cast("long"))
-      .withColumn("cum_frac", sum($"cnt").over(w) / $"n_total")
+    val wAll = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts
+      .withColumn("rank", row_number().over(wOrder).cast("long"))
+      .withColumn("cum_frac", sum($"cnt").over(wCum) / sum($"cnt").over(wAll))
       .filter($"rank" <= 100)
       .select($"rank", $"tok", $"cnt", $"cum_frac")
       .orderBy($"rank")
@@ -258,7 +264,11 @@ object TextOps {
     * and how many survive all gates. One narrow pass over the corpus
     * (every signal is a per-row column builder incl. the fused shingle
     * kernel) + a 20-group conditional aggregation — the funnel report a
-    * training-data pipeline emits per ingest batch.
+    * training-data pipeline emits per ingest batch. Null-text rows:
+    * `langIdPredict`'s otherwise-branch labels them 'other', so the
+    * oracle's language gate is written `esc >= 0.08 THEN 0 ELSE 1`
+    * (NULL falls to the rejecting ELSE on both engines); the length and
+    * repetition gates leave nulls uncounted on both sides.
     */
   def q89FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -289,7 +299,7 @@ object TextOps {
       |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN nt < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
-      |  CAST(SUM(CASE WHEN esc < 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_english,
+      |  CAST(SUM(CASE WHEN esc >= 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS n_non_english,
       |  CAST(SUM(CASE WHEN rep > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
       |  CAST(SUM(CASE WHEN nt >= 25 AND esc >= 0.08 AND rep <= 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM f GROUP BY source ORDER BY source""".stripMargin
@@ -300,7 +310,10 @@ object TextOps {
     * codegen'd [[graft.functions.CharEntropyExpr]] kernel per row — no
     * explode, no shuffle beyond the output sort; rounded to 4 decimals
     * (different p·log₂p summation orders across engines differ at
-    * ~1e-14).
+    * ~1e-14). The oracle's `+ 0.0` normalizes the `-0.0` that DuckDB's
+    * `-SUM(...)` produces for zero-entropy (single-character) docs — the
+    * kernel returns `+0.0` and the driver compares float reprs, so the
+    * sign of zero matters.
     */
   def q90CharEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -319,7 +332,7 @@ object TextOps {
       |        FROM documents WHERE text <> '')
       |  GROUP BY doc_id, ch),
       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id)
-      |SELECT cc.doc_id, round(-SUM((cc.c / tot.n) * log2(cc.c / tot.n)), 4) AS char_entropy
+      |SELECT cc.doc_id, round(-SUM((cc.c / tot.n) * log2(cc.c / tot.n)) + 0.0, 4) AS char_entropy
       |FROM cc JOIN tot USING (doc_id)
       |GROUP BY cc.doc_id, tot.n
       |ORDER BY cc.doc_id""".stripMargin

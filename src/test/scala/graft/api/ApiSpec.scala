@@ -199,7 +199,8 @@ class ApiSpec extends SparkSpec {
     import spark.implicits._
     val corpus = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
-      (2L, Array(0.0f, 0.0f))   // zero vector: dropped
+      (2L, Array(0.0f, 0.0f)),           // zero vector: dropped
+      (3L, Array(Float.NaN, 1.0f))       // NaN: dropped, not a job-killing cast
     ).toDF("vid", "vec")
     val out = Similarity.quantizeInt8(corpus, "vid", "vec")
     val rows = out.select($"vid", $"scale", $"q_emb", $"n_clipped")

@@ -113,6 +113,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q88: one corpus scan only (total computed over the vocab frame, not a second pass)") {
+    val p = planOf(graft.operators.TextOps.q88VocabCoverage(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+      s"q88 must read the corpus exactly once:\n$p")
+  }
+
   test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
     val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
