@@ -216,6 +216,26 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 round trip: kNN over reconstructed vectors keeps high recall vs float") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = corpus.filter($"vec_id" % 50 === 0)
+    val k = 5
+    val exact = Similarity.cosineKnn(corpus, probes, "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    // reconstruct float vectors from the int8 codes and rerun the same kNN
+    val recon = Similarity.quantizeInt8(corpus, "vec_id", "embedding")
+      .select($"vec_id",
+        expr("transform(q_emb, q -> CAST(q * scale AS FLOAT))").as("embedding"))
+    val probesR = recon.join(probes.select($"vec_id"), "vec_id")
+    val quantized = Similarity.cosineKnn(recon, probesR, "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect quantized).size.toDouble / exact.size
+    info(f"int8-reconstructed kNN recall@$k vs float at sf0.001: $recall%.3f")
+    assert(recall >= 0.9, f"int8 quantization degraded kNN recall to $recall%.3f")
+  }
+
   test("Text API column builders compute expected features") {
     import spark.implicits._
     val df = Seq(
