@@ -91,6 +91,40 @@ object StreamOps {
       .drop("__sigs", "__band_key")
   }
 
+  /** Streaming benchmark decontamination — the ingest-time twin of
+    * [[graft.api.Dedup.decontaminationStats]]: documents whose n-word
+    * shingle set overlaps the STATIC `benchmark` frame are dropped
+    * before they ever land in the corpus. The benchmark's distinct
+    * shingles collapse into ONE array row on the static side and
+    * broadcast into the stream (stream-static inner join with a
+    * single-row build side — no watermark needed, no state), so the
+    * per-document check is a narrow codegen'd `arrays_overlap` probe.
+    *
+    * Contract: sized for EVAL-SET benchmarks (≤ ~10⁵ distinct shingles
+    * — one in-cache array per executor; the probe cost is one hash
+    * lookup per benchmark shingle per doc). Decontaminating against a
+    * corpus-sized reference is the batch operator's job. Docs with no
+    * shingles (< n tokens) cannot leak an n-gram and are kept.
+    */
+  def decontaminationFilter(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    require(!docs.columns.contains("__bench_sh"),
+      "decontaminationFilter reserves the __bench_sh column name")
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
+    val benchArr = graft.api.Dedup
+      .shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh_arr")).as("sh"))
+      .agg(collect_set(col("sh")).as("__bench_sh"))
+    docs
+      .crossJoin(broadcast(benchArr))
+      // coalesce: a null text has no shingles to leak (the kernel yields
+      // null, which would otherwise null-propagate into a silent drop)
+      .filter(coalesce(!arrays_overlap(
+        graft.functions.ShingleFunctions.textShingles(col(textCol), n),
+        col("__bench_sh")), lit(true)))
+      .drop("__bench_sh")
+  }
+
   /** One document on the verified near-dup path (`id` boxed: null ids
     * are legal input — they key on a per-row uuid — and a primitive
     * field's encoder null-assertion would kill the query on the exact

@@ -120,6 +120,24 @@ class StreamOpsSpec extends SparkSpec {
 
   case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
+  test("decontaminationFilter drops stream docs leaking benchmark n-grams") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.decontaminationFilter(mem.toDF(), benchmark, "doc_id", "text")
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    mem.addData(
+      Doc(t(1), 1, "alpha beta gamma delta epsilon unrelated tail words here"), // leaks
+      Doc(t(2), 2, "totally clean document with no benchmark overlap present"),
+      Doc(t(3), 3, benchText),                                                  // full leak
+      Doc(t(4), 4, "a b"))                                                      // no shingles → kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon_out").select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("nearDupFilterWithinWatermark drops band-colliding successors, keeps firsts") {
     import spark.implicits._
     val mem = MemoryStream[Doc](spark)
