@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline over the library APIs —
   * the composed shape a user runs against their own corpus:
   *
-  *   1. feature columns  — quality score, language ID, token counts
-  *   2. quality gate     — score ≥ threshold
-  *   3. exact dedup      — normalized-fingerprint keeper per group
-  *   4. near-dup dedup   — MinHash-LSH pairs → components → keepers
+  *   1. feature columns  — quality score, language ID, token counts,
+  *                         within-doc repetition (fused shingle kernel)
+  *   2. quality gates    — score ≥ threshold, repetition ≤ threshold
+  *   3. decontamination  — drop docs leaking benchmark n-grams (optional,
+  *                         broadcast benchmark shingle set)
+  *   4. exact dedup      — normalized-fingerprint keeper per group
+  *   5. near-dup dedup   — MinHash-LSH pairs → components → keepers
   *
   * Every stage is DataFrame-in/DataFrame-out; the wide ops are the
   * exact-dedup fingerprint window, the LSH bucket groupBy, and the
@@ -22,28 +25,47 @@ import org.apache.spark.sql.functions._
   */
 object PipelineDemo {
 
-  /** The curation pipeline: returns the kept, feature-annotated corpus. */
+  /** The curation pipeline: returns the kept, feature-annotated corpus.
+    * `benchmark` (when given) is an eval-set-shaped frame with the same
+    * id/text columns; docs sharing any 4-gram with it are dropped.
+    */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-      nearDupJaccard: Double = 0.5): DataFrame = {
+      nearDupJaccard: Double = 0.5, maxRepetition: Double = 0.3,
+      benchmark: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
 
-    // 1. quality gate (narrow)
+    // 1. quality gates (all narrow; docs too short to have bigrams have
+    // no repetition signal and pass that gate)
     val scored = docs
       .withColumn("quality", graft.api.Text.qualityScore($"text"))
       .withColumn("lang_pred", graft.api.Text.langIdPredict($"text"))
       .withColumn("n_tokens", graft.api.Text.tokenCount($"text"))
-      .filter($"quality" >= minQuality)
+      .withColumn("repetition", graft.api.Text.dupNgramFrac($"text", 2))
+      .filter($"quality" >= minQuality &&
+        ($"repetition".isNull || $"repetition" <= maxRepetition))
 
-    // 2. exact dedup: keep the smallest doc_id per normalized
+    // 2. decontamination (optional): the stats frame lists ONLY
+    // contaminated docs — broadcast its ids into an anti-join
+    val clean = benchmark match {
+      case Some(b) =>
+        val contaminated = graft.api.Dedup
+          .decontaminationStats(scored, b, "doc_id", "text")
+          .select($"doc_id")
+        scored.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      case None => scored
+    }
+
+    // 3. exact dedup: keep the smallest doc_id per normalized
     // fingerprint; cached (scope-tracked) — the LSH stage below scans
     // this frame several times
-    val exactKept = graft.api.Dedup.trackCache(scored
+    val exactKept = graft.api.Dedup.trackCache(clean
       .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
       .filter($"rn" === 1).drop("rn", "fp"))
 
-    // 3. near-dup dedup: drop every non-keeper member of an LSH cluster
+    // 4. near-dup dedup: drop every non-keeper member of an LSH cluster
     val clusters = graft.api.Dedup.clusterComponents(
       graft.api.Dedup.lshCandidatePairs(exactKept, "doc_id", "text")
         .filter($"jaccard" >= nearDupJaccard)

@@ -35,4 +35,22 @@ class PipelineSpec extends SparkSpec {
     }
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("curate with a benchmark leaves zero n-gram leaks in the kept set") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    spark.sharedState.cacheManager.clearCache()
+    graft.api.Dedup.cacheScope {
+      val bench = all.filter($"doc_id" % 25 === 0)
+      val kept = PipelineDemo.curate(all.filter($"doc_id" % 25 =!= 0),
+        minQuality = 0.4, benchmark = Some(bench))
+      assert(kept.count() > 0)
+      val leaks = graft.api.Dedup
+        .decontaminationStats(kept, bench, "doc_id", "text").count()
+      assert(leaks === 0, "kept corpus must share no 4-gram with the benchmark")
+      // repetition gate applied
+      assert(kept.filter($"repetition" > 0.3).count() === 0)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
