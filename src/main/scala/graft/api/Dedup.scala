@@ -322,6 +322,33 @@ object Dedup {
         (col("id") === col("cluster")).as("is_keeper"))
   }
 
+  /** Canonical-document selection — the final materialization step of a
+    * dedup pass: for each [[clusterComponents]] cluster, keep the
+    * highest-scoring member (ties to the lowest id). Input `scored` maps
+    * idCol → scoreCol (e.g. a [[Text.qualityScore]] projection); output
+    * is one row per cluster: (cluster, keep_<idCol>, best_<scoreCol>,
+    * cluster_size, n_dropped).
+    *
+    * Scale shape: the component frame is near-dup members only — orders
+    * of magnitude smaller than the corpus — so it BROADCASTS into the
+    * scored corpus scan (no corpus shuffle), and the per-cluster argmax
+    * is a ranked window over the restricted members with a
+    * `row_number = 1` gate (WindowGroupLimit prunes partitions to one
+    * row before the window shuffle).
+    */
+  def canonicalPerCluster(components: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.join(broadcast(components.withColumnRenamed("id", idCol)), idCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col(idCol).as(s"keep_$idCol"),
+        col(scoreCol).as(s"best_$scoreCol"), col("cluster_size"),
+        (col("cluster_size") - 1).as("n_dropped"))
+  }
+
   /** Single-pass union-find on one partition: (id, cluster) for every
     * node in `edges`. The right plan for sparse edge sets — see
     * [[CcCutoverEdges]].

@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Library API for dataset sampling and mixture design — the two
+  * selection steps of a training-data pipeline: draw a deterministic,
+  * reproducible subset per stratum, and compute per-source sampling
+  * weights for a target data mixture.
+  *
+  * Everything is hash- or count-based (no RNG state), so results are
+  * identical across engines, re-runs, and cluster sizes.
+  */
+object Sampling {
+
+  /** Exactly `k` rows per stratum, chosen by md5-hash order of the id —
+    * a deterministic stratified sample (same rows every run, any
+    * cluster). Returns the input columns plus `sample_rank` (1..k within
+    * the stratum).
+    *
+    * Scale shape: one ranked window per stratum with a `row_number <= k`
+    * gate, so Spark's WindowGroupLimit prunes each partition to k rows
+    * BEFORE the window shuffle — the full stratum never moves. Skewed
+    * strata cost a scan, not a shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Temperature-based mixture weights per group (the multinomial
+    * sampling distribution over sources used to up-weight small
+    * high-quality sources): `weight(g) = n_g^alpha / Σ n^alpha`, with
+    * `alpha = 1` proportional sampling and `alpha → 0` uniform.
+    * Returns (groupCol, n_docs, weight, expected_draws) where
+    * `expected_draws = weight · totalDraws`.
+    *
+    * The group-count frame is one row per source — trivially small at
+    * any corpus scale — so the normalizing sum runs in a single ordered
+    * window partition (deterministic left-to-right summation on both
+    * engines); weights are rounded to 6 decimals (pow may differ in the
+    * last ulp across libm implementations).
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, alpha: Double,
+      totalDraws: Long): DataFrame = {
+    val wAll = Window.orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", pow(col("n_docs").cast("double"), alpha))
+      .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(wAll), 6))
+      .select(col(groupCol), col("n_docs"), col("weight"),
+        round(col("weight") * totalDraws, 2).as("expected_draws"))
+  }
+}

@@ -134,6 +134,18 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** L2-normalize an embedding column to unit vectors (float components
+    * promoted to double first): (idCol, norm, unit). After this, cosine
+    * similarity IS the dot product — normalize once at ingest and every
+    * downstream kNN/near-dup pass skips the per-pair norm divides.
+    * Fully narrow per-row arithmetic; zero-norm/NaN rows are dropped by
+    * [[withNorm]] (no direction to preserve).
+    */
+  def l2Normalize(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    withNorm(corpus, embCol)
+      .select(col(idCol), col("norm"),
+        expr(s"transform(CAST($embCol AS ARRAY<DOUBLE>), x -> x / norm)").as("unit"))
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * half of a scaled ANN index (4× smaller than float32, 8× smaller
     * than the float64 Spark would otherwise box): per vector,

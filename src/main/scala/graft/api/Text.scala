@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Library API for text analysis — mostly COLUMN-level builders (compose
@@ -70,6 +71,60 @@ object Text {
   /** Whitespace-normalized md5 content fingerprint (exact-dup key). */
   def normalizedFingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** PII redaction patterns, applied by [[redactPii]] in this order (so
+    * the broader structured forms win before the bare digit-run
+    * fallback). ASCII-only classes and RE2-compatible syntax so Java
+    * regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]+" -> "<NUM>")
+
+  /** Redact PII-shaped spans: emails, IPv4 addresses, phone-like digit
+    * spans, then any remaining digit run (IDs, account numbers). A
+    * narrow chain of global `regexp_replace`es — stays inside
+    * whole-stage codegen, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Occurrences of one [[PiiPatterns]] regex in `text`. */
+  def piiMatchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Sequence packing: assign each document to a fixed-size token
+    * context window (`windowTokens`) by concatenation order — the
+    * training-data step that turns a corpus into fixed-length model
+    * inputs. Documents are laid out contiguously per `groupCol` shard in
+    * `orderCol` order; each gets its token count, its start offset in
+    * the shard's token stream, the window (`bin`) its first token lands
+    * in, and whether it straddles a window boundary (`spans_boundary`,
+    * the fraction a packer either splits or pads around).
+    *
+    * Scale shape: one narrow token-count pass + ONE running-sum window
+    * per shard. The prefix sum is inherently sequential WITHIN a shard —
+    * exactly why packers shard first: `groupCol` should be a real shard
+    * key (source/file), bounding each window partition at shard size
+    * while shards proceed in parallel.
+    */
+  def sequencePacking(docs: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_off div $windowTokens"))
+      .withColumn("spans_boundary",
+        expr(s"(start_off + n_tokens - 1) div $windowTokens") =!= col("bin"))
+      .select(col(orderCol), col(groupCol), col("n_tokens"), col("start_off"),
+        col("bin"), col("spans_boundary"))
+  }
 
   /** TF-IDF table (id, tok, tf, df, tfidf) for rows matching
     * `probeFilter`: term frequencies from the probe rows, document
