@@ -155,10 +155,11 @@ object Similarity {
     * `n_clipped` counts full-scale components. Fully narrow per-row
     * arithmetic (element-wise doubles + an order-independent array max —
     * engine-exact, no reduction-order hazard); zero vectors AND vectors
-    * containing NaN are dropped (no direction / no finite scale to
-    * preserve, matching [[withNorm]] — NaN orders above every double in
-    * both engines, so `maxabs > 0` alone would pass it through and the
-    * ANSI int cast would then kill the whole job).
+    * containing NaN or ±Inf are dropped (no direction / no finite scale
+    * to preserve, matching [[withNorm]] — NaN orders above every double
+    * in both engines, so `maxabs > 0` alone would pass it through, and an
+    * Inf component makes `x/scale = Inf/Inf = NaN` inside the transform;
+    * either way the ANSI int cast would then kill the whole job).
     *
     * Reconstruct with `transform(q_emb, q -> q * scale)`; worst-case
     * per-component error is scale/2, i.e. max|x|/254.
@@ -167,12 +168,108 @@ object Similarity {
     corpus
       .withColumn("maxabs",
         expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
-      .filter(col("maxabs") > 0 && !isnan(col("maxabs")))
+      .filter(col("maxabs") > 0 && !isnan(col("maxabs")) &&
+        col("maxabs") =!= Double.PositiveInfinity)
       .withColumn("scale", col("maxabs") / 127)
       .withColumn("q_emb",
         expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))"))
       .select(col(idCol), col("scale"), col("q_emb"),
         expr("size(filter(q_emb, q -> abs(q) = 127))").cast("long").as("n_clipped"))
+
+  /** Top-k search in the QUANTIZED domain — the search half of the int8
+    * ANN storage path ([[quantizeInt8]]): both sides quantize, probes
+    * broadcast, and similarity is the int8 cosine
+    * `dot(qa,qb) / (|qa|·|qb|)`. The per-vector scales cancel out of the
+    * cosine, so the score is a ratio of EXACT integer dot products
+    * (`vector_dot_int` accumulates in long) — bit-identical across
+    * engines and summation orders with no float-fold hazard, which is
+    * what makes the q91 oracle hashable with zero rounding. Accuracy vs
+    * the float cosine is bounded by the per-component error scale/2
+    * (recall ≥ 0.9 measured in ApiSpec).
+    *
+    * Scale shape: identical to [[cosineKnn]] — quantization is narrow
+    * per-row arithmetic, probes broadcast, the corpus scan never
+    * shuffles, and the top-k window moves only scalars (the int arrays
+    * are projected away before the shuffle).
+    */
+  def quantizedKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    def quant(df: DataFrame) = quantizeInt8(df, idCol, embCol)
+      .withColumn("qnorm", expr("sqrt(vector_dot_int(q_emb, q_emb))"))
+      .filter(col("qnorm") > 0)
+    val p = quant(probes).select(col(idCol).as("probe_id"),
+      col("q_emb").as("p_q"), col("qnorm").as("p_qnorm"))
+    val c = quant(corpus).select(col(idCol).as("cand_id"),
+      col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", expr("vector_dot_int(p_q, c_q)") / (col("p_qnorm") * col("c_qnorm")))
+      // drop the int arrays before the window shuffle — only scalars move
+      .select(col("probe_id"), col("cand_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("sim"))
+  }
+
+  /** Lloyd's k-means over an embedding column: `iters` rounds of
+    * cosine-assignment to the current centroids followed by a
+    * per-(cluster, dimension) mean — the iterated generalization of the
+    * single update step (q76) that PRODUCES the centroid set
+    * [[ivfAssign]] consumes, closing the ANN loop
+    * (seed → iterate → assign → cell-restricted search).
+    *
+    * Returns (cluster, centroid: array<double>, n). Seeds are the k
+    * lowest-id rows (deterministic); clusters that lose all members
+    * disappear (standard Lloyd empty-cluster drop).
+    *
+    * Scale shape: the centroid set collapses to ONE broadcast array row
+    * per round (the [[ivfAssign]] argmax — narrow, no corpus shuffle);
+    * the update is posexplode + hash agg whose map-side partials bound
+    * the round's shuffle at k·dim scalars per task regardless of corpus
+    * size. Each round's tiny centroid frame is EAGERLY localCheckpoint'ed
+    * so the iterative plan stays flat (the starContractComponents lesson:
+    * lineage must not grow with the iteration count) — one full corpus
+    * scan per round, exactly Lloyd's lower bound.
+    */
+  def kmeansIterate(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansIterate needs at least one iteration")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val emb = withNorm(corpus, embCol)
+      .select(col(idCol).as("vid"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"), col("norm"))
+    var cents = emb.orderBy(col("vid")).limit(k)
+      .select(col("vid").cast("long").as("cluster"), col("v").as("cent_emb"),
+        col("norm").as("cent_norm"), lit(0L).as("n"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val centArr = cents.agg(collect_list(
+        struct(col("cluster"), col("cent_emb"), col("cent_norm"))).as("cents"))
+      val assigned = emb.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          """array_max(transform(cents, c ->
+            |  struct(vector_dot(c.cent_emb, v) / (c.cent_norm * norm) AS csim,
+            |         -c.cluster AS neg_id)))""".stripMargin))
+        .withColumn("cluster", -col("best.neg_id"))
+        .select(col("cluster"), col("v"))
+      cents = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"),
+          max(col("cnt")).as("n"))
+        .select(col("cluster"), expr("transform(dm, x -> x.m)").as("cent_emb"), col("n"))
+        .withColumn("cent_norm", expr("sqrt(vector_dot(cent_emb, cent_emb))"))
+        .filter(col("cent_norm") > 0)
+        .localCheckpoint(true)
+      i += 1
+    }
+    cents.select(col("cluster"), col("cent_emb").as("centroid"), col("n"))
+  }
 
   /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the
     * [[cosineKnn]] contract requires broadcastable probes): the corpus

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the float-embedding dot product — the
   * one hot-path operation the built-in surface only covers via
@@ -18,12 +18,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Null semantics: null if either side is null (nullIntolerant) OR the
   * lengths differ — the same result the zip_with/aggregate fold produces
   * (zip_with pads the shorter side with nulls, which poison the sum).
+  *
+  * Element types: each side may independently be array<float> or
+  * array<double> (the per-side accessor is resolved once from the child
+  * dataType — floats promote to double exactly, so a float corpus dotted
+  * against double k-means centroids needs no cast-and-copy of the corpus
+  * column).
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // mismatched lengths → null
   override def prettyName: String = "vector_dot"
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  @transient private lazy val leftDouble = isDouble(left)
+  @transient private lazy val rightDouble = isDouble(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -34,10 +47,66 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       var s = 0.0
       var i = 0
       while (i < n) {
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
+        s += xv * yv
         i += 1
       }
       s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+      val xv = if (leftDouble) s"$a.getDouble($i)" else s"(double)$a.getFloat($i)"
+      val yv = if (rightDouble) s"$b.getDouble($i)" else s"(double)$b.getFloat($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $xv * $yv;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer twin of [[VectorDot]] for QUANTIZED embeddings
+  * (array<int> from [[graft.api.Similarity.quantizeInt8]]): products and
+  * the running sum stay in long (int8-quantized components are ≤127 in
+  * magnitude, so a 64-dim dot is ≤ ~10⁶ — exact), surfaced as double.
+  * Because every partial sum is an exactly-representable integer, the
+  * result is bit-identical in ANY summation order and in any engine —
+  * the determinism that makes the quantized-kNN oracle (q91) hashable
+  * with no rounding.
+  */
+case class VectorDotInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // mismatched lengths → null
+  override def prettyName: String = "vector_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += x.getInt(i).toLong * y.getInt(i).toLong
+        i += 1
+      }
+      s.toDouble
     }
   }
 
@@ -49,11 +118,11 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $s = 0.0;
+         |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |    $s += (long)$a.getInt($i) * (long)$b.getInt($i);
          |  }
-         |  ${ev.value} = $s;
+         |  ${ev.value} = (double)$s;
          |}
        """.stripMargin
     })
@@ -63,12 +132,15 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object VectorFunctions {
-  /** Idempotent per-session registration (also exposes `vector_dot` to
-    * SQL text via the function registry).
+  /** Idempotent per-session registration (also exposes `vector_dot` /
+    * `vector_dot_int` to SQL text via the function registry).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot_int", exprs => VectorDotInt(exprs.head, exprs(1)), "scala_udf")
+  }
 
   /** Column-level dot product; requires [[register]] on the session. */
   def vectorDot(a: Column, b: Column): Column = call_function("vector_dot", a, b)

@@ -37,6 +37,10 @@ object SimilarityOps {
   private def cos(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
+  /** DuckDB twin of the raw double dot product. */
+  private def cosSqlDot(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
   /** DuckDB twin: identical formula over DOUBLE[] casts. */
   private def cosSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
@@ -289,10 +293,21 @@ object SimilarityOps {
     * the clipped-component count. All element-wise double arithmetic +
     * an order-independent array max, so both engines agree bit-for-bit;
     * plan is one narrow projection, the only wide op is the output sort.
+    *
+    * The quantized vector is surfaced as SCALARS — `md5(array_join(...))`
+    * over the full array plus first/middle/last element probes — because
+    * the driver's pandas hash-compare cannot hash array cells (the q59
+    * rule, ADVICE r1/r4); the raw-array API stays [[graft.api.Similarity.quantizeInt8]].
     */
   def q87QuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.api.Similarity.quantizeInt8(table(spark, dir, "embeddings"), "vec_id", "embedding")
+      .select($"vec_id", $"scale",
+        md5(array_join($"q_emb", ",")).as("q_md5"),
+        element_at($"q_emb", 1).cast("long").as("q_first"),
+        element_at($"q_emb", 32).cast("long").as("q_mid"),
+        element_at($"q_emb", -1).cast("long").as("q_last"),
+        $"n_clipped")
       .orderBy($"vec_id")
   }
 
@@ -304,10 +319,88 @@ object SimilarityOps {
       |q AS (
       |  SELECT vec_id, maxabs / 127 AS scale,
       |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
-      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs))
-      |SELECT vec_id, scale, q_emb,
+      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs))
+      |SELECT vec_id, scale,
+      |  md5(array_to_string(q_emb, ',')) AS q_md5,
+      |  CAST(q_emb[1] AS BIGINT) AS q_first,
+      |  CAST(q_emb[32] AS BIGINT) AS q_mid,
+      |  CAST(q_emb[-1] AS BIGINT) AS q_last,
       |  CAST(len(list_filter(q_emb, q -> abs(q) = 127)) AS BIGINT) AS n_clipped
       |FROM q ORDER BY vec_id""".stripMargin
+
+  /** q91: top-5 kNN in the QUANTIZED domain ([[graft.api.Similarity.quantizedKnn]])
+    * — the search half of the int8 ANN path, end-to-end: corpus and
+    * probes quantize, sim = int8 cosine. Scales cancel out of the
+    * cosine, so every score is a ratio of EXACT integer dot products —
+    * hashable with zero rounding in both engines.
+    */
+  def q91QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    graft.api.Similarity.quantizedKnn(corpus, corpus.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q91Sql: String =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
+      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs)),
+      |qn AS (
+      |  SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS qnorm
+      |  FROM (SELECT vec_id, CAST(q_emb AS DOUBLE[]) AS qd FROM q)
+      |  WHERE list_dot_product(qd, qd) > 0)
+      |SELECT probe_id, rn, cand_id, sim FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    list_dot_product(p.qd, c.qd) / (p.qnorm * c.qnorm) AS sim,
+      |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+      |      ORDER BY list_dot_product(p.qd, c.qd) / (p.qnorm * c.qnorm) DESC, c.vec_id) AS rn
+      |  FROM qn p JOIN qn c ON c.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 10)
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+
+  /** q92: one full Lloyd iteration of [[graft.api.Similarity.kmeansIterate]]
+    * (k=8, seeds = lowest-id rows): cosine-assign every vector to its
+    * nearest seed, then the per-(cluster, dimension) mean — the centroid
+    * production step IVF consumes. Output exploded to scalars (cluster,
+    * dim, centroid, n); means rounded to 6 (summation-order noise).
+    */
+  def q92KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Similarity.kmeansIterate(emb(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 1)
+      .select($"cluster", $"n", posexplode($"centroid").as(Seq("dim", "c")))
+      .select($"cluster", $"dim".cast("long").as("dim"),
+        round($"c", 6).as("centroid"), $"n")
+      .orderBy($"cluster", $"dim")
+  }
+
+  val q92Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c_emb,
+       |    sqrt(${cosSqlDot("embedding", "embedding")}) AS c_norm
+       |  FROM embeddings
+       |  WHERE ${posNormSql("embedding")}
+       |  ORDER BY vec_id LIMIT 8),
+       |assign AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(c.c_emb, CAST(e.embedding AS DOUBLE[]))
+       |          / (c.c_norm * sqrt(${cosSqlDot("e.embedding", "e.embedding")})) DESC,
+       |        c.cluster) AS arn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE ${posNormSql("e.embedding")})
+       |  WHERE arn = 1)
+       |SELECT cluster, CAST(dim AS BIGINT) AS dim,
+       |  round(AVG(x), 6) AS centroid, COUNT(*) AS n
+       |FROM (SELECT cluster, unnest(v) AS x, unnest(range(len(v))) AS dim FROM assign)
+       |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
     "q87_quantize_int8" -> (q87QuantizeInt8 _),
@@ -318,7 +411,9 @@ object SimilarityOps {
     "q52_embed_dim_stats" -> (q52EmbedDimStats _),
     "q76_label_centroids" -> (q76LabelCentroids _),
     "q82_ivf_near_dup" -> (q82IvfNearDup _),
-    "q83_knn_shuffled" -> (q83KnnShuffled _))
+    "q83_knn_shuffled" -> (q83KnnShuffled _),
+    "q91_quantized_knn" -> (q91QuantizedKnn _),
+    "q92_kmeans_step" -> (q92KmeansStep _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
@@ -329,5 +424,7 @@ object SimilarityOps {
     "q52_embed_dim_stats" -> q52Sql,
     "q76_label_centroids" -> q76Sql,
     "q82_ivf_near_dup" -> q82Sql,
-    "q83_knn_shuffled" -> q83Sql)
+    "q83_knn_shuffled" -> q83Sql,
+    "q91_quantized_knn" -> q91Sql,
+    "q92_kmeans_step" -> q92Sql)
 }
