@@ -113,10 +113,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q88: one corpus scan only (total computed over the vocab frame, not a second pass)") {
+  test("q88: vocab ranking is two-phase — partial WindowGroupLimit, full vocab never hits one task") {
     val p = planOf(graft.operators.TextOps.q88VocabCoverage(spark, sf))
-    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
-      s"q88 must read the corpus exactly once:\n$p")
+    // the rank<=100 filter must plan a Partial WindowGroupLimit so each
+    // partition forwards only its own top-100 of the vocab frame (a raw
+    // web-scale vocabulary is 1e8-1e9 distinct tokens — the r4 verdict's
+    // scale-killer was an unbounded window over all of them)
+    assert(p.contains("WindowGroupLimit"),
+      s"q88 needs a partial top-k over the vocab frame:\n$p")
+    assert(p.contains("Partial"),
+      s"q88's WindowGroupLimit must have a partial (pre-shuffle) pass:\n$p")
+    // corpus is deliberately read twice now: the counts subtree and the
+    // narrow per-doc token-total scan (the scalar broadcast) — but never
+    // a third time
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 2,
+      s"q88 must read the corpus exactly twice (counts + narrow total):\n$p")
   }
 
   test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
