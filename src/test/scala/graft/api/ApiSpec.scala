@@ -199,8 +199,10 @@ class ApiSpec extends SparkSpec {
     import spark.implicits._
     val corpus = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
-      (2L, Array(0.0f, 0.0f)),           // zero vector: dropped
-      (3L, Array(Float.NaN, 1.0f))       // NaN: dropped, not a job-killing cast
+      (2L, Array(0.0f, 0.0f)),                        // zero vector: dropped
+      (3L, Array(Float.NaN, 1.0f)),                   // NaN: dropped, not a job-killing cast
+      (4L, Array(Float.PositiveInfinity, 1.0f)),      // Inf: maxabs=Inf → x/scale=NaN → dropped
+      (5L, Array(Float.NegativeInfinity, 1.0f))
     ).toDF("vid", "vec")
     val out = Similarity.quantizeInt8(corpus, "vid", "vec")
     val rows = out.select($"vid", $"scale", $"q_emb", $"n_clipped")
@@ -234,6 +236,56 @@ class ApiSpec extends SparkSpec {
     val recall = (exact intersect quantized).size.toDouble / exact.size
     info(f"int8-reconstructed kNN recall@$k vs float at sf0.001: $recall%.3f")
     assert(recall >= 0.9, f"int8 quantization degraded kNN recall to $recall%.3f")
+  }
+
+  test("quantizedKnn searches in the int8 domain with high recall vs the float kNN") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = corpus.filter($"vec_id" % 50 === 0)
+    val k = 5
+    val exact = Similarity.cosineKnn(corpus, probes, "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val quantized = Similarity.quantizedKnn(corpus, probes, "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect quantized).size.toDouble / exact.size
+    info(f"int8-domain kNN recall@$k vs float at sf0.001: $recall%.3f")
+    assert(recall >= 0.9, f"quantized-domain kNN degraded recall to $recall%.3f")
+  }
+
+  test("kmeansIterate converges on synthetic blobs and recovers the planted centers") {
+    import spark.implicits._
+    // three well-separated direction blobs in 4-d (cosine assignment —
+    // what matters is direction, not magnitude); jitter is deterministic
+    val centers = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.1f),
+      Array(0.0f, 1.0f, 0.0f, 0.1f),
+      Array(0.0f, 0.0f, 1.0f, 0.1f))
+    val pts = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      val eps = 0.02f * ((i * 37 % 11) - 5) // deterministic jitter in [-0.1, 0.1]
+      (i.toLong, c.map(_ + eps))
+    }
+    val corpus = pts.toDF("id", "emb")
+    val out = Similarity.kmeansIterate(corpus, "id", "emb", k = 3, iters = 5)
+      .select($"cluster", $"centroid", $"n")
+      .as[(Long, Seq[Double], Long)].collect()
+    assert(out.length === 3, s"expected 3 surviving clusters, got ${out.length}")
+    assert(out.map(_._3).sum === 300L, "every point assigned each round")
+    // each planted direction is recovered by exactly one centroid
+    // (cosine to the nearest learned centroid > 0.99)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val matches = centers.map { c =>
+      out.map(o => cos(o._2, c.map(_.toDouble))).max
+    }
+    matches.foreach(m => assert(m > 0.99, s"planted center not recovered: best cos $m"))
+    // and the learned centroids are distinct directions
+    val pairSims = for (i <- out.indices; j <- out.indices if i < j)
+      yield cos(out(i)._2, out(j)._2)
+    pairSims.foreach(s => assert(s < 0.9, s"centroids collapsed: cos $s"))
   }
 
   test("Text API column builders compute expected features") {
