@@ -31,12 +31,42 @@ object Dedup {
     */
   val DefaultMaxBucketSize = 1000
 
-  /** Intermediates cached by the ops below, tracked per thread so
-    * [[cacheScope]] can release exactly them (and nothing else the
-    * caller has cached).
+  /** Explicit, THREAD-SAFE cache-scope handle: every intermediate the
+    * dedup ops cache while this scope is installed registers here, and
+    * [[CacheScope.close]] unpersists exactly them (and nothing else the
+    * caller has cached). One handle may be installed on MANY threads at
+    * once ([[withScope]]) — the registry is a concurrent queue — so a
+    * driver submitting queries in parallel shares one scope across its
+    * worker pool and releases everything with a single close (the r3/r4
+    * advice: the previous thread-local Buffer silently pinned storage
+    * for any op called off the scope-owning thread).
     */
-  private val scopeCaches =
-    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+  final class CacheScope private[api] () extends AutoCloseable {
+    private val registered = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[api] def add(df: DataFrame): Unit = registered.add(df)
+    /** Intermediates currently registered (for tests/monitoring). */
+    def size: Int = registered.size()
+    /** Unpersist every registered intermediate. Idempotent; safe to call
+      * while other threads still register (late arrivals stay queued for
+      * the next close).
+      */
+    override def close(): Unit = {
+      var df = registered.poll()
+      while (df != null) { df.unpersist(false); df = registered.poll() }
+    }
+  }
+
+  /** A fresh scope handle for multi-threaded drivers: install it on each
+    * worker thread with [[withScope]] and `close()` it once when the
+    * corpus batch is done. Single-threaded callers can just use
+    * [[cacheScope]].
+    */
+  def newCacheScope(): CacheScope = new CacheScope()
+
+  /** The scope installed on the current thread ([[withScope]] /
+    * [[cacheScope]]).
+    */
+  private val scopeCaches = new ThreadLocal[CacheScope]
 
   /** One-shot flag for the unscoped-cache warning (warn once per JVM,
     * not once per query — batch drivers that clear the cache manager
@@ -47,39 +77,48 @@ object Dedup {
   private def tracked(df: DataFrame): DataFrame = {
     val cached = df.cache()
     Option(scopeCaches.get()) match {
-      case Some(buf) => buf += cached
+      case Some(scope) => scope.add(cached)
       case None =>
         if (warnedNoScope.compareAndSet(false, true))
           log.warn("graft dedup op caching an intermediate with no enclosing " +
-            "Dedup.cacheScope (or called from a different thread than the scope): " +
+            "Dedup.cacheScope (or no Dedup.withScope installed on this thread): " +
             "the cache stays pinned until the caller unpersists or the session " +
-            "ends. Wrap per-corpus calls in Dedup.cacheScope { ... } to release " +
-            "them automatically.")
+            "ends. Wrap per-corpus calls in Dedup.cacheScope { ... }, or share " +
+            "a Dedup.newCacheScope() handle via Dedup.withScope from every " +
+            "worker thread, to release them automatically.")
     }
     cached
   }
 
-  /** Cache `df` and register it with the enclosing [[cacheScope]] (if
-    * any) so it is unpersisted on scope exit — for caller-side
-    * intermediates that feed multiple dedup passes (e.g. a filtered
-    * corpus consumed by both banding and verification).
+  /** Cache `df` and register it with the enclosing scope (if any) so it
+    * is unpersisted on scope exit — for caller-side intermediates that
+    * feed multiple dedup passes (e.g. a filtered corpus consumed by both
+    * banding and verification).
     */
   def trackCache(df: DataFrame): DataFrame = tracked(df)
+
+  /** Run `body` with `scope` installed on THIS thread: intermediates the
+    * dedup ops cache inside register with the (possibly shared) handle.
+    * Does NOT close the scope — the owner does, once, when every thread
+    * using it is done.
+    */
+  def withScope[T](scope: CacheScope)(body: => T): T = {
+    val prev = scopeCaches.get()
+    scopeCaches.set(scope)
+    try body finally scopeCaches.set(prev)
+  }
 
   /** Run `body` with scoped caching: every intermediate the dedup ops
     * cache inside is unpersisted on exit, so long-lived sessions calling
     * these operators per-corpus do not accumulate pinned storage.
     * Evaluate (collect/write) the results INSIDE the scope — after exit
-    * the intermediates recompute from scratch.
+    * the intermediates recompute from scratch. Work spawned onto OTHER
+    * threads inside `body` must re-install the handle there — use
+    * [[newCacheScope]] + [[withScope]] for that pattern.
     */
   def cacheScope[T](body: => T): T = {
-    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
-    val prev = scopeCaches.get()
-    scopeCaches.set(buf)
-    try body finally {
-      scopeCaches.set(prev)
-      buf.foreach(_.unpersist(false))
-    }
+    val scope = new CacheScope()
+    try withScope(scope)(body) finally scope.close()
   }
 
   /** Per-row distinct n-word shingle set: (idCol, sh_arr, n_sh). Rows

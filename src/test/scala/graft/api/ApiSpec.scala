@@ -155,6 +155,35 @@ class ApiSpec extends SparkSpec {
       "scope exit must unpersist every dedup intermediate")
   }
 
+  test("a shared CacheScope handle collects intermediates from OTHER threads; one close, no leak") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "a b c d e f")).toDF("k", "body")
+    spark.sharedState.cacheManager.clearCache()
+    val scope = Dedup.newCacheScope()
+    // two worker threads, each installing the SAME handle — the parallel
+    // query submission pattern the old thread-local Buffer silently
+    // leaked on
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = Dedup.withScope(scope) {
+            val pairs = Dedup.lshCandidatePairs(corpus, "k", "body")
+            Dedup.clusterComponents(pairs.select($"id_a", $"id_b")).collect()
+            ()
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(scope.size > 0, "worker-thread intermediates must register on the shared handle")
+    assert(!spark.sharedState.cacheManager.isEmpty, "intermediates cached while scope open")
+    scope.close()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "closing the shared handle must unpersist every worker-thread intermediate")
+    assert(scope.size === 0)
+  }
+
   test("decontaminationStats counts benchmark shingle leaks per corpus doc") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
