@@ -125,6 +125,31 @@ object StreamOps {
       .drop("__bench_sh")
   }
 
+  /** REFRESHABLE decontamination: [[decontaminationFilter]]'s benchmark
+    * probe is resolved once at query start (a static broadcast), so a
+    * benchmark update mid-stream needs a restart. This variant runs the
+    * filter INSIDE foreachBatch and calls `loadBenchmark` per
+    * micro-batch, so the benchmark frame's plan re-resolves against its
+    * source every batch — point it at a reloadable table (parquet dir,
+    * catalog table) and newly published eval shingles start filtering
+    * from the NEXT micro-batch, no restart.
+    *
+    * Cost model: one benchmark re-read + one broadcast build per
+    * micro-batch (the benchmark is eval-set sized per the
+    * [[decontaminationFilter]] contract, so both are trivial next to the
+    * batch itself). `sink` receives the filtered batch + batchId —
+    * exactly the foreachBatch signature, so composing with an upsert
+    * sink is direct. Returns the started query.
+    */
+  def decontaminationFilterRefreshing(docs: DataFrame,
+      loadBenchmark: SparkSession => DataFrame,
+      idCol: String, textCol: String, n: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val bench = loadBenchmark(batch.sparkSession)
+      sink(decontaminationFilter(batch, bench, idCol, textCol, n), batchId)
+    }
+
   /** One document on the verified near-dup path (`id` boxed: null ids
     * are legal input — they key on a per-row uuid — and a primitive
     * field's encoder null-assertion would kill the query on the exact

@@ -138,6 +138,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("decontaminationFilterRefreshing picks up benchmark updates without a stream restart") {
+    import spark.implicits._
+    val benchDir = java.nio.file.Files.createTempDirectory("bench").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((100L, benchText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.decontaminationFilterRefreshing(
+        mem.toDF(), s => s.read.parquet(benchDir), "doc_id", "text") {
+      (batch, _) => kept.synchronized {
+        kept ++= batch.select($"doc_id").as[Long].collect()
+      }
+    }.start()
+    val lateBench = "future benchmark question about seventeen green elephants dancing"
+    mem.addData(
+      Doc(t(1), 1, "alpha beta gamma delta epsilon unrelated tail words here"), // leaks v1
+      Doc(t(2), 2, s"$lateBench plus trailing context"))                        // v2 not published yet → kept
+    q.processAllAvailable()
+    assert(kept.synchronized(kept.toSet) === Set(2L))
+    // publish a NEW benchmark doc mid-stream — no restart
+    Seq((100L, benchText), (101L, lateBench)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    mem.addData(
+      Doc(t(3), 3, s"$lateBench plus other trailing context"), // leaks v2 now
+      Doc(t(4), 4, "totally clean document with no benchmark overlap present"))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.synchronized(kept.toSet) === Set(2L, 4L),
+      "the updated benchmark must filter batches after publication")
+  }
+
   test("nearDupFilterWithinWatermark drops band-colliding successors, keeps firsts") {
     import spark.implicits._
     val mem = MemoryStream[Doc](spark)
