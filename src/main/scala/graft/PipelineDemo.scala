@@ -27,11 +27,18 @@ object PipelineDemo {
 
   /** The curation pipeline: returns the kept, feature-annotated corpus.
     * `benchmark` (when given) is an eval-set-shaped frame with the same
-    * id/text columns; docs sharing any 4-gram with it are dropped.
+    * id/text columns; docs whose `decontamNgram`-gram overlap fraction
+    * with it exceeds `maxContamination` are dropped. The defaults
+    * (8-grams, any overlap drops) follow production decontamination
+    * practice — 8–13-gram overlap against held-out benchmarks — rather
+    * than 4-grams, where common short phrases alone would drop heavily;
+    * raise `maxContamination` to tolerate incidental single-window hits
+    * on large benchmarks.
     */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       nearDupJaccard: Double = 0.5, maxRepetition: Double = 0.3,
-      benchmark: Option[DataFrame] = None): DataFrame = {
+      benchmark: Option[DataFrame] = None, decontamNgram: Int = 8,
+      maxContamination: Double = 0.0): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.ShingleFunctions.register(docs.sparkSession)
 
@@ -46,11 +53,13 @@ object PipelineDemo {
         ($"repetition".isNull || $"repetition" <= maxRepetition))
 
     // 2. decontamination (optional): the stats frame lists ONLY
-    // contaminated docs — broadcast its ids into an anti-join
+    // contaminated docs — keep those at or below the tolerated overlap
+    // fraction, broadcast the rest into an anti-join
     val clean = benchmark match {
       case Some(b) =>
         val contaminated = graft.api.Dedup
-          .decontaminationStats(scored, b, "doc_id", "text")
+          .decontaminationStats(scored, b, "doc_id", "text", decontamNgram)
+          .filter($"contamination_frac" > maxContamination)
           .select($"doc_id")
         scored.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       case None => scored

@@ -43,7 +43,14 @@ object Sampling {
     * any corpus scale — so the normalizing sum runs in a single ordered
     * window partition (deterministic left-to-right summation on both
     * engines); weights are rounded to 6 decimals (pow may differ in the
-    * last ulp across libm implementations).
+    * last ulp across libm implementations). NOTE: because each `weight`
+    * is rounded independently, the displayed weights need not sum to
+    * exactly 1 — `expected_draws` is therefore computed from the
+    * UNROUNDED weight (rounded only at the end), so draw budgets don't
+    * accumulate per-group rounding error; callers needing the per-group
+    * integers to sum exactly to `totalDraws` should apportion the
+    * (tiny) remainder themselves, e.g. largest-remainder over this
+    * output.
     */
   def mixtureWeights(df: DataFrame, groupCol: String, alpha: Double,
       totalDraws: Long): DataFrame = {
@@ -52,8 +59,9 @@ object Sampling {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_raw", pow(col("n_docs").cast("double"), alpha))
-      .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(wAll), 6))
-      .select(col(groupCol), col("n_docs"), col("weight"),
-        round(col("weight") * totalDraws, 2).as("expected_draws"))
+      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(wAll))
+      .select(col(groupCol), col("n_docs"),
+        round(col("w_norm"), 6).as("weight"),
+        round(col("w_norm") * totalDraws, 2).as("expected_draws"))
   }
 }

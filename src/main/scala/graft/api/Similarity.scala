@@ -28,7 +28,9 @@ object Similarity {
   def withNorm(corpus: DataFrame, embCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.withColumn("norm", expr(s"sqrt(${dot(embCol, embCol)})"))
-      .filter(col("norm") > 0)
+      // `norm > 0` alone would PASS NaN norms — Spark comparisons order
+      // NaN above every double — so the NaN guard must be explicit
+      .filter(col("norm") > 0 && !isnan(col("norm")))
   }
 
   /** Exact cosine top-k: for every probe row, the k most similar corpus

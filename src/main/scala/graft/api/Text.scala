@@ -80,7 +80,14 @@ object Text {
   val PiiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
-    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>",
+    // phone-SHAPED only: 3-3-4 digit grouping with at most one
+    // separator between groups (optionally parenthesized area code), or
+    // an explicit +international run. An earlier unbounded char-class
+    // form ("[0-9][0-9() -]{6,}[0-9]") swallowed any space-separated
+    // digit sequence — years, measurements, table rows — into one
+    // <PHONE>; bounded grouping leaves benign numeric text to the
+    // per-run <NUM> fallback.
+    "\\+?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b|\\+[0-9]{7,15}\\b" -> "<PHONE>",
     "[0-9]+" -> "<NUM>")
 
   /** Redact PII-shaped spans: emails, IPv4 addresses, phone-like digit

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle bindings for the [[graft.api.Sampling]] and PII surface — the
+  * dataset-selection steps of a training-data pipeline (deterministic
+  * stratified sampling, mixture-weight design, sequence packing, PII
+  * redaction), each hash-checked against a DuckDB twin. Everything is
+  * hash-/count-based (no RNG), so both engines agree exactly; the one
+  * float op (pow in mixture weights) is rounded to 6 decimals.
+  */
+object SamplingOps {
+
+  /** q93: deterministic stratified sample — exactly 5 docs per source,
+    * chosen by md5-hash order of doc_id ([[graft.api.Sampling.stratifiedSample]]).
+    * md5 over the decimal id string is engine-exact, so the SAME rows
+    * are drawn every run on every engine — reproducible subsets with no
+    * RNG state. Scale: one ranked window per stratum with a partial
+    * WindowGroupLimit, so skewed strata cost a scan, not a shuffle.
+    */
+  def q93StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.stratifiedSample(
+        table(spark, dir, "documents").select($"doc_id", $"source"),
+        "source", "doc_id", k = 5)
+      .select($"source", $"sample_rank", $"doc_id")
+      .orderBy($"source", $"sample_rank")
+  }
+
+  val q93Sql: String =
+    """SELECT source, sample_rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin
+
+  /** q94: PII redaction ([[graft.api.Text.redactPii]]) — emails, IPv4,
+    * phone-shaped 3-3-4 digit groups, then bare digit runs, as a chain
+    * of global regexp_replace passes. Every row gets a deterministic
+    * synthetic PII suffix (email/phone/IP built from doc_id) so all four
+    * patterns fire on all rows; the md5 of the redacted text catches ANY
+    * cross-engine regex divergence (the docstring's RE2-vs-Java parity
+    * claim, now hash-verified). Benign numeric text must NOT collapse:
+    * the match counters pin one <PHONE> and one <IP> per row.
+    */
+  def q94RedactPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPii = table(spark, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or (555) 123-4567 at 10.0.0."),
+        pmod($"doc_id", lit(255)).cast("string")).as("t"))
+    withPii.select(
+        $"doc_id",
+        md5(graft.api.Text.redactPii($"t")).as("redacted_md5"),
+        graft.api.Text.piiMatchCount($"t", graft.api.Text.PiiPatterns(0)._1).as("n_email"),
+        graft.api.Text.piiMatchCount($"t", graft.api.Text.PiiPatterns(2)._1).as("n_phone"))
+      .orderBy($"doc_id")
+  }
+
+  val q94Sql: String = {
+    // the same pattern chain, RE2 dialect ('g' = global, as in the
+    // library's single-pass global replaces)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b|\\+[0-9]{7,15}\\b"
+    val num = "[0-9]+"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or (555) 123-4567 at 10.0.0.' || (doc_id % 255) AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$num', '<NUM>', 'g')) AS redacted_md5,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** q95: sequence packing ([[graft.api.Text.sequencePacking]]) — lay
+    * documents out contiguously per source shard in doc_id order and
+    * compute each doc's start offset, 512-token context window, and
+    * whether it straddles a window boundary. The prefix sum is
+    * sequential WITHIN a shard by construction (why packers shard
+    * first); shards run in parallel.
+    */
+  def q95SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.sequencePacking(table(spark, dir, "documents"),
+        "source", "doc_id", "text", windowTokens = 512)
+      .orderBy($"doc_id")
+  }
+
+  val q95Sql: String =
+    """SELECT doc_id, source, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512 AS bin,
+      |  (CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |     + n_tokens - 1) // 512
+      |    <> CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 512
+      |    AS spans_boundary
+      |FROM (SELECT doc_id, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q96: temperature-based mixture weights per source
+    * ([[graft.api.Sampling.mixtureWeights]], alpha = 0.5 up-weights
+    * small sources): weight = n^alpha / Σ n^alpha over the tiny
+    * one-row-per-source frame, expected draws from the UNROUNDED weight
+    * (rounded once at the end — the ADVICE apportionment fix).
+    */
+  def q96MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.mixtureWeights(table(spark, dir, "documents"),
+        "source", alpha = 0.5, totalDraws = 1000000L)
+      .orderBy($"source")
+  }
+
+  val q96Sql: String =
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_docs, pow(COUNT(*), 0.5) AS w_raw
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs,
+      |  round(w_raw / SUM(w_raw) OVER (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS weight,
+      |  round(w_raw / SUM(w_raw) OVER (ORDER BY source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 1000000, 2) AS expected_draws
+      |FROM g ORDER BY source""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q93_stratified_sample" -> (q93StratifiedSample _),
+    "q94_redact_pii" -> (q94RedactPii _),
+    "q95_sequence_packing" -> (q95SequencePacking _),
+    "q96_mixture_weights" -> (q96MixtureWeights _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q93_stratified_sample" -> q93Sql,
+    "q94_redact_pii" -> q94Sql,
+    "q95_sequence_packing" -> q95Sql,
+    "q96_mixture_weights" -> q96Sql)
+}

@@ -42,14 +42,27 @@ class PipelineSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     graft.api.Dedup.cacheScope {
       val bench = all.filter($"doc_id" % 25 === 0)
-      val kept = PipelineDemo.curate(all.filter($"doc_id" % 25 =!= 0),
-        minQuality = 0.4, benchmark = Some(bench))
-      assert(kept.count() > 0)
+      val corpus = all.filter($"doc_id" % 25 =!= 0)
+      // strict mode: 4-gram overlap, zero tolerance → no 4-gram leaks
+      val kept4 = PipelineDemo.curate(corpus,
+        minQuality = 0.4, benchmark = Some(bench), decontamNgram = 4)
+      assert(kept4.count() > 0)
       val leaks = graft.api.Dedup
-        .decontaminationStats(kept, bench, "doc_id", "text").count()
+        .decontaminationStats(kept4, bench, "doc_id", "text").count()
       assert(leaks === 0, "kept corpus must share no 4-gram with the benchmark")
       // repetition gate applied
-      assert(kept.filter($"repetition" > 0.3).count() === 0)
+      assert(kept4.filter($"repetition" > 0.3).count() === 0)
+
+      // default mode (8-gram) drops no MORE than the 4-gram mode: every
+      // 8-gram leak contains 4-gram leaks, so strict-4 drops ⊇ default-8
+      // drops (the ADVICE over-dropping fix)
+      val kept8 = PipelineDemo.curate(corpus,
+        minQuality = 0.4, benchmark = Some(bench))
+      assert(kept4.join(kept8, Seq("doc_id"), "left_anti").count() === 0,
+        "every doc surviving the strict 4-gram gate survives the default 8-gram gate")
+      val leaks8 = graft.api.Dedup
+        .decontaminationStats(kept8, bench, "doc_id", "text", 8).count()
+      assert(leaks8 === 0, "kept corpus must share no 8-gram with the benchmark")
     }
     assert(spark.sharedState.cacheManager.isEmpty)
   }

@@ -317,6 +317,75 @@ class ApiSpec extends SparkSpec {
     pairSims.foreach(s => assert(s < 0.9, s"centroids collapsed: cos $s"))
   }
 
+  test("redactPii redacts PII shapes but leaves benign numeric text un-collapsed") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to jo.doe+x@mail.example.org today"),
+      (2L, "server at 192.168.0.1 rebooted"),
+      (3L, "call (555) 123-4567 or +4915712345678 now"),
+      (4L, "scores were 10 20 30 40 and years 2020 2021 2022"), // benign: must stay per-number
+      (5L, "version 1.2.3 build 99")
+    ).toDF("id", "t").select($"id", graft.api.Text.redactPii($"t").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "write to <EMAIL> today")
+    assert(rows(2L) === "server at <IP> rebooted")
+    assert(rows(3L) === "call <PHONE> or <PHONE> now")
+    // the old unbounded phone class collapsed all of this into one <PHONE>
+    assert(rows(4L) === "scores were <NUM> <NUM> <NUM> <NUM> and years <NUM> <NUM> <NUM>")
+    assert(rows(5L) === "version <NUM>.<NUM>.<NUM> build <NUM>")
+  }
+
+  test("sequencePacking computes offsets, windows, and boundary straddles per shard") {
+    import spark.implicits._
+    // shard A: 6 + 3 + 4 tokens with an 8-token window → doc 2 starts at
+    // 6 and spans the 8-token boundary; doc 3 starts at 9 inside window 1
+    val docs = Seq(
+      ("A", 1L, "a b c d e f"),
+      ("A", 2L, "g h i"),
+      ("A", 3L, "j k l m"),
+      ("B", 4L, "x y")
+    ).toDF("src", "doc_id", "body")
+    val out = graft.api.Text.sequencePacking(docs, "src", "doc_id", "body", windowTokens = 8)
+      .select($"doc_id", $"n_tokens", $"start_off", $"bin", $"spans_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L) === ((1L, 6L, 0L, 0L, false)))
+    assert(out(2L) === ((2L, 3L, 6L, 0L, true)), "6+3 tokens straddle the 8-boundary")
+    assert(out(3L) === ((3L, 4L, 9L, 1L, false)))
+    assert(out(4L) === ((4L, 2L, 0L, 0L, false)), "shards pack independently")
+  }
+
+  test("canonicalPerCluster keeps the best-scored member per cluster, ties to lowest id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val components = Dedup.clusterComponents(pairs)
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),   // tie at 0.9 → id 2 wins
+      (10L, 0.5), (11L, 0.8)
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(components, scored, "doc_id", "quality")
+      .select($"keep_doc_id", $"best_quality", $"cluster_size", $"n_dropped")
+      .as[(Long, Double, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(out.keySet === Set(2L, 11L))
+    assert(out(2L) === ((2L, 0.9, 3L, 2L)))
+    assert(out(11L) === ((11L, 0.8, 2L, 1L)))
+  }
+
+  test("l2Normalize yields unit vectors and drops zero/NaN rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(Float.NaN, 1.0f))
+    ).toDF("vid", "vec")
+    val out = Similarity.l2Normalize(corpus, "vid", "vec")
+      .select($"vid", $"norm", $"unit").as[(Long, Double, Seq[Double])].collect()
+    assert(out.map(_._1).toSet === Set(1L))
+    val (_, norm, unit) = out.head
+    assert(norm === 5.0)
+    assert(unit === Seq(0.6, 0.8))
+    assert(math.abs(unit.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
   test("Text API column builders compute expected features") {
     import spark.implicits._
     val df = Seq(

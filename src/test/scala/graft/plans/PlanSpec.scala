@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
       s"q88 must read the corpus exactly twice (counts + narrow total):\n$p")
   }
 
+  test("q84: batch-vs-corpus dedup is a bucketed equi-join on (band, band_sig) — no cross join, no corpus broadcast") {
+    // disable auto-broadcast to see the at-scale shape (q82 pattern):
+    // the corpus side must reach the candidate join through a shuffled
+    // equi-join on the band keys, never a cartesian/nested-loop pairing
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = planOf(graft.operators.DedupOps.q84IncrementalDedup(fresh, sf))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on the band keys:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q84 must never plan an all-pairs join:\n$p")
+    // both sides band independently through the fused minhash kernel
+    assert("minhash_sigs".r.findAllIn(p).size >= 2,
+      s"expected two independent banding passes (batch + corpus):\n$p")
+  }
+
   test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
     val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
