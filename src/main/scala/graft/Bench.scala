@@ -47,7 +47,10 @@ object Bench {
     // reference; >2x off on either probe stamps "degraded": true into
     // the JSON so a garbage total can't be graded silently as a plan
     // regression.
-    val sentinelRef = 0.12 // quiet-phase seconds, local[32], 2026-08-12
+    // quiet-phase seconds at local[32], 2026-08-12, scaled to the actual
+    // cpu count (the sentinel is a fixed-size job: wall ~ 1/cpus) so a
+    // healthy low-cpu run isn't permanently stamped degraded
+    val sentinelRef = 0.12 * 32.0 / cpus.toDouble
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 200000000L, 1L, cpus.toInt)
@@ -78,7 +81,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"failures":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"cpus":$cpus,"failures":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,12 @@ object Sampling {
       k: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= k)
+    // filter on the RAW row_number, cast after: InferWindowGroupLimit
+    // pattern-matches a rank-like filter directly over the window and a
+    // cast in between defeats it (the q88 lesson; PlanSpec locks q93)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumn("sample_rank", col("__rn").cast("long")).drop("__rn")
   }
 
   /** Temperature-based mixture weights per group (the multinomial

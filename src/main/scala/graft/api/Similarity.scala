@@ -29,8 +29,12 @@ object Similarity {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     corpus.withColumn("norm", expr(s"sqrt(${dot(embCol, embCol)})"))
       // `norm > 0` alone would PASS NaN norms — Spark comparisons order
-      // NaN above every double — so the NaN guard must be explicit
-      .filter(col("norm") > 0 && !isnan(col("norm")))
+      // NaN above every double — so the NaN guard must be explicit; Inf
+      // norms are dropped too (an Inf component has no usable direction:
+      // its cosine against anything is NaN or 0, and downstream means —
+      // k-means centroids — would poison whole clusters)
+      .filter(col("norm") > 0 && !isnan(col("norm")) &&
+        col("norm") =!= Double.PositiveInfinity)
   }
 
   /** Exact cosine top-k: for every probe row, the k most similar corpus
@@ -241,23 +245,23 @@ object Similarity {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val emb = withNorm(corpus, embCol)
       .select(col(idCol).as("vid"),
-        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"), col("norm"))
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+    // deterministic seed: the k lowest-id rows become the centroid frame
+    // (shaped like a corpus so the shared ivfAssign kernel consumes it)
     var cents = emb.orderBy(col("vid")).limit(k)
-      .select(col("vid").cast("long").as("cluster"), col("v").as("cent_emb"),
-        col("norm").as("cent_norm"), lit(0L).as("n"))
+      .select(col("vid").cast("long").as("cluster"), col("v").as("cent_emb"))
       .localCheckpoint(true)
+    var centsN = cents.withColumn("n", lit(0L)) // n unknown until a round runs
     var i = 0
     while (i < iters) {
-      val centArr = cents.agg(collect_list(
-        struct(col("cluster"), col("cent_emb"), col("cent_norm"))).as("cents"))
-      val assigned = emb.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          """array_max(transform(cents, c ->
-            |  struct(vector_dot(c.cent_emb, v) / (c.cent_norm * norm) AS csim,
-            |         -c.cluster AS neg_id)))""".stripMargin))
-        .withColumn("cluster", -col("best.neg_id"))
+      // assignment IS ivfAssign — one broadcast centroid-array row,
+      // narrow struct-argmax, ties to the lowest cluster id (sharing the
+      // kernel keeps the two argmaxes from silently diverging)
+      val assigned = ivfAssign(emb,
+          cents.select(col("cluster").as("vid"), col("cent_emb").as("v")),
+          "vid", "v")
         .select(col("cluster"), col("v"))
-      cents = assigned
+      centsN = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
@@ -266,11 +270,16 @@ object Similarity {
           max(col("cnt")).as("n"))
         .select(col("cluster"), expr("transform(dm, x -> x.m)").as("cent_emb"), col("n"))
         .withColumn("cent_norm", expr("sqrt(vector_dot(cent_emb, cent_emb))"))
-        .filter(col("cent_norm") > 0)
+        // NaN guard, not just > 0: a poisoned mean (cent_norm NaN) would
+        // pass `> 0` under Spark's NaN-high ordering and then rank above
+        // every real score in the next round's argmax, swallowing the
+        // whole corpus into one garbage cluster
+        .filter(col("cent_norm") > 0 && !isnan(col("cent_norm")))
         .localCheckpoint(true)
+      cents = centsN.select(col("cluster"), col("cent_emb"))
       i += 1
     }
-    cents.select(col("cluster"), col("cent_emb").as("centroid"), col("n"))
+    centsN.select(col("cluster"), col("cent_emb").as("centroid"), col("n"))
   }
 
   /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the float-embedding dot product — the
   * one hot-path operation the built-in surface only covers via
@@ -19,24 +19,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * lengths differ — the same result the zip_with/aggregate fold produces
   * (zip_with pads the shorter side with nulls, which poison the sum).
   *
-  * Element types: each side may independently be array<float> or
-  * array<double> (the per-side accessor is resolved once from the child
-  * dataType — floats promote to double exactly, so a float corpus dotted
-  * against double k-means centroids needs no cast-and-copy of the corpus
-  * column).
+  * Element types: each side may independently be array<float>,
+  * array<double>, or array<int> (the per-side accessor is resolved once
+  * from the child dataType — floats/ints promote to double exactly, so a
+  * float corpus dotted against double k-means centroids needs no
+  * cast-and-copy of the corpus column). Any other element type is an
+  * ANALYSIS error, not silent bit-reinterpretation garbage.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // mismatched lengths → null
   override def prettyName: String = "vector_dot"
 
-  private def isDouble(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
-    case _ => false
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (DoubleType | FloatType | IntegerType), _) => Some(t)
+    case _ => None
   }
-  @transient private lazy val leftDouble = isDouble(left)
-  @transient private lazy val rightDouble = isDouble(right)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, array<double>, or array<int> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  // accessor per side, resolved once from the element type
+  private def reader(t: DataType): (ArrayData, Int) => Double = t match {
+    case DoubleType => (a, i) => a.getDouble(i)
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case _ => (a, i) => a.getInt(i).toDouble
+  }
+  @transient private lazy val readL = reader(elemType(left).get)
+  @transient private lazy val readR = reader(elemType(right).get)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,20 +62,24 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       var s = 0.0
       var i = 0
       while (i < n) {
-        val xv = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
-        val yv = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
-        s += xv * yv
+        s += readL(x, i) * readR(y, i)
         i += 1
       }
       s
     }
   }
 
+  private def genRead(t: DataType, arr: String, i: String): String = t match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType => s"(double)$arr.getFloat($i)"
+    case _ => s"(double)$arr.getInt($i)"
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
-      val xv = if (leftDouble) s"$a.getDouble($i)" else s"(double)$a.getFloat($i)"
-      val yv = if (rightDouble) s"$b.getDouble($i)" else s"(double)$b.getFloat($i)"
+      val xv = genRead(elemType(left).get, a, i)
+      val yv = genRead(elemType(right).get, b, i)
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -89,10 +108,18 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   * with no rounding.
   */
 case class VectorDotInt(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // mismatched lengths → null
   override def prettyName: String = "vector_dot_int"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> arguments (quantized embeddings), " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

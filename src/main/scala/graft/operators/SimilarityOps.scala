@@ -400,7 +400,11 @@ object SimilarityOps {
        |SELECT cluster, CAST(dim AS BIGINT) AS dim,
        |  round(AVG(x), 6) AS centroid, COUNT(*) AS n
        |FROM (SELECT cluster, unnest(v) AS x, unnest(range(len(v))) AS dim FROM assign)
-       |GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin
+       |GROUP BY cluster, dim
+       |-- mirror kmeansIterate's updated-centroid norm filter (a cluster
+       |-- whose mean collapses to the zero vector is dropped, not emitted)
+       |QUALIFY SUM(AVG(x) * AVG(x)) OVER (PARTITION BY cluster) > 0
+       |ORDER BY cluster, dim""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(
     "q87_quantize_int8" -> (q87QuantizeInt8 _),

@@ -139,7 +139,9 @@ object StreamOps {
     * [[decontaminationFilter]] contract, so both are trivial next to the
     * batch itself). `sink` receives the filtered batch + batchId —
     * exactly the foreachBatch signature, so composing with an upsert
-    * sink is direct. Returns the started query.
+    * sink is direct. Returns the CONFIGURED writer (not a running
+    * query): the caller sets checkpoint/trigger options and calls
+    * `.start()`.
     */
   def decontaminationFilterRefreshing(docs: DataFrame,
       loadBenchmark: SparkSession => DataFrame,

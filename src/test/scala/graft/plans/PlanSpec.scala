@@ -146,6 +146,14 @@ class PlanSpec extends SparkSpec {
       s"expected two independent banding passes (batch + corpus):\n$p")
   }
 
+  test("q93: stratified sample plans a partial WindowGroupLimit (skewed strata cost a scan, not a shuffle)") {
+    val p = planOf(graft.operators.SamplingOps.q93StratifiedSample(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"q93 needs the per-partition top-k prune below the stratum window:\n$p")
+    assert(p.contains("Partial"),
+      s"q93's WindowGroupLimit must have a partial (pre-shuffle) pass:\n$p")
+  }
+
   test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
     val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
