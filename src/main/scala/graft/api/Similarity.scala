@@ -170,17 +170,17 @@ object Similarity {
     * Reconstruct with `transform(q_emb, q -> q * scale)`; worst-case
     * per-component error is scale/2, i.e. max|x|/254.
     */
-  def quantizeInt8(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+  def quantizeInt8(corpus: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    // one fused codegen pass per vector (the interpreted
+    // transform/array_max/filter HOF chain it replaces measured ~3.5x
+    // slower); null = no finite nonzero scale (zero/NaN/Inf), dropped
     corpus
-      .withColumn("maxabs",
-        expr(s"array_max(transform($embCol, x -> abs(CAST(x AS DOUBLE))))"))
-      .filter(col("maxabs") > 0 && !isnan(col("maxabs")) &&
-        col("maxabs") =!= Double.PositiveInfinity)
-      .withColumn("scale", col("maxabs") / 127)
-      .withColumn("q_emb",
-        expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS INT))"))
-      .select(col(idCol), col("scale"), col("q_emb"),
-        expr("size(filter(q_emb, q -> abs(q) = 127))").cast("long").as("n_clipped"))
+      .withColumn("__q", expr(s"quantize_int8($embCol)"))
+      .filter(col("__q").isNotNull)
+      .select(col(idCol), col("__q.scale").as("scale"),
+        col("__q.q_emb").as("q_emb"), col("__q.n_clipped").as("n_clipped"))
+  }
 
   /** Top-k search in the QUANTIZED domain — the search half of the int8
     * ANN storage path ([[quantizeInt8]]): both sides quantize, probes

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expression for the float-embedding dot product — the
   * one hot-path operation the built-in surface only covers via
@@ -158,6 +159,77 @@ case class VectorDotInt(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[QuantizeInt8Expr]] — called from generated
+  * code, so per-vector quantization is one tight primitive loop instead
+  * of the interpreted transform/array_max/filter HOF chain it replaces
+  * (which measured ~3.5× slower over the corpus; the ShingleOps
+  * pattern).
+  */
+object VectorKernels {
+
+  /** Symmetric int8 quantization of a float array: (scale, q_emb,
+    * n_clipped), or null when the vector has no finite nonzero scale —
+    * any NaN/Inf component, a zero vector, or a null component (exactly
+    * the rows [[graft.api.Similarity.quantizeInt8]]'s filter drops; the
+    * arithmetic `floor(x/scale + 0.5)` is the same IEEE double sequence
+    * as the HOF/DuckDB formulation, so oracle hashes are unchanged).
+    */
+  def quantizeInt8(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
+      val a = math.abs(v)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    if (maxabs == 0.0) return null
+    val scale = maxabs / 127
+    val q = new Array[Int](n)
+    var clipped = 0L
+    i = 0
+    while (i < n) {
+      val qi = math.floor(arr.getFloat(i).toDouble / scale + 0.5).toInt
+      q(i) = qi
+      if (qi == 127 || qi == -127) clipped += 1
+      i += 1
+    }
+    InternalRow(scale, new GenericArrayData(q), clipped)
+  }
+}
+
+/** `quantize_int8(emb)` — struct(scale, q_emb, n_clipped) in one
+  * codegen'd pass (see [[VectorKernels.quantizeInt8]]); null for vectors
+  * with no finite nonzero scale.
+  */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_emb", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_clipped", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // degenerate vectors → null
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.quantizeInt8($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Idempotent per-session registration (also exposes `vector_dot` /
     * `vector_dot_int` to SQL text via the function registry).
@@ -167,6 +239,8 @@ object VectorFunctions {
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot_int", exprs => VectorDotInt(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_int8", exprs => QuantizeInt8Expr(exprs.head), "scala_udf")
   }
 
   /** Column-level dot product; requires [[register]] on the session. */
