@@ -36,6 +36,27 @@ object Sampling {
       .withColumn("sample_rank", col("__rn").cast("long")).drop("__rn")
   }
 
+  /** Deterministic training-order shuffle for one epoch: every row gets
+    * a `shard` (id mod `shards` — stable across epochs, so shard-level
+    * file layout persists) and a `pos` within its shard drawn from
+    * md5(epoch ":" id) — a different, fully reproducible permutation
+    * per epoch with no RNG state (same order on any engine, cluster
+    * size, or re-run; changing `epoch` reshuffles every shard).
+    *
+    * Scale shape: no global sort anywhere — each shard's permutation is
+    * an independent window partition, so `shards` bounds the per-task
+    * sort at corpus/shards rows and shards proceed in parallel (pick
+    * shards ≥ cluster parallelism; writers then emit one training file
+    * per shard, which is exactly how epoch data loaders consume it).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("shard", pmod(col(idCol).cast("long"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Temperature-based mixture weights per group (the multinomial
     * sampling distribution over sources used to up-weight small
     * high-quality sources): `weight(g) = n_g^alpha / Σ n^alpha`, with

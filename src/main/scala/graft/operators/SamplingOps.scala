@@ -139,15 +139,40 @@ object SamplingOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) * 1000000, 2) AS expected_draws
       |FROM g ORDER BY source""".stripMargin
 
+  /** q97: deterministic epoch shuffle ([[graft.api.Sampling.epochShuffle]])
+    * — the training-order permutation for epoch 3 over 16 shards:
+    * shard = id mod 16 (layout-stable), within-shard order =
+    * md5("3:" || id) (reshuffles every epoch, reproducible everywhere).
+    * No global sort: each shard permutes independently.
+    */
+  def q97EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.epochShuffle(
+        table(spark, dir, "documents").select($"doc_id"),
+        "doc_id", epoch = 3, shards = 16)
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
+  val q97Sql: String =
+    """SELECT shard, pos, doc_id FROM (
+      |  SELECT doc_id, doc_id % 16 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+      |      ORDER BY md5('3:' || doc_id), doc_id) AS pos
+      |  FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q93_stratified_sample" -> (q93StratifiedSample _),
     "q94_redact_pii" -> (q94RedactPii _),
     "q95_sequence_packing" -> (q95SequencePacking _),
-    "q96_mixture_weights" -> (q96MixtureWeights _))
+    "q96_mixture_weights" -> (q96MixtureWeights _),
+    "q97_epoch_shuffle" -> (q97EpochShuffle _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q93_stratified_sample" -> q93Sql,
     "q94_redact_pii" -> q94Sql,
     "q95_sequence_packing" -> q95Sql,
-    "q96_mixture_weights" -> q96Sql)
+    "q96_mixture_weights" -> q96Sql,
+    "q97_epoch_shuffle" -> q97Sql)
 }

@@ -386,6 +386,23 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(unit.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("epochShuffle: reproducible permutation per epoch, reshuffled across epochs, shards stable") {
+    import spark.implicits._
+    val df = (0L until 64L).toDF("id")
+    def run(epoch: Int) = Sampling.epochShuffle(df, "id", epoch, shards = 4)
+      .select($"shard", $"pos", $"id").as[(Long, Long, Long)].collect().sorted.toSeq
+    val a, b = run(3)
+    assert(a === b, "same epoch → identical order on re-run")
+    val c = run(4)
+    assert(a !== c, "different epoch → different permutation")
+    assert(a.map(t => t._3 -> t._1).toMap === c.map(t => t._3 -> t._1).toMap,
+      "shard assignment is epoch-independent (stable file layout)")
+    // every shard is a complete 1..n_shard permutation
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.size.toLong))
+    }
+  }
+
   test("Text API column builders compute expected features") {
     import spark.implicits._
     val df = Seq(
