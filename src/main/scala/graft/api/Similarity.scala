@@ -239,43 +239,60 @@ object Similarity {
     * lineage must not grow with the iteration count) — one full corpus
     * scan per round, exactly Lloyd's lower bound.
     */
-  def kmeansIterate(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int): DataFrame = {
-    require(iters >= 1, "kmeansIterate needs at least one iteration")
+  /** One Lloyd round: cosine-assign `corpus` (shaped (idCol, embCol))
+    * to `cents` ((cluster: long, cent_emb: array<double>)) and return
+    * the updated (cluster, cent_emb, n) frame — zero-/NaN-norm centroid
+    * means are dropped (empty-cluster drop; the NaN guard matters
+    * because `> 0` alone passes NaN under Spark's NaN-high ordering,
+    * and a NaN centroid would out-rank every real score in the next
+    * round's argmax, swallowing the whole corpus into one cluster).
+    * Assignment IS [[ivfAssign]] — one broadcast centroid-array row,
+    * narrow struct-argmax, ties to the lowest cluster id — so batch
+    * iteration ([[kmeansIterate]]) and streaming warm starts share one
+    * kernel.
+    */
+  def kmeansStep(corpus: DataFrame, cents: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val emb = withNorm(corpus, embCol)
       .select(col(idCol).as("vid"),
         expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
-    // deterministic seed: the k lowest-id rows become the centroid frame
-    // (shaped like a corpus so the shared ivfAssign kernel consumes it)
-    var cents = emb.orderBy(col("vid")).limit(k)
+    val assigned = ivfAssign(emb,
+        cents.select(col("cluster").as("vid"), col("cent_emb").as("v")),
+        "vid", "v")
+      .select(col("cluster"), col("v"))
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("cnt")).as("n"))
+      .select(col("cluster"), expr("transform(dm, x -> x.m)").as("cent_emb"), col("n"))
+      .withColumn("cent_norm", expr("sqrt(vector_dot(cent_emb, cent_emb))"))
+      .filter(col("cent_norm") > 0 && !isnan(col("cent_norm")))
+      .drop("cent_norm")
+  }
+
+  /** Deterministic k-means seeds: the k lowest-id rows of the corpus as
+    * a (cluster, cent_emb) frame.
+    */
+  def kmeansSeed(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame =
+    withNorm(corpus, embCol)
+      .select(col(idCol).as("vid"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .orderBy(col("vid")).limit(k)
       .select(col("vid").cast("long").as("cluster"), col("v").as("cent_emb"))
-      .localCheckpoint(true)
+
+  def kmeansIterate(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansIterate needs at least one iteration")
+    var cents = kmeansSeed(corpus, idCol, embCol, k).localCheckpoint(true)
     var centsN = cents.withColumn("n", lit(0L)) // n unknown until a round runs
     var i = 0
     while (i < iters) {
-      // assignment IS ivfAssign — one broadcast centroid-array row,
-      // narrow struct-argmax, ties to the lowest cluster id (sharing the
-      // kernel keeps the two argmaxes from silently diverging)
-      val assigned = ivfAssign(emb,
-          cents.select(col("cluster").as("vid"), col("cent_emb").as("v")),
-          "vid", "v")
-        .select(col("cluster"), col("v"))
-      centsN = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"), count(lit(1)).as("cnt"))
-        .groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"),
-          max(col("cnt")).as("n"))
-        .select(col("cluster"), expr("transform(dm, x -> x.m)").as("cent_emb"), col("n"))
-        .withColumn("cent_norm", expr("sqrt(vector_dot(cent_emb, cent_emb))"))
-        // NaN guard, not just > 0: a poisoned mean (cent_norm NaN) would
-        // pass `> 0` under Spark's NaN-high ordering and then rank above
-        // every real score in the next round's argmax, swallowing the
-        // whole corpus into one garbage cluster
-        .filter(col("cent_norm") > 0 && !isnan(col("cent_norm")))
-        .localCheckpoint(true)
+      centsN = kmeansStep(corpus, cents, idCol, embCol).localCheckpoint(true)
       cents = centsN.select(col("cluster"), col("cent_emb"))
       i += 1
     }

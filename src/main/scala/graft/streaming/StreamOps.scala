@@ -152,6 +152,56 @@ object StreamOps {
       sink(decontaminationFilter(batch, bench, idCol, textCol, n), batchId)
     }
 
+  /** Streaming mini-batch k-means: maintains a centroid table at
+    * `centroidDir` that every micro-batch refines — the batch
+    * cosine-assigns to the current centroids (the shared
+    * [[graft.api.Similarity.kmeansStep]] kernel: one broadcast centroid
+    * row, narrow argmax, k·dim-bounded update agg) and the batch means
+    * merge into the running centroids weighted by accumulated counts,
+    * `new = (n_old·old + n_batch·mean_batch) / (n_old + n_batch)` — the
+    * standard streaming k-means update (no decay). The first batch
+    * seeds from its own k lowest-id rows; clusters absent from a batch
+    * persist unchanged.
+    *
+    * The centroid frame is k rows — it materializes on the driver
+    * before the overwrite (you cannot overwrite a path mid-read), which
+    * is exactly the broadcast-scale contract centroids already satisfy
+    * everywhere else in this API. Returns the configured writer; the
+    * caller sets checkpoint/trigger options and calls `.start()`.
+    */
+  def streamingKmeans(docs: DataFrame, idCol: String, embCol: String,
+      k: Int, centroidDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        val old: Option[DataFrame] =
+          try Some(spark.read.parquet(centroidDir).localCheckpoint(true))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val cents0 = old.getOrElse(
+          graft.api.Similarity.kmeansSeed(batch, idCol, embCol, k)
+            .withColumn("n", lit(0L)))
+        val stepped = graft.api.Similarity.kmeansStep(batch,
+          cents0.select(col("cluster"), col("cent_emb")), idCol, embCol)
+        val merged = cents0
+          .select(col("cluster"), col("cent_emb").as("o_emb"), col("n").as("o_n"))
+          .join(stepped.select(col("cluster"), col("cent_emb").as("b_emb"),
+            col("n").as("b_n")), Seq("cluster"), "full_outer")
+          .select(col("cluster"),
+            expr("""CASE WHEN o_emb IS NULL THEN b_emb
+                   |     WHEN b_emb IS NULL THEN o_emb
+                   |     ELSE zip_with(o_emb, b_emb,
+                   |            (x, y) -> (x * o_n + y * b_n) / (o_n + b_n)) END""".stripMargin)
+              .as("cent_emb"),
+            (coalesce(col("o_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"))
+        // k rows: collect BEFORE overwriting the directory being read
+        val rows = merged.collect().toSeq
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            merged.schema)
+          .coalesce(1).write.mode("overwrite").parquet(centroidDir)
+      }
+    }
+
   /** One document on the verified near-dup path (`id` boxed: null ids
     * are legal input — they key on a per-row uuid — and a primitive
     * field's encoder null-assertion would kill the query on the exact

@@ -161,6 +161,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("text_shingles"), "shingling must use the fused kernel")
   }
 
+  test("q91: quantized kNN runs on fused kernels — no interpreted HOF lambdas, probes broadcast") {
+    val p = planOf(graft.operators.SimilarityOps.q91QuantizedKnn(spark, sf))
+    assert(p.contains("quantize_int8") && p.contains("vector_dot_int"),
+      s"q91 must plan the fused quantization/integer-dot kernels:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"q91 must not fall back to interpreted higher-order functions:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"q91's probe side must broadcast:\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)

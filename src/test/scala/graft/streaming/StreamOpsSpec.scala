@@ -13,6 +13,8 @@ class StreamOpsSpec extends SparkSpec {
 
   case class Evt(ts: Timestamp, event_type: String, user_id: Long, value: Double, id: Long)
 
+  case class EmbRow(id: Long, emb: Array[Float])
+
   private def t(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
@@ -168,6 +170,39 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     assert(kept.synchronized(kept.toSet) === Set(2L, 4L),
       "the updated benchmark must filter batches after publication")
+  }
+
+  test("streamingKmeans refines a persistent centroid table across micro-batches") {
+    import spark.implicits._
+    val centroidDir = java.nio.file.Files.createTempDirectory("cents").toString + "/table"
+    val centers = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.1f),
+      Array(0.0f, 1.0f, 0.0f, 0.1f),
+      Array(0.0f, 0.0f, 1.0f, 0.1f))
+    def blob(ids: Range): Seq[EmbRow] = ids.map { i =>
+      val c = centers(i % 3)
+      val eps = 0.02f * ((i * 37 % 11) - 5)
+      EmbRow(i.toLong, c.map(_ + eps))
+    }
+    val mem = MemoryStream[EmbRow](spark)
+    val q = StreamOps.streamingKmeans(mem.toDF(), "id", "emb", k = 3, centroidDir).start()
+    mem.addData(blob(0 until 90): _*)
+    q.processAllAvailable()
+    mem.addData(blob(90 until 150): _*)
+    q.processAllAvailable()
+    q.stop()
+    val cents = spark.read.parquet(centroidDir)
+      .select($"cluster", $"cent_emb", $"n").as[(Long, Seq[Double], Long)].collect()
+    assert(cents.length === 3)
+    assert(cents.map(_._3).sum === 150L, "counts accumulate across batches")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    centers.foreach { c =>
+      val best = cents.map(o => cos(o._2, c.map(_.toDouble))).max
+      assert(best > 0.99, s"planted direction not tracked: best cos $best")
+    }
   }
 
   test("nearDupFilterWithinWatermark drops band-colliding successors, keeps firsts") {
