@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharEntropyExpr, MinHashSigs, MinRollingHashExpr, PolyHashExpr, ShingleFunctions, Simhash64Expr, TextHashFunctions, TextShingles, VectorDot}
+import graft.functions.{CharEntropyExpr, MinHashSigs, MinRollingHashExpr, PolyHashExpr, QuantizeInt8Expr, ShingleFunctions, Simhash64Expr, TextHashFunctions, TextShingles, VectorDot, VectorDotInt}
 
 /** Library entry point for `spark.sql.extensions`: injects graft's
   * function surface into every session built with
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot_int"),
+      new ExpressionInfo(classOf[VectorDotInt].getName, "vector_dot_int"),
+      (exprs: Seq[Expression]) => VectorDotInt(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_int8"),
+      (exprs: Seq[Expression]) => QuantizeInt8Expr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("text_shingles"),
       new ExpressionInfo(classOf[TextShingles].getName, "text_shingles"),

@@ -198,6 +198,22 @@ class PlanSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("GraftExtensions: quantization kernels reach SQL text through extension injection") {
+    val fresh = spark.newSession()
+    val d = fresh.sql("SELECT vector_dot_int(array(2, 3), array(4, 5)) AS d").head().getDouble(0)
+    assert(d === 23.0)
+    val q = fresh.sql("SELECT quantize_int8(array(0.5F, -1.0F)) AS q").head().getStruct(0)
+    assert(q.getAs[Seq[Int]]("q_emb") === Seq(64, -127))
+    assert(q.getAs[Long]("n_clipped") === 1L)
+    // wrong element type is an analysis error, not silent garbage
+    intercept[Exception] {
+      fresh.sql("SELECT vector_dot(array('a'), array('b'))").collect()
+    }
+    intercept[Exception] {
+      fresh.sql("SELECT vector_dot_int(array(1.0F), array(2.0F))").collect()
+    }
+  }
+
   test("GraftExtensions: text kernels reach SQL text through extension injection") {
     val fresh = spark.newSession()
     val sh = fresh.sql("SELECT text_shingles('a b c d e', 4) AS s").head().getSeq[String](0)
