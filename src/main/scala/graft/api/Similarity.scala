@@ -174,7 +174,10 @@ object Similarity {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     // one fused codegen pass per vector (the interpreted
     // transform/array_max/filter HOF chain it replaces measured ~3.5x
-    // slower); null = no finite nonzero scale (zero/NaN/Inf), dropped
+    // slower); null = no finite nonzero scale (zero/NaN/Inf) OR a null
+    // component (a null q element would bit-garble integer dots), dropped;
+    // the q87/q91 oracles mirror every drop condition. Accepts
+    // array<float> or array<double> embeddings.
     corpus
       .withColumn("__q", expr(s"quantize_int8($embCol)"))
       .filter(col("__q").isNotNull)

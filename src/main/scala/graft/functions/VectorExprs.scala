@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -167,20 +167,24 @@ case class VectorDotInt(left: Expression, right: Expression) extends BinaryExpre
   */
 object VectorKernels {
 
-  /** Symmetric int8 quantization of a float array: (scale, q_emb,
+  /** Symmetric int8 quantization of a float/double array: (scale, q_emb,
     * n_clipped), or null when the vector has no finite nonzero scale —
-    * any NaN/Inf component, a zero vector, or a null component (exactly
-    * the rows [[graft.api.Similarity.quantizeInt8]]'s filter drops; the
-    * arithmetic `floor(x/scale + 0.5)` is the same IEEE double sequence
-    * as the HOF/DuckDB formulation, so oracle hashes are unchanged).
+    * any NaN/Inf component, a zero vector, or a NULL component. The
+    * null-component case is a deliberate STRICTER departure from the HOF
+    * chain this kernel replaced (which kept the row with null q
+    * components — components that would then bit-garble any integer dot
+    * product): the q87/q91 oracles mirror the drop explicitly. For
+    * non-null finite inputs the arithmetic `floor(x/scale + 0.5)` is
+    * the same IEEE double sequence as the HOF/DuckDB formulation, so
+    * oracle hashes are unchanged.
     */
-  def quantizeInt8(arr: ArrayData): InternalRow = {
+  def quantizeInt8(arr: ArrayData, isDouble: Boolean): InternalRow = {
     val n = arr.numElements()
     var maxabs = 0.0
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      val v = arr.getFloat(i).toDouble
+      val v = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
       if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
       val a = math.abs(v)
       if (a > maxabs) maxabs = a
@@ -192,7 +196,8 @@ object VectorKernels {
     var clipped = 0L
     i = 0
     while (i < n) {
-      val qi = math.floor(arr.getFloat(i).toDouble / scale + 0.5).toInt
+      val v = if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+      val qi = math.floor(v / scale + 0.5).toInt
       q(i) = qi
       if (qi == 127 || qi == -127) clipped += 1
       i += 1
@@ -202,12 +207,12 @@ object VectorKernels {
 }
 
 /** `quantize_int8(emb)` — struct(scale, q_emb, n_clipped) in one
-  * codegen'd pass (see [[VectorKernels.quantizeInt8]]); null for vectors
-  * with no finite nonzero scale.
+  * codegen'd pass over an array<float> or array<double> column (see
+  * [[VectorKernels.quantizeInt8]]); null for vectors with no finite
+  * nonzero scale.
   */
-case class QuantizeInt8Expr(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType))
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("q_emb", ArrayType(IntegerType, containsNull = false), nullable = false),
@@ -216,13 +221,24 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression
   override def nullable: Boolean = true // degenerate vectors → null
   override def prettyName: String = "quantize_int8"
 
+  @transient private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> argument, got ${other.simpleString}")
+  }
+
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData])
+    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.functions.VectorKernels.quantizeInt8($c);
+         |${ev.value} = graft.functions.VectorKernels.quantizeInt8($c, $isDouble);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin)
 

@@ -319,7 +319,8 @@ object SimilarityOps {
       |q AS (
       |  SELECT vec_id, maxabs / 127 AS scale,
       |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
-      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs))
+      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs)
+      |    AND len(list_filter(ed, x -> x IS NULL)) = 0)
       |SELECT vec_id, scale,
       |  md5(array_to_string(q_emb, ',')) AS q_md5,
       |  CAST(q_emb[1] AS BIGINT) AS q_first,
@@ -350,7 +351,8 @@ object SimilarityOps {
       |q AS (
       |  SELECT vec_id,
       |    list_transform(ed, x -> CAST(floor(x / (maxabs / 127) + 0.5) AS INT)) AS q_emb
-      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs)),
+      |  FROM m WHERE maxabs > 0 AND NOT isnan(maxabs) AND isfinite(maxabs)
+      |    AND len(list_filter(ed, x -> x IS NULL)) = 0),
       |qn AS (
       |  SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS qnorm
       |  FROM (SELECT vec_id, CAST(q_emb AS DOUBLE[]) AS qd FROM q)

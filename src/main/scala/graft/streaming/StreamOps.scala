@@ -166,18 +166,43 @@ object StreamOps {
     * The centroid frame is k rows — it materializes on the driver
     * before the overwrite (you cannot overwrite a path mid-read), which
     * is exactly the broadcast-scale contract centroids already satisfy
-    * everywhere else in this API. Returns the configured writer; the
-    * caller sets checkpoint/trigger options and calls `.start()`.
+    * everywhere else in this API. Replay-idempotent: the table carries
+    * the last merged batchId, and foreachBatch's at-least-once
+    * re-delivery of that batch is skipped instead of double-counted.
+    * A missing table seeds from the first batch; an EXISTING but
+    * unreadable table fails loudly (a half-written overwrite must not
+    * silently reset the accumulated state). Returns the configured
+    * writer; the caller sets checkpoint/trigger options and calls
+    * `.start()`.
     */
   def streamingKmeans(docs: DataFrame, idCol: String, embCol: String,
       k: Int, centroidDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val spark = batch.sparkSession
-      if (!batch.isEmpty) {
-        val old: Option[DataFrame] =
-          try Some(spark.read.parquet(centroidDir).localCheckpoint(true))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val cents0 = old.getOrElse(
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      streamingKmeansBatch(batch, batchId, idCol, embCol, k, centroidDir)
+    }
+
+  /** One [[streamingKmeans]] micro-batch merge — public so the replay
+    * contract is directly testable.
+    */
+  def streamingKmeansBatch(rawBatch: DataFrame, batchId: Long, idCol: String,
+      embCol: String, k: Int, centroidDir: String): Unit = {
+    val spark = rawBatch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(centroidDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // existence checked explicitly: only a genuinely absent table may
+    // seed; a present-but-corrupt one (crash mid-overwrite) must throw
+    val old: Option[DataFrame] =
+      if (fs.exists(path)) Some(spark.read.parquet(centroidDir)) else None
+    // foreachBatch is at-least-once: a crash between the table overwrite
+    // and the stream-checkpoint commit re-delivers the same batchId —
+    // merging it again would double-count n and re-weight the means
+    val alreadyMerged = old.exists(df =>
+      df.schema.fieldNames.contains("last_batch_id") &&
+        !df.filter(col("last_batch_id") >= batchId).isEmpty)
+    val batch = rawBatch.persist()
+    try {
+      if (!alreadyMerged && !batch.isEmpty) {
+        val cents0 = old.map(_.drop("last_batch_id")).getOrElse(
           graft.api.Similarity.kmeansSeed(batch, idCol, embCol, k)
             .withColumn("n", lit(0L)))
         val stepped = graft.api.Similarity.kmeansStep(batch,
@@ -192,15 +217,16 @@ object StreamOps {
                    |     ELSE zip_with(o_emb, b_emb,
                    |            (x, y) -> (x * o_n + y * b_n) / (o_n + b_n)) END""".stripMargin)
               .as("cent_emb"),
-            (coalesce(col("o_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"))
+            (coalesce(col("o_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
+            lit(batchId).as("last_batch_id"))
         // k rows: collect BEFORE overwriting the directory being read
         val rows = merged.collect().toSeq
         spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-            merged.schema)
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, merged.schema)
           .coalesce(1).write.mode("overwrite").parquet(centroidDir)
       }
-    }
+    } finally batch.unpersist()
+  }
 
   /** One document on the verified near-dup path (`id` boxed: null ids
     * are legal input — they key on a per-row uuid — and a primitive

@@ -17,7 +17,7 @@ object VectorProps extends Properties("VectorKernels") {
     Gen.choose(1, 96).flatMap(n => Gen.listOfN(n, finiteFloat).map(_.toArray))
 
   private def quant(v: Array[Float]): Option[(Double, Array[Int], Long)] =
-    Option(VectorKernels.quantizeInt8(new GenericArrayData(v))).map { row =>
+    Option(VectorKernels.quantizeInt8(new GenericArrayData(v), false)).map { row =>
       val arr = row.getArray(1)
       (row.getDouble(0), (0 until arr.numElements()).map(arr.getInt).toArray,
         row.getLong(2))
@@ -49,7 +49,18 @@ object VectorProps extends Properties("VectorKernels") {
     forAll(vec, Gen.oneOf(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity),
         Gen.choose(0, 1000)) { (v, bad, posSeed) =>
       val poisoned = v.updated(posSeed % v.length, bad)
-      VectorKernels.quantizeInt8(new GenericArrayData(poisoned)) == null
+      VectorKernels.quantizeInt8(new GenericArrayData(poisoned), false) == null
+    }
+
+  property("float and double inputs quantize identically (floats promote exactly)") =
+    forAll(vec) { v =>
+      val f = VectorKernels.quantizeInt8(new GenericArrayData(v), false)
+      val d = VectorKernels.quantizeInt8(new GenericArrayData(v.map(_.toDouble)), true)
+      (f == null && d == null) || (f != null && d != null && {
+        val (fa, da) = (f.getArray(1), d.getArray(1))
+        f.getDouble(0) == d.getDouble(0) &&
+          (0 until fa.numElements()).forall(i => fa.getInt(i) == da.getInt(i))
+      })
     }
 
   property("int dot product is exact and symmetric") =

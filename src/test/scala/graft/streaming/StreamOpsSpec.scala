@@ -5,6 +5,11 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+/** Top-level so Spark can derive its encoder without an outer-scope
+  * reference (inner case classes fail `toDF` resolution).
+  */
+case class EmbRow(id: Long, emb: Array[Float])
+
 /** Behavioral tests of the streaming window/watermark/dedup operators
   * with MemoryStream, forcing micro-batch boundaries so the watermark
   * actually advances between batches.
@@ -12,8 +17,6 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class StreamOpsSpec extends SparkSpec {
 
   case class Evt(ts: Timestamp, event_type: String, user_id: Long, value: Double, id: Long)
-
-  case class EmbRow(id: Long, emb: Array[Float])
 
   private def t(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
@@ -203,6 +206,26 @@ class StreamOpsSpec extends SparkSpec {
       val best = cents.map(o => cos(o._2, c.map(_.toDouble))).max
       assert(best > 0.99, s"planted direction not tracked: best cos $best")
     }
+  }
+
+  test("streamingKmeans replays are idempotent: re-delivered batchId merges once") {
+    import spark.implicits._
+    val centroidDir = java.nio.file.Files.createTempDirectory("cents-replay").toString + "/table"
+    val batch = (0L until 30L).map(i => EmbRow(i, Array(1.0f + 0.01f * (i % 3), 0.5f, 0.1f, 0.1f)))
+      .toDF("id", "emb")
+    StreamOps.streamingKmeansBatch(batch, batchId = 0L, "id", "emb", k = 2, centroidDir)
+    val after1 = spark.read.parquet(centroidDir)
+      .select($"cluster", $"cent_emb", $"n").as[(Long, Seq[Double], Long)].collect().sortBy(_._1)
+    // at-least-once re-delivery of the SAME batchId must be a no-op
+    StreamOps.streamingKmeansBatch(batch, batchId = 0L, "id", "emb", k = 2, centroidDir)
+    val after2 = spark.read.parquet(centroidDir)
+      .select($"cluster", $"cent_emb", $"n").as[(Long, Seq[Double], Long)].collect().sortBy(_._1)
+    assert(after2 === after1, "replay must not double-count the batch")
+    // the NEXT batchId merges normally
+    StreamOps.streamingKmeansBatch(batch, batchId = 1L, "id", "emb", k = 2, centroidDir)
+    val after3 = spark.read.parquet(centroidDir)
+      .select(org.apache.spark.sql.functions.sum($"n")).as[Long].head()
+    assert(after3 === after1.map(_._3).sum + 30L)
   }
 
   test("nearDupFilterWithinWatermark drops band-colliding successors, keeps firsts") {
