@@ -367,6 +367,65 @@ object TextOps {
       |GROUP BY cc.doc_id, tot.n
       |ORDER BY cc.doc_id""".stripMargin
 
+  /** q98: PMI collocations — pointwise mutual information of ADJACENT
+    * token pairs over occurrence counts (q75's bigram df is per-doc
+    * distinct; PMI wants raw occurrences and unigram marginals):
+    * `pmi(a,b) = ln((c_ab/N2) / ((c_a/N1)·(c_b/N1)))`, pairs with
+    * c_ab ≥ 20, top 50 — the phrase-mining signal that separates real
+    * collocations from frequent-word coincidence.
+    *
+    * Plan/scale: one narrow tokenize feeds both explodes; unigram and
+    * bigram counts are partial-aggregated hash aggs (shuffle on the
+    * token key); the c_ab ≥ 20 prune fires before the two marginal
+    * equi-joins, and the totals are one broadcast scalar row. All
+    * counts are exact integers, so pmi is ln of an identical double in
+    * both engines, rounded to 6 (libm last-ulp).
+    */
+  def q98PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = table(spark, dir, "documents")
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+    val uni = toks.select(explode($"t").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size($"t") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 20)
+    val totals = toks.select(
+      sum(size($"t")).as("n1"),
+      sum(greatest(size($"t") - 1, lit(0))).as("n2"))
+    bi
+      .join(uni.select($"tok".as("a"), $"c".as("c_a")), "a")
+      .join(uni.select($"tok".as("b"), $"c".as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi",
+        round(log(($"c_ab" / $"n2") / (($"c_a" / $"n1") * ($"c_b" / $"n1"))), 6))
+      .select($"a", $"b", $"c_ab", $"c_a", $"c_b", $"pmi")
+      .orderBy($"pmi".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  val q98Sql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |tot AS (
+      |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n1,
+      |    CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n2 FROM t),
+      |uni AS (
+      |  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok),
+      |bi AS (
+      |  SELECT a, b, COUNT(*) AS c_ab FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+      |           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS b
+      |    FROM t WHERE len(t) >= 2)
+      |  GROUP BY a, b HAVING COUNT(*) >= 20)
+      |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+      |  round(ln((c_ab / n2) / ((ua.c / n1) * (ub.c / n1))), 6) AS pmi
+      |FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot
+      |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q86_repetition" -> (q86Repetition _),
     "q88_vocab_coverage" -> (q88VocabCoverage _),
@@ -380,7 +439,8 @@ object TextOps {
     "q35_quality_score" -> (q35QualityScore _),
     "q36_fingerprint" -> (q36Fingerprint _),
     "q74_tfidf" -> (q74Tfidf _),
-    "q75_bigram_df" -> (q75BigramDf _))
+    "q75_bigram_df" -> (q75BigramDf _),
+    "q98_pmi_collocations" -> (q98PmiCollocations _))
 
   val q47Sql: String =
     """SELECT doc_id,
@@ -467,5 +527,6 @@ object TextOps {
     "q35_quality_score" -> q35Sql,
     "q36_fingerprint" -> q36Sql,
     "q74_tfidf" -> q74Sql,
-    "q75_bigram_df" -> q75Sql)
+    "q75_bigram_df" -> q75Sql,
+    "q98_pmi_collocations" -> q98Sql)
 }
