@@ -101,6 +101,52 @@ object Similarity {
         col("cluster"), col("cand_id"), col("sim"))
   }
 
+  /** IVF top-k with MULTI-CELL probing — the recall/cost knob every
+    * production IVF index exposes: each probe searches its `nprobe`
+    * highest-cosine cells instead of only its own ([[ivfKnn]] is the
+    * nprobe=1 fast path), recovering the near-boundary neighbors
+    * single-cell search misses. At nprobe = |cells| this equals the
+    * exact kNN (measured in ApiSpec).
+    *
+    * Scale shape: cell selection is the same ONE-broadcast-row narrow
+    * pattern as [[ivfAssign]] (a per-probe sort of |cells| structs, no
+    * shuffle), probes explode ×nprobe (tiny side only), and candidates
+    * reach them through the broadcast equi-join on the cell id — corpus
+    * work is Σ over probed cells of |cell|, a fraction nprobe/|cells|
+    * of the exhaustive scan.
+    */
+  def ivfKnnProbed(assigned: DataFrame, centroids: DataFrame,
+      probeFilter: org.apache.spark.sql.Column, idCol: String, embCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val centArr = withNorm(centroids, embCol)
+      .agg(collect_list(struct(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
+        col("norm").as("cent_norm"))).as("cents"))
+    val probes = assigned.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
+      .crossJoin(broadcast(centArr))
+      // rank the centroid array per probe (negated sim → ascending struct
+      // sort puts the best cell first; cent_id breaks ties low-first),
+      // keep the nprobe best cell ids
+      .withColumn("cells", expr(
+        s"""transform(slice(array_sort(transform(cents, c ->
+           |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
+           |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"),
+        explode(col("cells")).as("cluster"))
+    val cands = assigned
+      .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
+        col("norm").as("c_norm"), col("cluster"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    cands.join(broadcast(probes), "cluster")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm")))
+      .select(col("probe_id"), col("cand_id"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn").cast("long").as("rn"),
+        col("cand_id"), col("sim"))
+  }
+
   /** All embedding pairs with cosine ≥ threshold (id_a < id_b):
     * (id_a, id_b, sim). Exact all-pairs via a broadcast of one side —
     * the corpus must fit a broadcast; the blocked scale path is

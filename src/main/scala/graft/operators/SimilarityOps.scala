@@ -408,6 +408,44 @@ object SimilarityOps {
        |QUALIFY SUM(AVG(x) * AVG(x)) OVER (PARTITION BY cluster) > 0
        |ORDER BY cluster, dim""".stripMargin
 
+  /** q99: IVF top-3 with nprobe=4 multi-cell search
+    * ([[graft.api.Similarity.ivfKnnProbed]]) — q43's single-cell search
+    * with the recall knob turned up: each probe searches its 4 nearest
+    * cells of 16, recovering near-boundary neighbors.
+    */
+  def q99IvfNprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val centroids = corpus.filter($"vec_id" < 16)
+    val assigned = graft.api.Similarity.ivfAssign(corpus, centroids, "vec_id", "embedding")
+    graft.api.Similarity.ivfKnnProbed(assigned, centroids,
+        $"vec_id" >= 100 && $"vec_id" < 110, "vec_id", "embedding", k = 3, nprobe = 4)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q99Sql: String =
+    s"""WITH $assignSql,
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb
+       |  FROM assign WHERE vec_id >= 100 AND vec_id < 110),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < 16 AND ${posNormSql("embedding")}),
+       |cells AS (
+       |  SELECT probe_id, p_emb, cent_id AS cell FROM (
+       |    SELECT p.probe_id, p.p_emb, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("c.c_emb", "p.p_emb")} DESC, c.cent_id) AS crn
+       |    FROM probes p CROSS JOIN cents c)
+       |  WHERE crn <= 4)
+       |SELECT probe_id, rn, cand_id, sim FROM (
+       |  SELECT s.probe_id, a.vec_id AS cand_id,
+       |    ${cosSql("s.p_emb", "a.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY s.probe_id
+       |      ORDER BY ${cosSql("s.p_emb", "a.embedding")} DESC, a.vec_id) AS rn
+       |  FROM cells s JOIN assign a ON a.cluster = s.cell AND a.vec_id <> s.probe_id)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q87_quantize_int8" -> (q87QuantizeInt8 _),
     "q42_cosine_knn" -> (q42CosineKnn _),
@@ -419,7 +457,8 @@ object SimilarityOps {
     "q82_ivf_near_dup" -> (q82IvfNearDup _),
     "q83_knn_shuffled" -> (q83KnnShuffled _),
     "q91_quantized_knn" -> (q91QuantizedKnn _),
-    "q92_kmeans_step" -> (q92KmeansStep _))
+    "q92_kmeans_step" -> (q92KmeansStep _),
+    "q99_ivf_nprobe" -> (q99IvfNprobe _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
@@ -432,5 +471,6 @@ object SimilarityOps {
     "q82_ivf_near_dup" -> q82Sql,
     "q83_knn_shuffled" -> q83Sql,
     "q91_quantized_knn" -> q91Sql,
-    "q92_kmeans_step" -> q92Sql)
+    "q92_kmeans_step" -> q92Sql,
+    "q99_ivf_nprobe" -> q99Sql)
 }

@@ -282,6 +282,27 @@ class ApiSpec extends SparkSpec {
     assert(recall >= 0.9, f"quantized-domain kNN degraded recall to $recall%.3f")
   }
 
+  test("ivfKnnProbed: recall grows with nprobe and reaches exact at nprobe = |cells|") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = corpus.filter($"vec_id" < 16)
+    val assigned = Similarity.ivfAssign(corpus, centroids, "vec_id", "embedding")
+    val probeF = $"vec_id" % 40 === 0
+    val k = 5
+    val exact = Similarity.cosineKnn(corpus, corpus.filter(probeF), "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfKnnProbed(assigned, centroids, probeF,
+          "vec_id", "embedding", k, nprobe)
+        .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val (r1, r4, rAll) = (recallAt(1), recallAt(4), recallAt(16))
+    info(f"IVF recall@$k: nprobe=1 $r1%.3f, nprobe=4 $r4%.3f, nprobe=16 $rAll%.3f")
+    assert(r4 >= r1, "more probed cells must never lose recall")
+    assert(rAll === 1.0, "probing every cell IS the exact search")
+  }
+
   test("kmeansIterate converges on synthetic blobs and recovers the planted centers") {
     import spark.implicits._
     // three well-separated direction blobs in 4-d (cosine assignment —
