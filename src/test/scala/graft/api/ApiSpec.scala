@@ -303,6 +303,36 @@ class ApiSpec extends SparkSpec {
     assert(rAll === 1.0, "probing every cell IS the exact search")
   }
 
+  test("the full ANN loop composes: kmeansIterate centroids feed ivfAssign + ivfKnnProbed") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probeF = $"vec_id" % 40 === 0
+    val k = 5
+    val exact = Similarity.cosineKnn(corpus, corpus.filter(probeF), "vec_id", "embedding", k)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    // learned centroids (3 Lloyd rounds) become the IVF coarse quantizer —
+    // the float corpus dots against double centroids with no cast pass
+    val learned = Similarity.kmeansIterate(corpus, "vec_id", "embedding", k = 16, iters = 3)
+      .select($"cluster".as("vec_id"), $"centroid".as("embedding"))
+    val assigned = Similarity.ivfAssign(corpus, learned, "vec_id", "embedding")
+    assert(assigned.count() === corpus.count(), "every corpus vector lands in a learned cell")
+    val got = Similarity.ivfKnnProbed(assigned, learned, probeF,
+        "vec_id", "embedding", k, nprobe = 4)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // seed-row centroids at the same nprobe, for comparison
+    val seedCents = corpus.filter($"vec_id" < 16)
+    val seedAssigned = Similarity.ivfAssign(corpus, seedCents, "vec_id", "embedding")
+    val seedGot = Similarity.ivfKnnProbed(seedAssigned, seedCents, probeF,
+        "vec_id", "embedding", k, nprobe = 4)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val seedRecall = (exact intersect seedGot).size.toDouble / exact.size
+    info(f"IVF recall@$k nprobe=4: learned centroids $recall%.3f vs seed rows $seedRecall%.3f")
+    assert(recall > 0.0)
+    assert(recall >= seedRecall - 0.05,
+      "learned centroids must not be materially worse than arbitrary seed rows")
+  }
+
   test("kmeansIterate converges on synthetic blobs and recovers the planted centers") {
     import spark.implicits._
     // three well-separated direction blobs in 4-d (cosine assignment —
