@@ -47,15 +47,36 @@ object Similarity {
     val p = withNorm(probes, embCol)
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
     val c = emb.select(col(idCol).as("cand_id"), col(embCol).as("c_emb"), col("norm").as("c_norm"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    c.crossJoin(broadcast(p))
+    topKTail(c.crossJoin(broadcast(p))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm")))
-      // drop the arrays before the window shuffle — only scalars move
-      .select(col("probe_id"), col("cand_id"), col("sim"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm"))),
+      k)
+  }
+
+  /** The centroid frame collapsed into ONE array row (cent_id, cent_emb,
+    * cent_norm structs) for broadcasting — the shared construction behind
+    * [[ivfAssign]] and [[ivfKnnProbed]]'s cell ranking.
+    */
+  private def centArray(centroids: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    withNorm(centroids, embCol)
+      .agg(collect_list(struct(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
+        col("norm").as("cent_norm"))).as("cents"))
+
+  /** Per-probe broadcast top-k over scored (probe_id, cand_id, sim) rows
+    * — the shared tail of every kNN here: arrays are projected away
+    * before the window shuffle so only scalars move, ranking is
+    * (sim desc, cand_id) with self-matches excluded by the caller.
+    */
+  private def topKTail(scored: DataFrame, k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    scored
+      .select((Seq("probe_id") ++ extraCols ++ Seq("cand_id", "sim")).map(col): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("probe_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("sim"))
+      .select((Seq(col("probe_id"), col("rn").cast("long").as("rn")) ++
+        extraCols.map(col) ++ Seq(col("cand_id"), col("sim"))): _*)
   }
 
   /** IVF coarse-quantizer assignment: every corpus row gains a `cluster`
@@ -67,10 +88,7 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String): DataFrame = {
     val emb = withNorm(corpus, embCol)
-    val centArr = withNorm(centroids, embCol)
-      .agg(collect_list(struct(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
-        col("norm").as("cent_norm"))).as("cents"))
-    emb.crossJoin(broadcast(centArr))
+    emb.crossJoin(broadcast(centArray(centroids, idCol, embCol)))
       .withColumn("best", expr(
         s"""array_max(transform(cents, c ->
            |  struct(${dot("c.cent_emb", embCol)} / (c.cent_norm * norm) AS csim,
@@ -90,15 +108,10 @@ object Similarity {
     val cands = assigned
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         col("norm").as("c_norm"), col("cluster"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    cands.join(broadcast(probes), "cluster")
+    topKTail(cands.join(broadcast(probes), "cluster")
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm")))
-      .select(col("probe_id"), col("cluster"), col("cand_id"), col("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("rn").cast("long").as("rn"),
-        col("cluster"), col("cand_id"), col("sim"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm"))),
+      k, extraCols = Seq("cluster"))
   }
 
   /** IVF top-k with MULTI-CELL probing — the recall/cost knob every
@@ -118,12 +131,9 @@ object Similarity {
   def ivfKnnProbed(assigned: DataFrame, centroids: DataFrame,
       probeFilter: org.apache.spark.sql.Column, idCol: String, embCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val centArr = withNorm(centroids, embCol)
-      .agg(collect_list(struct(col(idCol).as("cent_id"), col(embCol).as("cent_emb"),
-        col("norm").as("cent_norm"))).as("cents"))
     val probes = assigned.filter(probeFilter)
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
-      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(centArray(centroids, idCol, embCol)))
       // rank the centroid array per probe (negated sim → ascending struct
       // sort puts the best cell first; cent_id breaks ties low-first),
       // keep the nprobe best cell ids
@@ -136,15 +146,10 @@ object Similarity {
     val cands = assigned
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         col("norm").as("c_norm"), col("cluster"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    cands.join(broadcast(probes), "cluster")
+    topKTail(cands.join(broadcast(probes), "cluster")
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm")))
-      .select(col("probe_id"), col("cand_id"), col("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("rn").cast("long").as("rn"),
-        col("cand_id"), col("sim"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm"))),
+      k)
   }
 
   /** All embedding pairs with cosine ≥ threshold (id_a < id_b):
@@ -257,15 +262,10 @@ object Similarity {
       col("q_emb").as("p_q"), col("qnorm").as("p_qnorm"))
     val c = quant(corpus).select(col(idCol).as("cand_id"),
       col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    c.crossJoin(broadcast(p))
+    topKTail(c.crossJoin(broadcast(p))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("sim", expr("vector_dot_int(p_q, c_q)") / (col("p_qnorm") * col("c_qnorm")))
-      // drop the int arrays before the window shuffle — only scalars move
-      .select(col("probe_id"), col("cand_id"), col("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("rn").cast("long").as("rn"), col("cand_id"), col("sim"))
+      .withColumn("sim", expr("vector_dot_int(p_q, c_q)") / (col("p_qnorm") * col("c_qnorm"))),
+      k)
   }
 
   /** Lloyd's k-means over an embedding column: `iters` rounds of

@@ -374,7 +374,12 @@ object TextOps {
     * c_ab ≥ 20, top 50 — the phrase-mining signal that separates real
     * collocations from frequent-word coincidence.
     *
-    * Plan/scale: one narrow tokenize feeds both explodes; unigram and
+    * Plan/scale: the tokenize subtree is deliberately RE-EVALUATED by
+    * its three consumers (unigram explode, bigram explode, totals) —
+    * Spark does not share uncached common subtrees, and the narrow
+    * split+filter re-computation is cheaper at 100 TB than pinning a
+    * tokenized copy of the corpus in storage (the same
+    * recompute-over-cache trade as q88's totals scan). Unigram and
     * bigram counts are partial-aggregated hash aggs (shuffle on the
     * token key); the c_ab ≥ 20 prune fires before the two marginal
     * equi-joins, and the totals are one broadcast scalar row. All
