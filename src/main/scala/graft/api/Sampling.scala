@@ -36,6 +36,50 @@ object Sampling {
       .withColumn("sample_rank", col("__rn").cast("long")).drop("__rn")
   }
 
+  /** Mixture-weighted deterministic subsample — the draw that REALIZES
+    * [[mixtureWeights]]: keep each row of group g with probability
+    * `p_g = min(1, targetFraction · N · w_g / n_g)` (so the kept corpus
+    * is ≈ targetFraction of the input, distributed across groups by the
+    * temperature weights — small high-quality sources keep more of
+    * themselves), decided by a DETERMINISTIC per-row uniform
+    * `u(id) = (id · 2654435761) mod 2³² / 2³²` (Knuth multiplicative
+    * hash: exact integer arithmetic, so the same rows are kept on every
+    * engine, cluster, and re-run). Returns the input columns plus
+    * (keep_prob, u). Use `alpha = 0.5`: sqrt is correctly rounded under
+    * IEEE 754, making `p_g` bit-identical across engines (general pow
+    * may differ in the last ulp, which could flip a row whose u lands
+    * within 1e-16 of the threshold).
+    *
+    * Scale shape: one tiny group-count agg (one row per source,
+    * broadcast back), then a narrow per-row filter — no shuffle of the
+    * corpus at all.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    val wAll = Window.orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // alpha = 0.5 routes through sqrt (correctly rounded by IEEE 754,
+    // unlike pow(x, 0.5) which carries a 1-ulp allowance) so the DuckDB
+    // twin computes bit-identical probabilities
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_g").cast("double"))
+      else pow(col("n_g").cast("double"), alpha)
+    val probs = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_raw", wRaw)
+      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(wAll))
+      .withColumn("n_total", sum(col("n_g")).over(wAll))
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("n_total") * col("w_norm") / col("n_g"))
+          .as("keep_prob"))
+    df.join(broadcast(probs), groupCol)
+      .withColumn("u",
+        pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double")
+          / 4294967296.0)
+      .filter(col("u") < col("keep_prob"))
+  }
+
   /** Deterministic training-order shuffle for one epoch: every row gets
     * a `shard` (id mod `shards` — stable across epochs, so shard-level
     * file layout persists) and a `pos` within its shard drawn from

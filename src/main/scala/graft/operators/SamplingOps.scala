@@ -162,17 +162,54 @@ object SamplingOps {
       |  FROM documents)
       |ORDER BY shard, pos""".stripMargin
 
+  /** q100: mixture-weighted deterministic subsample
+    * ([[graft.api.Sampling.mixtureSample]], α = 0.5, target 25%) — the
+    * draw that realizes q96's mixture: per-source keep probability
+    * min(1, 0.25·N·w_g/n_g), decided by the exact Knuth-hash uniform so
+    * both engines keep the SAME rows (integer arithmetic; sqrt and the
+    * probability expression are bit-identical cross-engine).
+    */
+  def q100MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.mixtureSample(
+        table(spark, dir, "documents").select($"doc_id", $"source"),
+        "source", "doc_id", alpha = 0.5, targetFraction = 0.25)
+      .select($"doc_id", $"source", round($"keep_prob", 6).as("keep_prob"), $"u")
+      .orderBy($"doc_id")
+  }
+
+  val q100Sql: String =
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_g, sqrt(COUNT(*)) AS w_raw
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT source,
+      |    least(1.0, (0.25 * CAST(SUM(n_g) OVER (ORDER BY source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE))
+      |      * (w_raw / SUM(w_raw) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |      / n_g) AS keep_prob
+      |  FROM g)
+      |SELECT doc_id, source, round(keep_prob, 6) AS keep_prob, u
+      |FROM (SELECT doc_id, source,
+      |        CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS u
+      |      FROM documents) d
+      |JOIN p USING (source)
+      |WHERE u < keep_prob ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q93_stratified_sample" -> (q93StratifiedSample _),
     "q94_redact_pii" -> (q94RedactPii _),
     "q95_sequence_packing" -> (q95SequencePacking _),
     "q96_mixture_weights" -> (q96MixtureWeights _),
-    "q97_epoch_shuffle" -> (q97EpochShuffle _))
+    "q97_epoch_shuffle" -> (q97EpochShuffle _),
+    "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q93_stratified_sample" -> q93Sql,
     "q94_redact_pii" -> q94Sql,
     "q95_sequence_packing" -> q95Sql,
     "q96_mixture_weights" -> q96Sql,
-    "q97_epoch_shuffle" -> q97Sql)
+    "q97_epoch_shuffle" -> q97Sql,
+    "q100_mixture_sample" -> q100Sql)
 }

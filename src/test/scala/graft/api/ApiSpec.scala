@@ -437,6 +437,26 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(unit.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("mixtureSample hits the target fraction and up-weights small sources") {
+    import spark.implicits._
+    // two sources, 9:1 — alpha=0.5 temperature should keep a LARGER
+    // fraction of the small source than of the big one
+    val docs = (0L until 1000L).map(i => (i, if (i < 900) "big" else "small"))
+      .toDF("id", "src")
+    val kept = Sampling.mixtureSample(docs, "src", "id", alpha = 0.5, targetFraction = 0.3)
+    val n = kept.count()
+    assert(math.abs(n - 300.0) / 300.0 < 0.2, s"kept $n of target 300")
+    val bySrc = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    val fracBig = bySrc("big") / 900.0
+    val fracSmall = bySrc("small") / 100.0
+    info(f"keep rates: big $fracBig%.3f small $fracSmall%.3f")
+    assert(fracSmall > fracBig, "temperature sampling must up-weight the small source")
+    // deterministic: identical rows on a second run
+    val again = Sampling.mixtureSample(docs, "src", "id", alpha = 0.5, targetFraction = 0.3)
+    assert(kept.select($"id").as[Long].collect().sorted ===
+      again.select($"id").as[Long].collect().sorted)
+  }
+
   test("epochShuffle: reproducible permutation per epoch, reshuffled across epochs, shards stable") {
     import spark.implicits._
     val df = (0L until 64L).toDF("id")
