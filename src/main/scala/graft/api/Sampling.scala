@@ -36,6 +36,45 @@ object Sampling {
       .withColumn("sample_rank", col("__rn").cast("long")).drop("__rn")
   }
 
+  /** Normalized temperature weights per group (one row per group,
+    * unrounded): n_g, w_raw = n_g^alpha, w_norm = w_raw / Σ w_raw,
+    * n_total — the SHARED formula behind [[mixtureWeights]] and
+    * [[mixtureSample]] (one copy, so the draw realizes exactly the
+    * weights the report shows). alpha = 0.5 routes through sqrt
+    * (correctly rounded by IEEE 754, unlike pow(x, 0.5) which carries a
+    * 1-ulp allowance) so DuckDB twins compute bit-identical weights.
+    */
+  private def normWeights(df: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    val wAll = Window.orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_g").cast("double"))
+      else pow(col("n_g").cast("double"), alpha)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_raw", wRaw)
+      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(wAll))
+      .withColumn("n_total", sum(col("n_g")).over(wAll))
+  }
+
+  /** Overflow-free Knuth multiplicative-hash uniform in [0, 1):
+    * `u = (id · 2654435761) mod 2³² / 2³²`, computed via 16-bit split
+    * mulmod — `(x·K) mod 2³² = ((x_hi·K mod 2¹⁶)·2¹⁶ + x_lo·K) mod 2³²`
+    * with every intermediate ≤ ~1.7e14 — so ids up to Long.MaxValue
+    * never overflow Spark's ANSI multiply (a naive `id · K` dies at
+    * id ≈ 3.5e9, squarely inside the 100 TB design range), and pmod
+    * keeps negative ids in [0, 1) too. Pure integer arithmetic: the
+    * same rows are drawn on every engine.
+    */
+  private def knuthU(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = pmod(id.cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long") // exact: x - lo is a multiple of 2^16
+    (pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L + lo * 2654435761L,
+      lit(4294967296L)).cast("double") / 4294967296.0).as("u")
+  }
+
   /** Mixture-weighted deterministic subsample — the draw that REALIZES
     * [[mixtureWeights]]: keep each row of group g with probability
     * `p_g = min(1, targetFraction · N · w_g / n_g)` (so the kept corpus
@@ -56,27 +95,13 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, targetFraction: Double): DataFrame = {
-    val wAll = Window.orderBy(col(groupCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // alpha = 0.5 routes through sqrt (correctly rounded by IEEE 754,
-    // unlike pow(x, 0.5) which carries a 1-ulp allowance) so the DuckDB
-    // twin computes bit-identical probabilities
-    val wRaw =
-      if (alpha == 0.5) sqrt(col("n_g").cast("double"))
-      else pow(col("n_g").cast("double"), alpha)
-    val probs = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_g"))
-      .withColumn("w_raw", wRaw)
-      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(wAll))
-      .withColumn("n_total", sum(col("n_g")).over(wAll))
+    val probs = normWeights(df, groupCol, alpha)
       .select(col(groupCol),
         least(lit(1.0),
           lit(targetFraction) * col("n_total") * col("w_norm") / col("n_g"))
           .as("keep_prob"))
     df.join(broadcast(probs), groupCol)
-      .withColumn("u",
-        pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double")
-          / 4294967296.0)
+      .withColumn("u", knuthU(col(idCol)))
       .filter(col("u") < col("keep_prob"))
   }
 
@@ -122,15 +147,9 @@ object Sampling {
     * output.
     */
   def mixtureWeights(df: DataFrame, groupCol: String, alpha: Double,
-      totalDraws: Long): DataFrame = {
-    val wAll = Window.orderBy(col(groupCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_raw", pow(col("n_docs").cast("double"), alpha))
-      .withColumn("w_norm", col("w_raw") / sum(col("w_raw")).over(wAll))
-      .select(col(groupCol), col("n_docs"),
+      totalDraws: Long): DataFrame =
+    normWeights(df, groupCol, alpha)
+      .select(col(groupCol), col("n_g").as("n_docs"),
         round(col("w_norm"), 6).as("weight"),
         round(col("w_norm") * totalDraws, 2).as("expected_draws"))
-  }
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Oracle bindings for the [[graft.api.Sampling]] and PII surface — the
   * dataset-selection steps of a training-data pipeline (deterministic
-  * stratified sampling, mixture-weight design, sequence packing, PII
-  * redaction), each hash-checked against a DuckDB twin. Everything is
-  * hash-/count-based (no RNG), so both engines agree exactly; the one
-  * float op (pow in mixture weights) is rounded to 6 decimals.
+  * stratified sampling, mixture-weight design + weighted subsampling,
+  * sequence packing, PII redaction, epoch shuffle), each hash-checked
+  * against a DuckDB twin. Everything is hash-/count-based (no RNG), so
+  * both engines agree exactly; the float ops are either correctly
+  * rounded by IEEE (sqrt, dyadic-rational division — bit-identical
+  * cross-engine) or rounded to 6 decimals for display (pow in q96's
+  * general-alpha path).
   */
 object SamplingOps {
 
@@ -130,7 +133,7 @@ object SamplingOps {
 
   val q96Sql: String =
     """WITH g AS (
-      |  SELECT source, COUNT(*) AS n_docs, pow(COUNT(*), 0.5) AS w_raw
+      |  SELECT source, COUNT(*) AS n_docs, sqrt(COUNT(*)) AS w_raw
       |  FROM documents GROUP BY source)
       |SELECT source, n_docs,
       |  round(w_raw / SUM(w_raw) OVER (ORDER BY source
@@ -191,9 +194,16 @@ object SamplingOps {
       |      / n_g) AS keep_prob
       |  FROM g)
       |SELECT doc_id, source, round(keep_prob, 6) AS keep_prob, u
-      |FROM (SELECT doc_id, source,
-      |        CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 AS u
-      |      FROM documents) d
+      |FROM (
+      |  -- 16-bit split mulmod (overflow-free for any BIGINT id) with a
+      |  -- pmod-safe first reduction (negative ids), mirroring knuthU
+      |  SELECT doc_id, source,
+      |    CAST(((((x // 65536) * 2654435761) % 65536) * 65536
+      |          + (x % 65536) * 2654435761) % 4294967296 AS DOUBLE)
+      |      / 4294967296 AS u
+      |  FROM (SELECT doc_id, source,
+      |          ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
+      |        FROM documents)) d
       |JOIN p USING (source)
       |WHERE u < keep_prob ORDER BY doc_id""".stripMargin
 

@@ -455,6 +455,16 @@ class ApiSpec extends SparkSpec {
     val again = Sampling.mixtureSample(docs, "src", "id", alpha = 0.5, targetFraction = 0.3)
     assert(kept.select($"id").as[Long].collect().sorted ===
       again.select($"id").as[Long].collect().sorted)
+    // huge and negative ids: the split mulmod must not overflow ANSI
+    // arithmetic (a naive id*K dies at id ~ 3.5e9) and u stays in [0, 1)
+    val extremes = Seq(Long.MaxValue, Long.MaxValue - 7, 4294967296L, -5L, -Long.MaxValue)
+      .zipWithIndex.map { case (id, i) => (id, s"s${i % 2}") }.toDF("id", "src")
+    // targetFraction = 2 forces keep_prob = 1 in every group, so the
+    // count assertion is guaranteed, not dependent on where u lands
+    val eKept = Sampling.mixtureSample(extremes, "src", "id", alpha = 0.5, targetFraction = 2.0)
+    assert(eKept.count() === 5, "saturated keep_prob keeps everything, at any id magnitude")
+    val us = eKept.select($"u").as[Double].collect()
+    us.foreach(u => assert(u >= 0.0 && u < 1.0))
   }
 
   test("epochShuffle: reproducible permutation per epoch, reshuffled across epochs, shards stable") {
