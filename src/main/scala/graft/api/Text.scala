@@ -133,6 +133,40 @@ object Text {
         col("bin"), col("spans_boundary"))
   }
 
+  /** Fixed-size character chunking with overlap — the context-window
+    * splitting step of a RAG/training pipeline: each document becomes
+    * `ceil(len/stride)` chunks of up to `chunkChars` characters starting
+    * every `stride` characters (overlap = chunkChars − stride). Output:
+    * (`idCol`, chunk_idx, off, chunk) with 0-based character offsets.
+    *
+    * Scale shape: one narrow generate-offsets + explode pass — no
+    * shuffle, no join; output size is a fixed ×(chunkChars/stride)
+    * amplification of the input, produced streaming per row. The chunk
+    * text is carried as a column so callers can fingerprint/embed it
+    * without re-reading the corpus.
+    */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkChars >= stride,
+      s"need 0 < stride <= chunkChars, got stride=$stride chunkChars=$chunkChars")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)),
+          lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("off"),
+        col(textCol).substr(col("col") + 1, lit(chunkChars)).as("chunk"))
+  }
+
+  /** True when any whitespace token of `text` is in `terms` — the
+    * blocklist gate of a curation pipeline (profanity/boilerplate/spam
+    * term lists). Token-exact (no substring false positives), narrow,
+    * codegen'd; the term list ships as an array literal, so at 100 TB it
+    * is part of the task binary, not a join.
+    */
+  def blocklistHit(text: Column, terms: Seq[String]): Column =
+    arrays_overlap(split(text, " "), array(terms.map(lit): _*))
+
   /** TF-IDF table (id, tok, tf, df, tfidf) for rows matching
     * `probeFilter`: term frequencies from the probe rows, document
     * frequencies from the whole corpus (distinct tokens per row via the

@@ -292,7 +292,115 @@ object EventOps {
       |  (epoch_ms(ts) // 60000) * 60000 + 60000 - MAX(epoch_ms(ts)) AS replication_lag_ms
       |FROM events GROUP BY 1 ORDER BY batch_ms""".stripMargin
 
+  /** q104: ordered conversion funnel — per user, the STRICT sequence
+    * view → click (after the view) → purchase (after that click), the
+    * product-analytics query shape (and, in pipeline terms, an ordered
+    * multi-stage pattern match over a keyed event stream). Each stage is
+    * a filtered min-aggregate keyed on user_id joined to the previous
+    * stage's frontier; all three aggs and both joins share the user_id
+    * hash partitioning, so the chain costs ONE shuffle of the events
+    * table regardless of stage count. Stage frames shrink monotonically
+    * (funnel!) and the per-user state is one timestamp — at 100 TB the
+    * stage joins are tiny-side broadcasts.
+    */
+  def q104Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_ms").as("t_view"))
+    val s2 = ev.filter($"event_type" === "click")
+      .join(s1, "user_id").filter($"ts_ms" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts_ms").as("t_click"), min($"t_view").as("t_view"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts_ms" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts_ms").as("t_purchase"), min($"t_click").as("t_click"))
+    s1.agg(count(lit(1)).as("n_viewed")).crossJoin(
+        s2.agg(count(lit(1)).as("n_clicked"),
+          (sum($"t_click" - $"t_view").cast("double") / count(lit(1))).as("avg_view_to_click_ms")))
+      .crossJoin(
+        s3.agg(count(lit(1)).as("n_purchased"),
+          (sum($"t_purchase" - $"t_click").cast("double") / count(lit(1))).as("avg_click_to_purchase_ms")))
+      .select($"n_viewed", $"n_clicked", $"n_purchased",
+        $"avg_view_to_click_ms", $"avg_click_to_purchase_ms")
+  }
+
+  val q104Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t_click, MIN(t_view) AS t_view
+      |  FROM events JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND epoch_ms(ts) > t_view GROUP BY user_id),
+      |s3 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t_purchase, MIN(t_click) AS t_click
+      |  FROM events JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND epoch_ms(ts) > t_click GROUP BY user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM s1) AS n_viewed,
+      |  (SELECT COUNT(*) FROM s2) AS n_clicked,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchased,
+      |  (SELECT CAST(SUM(t_click - t_view) AS DOUBLE) / COUNT(*) FROM s2) AS avg_view_to_click_ms,
+      |  (SELECT CAST(SUM(t_purchase - t_click) AS DOUBLE) / COUNT(*) FROM s3) AS avg_click_to_purchase_ms""".stripMargin
+
+  /** q105: time-series gap filling with forward interpolation — the
+    * missing-bucket repair step before any per-entity time-series model:
+    * build the full (user, event_type) × day grid from the observed date
+    * range, left-join the observed daily sums, and carry the last
+    * observed value forward (`last(_, ignoreNulls)` ≡ DuckDB
+    * `LAST_VALUE(... IGNORE NULLS)`). Daily sums are exact decimal sums
+    * so observed and carried values are engine-identical.
+    *
+    * Scale shape: the day spine and the 1-row range agg are broadcast;
+    * the grid is keys × days built WITHOUT touching the fact table
+    * again; one shuffle keys the left join and the forward-fill window
+    * shares its partitioning. Window length = days-per-entity, bounded
+    * by the calendar, never by corpus size.
+    */
+  def q105GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    val ev = events(spark, dir).filter($"user_id" < 10)
+      .withColumn("day_idx", expr(s"ts_ms div $dayMs"))
+    val daily = ev.groupBy($"user_id", $"event_type", $"day_idx")
+      .agg(dsum($"value").as("day_value"))
+    val span = ev.agg(min($"day_idx").as("d0"), max($"day_idx").as("d1"))
+    val days = span.select(explode(sequence($"d0", $"d1")).as("day_idx"))
+    val grid = daily.select($"user_id", $"event_type").distinct()
+      .crossJoin(broadcast(days))
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "event_type", "day_idx"), "left")
+      .select($"user_id", $"event_type", ($"day_idx" * dayMs).as("day_ms"),
+        $"day_value".isNotNull.as("is_observed"),
+        last($"day_value", ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy($"user_id", $"event_type", $"day_ms")
+  }
+
+  val q105Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day_idx, value
+      |  FROM events WHERE user_id < 10),
+      |daily AS (
+      |  SELECT user_id, event_type, day_idx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM ev GROUP BY 1, 2, 3),
+      |span AS (SELECT MIN(day_idx) AS d0, MAX(day_idx) AS d1 FROM ev),
+      |days AS (SELECT unnest(generate_series(d0, d1)) AS day_idx FROM span),
+      |grid AS (
+      |  SELECT user_id, event_type, day_idx
+      |  FROM (SELECT DISTINCT user_id, event_type FROM daily) CROSS JOIN days)
+      |SELECT user_id, event_type, day_idx * 86400000 AS day_ms,
+      |  day_value IS NOT NULL AS is_observed,
+      |  LAST_VALUE(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id, event_type ORDER BY day_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM grid LEFT JOIN daily USING (user_id, event_type, day_idx)
+      |ORDER BY user_id, event_type, day_ms""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q104_funnel" -> (q104Funnel _),
+    "q105_gap_fill" -> (q105GapFill _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_cdc_latest" -> (q24CdcLatest _),
     "q25_checkpoint_maxby" -> (q25CheckpointMaxby _),
@@ -304,6 +412,8 @@ object EventOps {
     "q31_repl_metrics" -> (q31ReplMetrics _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q104_funnel" -> q104Sql,
+    "q105_gap_fill" -> q105Sql,
     "q23_json_extract" -> q23Sql,
     "q24_cdc_latest" -> q24Sql,
     "q25_checkpoint_maxby" -> q25Sql,

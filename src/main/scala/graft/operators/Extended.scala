@@ -403,7 +403,60 @@ object Extended {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q103: winsorized aggregation — per-group p05/p95 bounds (exact
+    * linear-interpolation `percentile`, the same definition as DuckDB's
+    * `quantile_cont`, computed over identical doubles so the bounds are
+    * bit-identical cross-engine) and the outlier-clipped mean, the
+    * robust-statistics step that tames heavy-tailed columns before
+    * training-data weighting. The clipped values are cast to
+    * DECIMAL(18,4) before summing so the mean is an exact
+    * summation-order-independent sum ÷ count on both engines (raw
+    * double summation noise over 10⁵-row groups reaches ~1e-4 — above
+    * the rounding grid; the decimal cast removes it).
+    *
+    * Scale shape: one shuffle to the group key for the percentile agg
+    * (sort-based within groups), the tiny bounds frame broadcast back
+    * into a second narrow pass + hash agg. Group count is the only
+    * cardinality that matters; the percentile state is per-group sorted
+    * values — for high-cardinality groups switch to approx_percentile.
+    */
+  def q103Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val bounds = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("p05"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("clipped",
+        least(greatest($"l_extendedprice", $"p05"), $"p95").cast(DecimalType(18, 4)))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(($"l_extendedprice" < $"p05").cast("long")).as("n_clipped_low"),
+        sum(($"l_extendedprice" > $"p95").cast("long")).as("n_clipped_high"),
+        round(min($"p05"), 4).as("p05"),
+        round(min($"p95"), 4).as("p95"),
+        (sum($"clipped").cast("double") / count(lit(1))).as("winsorized_mean"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q103Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS p05,
+      |    quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |  round(MIN(p05), 4) AS p05, round(MIN(p95), 4) AS p95,
+      |  CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95) AS DECIMAL(18,4))) AS DOUBLE)
+      |    / COUNT(*) AS winsorized_mean
+      |FROM lineitem JOIN b USING (l_returnflag)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q103_winsorize" -> (q103Winsorize _),
     "q81_salted_agg" -> (q81SaltedAgg _),
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),
@@ -421,6 +474,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q103_winsorize" -> q103Sql,
     "q81_salted_agg" -> q81Sql,
     "q64_stats_aggs" -> q64Sql,
     "q65_regex_funcs" -> q65Sql,

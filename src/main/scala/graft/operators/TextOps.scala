@@ -431,7 +431,63 @@ object TextOps {
       |FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot
       |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
 
+  /** q101: fixed-size chunking with overlap
+    * ([[graft.api.Text.chunkFixed]], 200-char chunks every 150 chars) —
+    * the context-window splitting step of a RAG/training pipeline. The
+    * chunk text is surfaced as md5 (the driver's comparer can't hash
+    * array/long-text cells; md5 is the cross-engine hash of choice) plus
+    * an exact length probe. Narrow explode, no shuffle.
+    */
+  def q101DocChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.chunkFixed(table(spark, dir, "documents"),
+        "doc_id", "text", chunkChars = 200, stride = 150)
+      .select($"doc_id", $"chunk_idx", $"off",
+        length($"chunk").cast("long").as("chunk_len"),
+        md5($"chunk").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q101Sql: String =
+    """WITH offs AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, off // 150 AS chunk_idx, off,
+      |  CAST(length(substring(text, CAST(off AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+      |  md5(substring(text, CAST(off AS INT) + 1, 200)) AS chunk_md5
+      |FROM offs ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q102: blocklist filtering ([[graft.api.Text.blocklistHit]]) — the
+    * curation gate that drops documents containing any term from a
+    * blocklist, reported as a per-source funnel (n_docs → n_kept) so the
+    * drop rate per source is auditable. Token-exact matching (no
+    * substring false positives); one narrow pass + one small agg.
+    */
+  def q102BlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("slow", "error", "deprecated")
+    table(spark, dir, "documents")
+      .withColumn("blocked", graft.api.Text.blocklistHit($"text", terms))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"blocked".cast("long")).as("n_blocked"),
+        sum((!$"blocked").cast("long")).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val q102Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN list_has_any(string_split(text, ' '),
+      |    ['slow', 'error', 'deprecated']) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+      |  CAST(SUM(CASE WHEN list_has_any(string_split(text, ' '),
+      |    ['slow', 'error', 'deprecated']) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q101_doc_chunks" -> (q101DocChunks _),
+    "q102_blocklist_filter" -> (q102BlocklistFilter _),
     "q86_repetition" -> (q86Repetition _),
     "q88_vocab_coverage" -> (q88VocabCoverage _),
     "q89_filter_funnel" -> (q89FilterFunnel _),
@@ -520,6 +576,8 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q101_doc_chunks" -> q101Sql,
+    "q102_blocklist_filter" -> q102Sql,
     "q86_repetition" -> q86Sql,
     "q88_vocab_coverage" -> q88Sql,
     "q89_filter_funnel" -> q89Sql,

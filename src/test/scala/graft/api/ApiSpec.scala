@@ -515,6 +515,51 @@ class ApiSpec extends SparkSpec {
     assert(!byTok.contains("gamma")) // not in probe doc
   }
 
+  test("chunkFixed: chunks tile the document, overlap by chunkChars - stride, reassemble exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 48),            // shorter than one chunk
+      (2L, "abcdefghij" * 30),   // 300 chars -> exact multiple of stride
+      (3L, "x" * 301),           // one char past a stride boundary
+      (4L, null.asInstanceOf[String])
+    ).toDF("k", "body")
+    val chunks = Text.chunkFixed(docs, "k", "body", chunkChars = 200, stride = 150)
+      .select($"k", $"off", $"chunk").as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+    assert(!chunks.contains(4L)) // null text dropped
+    assert(chunks(1L).map(_._2) === Seq("a" * 48))
+    // 300 chars, stride 150: offsets 0 and 150; the first chunk reaches
+    // 200 chars — 50 past the stride, the designed overlap
+    assert(chunks(2L).map(_._1) === Seq(0L, 150L))
+    assert(chunks(2L).head._2.length === 200)
+    // 301 chars: offsets 0, 150, 300; last chunk is the single trailing char
+    assert(chunks(3L).map(_._1) === Seq(0L, 150L, 300L))
+    assert(chunks(3L).last._2 === "x")
+    // every chunk is the original's exact substring at its offset, and the
+    // stride-aligned prefixes reassemble the document byte-for-byte
+    for ((id, cs) <- chunks) {
+      val original = docs.filter($"k" === id).select($"body").as[String].head()
+      cs.foreach { case (off, c) =>
+        assert(c === original.substring(off.toInt,
+          math.min(off.toInt + 200, original.length)))
+      }
+      assert(cs.map(_._2.take(150)).mkString === original)
+    }
+  }
+
+  test("blocklistHit is token-exact: no substring false positives, any hit blocks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "this build is slow today"),     // exact token hit
+      (2L, "slowness is not the word slow"), // 'slowness' no, final 'slow' yes
+      (3L, "errors everywhere"),             // 'errors' must NOT match 'error'
+      (4L, "clean document")
+    ).toDF("k", "body")
+    val hits = df.select($"k", Text.blocklistHit($"body", Seq("slow", "error")).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(hits === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("ivfNearDupPairs: subset of exact pairs, identical sims, measured recall") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
