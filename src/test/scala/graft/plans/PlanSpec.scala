@@ -171,6 +171,38 @@ class PlanSpec extends SparkSpec {
       s"q91's probe side must broadcast:\n$p")
   }
 
+  test("q101: chunking is one narrow explode — no shuffle beyond the output sort") {
+    val p = planOf(graft.operators.TextOps.q101DocChunks(spark, sf))
+    assert(p.contains("Generate"), s"q101 plans via posexplode:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q101 must stay codegen'd:\n$p")
+    // the only exchanges allowed: the deliberate scan-spread repartition
+    // (single-row-group testdata) and the final output orderBy — chunk
+    // production itself never shuffles
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"q101 chunk production must be shuffle-free:\n$p")
+    assert(!p.contains("hashpartitioning(chunk"),
+      s"chunks must never be a shuffle key:\n$p")
+  }
+
+  test("q103: percentile bounds broadcast back into the clipping pass (no fact-side re-shuffle for the join)") {
+    val p = planOf(graft.operators.Extended.q103Winsorize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 3-row bounds frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q103 must not plan an all-pairs join:\n$p")
+  }
+
+  test("q105: the day spine joins broadcast; forward-fill window is keyed (never one global task)") {
+    val p = planOf(graft.operators.EventOps.q105GapFill(spark, sf))
+    // spine and span are 1-to-30-row frames: both grid joins broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the calendar spine must broadcast into the grid:\n$p")
+    // the interpolation window must carry a partition spec — an
+    // unpartitioned window would funnel the full grid through one task
+    assert(!p.contains("Window [last") || p.contains("windowspecdefinition(user_id"),
+      s"forward-fill window must partition by the entity key:\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
