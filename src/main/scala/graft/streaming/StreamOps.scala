@@ -357,6 +357,69 @@ object StreamOps {
       .drop(r(key))
   }
 
+  /** One event on the streaming-funnel path (epoch-millis event time). */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+  /** Funnel state per user: the event-time frontier of each reached
+    * stage (None = not reached). One `Option[Long]` per stage — constant
+    * state per user regardless of event volume.
+    */
+  case class FunnelState(tStage: Seq[Option[Long]])
+
+  /** Emitted once per user per newly-reached stage. */
+  case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, t_ms: Long)
+
+  /** Streaming ordered-conversion funnel — the live twin of the batch
+    * q104 ([[graft.operators.EventOps.q104Funnel]]): per user, advance
+    * through `stages` strictly in event time (stage k+1 counts only
+    * STRICTLY after the stage-k frontier) and emit a [[FunnelAdvance]]
+    * the moment a stage is first reached. State is one timestamp per
+    * (user, stage) — bounded by users × stages, never by event volume —
+    * partitioned across executors by the group key.
+    *
+    * Within a micro-batch, events are processed in event-time order, so
+    * arrival order inside a batch never changes the outcome; ACROSS
+    * batches the frontier only advances (monotone). A stage event
+    * arriving in a later batch than a qualifying earlier-stage event
+    * still advances correctly; the one divergence from the batch twin is
+    * an earlier FIRST-stage event arriving after a later one already
+    * opened the funnel — the frontier keeps the minimum seen, matching
+    * q104's `min(t_view)`, but stages already advanced are not revised
+    * (streaming emits are append-only).
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("ts_ms").cast("long").as("ts_ms"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var t = state.getOption.map(_.tStage.toVector)
+            .getOrElse(Vector.fill(stages.size)(Option.empty[Long]))
+          val out = Vector.newBuilder[FunnelAdvance]
+          evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+            stageIdx.get(e.event_type).foreach { k =>
+              val prevReached = k == 0 || t(k - 1).exists(_ < e.ts_ms)
+              if (t(k).isEmpty && prevReached) {
+                t = t.updated(k, Some(e.ts_ms))
+                out += FunnelAdvance(uid, k + 1, stages(k), e.ts_ms)
+              } else if (k == 0 && t(0).exists(_ > e.ts_ms)) {
+                // late-arriving earlier first-stage event: keep the min
+                // frontier (q104's min(t_view)) without re-emitting
+                t = t.updated(0, Some(e.ts_ms))
+              }
+            }
+          }
+          state.update(FunnelState(t))
+          out.result().iterator
+      }
+  }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

@@ -482,4 +482,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.filter(_._1 == "s1").toSeq === Seq(("s1", "T10")))
     assert(rows.filter(_._1 == "s2").toSeq === Seq(("s2", "T05"), ("s2", "T07")))
   }
+
+  case class FEvt(user_id: Long, event_type: String, ts_ms: Long)
+
+  test("funnelStages: strict ordered advance per user, state carries across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[FEvt](spark)
+    val q = StreamOps.funnelStages(spark, mem.toDF())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+
+    // u1 completes in one batch, delivered OUT of arrival order (sorted
+    // by event time inside the batch); u2 clicks before any view — no
+    // advance past stage gating; u3 views only
+    mem.addData(
+      FEvt(1, "purchase", 300), FEvt(1, "view", 100), FEvt(1, "click", 200),
+      FEvt(2, "click", 100), FEvt(3, "view", 50))
+    q.processAllAvailable()
+    // batch 2: u2 now views (t=150) then clicks (t=250) — the earlier
+    // batch-1 click at t=100 must NOT count (strictly-after gating is
+    // against the view frontier); u3's click equal to its view timestamp
+    // must NOT advance (strict >)
+    mem.addData(FEvt(2, "view", 150), FEvt(2, "click", 250), FEvt(3, "click", 50))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_out").as[(Long, Int, String, Long)].collect().toSeq
+    assert(rows.filter(_._1 == 1).sortBy(_._2) ===
+      Seq((1L, 1, "view", 100L), (1L, 2, "click", 200L), (1L, 3, "purchase", 300L)))
+    assert(rows.filter(_._1 == 2).sortBy(_._2) ===
+      Seq((2L, 1, "view", 150L), (2L, 2, "click", 250L)))
+    assert(rows.filter(_._1 == 3) === Seq((3L, 1, "view", 50L)))
+  }
 }
