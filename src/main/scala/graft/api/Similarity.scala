@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -346,6 +346,54 @@ object Similarity {
       i += 1
     }
     centsN.select(col("cluster"), col("cent_emb").as("centroid"), col("n"))
+  }
+
+  /** Persist an IVF index to `path`: `cells/` is the [[ivfAssign]]ed
+    * corpus written PARQUET-PARTITIONED BY the cell id, `centroids/` the
+    * coarse quantizer. The physical partitioning is the point: a
+    * [[searchIvfIndex]] cell restriction becomes storage-level partition
+    * pruning, so a probed search READS nprobe/|cells| of the corpus
+    * files instead of scanning everything and filtering — at 100 TB the
+    * difference between touching ~1% of the files and touching all of
+    * them. Centroids are stored raw (id + embedding); norms are
+    * recomputed on load (cheap, |cells| rows).
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, path: String): Unit = {
+    ivfAssign(corpus, centroids, idCol, embCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+    centroids.select(col(idCol), col(embCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[writeIvfIndex]]-persisted index: per-probe nprobe cell
+    * selection against the loaded quantizer (the [[ivfKnnProbed]]
+    * ONE-broadcast-row narrow pattern), then an equi-join on the cell id
+    * — the PARTITION column of `cells/` — so Spark's dynamic partition
+    * pruning (reusing the already-broadcast probe side) restricts the
+    * scan to the probed cells' directories. No driver-side collect, no
+    * full-corpus scan: the pruning filter is derived at runtime from the
+    * broadcast exchange.
+    */
+  def searchIvfIndex(spark: SparkSession, path: String, probes: DataFrame,
+      idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val p = withNorm(probes, embCol)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
+      .crossJoin(broadcast(centArray(cents, idCol, embCol)))
+      .withColumn("cells", expr(
+        s"""transform(slice(array_sort(transform(cents, c ->
+           |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
+           |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"),
+        explode(col("cells")).as("cluster"))
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cluster"), col(idCol).as("cand_id"),
+        col(embCol).as("c_emb"), col("norm").as("c_norm"))
+    topKTail(cells.join(broadcast(p), "cluster")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim", expr(dot("p_emb", "c_emb")) / (col("p_norm") * col("c_norm"))),
+      k)
   }
 
   /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the

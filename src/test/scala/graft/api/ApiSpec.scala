@@ -515,6 +515,39 @@ class ApiSpec extends SparkSpec {
     assert(!byTok.contains("gamma")) // not in probe doc
   }
 
+  test("persisted IVF index: search matches in-memory ivfKnnProbed and the scan partition-prunes") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = corpus.filter($"vec_id" < 8) // 8 coarse cells
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", dir)
+
+    // cells/ is physically partitioned by cluster id
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.size <= 8)
+
+    val probes = corpus.filter($"vec_id" >= 100 && $"vec_id" < 105)
+      .select($"vec_id", $"embedding")
+    val fromIndex = Similarity.searchIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val inMemory = Similarity.ivfKnnProbed(
+      Similarity.ivfAssign(corpus, cents, "vec_id", "embedding"), cents,
+      $"vec_id" >= 100 && $"vec_id" < 105, "vec_id", "embedding", k = 5, nprobe = 2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"),
+        round($"sim", 9)).as[(Long, Long, Long, Double)].collect().toSet
+    assert(key(fromIndex) === key(inMemory))
+
+    // the probed search must reach the files through partition pruning:
+    // the cells scan carries a runtime partition filter on the cluster
+    // column (dynamic partition pruning off the broadcast probe side)
+    val plan = fromIndex.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cluster"),
+      s"index search must partition-prune the cells scan:\n$plan")
+  }
+
   test("chunkFixed: chunks tile the document, overlap by chunkChars - stride, reassemble exactly") {
     import spark.implicits._
     val docs = Seq(
