@@ -137,7 +137,10 @@ object Text {
     * splitting step of a RAG/training pipeline: each document becomes
     * `ceil(len/stride)` chunks of up to `chunkChars` characters starting
     * every `stride` characters (overlap = chunkChars − stride). Output:
-    * (`idCol`, chunk_idx, off, chunk) with 0-based character offsets.
+    * every input column plus (chunk_idx, off, chunk) with 0-based
+    * character offsets — metadata (source, lang, …) rides along so
+    * downstream chunk-level ops keep their provenance without a join
+    * back to the corpus.
     *
     * Scale shape: one narrow generate-offsets + explode pass — no
     * shuffle, no join; output size is a fixed ×(chunkChars/stride)
@@ -149,13 +152,16 @@ object Text {
       chunkChars: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkChars >= stride,
       s"need 0 < stride <= chunkChars, got stride=$stride chunkChars=$chunkChars")
+    require(docs.columns.contains(idCol),
+      s"idCol '$idCol' not in ${docs.columns.mkString(",")}")
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol),
+      .select(col("*"),
         posexplode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)),
-          lit(stride))))
-      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
-        col("col").cast("long").as("off"),
-        col(textCol).substr(col("col") + 1, lit(chunkChars)).as("chunk"))
+          lit(stride))).as(Seq("chunk_pos", "chunk_off")))
+      .withColumn("chunk_idx", col("chunk_pos").cast("long"))
+      .withColumn("off", col("chunk_off").cast("long"))
+      .withColumn("chunk", col(textCol).substr(col("chunk_off") + 1, lit(chunkChars)))
+      .drop("chunk_pos", "chunk_off")
   }
 
   /** True when any whitespace token of `text` is in `terms` — the

@@ -485,9 +485,141 @@ object TextOps {
       |    ['slow', 'error', 'deprecated']) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q106: boilerplate detection — disjoint 200-char tiles
+    * ([[graft.api.Text.chunkFixed]] with stride = chunk) that recur
+    * across DISTINCT documents, the repeated-chunk signal document-level
+    * dedup misses (footers, navigation, license blocks). Two-phase so
+    * it scales: distinct (chunk_md5, doc_id) first (hash agg, partial
+    * dedup absorbs the repeats), THEN count per chunk — never a
+    * count(distinct) carrying doc ids through one task. Top tiles by
+    * spread with md5 tie-break.
+    */
+  def q106BoilerplateChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.chunkFixed(table(spark, dir, "documents"),
+        "doc_id", "text", chunkChars = 200, stride = 200)
+      .filter(length($"chunk") >= 40) // short tails are trivially common
+      .select(md5($"chunk").as("chunk_md5"), length($"chunk").cast("long").as("chunk_len"),
+        $"doc_id")
+      .distinct()
+      .groupBy($"chunk_md5", $"chunk_len")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > 1)
+      .orderBy($"n_docs".desc, $"chunk_md5")
+      .limit(20)
+  }
+
+  val q106Sql: String =
+    """WITH offs AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS off
+      |  FROM documents WHERE text IS NOT NULL),
+      |tiles AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substring(text, CAST(off AS INT) + 1, 200)) AS chunk_md5,
+      |    CAST(length(substring(text, CAST(off AS INT) + 1, 200)) AS BIGINT) AS chunk_len
+      |  FROM offs
+      |  WHERE length(substring(text, CAST(off AS INT) + 1, 200)) >= 40)
+      |SELECT chunk_md5, chunk_len, COUNT(*) AS n_docs
+      |FROM tiles GROUP BY chunk_md5, chunk_len HAVING COUNT(*) > 1
+      |ORDER BY n_docs DESC, chunk_md5 LIMIT 20""".stripMargin
+
+  /** q107: cross-source content overlap — for every source pair, how
+    * many distinct 200-char tiles they share (the provenance overlap
+    * matrix that tells a corpus builder which feeds re-host the same
+    * content; tile-level because re-hosting rarely preserves whole
+    * documents byte-for-byte — q106's boilerplate tiles ARE the shared
+    * unit). Distinct (tile_md5, source) first, then a self equi-join on
+    * the tile hash (source_a < source_b halves the matrix), then a
+    * count per pair. One shuffle keyed on the 16-byte hash serves dedup
+    * AND join; the pair agg is ≤ |sources|² rows.
+    */
+  def q107CrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiles = graft.api.Text.chunkFixed(
+        table(spark, dir, "documents").select($"doc_id", $"source", $"text"),
+        "doc_id", "text", chunkChars = 200, stride = 200)
+      .filter(length($"chunk") >= 40)
+      .select(md5($"chunk").as("tile_md5"), $"source")
+      .distinct()
+    val a = tiles.select($"tile_md5", $"source".as("source_a"))
+    val b = tiles.select($"tile_md5", $"source".as("source_b"))
+    a.join(b, "tile_md5").filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"n_shared".desc, $"source_a", $"source_b")
+      .limit(25)
+  }
+
+  val q107Sql: String =
+    """WITH offs AS (
+      |  SELECT doc_id, source, text,
+      |    unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS off
+      |  FROM documents WHERE text IS NOT NULL),
+      |tiles AS (
+      |  SELECT DISTINCT source,
+      |    md5(substring(text, CAST(off AS INT) + 1, 200)) AS tile_md5
+      |  FROM offs
+      |  WHERE length(substring(text, CAST(off AS INT) + 1, 200)) >= 40)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM tiles a JOIN tiles b ON a.tile_md5 = b.tile_md5 AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY n_shared DESC, source_a, source_b LIMIT 25""".stripMargin
+
+  /** q108: vocabulary growth curve (Heaps' law) over the BIGRAM
+    * vocabulary — cumulative distinct vocabulary as the corpus is
+    * consumed in doc_id order, the curve that says when a corpus stops
+    * teaching a tokenizer new merges (bigrams, not unigrams: merges are
+    * what a BPE trainer actually learns, and the bigram space is what
+    * keeps growing after the unigram vocab saturates). Each bigram
+    * contributes at its FIRST-occurrence document (min(doc_id) per
+    * bigram — one vocab-sized hash agg with partials, per-doc distinct
+    * done inside the fused [[graft.functions.TextShingles]] kernel),
+    * first-occurrences bucket into 50-doc bins (a second agg that
+    * shrinks the vocab frame to |buckets| rows), and only that tiny
+    * frame meets the running-sum window — the full vocabulary never
+    * crosses a single task (the q88 two-phase discipline).
+    */
+  def q108VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    table(spark, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.ShingleFunctions.textShingles($"text", 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(min($"doc_id").as("first_doc"))
+      .groupBy(expr("first_doc div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_bigrams"))
+      .select($"bucket", $"new_bigrams",
+        sum($"new_bigrams").over(w).as("cum_vocab"))
+      .orderBy($"bucket")
+  }
+
+  val q108Sql: String =
+    """WITH firsts AS (
+      |  SELECT bigram, MIN(doc_id) AS first_doc
+      |  FROM (
+      |    SELECT DISTINCT doc_id,
+      |      unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |    WHERE len(toks) >= 2)
+      |  GROUP BY bigram),
+      |bins AS (
+      |  SELECT first_doc // 50 AS bucket, COUNT(*) AS new_bigrams
+      |  FROM firsts GROUP BY 1)
+      |SELECT bucket, new_bigrams,
+      |  CAST(SUM(new_bigrams) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM bins ORDER BY bucket""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q101_doc_chunks" -> (q101DocChunks _),
     "q102_blocklist_filter" -> (q102BlocklistFilter _),
+    "q106_boilerplate_chunks" -> (q106BoilerplateChunks _),
+    "q107_cross_source_dups" -> (q107CrossSourceDups _),
+    "q108_vocab_growth" -> (q108VocabGrowth _),
     "q86_repetition" -> (q86Repetition _),
     "q88_vocab_coverage" -> (q88VocabCoverage _),
     "q89_filter_funnel" -> (q89FilterFunnel _),
@@ -578,6 +710,9 @@ object TextOps {
   val oracles: Seq[(String, String)] = Seq(
     "q101_doc_chunks" -> q101Sql,
     "q102_blocklist_filter" -> q102Sql,
+    "q106_boilerplate_chunks" -> q106Sql,
+    "q107_cross_source_dups" -> q107Sql,
+    "q108_vocab_growth" -> q108Sql,
     "q86_repetition" -> q86Sql,
     "q88_vocab_coverage" -> q88Sql,
     "q89_filter_funnel" -> q89Sql,

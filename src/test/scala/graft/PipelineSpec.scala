@@ -66,4 +66,42 @@ class PipelineSpec extends SparkSpec {
     }
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("chunk-level dedup composes: chunkFixed feeds exact and MinHash dedup (boilerplate path)") {
+    import spark.implicits._
+    // two docs sharing a long boilerplate footer + one clean doc — the
+    // C4/RefinedWeb-style repeated-chunk (boilerplate) situation that
+    // document-level dedup misses
+    val footer = (1 to 40).map(i => s"footer$i").mkString(" ")
+    // bodies padded to exactly one 120-char tile so the shared footer
+    // starts on the same chunk boundary in both docs (in production the
+    // chunker runs on normalized text where boilerplate aligns the same
+    // way — identical upstream bytes chunk identically)
+    def pad120(s: String) = (s + " filler" * 30).take(120)
+    val docs = Seq(
+      (1L, s"${pad120("alpha unique body one")}$footer"),
+      (2L, s"${pad120("beta different body two")}$footer"),
+      (3L, "gamma entirely clean document body")
+    ).toDF("doc_id", "text")
+
+    val chunks = graft.api.Text.chunkFixed(docs, "doc_id", "text",
+        chunkChars = 120, stride = 120) // disjoint tiles for exact matching
+      .withColumn("chunk_id", $"doc_id" * 1000 + $"chunk_idx")
+
+    // exact chunk-level dedup: the identical footer tile appears in both
+    // docs -> same md5, caught by the exact-dedup groupBy
+    val repeated = chunks
+      .groupBy(md5($"chunk")).agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" > 1)
+    assert(repeated.count() >= 1, "shared boilerplate tile must repeat across docs")
+
+    // near-dup chunk detection: MinHash-LSH over the chunk frame pairs
+    // the footer-bearing tail chunks of docs 1 and 2, never doc 3's
+    val pairs = graft.api.Dedup.lshCandidatePairs(chunks, "chunk_id", "chunk")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "footer chunks of docs 1/2 must pair")
+    val pairedDocs = pairs.flatMap(p => Seq(p._1 / 1000, p._2 / 1000)).toSet
+    assert(pairedDocs === Set(1L, 2L), s"only the boilerplate docs pair: $pairedDocs")
+  }
 }
