@@ -398,8 +398,37 @@ object EventOps {
       |FROM grid LEFT JOIN daily USING (user_id, event_type, day_idx)
       |ORDER BY user_id, event_type, day_ms""".stripMargin
 
+  /** q109: SLIDING time windows (2 h length, 1 h slide) — the batch twin
+    * of Structured Streaming `window(ts, "2 hours", "1 hour")`, using
+    * the built-in windowing (each event lands in len/slide = 2
+    * overlapping windows; Spark plans the small internal explode +
+    * partial agg). Completes the window-family twins: tumbling (q30),
+    * session (q29), sliding (here). Sums are exact decimal sums; window
+    * starts surface as epoch millis, identical to DuckDB's
+    * floor-arithmetic formulation because both align starts to slide
+    * boundaries from the epoch.
+    */
+  def q109SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(window(timestamp_millis($"ts_ms"), "2 hours", "1 hour").as("win"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select(unix_millis($"win.start").as("win_start_ms"), $"event_type",
+        $"n_events", $"sum_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
+
+  val q109Sql: String =
+    """SELECT (epoch_ms(ts) // 3600000 - k) * 3600000 AS win_start_ms,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN generate_series(0, 1) AS g(k)
+      |GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q104_funnel" -> (q104Funnel _),
+    "q109_sliding_window" -> (q109SlidingWindow _),
     "q105_gap_fill" -> (q105GapFill _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_cdc_latest" -> (q24CdcLatest _),
@@ -413,6 +442,7 @@ object EventOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q104_funnel" -> q104Sql,
+    "q109_sliding_window" -> q109Sql,
     "q105_gap_fill" -> q105Sql,
     "q23_json_extract" -> q23Sql,
     "q24_cdc_latest" -> q24Sql,

@@ -455,8 +455,34 @@ object Extended {
       |FROM lineitem JOIN b USING (l_returnflag)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q110: sketch-based quantiles — approx_percentile (the
+    * GK/KLL-family mergeable sketch, constant memory per group at any
+    * scale) next to the exact interpolated percentile. Sketch internals
+    * are engine-specific → no hash oracle (driver rows-only check); the
+    * QUANTITATIVE grade is the tolerance entry in tools/check_oracle.py:
+    * Spark's and DuckDB's approx median must each land within 5% of the
+    * exact median (rounded to the cent grid so the exact twin is
+    * engine-identical — the two engines interpolate with different FP
+    * orderings). Same two-agg null-safe-join shape as q09: mixing exact
+    * and sketch aggregates in one agg plans an Expand that duplicates
+    * every input row per family.
+    */
+  def q110ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val approx = li.groupBy($"l_returnflag")
+      .agg(round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2)
+        .as("approx_p50"))
+    val exact = li.groupBy($"l_returnflag".as("rf"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"))
+    approx.join(exact, $"l_returnflag" <=> $"rf")
+      .select($"l_returnflag", $"approx_p50", $"exact_p50")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q103_winsorize" -> (q103Winsorize _),
+    "q110_approx_quantiles" -> (q110ApproxQuantiles _),
     "q81_salted_agg" -> (q81SaltedAgg _),
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),

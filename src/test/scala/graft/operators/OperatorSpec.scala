@@ -19,6 +19,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q110: approx_percentile within 5% of the exact median") {
+    val rows = Extended.q110ApproxQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact off by >5%")
+    }
+  }
+
   test("q15: global top-k equals collect-and-sort") {
     import spark.implicits._
     val got = Relational.q15TopkGlobal(spark, sf).select($"o_orderkey").collect().map(_.getLong(0))

@@ -29,6 +29,14 @@ TOLERANCE = {
         "COUNT(DISTINCT l_orderkey) AS exact_orders "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
         "l_returnflag", "approx_orders", "exact_orders", 0.05),
+    # exact_p50 rounded to the cent grid so the exact twin matches across
+    # engines (FP interpolation order differs); each engine's sketch
+    # median must land within 5% of it
+    "q110_approx_quantiles": (
+        "SELECT l_returnflag, round(approx_quantile(l_extendedprice, 0.5), 2) AS approx_p50, "
+        "round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+        "l_returnflag", "approx_p50", "exact_p50", 0.05),
 }
 
 
