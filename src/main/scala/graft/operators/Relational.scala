@@ -891,7 +891,89 @@ object Relational {
       |  ON c.nk IS NOT DISTINCT FROM n.nk
       |GROUP BY 1, 2 ORDER BY nationkey, n_name""".stripMargin
 
+  /** q111: referential-integrity audit — the data-quality gate a
+    * pipeline runs before trusting a snapshot: orphan counts across the
+    * star schema (orders without a customer, lineitems without an
+    * order/part/supplier) as ONE summary row of left-anti-join counts.
+    * Each anti-join broadcasts its dimension's key column only (the
+    * build side is keys, not rows), the fact table is scanned once per
+    * check with nothing but the checked key read, and the four scalar
+    * counts cross-join into the report row.
+    */
+  def q111IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    def orphans(fact: DataFrame, factKey: String, dim: String,
+        dimKey: String): DataFrame =
+      fact.select(col(factKey))
+        .join(broadcast(rawTable(spark, dir, dim).select(col(dimKey))),
+          col(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as(s"n_${dim}_orphans"))
+    orphans(table(spark, dir, "orders"), "o_custkey", "customer", "c_custkey")
+      .crossJoin(orphans(li, "l_orderkey", "orders", "o_orderkey"))
+      .crossJoin(orphans(li, "l_partkey", "part", "p_partkey"))
+      .crossJoin(orphans(li, "l_suppkey", "supplier", "s_suppkey"))
+  }
+
+  val q111Sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |    AS n_customer_orphans,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |    AS n_orders_orphans,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |    AS n_part_orphans,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |    AS n_supplier_orphans""".stripMargin
+
+  /** q112: returned-item revenue ranking (TPC-H Q10 shape) — which
+    * customers returned the most revenue in a quarter: lineitem filtered
+    * to returns joins orders (date-windowed) and the customer + nation
+    * dims, top 20 by lost revenue. The date and flag predicates push to
+    * the scans; dims broadcast; one fact shuffle per join key; the final
+    * top-20 is a TakeOrdered over the |customers|-row aggregate.
+    */
+  def q112ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem").filter($"l_returnflag" === "R")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ldt("1996-01-01T00:00:00") &&
+        $"o_orderdate" < ldt("1996-07-01T00:00:00"))
+    val cust = rawTable(spark, dir, "customer")
+    val nat = rawTable(spark, dir, "nation")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("lost_revenue"),
+        count(lit(1)).as("n_returned_items"))
+      .orderBy($"lost_revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q112Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+      |    AS lost_revenue,
+      |  COUNT(*) AS n_returned_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q111_integrity_audit" -> (q111IntegrityAudit _),
+    "q112_returned_revenue" -> (q112ReturnedRevenue _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_broadcast" -> (q03JoinBroadcast _),
@@ -928,6 +1010,8 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q111_integrity_audit" -> q111Sql,
+    "q112_returned_revenue" -> q112Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_broadcast" -> q03Sql,
