@@ -426,9 +426,56 @@ object EventOps {
       |FROM events CROSS JOIN generate_series(0, 1) AS g(k)
       |GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
 
+  /** q113: SCD type-2 history — turn the event stream into a versioned
+    * dimension: per user, each CHANGE of event_type opens a new version
+    * row with [valid_from, valid_to) bounds (valid_to = next change's
+    * timestamp, null while current). The gaps-and-islands change
+    * detection (lag ≠ current) and the interval bounds (lead over the
+    * change rows) both run on ONE user_id partitioning — the q29
+    * sessionize discipline applied to the warehouse upsert-history
+    * pattern (and the batch form of the reference's last-writer-wins
+    * checkpoint upsert, generalized to keep history instead of only the
+    * frontier). Capped to user_id < 20 to keep the graded dump small;
+    * the shape is per-user-bounded at any corpus size.
+    */
+  def q113Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val changes = events(spark, dir).filter($"user_id" < 20)
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    val wChg = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    changes
+      .withColumn("version", row_number().over(wChg).cast("long"))
+      .withColumn("valid_to_ms", lead($"ts_ms", 1).over(wChg))
+      .select($"user_id", $"version", $"event_type",
+        $"ts_ms".as("valid_from_ms"), $"valid_to_ms",
+        $"valid_to_ms".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  val q113Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    LAG(event_type) OVER w AS prev_type
+      |  FROM events WHERE user_id < 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts_ms
+      |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER w AS version,
+      |  event_type, ts_ms AS valid_from_ms,
+      |  LEAD(ts_ms) OVER w AS valid_to_ms,
+      |  LEAD(ts_ms) OVER w IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q104_funnel" -> (q104Funnel _),
     "q109_sliding_window" -> (q109SlidingWindow _),
+    "q113_scd2_history" -> (q113Scd2History _),
     "q105_gap_fill" -> (q105GapFill _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_cdc_latest" -> (q24CdcLatest _),
@@ -443,6 +490,7 @@ object EventOps {
   val oracles: Seq[(String, String)] = Seq(
     "q104_funnel" -> q104Sql,
     "q109_sliding_window" -> q109Sql,
+    "q113_scd2_history" -> q113Sql,
     "q105_gap_fill" -> q105Sql,
     "q23_json_extract" -> q23Sql,
     "q24_cdc_latest" -> q24Sql,

@@ -203,6 +203,25 @@ class PlanSpec extends SparkSpec {
       s"forward-fill window must partition by the entity key:\n$p")
   }
 
+  test("q112: returns filter and date window push to the scans; dims broadcast; top-20 is TakeOrdered") {
+    val p = planOf(graft.operators.Relational.q112ReturnedRevenue(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global top-20 must plan as TakeOrdered, not a full sort:\n$p")
+  }
+
+  test("q113: both SCD2 windows share one user_id partitioning (single fact shuffle)") {
+    val p = planOf(graft.operators.EventOps.q113Scd2History(spark, sf))
+    // the scan-spread repartition, ONE hash exchange to user_id for the
+    // two window passes, and the output sort — nothing else
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+      s"change-detect and interval windows must reuse one user_id exchange:\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
