@@ -396,6 +396,70 @@ object Similarity {
       k)
   }
 
+  /** Persist a QUANTIZED IVF index — the [[writeIvfIndex]] layout with
+    * int8 payloads: cells hold (id, q_emb, qnorm) where `q_emb` is the
+    * [[quantizeInt8]] codes (array<int> in [−127, 127] — parquet
+    * bit-packs the narrow range, so cells store a fraction of the float
+    * embedding bytes) and `qnorm` the integer-domain norm, precomputed
+    * once at WRITE time so searches never touch a float embedding.
+    * Same physical contract as [[writeIvfIndex]]: partitioned by cell →
+    * searches partition-prune. Vectors with no finite nonzero scale or
+    * zero integer norm are dropped (the [[quantizeInt8]]/[[withNorm]]
+    * guards).
+    */
+  def writeQuantizedIvfIndex(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, path: String): Unit = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    ivfAssign(corpus, centroids, idCol, embCol)
+      .withColumn("__q", expr(s"quantize_int8($embCol)"))
+      .filter(col("__q").isNotNull)
+      .select(col(idCol), col("cluster"), col("__q.q_emb").as("q_emb"),
+        expr("sqrt(vector_dot_int(__q.q_emb, __q.q_emb))").as("qnorm"))
+      .filter(col("qnorm") > 0)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+    centroids.select(col(idCol), col(embCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[writeQuantizedIvfIndex]] index: cell selection runs in
+    * the float domain against the stored quantizer (the one-broadcast-
+    * row pattern), probes quantize on the fly, and scoring is the int8
+    * cosine — a ratio of EXACT integer dot products ([[quantizedKnn]]
+    * semantics; per-vector scales cancel), against cells reached through
+    * dynamic partition pruning. At nprobe = |cells| this equals
+    * [[quantizedKnn]] over the same corpus exactly (same scores, same
+    * drops); below it, the recall/cost knob of [[ivfKnnProbed]] in a
+    * quarter of the storage.
+    */
+  def searchQuantizedIvfIndex(spark: SparkSession, path: String,
+      probes: DataFrame, idCol: String, embCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val p = withNorm(probes, embCol)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
+      .crossJoin(broadcast(centArray(cents, idCol, embCol)))
+      .withColumn("cells", expr(
+        s"""transform(slice(array_sort(transform(cents, c ->
+           |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
+           |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
+      .withColumn("__q", expr("quantize_int8(p_emb)"))
+      .filter(col("__q").isNotNull)
+      .withColumn("p_q", col("__q.q_emb"))
+      .withColumn("p_qnorm", expr("sqrt(vector_dot_int(p_q, p_q))"))
+      .filter(col("p_qnorm") > 0)
+      .select(col("probe_id"), col("p_q"), col("p_qnorm"),
+        explode(col("cells")).as("cluster"))
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cluster"), col(idCol).as("cand_id"),
+        col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))
+    topKTail(cells.join(broadcast(p), "cluster")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("sim",
+        expr("vector_dot_int(p_q, c_q)") / (col("p_qnorm") * col("c_qnorm"))),
+      k)
+  }
+
   /** Exact cosine top-k for probe sets TOO LARGE to broadcast (the
     * [[cosineKnn]] contract requires broadcastable probes): the corpus
     * hashes into `blocks` blocks, probes replicate to every block, and

@@ -548,6 +548,48 @@ class ApiSpec extends SparkSpec {
       s"index search must partition-prune the cells scan:\n$plan")
   }
 
+  test("quantized IVF index: all-cell search equals quantizedKnn exactly; probed search prunes and keeps recall") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = corpus.filter($"vec_id" < 8)
+    val dir = java.nio.file.Files.createTempDirectory("qivf_idx").toString
+    Similarity.writeQuantizedIvfIndex(corpus, cents, "vec_id", "embedding", dir)
+    // stored payloads are int8 codes + precomputed integer norms
+    val cellSchema = spark.read.parquet(s"$dir/cells").schema
+    assert(cellSchema("q_emb").dataType.simpleString === "array<int>")
+    assert(cellSchema.fieldNames.contains("qnorm"))
+
+    val probes = corpus.filter($"vec_id" >= 200 && $"vec_id" < 205)
+      .select($"vec_id", $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    // nprobe = |cells|: identical to the brute quantized kNN (same
+    // integer scoring, same drop rules) restricted to non-probe cands
+    val allCells = Similarity.searchQuantizedIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val brute = Similarity.quantizedKnn(corpus, probes, "vec_id", "embedding", k = 5)
+    assert(key(allCells) === key(brute))
+
+    // nprobe = 2: a subset of the brute results per probe (cell
+    // restriction can only remove candidates), pruned at the scan
+    val probed = Similarity.searchQuantizedIvfIndex(spark, dir, probes,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val recall = key(probed).map(t => (t._1, t._3))
+      .intersect(key(brute).map(t => (t._1, t._3))).size.toDouble /
+      key(brute).size
+    // measured 0.48 on this deterministic corpus with ARBITRARY low-id
+    // seed centroids (not trained clusters) — the knob's floor; trained
+    // centroids (kmeansIterate) and higher nprobe raise it, and the
+    // nprobe=|cells| equality above is the exactness anchor
+    assert(recall >= 0.4, s"2-of-8-cell recall too low: $recall")
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"quantized index search must partition-prune:\n$plan")
+  }
+
   test("chunkFixed: chunks tile the document, overlap by chunkChars - stride, reassemble exactly") {
     import spark.implicits._
     val docs = Seq(
