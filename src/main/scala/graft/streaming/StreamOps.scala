@@ -420,6 +420,60 @@ object StreamOps {
       }
   }
 
+  /** SCD2 tracker state: the current open version per entity. */
+  case class Scd2State(version: Long, attr: String, validFromMs: Long)
+
+  /** Emitted when a version CLOSES (validTo set) and once more when a new
+    * one opens (validToMs null = current).
+    */
+  case class Scd2Row(user_id: Long, version: Long, event_type: String,
+      valid_from_ms: Long, valid_to_ms: Option[Long])
+
+  /** Streaming SCD type-2 tracker — the live twin of the batch q113
+    * ([[graft.operators.EventOps.q113Scd2History]]): per entity, each
+    * attribute CHANGE closes the open version (emitting it with its
+    * valid_to bound) and opens a new one (emitted with a null bound).
+    * State is ONE open version per entity — constant regardless of
+    * event volume. Within a micro-batch events process in event-time
+    * order; across batches the frontier only advances (a late event
+    * older than the open version's start is ignored, the documented
+    * at-least-once trade — the batch twin is the replayable source of
+    * truth, this operator is the low-latency view).
+    *
+    * Append-mode caveat: a closed version is emitted exactly once; the
+    * OPEN version row re-emits each time it changes, so downstream
+    * should upsert on (user_id, version) — the same idempotent-sink
+    * contract as the reference's checkpoint upsert (§2.A op 7).
+    */
+  def scd2Track(spark: SparkSession, events: DataFrame): Dataset[Scd2Row] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("ts_ms").cast("long").as("ts_ms"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val out = Vector.newBuilder[Scd2Row]
+          evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(Scd2State(1L, e.event_type, e.ts_ms))
+                out += Scd2Row(uid, 1L, e.event_type, e.ts_ms, None)
+              case Some(s) if e.ts_ms >= s.validFromMs && e.event_type != s.attr =>
+                out += Scd2Row(uid, s.version, s.attr, s.validFromMs, Some(e.ts_ms))
+                cur = Some(Scd2State(s.version + 1, e.event_type, e.ts_ms))
+                out += Scd2Row(uid, s.version + 1, e.event_type, e.ts_ms, None)
+              case _ => () // same attribute, or older than the open version
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

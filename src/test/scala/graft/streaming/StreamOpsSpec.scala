@@ -513,4 +513,29 @@ class StreamOpsSpec extends SparkSpec {
       Seq((2L, 1, "view", 150L), (2L, 2, "click", 250L)))
     assert(rows.filter(_._1 == 3) === Seq((3L, 1, "view", 50L)))
   }
+
+  test("scd2Track: change closes the open version and opens the next, across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[FEvt](spark)
+    val q = StreamOps.scd2Track(spark, mem.toDF())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+
+    // batch 1: open v1 at 100; same-attr event at 150 is a no-op
+    mem.addData(FEvt(1, "view", 100), FEvt(1, "view", 150))
+    q.processAllAvailable()
+    // batch 2: change at 200 closes v1 [100,200) and opens v2; a LATE
+    // event older than the open version (t=50) is ignored
+    mem.addData(FEvt(1, "click", 200), FEvt(1, "error", 50))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("scd2_out")
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
+    // v1 appears twice (open emit, then closed emit) — downstream
+    // upserts on (user_id, version); the LAST emit per version is final
+    val finalRows = rows.groupBy(r => (r._1, r._2)).map(_._2.last).toSeq.sortBy(_._2)
+    assert(finalRows === Seq(
+      (1L, 1L, "view", 100L, Some(200L)),
+      (1L, 2L, "click", 200L, None)))
+  }
 }
