@@ -480,9 +480,47 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** q115: equi-DEPTH histogram (quantile-bucketed) — complements q69's
+    * equi-width buckets: decile boundaries from one percentile
+    * aggregate, broadcast back as a 9-element array, bucket assignment
+    * as a codegen'd when-chain over `element_at` probes (bucket = count
+    * of boundaries ≤ value). NOT a global ntile window — an
+    * unpartitioned ntile funnels the corpus through one task; the
+    * boundary-broadcast formulation is one agg + one narrow pass at any
+    * scale. Near-equal bucket counts are the equi-depth property the
+    * output exhibits.
+    */
+  def q115EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val bounds = li.agg(expr(
+      "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    val bucket = (1 to 9).foldLeft(lit(0L)) { (acc, i) =>
+      acc + when(element_at($"bs", i) <= $"l_extendedprice", 1L).otherwise(0L)
+    }
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"))
+      .orderBy($"bucket")
+  }
+
+  val q115Sql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(l_extendedprice,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM lineitem)
+      |SELECT CAST(len(list_filter(bs, x -> x <= l_extendedprice)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      |FROM lineitem CROSS JOIN b
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q103_winsorize" -> (q103Winsorize _),
     "q110_approx_quantiles" -> (q110ApproxQuantiles _),
+    "q115_equidepth_hist" -> (q115EquidepthHist _),
     "q81_salted_agg" -> (q81SaltedAgg _),
     "q64_stats_aggs" -> (q64StatsAggs _),
     "q65_regex_funcs" -> (q65RegexFuncs _),
@@ -501,6 +539,7 @@ object Extended {
 
   val oracles: Seq[(String, String)] = Seq(
     "q103_winsorize" -> q103Sql,
+    "q115_equidepth_hist" -> q115Sql,
     "q81_salted_agg" -> q81Sql,
     "q64_stats_aggs" -> q64Sql,
     "q65_regex_funcs" -> q65Sql,

@@ -614,9 +614,42 @@ object TextOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
       |FROM bins ORDER BY bucket""".stripMargin
 
+  /** q114: conjunctive token search — documents containing ALL query
+    * terms (the AND of an inverted index, the retrieval primitive under
+    * keyword search and rule-based corpus slicing). Token-exact via a
+    * codegen'd `array_contains` conjunction over the split — at corpus
+    * scale this is a narrow scan-side filter (pushable ahead of any
+    * join), not an explode: the per-row cost is |terms| membership
+    * probes. Returns matching docs with per-term positions proof.
+    */
+  def q114ConjunctiveSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq("data", "table", "query")
+    val tokens = toks()
+    table(spark, dir, "documents")
+      .filter(terms.map(t => array_contains(tokens, t)).reduce(_ && _))
+      .select($"doc_id", $"source",
+        size(tokens).cast("long").as("n_tokens"),
+        (array_position(tokens, terms(0)) - 1).as("pos_data"),
+        (array_position(tokens, terms(1)) - 1).as("pos_table"),
+        (array_position(tokens, terms(2)) - 1).as("pos_query"))
+      .orderBy($"doc_id")
+  }
+
+  val q114Sql: String =
+    """SELECT doc_id, source,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(list_position(string_split(text, ' '), 'data') AS BIGINT) - 1 AS pos_data,
+      |  CAST(list_position(string_split(text, ' '), 'table') AS BIGINT) - 1 AS pos_table,
+      |  CAST(list_position(string_split(text, ' '), 'query') AS BIGINT) - 1 AS pos_query
+      |FROM documents
+      |WHERE list_has_all(string_split(text, ' '), ['data', 'table', 'query'])
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q101_doc_chunks" -> (q101DocChunks _),
     "q102_blocklist_filter" -> (q102BlocklistFilter _),
+    "q114_conjunctive_search" -> (q114ConjunctiveSearch _),
     "q106_boilerplate_chunks" -> (q106BoilerplateChunks _),
     "q107_cross_source_dups" -> (q107CrossSourceDups _),
     "q108_vocab_growth" -> (q108VocabGrowth _),
@@ -710,6 +743,7 @@ object TextOps {
   val oracles: Seq[(String, String)] = Seq(
     "q101_doc_chunks" -> q101Sql,
     "q102_blocklist_filter" -> q102Sql,
+    "q114_conjunctive_search" -> q114Sql,
     "q106_boilerplate_chunks" -> q106Sql,
     "q107_cross_source_dups" -> q107Sql,
     "q108_vocab_growth" -> q108Sql,
