@@ -222,6 +222,22 @@ class PlanSpec extends SparkSpec {
       s"change-detect and interval windows must reuse one user_id exchange:\n$p")
   }
 
+  test("q114: conjunctive search is a scan-side filter — no explode, no join, no window") {
+    val p = planOf(graft.operators.TextOps.q114ConjunctiveSearch(spark, sf))
+    assert(!p.contains("Generate"), s"term matching must not explode tokens:\n$p")
+    assert(!p.contains("Join"), s"no inverted-index join needed at filter altitude:\n$p")
+    assert(p.contains("array_contains"), s"the AND must plan as membership probes:\n$p")
+  }
+
+  test("q115: equi-depth buckets come from one broadcast bounds row, never a global ntile") {
+    val p = planOf(graft.operators.Extended.q115EquidepthHist(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row decile bounds must broadcast:\n$p")
+    // no Window node at all — which rules out the global-ntile
+    // formulation (an unpartitioned ntile would single-task the corpus)
+    assert(!p.contains("Window"), s"no window allowed in the bucket assignment:\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
