@@ -128,21 +128,32 @@ object Similarity {
     * work is Σ over probed cells of |cell|, a fraction nprobe/|cells|
     * of the exhaustive scan.
     */
-  def ivfKnnProbed(assigned: DataFrame, centroids: DataFrame,
-      probeFilter: org.apache.spark.sql.Column, idCol: String, embCol: String,
-      k: Int, nprobe: Int): DataFrame = {
-    val probes = assigned.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
+  /** Per-probe nprobe-best cell selection — the shared head of every
+    * probed search: `probes` shaped (probe_id, p_emb, p_norm) cross-join
+    * ONE broadcast centroid-array row, rank the array per probe (negated
+    * sim → ascending struct sort puts the best cell first; cent_id
+    * breaks ties low-first), keep the nprobe best, explode to
+    * (probe_id, p_emb, p_norm, cluster). Single source of the
+    * negsim/tie-break semantics the search-equivalence tests rely on.
+    */
+  private def rankCells(probes: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, nprobe: Int): DataFrame =
+    probes
       .crossJoin(broadcast(centArray(centroids, idCol, embCol)))
-      // rank the centroid array per probe (negated sim → ascending struct
-      // sort puts the best cell first; cent_id breaks ties low-first),
-      // keep the nprobe best cell ids
       .withColumn("cells", expr(
         s"""transform(slice(array_sort(transform(cents, c ->
            |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
            |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
       .select(col("probe_id"), col("p_emb"), col("p_norm"),
         explode(col("cells")).as("cluster"))
+
+  def ivfKnnProbed(assigned: DataFrame, centroids: DataFrame,
+      probeFilter: org.apache.spark.sql.Column, idCol: String, embCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = rankCells(
+      assigned.filter(probeFilter)
+        .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm")),
+      centroids, idCol, embCol, nprobe)
     val cands = assigned
       .select(col(idCol).as("cand_id"), col(embCol).as("c_emb"),
         col("norm").as("c_norm"), col("cluster"))
@@ -252,15 +263,27 @@ object Similarity {
     * shuffles, and the top-k window moves only scalars (the int arrays
     * are projected away before the shuffle).
     */
-  def quantizedKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
-      embCol: String, k: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    def quant(df: DataFrame) = quantizeInt8(df, idCol, embCol)
+  /** Add int8 codes (`q_emb`) and the integer-domain norm (`qnorm`) to
+    * `df`, dropping rows [[quantizeInt8]] rejects (no finite nonzero
+    * scale / null component) and zero-qnorm rows — the ONE copy of the
+    * drop rules the quantized-search-equals-quantizedKnn contracts
+    * depend on. Keeps every input column.
+    */
+  private def withQuant(df: DataFrame, embCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("__q", expr(s"quantize_int8($embCol)"))
+      .filter(col("__q").isNotNull)
+      .withColumn("q_emb", col("__q.q_emb"))
       .withColumn("qnorm", expr("sqrt(vector_dot_int(q_emb, q_emb))"))
       .filter(col("qnorm") > 0)
-    val p = quant(probes).select(col(idCol).as("probe_id"),
+      .drop("__q")
+  }
+
+  def quantizedKnn(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val p = withQuant(probes, embCol).select(col(idCol).as("probe_id"),
       col("q_emb").as("p_q"), col("qnorm").as("p_qnorm"))
-    val c = quant(corpus).select(col(idCol).as("cand_id"),
+    val c = withQuant(corpus, embCol).select(col(idCol).as("cand_id"),
       col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))
     topKTail(c.crossJoin(broadcast(p))
       .filter(col("cand_id") =!= col("probe_id"))
@@ -378,15 +401,10 @@ object Similarity {
   def searchIvfIndex(spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val p = withNorm(probes, embCol)
-      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
-      .crossJoin(broadcast(centArray(cents, idCol, embCol)))
-      .withColumn("cells", expr(
-        s"""transform(slice(array_sort(transform(cents, c ->
-           |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
-           |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
-      .select(col("probe_id"), col("p_emb"), col("p_norm"),
-        explode(col("cells")).as("cluster"))
+    val p = rankCells(
+      withNorm(probes, embCol)
+        .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm")),
+      cents, idCol, embCol, nprobe)
     val cells = spark.read.parquet(s"$path/cells")
       .select(col("cluster"), col(idCol).as("cand_id"),
         col(embCol).as("c_emb"), col("norm").as("c_norm"))
@@ -409,13 +427,8 @@ object Similarity {
     */
   def writeQuantizedIvfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String, path: String): Unit = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    ivfAssign(corpus, centroids, idCol, embCol)
-      .withColumn("__q", expr(s"quantize_int8($embCol)"))
-      .filter(col("__q").isNotNull)
-      .select(col(idCol), col("cluster"), col("__q.q_emb").as("q_emb"),
-        expr("sqrt(vector_dot_int(__q.q_emb, __q.q_emb))").as("qnorm"))
-      .filter(col("qnorm") > 0)
+    withQuant(ivfAssign(corpus, centroids, idCol, embCol), embCol)
+      .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
     centroids.select(col(idCol), col(embCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -434,22 +447,15 @@ object Similarity {
   def searchQuantizedIvfIndex(spark: SparkSession, path: String,
       probes: DataFrame, idCol: String, embCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
     val cents = spark.read.parquet(s"$path/centroids")
-    val p = withNorm(probes, embCol)
-      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm"))
-      .crossJoin(broadcast(centArray(cents, idCol, embCol)))
-      .withColumn("cells", expr(
-        s"""transform(slice(array_sort(transform(cents, c ->
-           |  struct(-(${dot("c.cent_emb", "p_emb")} / (c.cent_norm * p_norm)) AS negsim,
-           |         c.cent_id AS cid))), 1, $nprobe), x -> x.cid)""".stripMargin))
-      .withColumn("__q", expr("quantize_int8(p_emb)"))
-      .filter(col("__q").isNotNull)
-      .withColumn("p_q", col("__q.q_emb"))
-      .withColumn("p_qnorm", expr("sqrt(vector_dot_int(p_q, p_q))"))
-      .filter(col("p_qnorm") > 0)
-      .select(col("probe_id"), col("p_q"), col("p_qnorm"),
-        explode(col("cells")).as("cluster"))
+    val p = withQuant(
+        rankCells(
+          withNorm(probes, embCol)
+            .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm")),
+          cents, idCol, embCol, nprobe),
+        "p_emb")
+      .select(col("probe_id"), col("q_emb").as("p_q"),
+        col("qnorm").as("p_qnorm"), col("cluster"))
     val cells = spark.read.parquet(s"$path/cells")
       .select(col("cluster"), col(idCol).as("cand_id"),
         col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))

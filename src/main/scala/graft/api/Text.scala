@@ -154,7 +154,10 @@ object Text {
       s"need 0 < stride <= chunkChars, got stride=$stride chunkChars=$chunkChars")
     require(docs.columns.contains(idCol),
       s"idCol '$idCol' not in ${docs.columns.mkString(",")}")
-    docs.filter(col(textCol).isNotNull)
+    // empty text gets ceil(0/stride) = 0 chunks — without the length
+    // guard, sequence(0, greatest(-1, 0)) would emit one phantom empty
+    // chunk whose md5("") looks like real content downstream
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col("*"),
         posexplode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)),
           lit(stride))).as(Seq("chunk_pos", "chunk_off")))
@@ -168,7 +171,10 @@ object Text {
     * blocklist gate of a curation pipeline (profanity/boilerplate/spam
     * term lists). Token-exact (no substring false positives), narrow,
     * codegen'd; the term list ships as an array literal, so at 100 TB it
-    * is part of the task binary, not a join.
+    * is part of the task binary, not a join. NULL text yields NULL (SQL
+    * three-valued logic) — callers deciding keep/drop should wrap in
+    * `coalesce(_, lit(false))` so null-text rows count as unblocked
+    * rather than silently dropping out of both branches of a filter.
     */
   def blocklistHit(text: Column, terms: Seq[String]): Column =
     arrays_overlap(split(text, " "), array(terms.map(lit): _*))

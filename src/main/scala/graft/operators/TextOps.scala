@@ -452,7 +452,7 @@ object TextOps {
     """WITH offs AS (
       |  SELECT doc_id, text,
       |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
-      |  FROM documents WHERE text IS NOT NULL)
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
       |SELECT doc_id, off // 150 AS chunk_idx, off,
       |  CAST(length(substring(text, CAST(off AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
       |  md5(substring(text, CAST(off AS INT) + 1, 200)) AS chunk_md5
@@ -468,7 +468,11 @@ object TextOps {
     import spark.implicits._
     val terms = Seq("slow", "error", "deprecated")
     table(spark, dir, "documents")
-      .withColumn("blocked", graft.api.Text.blocklistHit($"text", terms))
+      // null text -> blocklistHit is NULL (no tokens to match); a null
+      // doc is KEPT, mirroring the oracle's CASE WHEN ELSE 1 — without
+      // the coalesce it would vanish from both counters
+      .withColumn("blocked",
+        coalesce(graft.api.Text.blocklistHit($"text", terms), lit(false)))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -513,7 +517,7 @@ object TextOps {
     """WITH offs AS (
       |  SELECT doc_id, text,
       |    unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS off
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
       |tiles AS (
       |  SELECT DISTINCT doc_id,
       |    md5(substring(text, CAST(off AS INT) + 1, 200)) AS chunk_md5,
@@ -555,7 +559,7 @@ object TextOps {
     """WITH offs AS (
       |  SELECT doc_id, source, text,
       |    unnest(generate_series(0, greatest(length(text) - 1, 0), 200)) AS off
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
       |tiles AS (
       |  SELECT DISTINCT source,
       |    md5(substring(text, CAST(off AS INT) + 1, 200)) AS tile_md5

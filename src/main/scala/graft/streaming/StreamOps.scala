@@ -379,13 +379,15 @@ object StreamOps {
     *
     * Within a micro-batch, events are processed in event-time order, so
     * arrival order inside a batch never changes the outcome; ACROSS
-    * batches the frontier only advances (monotone). A stage event
-    * arriving in a later batch than a qualifying earlier-stage event
-    * still advances correctly; the one divergence from the batch twin is
-    * an earlier FIRST-stage event arriving after a later one already
-    * opened the funnel — the frontier keeps the minimum seen, matching
-    * q104's `min(t_view)`, but stages already advanced are not revised
-    * (streaming emits are append-only).
+    * batches the frontier only advances (monotone). A late-arriving
+    * EARLIER occurrence of an already-reached stage lowers that stage's
+    * frontier (matching q104's min semantics) as long as the next stage
+    * is still pending — so a subsequent next-stage event gates against
+    * the corrected minimum. The residual divergence from the batch twin:
+    * once stage k+1 has fired, a late earlier stage-k event can no
+    * longer revise history (emits are append-only), where q104's batch
+    * recomputation would — replay the batch twin when exact late-data
+    * semantics matter.
     */
   def funnelStages(spark: SparkSession, events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
@@ -405,13 +407,16 @@ object StreamOps {
           evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
             stageIdx.get(e.event_type).foreach { k =>
               val prevReached = k == 0 || t(k - 1).exists(_ < e.ts_ms)
+              val nextPending = k == stages.size - 1 || t(k + 1).isEmpty
               if (t(k).isEmpty && prevReached) {
                 t = t.updated(k, Some(e.ts_ms))
                 out += FunnelAdvance(uid, k + 1, stages(k), e.ts_ms)
-              } else if (k == 0 && t(0).exists(_ > e.ts_ms)) {
-                // late-arriving earlier first-stage event: keep the min
-                // frontier (q104's min(t_view)) without re-emitting
-                t = t.updated(0, Some(e.ts_ms))
+              } else if (prevReached && nextPending && t(k).exists(_ > e.ts_ms)) {
+                // late-arriving earlier occurrence of a reached stage:
+                // lower the frontier (q104's min semantics) so the
+                // still-pending NEXT stage gates against the corrected
+                // minimum; no re-emit (append-only)
+                t = t.updated(k, Some(e.ts_ms))
               }
             }
           }
@@ -419,6 +424,13 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  /** One event on the SCD2 tracker path — carries `event_id` so
+    * same-timestamp ties break exactly as the batch twin's
+    * (ts_ms, event_id) ordering does.
+    */
+  case class Scd2Event(user_id: Long, event_type: String, ts_ms: Long,
+      event_id: Long)
 
   /** SCD2 tracker state: the current open version per entity. */
   case class Scd2State(version: Long, attr: String, validFromMs: Long)
@@ -449,15 +461,17 @@ object StreamOps {
     import spark.implicits._
     events
       .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        col("ts_ms").cast("long").as("ts_ms"))
-      .as[FunnelEvent]
+        col("ts_ms").cast("long").as("ts_ms"),
+        col("event_id").cast("long").as("event_id"))
+      .as[Scd2Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[Scd2State]) =>
+        (uid: Long, evs: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
           var cur = state.getOption
           val out = Vector.newBuilder[Scd2Row]
-          evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+          // (ts_ms, event_id): the batch twin's exact tie-break (q113)
+          evs.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
             cur match {
               case None =>
                 cur = Some(Scd2State(1L, e.event_type, e.ts_ms))

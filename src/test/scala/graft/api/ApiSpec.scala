@@ -544,7 +544,10 @@ class ApiSpec extends SparkSpec {
     // column (dynamic partition pruning off the broadcast probe side)
     val plan = fromIndex.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cluster"),
+    // strict: the join's static isnotnull partition filter appears with
+    // or without DPP, so only the runtime dynamicpruning expression
+    // proves the probed-cells restriction reaches the scan
+    assert(plan.contains("dynamicpruning"),
       s"index search must partition-prune the cells scan:\n$plan")
   }
 
@@ -596,12 +599,14 @@ class ApiSpec extends SparkSpec {
       (1L, "a" * 48),            // shorter than one chunk
       (2L, "abcdefghij" * 30),   // 300 chars -> exact multiple of stride
       (3L, "x" * 301),           // one char past a stride boundary
-      (4L, null.asInstanceOf[String])
+      (4L, null.asInstanceOf[String]),
+      (5L, "")                   // empty: ceil(0/stride) = 0 chunks
     ).toDF("k", "body")
     val chunks = Text.chunkFixed(docs, "k", "body", chunkChars = 200, stride = 150)
       .select($"k", $"off", $"chunk").as[(Long, Long, String)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
     assert(!chunks.contains(4L)) // null text dropped
+    assert(!chunks.contains(5L)) // empty text -> zero chunks, no phantom md5("")
     assert(chunks(1L).map(_._2) === Seq("a" * 48))
     // 300 chars, stride 150: offsets 0 and 150; the first chunk reaches
     // 200 chars — 50 past the stride, the designed overlap

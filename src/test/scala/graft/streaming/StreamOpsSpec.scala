@@ -514,28 +514,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.filter(_._1 == 3) === Seq((3L, 1, "view", 50L)))
   }
 
-  test("scd2Track: change closes the open version and opens the next, across batches") {
+  case class SEvt(user_id: Long, event_type: String, ts_ms: Long, event_id: Long)
+
+  test("scd2Track: change closes the open version and opens the next, across batches; ties break by event_id") {
     import spark.implicits._
-    val mem = MemoryStream[FEvt](spark)
+    val mem = MemoryStream[SEvt](spark)
     val q = StreamOps.scd2Track(spark, mem.toDF())
       .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
 
-    // batch 1: open v1 at 100; same-attr event at 150 is a no-op
-    mem.addData(FEvt(1, "view", 100), FEvt(1, "view", 150))
+    // batch 1: open v1 at 100; same-attr event at 150 is a no-op.
+    // The two t=100 events tie — event_id order (10 < 11) must decide,
+    // exactly like the batch twin's (ts_ms, event_id) window: 'view'
+    // (id 10) opens v1, then 'click' (id 11) at the same ts does NOT
+    // close it (change gate is ts >= validFrom, so it opens v2)
+    mem.addData(SEvt(1, "view", 100, 10), SEvt(1, "click", 100, 11),
+      SEvt(1, "click", 150, 12))
     q.processAllAvailable()
-    // batch 2: change at 200 closes v1 [100,200) and opens v2; a LATE
-    // event older than the open version (t=50) is ignored
-    mem.addData(FEvt(1, "click", 200), FEvt(1, "error", 50))
+    // batch 2: change at 200 closes v2 and opens v3; a LATE event older
+    // than the open version (t=50) is ignored
+    mem.addData(SEvt(1, "error", 200, 13), SEvt(1, "signup", 50, 14))
     q.processAllAvailable()
     q.stop()
 
     val rows = spark.table("scd2_out")
       .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
-    // v1 appears twice (open emit, then closed emit) — downstream
-    // upserts on (user_id, version); the LAST emit per version is final
+    // open versions re-emit when closed — downstream upserts on
+    // (user_id, version); the LAST emit per version is final
     val finalRows = rows.groupBy(r => (r._1, r._2)).map(_._2.last).toSeq.sortBy(_._2)
     assert(finalRows === Seq(
-      (1L, 1L, "view", 100L, Some(200L)),
-      (1L, 2L, "click", 200L, None)))
+      (1L, 1L, "view", 100L, Some(100L)),
+      (1L, 2L, "click", 100L, Some(200L)),
+      (1L, 3L, "error", 200L, None)))
+  }
+
+  test("funnelStages: a late earlier mid-stage event lowers the gate for the pending next stage") {
+    import spark.implicits._
+    val mem = MemoryStream[FEvt](spark)
+    val q = StreamOps.funnelStages(spark, mem.toDF())
+      .writeStream.format("memory").queryName("funnel_repair_out").outputMode("append").start()
+
+    mem.addData(FEvt(1, "view", 100))
+    q.processAllAvailable()
+    mem.addData(FEvt(1, "click", 500)) // click frontier 500
+    q.processAllAvailable()
+    // late earlier click at 200 lowers the stage-2 gate (purchase still
+    // pending); purchase at 300 must now convert — the batch twin q104
+    // counts this user as purchased (min click after view = 200 < 300)
+    mem.addData(FEvt(1, "click", 200), FEvt(1, "purchase", 300))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_repair_out").as[(Long, Int, String, Long)].collect().toSeq
+    assert(rows.map(r => (r._2, r._4)).sorted === Seq((1, 100L), (2, 500L), (3, 300L)),
+      s"purchase must gate against the repaired click minimum: $rows")
   }
 }
