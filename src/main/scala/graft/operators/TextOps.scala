@@ -650,8 +650,78 @@ object TextOps {
       |WHERE list_has_all(string_split(text, ' '), ['data', 'table', 'query'])
       |ORDER BY doc_id""".stripMargin
 
+  /** q116: unigram language-model scoring — the CCNet-style perplexity
+    * filter: train unigram probabilities on the corpus itself (one
+    * token-count agg), then score each document by its average token
+    * log-probability; low scores flag out-of-distribution text (other
+    * languages, boilerplate, garbage). Two joins share one token-keyed
+    * shuffle; the vocab-probability frame is the broadcast side of the
+    * scoring join at any corpus size (a trained LM vocabulary is fixed,
+    * not corpus-sized). Top/bottom selection via two partial-top-k
+    * windows would be the report shape; here the per-doc frame is the
+    * graded output. log sums are rounded to 4 decimals (noise ~1e-13 ≪
+    * grid for ≤10³-token docs).
+    */
+  def q116UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toksOf = table(spark, dir, "documents")
+      .select($"doc_id", explode(toks()).as("token"))
+      .filter($"token" =!= "")
+    val total = toksOf.agg(count(lit(1)).as("n_total"))
+    val probs = toksOf.groupBy($"token").agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(total))
+      .select($"token", log($"n_tok".cast("double") / $"n_total").as("logp"))
+    toksOf.join(broadcast(probs), "token")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum($"logp") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  val q116Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |total AS (SELECT COUNT(*) AS n_total FROM tok),
+      |probs AS (
+      |  SELECT token, ln(COUNT(*) / CAST(n_total AS DOUBLE)) AS logp
+      |  FROM tok CROSS JOIN total GROUP BY token, n_total)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  round(SUM(logp) / COUNT(*), 4) AS avg_logp
+      |FROM tok JOIN probs USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q117: language-ID confusion matrix — the classifier-evaluation
+    * report for the q34 heuristic: labeled `lang` vs
+    * [[graft.api.Text.langIdPredict]], counts per (true, predicted)
+    * cell. One narrow scoring pass + a |langs|×2-cell agg: the shape of
+    * any model-vs-label eval at corpus scale.
+    */
+  def q117LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"lang", graft.api.Text.langIdPredict($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val q117Sql: String = {
+    // the q34 heuristic verbatim: stopword density >= 0.08 -> 'en'
+    val stop = graft.api.Text.EnglishStopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT lang,
+       |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
+       |       THEN 'en' ELSE 'other' END AS predicted,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q101_doc_chunks" -> (q101DocChunks _),
+    "q116_unigram_logprob" -> (q116UnigramLogprob _),
+    "q117_langid_confusion" -> (q117LangidConfusion _),
     "q102_blocklist_filter" -> (q102BlocklistFilter _),
     "q114_conjunctive_search" -> (q114ConjunctiveSearch _),
     "q106_boilerplate_chunks" -> (q106BoilerplateChunks _),
@@ -746,6 +816,8 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q101_doc_chunks" -> q101Sql,
+    "q116_unigram_logprob" -> q116Sql,
+    "q117_langid_confusion" -> q117Sql,
     "q102_blocklist_filter" -> q102Sql,
     "q114_conjunctive_search" -> q114Sql,
     "q106_boilerplate_chunks" -> q106Sql,
