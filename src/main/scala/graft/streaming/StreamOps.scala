@@ -29,6 +29,21 @@ object StreamOps {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** SLIDING windows with a watermark — the streaming form of q109:
+    * each event lands in len/slide overlapping windows (the built-in
+    * windowing plans the bounded explode), late events beyond
+    * `lateness` drop, and a window emits once final in append mode.
+    * State per open window is one partial aggregate.
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, lateness: String,
+      windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Session windows: events of one user within `gap` of each other merge
     * into one session (the streaming form of q29's gaps-and-islands).
     */

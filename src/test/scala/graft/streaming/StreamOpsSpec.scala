@@ -444,6 +444,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(streaming === batch)
   }
 
+  test("streaming slidingAgg equals the batch q109 sliding aggregation over the same events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Util.events(spark, sf)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type", $"value")
+    val srcDir = tmpDir("slide_parity_src")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = StreamOps.slidingAgg(stream, "ts", "1 minute", "2 hours", "1 hour")
+      .writeStream.format("memory").queryName("slide_parity_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streaming = spark.table("slide_parity_out")
+      .select($"win_start", $"event_type", $"n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ev.groupBy(window($"ts", "2 hours", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n")).select($"win.start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streaming === batch)
+    // every event contributes to exactly len/slide = 2 windows
+    assert(streaming.values.sum === 2L * ev.count())
+  }
+
   test("micro-batch replay: checkpoint upsert is idempotent, target accepts duplicates (SURVEY §7.4)") {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
