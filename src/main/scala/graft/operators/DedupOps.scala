@@ -361,7 +361,67 @@ object DedupOps {
        |FROM hits h JOIN sizes s USING (doc_id)
        |ORDER BY h.doc_id""".stripMargin
 
+  /** q118: MinHash sketch calibration — for every LSH candidate pair,
+    * the signature-agreement estimate (matching seeds / NumSeeds, the
+    * estimator MinHash exists to provide) next to the exact verified
+    * Jaccard and the signed error: the accuracy report that justifies a
+    * signature width before a corpus-scale dedup run. Everything is a
+    * ratio of small integers (k/8, |∩|/|∪|), so both engines agree
+    * bit-for-bit with zero rounding. The calibration frame is
+    * |candidate pairs| × NumSeeds rows — pair-density-bounded, never
+    * corpus-bounded.
+    */
+  def q118MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val sigs = graft.api.Dedup.minhashSignatures(d, "doc_id", "text")
+    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
+    val sa = sigs.select($"doc_id".as("doc_a"), $"seed", $"minhash".as("mh_a"))
+    val sb = sigs.select($"doc_id".as("doc_b"), $"seed", $"minhash".as("mh_b"))
+    pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))
+      .groupBy($"doc_a", $"doc_b", $"jaccard")
+      .agg((sum(($"mh_a" === $"mh_b").cast("long")).cast("double") /
+        graft.api.Dedup.NumSeeds).as("est_jaccard"))
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        $"jaccard".as("exact_jaccard"),
+        ($"est_jaccard" - $"jaccard").as("err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q118Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |ex AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    COALESCE(i.n_inter, 0) / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes za ON za.doc_id = c.doc_a
+       |  JOIN sizes zb ON zb.doc_id = c.doc_b),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / ${graft.api.Dedup.NumSeeds} AS est_jaccard
+       |  FROM cands c
+       |  JOIN mh ma ON ma.doc_id = c.doc_a
+       |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard AS exact_jaccard,
+       |  e.est_jaccard - x.jaccard AS err
+       |FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q118_minhash_calibration" -> (q118MinhashCalibration _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
     "q85_decontaminate" -> (q85Decontaminate _),
@@ -372,6 +432,7 @@ object DedupOps {
     "q41_simhash" -> (q41Simhash _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q118_minhash_calibration" -> q118Sql,
     "q55_dedup_clusters" -> q55Sql,
     "q84_incremental_dedup" -> q84Sql,
     "q85_decontaminate" -> q85Sql,
