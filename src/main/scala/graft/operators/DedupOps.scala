@@ -374,9 +374,17 @@ object DedupOps {
   def q118MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-    val sigs = graft.api.Dedup.minhashSignatures(d, "doc_id", "text")
     val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
+    // the signature kernel re-runs ONLY over candidate docs: the pair
+    // frame is tiny, so its id set broadcast-semi-restricts the corpus
+    // before the shingle/minhash pass (the verifyExactJaccard pattern) —
+    // without this, both sides of the self-join would each re-shingle
+    // the whole corpus
+    val candIds = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sigs = graft.api.Dedup.minhashSignatures(
+      d.join(broadcast(candIds), Seq("doc_id"), "left_semi"), "doc_id", "text")
     val sa = sigs.select($"doc_id".as("doc_a"), $"seed", $"minhash".as("mh_a"))
     val sb = sigs.select($"doc_id".as("doc_b"), $"seed", $"minhash".as("mh_b"))
     pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))

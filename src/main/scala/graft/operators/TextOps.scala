@@ -654,13 +654,15 @@ object TextOps {
     * filter: train unigram probabilities on the corpus itself (one
     * token-count agg), then score each document by its average token
     * log-probability; low scores flag out-of-distribution text (other
-    * languages, boilerplate, garbage). Two joins share one token-keyed
-    * shuffle; the vocab-probability frame is the broadcast side of the
-    * scoring join at any corpus size (a trained LM vocabulary is fixed,
-    * not corpus-sized). Top/bottom selection via two partial-top-k
-    * windows would be the report shape; here the per-doc frame is the
-    * graded output. log sums are rounded to 4 decimals (noise ~1e-13 ≪
-    * grid for ≤10³-token docs).
+    * languages, boilerplate, garbage). The scoring join is token-keyed
+    * and left to the planner: self-trained with no cutoff the vocab
+    * grows with the corpus (Heaps' law — every hapax and typo), so at
+    * scale it shuffle-joins on the token (both sides already hashed by
+    * the counting agg; AQE broadcasts when small). A production filter
+    * scores against a FIXED external vocab with a min-count cutoff —
+    * that frame broadcasts; this query keeps the self-trained form so
+    * the oracle is self-contained. log sums are rounded to 4 decimals
+    * (noise ~1e-13 ≪ grid for ≤10³-token docs).
     */
   def q116UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -671,7 +673,7 @@ object TextOps {
     val probs = toksOf.groupBy($"token").agg(count(lit(1)).as("n_tok"))
       .crossJoin(broadcast(total))
       .select($"token", log($"n_tok".cast("double") / $"n_total").as("logp"))
-    toksOf.join(broadcast(probs), "token")
+    toksOf.join(probs, "token")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -692,36 +694,50 @@ object TextOps {
       |FROM tok JOIN probs USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q117: language-ID confusion matrix — the classifier-evaluation
-    * report for the q34 heuristic: labeled `lang` vs
-    * [[graft.api.Text.langIdPredict]], counts per (true, predicted)
-    * cell. One narrow scoring pass + a |langs|×2-cell agg: the shape of
-    * any model-vs-label eval at corpus scale.
+  /** q117: language-ID accuracy report — the metrics layer ABOVE q34's
+    * raw confusion matrix: per true language (plus the rollup total),
+    * how often [[graft.api.Text.langIdPredict]]'s binary en/other call
+    * matches the binarized label. One narrow scoring pass + a rollup
+    * agg over |langs|+1 cells; accuracy is an exact integer ratio, so
+    * both engines agree with zero rounding. The model-eval report shape
+    * (per-class + overall) any classifier gate in a curation pipeline
+    * publishes.
     */
-  def q117LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+  def q117LangidMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     table(spark, dir, "documents")
-      .select($"lang", graft.api.Text.langIdPredict($"text").as("predicted"))
-      .groupBy($"lang", $"predicted")
-      .agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"predicted")
+      .select($"lang",
+        (graft.api.Text.langIdPredict($"text") === "en").as("pred_en"))
+      .withColumn("correct", ($"lang" === "en") === $"pred_en")
+      .rollup($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"pred_en".cast("long")).as("n_pred_en"),
+        (sum($"correct".cast("long")).cast("double") / count(lit(1))).as("accuracy"))
+      .select(coalesce($"lang", lit("ALL")).as("lang"),
+        $"n_docs", $"n_pred_en", $"accuracy")
+      .orderBy($"lang")
   }
 
   val q117Sql: String = {
     // the q34 heuristic verbatim: stopword density >= 0.08 -> 'en'
     val stop = graft.api.Text.EnglishStopwords.map(s => s"'$s'").mkString(", ")
-    s"""SELECT lang,
-       |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
-       |         / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
-       |       THEN 'en' ELSE 'other' END AS predicted,
-       |  COUNT(*) AS n
-       |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ($stop)))
+       |           / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
+       |         THEN 1 ELSE 0 END AS pred_en
+       |  FROM documents)
+       |SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(pred_en) AS BIGINT) AS n_pred_en,
+       |  CAST(SUM(CASE WHEN (lang = 'en') = (pred_en = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS accuracy
+       |FROM scored GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin
   }
 
   val queries: Seq[(String, Q)] = Seq(
     "q101_doc_chunks" -> (q101DocChunks _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
-    "q117_langid_confusion" -> (q117LangidConfusion _),
+    "q117_langid_metrics" -> (q117LangidMetrics _),
     "q102_blocklist_filter" -> (q102BlocklistFilter _),
     "q114_conjunctive_search" -> (q114ConjunctiveSearch _),
     "q106_boilerplate_chunks" -> (q106BoilerplateChunks _),
@@ -817,7 +833,7 @@ object TextOps {
   val oracles: Seq[(String, String)] = Seq(
     "q101_doc_chunks" -> q101Sql,
     "q116_unigram_logprob" -> q116Sql,
-    "q117_langid_confusion" -> q117Sql,
+    "q117_langid_metrics" -> q117Sql,
     "q102_blocklist_filter" -> q102Sql,
     "q114_conjunctive_search" -> q114Sql,
     "q106_boilerplate_chunks" -> q106Sql,

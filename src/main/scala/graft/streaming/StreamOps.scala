@@ -22,12 +22,9 @@ object StreamOps {
     */
   def tumblingAgg(events: DataFrame, tsCol: String, lateness: String,
       windowLen: String): DataFrame =
-    events
-      .withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), windowLen).as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    // tumbling IS sliding with slide == length (window(c, len) is
+    // defined as window(c, len, len)) — one body to maintain
+    slidingAgg(events, tsCol, lateness, windowLen, windowLen)
 
   /** SLIDING windows with a watermark — the streaming form of q109:
     * each event lands in len/slide overlapping windows (the built-in
