@@ -238,6 +238,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window allowed in the bucket assignment:\n$p")
   }
 
+  test("q118: the calibration signature kernel runs candidate-restricted (semi-join before minhash)") {
+    val p = planOf(graft.operators.DedupOps.q118MinhashCalibration(spark, sf))
+    // the restriction is the lock: the sa/sb signature passes must sit
+    // above a LeftSemi against the broadcast candidate-id frame (the
+    // kernel re-runs only over candidate docs; without it both
+    // self-join sides re-shingle the whole corpus)
+    assert(p.contains("LeftSemi"),
+      s"the corpus must semi-restrict to candidate ids before re-shingling:\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
