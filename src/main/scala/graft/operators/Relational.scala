@@ -675,17 +675,34 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q51: exact percentiles (continuous interpolation) — rounded to 4
-    * decimals because Spark computes lo + (hi-lo)·f and DuckDB's
-    * quantile_cont may associate differently in the last ulp.
+    * decimals because the engines may associate the interpolation
+    * differently in the last ulp. Computed via
+    * [[graft.operators.Extended.exactQuantilesMulti]] — the iterative
+    * count-partitioned search with O(1) aggregation state — NOT the
+    * exact `percentile` aggregate, whose full-multiset final-merge state
+    * grows with each column's distinct count at scale. All three
+    * (column × group) quantile families share one stats pass and one set
+    * of lockstep search rounds; the final rounding runs through Spark's
+    * own `round` so the output is expression-identical to the builtin
+    * formulation.
     */
   def q51Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    table(spark, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+    val li = table(spark, dir, "lineitem")
+    val qs = Extended.exactQuantilesMulti(li, Some("l_returnflag"), Seq(
+      "l_extendedprice" -> Seq(0.5),
+      "l_quantity" -> Seq(0.9),
+      "l_discount" -> Seq(0.25)))
+    qs.toSeq
+      .map { case (g, m) =>
+        (g.asInstanceOf[String],
+          m(("l_extendedprice", 0.5)), m(("l_quantity", 0.9)), m(("l_discount", 0.25)))
+      }
+      .toDF("l_returnflag", "raw_median", "raw_p90", "raw_p25")
+      .select($"l_returnflag",
+        round($"raw_median", 4).as("median_price"),
+        round($"raw_p90", 4).as("p90_qty"),
+        round($"raw_p25", 4).as("p25_disc"))
       .orderBy($"l_returnflag")
   }
 

@@ -663,21 +663,37 @@ object TextOps {
     * that frame broadcasts; this query keeps the self-trained form so
     * the oracle is self-contained. log sums are rounded to 4 decimals
     * (noise ~1e-13 ≪ grid for ≤10³-token docs).
+    *
+    * The corpus is tokenized exactly ONCE: the explode collapses
+    * immediately into per-(doc, token) counts — smaller than the raw
+    * token stream by each document's token-repeat factor — and that
+    * pair frame is materialized (localCheckpoint) so the vocabulary
+    * counts, the corpus total (a sum over |vocab| rows, not a second
+    * corpus pass), and the per-document scoring join all read the
+    * materialized frame instead of re-running the explode (Catalyst
+    * plans each DataFrame reference as its own subtree, so the round-5
+    * form re-exploded the corpus three times; PlanSpec locks the
+    * submitted plan Generate-free). Materializing the collapsed pairs
+    * once is the 100 TB trade: one shuffle-sized write vs three full
+    * corpus tokenization passes.
     */
   def q116UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toksOf = table(spark, dir, "documents")
+    val pairs = table(spark, dir, "documents")
       .select($"doc_id", explode(toks()).as("token"))
       .filter($"token" =!= "")
-    val total = toksOf.agg(count(lit(1)).as("n_total"))
-    val probs = toksOf.groupBy($"token").agg(count(lit(1)).as("n_tok"))
-      .crossJoin(broadcast(total))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val counts = pairs.groupBy($"token").agg(sum($"c").as("n_tok"))
+    val total = counts.agg(sum($"n_tok").as("n_total"))
+    val probs = counts.crossJoin(broadcast(total))
       .select($"token", log($"n_tok".cast("double") / $"n_total").as("logp"))
-    toksOf.join(probs, "token")
+    pairs.join(probs, "token")
       .groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(sum($"logp") / count(lit(1)), 4).as("avg_logp"))
+        sum($"c").as("n_tokens"),
+        round(sum($"c".cast("double") * $"logp") / sum($"c"), 4).as("avg_logp"))
       .orderBy($"doc_id")
   }
 
@@ -705,17 +721,22 @@ object TextOps {
     */
   def q117LangidMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // is_total is an explicit GROUPING() flag, not an overloaded lang
+    // value: coalescing the rollup row's NULL into a sentinel string
+    // would collide with a literal (or NULL) 'ALL' lang and make the
+    // ORDER BY — and therefore the hash oracle — nondeterministic.
     table(spark, dir, "documents")
       .select($"lang",
         (graft.api.Text.langIdPredict($"text") === "en").as("pred_en"))
       .withColumn("correct", ($"lang" === "en") === $"pred_en")
       .rollup($"lang")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(grouping($"lang").cast("long").as("is_total"),
+        count(lit(1)).as("n_docs"),
         sum($"pred_en".cast("long")).as("n_pred_en"),
         (sum($"correct".cast("long")).cast("double") / count(lit(1))).as("accuracy"))
-      .select(coalesce($"lang", lit("ALL")).as("lang"),
+      .select($"is_total", coalesce($"lang", lit("ALL")).as("lang"),
         $"n_docs", $"n_pred_en", $"accuracy")
-      .orderBy($"lang")
+      .orderBy($"is_total", $"lang")
   }
 
   val q117Sql: String = {
@@ -727,11 +748,12 @@ object TextOps {
        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.08
        |         THEN 1 ELSE 0 END AS pred_en
        |  FROM documents)
-       |SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
+       |SELECT CAST(GROUPING(lang) AS BIGINT) AS is_total,
+       |  COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
        |  CAST(SUM(pred_en) AS BIGINT) AS n_pred_en,
        |  CAST(SUM(CASE WHEN (lang = 'en') = (pred_en = 1) THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*) AS accuracy
-       |FROM scored GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin
+       |FROM scored GROUP BY ROLLUP(lang) ORDER BY is_total, lang""".stripMargin
   }
 
   val queries: Seq[(String, Q)] = Seq(

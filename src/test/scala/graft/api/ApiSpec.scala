@@ -625,6 +625,16 @@ class ApiSpec extends SparkSpec {
       }
       assert(cs.map(_._2.take(150)).mkString === original)
     }
+    // both column guards fail fast with the friendly message, not a raw
+    // AnalysisException from deep inside the plan
+    val missingText = intercept[IllegalArgumentException] {
+      Text.chunkFixed(docs, "k", "nope", chunkChars = 200, stride = 150)
+    }
+    assert(missingText.getMessage.contains("textCol 'nope'"))
+    val missingId = intercept[IllegalArgumentException] {
+      Text.chunkFixed(docs, "nope", "body", chunkChars = 200, stride = 150)
+    }
+    assert(missingId.getMessage.contains("idCol 'nope'"))
   }
 
   test("blocklistHit is token-exact: no substring false positives, any hit blocks") {

@@ -39,6 +39,68 @@ class ExtendedSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 0))
   }
 
+  test("exactQuantiles is bit-identical to Spark's percentile builtin (global, lineitem)") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val mine = Extended.exactQuantiles(li, "l_extendedprice", ps)
+    val builtin = li.agg(expr(
+      s"percentile(l_extendedprice, array(${ps.mkString(",")}))").as("v"))
+      .head().getSeq[Double](0)
+    // bitwise, not approximate: the search pins order statistics to exact
+    // doubles and interpolates with Spark's own association order
+    assert(mine.map(java.lang.Double.doubleToLongBits) ===
+      builtin.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("exactQuantilesBy matches the builtin per group and handles skewed/duplicate data") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ps = Seq(0.05, 0.5, 0.95)
+    val mine = Extended.exactQuantilesBy(li, "l_returnflag", "l_quantity", ps)
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(expr(s"percentile(l_quantity, array(${ps.mkString(",")}))").as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(mine.keySet.map(_.asInstanceOf[String]) === builtin.keySet)
+    for ((g, vs) <- mine)
+      assert(vs.map(java.lang.Double.doubleToLongBits) ===
+        builtin(g.asInstanceOf[String]).map(java.lang.Double.doubleToLongBits),
+        s"group $g")
+    // adversarial local data: negatives, heavy duplicates, a null, n=1 group
+    val odd = Seq(
+      ("a", -5.5), ("a", -5.5), ("a", -5.5), ("a", 0.0), ("a", 1e300),
+      ("b", 2.0), ("b", 2.0),
+      ("c", -0.0)).toDF("g", "v")
+      .union(Seq(("a", Option.empty[Double])).toDF("g", "v"))
+    val oddMine = Extended.exactQuantilesBy(odd, "g", "v", Seq(0.0, 0.3, 0.5, 1.0))
+    val oddRef = odd.groupBy($"g")
+      .agg(expr("percentile(v, array(0.0, 0.3, 0.5, 1.0))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((g, vs) <- oddMine)
+      assert(vs.map(java.lang.Double.doubleToLongBits) ===
+        oddRef(g.asInstanceOf[String]).map(java.lang.Double.doubleToLongBits),
+        s"group $g")
+  }
+
+  test("exactQuantilesMulti: several columns share one pass and match the builtins") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val m = Extended.exactQuantilesMulti(li, Some("l_returnflag"), Seq(
+      "l_extendedprice" -> Seq(0.5),
+      "l_discount" -> Seq(0.25, 0.9)))
+    val ref = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("m"),
+      expr("percentile(l_discount, 0.25)").as("d25"),
+      expr("percentile(l_discount, 0.9)").as("d90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for ((g, vals) <- m) {
+      val (rm, rd25, rd90) = ref(g.asInstanceOf[String])
+      assert(vals(("l_extendedprice", 0.5)) === rm)
+      assert(vals(("l_discount", 0.25)) === rd25)
+      assert(vals(("l_discount", 0.9)) === rd90)
+    }
+  }
+
   test("q66 subquery result agrees with the join formulation") {
     import spark.implicits._
     val viaSql = Extended.q66Subqueries(spark, sf)

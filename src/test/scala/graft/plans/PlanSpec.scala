@@ -229,13 +229,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("array_contains"), s"the AND must plan as membership probes:\n$p")
   }
 
-  test("q115: equi-depth buckets come from one broadcast bounds row, never a global ntile") {
+  test("q115: equi-depth buckets fold in as literals — no join, no global ntile") {
     val p = planOf(graft.operators.Extended.q115EquidepthHist(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the 1-row decile bounds must broadcast:\n$p")
+    // the decile bounds are resolved by the iterative exact-quantile
+    // search before the query plan is built, so the bucket pass is
+    // scan → hash-agg → sort: no join of any kind survives
+    assert(!p.contains("Join"), s"bucket assignment must not join:\n$p")
     // no Window node at all — which rules out the global-ntile
     // formulation (an unpartitioned ntile would single-task the corpus)
     assert(!p.contains("Window"), s"no window allowed in the bucket assignment:\n$p")
+  }
+
+  test("q51/q103/q110/q115: no full-multiset percentile aggregate anywhere in the plan") {
+    // Spark's exact `percentile` is a TypedImperativeAggregate whose
+    // final-merge buffers the value multiset — the round-5 scale `weak`.
+    // The bounds now come from Extended.exactQuantiles (iterative
+    // count-partitioned search, O(1) state per pass), so the submitted
+    // plans must carry no percentile aggregate at all; the only
+    // percentile-ish node allowed is the bounded approx_percentile
+    // sketch (q110's graded approximation column).
+    val plans = Seq(
+      "q51" -> planOf(graft.operators.Relational.q51Percentiles(spark, sf)),
+      "q103" -> planOf(graft.operators.Extended.q103Winsorize(spark, sf)),
+      "q110" -> planOf(graft.operators.Extended.q110ApproxQuantiles(spark, sf)),
+      "q115" -> planOf(graft.operators.Extended.q115EquidepthHist(spark, sf)))
+    for ((name, p) <- plans) {
+      val scrubbed = p.replace("approx_percentile", "SKETCH")
+      assert(!scrubbed.toLowerCase.contains("percentile"),
+        s"$name must not plan an exact percentile aggregate:\n$p")
+    }
+  }
+
+  test("q116: the corpus is tokenized exactly once (pair frame materialized, no Generate in the plan)") {
+    val p = planOf(graft.operators.TextOps.q116UnigramLogprob(spark, sf))
+    // round 5 exploded documents three times (total, probs, scoring).
+    // Now the collapsed (doc, token) pair frame is localCheckpointed —
+    // the one explode runs in the checkpoint job, and the submitted
+    // plan's three consumers all scan the materialized frame
+    assert(!p.contains("Generate"),
+      s"q116 consumers must read the materialized pair frame, not re-explode:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"q116 must scan the checkpointed pair frame:\n$p")
   }
 
   test("q118: the calibration signature kernel runs candidate-restricted (semi-join before minhash)") {
