@@ -289,25 +289,87 @@ object Dedup {
     * n-grams"): production pipelines do exactly this with 8–13-gram
     * overlap against held-out benchmarks.
     *
-    * Scale shape: the benchmark shingle set is small BY DEFINITION
-    * (eval sets are thousands of docs, not billions) — it distincts on
-    * its own tiny side and BROADCASTS, so the corpus side is one narrow
-    * shingle-kernel pass + broadcast-hash semi-restriction; only the
-    * matching (contaminated) shingle hits ever shuffle, and those are
-    * proportional to the leak rate, not the corpus. Anti-join the
+    * Scale shape: a Bloom-filter pre-gate, then the exact join only on
+    * Bloom hits. A real contamination suite (many benchmarks × 8-grams)
+    * outgrows broadcasting its shingle STRINGS, but its Bloom filter is
+    * ~10 bits/shingle — the corpus side probes `might_contain` against
+    * the benchmark's `bloom_filter_agg` (a scalar subquery computed once
+    * and inlined into the probe's codegen; no join) so only the
+    * gate's survivors — true leaks plus the filter's ~1% false
+    * positives, proportional to the leak rate, not the corpus — reach
+    * the exact shingle join, which the planner is free to run as a
+    * shuffle join when the suite is too big to broadcast (no broadcast
+    * hint pins it). The exact join makes Bloom false positives harmless:
+    * results are bit-identical to the ungated form. Anti-join the
     * result against the corpus to keep the clean remainder.
+    *
+    * @param bloomItems  expected distinct benchmark shingles (sizes the
+    *                    filter; ~1% FP at the default bits/item ratio)
+    * @param bloomBits   filter size in bits (tests shrink it to force
+    *                    false positives; defaults to 8 bits/item)
     */
+  /** The Bloom pre-gate predicate: `might_contain` demands its filter be
+    * a constant or scalar subquery, so the benchmark's
+    * `bloom_filter_agg` runs as a scalar subquery over a temp view (the
+    * subquery executes once and its binary result inlines into the
+    * probe's codegen — the broadcast-of-bits shape). The view is dropped
+    * immediately: analysis is eager, so the returned predicate no longer
+    * needs it.
+    */
+  private def bloomGated(corpusSh: DataFrame, benchSh: DataFrame,
+      items: Long, bits: Long): DataFrame = {
+    graft.functions.BloomFunctions.register(benchSh.sparkSession)
+    val view = s"__graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    benchSh.createOrReplaceTempView(view)
+    // filter() analyzes eagerly — the subquery inlines the view's plan,
+    // so the temp view can drop as soon as the frame is constructed
+    try corpusSh.filter(expr(
+      s"""might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(sh), ${items}L, ${bits}L) FROM $view),
+         |  xxhash64(sh))""".stripMargin))
+    finally { benchSh.sparkSession.catalog.dropTempView(view); () }
+  }
+
   def decontaminationStats(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 4): DataFrame = {
+      idCol: String, textCol: String, n: Int = 4,
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
+    val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
     val benchSh = shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("sh_arr")).as("sh")).distinct()
-    shingleSets(corpus, idCol, textCol, n)
-      .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh"))
-      .join(broadcast(benchSh), "sh")
+    bloomGated(
+        shingleSets(corpus, idCol, textCol, n)
+          .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh")),
+        benchSh, bloomItems, bits)
+      .join(benchSh, "sh")
       .groupBy(col(idCol), col("n_sh"))
       .agg(count(lit(1)).as("n_contaminated"))
       .select(col(idCol), col("n_sh"), col("n_contaminated"),
         (col("n_contaminated") / col("n_sh")).as("contamination_frac"))
+  }
+
+  /** Bloom-gated decontamination DROP: the corpus minus every document
+    * with at least one exact n-gram overlap with `benchmark` — the
+    * keep-the-clean-remainder composition of [[decontaminationStats]]
+    * with the same gate-then-verify shape (broadcast Bloom probe, exact
+    * shingle join on hits only, left-anti back onto the corpus by id).
+    * Bloom false positives cost only the verify join; they never drop a
+    * clean document. Used by the streaming
+    * [[graft.streaming.StreamOps.decontaminationFilterBloom]] inside
+    * foreachBatch, where the batch-relational anti-join is legal.
+    */
+  def decontaminationDrop(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
+    val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
+    val benchSh = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh_arr")).as("sh")).distinct()
+    val contaminated = bloomGated(
+        shingleSets(corpus, idCol, textCol, n)
+          .select(col(idCol), explode(col("sh_arr")).as("sh")),
+        benchSh, bloomItems, bits)
+      .join(benchSh, "sh", "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Edge-count cutover between the two [[clusterComponents]] plans.

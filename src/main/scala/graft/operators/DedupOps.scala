@@ -335,9 +335,12 @@ object DedupOps {
   /** q85: benchmark decontamination — per corpus doc (doc_id % 25 ≠ 0),
     * how many of its 4-word shingles appear anywhere in the "benchmark"
     * slice (doc_id % 25 = 0); contaminated docs only. Plan shape on
-    * [[graft.api.Dedup.decontaminationStats]]: the benchmark shingle set
-    * broadcasts, the corpus pass is one narrow kernel + broadcast-hash
-    * join, only hits shuffle.
+    * [[graft.api.Dedup.decontaminationStats]]: a broadcast Bloom filter
+    * gates the corpus shingles (`might_contain` probe, no join), and
+    * only Bloom hits — true leaks plus ~1% false positives — reach the
+    * exact shingle join that confirms them, so the suite's size bound is
+    * ~10 bits/shingle rather than the shingle strings (PlanSpec locks
+    * the gate below the join).
     */
   def q85Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

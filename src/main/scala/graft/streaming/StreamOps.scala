@@ -164,6 +164,32 @@ object StreamOps {
       sink(decontaminationFilter(batch, bench, idCol, textCol, n), batchId)
     }
 
+  /** SIZE-BOUNDED streaming decontamination — the scale path when the
+    * contamination suite outgrows [[decontaminationFilter]]'s broadcast
+    * shingle array (many benchmarks × 8-grams). Each micro-batch runs
+    * [[graft.api.Dedup.decontaminationDrop]]: a broadcast BLOOM filter
+    * (~10 bits per benchmark shingle instead of the strings themselves)
+    * pre-gates the batch's shingles, only Bloom hits reach the exact
+    * shingle join (planner-chosen strategy — broadcast when small,
+    * shuffle when not), and the confirmed-contaminated doc ids anti-join
+    * the batch. Bloom false positives cost a verify-join row, never a
+    * dropped clean document. Runs inside foreachBatch (where the
+    * relational anti-join is legal on the batch frame) and re-loads the
+    * benchmark per batch — the [[decontaminationFilterRefreshing]]
+    * contract, so a republished suite starts filtering from the next
+    * micro-batch with no restart.
+    */
+  def decontaminationFilterBloom(docs: DataFrame,
+      loadBenchmark: SparkSession => DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val bench = loadBenchmark(batch.sparkSession)
+      sink(graft.api.Dedup.decontaminationDrop(
+        batch, bench, idCol, textCol, n, bloomItems, bloomBits), batchId)
+    }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared
@@ -372,6 +398,13 @@ object StreamOps {
   /** One event on the streaming-funnel path (epoch-millis event time). */
   case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
 
+  /** Funnel event plus the Timestamp twin of ts_ms that carries the
+    * watermark for the TTL variant (the watermark column must survive
+    * into the stateful operator's input).
+    */
+  case class FunnelEventTs(user_id: Long, event_type: String, ts_ms: Long,
+      event_ts: java.sql.Timestamp)
+
   /** Funnel state per user: the event-time frontier of each reached
     * stage (None = not reached). One `Option[Long]` per stage — constant
     * state per user regardless of event volume.
@@ -400,41 +433,90 @@ object StreamOps {
     * longer revise history (emits are append-only), where q104's batch
     * recomputation would — replay the batch twin when exact late-data
     * semantics matter.
+    *
+    * State TTL (`ttl = Some("30 days")`): without it, NoTimeout state
+    * lives forever — constant per user, but a 100 TB event stream's
+    * user-id space is unbounded, so the store grows monotonically with
+    * key churn. With a TTL the operator runs under an event-time
+    * watermark and expires any user idle past
+    * `latest event seen + ttl` (the near-dup filters' eviction
+    * pattern). A post-expiry event re-opens the user from a clean
+    * funnel, so stage-1 advances can re-emit for churned-and-returned
+    * users — downstream consumers that need once-ever semantics at
+    * infinite horizon should keep `ttl = None` or dedup on
+    * (user, stage). With a TTL the events also drop late rows beyond
+    * the watermark, which is what makes the expiry sound.
     */
   def funnelStages(spark: SparkSession, events: DataFrame,
-      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      ttl: Option[String] = None): Dataset[FunnelAdvance] = {
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.toMap
-    events
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        col("ts_ms").cast("long").as("ts_ms"))
-      .as[FunnelEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var t = state.getOption.map(_.tStage.toVector)
-            .getOrElse(Vector.fill(stages.size)(Option.empty[Long]))
-          val out = Vector.newBuilder[FunnelAdvance]
-          evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
-            stageIdx.get(e.event_type).foreach { k =>
-              val prevReached = k == 0 || t(k - 1).exists(_ < e.ts_ms)
-              val nextPending = k == stages.size - 1 || t(k + 1).isEmpty
-              if (t(k).isEmpty && prevReached) {
-                t = t.updated(k, Some(e.ts_ms))
-                out += FunnelAdvance(uid, k + 1, stages(k), e.ts_ms)
-              } else if (prevReached && nextPending && t(k).exists(_ > e.ts_ms)) {
-                // late-arriving earlier occurrence of a reached stage:
-                // lower the frontier (q104's min semantics) so the
-                // still-pending NEXT stage gates against the corrected
-                // minimum; no re-emit (append-only)
-                t = t.updated(k, Some(e.ts_ms))
-              }
-            }
+    def advance(uid: Long, evs: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+      var t = state.getOption.map(_.tStage.toVector)
+        .getOrElse(Vector.fill(stages.size)(Option.empty[Long]))
+      val out = Vector.newBuilder[FunnelAdvance]
+      evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+        stageIdx.get(e.event_type).foreach { k =>
+          val prevReached = k == 0 || t(k - 1).exists(_ < e.ts_ms)
+          val nextPending = k == stages.size - 1 || t(k + 1).isEmpty
+          if (t(k).isEmpty && prevReached) {
+            t = t.updated(k, Some(e.ts_ms))
+            out += FunnelAdvance(uid, k + 1, stages(k), e.ts_ms)
+          } else if (prevReached && nextPending && t(k).exists(_ > e.ts_ms)) {
+            // late-arriving earlier occurrence of a reached stage:
+            // lower the frontier (q104's min semantics) so the
+            // still-pending NEXT stage gates against the corrected
+            // minimum; no re-emit (append-only)
+            t = t.updated(k, Some(e.ts_ms))
           }
-          state.update(FunnelState(t))
-          out.result().iterator
+        }
       }
+      state.update(FunnelState(t))
+      out.result().iterator
+    }
+    ttl match {
+      case None =>
+        events
+          .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+            col("ts_ms").cast("long").as("ts_ms"))
+          .as[FunnelEvent]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(advance)
+      case Some(horizon) =>
+        val ttlMs = latenessToMs(horizon)
+        events
+          .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+            col("ts_ms").cast("long").as("ts_ms"),
+            timestamp_millis(col("ts_ms").cast("long")).as("event_ts"))
+          .withWatermark("event_ts", horizon)
+          .as[FunnelEventTs]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (uid: Long, evs: Iterator[FunnelEventTs], state: GroupState[FunnelState]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                val batch = evs.toVector
+                val out = advance(uid,
+                  batch.iterator.map(e => FunnelEvent(e.user_id, e.event_type, e.ts_ms)),
+                  state)
+                // idle = no events at all, not "no frontier advance" — a
+                // user sending gated/repeat events is still active, so
+                // the horizon keys off the latest event seen; the clamp
+                // keeps the timeout legal (strictly beyond the watermark)
+                val lastSeen = (state.get.tStage.flatten ++ batch.map(_.ts_ms))
+                  .foldLeft(0L)(math.max)
+                state.setTimeoutTimestamp(
+                  math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1L))
+                out
+              }
+          }
+    }
   }
 
   /** One event on the SCD2 tracker path — carries `event_id` so
@@ -443,6 +525,12 @@ object StreamOps {
     */
   case class Scd2Event(user_id: Long, event_type: String, ts_ms: Long,
       event_id: Long)
+
+  /** SCD2 event plus the Timestamp twin of ts_ms that carries the
+    * watermark for the TTL variant.
+    */
+  case class Scd2EventTs(user_id: Long, event_type: String, ts_ms: Long,
+      event_id: Long, event_ts: java.sql.Timestamp)
 
   /** SCD2 tracker state: the current open version per entity. */
   case class Scd2State(version: Long, attr: String, validFromMs: Long)
@@ -468,36 +556,88 @@ object StreamOps {
     * OPEN version row re-emits each time it changes, so downstream
     * should upsert on (user_id, version) — the same idempotent-sink
     * contract as the reference's checkpoint upsert (§2.A op 7).
+    *
+    * State TTL (`ttl = Some("90 days")`): without it, NoTimeout state is
+    * one open version per entity forever — a monotonically growing store
+    * over an unbounded entity space. With a TTL the operator runs under
+    * an event-time watermark and expires entities idle past
+    * `last activity + ttl`. The expired entity's open version stays
+    * "current" downstream (it was already emitted with a null bound —
+    * expiry emits nothing, because fabricating a valid_to for an entity
+    * that merely went quiet would be wrong). A post-expiry event starts
+    * a NEW lifecycle: version numbering restarts at 1 with a fresh
+    * valid_from, so with a TTL enabled downstream tables must upsert on
+    * (user_id, valid_from_ms) — version numbers are only unique within
+    * a lifecycle.
     */
-  def scd2Track(spark: SparkSession, events: DataFrame): Dataset[Scd2Row] = {
+  def scd2Track(spark: SparkSession, events: DataFrame,
+      ttl: Option[String] = None): Dataset[Scd2Row] = {
     import spark.implicits._
-    events
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        col("ts_ms").cast("long").as("ts_ms"),
-        col("event_id").cast("long").as("event_id"))
-      .as[Scd2Event]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Scd2State, Scd2Row](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, evs: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
-          var cur = state.getOption
-          val out = Vector.newBuilder[Scd2Row]
-          // (ts_ms, event_id): the batch twin's exact tie-break (q113)
-          evs.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-            cur match {
-              case None =>
-                cur = Some(Scd2State(1L, e.event_type, e.ts_ms))
-                out += Scd2Row(uid, 1L, e.event_type, e.ts_ms, None)
-              case Some(s) if e.ts_ms >= s.validFromMs && e.event_type != s.attr =>
-                out += Scd2Row(uid, s.version, s.attr, s.validFromMs, Some(e.ts_ms))
-                cur = Some(Scd2State(s.version + 1, e.event_type, e.ts_ms))
-                out += Scd2Row(uid, s.version + 1, e.event_type, e.ts_ms, None)
-              case _ => () // same attribute, or older than the open version
-            }
-          }
-          cur.foreach(state.update)
-          out.result().iterator
+    def advance(uid: Long, evs: Iterator[Scd2Event],
+        state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+      var cur = state.getOption
+      val out = Vector.newBuilder[Scd2Row]
+      // (ts_ms, event_id): the batch twin's exact tie-break (q113)
+      evs.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(Scd2State(1L, e.event_type, e.ts_ms))
+            out += Scd2Row(uid, 1L, e.event_type, e.ts_ms, None)
+          case Some(s) if e.ts_ms >= s.validFromMs && e.event_type != s.attr =>
+            out += Scd2Row(uid, s.version, s.attr, s.validFromMs, Some(e.ts_ms))
+            cur = Some(Scd2State(s.version + 1, e.event_type, e.ts_ms))
+            out += Scd2Row(uid, s.version + 1, e.event_type, e.ts_ms, None)
+          case _ => () // same attribute, or older than the open version
+        }
       }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    ttl match {
+      case None =>
+        events
+          .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+            col("ts_ms").cast("long").as("ts_ms"),
+            col("event_id").cast("long").as("event_id"))
+          .as[Scd2Event]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[Scd2State, Scd2Row](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout())(advance)
+      case Some(horizon) =>
+        val ttlMs = latenessToMs(horizon)
+        events
+          .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+            col("ts_ms").cast("long").as("ts_ms"),
+            col("event_id").cast("long").as("event_id"),
+            timestamp_millis(col("ts_ms").cast("long")).as("event_ts"))
+          .withWatermark("event_ts", horizon)
+          .as[Scd2EventTs]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[Scd2State, Scd2Row](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (uid: Long, evs: Iterator[Scd2EventTs], state: GroupState[Scd2State]) =>
+              if (state.hasTimedOut) {
+                // the open version was already emitted with a null bound;
+                // inventing a close time for a quiet entity would be wrong
+                state.remove()
+                Iterator.empty
+              } else {
+                val batch = evs.toVector
+                val out = advance(uid,
+                  batch.iterator.map(e =>
+                    Scd2Event(e.user_id, e.event_type, e.ts_ms, e.event_id)),
+                  state)
+                state.getOption.foreach { s =>
+                  // idle keys off last ACTIVITY (same-attr events don't
+                  // move valid_from but do prove the entity is alive)
+                  val lastSeen = (s.validFromMs +: batch.map(_.ts_ms)).max
+                  state.setTimeoutTimestamp(
+                    math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1L))
+                }
+                out
+              }
+          }
+    }
   }
 
   /** One parsed record on the checkpoint-tracker path. */

@@ -272,6 +272,19 @@ class PlanSpec extends SparkSpec {
       s"q116 must scan the checkpointed pair frame:\n$p")
   }
 
+  test("q85: Bloom gate sits before the exact shingle join (suite size bound is bits, not strings)") {
+    val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
+    assert(p.contains("might_contain"),
+      s"corpus shingles must probe the broadcast Bloom filter:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"the benchmark side must aggregate into a Bloom filter:\n$p")
+    // and the exact verify join must still exist — the gate REPLACES
+    // nothing, it only cuts what reaches the join
+    val joinId = "\\((\\d+)\\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(joinId.nonEmpty, s"exact shingle join missing:\n$p")
+  }
+
   test("q118: the calibration signature kernel runs candidate-restricted (semi-join before minhash)") {
     val p = planOf(graft.operators.DedupOps.q118MinhashCalibration(spark, sf))
     // the restriction is the lock: the sa/sb signature passes must sit

@@ -175,6 +175,53 @@ class StreamOpsSpec extends SparkSpec {
       "the updated benchmark must filter batches after publication")
   }
 
+  test("decontaminationFilterBloom: Bloom false positives never drop clean docs; true leaks drop") {
+    import spark.implicits._
+    val benchDir = java.nio.file.Files.createTempDirectory("bench-bloom").toString
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((100L, benchText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[Doc](spark)
+    // bloomBits=2: a 2-bit filter over 5 benchmark shingles saturates —
+    // essentially EVERY probe is a Bloom hit (forced false positives),
+    // so the exact verify join is doing all the work; a clean doc
+    // surviving proves a false positive can never drop a document
+    val q = StreamOps.decontaminationFilterBloom(
+        mem.toDF(), s => s.read.parquet(benchDir), "doc_id", "text",
+        bloomItems = 5L, bloomBits = 2L) {
+      (batch, _) => kept.synchronized {
+        kept ++= batch.select($"doc_id").as[Long].collect()
+      }
+    }.start()
+    mem.addData(
+      Doc(t(1), 1, "alpha beta gamma delta epsilon unrelated tail words here"), // true leak
+      Doc(t(2), 2, "totally clean document with no benchmark overlap present"), // bloom-hit FP, exact-clean
+      Doc(t(3), 3, benchText),                                                  // full leak
+      Doc(t(4), 4, "a b"))                                                      // no shingles → kept
+    q.processAllAvailable()
+    q.stop()
+    assert(kept.synchronized(kept.toSet) === Set(2L, 4L),
+      "exact verify must rescue Bloom false positives and drop only true leaks")
+    // same stream shape at a sane filter size: identical verdicts
+    val kept2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem2 = MemoryStream[Doc](spark)
+    val q2 = StreamOps.decontaminationFilterBloom(
+        mem2.toDF(), s => s.read.parquet(benchDir), "doc_id", "text") {
+      (batch, _) => kept2.synchronized {
+        kept2 ++= batch.select($"doc_id").as[Long].collect()
+      }
+    }.start()
+    mem2.addData(
+      Doc(t(1), 1, "alpha beta gamma delta epsilon unrelated tail words here"),
+      Doc(t(2), 2, "totally clean document with no benchmark overlap present"),
+      Doc(t(3), 3, benchText),
+      Doc(t(4), 4, "a b"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(kept2.synchronized(kept2.toSet) === Set(2L, 4L))
+  }
+
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
     import spark.implicits._
     val centroidDir = java.nio.file.Files.createTempDirectory("cents").toString + "/table"
@@ -570,6 +617,82 @@ class StreamOpsSpec extends SparkSpec {
       (1L, 1L, "view", 100L, Some(100L)),
       (1L, 2L, "click", 100L, Some(200L)),
       (1L, 3L, "error", 200L, None)))
+  }
+
+  test("funnelStages TTL: an idle user's state expires and a post-expiry event re-opens cleanly") {
+    import spark.implicits._
+    val mem = MemoryStream[FEvt](spark)
+    // 10-second TTL in event time
+    val q = StreamOps.funnelStages(spark, mem.toDF(), ttl = Some("10 seconds"))
+      .writeStream.format("memory").queryName("funnel_ttl_out").outputMode("append").start()
+
+    // u1 views+clicks at t≈0; u2 stays continuously active on a gated
+    // event (click with no view) — activity must keep u2's state alive
+    mem.addData(FEvt(1, "view", 1000), FEvt(1, "click", 2000), FEvt(2, "click", 1500))
+    q.processAllAvailable()
+    // advance the watermark far past u1's horizon (t=60s - 10s lateness
+    // = 50s watermark > 2s + 10s TTL); u2 keeps emitting activity
+    mem.addData(FEvt(2, "click", 60000))
+    q.processAllAvailable()
+    // one more batch so the expired key's timeout actually fires
+    mem.addData(FEvt(3, "view", 61000))
+    q.processAllAvailable()
+    // u1 returns AFTER expiry: a fresh funnel — view re-emits (stage 1
+    // again), and the old click frontier is gone so this view does not
+    // auto-advance anything
+    mem.addData(FEvt(1, "view", 70000))
+    q.processAllAvailable()
+    // u2 finally views at 71s: its state must have SURVIVED (continuous
+    // activity) — but the funnel frontier for u2 starts only now
+    mem.addData(FEvt(2, "view", 71000), FEvt(2, "click", 72000))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_ttl_out").as[(Long, Int, String, Long)].collect().toSeq
+    // u1: original view+click, then the clean re-open view at 70s
+    assert(rows.filter(_._1 == 1).sortBy(_._4) ===
+      Seq((1L, 1, "view", 1000L), (1L, 2, "click", 2000L), (1L, 1, "view", 70000L)),
+      s"u1 must expire then re-open from stage 1: $rows")
+    // u2: the view at 71s and click at 72s — the state carrying the
+    // (gated, never-advanced) history survived the whole run
+    assert(rows.filter(_._1 == 2).sortBy(_._4) ===
+      Seq((2L, 1, "view", 71000L), (2L, 2, "click", 72000L)),
+      s"active u2 must not expire: $rows")
+  }
+
+  test("scd2Track TTL: idle entity expires (open version stays current), re-open starts a new lifecycle") {
+    import spark.implicits._
+    val mem = MemoryStream[SEvt](spark)
+    val q = StreamOps.scd2Track(spark, mem.toDF(), ttl = Some("10 seconds"))
+      .writeStream.format("memory").queryName("scd2_ttl_out").outputMode("append").start()
+
+    // entity 1 opens v1 then changes to v2; then goes idle
+    mem.addData(SEvt(1, "view", 1000, 1), SEvt(1, "click", 2000, 2))
+    q.processAllAvailable()
+    // entity 2 pushes the watermark far past entity 1's horizon
+    mem.addData(SEvt(2, "view", 60000, 3))
+    q.processAllAvailable()
+    mem.addData(SEvt(2, "view", 61000, 4))
+    q.processAllAvailable()
+    // entity 1 returns: NEW lifecycle — version restarts at 1 with the
+    // new valid_from (the documented TTL contract: downstream upserts
+    // on (user_id, valid_from_ms) when TTL is on)
+    mem.addData(SEvt(1, "purchase", 70000, 5))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("scd2_ttl_out")
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
+    val e1 = rows.filter(_._1 == 1).groupBy(r => (r._2, r._4)).map(_._2.last).toSeq
+      .sortBy(r => (r._4, r._2))
+    assert(e1 === Seq(
+      (1L, 1L, "view", 1000L, Some(2000L)),   // closed by the change
+      (1L, 2L, "click", 2000L, None),          // still current at expiry
+      (1L, 1L, "purchase", 70000L, None)),     // new lifecycle, v1 again
+      s"entity 1 must expire quietly and re-open a new lifecycle: $rows")
+    // no fabricated close: the click version's only emit has a null bound
+    assert(!rows.exists(r => r._1 == 1 && r._3 == "click" && r._5.isDefined),
+      s"expiry must not invent a valid_to: $rows")
   }
 
   test("funnelStages: a late earlier mid-stage event lowers the gate for the pending next stage") {
