@@ -86,7 +86,14 @@ object Similarity {
     * `centroids` must be a small frame shaped like the corpus.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      embCol: String): DataFrame = {
+      embCol: String): DataFrame =
+    ivfAssignSim(corpus, centroids, idCol, embCol).drop("csim")
+
+  /** [[ivfAssign]] keeping the winning cosine as `csim` — the per-member
+    * assignment quality that the index maintenance stats aggregate.
+    */
+  private def ivfAssignSim(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
     val emb = withNorm(corpus, embCol)
     emb.crossJoin(broadcast(centArray(centroids, idCol, embCol)))
       .withColumn("best", expr(
@@ -94,6 +101,7 @@ object Similarity {
            |  struct(${dot("c.cent_emb", embCol)} / (c.cent_norm * norm) AS csim,
            |         -c.cent_id AS neg_id)))""".stripMargin))
       .withColumn("cluster", -col("best.neg_id"))
+      .withColumn("csim", col("best.csim"))
       .drop("cents", "best")
   }
 
@@ -383,10 +391,80 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String, path: String): Unit = {
-    ivfAssign(corpus, centroids, idCol, embCol)
+    val assigned = ivfAssignSim(corpus, centroids, idCol, embCol)
+    assigned.drop("csim")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
     centroids.select(col(idCol), col(embCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cellStats(assigned, isBase = true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Per-cell assignment-quality stats: (cluster, n, sum_sim, is_base).
+    * sum_sim accumulates the members' cosine to their own centroid, so
+    * mean_sim = sum_sim / n is the cell's write-time (is_base) or
+    * appended-batch coherence — the drift report's raw material. One
+    * |cells|-row frame per call: O(1) state per cell, map-side combined.
+    */
+  private def cellStats(assignedSim: DataFrame, isBase: Boolean): DataFrame =
+    assignedSim.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("csim")).as("sum_sim"))
+      .withColumn("is_base", lit(isBase))
+
+  /** Incrementally maintain a [[writeIvfIndex]] index: assign `batch` to
+    * the EXISTING cells (the stored quantizer does not move) and append
+    * the rows under the matching `cluster=` partition directories — new
+    * parquet files only, no rewrite of existing data, so a 100 TB index
+    * ingests continuously without rebuild. The batch's per-cell
+    * assignment quality appends to `stats/` (is_base = false), which is
+    * what [[ivfDriftReport]] compares against the write-time baseline to
+    * tell the operator when the quantizer has gone stale and
+    * [[kmeansIterate]] + a rebuild is due. Searches pick the appended
+    * rows up immediately (same layout, same pruning).
+    */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    // checkpoint: the assignment feeds both the cell append and the
+    // stats append; batches are ingest-sized, so materializing once
+    // beats re-running the argmax kernel
+    val assigned = ivfAssignSim(batch, cents, idCol, embCol).localCheckpoint()
+    assigned.drop("csim")
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+    cellStats(assigned, isBase = false)
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Drift report for a maintained IVF index: per cell, the write-time
+    * baseline coherence vs the appended batches' coherence —
+    * (cluster, n_base, mean_sim_base, n_appended, mean_sim_appended,
+    * drift, frac_appended) where drift = mean_sim_base −
+    * mean_sim_appended (positive = appended members sit farther from
+    * the centroid than the corpus the quantizer was trained on) and
+    * frac_appended is the index fraction that arrived after training.
+    * Re-run [[kmeansIterate]] and rebuild when drift is material or
+    * frac_appended grows past the operator's tolerance. Reads only the
+    * |cells|-row stats table — never the index payload.
+    */
+  def ivfDriftReport(spark: SparkSession, path: String): DataFrame = {
+    spark.read.parquet(s"$path/stats")
+      .groupBy(col("cluster"))
+      .agg(
+        sum(when(col("is_base"), col("n")).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), col("sum_sim"))).as("sim_base"),
+        sum(when(!col("is_base"), col("n")).otherwise(0L)).as("n_appended"),
+        sum(when(!col("is_base"), col("sum_sim"))).as("sim_appended"))
+      .select(
+        col("cluster"),
+        col("n_base"),
+        (col("sim_base") / col("n_base")).as("mean_sim_base"),
+        col("n_appended"),
+        (col("sim_appended") / col("n_appended")).as("mean_sim_appended"),
+        ((col("sim_base") / col("n_base")) -
+          (col("sim_appended") / col("n_appended"))).as("drift"),
+        (col("n_appended").cast("double") /
+          (col("n_base") + col("n_appended"))).as("frac_appended"))
   }
 
   /** Search a [[writeIvfIndex]]-persisted index: per-probe nprobe cell
@@ -427,11 +505,33 @@ object Similarity {
     */
   def writeQuantizedIvfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String, path: String): Unit = {
-    withQuant(ivfAssign(corpus, centroids, idCol, embCol), embCol)
+    val assigned = ivfAssignSim(corpus, centroids, idCol, embCol)
+    withQuant(assigned.drop("csim"), embCol)
       .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
     centroids.select(col(idCol), col(embCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // stats stay in the FLOAT domain (the assignment cosine) on both the
+    // base write and appends, so the drift comparison is domain-consistent
+    cellStats(assigned, isBase = true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[appendToIvfIndex]] for a [[writeQuantizedIvfIndex]] index: the
+    * batch assigns against the stored quantizer, quantizes to the int8
+    * payload, appends under the matching cell partitions, and records
+    * its float-domain per-cell stats for [[ivfDriftReport]].
+    */
+  def appendToQuantizedIvfIndex(batch: DataFrame, idCol: String,
+      embCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assigned = ivfAssignSim(batch, cents, idCol, embCol).localCheckpoint()
+    withQuant(assigned.drop("csim"), embCol)
+      .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+    cellStats(assigned, isBase = false)
+      .write.mode("append").parquet(s"$path/stats")
   }
 
   /** Search a [[writeQuantizedIvfIndex]] index: cell selection runs in

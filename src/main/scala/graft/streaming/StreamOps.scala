@@ -640,6 +640,35 @@ object StreamOps {
     }
   }
 
+  /** Streaming ANN over a MAINTAINED persisted IVF index: each
+    * micro-batch of probe embeddings searches the on-disk index
+    * ([[graft.api.Similarity.searchQuantizedIvfIndex]] by default — int8
+    * payload, dynamic-partition-pruned cell reads; `quantized = false`
+    * for the float layout) inside foreachBatch, so the index PATH is
+    * re-resolved per batch — the [[decontaminationFilterRefreshing]]
+    * pattern. A rebuild ([[graft.api.Similarity.writeQuantizedIvfIndex]]
+    * after a [[graft.api.Similarity.kmeansIterate]] re-train) or an
+    * append ([[graft.api.Similarity.appendToQuantizedIvfIndex]]) is
+    * picked up by the NEXT micro-batch with no restart — which closes
+    * the loop: live probes over an index that is itself continuously
+    * ingested and periodically re-trained.
+    *
+    * `sink` receives (results, batchId) with the search schema
+    * (probe_id, rn, cand_id, sim). Returns the configured writer — the
+    * caller sets checkpoint/trigger options and calls `.start()`.
+    */
+  def ivfSearchStream(probes: DataFrame, indexPath: String, idCol: String,
+      embCol: String, k: Int, nprobe: Int, quantized: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val res =
+        if (quantized) graft.api.Similarity.searchQuantizedIvfIndex(
+          batch.sparkSession, indexPath, batch, idCol, embCol, k, nprobe)
+        else graft.api.Similarity.searchIvfIndex(
+          batch.sparkSession, indexPath, batch, idCol, embCol, k, nprobe)
+      sink(res, batchId)
+    }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

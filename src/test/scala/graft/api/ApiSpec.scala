@@ -551,6 +551,102 @@ class ApiSpec extends SparkSpec {
       s"index search must partition-prune the cells scan:\n$plan")
   }
 
+  test("IVF index maintenance: append equals a rebuilt index; drift report flags a shifted batch") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = corpus.filter($"vec_id" % 2 === 0)
+    val batch = corpus.filter($"vec_id" % 2 =!= 0)
+    val cents = corpus.filter($"vec_id" < 8)
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf_full").toString
+
+    Similarity.writeIvfIndex(base, cents, "vec_id", "embedding", dirInc)
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", dirInc)
+    Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", dirFull)
+
+    val probes = corpus.filter($"vec_id" >= 100 && $"vec_id" < 105)
+      .select($"vec_id", $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"),
+        round($"sim", 9)).as[(Long, Long, Long, Double)].collect().toSet
+    // nprobe = |cells|: the incrementally-built index must answer
+    // EXACTLY like an index rebuilt from scratch over base ∪ batch
+    val inc = Similarity.searchIvfIndex(spark, dirInc, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val full = Similarity.searchIvfIndex(spark, dirFull, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(key(inc) === key(full),
+      "search-after-append must equal the rebuilt index")
+
+    // drift needs a corpus with real cluster structure (on the
+    // random-ish test embeddings every batch is equally incoherent, so
+    // there is nothing to drop): plant 3 tight blobs, train the index on
+    // them, then append batches that do and don't belong
+    val centers = Seq(
+      Array(1.0f, 0f, 0f, 0f, 0.1f, 0f, 0f, 0f),
+      Array(0f, 1.0f, 0f, 0f, 0f, 0.1f, 0f, 0f),
+      Array(0f, 0f, 1.0f, 0f, 0f, 0f, 0.1f, 0f))
+    def blob(ids: Range) = ids.map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * (((i * 31 + d * 7) % 11) - 5)
+      })
+    }.toDF("vec_id", "embedding")
+    val blobCents = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "embedding")
+    val dirBlob = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.writeIvfIndex(blob(0 until 90), blobCents, "vec_id", "embedding", dirBlob)
+
+    def maxDrift(path: String): Double =
+      Similarity.ivfDriftReport(spark, path)
+        .filter($"n_appended" > 0 && !isnan($"drift"))
+        .agg(max(abs($"drift"))).head().getDouble(0)
+
+    // IN-DISTRIBUTION append: more blob members — coherence barely moves
+    Similarity.appendToIvfIndex(blob(90 until 140), "vec_id", "embedding", dirBlob)
+    val calmDrift = maxDrift(dirBlob)
+    assert(calmDrift < 0.05, s"in-distribution append must not drift: $calmDrift")
+
+    // OFF-MANIFOLD append: alternating-sign vectors decorrelated from
+    // every center — the appended coherence collapses and the report
+    // flags it (this is the "re-run kmeansIterate" signal)
+    val shifted = (1000 until 1100).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d % 2 == 0) 1.0f else -1.0f) * (1f + 0.01f * ((i + d) % 7))))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(shifted, "vec_id", "embedding", dirBlob)
+    val shiftedDrift = maxDrift(dirBlob)
+    assert(shiftedDrift > calmDrift + 0.3,
+      s"shifted batch must raise drift: calm=$calmDrift shifted=$shiftedDrift")
+    // and the report's volume column sees the appended fraction
+    val fr = Similarity.ivfDriftReport(spark, dirBlob)
+      .agg(max($"frac_appended")).head().getDouble(0)
+    assert(fr > 0.0 && fr < 1.0)
+  }
+
+  test("quantized IVF index maintenance: append equals a rebuilt quantized index") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = corpus.filter($"vec_id" % 2 === 0)
+    val batch = corpus.filter($"vec_id" % 2 =!= 0)
+    val cents = corpus.filter($"vec_id" < 8)
+    val dirInc = java.nio.file.Files.createTempDirectory("qivf_inc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("qivf_full").toString
+    Similarity.writeQuantizedIvfIndex(base, cents, "vec_id", "embedding", dirInc)
+    Similarity.appendToQuantizedIvfIndex(batch, "vec_id", "embedding", dirInc)
+    Similarity.writeQuantizedIvfIndex(corpus, cents, "vec_id", "embedding", dirFull)
+    val probes = corpus.filter($"vec_id" >= 200 && $"vec_id" < 205)
+      .select($"vec_id", $"embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val inc = Similarity.searchQuantizedIvfIndex(spark, dirInc, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    val full = Similarity.searchQuantizedIvfIndex(spark, dirFull, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+    assert(key(inc) === key(full))
+  }
+
   test("quantized IVF index: all-cell search equals quantizedKnn exactly; probed search prunes and keeps recall") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -222,6 +222,65 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept2.synchronized(kept2.toSet) === Set(2L, 4L))
   }
 
+  test("ivfSearchStream: live probes over a maintained index; rewrite and append land without restart") {
+    import spark.implicits._
+    val centers = Seq(
+      Array(1.0f, 0f, 0f, 0.1f),
+      Array(0f, 1.0f, 0f, 0.1f),
+      Array(0f, 0f, 1.0f, 0.1f))
+    def blob(ids: Range): Seq[EmbRow] = ids.map { i =>
+      val c = centers(i % 3)
+      EmbRow(i.toLong, c.map(_ + 0.02f * ((i * 37 % 11) - 5)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "emb")
+    graft.api.Similarity.writeQuantizedIvfIndex(
+      blob(0 until 90).toDF("id", "emb"), cents, "id", "emb", dir)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[EmbRow](spark)
+    val q = StreamOps.ivfSearchStream(mem.toDF(), dir, "id", "emb",
+        k = 3, nprobe = 3) {
+      (res, batchId) => results.synchronized {
+        results ++= res.select(
+          org.apache.spark.sql.functions.lit(batchId),
+          $"probe_id".cast("long"),
+          $"cand_id".cast("long")).as[(Long, Long, Long)].collect()
+      }
+    }.start()
+
+    // batch 0: a probe at center 0 — neighbors are blob-0 members (÷3)
+    mem.addData(EmbRow(9000L, centers(0)))
+    q.processAllAvailable()
+    // REBUILD the index mid-stream over a brand-new id range
+    graft.api.Similarity.writeQuantizedIvfIndex(
+      blob(0 until 90).map(r => r.copy(id = r.id + 10000L)).toDF("id", "emb"),
+      cents, "id", "emb", dir)
+    mem.addData(EmbRow(9001L, centers(0)))
+    q.processAllAvailable()
+    // APPEND rows in a direction the corpus does NOT contain (the 45°
+    // mix of centers 0 and 1 — every existing member scores ≤ ~0.72
+    // against it, the appended rows ~1.0, so ties can't hide them),
+    // then probe exactly that direction: the appended rows must win
+    val mixDir = Array(0.7f, 0.7f, 0f, 0.14f)
+    graft.api.Similarity.appendToQuantizedIvfIndex(
+      Seq(EmbRow(20000L, mixDir), EmbRow(20001L, mixDir.map(_ * 0.999f)))
+        .toDF("id", "emb"), "id", "emb", dir)
+    mem.addData(EmbRow(9002L, mixDir))
+    q.processAllAvailable()
+    q.stop()
+
+    val byBatch = results.synchronized(results.toVector).groupBy(_._1)
+    assert(byBatch(0L).forall { case (_, _, cand) => cand < 10000L && cand % 3 == 0 },
+      s"batch 0 must search the original index: ${byBatch(0L)}")
+    assert(byBatch(1L).nonEmpty &&
+      byBatch(1L).forall { case (_, _, cand) => cand >= 10000L },
+      s"batch 1 must see the REBUILT index without restart: ${byBatch(1L)}")
+    assert(byBatch(2L).exists { case (_, _, cand) => cand >= 20000L },
+      s"batch 2 must see the appended rows: ${byBatch(2L)}")
+  }
+
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
     import spark.implicits._
     val centroidDir = java.nio.file.Files.createTempDirectory("cents").toString + "/table"
