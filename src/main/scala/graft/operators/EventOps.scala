@@ -292,6 +292,44 @@ object EventOps {
       |  (epoch_ms(ts) // 60000) * 60000 + 60000 - MAX(epoch_ms(ts)) AS replication_lag_ms
       |FROM events GROUP BY 1 ORDER BY batch_ms""".stripMargin
 
+  /** q119: replication-lag percentiles — the distribution of the
+    * reference's ONE published operational metric
+    * (`ReplicationLagSeconds`, Handler.java:108-115) rather than q31's
+    * per-batch listing: p50/p95/p99/max of the per-minute-batch lag
+    * (batch end − last arrival) across the day, the numbers an on-call
+    * actually alerts on. Quantiles come from
+    * [[Extended.exactQuantiles]] — the iterative count-partitioned
+    * search with O(1) aggregation state, same machinery as
+    * q51/q103/q115, max rides along as p=1.0 — over the per-batch lag
+    * frame, which the search caches so events is scanned once
+    * regardless of rounds.
+    */
+  def q119ReplLagPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lags = events(spark, dir)
+      .withColumn("batch_ms", expr("(ts_ms div 60000) * 60000"))
+      .groupBy($"batch_ms")
+      .agg(($"batch_ms" + 60000L - max($"ts_ms")).as("lag_ms"))
+    val qs = Extended.exactQuantiles(lags, "lag_ms", Seq(0.5, 0.95, 0.99, 1.0))
+    Seq((qs(0), qs(1), qs(2), qs(3)))
+      .toDF("raw_p50", "raw_p95", "raw_p99", "raw_max")
+      .select(
+        round($"raw_p50", 4).as("p50_lag_ms"),
+        round($"raw_p95", 4).as("p95_lag_ms"),
+        round($"raw_p99", 4).as("p99_lag_ms"),
+        round($"raw_max", 4).as("max_lag_ms"))
+  }
+
+  val q119Sql: String =
+    """WITH lags AS (
+      |  SELECT (epoch_ms(ts) // 60000) * 60000 + 60000 - MAX(epoch_ms(ts)) AS lag_ms
+      |  FROM events GROUP BY (epoch_ms(ts) // 60000))
+      |SELECT round(quantile_cont(lag_ms, 0.5), 4) AS p50_lag_ms,
+      |  round(quantile_cont(lag_ms, 0.95), 4) AS p95_lag_ms,
+      |  round(quantile_cont(lag_ms, 0.99), 4) AS p99_lag_ms,
+      |  round(CAST(MAX(lag_ms) AS DOUBLE), 4) AS max_lag_ms
+      |FROM lags""".stripMargin
+
   /** q104: ordered conversion funnel — per user, the STRICT sequence
     * view → click (after the view) → purchase (after that click), the
     * product-analytics query shape (and, in pipeline terms, an ordered
@@ -485,7 +523,8 @@ object EventOps {
     "q28_interval_pairs" -> (q28IntervalPairs _),
     "q29_sessionize" -> (q29Sessionize _),
     "q30_tumbling_window" -> (q30TumblingWindow _),
-    "q31_repl_metrics" -> (q31ReplMetrics _))
+    "q31_repl_metrics" -> (q31ReplMetrics _),
+    "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q104_funnel" -> q104Sql,
@@ -500,5 +539,6 @@ object EventOps {
     "q28_interval_pairs" -> q28Sql,
     "q29_sessionize" -> q29Sql,
     "q30_tumbling_window" -> q30Sql,
-    "q31_repl_metrics" -> q31Sql)
+    "q31_repl_metrics" -> q31Sql,
+    "q119_repl_lag_pcts" -> q119Sql)
 }
