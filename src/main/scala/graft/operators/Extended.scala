@@ -559,38 +559,51 @@ object Extended {
     * TypedImperativeAggregate that buffers the column's value multiset
     * and funnels it through one final-merge task; fine at test scale, a
     * scale-killer on a high-cardinality double column at 100 TB. This is
-    * the scale-safe path: an iterative count-partitioned search.
+    * the scale-safe path: sketch-bracket, count-verify, then one exact
+    * polish pass — three fixed narrow jobs in the common case.
     *
-    *  1. ONE narrow stats pass: count/min/max per group plus an
-    *     `approx_percentile` warm bracket (a bounded mergeable sketch,
-    *     constant state) that seeds each search close to its target.
-    *  2. Per round, ONE narrow hash aggregate counting values ≤ a set of
-    *     candidate pivots — k-ary bisection over the ordered-bit lattice,
-    *     so each round cuts log2(pivots+1) bits and ~64/log2(p+1) rounds
-    *     pin every order statistic to EXACT double precision. All
-    *     requested (group × column × quantile) searches advance in
-    *     lockstep inside the same aggregate.
-    *  3. Driver-side interpolation with Spark's own association order
-    *     `(higher-pos)·v_lo + (pos-lower)·v_hi`
-    *     (catalyst Percentile.getPercentile), so results are
-    *     bit-identical to the built-in (ExtendedSpec locks this).
+    *  1. ONE stats pass: count/min/max per group plus an
+    *     `approx_percentile` bracket around each target rank (a bounded
+    *     mergeable sketch, constant state, rank error ≪ the bracket
+    *     margin).
+    *  2. ONE anchor pass: for every distinct bracket, exact
+    *     `count(< lo)` / `count(≤ hi)` — O(1) state per search — which
+    *     PROVES the target rank lies inside the bracket and measures how
+    *     many rows it holds.
+    *  3. ONE polish pass: the bracket rows — a rank window of
+    *     ~2·eps·n values, counted in pass 2 BEFORE being collected and
+    *     capped at `maxCollect` — aggregate per search as a sorted
+    *     array; the order statistic is read off at rank − count(< lo).
+    *     All (group × column × quantile) searches share each pass.
     *
-    * Aggregation state per pass is one long per (search × pivot) — O(1)
-    * in the row count — and every pass is a map-side-combined hash
-    * aggregate: no sorted buffers, no single-task final merge. Group
-    * cardinality must stay driver-small (the result is collected — the
-    * same contract as broadcasting a bounds frame back into a query).
+    * Fallback: any search whose bracket misses its rank or exceeds the
+    * cap (adversarial duplicate mass) drops to a k-ary bisection over
+    * the IEEE-754 bit lattice — one count-below-pivot hash aggregate per
+    * round, O(1) state, seeded with the pass-2 anchors — which pins the
+    * order statistic to exact double precision in ≤ 64/log2(pivots+1)
+    * rounds regardless of data.
     *
-    * @param persist cache the narrow projection across search rounds
+    * Interpolation runs driver-side with Spark's own association order
+    * `(higher-pos)·v_lo + (pos-lower)·v_hi`
+    * (catalyst Percentile.getPercentile), so results are bit-identical
+    * to the built-in (ExtendedSpec locks this). No pass carries a
+    * full-multiset aggregate: the largest state anywhere is the
+    * pass-3 bracket multiset, measured beforehand and ≤ maxCollect
+    * (8 MB at the default). Group cardinality must stay driver-small
+    * (the result is collected — the same contract as broadcasting a
+    * bounds frame back into a query).
+    *
+    * @param persist cache the narrow projection across passes
     *                (MEMORY_AND_DISK). At full corpus scale pass false
-    *                and let the rounds re-read the column-pruned scan.
+    *                and let the 2–3 passes re-read the column-pruned scan.
     */
   def exactQuantilesMulti(
       df: DataFrame,
       groupCol: Option[String],
       specs: Seq[(String, Seq[Double])],
       pivotsPerRound: Int = 7,
-      persist: Boolean = true): Map[Any, Map[(String, Double), Double]] = {
+      persist: Boolean = true,
+      maxCollect: Long = 1L << 20): Map[Any, Map[(String, Double), Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need at least one quantile")
@@ -658,35 +671,102 @@ object Extended {
         }
       }
 
-      // ---- search rounds: one narrow count-below-pivot agg per round
+      def groupPred(g: Any): org.apache.spark.sql.Column = groupCol match {
+        case Some(_) => if (g == null) $"_g".isNull else $"_g" === lit(g)
+        case None => lit(true)
+      }
+
+      // ---- pass 2: exact anchor counts for every distinct sketch
+      // bracket — count(< lo) / count(≤ hi), O(1) state per bracket.
+      // Proves the target rank sits inside the bracket and measures the
+      // bracket's row mass before anything is collected.
+      final case class Bracket(group: Any, colName: String, bLo: Double, bHi: Double)
+      val bracketOf = scala.collection.mutable.HashMap.empty[RankSearch, Bracket]
+      searches.foreach { s =>
+        if (s.warm.nonEmpty) {
+          bracketOf(s) = Bracket(s.group, s.colName, s.warm.min, s.warm.max)
+          s.warm = Nil
+        }
+      }
+      val distinctBrackets = bracketOf.values.toSeq.distinct
+      if (distinctBrackets.nonEmpty) {
+        val anchorExprs = distinctBrackets.zipWithIndex.flatMap { case (b, i) =>
+          val gp = groupPred(b.group)
+          Seq(
+            sum(when(gp && col(b.colName) < lit(b.bLo), 1L).otherwise(0L)).as(s"lt_$i"),
+            sum(when(gp && col(b.colName) <= lit(b.bHi), 1L).otherwise(0L)).as(s"le_$i"))
+        }
+        val arow = cached.agg(anchorExprs.head, anchorExprs.tail: _*).head()
+        val anchors: Map[Bracket, (Long, Long)] =
+          distinctBrackets.zipWithIndex.map { case (b, i) =>
+            b -> ((arow.getLong(arow.fieldIndex(s"lt_$i")),
+              arow.getLong(arow.fieldIndex(s"le_$i"))))
+          }.toMap
+        val polish = scala.collection.mutable.ArrayBuffer.empty[(RankSearch, Bracket, Long)]
+        searches.foreach { s =>
+          bracketOf.get(s).foreach { b =>
+            val (cLT, cLE) = anchors(b)
+            if (cLT >= s.k + 1L) {
+              // sketch missed high: the answer is strictly below the
+              // bracket (countLE just below bLo is cLT ≥ k+1)
+              s.hi = math.min(s.hi, toOrderedBits(b.bLo) - 1L)
+            } else if (cLE < s.k + 1L) {
+              // sketch missed low: strictly above the bracket
+              s.lo = math.max(s.lo, toOrderedBits(b.bHi) + 1L)
+            } else if (cLE - cLT <= maxCollect) {
+              polish += ((s, b, cLT))
+            } else {
+              // rank proven inside but the bracket carries too much
+              // duplicate mass to collect — tighten to the bracket and
+              // let the bisection rounds finish with O(1) state
+              s.lo = math.max(s.lo, toOrderedBits(b.bLo))
+              s.hi = math.min(s.hi, toOrderedBits(b.bHi))
+            }
+          }
+        }
+
+        // ---- pass 3: polish — each eligible bracket collects its rows
+        // (mass known ≤ maxCollect from pass 2) as ONE sorted array and
+        // every search reads its order statistic off at rank − count(< lo)
+        if (polish.nonEmpty) {
+          val pBr = polish.map(_._2).toSeq.distinct
+          val collectExprs = pBr.zipWithIndex.map { case (b, i) =>
+            sort_array(collect_list(
+              when(groupPred(b.group) &&
+                col(b.colName) >= lit(b.bLo) && col(b.colName) <= lit(b.bHi),
+                col(b.colName)))).as(s"v_$i")
+          }
+          val vrow = cached.agg(collectExprs.head, collectExprs.tail: _*).head()
+          val valsOf: Map[Bracket, Seq[Double]] = pBr.zipWithIndex.map { case (b, i) =>
+            b -> vrow.getSeq[Double](vrow.fieldIndex(s"v_$i"))
+          }.toMap
+          polish.foreach { case (s, b, cLT) =>
+            val v = valsOf(b)((s.k - cLT).toInt)
+            s.lo = toOrderedBits(v)
+            s.hi = s.lo
+          }
+        }
+      }
+
+      // ---- fallback bisection rounds: only searches the bracket path
+      // could not resolve (sketch miss or duplicate-mass cap) — one
+      // count-below-pivot agg per round, O(1) state, k-ary over the
+      // ordered-bit lattice
       var round = 0
       while (searches.exists(!_.done) && round < 80) {
         val active = searches.filter(!_.done).toSeq
         val pivotSets: Seq[(RankSearch, Seq[Long])] = active.map { s =>
-          val pivots: Seq[Long] =
-            if (s.warm.nonEmpty) {
-              // round 0: probe the sketch bracket — typically collapses
-              // the 64-bit range to the few ulps between two data values
-              val w = s.warm.map(toOrderedBits)
-                .map(b => math.min(math.max(b, s.lo), s.hi - 1)).distinct
-              s.warm = Nil
-              w
-            } else {
-              // k-ary interior points (BigInt: the ordered-bit span of
-              // (-∞, +∞) overflows signed-long subtraction)
-              val loB = BigInt(s.lo)
-              val span = BigInt(s.hi) - loB
-              (1 to pivotsPerRound)
-                .map(j => (loB + span * j / (pivotsPerRound + 1)).toLong)
-                .map(b => math.min(math.max(b, s.lo), s.hi - 1)).distinct
-            }
+          // k-ary interior points (BigInt: the ordered-bit span of
+          // (-∞, +∞) overflows signed-long subtraction)
+          val loB = BigInt(s.lo)
+          val span = BigInt(s.hi) - loB
+          val pivots = (1 to pivotsPerRound)
+            .map(j => (loB + span * j / (pivotsPerRound + 1)).toLong)
+            .map(b => math.min(math.max(b, s.lo), s.hi - 1)).distinct
           (s, pivots)
         }
         val aggExprs = pivotSets.zipWithIndex.flatMap { case ((s, pivots), i) =>
-          val gpred = groupCol match {
-            case Some(_) => if (s.group == null) $"_g".isNull else $"_g" === lit(s.group)
-            case None => lit(true)
-          }
+          val gpred = groupPred(s.group)
           pivots.zipWithIndex.map { case (pb, j) =>
             sum(when(gpred && col(s.colName) <= lit(fromOrderedBits(pb)), 1L).otherwise(0L))
               .as(s"c_${i}_$j")

@@ -82,6 +82,21 @@ class ExtendedSpec extends SparkSpec {
         s"group $g")
   }
 
+  test("exactQuantiles fallback: maxCollect=0 forces the O(1)-state bisection, still bit-identical") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val viaBisection = Extended.exactQuantilesMulti(
+      li, Some("l_returnflag"), Seq("l_extendedprice" -> ps), maxCollect = 0L)
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))").as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((g, m) <- viaBisection; (p, i) <- ps.zipWithIndex)
+      assert(java.lang.Double.doubleToLongBits(m(("l_extendedprice", p))) ===
+        java.lang.Double.doubleToLongBits(builtin(g.asInstanceOf[String])(i)),
+        s"group $g p=$p")
+  }
+
   test("exactQuantilesMulti: several columns share one pass and match the builtins") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

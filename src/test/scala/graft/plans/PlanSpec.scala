@@ -240,7 +240,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window allowed in the bucket assignment:\n$p")
   }
 
-  test("q51/q103/q110/q115: no full-multiset percentile aggregate anywhere in the plan") {
+  test("q51/q103/q110/q115/q119: no full-multiset percentile aggregate anywhere in the plan") {
     // Spark's exact `percentile` is a TypedImperativeAggregate whose
     // final-merge buffers the value multiset — the round-5 scale `weak`.
     // The bounds now come from Extended.exactQuantiles (iterative
@@ -252,7 +252,8 @@ class PlanSpec extends SparkSpec {
       "q51" -> planOf(graft.operators.Relational.q51Percentiles(spark, sf)),
       "q103" -> planOf(graft.operators.Extended.q103Winsorize(spark, sf)),
       "q110" -> planOf(graft.operators.Extended.q110ApproxQuantiles(spark, sf)),
-      "q115" -> planOf(graft.operators.Extended.q115EquidepthHist(spark, sf)))
+      "q115" -> planOf(graft.operators.Extended.q115EquidepthHist(spark, sf)),
+      "q119" -> planOf(graft.operators.EventOps.q119ReplLagPercentiles(spark, sf)))
     for ((name, p) <- plans) {
       val scrubbed = p.replace("approx_percentile", "SKETCH")
       assert(!scrubbed.toLowerCase.contains("percentile"),
