@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *   1. feature columns  — quality score, language ID, token counts,
   *                         within-doc repetition (fused shingle kernel)
   *   2. quality gates    — score ≥ threshold, repetition ≤ threshold
-  *   3. decontamination  — drop docs leaking benchmark n-grams (optional,
-  *                         broadcast benchmark shingle set)
+  *   3. decontamination  — drop docs leaking benchmark n-grams (optional;
+  *                         Bloom pre-gate + exact verify join, so the
+  *                         suite's size bound is ~10 bits/shingle)
   *   4. exact dedup      — normalized-fingerprint keeper per group
   *   5. near-dup dedup   — MinHash-LSH pairs → components → keepers
   *
