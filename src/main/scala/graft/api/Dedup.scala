@@ -282,6 +282,52 @@ object Dedup {
     verifyExactJaccard(cands, newDocs, corpus, idCol, textCol, n, "new_id", "corpus_id")
   }
 
+  /** The benchmark's distinct shingle frame, MATERIALIZED once
+    * (localCheckpoint): both the Bloom subquery and the exact verify
+    * join consume it, and Catalyst plans each reference as its own
+    * subtree — without materialization every decontamination call (and
+    * every micro-batch of the streaming variant) would tokenize and
+    * distinct the benchmark twice.
+    */
+  private def benchShingleFrame(benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("sh_arr")).as("sh")).distinct()
+      .localCheckpoint()
+
+  /** The Bloom pre-gate predicate: `might_contain` demands its filter be
+    * a constant or scalar subquery, so the benchmark's
+    * `bloom_filter_agg` runs as a scalar subquery over a temp view (the
+    * subquery executes once and its binary result inlines into the
+    * probe's codegen — the broadcast-of-bits shape). The view is dropped
+    * immediately: analysis is eager, so the returned predicate no longer
+    * needs it. Spark clamps Bloom aggregates at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (4M items / 8 MB by default) — silently saturating the filter for
+    * the very suites this gate exists for — so both confs are raised to
+    * cover the requested size before the aggregate is planned.
+    */
+  private def bloomGated(corpusSh: DataFrame, benchSh: DataFrame,
+      items: Long, bits: Long): DataFrame = {
+    val sess = benchSh.sparkSession
+    graft.functions.BloomFunctions.register(sess)
+    def raise(key: String, v: Long): Unit = {
+      val cur = try sess.conf.get(key).toLong catch { case _: Throwable => 0L }
+      if (v > cur) sess.conf.set(key, v.toString)
+    }
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
+    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+    val view = s"__graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    benchSh.createOrReplaceTempView(view)
+    // filter() analyzes eagerly — the subquery inlines the view's plan,
+    // so the temp view can drop as soon as the frame is constructed
+    try corpusSh.filter(expr(
+      s"""might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(sh), ${items}L, ${bits}L) FROM $view),
+         |  xxhash64(sh))""".stripMargin))
+    finally { sess.catalog.dropTempView(view); () }
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * n-word shingles appear anywhere in `benchmark` — (idCol, n_sh,
     * n_contaminated, contamination_frac), contaminated docs only. The
@@ -308,34 +354,11 @@ object Dedup {
     * @param bloomBits   filter size in bits (tests shrink it to force
     *                    false positives; defaults to 8 bits/item)
     */
-  /** The Bloom pre-gate predicate: `might_contain` demands its filter be
-    * a constant or scalar subquery, so the benchmark's
-    * `bloom_filter_agg` runs as a scalar subquery over a temp view (the
-    * subquery executes once and its binary result inlines into the
-    * probe's codegen — the broadcast-of-bits shape). The view is dropped
-    * immediately: analysis is eager, so the returned predicate no longer
-    * needs it.
-    */
-  private def bloomGated(corpusSh: DataFrame, benchSh: DataFrame,
-      items: Long, bits: Long): DataFrame = {
-    graft.functions.BloomFunctions.register(benchSh.sparkSession)
-    val view = s"__graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    benchSh.createOrReplaceTempView(view)
-    // filter() analyzes eagerly — the subquery inlines the view's plan,
-    // so the temp view can drop as soon as the frame is constructed
-    try corpusSh.filter(expr(
-      s"""might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(sh), ${items}L, ${bits}L) FROM $view),
-         |  xxhash64(sh))""".stripMargin))
-    finally { benchSh.sparkSession.catalog.dropTempView(view); () }
-  }
-
   def decontaminationStats(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 4,
       bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
     val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
-    val benchSh = shingleSets(benchmark, idCol, textCol, n)
-      .select(explode(col("sh_arr")).as("sh")).distinct()
+    val benchSh = benchShingleFrame(benchmark, idCol, textCol, n)
     bloomGated(
         shingleSets(corpus, idCol, textCol, n)
           .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh")),
@@ -361,8 +384,7 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 4,
       bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
     val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
-    val benchSh = shingleSets(benchmark, idCol, textCol, n)
-      .select(explode(col("sh_arr")).as("sh")).distinct()
+    val benchSh = benchShingleFrame(benchmark, idCol, textCol, n)
     val contaminated = bloomGated(
         shingleSets(corpus, idCol, textCol, n)
           .select(col(idCol), explode(col("sh_arr")).as("sh")),

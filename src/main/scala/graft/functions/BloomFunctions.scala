@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Registration for Spark's OWN Bloom-filter expressions.
@@ -15,7 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * join), so registering the existing expressions beats reimplementing
   * the sketch: same code path the optimizer itself trusts.
   *
-  * SQL shapes registered:
+  * SQL shapes registered (one shared builder each — the
+  * [[graft.plans.GraftExtensions]] injection delegates here, so the
+  * arity rules cannot drift between the two registration paths):
   *   - `bloom_filter_agg(xxhash64(x)[, estimatedItems[, numBits]])` —
   *     aggregates LONG hashes into a binary Bloom filter column
   *   - `might_contain(bloom, xxhash64(x))` — membership probe; false
@@ -24,18 +26,28 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomFunctions {
 
+  /** Arity-checked builder for `bloom_filter_agg`. */
+  val buildBloomFilterAgg: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size >= 1 && exprs.size <= 3,
+      s"bloom_filter_agg takes 1 to 3 arguments, got ${exprs.size}")
+    exprs.size match {
+      case 1 => new BloomFilterAggregate(exprs.head)
+      case 2 => new BloomFilterAggregate(exprs.head, exprs(1))
+      case _ => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+    }
+  }
+
+  /** Arity-checked builder for `might_contain`. */
+  val buildMightContain: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2,
+      s"might_contain takes exactly 2 arguments, got ${exprs.size}")
+    BloomFilterMightContain(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_filter_agg",
-      exprs => exprs.size match {
-        case 1 => new BloomFilterAggregate(exprs.head)
-        case 2 => new BloomFilterAggregate(exprs.head, exprs(1))
-        case _ => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
-      },
-      "scala_udf")
+      "bloom_filter_agg", buildBloomFilterAgg, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "might_contain",
-      exprs => BloomFilterMightContain(exprs.head, exprs(1)),
-      "scala_udf")
+      "might_contain", buildMightContain, "scala_udf")
   }
 }

@@ -591,7 +591,14 @@ object Extended {
     * pass-3 bracket multiset, measured beforehand and ≤ maxCollect
     * (8 MB at the default). Group cardinality must stay driver-small
     * (the result is collected — the same contract as broadcasting a
-    * bounds frame back into a query).
+    * bounds frame back into a query); groups × quantiles is capped at
+    * 4000 because each pass plans one aggregate expression per search.
+    *
+    * Bit-level caveat: a column containing BOTH -0.0 and 0.0 may return
+    * either zero where the builtin's boxed-Double sort would pick one
+    * deterministically — SQL comparisons conflate the two zeros, so the
+    * search cannot tell them apart. The values are numerically equal;
+    * only doubleToLongBits-level comparisons can see a difference.
     *
     * @param persist cache the narrow projection across passes
     *                (MEMORY_AND_DISK). At full corpus scale pass false
@@ -600,16 +607,22 @@ object Extended {
   def exactQuantilesMulti(
       df: DataFrame,
       groupCol: Option[String],
-      specs: Seq[(String, Seq[Double])],
+      specsIn: Seq[(String, Seq[Double])],
       pivotsPerRound: Int = 7,
       persist: Boolean = true,
       maxCollect: Long = 1L << 20): Map[Any, Map[(String, Double), Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(specs.nonEmpty && specs.forall(_._2.nonEmpty), "need at least one quantile")
-    require(specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)), "quantiles must be in [0,1]")
+    require(specsIn.nonEmpty && specsIn.forall(_._2.nonEmpty), "need at least one quantile")
+    require(specsIn.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)), "quantiles must be in [0,1]")
     require(pivotsPerRound >= 1, "need at least one pivot per round")
-    val valueCols = specs.map(_._1).distinct
+    // merge repeated column entries — the bracket map is per-column, so a
+    // duplicate column with disjoint quantile lists must see the UNION of
+    // its quantiles, not whichever entry landed last in a toMap
+    val valueCols = specsIn.map(_._1).distinct
+    val specs: Seq[(String, Seq[Double])] = valueCols.map { c =>
+      c -> specsIn.filter(_._1 == c).flatMap(_._2).distinct
+    }
     val gExpr = groupCol.map(col).getOrElse(lit(0)).as("_g")
     val narrow = df.select(gExpr +: valueCols.map(c => col(c).cast("double").as(c)): _*)
     val cached =
@@ -633,6 +646,15 @@ object Extended {
       val stats = cached.groupBy($"_g").agg(statAggs.head, statAggs.tail: _*).collect()
       require(stats.length <= 10000,
         "exactQuantiles: group cardinality must stay driver-small (collected bounds frame)")
+      // the anchor/bisection passes build one aggregate expression per
+      // (group × column × rank) — fine for bounds frames, pathological
+      // for genuinely high-cardinality groupings, which should use
+      // approx_percentile's per-group sketch instead. Fail loudly rather
+      // than degrade into an interpreted multi-thousand-column aggregate.
+      val totalQuantiles = specs.map(_._2.size).sum
+      require(stats.length.toLong * totalQuantiles <= 4000L,
+        s"exactQuantiles: ${stats.length} groups x $totalQuantiles quantiles plans too many " +
+          "aggregate expressions per pass - use approx_percentile for high-cardinality groupings")
 
       // ---- build the searches: one per distinct (group, column, rank)
       final case class Need(group: Any, colName: String, p: Double,

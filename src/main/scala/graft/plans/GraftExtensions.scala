@@ -62,23 +62,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
       TextHashFunctions.buildCharEntropy))
     // Spark's own Bloom pair (internal, unregistered): the
-    // decontamination gate's pre-filter — see graft.functions.BloomFunctions
+    // decontamination gate's pre-filter — shared arity-checked builders
+    // in graft.functions.BloomFunctions
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_filter_agg"),
-      (exprs: Seq[Expression]) => exprs.size match {
-        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head)
-        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head, exprs(1))
-        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
-      }))
+      graft.functions.BloomFunctions.buildBloomFilterAgg))
     ext.injectFunction((
       FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))))
+      graft.functions.BloomFunctions.buildMightContain))
   }
 }

@@ -406,10 +406,14 @@ object StreamOps {
       event_ts: java.sql.Timestamp)
 
   /** Funnel state per user: the event-time frontier of each reached
-    * stage (None = not reached). One `Option[Long]` per stage — constant
+    * stage (None = not reached) plus the highest event time EVER seen for
+    * the user (`lastSeenMs` — gated and repeat events count as activity
+    * even though they never enter a stage frontier; the TTL horizon keys
+    * off it so a late-delivered older event can never drag the timeout
+    * backwards). One `Option[Long]` per stage + one long — constant
     * state per user regardless of event volume.
     */
-  case class FunnelState(tStage: Seq[Option[Long]])
+  case class FunnelState(tStage: Seq[Option[Long]], lastSeenMs: Long = 0L)
 
   /** Emitted once per user per newly-reached stage. */
   case class FunnelAdvance(user_id: Long, stage: Int, stage_name: String, t_ms: Long)
@@ -456,8 +460,14 @@ object StreamOps {
         state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
       var t = state.getOption.map(_.tStage.toVector)
         .getOrElse(Vector.fill(stages.size)(Option.empty[Long]))
+      val batch = evs.toVector
+      // lastSeen is MONOTONE across batches: a late-delivered older event
+      // must never drag the activity frontier (and so the TTL horizon)
+      // backwards
+      val lastSeen = (state.getOption.map(_.lastSeenMs).getOrElse(0L) +:
+        batch.map(_.ts_ms)).max
       val out = Vector.newBuilder[FunnelAdvance]
-      evs.toVector.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+      batch.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
         stageIdx.get(e.event_type).foreach { k =>
           val prevReached = k == 0 || t(k - 1).exists(_ < e.ts_ms)
           val nextPending = k == stages.size - 1 || t(k + 1).isEmpty
@@ -473,7 +483,7 @@ object StreamOps {
           }
         }
       }
-      state.update(FunnelState(t))
+      state.update(FunnelState(t, lastSeen))
       out.result().iterator
     }
     ttl match {
@@ -501,18 +511,18 @@ object StreamOps {
                 state.remove()
                 Iterator.empty
               } else {
-                val batch = evs.toVector
                 val out = advance(uid,
-                  batch.iterator.map(e => FunnelEvent(e.user_id, e.event_type, e.ts_ms)),
+                  evs.map(e => FunnelEvent(e.user_id, e.event_type, e.ts_ms)),
                   state)
                 // idle = no events at all, not "no frontier advance" — a
-                // user sending gated/repeat events is still active, so
-                // the horizon keys off the latest event seen; the clamp
+                // user sending gated/repeat events is still active; the
+                // horizon keys off the PERSISTED monotone activity
+                // frontier (advance just folded this batch in), so an
+                // older late event can never expire a live key; the clamp
                 // keeps the timeout legal (strictly beyond the watermark)
-                val lastSeen = (state.get.tStage.flatten ++ batch.map(_.ts_ms))
-                  .foldLeft(0L)(math.max)
-                state.setTimeoutTimestamp(
-                  math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1L))
+                state.setTimeoutTimestamp(math.max(
+                  state.get.lastSeenMs + ttlMs,
+                  state.getCurrentWatermarkMs() + 1L))
                 out
               }
           }
@@ -533,7 +543,14 @@ object StreamOps {
       event_id: Long, event_ts: java.sql.Timestamp)
 
   /** SCD2 tracker state: the current open version per entity. */
-  case class Scd2State(version: Long, attr: String, validFromMs: Long)
+  /** SCD2 tracker state: the current open version per entity, plus the
+    * highest event time ever seen (`lastSeenMs` — same-attr events never
+    * move valid_from but do prove the entity alive; the TTL horizon keys
+    * off this monotone frontier so a late older event can't expire a
+    * live entity).
+    */
+  case class Scd2State(version: Long, attr: String, validFromMs: Long,
+      lastSeenMs: Long = 0L)
 
   /** Emitted when a version CLOSES (validTo set) and once more when a new
     * one opens (validToMs null = current).
@@ -576,9 +593,13 @@ object StreamOps {
     def advance(uid: Long, evs: Iterator[Scd2Event],
         state: GroupState[Scd2State]): Iterator[Scd2Row] = {
       var cur = state.getOption
+      val batch = evs.toVector
+      // monotone activity frontier (see Scd2State.lastSeenMs)
+      val lastSeen = (cur.map(_.lastSeenMs).getOrElse(0L) +:
+        batch.map(_.ts_ms)).max
       val out = Vector.newBuilder[Scd2Row]
       // (ts_ms, event_id): the batch twin's exact tie-break (q113)
-      evs.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+      batch.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
         cur match {
           case None =>
             cur = Some(Scd2State(1L, e.event_type, e.ts_ms))
@@ -590,7 +611,7 @@ object StreamOps {
           case _ => () // same attribute, or older than the open version
         }
       }
-      cur.foreach(state.update)
+      cur.foreach(s => state.update(s.copy(lastSeenMs = lastSeen)))
       out.result().iterator
     }
     ttl match {
@@ -622,17 +643,18 @@ object StreamOps {
                 state.remove()
                 Iterator.empty
               } else {
-                val batch = evs.toVector
                 val out = advance(uid,
-                  batch.iterator.map(e =>
+                  evs.map(e =>
                     Scd2Event(e.user_id, e.event_type, e.ts_ms, e.event_id)),
                   state)
                 state.getOption.foreach { s =>
-                  // idle keys off last ACTIVITY (same-attr events don't
-                  // move valid_from but do prove the entity is alive)
-                  val lastSeen = (s.validFromMs +: batch.map(_.ts_ms)).max
-                  state.setTimeoutTimestamp(
-                    math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1L))
+                  // idle keys off the PERSISTED monotone activity
+                  // frontier — same-attr events don't move valid_from but
+                  // do prove the entity alive, and a late older event
+                  // can't drag the horizon backwards
+                  state.setTimeoutTimestamp(math.max(
+                    math.max(s.lastSeenMs, s.validFromMs) + ttlMs,
+                    state.getCurrentWatermarkMs() + 1L))
                 }
                 out
               }

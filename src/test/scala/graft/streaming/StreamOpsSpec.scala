@@ -719,6 +719,63 @@ class StreamOpsSpec extends SparkSpec {
       s"active u2 must not expire: $rows")
   }
 
+  test("funnelStages TTL: a late older in-watermark event cannot drag the horizon back (live key survives)") {
+    import spark.implicits._
+    val mem = MemoryStream[FEvt](spark)
+    val q = StreamOps.funnelStages(spark, mem.toDF(), ttl = Some("10 seconds"))
+      .writeStream.format("memory").queryName("funnel_drag_out").outputMode("append").start()
+    mem.addData(FEvt(2, "view", 1000))      // stage-1 frontier at t=1s
+    q.processAllAvailable()
+    mem.addData(FEvt(2, "purchase", 60000)) // gated (click pending) — pure activity at t=60s
+    q.processAllAvailable()
+    // LATE but in-watermark (wm=50s) older gated event: horizon must stay
+    // 60s+ttl=70s, not regress to 55s+ttl=65s
+    mem.addData(FEvt(2, "purchase", 55000))
+    q.processAllAvailable()
+    // push the watermark to 66s — past the (buggy) 65s horizon, below the
+    // (correct) 70s one — and give the timeout a batch to fire in
+    mem.addData(FEvt(3, "view", 76000))
+    q.processAllAvailable()
+    mem.addData(FEvt(3, "click", 76500))
+    q.processAllAvailable()
+    // u2 clicks: the 1s view frontier must have SURVIVED, so this advances
+    mem.addData(FEvt(2, "click", 69000))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_drag_out").as[(Long, Int, String, Long)].collect().toSeq
+    assert(rows.filter(_._1 == 2).sortBy(_._2) ===
+      Seq((2L, 1, "view", 1000L), (2L, 2, "click", 69000L)),
+      s"activity at 60s must keep the key alive past wm=66s: $rows")
+  }
+
+  test("scd2Track TTL: a late older in-watermark event cannot drag the horizon back (lifecycle continues)") {
+    import spark.implicits._
+    val mem = MemoryStream[SEvt](spark)
+    val q = StreamOps.scd2Track(spark, mem.toDF(), ttl = Some("10 seconds"))
+      .writeStream.format("memory").queryName("scd2_drag_out").outputMode("append").start()
+    mem.addData(SEvt(1, "view", 1000, 1))   // v1 opens at 1s
+    q.processAllAvailable()
+    mem.addData(SEvt(1, "view", 60000, 2))  // same-attr — pure activity at 60s
+    q.processAllAvailable()
+    mem.addData(SEvt(1, "view", 55000, 3))  // late older same-attr: horizon must stay 70s
+    q.processAllAvailable()
+    mem.addData(SEvt(2, "view", 76000, 4))  // wm -> 66s
+    q.processAllAvailable()
+    mem.addData(SEvt(2, "view", 76500, 5))  // timeout batch
+    q.processAllAvailable()
+    mem.addData(SEvt(1, "click", 69000, 6)) // alive -> closes v1, opens v2
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("scd2_drag_out")
+      .as[(Long, Long, String, Long, Option[Long])].collect().toSeq
+    val e1 = rows.filter(_._1 == 1).groupBy(r => (r._2, r._4)).map(_._2.last).toSeq
+      .sortBy(r => (r._4, r._2))
+    assert(e1 === Seq(
+      (1L, 1L, "view", 1000L, Some(69000L)),
+      (1L, 2L, "click", 69000L, None)),
+      s"the lifecycle must continue as v2, not restart at v1: $rows")
+  }
+
   test("scd2Track TTL: idle entity expires (open version stays current), re-open starts a new lifecycle") {
     import spark.implicits._
     val mem = MemoryStream[SEvt](spark)
