@@ -203,6 +203,13 @@ class ApiSpec extends SparkSpec {
     // doc 1: 7 shingles, the first two 4-grams are inside the benchmark
     assert(stats(1L)._2 === 7L)
     assert(stats(1L)._3 === 2L)
+    // a suite-scale filter request (80M bits > Spark's 67M-bit default
+    // clamp) must plan — bloomGated raises the optimizer confs — and
+    // return identical results
+    val bigBloom = Dedup.decontaminationStats(corpus, benchmark, "k", "body",
+        bloomItems = 10000000L)
+      .select($"k", $"n_contaminated").as[(Long, Long)].collect().toMap
+    assert(bigBloom === Map(1L -> 2L, 3L -> 5L))
   }
 
   test("dupNgramFrac measures within-document repetition exactly") {
