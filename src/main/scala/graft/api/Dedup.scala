@@ -295,38 +295,78 @@ object Dedup {
       .select(explode(col("sh_arr")).as("sh")).distinct()
       .localCheckpoint()
 
-  /** The Bloom pre-gate predicate: `might_contain` demands its filter be
-    * a constant or scalar subquery, so the benchmark's
-    * `bloom_filter_agg` runs as a scalar subquery over a temp view (the
-    * subquery executes once and its binary result inlines into the
-    * probe's codegen — the broadcast-of-bits shape). The view is dropped
-    * immediately: analysis is eager, so the returned predicate no longer
-    * needs it. Spark clamps Bloom aggregates at
+  /** The Bloom pre-gate predicate. The benchmark's `bloom_filter_agg`
+    * runs EAGERLY here (one narrow aggregate over the already
+    * materialized shingle frame) and the resulting filter bytes feed the
+    * corpus-side `might_contain` probe through a one-row local relation
+    * read by a scalar subquery — the broadcast-of-bits shape, with the
+    * build paid once at construction instead of once per query run.
+    *
+    * Why eager instead of an inline aggregate subquery: Spark clamps
+    * Bloom aggregates at
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
     * (4M items / 8 MB by default) — silently saturating the filter for
-    * the very suites this gate exists for — so both confs are raised to
-    * cover the requested size before the aggregate is planned.
+    * the very suites this gate exists for — and the clamp re-validates
+    * in `CheckAnalysis` on EVERY later Dataset composition, so a plan
+    * that embeds the aggregate forces the raised confs to stay raised
+    * for the frame's whole lifetime (the r6 session-conf leak). With
+    * the aggregate executed up front, the confs are raised only around
+    * the build and restored before returning; the returned frame holds
+    * no `bloom_filter_agg` for later analysis passes to re-clamp. The
+    * temp view backing the subquery drops immediately (analysis is
+    * eager; the resolved local relation stays embedded in the plan).
     */
   private def bloomGated(corpusSh: DataFrame, benchSh: DataFrame,
       items: Long, bits: Long): DataFrame = {
     val sess = benchSh.sparkSession
     graft.functions.BloomFunctions.register(sess)
-    def raise(key: String, v: Long): Unit = {
-      val cur = try sess.conf.get(key).toLong catch { case _: Throwable => 0L }
-      if (v > cur) sess.conf.set(key, v.toString)
+    val ItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val BitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    def raise(key: String, v: Long): Option[String] = {
+      val cur = try sess.conf.getOption(key) catch { case _: Throwable => None }
+      if (v > cur.map(_.toLong).getOrElse(0L)) { sess.conf.set(key, v.toString); cur }
+      else None // unchanged — nothing to restore
     }
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
-    raise("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
-    val view = s"__graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    benchSh.createOrReplaceTempView(view)
-    // filter() analyzes eagerly — the subquery inlines the view's plan,
-    // so the temp view can drop as soon as the frame is constructed
-    try corpusSh.filter(expr(
-      s"""might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64(sh), ${items}L, ${bits}L) FROM $view),
-         |  xxhash64(sh))""".stripMargin))
-    finally { sess.catalog.dropTempView(view); () }
+    val priorItems = raise(ItemsKey, items)
+    val priorBits = raise(BitsKey, bits)
+    val filterBytes =
+      try benchSh
+        .select(expr(s"bloom_filter_agg(xxhash64(sh), ${items}L, ${bits}L)").as("bf"))
+        .head().getAs[Array[Byte]](0)
+      finally {
+        priorItems.foreach(sess.conf.set(ItemsKey, _))
+        priorBits.foreach(sess.conf.set(BitsKey, _))
+      }
+    if (filterBytes == null) {
+      // empty benchmark: nothing can be contaminated — same verdict the
+      // null-filter probe would return, made explicit
+      corpusSh.filter(lit(false))
+    } else {
+      import sess.implicits._
+      val view = s"__graft_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      Seq(filterBytes).toDF("bf").createOrReplaceTempView(view)
+      // filter() analyzes eagerly — the subquery inlines the view's
+      // resolved one-row relation, so the temp view can drop as soon as
+      // the frame is constructed
+      try corpusSh.filter(expr(
+        s"might_contain((SELECT bf FROM $view), xxhash64(sh))"))
+      finally { sess.catalog.dropTempView(view); () }
+    }
   }
+
+  /** Suite-size cutover between the two decontamination gate plans:
+    * at or below it the distinct benchmark shingles broadcast as strings
+    * into one exact hash join (no gate — the Bloom pre-filter's fixed
+    * build/probe cost buys nothing when the suite already fits a
+    * broadcast; ~250k shingles ≈ 10 MB, Spark's own broadcast-sizing
+    * ballpark); above it the Bloom gate bounds the plan at ~10
+    * bits/shingle. The count is measured once on the already
+    * materialized (localCheckpoint'd) shingle frame, so the choice costs
+    * a narrow count over cached partitions, not a tokenization pass.
+    * Both paths are bit-identical: the exact join decides membership
+    * either way.
+    */
+  val BroadcastSuiteCutover: Long = 250000L
 
   /** Benchmark decontamination: per corpus document, how many of its
     * n-word shingles appear anywhere in `benchmark` — (idCol, n_sh,
@@ -335,61 +375,76 @@ object Dedup {
     * n-grams"): production pipelines do exactly this with 8–13-gram
     * overlap against held-out benchmarks.
     *
-    * Scale shape: a Bloom-filter pre-gate, then the exact join only on
-    * Bloom hits. A real contamination suite (many benchmarks × 8-grams)
-    * outgrows broadcasting its shingle STRINGS, but its Bloom filter is
-    * ~10 bits/shingle — the corpus side probes `might_contain` against
-    * the benchmark's `bloom_filter_agg` (a scalar subquery computed once
-    * and inlined into the probe's codegen; no join) so only the
-    * gate's survivors — true leaks plus the filter's ~1% false
-    * positives, proportional to the leak rate, not the corpus — reach
-    * the exact shingle join, which the planner is free to run as a
-    * shuffle join when the suite is too big to broadcast (no broadcast
-    * hint pins it). The exact join makes Bloom false positives harmless:
-    * results are bit-identical to the ungated form. Anti-join the
-    * result against the corpus to keep the clean remainder.
+    * Plan shape is ADAPTIVE on the measured suite size
+    * ([[BroadcastSuiteCutover]]). Small suites (the common single-
+    * benchmark case) broadcast their distinct shingle strings straight
+    * into the exact join — one narrow probe, no gate. Large suites
+    * (many benchmarks × 8-grams) outgrow broadcasting their shingle
+    * STRINGS, but their Bloom filter is ~10 bits/shingle — the corpus
+    * side probes `might_contain` against the benchmark's
+    * `bloom_filter_agg` (a scalar subquery computed once and inlined
+    * into the probe's codegen; no join) so only the gate's survivors —
+    * true leaks plus the filter's ~1% false positives, proportional to
+    * the leak rate, not the corpus — reach the exact shingle join,
+    * which the planner is free to run as a shuffle join when the suite
+    * is too big to broadcast (no broadcast hint pins it). The exact
+    * join makes Bloom false positives harmless: results are
+    * bit-identical across both paths. Anti-join the result against the
+    * corpus to keep the clean remainder.
     *
     * @param bloomItems  expected distinct benchmark shingles (sizes the
     *                    filter; ~1% FP at the default bits/item ratio)
     * @param bloomBits   filter size in bits (tests shrink it to force
     *                    false positives; defaults to 8 bits/item)
+    * @param broadcastCutover suite-shingle count at or below which the
+    *                    broadcast path runs (tests pass 0 to force the
+    *                    Bloom gate)
     */
   def decontaminationStats(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 4,
-      bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L,
+      broadcastCutover: Long = BroadcastSuiteCutover): DataFrame = {
     val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
     val benchSh = benchShingleFrame(benchmark, idCol, textCol, n)
-    bloomGated(
-        shingleSets(corpus, idCol, textCol, n)
-          .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh")),
-        benchSh, bloomItems, bits)
-      .join(benchSh, "sh")
+    val corpusSh = shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol), col("n_sh"), explode(col("sh_arr")).as("sh"))
+    // small suite: no gate, hint the exact join to broadcast (the
+    // checkpointed frame carries default — huge — stats, so the planner
+    // cannot see it is broadcastable on its own)
+    val (gated, benchSide) =
+      if (benchSh.count() <= broadcastCutover) (corpusSh, broadcast(benchSh))
+      else (bloomGated(corpusSh, benchSh, bloomItems, bits), benchSh)
+    gated.join(benchSide, "sh")
       .groupBy(col(idCol), col("n_sh"))
       .agg(count(lit(1)).as("n_contaminated"))
       .select(col(idCol), col("n_sh"), col("n_contaminated"),
         (col("n_contaminated") / col("n_sh")).as("contamination_frac"))
   }
 
-  /** Bloom-gated decontamination DROP: the corpus minus every document
-    * with at least one exact n-gram overlap with `benchmark` — the
+  /** Decontamination DROP: the corpus minus every document with at
+    * least one exact n-gram overlap with `benchmark` — the
     * keep-the-clean-remainder composition of [[decontaminationStats]]
-    * with the same gate-then-verify shape (broadcast Bloom probe, exact
-    * shingle join on hits only, left-anti back onto the corpus by id).
-    * Bloom false positives cost only the verify join; they never drop a
-    * clean document. Used by the streaming
+    * with the same adaptive gate-then-verify shape (broadcast shingle
+    * strings under [[BroadcastSuiteCutover]]; Bloom probe + exact join
+    * on hits above it; left-anti back onto the corpus by id). Bloom
+    * false positives cost only the verify join; they never drop a clean
+    * document. Used by the streaming
     * [[graft.streaming.StreamOps.decontaminationFilterBloom]] inside
     * foreachBatch, where the batch-relational anti-join is legal.
     */
   def decontaminationDrop(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 4,
-      bloomItems: Long = 1000000L, bloomBits: Long = 0L): DataFrame = {
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L,
+      broadcastCutover: Long = BroadcastSuiteCutover): DataFrame = {
     val bits = if (bloomBits > 0L) bloomBits else bloomItems * 8L
     val benchSh = benchShingleFrame(benchmark, idCol, textCol, n)
-    val contaminated = bloomGated(
-        shingleSets(corpus, idCol, textCol, n)
-          .select(col(idCol), explode(col("sh_arr")).as("sh")),
-        benchSh, bloomItems, bits)
-      .join(benchSh, "sh", "left_semi")
+    val corpusSh = shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh_arr")).as("sh"))
+    val (gated, benchSide) =
+      if (benchSh.count() <= broadcastCutover) (corpusSh, broadcast(benchSh))
+      else (bloomGated(corpusSh, benchSh, bloomItems, bits), benchSh)
+    val contaminated = gated
+      .join(benchSide, "sh", "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

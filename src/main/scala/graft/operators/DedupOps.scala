@@ -335,12 +335,15 @@ object DedupOps {
   /** q85: benchmark decontamination — per corpus doc (doc_id % 25 ≠ 0),
     * how many of its 4-word shingles appear anywhere in the "benchmark"
     * slice (doc_id % 25 = 0); contaminated docs only. Plan shape on
-    * [[graft.api.Dedup.decontaminationStats]]: a broadcast Bloom filter
-    * gates the corpus shingles (`might_contain` probe, no join), and
-    * only Bloom hits — true leaks plus ~1% false positives — reach the
-    * exact shingle join that confirms them, so the suite's size bound is
-    * ~10 bits/shingle rather than the shingle strings (PlanSpec locks
-    * the gate below the join).
+    * [[graft.api.Dedup.decontaminationStats]]'s adaptive gate: this
+    * suite sits under [[graft.api.Dedup.BroadcastSuiteCutover]], so its
+    * distinct shingle strings broadcast straight into the exact join —
+    * no Bloom build/probe cost (PlanSpec locks the gate's absence here
+    * and its presence when the cutover is forced to 0: above the
+    * cutover a broadcast Bloom filter gates the corpus shingles via
+    * `might_contain`, and only Bloom hits — true leaks plus ~1% false
+    * positives — reach the exact join, bounding the suite at ~10
+    * bits/shingle rather than the strings).
     */
   def q85Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -167,12 +167,14 @@ object StreamOps {
   /** SIZE-BOUNDED streaming decontamination — the scale path when the
     * contamination suite outgrows [[decontaminationFilter]]'s broadcast
     * shingle array (many benchmarks × 8-grams). Each micro-batch runs
-    * [[graft.api.Dedup.decontaminationDrop]]: a broadcast BLOOM filter
-    * (~10 bits per benchmark shingle instead of the strings themselves)
-    * pre-gates the batch's shingles, only Bloom hits reach the exact
-    * shingle join (planner-chosen strategy — broadcast when small,
-    * shuffle when not), and the confirmed-contaminated doc ids anti-join
-    * the batch. Bloom false positives cost a verify-join row, never a
+    * [[graft.api.Dedup.decontaminationDrop]]: above the measured
+    * suite-size cutover a broadcast BLOOM filter (~10 bits per benchmark
+    * shingle instead of the strings themselves) pre-gates the batch's
+    * shingles, only Bloom hits reach the exact shingle join
+    * (planner-chosen strategy — broadcast when small, shuffle when not),
+    * and the confirmed-contaminated doc ids anti-join the batch; at or
+    * below the cutover the suite's shingle strings broadcast straight
+    * into the exact join (no gate to pay for). Bloom false positives cost a verify-join row, never a
     * dropped clean document. Runs inside foreachBatch (where the
     * relational anti-join is legal on the batch frame) and re-loads the
     * benchmark per batch — the [[decontaminationFilterRefreshing]]
@@ -182,12 +184,14 @@ object StreamOps {
   def decontaminationFilterBloom(docs: DataFrame,
       loadBenchmark: SparkSession => DataFrame,
       idCol: String, textCol: String, n: Int = 4,
-      bloomItems: Long = 1000000L, bloomBits: Long = 0L)(
+      bloomItems: Long = 1000000L, bloomBits: Long = 0L,
+      broadcastCutover: Long = graft.api.Dedup.BroadcastSuiteCutover)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       val bench = loadBenchmark(batch.sparkSession)
       sink(graft.api.Dedup.decontaminationDrop(
-        batch, bench, idCol, textCol, n, bloomItems, bloomBits), batchId)
+        batch, bench, idCol, textCol, n, bloomItems, bloomBits,
+        broadcastCutover), batchId)
     }
 
   /** Streaming mini-batch k-means: maintains a centroid table at
@@ -450,6 +454,12 @@ object StreamOps {
     * infinite horizon should keep `ttl = None` or dedup on
     * (user, stage). With a TTL the events also drop late rows beyond
     * the watermark, which is what makes the expiry sound.
+    *
+    * Checkpoint compatibility: adding the activity frontier
+    * (`FunnelState.lastSeenMs`) changed the state encoder schema, so
+    * streaming checkpoints written before the TTL variant existed do not
+    * restore into this operator — restart such a query from a fresh
+    * checkpoint and let the batch twin (q104) backfill history.
     */
   def funnelStages(spark: SparkSession, events: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase"),
@@ -542,7 +552,6 @@ object StreamOps {
   case class Scd2EventTs(user_id: Long, event_type: String, ts_ms: Long,
       event_id: Long, event_ts: java.sql.Timestamp)
 
-  /** SCD2 tracker state: the current open version per entity. */
   /** SCD2 tracker state: the current open version per entity, plus the
     * highest event time ever seen (`lastSeenMs` — same-attr events never
     * move valid_from but do prove the entity alive; the TTL horizon keys
@@ -586,6 +595,12 @@ object StreamOps {
     * valid_from, so with a TTL enabled downstream tables must upsert on
     * (user_id, valid_from_ms) — version numbers are only unique within
     * a lifecycle.
+    *
+    * Checkpoint compatibility: adding the activity frontier
+    * (`Scd2State.lastSeenMs`) changed the state encoder schema, so
+    * streaming checkpoints written before the TTL variant existed do not
+    * restore into this operator — restart from a fresh checkpoint; the
+    * batch twin (q113) rebuilds the full history on replay.
     */
   def scd2Track(spark: SparkSession, events: DataFrame,
       ttl: Option[String] = None): Dataset[Scd2Row] = {

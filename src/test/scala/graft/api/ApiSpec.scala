@@ -205,11 +205,51 @@ class ApiSpec extends SparkSpec {
     assert(stats(1L)._3 === 2L)
     // a suite-scale filter request (80M bits > Spark's 67M-bit default
     // clamp) must plan — bloomGated raises the optimizer confs — and
-    // return identical results
+    // return identical results; broadcastCutover=0 forces the Bloom path
+    // (the adaptive gate would broadcast a 5-shingle suite)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val priorItems = spark.conf.get(itemsKey)
+    val priorBits = spark.conf.get(bitsKey)
     val bigBloom = Dedup.decontaminationStats(corpus, benchmark, "k", "body",
-        bloomItems = 10000000L)
+        bloomItems = 10000000L, broadcastCutover = 0L)
       .select($"k", $"n_contaminated").as[(Long, Long)].collect().toMap
     assert(bigBloom === Map(1L -> 2L, 3L -> 5L))
+    // the oversized call must not permanently re-size the session's
+    // runtime Bloom-join clamps (r6 verdict: one decontamination call
+    // silently changed the planning environment for every later query)
+    assert(spark.conf.get(itemsKey) === priorItems,
+      "bloomGated must restore the maxNumItems clamp after planning")
+    assert(spark.conf.get(bitsKey) === priorBits,
+      "bloomGated must restore the maxNumBits clamp after planning")
+    // and the drop composition over the forced-Bloom path still works
+    // AFTER the restore (the predicate was analyzed under the raised
+    // clamps; later Dataset compositions must not re-trip them)
+    val dropped = Dedup.decontaminationDrop(corpus, benchmark, "k", "body",
+        bloomItems = 10000000L, broadcastCutover = 0L)
+      .orderBy($"k").select($"k").as[Long].collect().toSeq
+    assert(dropped === Seq(2L), "only the clean doc survives the drop")
+    assert(spark.conf.get(itemsKey) === priorItems)
+    assert(spark.conf.get(bitsKey) === priorBits)
+  }
+
+  test("decontamination: broadcast and Bloom gate paths agree bit-for-bit") {
+    import spark.implicits._
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("k", "body")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon unrelated tail words here now"),
+      (2L, "totally clean document with no benchmark overlap at all today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("k", "body")
+    def run(cutover: Long) =
+      Dedup.decontaminationStats(corpus, benchmark, "k", "body",
+          broadcastCutover = cutover)
+        .orderBy($"k")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    // Long.MaxValue pins the broadcast path, 0 pins the Bloom path — the
+    // adaptive default must be a pure plan choice, never a result change
+    assert(run(Long.MaxValue) === run(0L))
   }
 
   test("dupNgramFrac measures within-document repetition exactly") {

@@ -189,7 +189,7 @@ class StreamOpsSpec extends SparkSpec {
     // surviving proves a false positive can never drop a document
     val q = StreamOps.decontaminationFilterBloom(
         mem.toDF(), s => s.read.parquet(benchDir), "doc_id", "text",
-        bloomItems = 5L, bloomBits = 2L) {
+        bloomItems = 5L, bloomBits = 2L, broadcastCutover = 0L) {
       (batch, _) => kept.synchronized {
         kept ++= batch.select($"doc_id").as[Long].collect()
       }
@@ -203,7 +203,8 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     assert(kept.synchronized(kept.toSet) === Set(2L, 4L),
       "exact verify must rescue Bloom false positives and drop only true leaks")
-    // same stream shape at a sane filter size: identical verdicts
+    // same stream through the DEFAULT adaptive gate (a 5-shingle suite
+    // sits under the broadcast cutover, so no Bloom): identical verdicts
     val kept2 = scala.collection.mutable.ArrayBuffer.empty[Long]
     val mem2 = MemoryStream[Doc](spark)
     val q2 = StreamOps.decontaminationFilterBloom(
