@@ -534,6 +534,123 @@ object Similarity {
       .write.mode("append").parquet(s"$path/stats")
   }
 
+  /** Compact a maintained IVF index's cell files. Every
+    * [[appendToIvfIndex]] / [[appendToQuantizedIvfIndex]] call leaves at
+    * least one new parquet file per touched cell, so continuous ingest
+    * degrades the cells directory into a small-files scan (file-listing
+    * and per-file open cost grow without bound even though partition
+    * pruning still skips unprobed cells). This rewrites each cell
+    * partition's accumulated files into ~`targetRowsPerFile`-row files:
+    * rows group deterministically by a hash of their payload columns
+    * into ceil(n_cell / target) groups, one shuffle keyed on
+    * (cell, group) lands each group in one task, and the partitioned
+    * write re-creates the exact [[writeIvfIndex]] layout — both the
+    * float and the int8 layout compact unchanged (the rewrite never
+    * looks at payload semantics, only at `cluster`). The `stats/` and
+    * `centroids/` tables are untouched: base/appended row history (the
+    * [[ivfDriftReport]] input) survives compaction.
+    *
+    * The swap is rename-based (write to a sibling temp dir, rename the
+    * old cells dir away, rename the rewrite in): a crash mid-swap
+    * leaves either the old or the new directory under `cells/`, never a
+    * mix, and [[graft.streaming.StreamOps.ivfSearchStream]] — which
+    * re-resolves the path every micro-batch — picks the compacted
+    * layout up on its next batch with no restart. Searches racing the
+    * two renames on an eventually-consistent store can observe a
+    * missing directory for the window between them; pause searches or
+    * retry-on-miss if that matters operationally.
+    *
+    * @return (files before, files after) for ingest-loop observability
+    */
+  def compactIvfCells(spark: SparkSession, path: String,
+      targetRowsPerFile: Long = 1L << 22): (Long, Long) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(cellsDir)
+    val cells = spark.read.parquet(cellsDir.toString)
+    val payloadCols = cells.columns.filter(_ != "cluster")
+    // per-cell counts are |cells| rows — broadcast back onto the scan so
+    // group assignment stays narrow
+    val counts = cells.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    val rewritten = cells
+      .join(broadcast(counts), Seq("cluster"))
+      .withColumn("__fg", pmod(
+        xxhash64(payloadCols.map(col): _*),
+        greatest(lit(1L),
+          ceil(col("__n") / lit(targetRowsPerFile.toDouble)).cast("long"))))
+      .repartition(col("cluster"), col("__fg"))
+      .select(cells.columns.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells__precompact")
+    fs.delete(tmp, true); fs.delete(old, true) // leftovers of a crashed run
+    rewritten.write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
+    require(fs.rename(cellsDir, old), s"compactIvfCells: cannot move $cellsDir aside")
+    require(fs.rename(tmp, cellsDir), s"compactIvfCells: cannot move rewrite into $cellsDir")
+    fs.delete(old, true)
+    (before, parquetFiles(cellsDir))
+  }
+
+  /** Drift-triggered retrain policy for a maintained IVF index: read
+    * [[ivfDriftReport]] (the |cells|-row stats rollup — never the index
+    * payload), and if the appended volume's coherence has degraded past
+    * `driftThreshold` (append-weighted mean drift) or the index is
+    * mostly post-training data (`frac_appended` above
+    * `fracAppendedThreshold`), re-run [[kmeansIterate]] over `corpus`
+    * and rebuild the index in place — [[writeIvfIndex]] or
+    * [[writeQuantizedIvfIndex]], matching the existing layout, which is
+    * detected from the stored cell schema. This is the orchestration the
+    * append/drift operators exist to drive: ingest appends, the report
+    * accumulates evidence, and one call here turns the signal into a
+    * fresh quantizer once it is material.
+    *
+    * `corpus` must be the CURRENT full corpus (base + everything
+    * appended): the quantized layout stores int8 codes, so a rebuild
+    * cannot recover float embeddings from the index itself — the caller
+    * owns the source of truth, the index is a derived artifact.
+    * Rebuild overwrites cells/centroids/stats; a search racing the
+    * overwrite sees files disappear (same operational caveat as
+    * [[compactIvfCells]], which a rebuild subsumes — appended small
+    * files die with the rewrite).
+    *
+    * @return true iff the thresholds tripped and the index was rebuilt
+    */
+  def maintainIvfIndex(spark: SparkSession, corpus: DataFrame,
+      idCol: String, embCol: String, path: String,
+      driftThreshold: Double, fracAppendedThreshold: Double = 0.5,
+      k: Int = 64, iters: Int = 3): Boolean = {
+    val report = ivfDriftReport(spark, path)
+      .agg(
+        sum(when(!isnan(col("drift")),
+          col("drift") * col("n_appended")).otherwise(0.0)).as("wdrift"),
+        sum(when(!isnan(col("drift")), col("n_appended")).otherwise(0L)).as("wn"),
+        sum(col("n_appended")).as("n_app"),
+        sum(col("n_base")).as("n_base"))
+      .head()
+    val nApp = report.getLong(report.fieldIndex("n_app"))
+    val nBase = report.getLong(report.fieldIndex("n_base"))
+    val wn = report.getLong(report.fieldIndex("wn"))
+    val meanDrift = if (wn > 0L) report.getDouble(report.fieldIndex("wdrift")) / wn else 0.0
+    val fracAppended =
+      if (nApp + nBase > 0L) nApp.toDouble / (nApp + nBase) else 0.0
+    val stale = meanDrift > driftThreshold || fracAppended > fracAppendedThreshold
+    if (stale) {
+      val quantized = spark.read.parquet(s"$path/cells")
+        .schema.fieldNames.contains("q_emb")
+      val cents = kmeansIterate(corpus, idCol, embCol, k, iters)
+        .select(col("cluster").as(idCol), col("centroid").as(embCol))
+      if (quantized) writeQuantizedIvfIndex(corpus, cents, idCol, embCol, path)
+      else writeIvfIndex(corpus, cents, idCol, embCol, path)
+    }
+    stale
+  }
+
   /** Search a [[writeQuantizedIvfIndex]] index: cell selection runs in
     * the float domain against the stored quantizer (the one-broadcast-
     * row pattern), probes quantize on the fly, and scoring is the int8

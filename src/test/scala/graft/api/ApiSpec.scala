@@ -694,6 +694,124 @@ class ApiSpec extends SparkSpec {
     assert(key(inc) === key(full))
   }
 
+  test("compactIvfCells: fewer files, bit-identical search, stats and centroids untouched (both layouts)") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = corpus.filter($"vec_id" < 8)
+    val probes = corpus.filter($"vec_id" >= 100 && $"vec_id" < 105)
+      .select($"vec_id", $"embedding")
+    // float layout: base write + 3 appends → ≥4 files in busy cells
+    val dirF = java.nio.file.Files.createTempDirectory("ivf_compact_f").toString
+    Similarity.writeIvfIndex(
+      corpus.filter($"vec_id" % 4 === 0), cents, "vec_id", "embedding", dirF)
+    (1 to 3).foreach { r =>
+      Similarity.appendToIvfIndex(
+        corpus.filter($"vec_id" % 4 === r), "vec_id", "embedding", dirF)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"), $"sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val statsBefore = spark.read.parquet(s"$dirF/stats")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val centsBefore = spark.read.parquet(s"$dirF/centroids")
+      .select($"vec_id").as[Long].collect().toSet
+    // nprobe = |cells|: every row participates, so parity is exhaustive
+    val before = key(Similarity.searchIvfIndex(spark, dirF, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    val (nBefore, nAfter) = Similarity.compactIvfCells(spark, dirF)
+    assert(nAfter < nBefore,
+      s"compaction must reduce the file count: $nBefore -> $nAfter")
+    val after = key(Similarity.searchIvfIndex(spark, dirF, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    assert(after === before, "search must be bit-identical across compaction")
+    assert(spark.read.parquet(s"$dirF/stats")
+      .as[(Long, Long, Double, Boolean)].collect().toSet === statsBefore,
+      "compaction must not rewrite the stats table (drift history survives)")
+    assert(spark.read.parquet(s"$dirF/centroids")
+      .select($"vec_id").as[Long].collect().toSet === centsBefore)
+
+    // quantized layout: same contract, payload-agnostic rewrite
+    val dirQ = java.nio.file.Files.createTempDirectory("ivf_compact_q").toString
+    Similarity.writeQuantizedIvfIndex(
+      corpus.filter($"vec_id" % 4 === 0), cents, "vec_id", "embedding", dirQ)
+    (1 to 3).foreach { r =>
+      Similarity.appendToQuantizedIvfIndex(
+        corpus.filter($"vec_id" % 4 === r), "vec_id", "embedding", dirQ)
+    }
+    val qBefore = key(Similarity.searchQuantizedIvfIndex(spark, dirQ, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8))
+    val (qn0, qn1) = Similarity.compactIvfCells(spark, dirQ)
+    assert(qn1 < qn0, s"quantized compaction must reduce files: $qn0 -> $qn1")
+    assert(key(Similarity.searchQuantizedIvfIndex(spark, dirQ, probes,
+      "vec_id", "embedding", k = 5, nprobe = 8)) === qBefore)
+    // int8 payload schema survives the rewrite untouched
+    val qSchema = spark.read.parquet(s"$dirQ/cells").schema
+    assert(qSchema.fieldNames.contains("q_emb") && qSchema.fieldNames.contains("qnorm"))
+  }
+
+  test("maintainIvfIndex: calm index stands; drifted appends trip the threshold and rebuild the right layout") {
+    import spark.implicits._
+    val centers = Seq(
+      Array(1.0f, 0f, 0f, 0f, 0.1f, 0f, 0f, 0f),
+      Array(0f, 1.0f, 0f, 0f, 0f, 0.1f, 0f, 0f),
+      Array(0f, 0f, 1.0f, 0f, 0f, 0f, 0.1f, 0f))
+    def blob(ids: Range) = ids.map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * (((i * 31 + d * 7) % 11) - 5)
+      })
+    }.toDF("vec_id", "embedding")
+    val blobCents = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maintain").toString
+    Similarity.writeQuantizedIvfIndex(blob(0 until 90), blobCents,
+      "vec_id", "embedding", dir)
+
+    // in-distribution append: below both thresholds, nothing rebuilds
+    Similarity.appendToQuantizedIvfIndex(blob(90 until 140), "vec_id", "embedding", dir)
+    val calmCorpus = blob(0 until 140)
+    assert(!Similarity.maintainIvfIndex(spark, calmCorpus, "vec_id", "embedding",
+        dir, driftThreshold = 0.2, k = 3, iters = 2),
+      "an in-distribution append must not trigger a rebuild")
+    assert(spark.read.parquet(s"$dir/stats").filter(!$"is_base").count() > 0,
+      "a declined rebuild must leave the appended stats history in place")
+
+    // off-manifold append: coherence collapses → weighted drift trips
+    val shifted = (1000 until 1100).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d % 2 == 0) 1.0f else -1.0f) * (1f + 0.01f * ((i + d) % 7))))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToQuantizedIvfIndex(shifted, "vec_id", "embedding", dir)
+    val fullCorpus = calmCorpus.union(shifted)
+    assert(Similarity.maintainIvfIndex(spark, fullCorpus, "vec_id", "embedding",
+        dir, driftThreshold = 0.2, k = 4, iters = 3),
+      "a drifted append history must trigger the rebuild")
+    // the rebuild kept the quantized layout, retrained to k cells, and
+    // reset the stats baseline (no appended rows remain)
+    val cellSchema = spark.read.parquet(s"$dir/cells").schema
+    assert(cellSchema.fieldNames.contains("q_emb"),
+      "rebuild must preserve the int8 layout")
+    // k=4 seeds may collapse to fewer cells (an emptied seed cluster
+    // drops out of the kmeansStep aggregate) — at least the 3 genuine
+    // blob directions plus-or-minus the shifted mass must survive
+    assert(spark.read.parquet(s"$dir/centroids").count() >= 3)
+    assert(spark.read.parquet(s"$dir/stats").filter(!$"is_base").count() === 0,
+      "rebuild must reset the drift baseline")
+    // post-rebuild the shifted direction has its own coherent cell:
+    // searching it at nprobe=1 must surface shifted members (the stale
+    // quantizer had no cell pointing that way)
+    val probe = Seq((9999L, Array.tabulate(8)(d => if (d % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.searchQuantizedIvfIndex(spark, dir, probe,
+        "vec_id", "embedding", k = 5, nprobe = 1)
+      .select($"cand_id".cast("long")).as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.forall(_ >= 1000L),
+      s"the retrained quantizer must give the shifted mass its own cell: $hits")
+    // and a fresh maintain call right after the rebuild is a no-op
+    assert(!Similarity.maintainIvfIndex(spark, fullCorpus, "vec_id", "embedding",
+      dir, driftThreshold = 0.2, k = 4, iters = 2))
+  }
+
   test("quantized IVF index: all-cell search equals quantizedKnn exactly; probed search prunes and keeps recall") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -270,6 +270,27 @@ class StreamOpsSpec extends SparkSpec {
         .toDF("id", "emb"), "id", "emb", dir)
     mem.addData(EmbRow(9002L, mixDir))
     q.processAllAvailable()
+    // COMPACT the appended small files mid-stream: the rename swap must
+    // be invisible to the next batch beyond fewer files on disk
+    val (filesBefore, filesAfter) =
+      graft.api.Similarity.compactIvfCells(spark, dir)
+    assert(filesAfter < filesBefore,
+      s"append left files to compact: $filesBefore -> $filesAfter")
+    mem.addData(EmbRow(9003L, mixDir))
+    q.processAllAvailable()
+    // DRIFT-TRIGGERED RETRAIN mid-stream: the 2 off-manifold appended
+    // rows collapsed the appended coherence, so the maintenance policy
+    // rebuilds from the current full corpus; the stream must pick the
+    // retrained index up on its next batch, still finding the mix rows
+    val fullCorpus = blob(0 until 90).map(r => r.copy(id = r.id + 10000L))
+      .toDF("id", "emb")
+      .union(Seq(EmbRow(20000L, mixDir), EmbRow(20001L, mixDir.map(_ * 0.999f)))
+        .toDF("id", "emb"))
+    assert(graft.api.Similarity.maintainIvfIndex(spark, fullCorpus, "id", "emb",
+        dir, driftThreshold = 0.1, k = 3, iters = 2),
+      "the off-manifold append history must trip the drift threshold")
+    mem.addData(EmbRow(9004L, mixDir))
+    q.processAllAvailable()
     q.stop()
 
     val byBatch = results.synchronized(results.toVector).groupBy(_._1)
@@ -280,6 +301,10 @@ class StreamOpsSpec extends SparkSpec {
       s"batch 1 must see the REBUILT index without restart: ${byBatch(1L)}")
     assert(byBatch(2L).exists { case (_, _, cand) => cand >= 20000L },
       s"batch 2 must see the appended rows: ${byBatch(2L)}")
+    assert(byBatch(3L).exists { case (_, _, cand) => cand >= 20000L },
+      s"batch 3 must read the COMPACTED layout and still find the appends: ${byBatch(3L)}")
+    assert(byBatch(4L).exists { case (_, _, cand) => cand >= 20000L },
+      s"batch 4 must search the drift-retrained index: ${byBatch(4L)}")
   }
 
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
