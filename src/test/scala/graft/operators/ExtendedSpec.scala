@@ -116,6 +116,46 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("bracketEpsFor: the polish path survives synthetic large-n corpora (r6 verdict #6)") {
+    val cap = 1L << 20
+    // small corpus: the widest (safest) rung
+    assert(Extended.bracketEpsFor(1000000L, cap) === Extended.EpsLadder.head)
+    // past n ≈ 2.6e8 the old fixed 0.002 margin overflows the cap
+    // (2·0.002·n > 2^20); the ladder steps down and the expected mass
+    // STILL fits the collect cap
+    for (n <- Seq(300000000L, 1000000000L, 2000000000L)) {
+      val eps = Extended.bracketEpsFor(n, cap)
+      assert(eps < Extended.EpsLadder.head, s"n=$n must step down the ladder")
+      assert(2.0 * eps * n <= cap,
+        s"n=$n: chosen width $eps must keep the bracket collectable")
+    }
+    // beyond the floor's reach the choice pins to the floor (never
+    // below sketch resolution); pass 2's measured mass then diverts to
+    // bisection instead of collecting
+    assert(Extended.bracketEpsFor(100000000000L, cap) === Extended.EpsLadder.last)
+    // degenerate cap: floor again (nothing will collect; bisection path)
+    assert(Extended.bracketEpsFor(1000L, 0L) === Extended.EpsLadder.last)
+  }
+
+  test("pass-3 global budget: a tiny maxCollect chunks the polish and stays bit-identical") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // l_quantity is 50 distinct integer values — every bracket carries
+    // heavy duplicate mass, so a 150-value budget forces brackets that
+    // individually fit to SHARE jobs in chunks (the advice scenario: the
+    // old single pass-3 job summed every bracket into one agg row)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val mine = Extended.exactQuantilesMulti(
+      li, Some("l_returnflag"), Seq("l_quantity" -> ps), maxCollect = 150L)
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(expr(s"percentile(l_quantity, array(${ps.mkString(",")}))").as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((g, m) <- mine; (p, i) <- ps.zipWithIndex)
+      assert(java.lang.Double.doubleToLongBits(m(("l_quantity", p))) ===
+        java.lang.Double.doubleToLongBits(builtin(g.asInstanceOf[String])(i)),
+        s"group $g p=$p")
+  }
+
   test("q66 subquery result agrees with the join formulation") {
     import spark.implicits._
     val viaSql = Extended.q66Subqueries(spark, sf)
