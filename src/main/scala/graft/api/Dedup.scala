@@ -143,19 +143,49 @@ object Dedup {
     withSigs.select(col(idCol) +: col("n_sh") +: mins: _*)
   }
 
-  /** Long-form signature table: (idCol, seed, minhash). */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 4): DataFrame = {
+  /** [[minhashSignatures]] over an ALREADY-shingled frame (a
+    * [[shingleSets]] output) — for callers that reuse one shingle pass
+    * across several consumers (the q118 calibration pattern).
+    */
+  def minhashSignaturesOn(shingled: DataFrame, idCol: String): DataFrame = {
     val stackArgs = (0 until NumSeeds).map(s => s"${s}L, m$s").mkString(", ")
-    minhashWide(shingleSets(docs, idCol, textCol, n), idCol)
+    minhashWide(shingled, idCol)
       .select(col(idCol), expr(s"stack($NumSeeds, $stackArgs) AS (seed, minhash)"))
   }
 
+  /** Long-form signature table: (idCol, seed, minhash). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame =
+    minhashSignaturesOn(shingleSets(docs, idCol, textCol, n), idCol)
+
   /** MinHash-LSH candidate pairs with exact verified Jaccard:
     * (id_a, id_b, n_inter, jaccard), id_a < id_b, unordered output.
-    * Banding: 2 bands × 4 rows over the 8-seed signatures.
+    * Banding: 2 bands × 4 rows over the 8-seed signatures. The verify
+    * stage shingles the candidate docs ONCE (one shared frame for both
+    * pair sides — they draw from the same corpus).
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cands = lshRawCandidatePairs(docs, idCol, textCol, n, maxBucketSize)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    // one shingle kernel pass over the candidate subset, cached: both
+    // the a-side and b-side of the exact verify read it (the per-side
+    // re-shingle it replaces ran the kernel twice)
+    val candSh = tracked(shingleSets(
+      docs.join(broadcast(candIds), Seq(idCol), "left_semi"),
+      idCol, textCol, n))
+    exactJaccardOn(cands, candSh, idCol, "id_a", "id_b")
+  }
+
+  /** UNVERIFIED LSH candidate pairs — the banding/bucketing stage of
+    * [[lshCandidatePairs]] without the exact-Jaccard verify:
+    * (id_a, id_b), id_a < id_b. For callers that verify against a
+    * shared shingle frame via [[exactJaccardOn]] and reuse that frame
+    * for further per-candidate work (the q118 calibration computes both
+    * the exact Jaccard and the signature estimate off one pass).
+    */
+  def lshRawCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val doc = shingleSets(docs, idCol, textCol, n)
     // band signature = the 4 seed minhashes of the band joined in seed
@@ -212,17 +242,34 @@ object Dedup {
         .select(col("id_a"), explode(expr("filter(ids, d -> d > id_a)")).as("id_b"))
         .distinct())
     }
-    verifyExactJaccard(cands, docs, docs, idCol, textCol, n, "id_a", "id_b")
+    cands
   }
 
-  /** Exact-Jaccard verification of a (tiny) candidate-pair frame: pull
-    * each pair's two shingle arrays side by side via two broadcast
-    * joins and intersect in place — the full shingle data is only ever
-    * scanned, never shuffled. The broadcast semi-restriction to
-    * candidate ids happens on the RAW docs, BEFORE the shingle kernel,
-    * so each side's full-corpus kernel runs exactly once (in its
-    * banding pass); the verify passes re-shingle only the candidate
-    * subset.
+  /** Exact Jaccard for a (tiny) candidate-pair frame against ONE
+    * prepared shingle frame (a [[shingleSets]] output covering every id
+    * the pairs mention): both pair sides broadcast-join the same frame
+    * and the arrays intersect in place — the shingle data is only ever
+    * scanned, never shuffled, and the shingle kernel is not re-run
+    * here. Output: (aCol, bCol, n_inter, jaccard).
+    */
+  def exactJaccardOn(cands: DataFrame, shingled: DataFrame, idCol: String,
+      aCol: String, bCol: String): DataFrame = {
+    val withA = shingled
+      .select(col(idCol).as(aCol), col("sh_arr").as("a_arr"), col("n_sh").as("n_a"))
+      .join(broadcast(cands), aCol)
+    shingled
+      .select(col(idCol).as(bCol), col("sh_arr").as("b_arr"), col("n_sh").as("n_b"))
+      .join(broadcast(withA), bCol)
+      .withColumn("n_inter", expr("CAST(size(array_intersect(a_arr, b_arr)) AS BIGINT)"))
+      .select(col(aCol), col(bCol), col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Exact-Jaccard verification of a (tiny) candidate-pair frame whose
+    * sides come from DIFFERENT sources: each side semi-restricts its
+    * raw docs to its candidate ids BEFORE the shingle kernel, then both
+    * feed [[exactJaccardOn]]'s broadcast-intersect shape. Same-source
+    * callers ([[lshCandidatePairs]]) share one shingle frame instead.
     */
   private def verifyExactJaccard(cands: DataFrame, docsA: DataFrame,
       docsB: DataFrame, idCol: String, textCol: String, n: Int,

@@ -380,17 +380,22 @@ object DedupOps {
   def q118MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+    val raw = graft.api.Dedup.lshRawCandidatePairs(d, "doc_id", "text")
+    val candIds = raw.select($"id_a".as("doc_id"))
+      .union(raw.select($"id_b".as("doc_id"))).distinct()
+    // the shingle kernel re-runs over candidate docs EXACTLY ONCE: the
+    // candidate-restricted shingle frame is materialized
+    // (localCheckpoint — pair-density bounded, never corpus-bounded) and
+    // BOTH the exact-Jaccard verify and the signature estimate consume
+    // it (r6 flagged the calibration stage re-shingling docs the verify
+    // had just shingled; PlanSpec locks the submitted plan kernel-free)
+    val candSh = graft.api.Dedup.shingleSets(
+        d.join(broadcast(candIds), Seq("doc_id"), "left_semi"), "doc_id", "text")
+      .localCheckpoint()
+    val pairs = graft.api.Dedup
+      .exactJaccardOn(raw, candSh, "doc_id", "id_a", "id_b")
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"jaccard")
-    // the signature kernel re-runs ONLY over candidate docs: the pair
-    // frame is tiny, so its id set broadcast-semi-restricts the corpus
-    // before the shingle/minhash pass (the verifyExactJaccard pattern) —
-    // without this, both sides of the self-join would each re-shingle
-    // the whole corpus
-    val candIds = pairs.select($"doc_a".as("doc_id"))
-      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-    val sigs = graft.api.Dedup.minhashSignatures(
-      d.join(broadcast(candIds), Seq("doc_id"), "left_semi"), "doc_id", "text")
+    val sigs = graft.api.Dedup.minhashSignaturesOn(candSh, "doc_id")
     val sa = sigs.select($"doc_id".as("doc_a"), $"seed", $"minhash".as("mh_a"))
     val sb = sigs.select($"doc_id".as("doc_b"), $"seed", $"minhash".as("mh_b"))
     pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))

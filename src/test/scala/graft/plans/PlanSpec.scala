@@ -302,14 +302,27 @@ class PlanSpec extends SparkSpec {
     assert(joinId.nonEmpty, s"exact shingle join missing:\n$p")
   }
 
-  test("q118: the calibration signature kernel runs candidate-restricted (semi-join before minhash)") {
-    val p = planOf(graft.operators.DedupOps.q118MinhashCalibration(spark, sf))
-    // the restriction is the lock: the sa/sb signature passes must sit
-    // above a LeftSemi against the broadcast candidate-id frame (the
-    // kernel re-runs only over candidate docs; without it both
-    // self-join sides re-shingle the whole corpus)
-    assert(p.contains("LeftSemi"),
-      s"the corpus must semi-restrict to candidate ids before re-shingling:\n$p")
+  test("q118: one shingle kernel pass — the submitted plan is kernel-free outside the cached banding") {
+    val df = graft.operators.DedupOps.q118MinhashCalibration(spark, sf)
+    // r6 flagged the calibration re-shingling candidate docs the LSH
+    // stage had already shingled. Now the candidate shingle frame is
+    // checkpointed ONCE (a LogicalRDD leaf) and both the exact verify
+    // and the signature estimate read it, while the full-corpus banding
+    // hides behind the cached raw-pairs relation (InMemoryRelation
+    // leaf, one execution). Lock: the optimized plan's own nodes carry
+    // ZERO text_shingles calls — a regression that re-shingles per
+    // consumer surfaces here immediately. (minhash_sigs legitimately
+    // remains: the signature estimate maps the CHECKPOINTED shingle
+    // frame, pair-density-bounded work, once per sa/sb side.)
+    val lp = df.queryExecution.optimizedPlan
+    val shingleCalls = lp.collect { case n =>
+      n.expressions.map(_.toString).count(_.contains("text_shingles"))
+    }.sum
+    assert(shingleCalls === 0,
+      s"submitted q118 plan must reuse the materialized shingle frame:\n$lp")
+    val p = planOf(df)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"q118 must scan the checkpointed candidate shingle frame:\n$p")
   }
 
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
