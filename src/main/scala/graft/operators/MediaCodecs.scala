@@ -1,0 +1,278 @@
+package graft.operators
+
+/** Pure-JVM codecs for the two media container formats whose specs allow
+  * a dependency-free decode: uncompressed BMP (Windows DIB, 24/32-bit)
+  * and PCM WAV (RIFF, 16-bit). These upgrade the multimodal path from
+  * "labeled stub" to a real decode for at least one image and one audio
+  * format (VERDICT r6 #5); formats that need entropy codecs (JPEG, MP3,
+  * H.264) stay behind [[MultimodalOps.stubDecode]] in this zero-egress
+  * container.
+  *
+  * Everything here is byte-level header parsing + raw sample access —
+  * deterministic, allocation-bounded by the payload, and safe to run
+  * inside a narrow `mapPartitions` (no shared state, no native libs).
+  * Decoders return `None` on anything malformed rather than throwing, so
+  * a corrupt payload degrades to the stub path instead of failing the
+  * partition.
+  */
+object MediaCodecs {
+
+  /** Decoded raster: row-major top-down, one packed 0xRRGGBB Int per
+    * pixel (alpha dropped on 32-bit input).
+    */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Int])
+
+  /** Decoded PCM audio: interleaved 16-bit samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  // ---- little-endian primitives ----------------------------------------
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def putI32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  // ---- BMP --------------------------------------------------------------
+
+  /** Encode a raster as an uncompressed bottom-up BMP. `bpp` 24 (rows
+    * padded to 4 bytes, the common on-disk form) or 32 (BGRA, alpha 0xff).
+    */
+  def encodeBmp(img: BmpImage, bpp: Int = 24): Array[Byte] = {
+    require(bpp == 24 || bpp == 32, s"unsupported bpp $bpp")
+    require(img.pixels.length == img.width * img.height, "pixel count != w*h")
+    val bytesPerPx = bpp / 8
+    val rowStride = ((img.width * bytesPerPx + 3) / 4) * 4
+    val dataSize = rowStride * img.height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putI32(out, 2, out.length) // file size
+    putI32(out, 10, 54) // pixel data offset
+    putI32(out, 14, 40) // BITMAPINFOHEADER size
+    putI32(out, 18, img.width)
+    putI32(out, 22, img.height) // positive = bottom-up
+    putU16(out, 26, 1) // planes
+    putU16(out, 28, bpp)
+    putI32(out, 30, 0) // BI_RGB (uncompressed)
+    putI32(out, 34, dataSize)
+    var y = 0
+    while (y < img.height) {
+      // BMP stores rows bottom-up: file row y holds image row (h-1-y)
+      val srcRow = img.height - 1 - y
+      var x = 0
+      while (x < img.width) {
+        val px = img.pixels(srcRow * img.width + x)
+        val off = 54 + y * rowStride + x * bytesPerPx
+        out(off) = (px & 0xff).toByte // B
+        out(off + 1) = ((px >> 8) & 0xff).toByte // G
+        out(off + 2) = ((px >> 16) & 0xff).toByte // R
+        if (bpp == 32) out(off + 3) = 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode an uncompressed 24/32-bit BMP, bottom-up (positive height) or
+    * top-down (negative). `None` on any malformed/unsupported header.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val dataOff = i32(payload, 10)
+    val hdrSize = i32(payload, 14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
+    val width = i32(payload, 18)
+    val rawHeight = i32(payload, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bpp = u16(payload, 28)
+    val compression = i32(payload, 30)
+    if (width <= 0 || height <= 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    // cap decode size so a forged header can't allocate unboundedly
+    if (width.toLong * height > (64L << 20)) return None
+    val bytesPerPx = bpp / 8
+    val rowStride = ((width * bytesPerPx + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowStride.toLong * height > payload.length) return None
+    val pixels = new Array[Int](width * height)
+    var fileRow = 0
+    while (fileRow < height) {
+      val imgRow = if (topDown) fileRow else height - 1 - fileRow
+      var x = 0
+      while (x < width) {
+        val off = dataOff + fileRow * rowStride + x * bytesPerPx
+        pixels(imgRow * width + x) =
+          ((payload(off + 2) & 0xff) << 16) | ((payload(off + 1) & 0xff) << 8) |
+            (payload(off) & 0xff)
+        x += 1
+      }
+      fileRow += 1
+    }
+    Some(BmpImage(width, height, pixels))
+  }
+
+  /** Box-average resize on real pixels — each output pixel averages its
+    * (possibly fractional-boundary) source box per channel. Pure integer
+    * source indexing, deterministic.
+    */
+  def resizeBmp(img: BmpImage, outW: Int, outH: Int): BmpImage = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val out = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * img.height / outH
+      val y1 = math.max(y0 + 1, (oy + 1) * img.height / outH)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * img.width / outW
+        val x1 = math.max(x0 + 1, (ox + 1) * img.width / outW)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val px = img.pixels(y * img.width + x)
+            r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(oy * outW + ox) =
+          (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) |
+            ((b / n).toInt & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    BmpImage(outW, outH, out)
+  }
+
+  /** Fixed 8-dim image descriptor: dims, per-channel means, luma mean/std,
+    * horizontal edge energy. Deterministic on pixels.
+    */
+  def imageFeatures(img: BmpImage): Array[Float] = {
+    val n = img.pixels.length.toDouble
+    var r = 0.0; var g = 0.0; var b = 0.0
+    var luma = 0.0; var luma2 = 0.0; var edge = 0.0
+    var i = 0
+    while (i < img.pixels.length) {
+      val px = img.pixels(i)
+      val pr = (px >> 16) & 0xff; val pg = (px >> 8) & 0xff; val pb = px & 0xff
+      val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+      r += pr; g += pg; b += pb; luma += l; luma2 += l * l
+      if (i % img.width != 0) {
+        val q = img.pixels(i - 1)
+        val lq = 0.299 * ((q >> 16) & 0xff) + 0.587 * ((q >> 8) & 0xff) + 0.114 * (q & 0xff)
+        edge += math.abs(l - lq)
+      }
+      i += 1
+    }
+    val meanL = luma / n
+    val varL = math.max(0.0, luma2 / n - meanL * meanL)
+    val nEdges = math.max(1, img.pixels.length - img.height)
+    Array(img.width.toFloat, img.height.toFloat, (r / n).toFloat, (g / n).toFloat,
+      (b / n).toFloat, meanL.toFloat, math.sqrt(varL).toFloat, (edge / nEdges).toFloat)
+  }
+
+  // ---- WAV --------------------------------------------------------------
+
+  /** Encode mono 16-bit PCM as a canonical 44-byte-header WAV. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putI32(out, 4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putI32(out, 16, 16) // fmt chunk size
+    putU16(out, 20, 1) // PCM
+    putU16(out, 22, 1) // channels
+    putI32(out, 24, sampleRate)
+    putI32(out, 28, sampleRate * 2) // byte rate
+    putU16(out, 32, 2) // block align
+    putU16(out, 34, 16) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putI32(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      putU16(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode 16-bit PCM WAV, walking RIFF chunks (unknown chunks skipped,
+    * odd sizes padded per spec) so payloads with LIST/fact chunks before
+    * `data` still decode. `None` on non-PCM, non-16-bit, or malformed.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+      payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+      return None
+    var off = 12
+    var sampleRate = -1
+    var channels = -1
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (off + 8 <= payload.length && (data == null || !fmtOk)) {
+      val id = new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = i32(payload, off + 4)
+      if (size < 0 || off + 8 + size.toLong > payload.length) return None
+      val body = off + 8
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val fmt = u16(payload, body)
+        channels = u16(payload, body + 2)
+        sampleRate = i32(payload, body + 4)
+        val bits = u16(payload, body + 14)
+        if (fmt != 1 || bits != 16 || channels < 1 || sampleRate <= 0) return None
+        fmtOk = true
+      } else if (id == "data") {
+        val n = size / 2
+        data = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          data(i) = (u16(payload, body + i * 2) & 0xffff).toShort
+          i += 1
+        }
+      }
+      off = body + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtOk && data != null) Some(WavAudio(sampleRate, channels, data)) else None
+  }
+
+  /** Fixed 8-dim audio descriptor: rate, channels, frame count, duration,
+    * RMS, peak, mean |x|, zero-crossing rate. Deterministic on samples.
+    */
+  def audioFeatures(a: WavAudio): Array[Float] = {
+    val n = a.samples.length
+    var sum2 = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toDouble / 32768.0
+      sum2 += s * s; sumAbs += math.abs(s)
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && ((a.samples(i) >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    val nn = math.max(1, n).toDouble
+    val frames = n / a.channels
+    Array(a.sampleRate.toFloat, a.channels.toFloat, frames.toFloat,
+      (frames.toDouble / a.sampleRate).toFloat, math.sqrt(sum2 / nn).toFloat,
+      peak.toFloat, (sumAbs / nn).toFloat, (zc / nn).toFloat)
+  }
+}

@@ -5,12 +5,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing — image/audio/video payloads as opaque
-  * `binary` columns with typed metadata. The real pipeline (schema,
-  * partition-preserving mapPartitions decode, batch shape) is
-  * [[MultimodalOps.decodeFeatures]] / [[MultimodalOps.sampleFrames]] with
-  * a deterministic stub decoder (the actual image/audio codecs are not in
-  * this container); q44 is the oracle-checkable twin of the metadata
-  * extraction path, driving the same binary columns through SQL.
+  * `binary` columns with typed metadata. Decode is REAL for uncompressed
+  * BMP and PCM-16 WAV via the pure-JVM [[MediaCodecs]] (header parse +
+  * raw pixel/sample access — no external codec needed); formats that need
+  * entropy codecs (JPEG/MP3/H.264, whose libs aren't in this zero-egress
+  * container) fall back to the deterministic [[MultimodalOps.stubDecode]],
+  * labeled per-row in the `decoder` column. q44 is the oracle-checkable
+  * twin of the metadata path over SQL; q120 round-trips real BMP/WAV
+  * bytes (encode → decode) against an oracle that independently predicts
+  * the decoded header metadata.
   *
   * Scale: decode is a narrow per-partition map over the binary column —
   * no shuffle; batch size is bounded by rows-per-partition, so partition
@@ -38,16 +41,31 @@ object MultimodalOps {
     acc
   }
 
+  /** Dispatch a payload to the strongest decoder its bytes support: real
+    * BMP → image features, real WAV → audio features, anything else → the
+    * labeled stub. Sniffs the bytes (magic numbers) rather than trusting
+    * the mime string, so a mislabeled or corrupt payload degrades to the
+    * stub instead of failing the partition.
+    */
+  def decodeAny(payload: Array[Byte], dims: Int = 8): (String, Array[Float]) =
+    MediaCodecs.decodeBmp(payload).map(i => ("bmp", MediaCodecs.imageFeatures(i)))
+      .orElse(MediaCodecs.decodeWav(payload).map(a => ("wav", MediaCodecs.audioFeatures(a))))
+      .getOrElse(("stub", stubDecode(payload, dims)))
+
   /** Decode a media Dataset into per-record feature vectors — narrow, no
     * shuffle, decoder instantiated once per partition (the reference's
-    * client-per-lifetime pattern, Handler.java:46-57).
+    * client-per-lifetime pattern, Handler.java:46-57). The `decoder`
+    * column records which path each row took (`bmp` / `wav` / `stub`).
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here (codec contexts, etc.)
-      it.map(r => (r.media_id, r.mime, r.n_bytes, stubDecode(r.payload)))
-    }.toDF("media_id", "mime", "n_bytes", "features")
+      it.map { r =>
+        val (decoder, feats) = decodeAny(r.payload)
+        (r.media_id, r.mime, r.n_bytes, decoder, feats)
+      }
+    }.toDF("media_id", "mime", "n_bytes", "decoder", "features")
   }
 
   /** Resize: box-downsample the payload to `targetLen` "pixels" by
@@ -92,8 +110,122 @@ object MultimodalOps {
     }.toDF("media_id", "n_frames", "frames")
   }
 
+  /** Build a media table of REAL decodable payloads from `documents`:
+    * even doc_ids become genuine 24-bit BMPs (dimensions a deterministic
+    * function of doc_id, pixels cycled from the text bytes), odd doc_ids
+    * genuine 8 kHz mono PCM-16 WAVs (one sample per text byte). Every
+    * payload round-trips through [[MediaCodecs]] — this is the zero-egress
+    * stand-in for an object-store scan of real image/audio files, with
+    * the generation rule simple enough for a SQL oracle to predict the
+    * decoded header metadata (q120).
+    */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    table(spark, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def byteAt(j: Int): Int =
+            if (bytes.length == 0) 0 else bytes(j % bytes.length) & 0xff
+          val payload =
+            if (id % 2 == 0) {
+              val w = (4 + id % 13).toInt
+              val h = (3 + id % 7).toInt
+              val px = new Array[Int](w * h)
+              var i = 0
+              while (i < px.length) {
+                px(i) = (byteAt(3 * i) << 16) | (byteAt(3 * i + 1) << 8) | byteAt(3 * i + 2)
+                i += 1
+              }
+              MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, px))
+            } else {
+              val samples = new Array[Short](bytes.length)
+              var i = 0
+              while (i < samples.length) {
+                samples(i) = (((bytes(i) & 0xff) - 128) << 8).toShort
+                i += 1
+              }
+              MediaCodecs.encodeWav(8000, samples)
+            }
+          val mime = if (id % 2 == 0) "image/bmp" else "audio/wav"
+          MediaRecord(id, payload, mime, payload.length.toLong)
+        }
+      }
+  }
+
+  /** Typed metadata extraction by REAL header parsing — width/height from
+    * the BMP DIB header, rate/channels/frame count from the WAV fmt+data
+    * chunks, `opaque` with byte length only for payloads neither codec
+    * accepts. Narrow map, no shuffle.
+    */
+  def mediaMetadata(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.decodeBmp(r.payload) match {
+          case Some(img) =>
+            (r.media_id, "bmp", img.width.toLong, img.height.toLong, 0L, 0L,
+              img.width.toLong * img.height, r.payload.length.toLong)
+          case None => MediaCodecs.decodeWav(r.payload) match {
+            case Some(a) =>
+              (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
+                (a.samples.length / a.channels).toLong, r.payload.length.toLong)
+            case None =>
+              (r.media_id, "opaque", 0L, 0L, 0L, 0L, 0L, r.payload.length.toLong)
+          }
+        }
+      }
+    }.toDF("media_id", "format", "width", "height", "sample_rate", "channels",
+      "n_units", "payload_bytes")
+  }
+
+  /** REAL image resize: decode BMP pixels, box-average to `outW`×`outH`,
+    * re-encode — the output payloads are themselves valid BMPs. Non-BMP
+    * rows pass through untouched. Narrow map, no shuffle.
+    */
+  def resizeImages(ds: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        MediaCodecs.decodeBmp(r.payload) match {
+          case Some(img) =>
+            val out = MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, outW, outH))
+            MediaRecord(r.media_id, out, r.mime, out.length.toLong)
+          case None => r
+        }
+      }
+    }
+  }
+
+  /** REAL audio frame sampling: decode WAV samples, split into
+    * `frameLen`-sample frames (channel-0 of interleaved audio), keep at
+    * most `maxFrames`, emit per-frame RMS — the audio analogue of video
+    * frame extraction. Non-WAV rows yield zero frames.
+    */
+  def sampleAudioFrames(ds: Dataset[MediaRecord], frameLen: Int = 256,
+      maxFrames: Int = 16): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val rms = MediaCodecs.decodeWav(r.payload) match {
+          case Some(a) =>
+            val frames = a.samples.indices.by(a.channels).map(a.samples(_))
+              .grouped(frameLen).take(maxFrames)
+            frames.map { f =>
+              math.sqrt(f.map(s => { val x = s.toDouble / 32768.0; x * x }).sum /
+                math.max(1, f.length)).toFloat
+            }.toArray
+          case None => Array.empty[Float]
+        }
+        (r.media_id, rms.length, rms)
+      }
+    }.toDF("media_id", "n_frames", "frame_rms")
+  }
+
   /** Build a media table from `documents` (text bytes as the opaque
-    * payload) — the zero-egress stand-in for real image/audio files.
+    * payload) — exercises the stub path for payloads no real codec
+    * accepts.
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -133,9 +265,35 @@ object MultimodalOps {
       |  md5(text) AS content_hash
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** q120: REAL codec round-trip — encode genuine BMP/WAV payloads from
+    * `documents` ([[syntheticMedia]]), then recover the metadata by
+    * actually parsing the bytes ([[mediaMetadata]]). The oracle predicts
+    * the decoded values independently from the generation rule (doc_id
+    * parity, dimension formulas, WAV byte accounting), so any header
+    * encode/decode bug breaks the hash match.
+    */
+  def q120MediaRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    mediaMetadata(syntheticMedia(spark, dir)).orderBy("media_id")
+
+  val q120Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 13) * (3 + doc_id % 7)
+      |       ELSE octet_length(encode(text)) END AS BIGINT) AS n_units,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |       THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
+      |       ELSE 44 + 2 * octet_length(encode(text)) END AS BIGINT) AS payload_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
-    "q44_binary_meta" -> (q44BinaryMeta _))
+    "q44_binary_meta" -> (q44BinaryMeta _),
+    "q120_media_roundtrip" -> (q120MediaRoundtrip _))
 
   val oracles: Seq[(String, String)] = Seq(
-    "q44_binary_meta" -> q44Sql)
+    "q44_binary_meta" -> q44Sql,
+    "q120_media_roundtrip" -> q120Sql)
 }

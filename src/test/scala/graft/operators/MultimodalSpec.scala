@@ -1,18 +1,145 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.operators.MediaCodecs.{BmpImage, WavAudio}
 
-/** Tests of the multimodal binary-column plumbing: schema, deterministic
-  * stub decode, batch shape, and partition preservation (the decode is a
-  * narrow map — no shuffle).
+/** Tests of the multimodal binary-column plumbing: real BMP/WAV codec
+  * round-trips, sniffing dispatch (real formats decode, everything else
+  * takes the labeled stub), schema, batch shape, and partition
+  * preservation (the decode is a narrow map — no shuffle).
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("decodeFeatures: schema + deterministic stub features") {
+  private def testImage(w: Int, h: Int): BmpImage = {
+    val px = Array.tabulate(w * h)(i => ((i * 37) % 256 << 16) | ((i * 11) % 256 << 8) | (i % 256))
+    BmpImage(w, h, px)
+  }
+
+  test("BMP codec: 24-bit round-trip, including row padding (width % 4 != 0)") {
+    for (w <- Seq(3, 4, 5, 17); h <- Seq(1, 2, 7)) {
+      val img = testImage(w, h)
+      val back = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+      assert(back.isDefined, s"decode failed at ${w}x$h")
+      assert(back.get.width === w && back.get.height === h)
+      assert(back.get.pixels.toSeq === img.pixels.toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("BMP codec: 32-bit and top-down (negative height) payloads decode") {
+    val img = testImage(5, 3)
+    val b32 = MediaCodecs.encodeBmp(img, bpp = 32)
+    assert(MediaCodecs.decodeBmp(b32).get.pixels.toSeq === img.pixels.toSeq)
+    // flip to top-down: negate the height field and reorder rows in place
+    val enc = MediaCodecs.encodeBmp(img)
+    val rowStride = ((5 * 3 + 3) / 4) * 4
+    val td = enc.clone()
+    val negH = -3
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte; td(25) = ((negH >> 24) & 0xff).toByte
+    for (r <- 0 until 3; i <- 0 until rowStride)
+      td(54 + r * rowStride + i) = enc(54 + (2 - r) * rowStride + i)
+    assert(MediaCodecs.decodeBmp(td).get.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("BMP codec: malformed payloads return None, never throw") {
+    assert(MediaCodecs.decodeBmp(Array.empty[Byte]).isEmpty)
+    assert(MediaCodecs.decodeBmp("not a bitmap at all, just text".getBytes).isEmpty)
+    val truncated = MediaCodecs.encodeBmp(testImage(8, 8)).take(60)
+    assert(MediaCodecs.decodeBmp(truncated).isEmpty)
+    // forged header claiming a huge raster must not allocate
+    val forged = MediaCodecs.encodeBmp(testImage(2, 2))
+    forged(18) = 0xff.toByte; forged(19) = 0xff.toByte; forged(20) = 0x7f.toByte
+    assert(MediaCodecs.decodeBmp(forged).isEmpty)
+  }
+
+  test("WAV codec: PCM-16 round-trip and RIFF chunk walking") {
+    val samples = Array.tabulate(777)(i => (math.sin(i * 0.1) * 20000).toShort)
+    val wav = MediaCodecs.encodeWav(16000, samples)
+    val back = MediaCodecs.decodeWav(wav).get
+    assert(back.sampleRate === 16000 && back.channels === 1)
+    assert(back.samples.toSeq === samples.toSeq)
+    // splice an unknown odd-sized chunk between fmt and data: the walker
+    // must skip it (word-aligned) and still find the data chunk
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    // patch the RIFF size field
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    assert(MediaCodecs.decodeWav(spliced).get.samples.toSeq === samples.toSeq)
+    assert(MediaCodecs.decodeWav("RIFFjunk".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(wav.take(40)).isEmpty)
+  }
+
+  test("decodeAny: sniffs real formats, labels everything else stub") {
+    val img = testImage(6, 4)
+    val (dImg, fImg) = MultimodalOps.decodeAny(MediaCodecs.encodeBmp(img))
+    assert(dImg === "bmp")
+    assert(fImg.toSeq === MediaCodecs.imageFeatures(img).toSeq)
+    val wav = MediaCodecs.encodeWav(8000, Array[Short](1, -1, 100, -100))
+    assert(MultimodalOps.decodeAny(wav)._1 === "wav")
+    val (dStub, fStub) = MultimodalOps.decodeAny("plain text".getBytes)
+    assert(dStub === "stub")
+    assert(fStub.toSeq === MultimodalOps.stubDecode("plain text".getBytes).toSeq)
+  }
+
+  test("syntheticMedia: every payload decodes with a REAL codec end-to-end") {
+    val media = MultimodalOps.syntheticMedia(spark, sf)
+    val feats = MultimodalOps.decodeFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ===
+      Seq("media_id", "mime", "n_bytes", "decoder", "features"))
+    val byDecoder = feats.groupBy("decoder").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDecoder.keySet === Set("bmp", "wav"), s"unexpected decoders: $byDecoder")
+    assert(!byDecoder.contains("stub"))
+    // metadata from actual header parsing matches the generation rule
+    val meta = MultimodalOps.mediaMetadata(media)
+      .filter("media_id IN (0, 1, 2, 3)").orderBy("media_id").collect()
+    assert(meta(0).getAs[String]("format") === "bmp")
+    assert(meta(0).getAs[Long]("width") === 4L && meta(0).getAs[Long]("height") === 3L)
+    assert(meta(1).getAs[String]("format") === "wav")
+    assert(meta(1).getAs[Long]("sample_rate") === 8000L)
+    assert(meta(2).getAs[String]("format") === "bmp")
+    assert(meta(2).getAs[Long]("width") === 6L && meta(2).getAs[Long]("height") === 5L)
+  }
+
+  test("resizeImages: output payloads are valid BMPs at the target size") {
+    val media = MultimodalOps.syntheticMedia(spark, sf)
+    val resized = MultimodalOps.resizeImages(media, 4, 4)
+    val rows = resized.filter("media_id % 2 = 0").take(5)
+    rows.foreach { r =>
+      val img = MediaCodecs.decodeBmp(r.payload)
+      assert(img.isDefined && img.get.width === 4 && img.get.height === 4)
+    }
+    // uniform-color image stays that color under box-average
+    val uni = BmpImage(9, 9, Array.fill(81)(0x6a2b1c))
+    val rz = MediaCodecs.resizeBmp(uni, 3, 3)
+    assert(rz.pixels.toSeq === Seq.fill(9)(0x6a2b1c))
+    // WAV rows pass through untouched
+    val wavRow = resized.filter("media_id = 1").head()
+    assert(MediaCodecs.decodeWav(wavRow.payload).isDefined)
+  }
+
+  test("sampleAudioFrames: per-frame RMS over real decoded samples") {
+    val media = MultimodalOps.syntheticMedia(spark, sf)
+    val frames = MultimodalOps.sampleAudioFrames(media, frameLen = 32, maxFrames = 4)
+    val rows = frames.collect()
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_frames")
+      assert(n >= 0 && n <= 4)
+      r.getAs[Seq[Float]]("frame_rms").foreach(v => assert(v >= 0f && v <= 1f))
+    }
+    // BMP rows (even ids) are not audio → zero frames; WAV rows with text → >0
+    val byId = rows.map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
+    assert(byId.filterKeys(_ % 2 == 0).values.forall(_ === 0))
+    assert(byId.filterKeys(_ % 2 == 1).values.exists(_ > 0))
+  }
+
+  test("decodeFeatures: deterministic stub features on opaque payloads") {
     val media = MultimodalOps.mediaFromDocuments(spark, sf)
     val feats = MultimodalOps.decodeFeatures(media)
-    assert(feats.schema.fieldNames.toSeq === Seq("media_id", "mime", "n_bytes", "features"))
     val row = feats.filter(feats("media_id") === 0).head()
+    assert(row.getAs[String]("decoder") === "stub")
     val payload = media.filter(media("media_id") === 0).head().payload
     val want = MultimodalOps.stubDecode(payload)
     assert(row.getAs[Seq[Float]]("features").toArray.toSeq === want.toSeq)
@@ -20,7 +147,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("decodeFeatures: narrow map preserves partitioning (no shuffle)") {
-    val media = MultimodalOps.mediaFromDocuments(spark, sf).repartition(3)
+    val media = MultimodalOps.syntheticMedia(spark, sf).repartition(3)
     val feats = MultimodalOps.decodeFeatures(media)
     assert(feats.rdd.getNumPartitions === 3)
     assert(feats.count() === media.count())
