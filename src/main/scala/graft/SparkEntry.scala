@@ -34,7 +34,7 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      Extended.queries ++ SamplingOps.queries).toMap
+      Extended.queries ++ SamplingOps.queries ++ graft.api.Stats.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +47,5 @@ object SparkEntry {
   val oracleSql: Map[String, String] =
     (Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      Extended.oracles ++ SamplingOps.oracles).toMap
+      Extended.oracles ++ SamplingOps.oracles ++ graft.api.Stats.oracles).toMap
 }

@@ -1,0 +1,143 @@
+package graft.api
+
+import graft.Util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus statistics — the "never rescan" pattern for a
+  * 100 TB ingest pipeline. Each arriving batch contributes ONE row per
+  * group key to a persisted stats table: exact mergeable aggregates
+  * (count, sum, min, max, sum-of-squares) plus an HLL sketch (Apache
+  * DataSketches via `hll_sketch_agg`) for distinct counting. Corpus-wide
+  * answers then read ONLY the stats table — |batches| × |keys| rows —
+  * and merge: sums add, min/max fold, sketches union
+  * (`hll_union_agg` → `hll_sketch_estimate`). A year of hourly batches
+  * over 1000 sources is ~9M stats rows regardless of corpus bytes, so
+  * "distinct users per event type, all time" costs a scan of megabytes,
+  * not 100 TB.
+  *
+  * Exactness split: counts/sums/extrema merge EXACTLY (q121 hash-matches
+  * the full-scan oracle); distinct counts are sketch estimates with the
+  * usual HLL error (~1.6% at lgK=12), graded by tolerance (q122, same
+  * regime as q09). Mean/stddev derive from (n, sum, sum_sq) at read time.
+  */
+object Stats {
+
+  /** One stats row per key for a single ingest batch: exact mergeable
+    * aggregates of `valueCol` plus an HLL sketch of `distinctCol`.
+    * `lgK`: HLL precision (2^lgK registers; 12 → ~1.6% rel. std. error).
+    */
+  def batchStats(batch: DataFrame, keyCols: Seq[String], valueCol: String,
+      distinctCol: String, batchId: Long, lgK: Int = 12): DataFrame =
+    batch.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol)).as("v_sum"),
+      min(col(valueCol)).as("v_min"),
+      max(col(valueCol)).as("v_max"),
+      // squares accumulate in double: long*long would overflow (or throw
+      // under ANSI) long before corpus scale, and v_sum_sq only feeds
+      // mean/std derivation
+      sum(col(valueCol).cast("double") * col(valueCol).cast("double")).as("v_sum_sq"),
+      expr(s"hll_sketch_agg($distinctCol, $lgK)").as("distinct_hll"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Append one batch's stats rows to the persisted table. The batch scan
+    * is the ONLY pass over the batch's data; everything downstream reads
+    * the stats table.
+    */
+  def appendBatchStats(batch: DataFrame, path: String, keyCols: Seq[String],
+      valueCol: String, distinctCol: String, batchId: Long, lgK: Int = 12): Unit =
+    batchStats(batch, keyCols, valueCol, distinctCol, batchId, lgK)
+      .write.mode("append").parquet(path)
+
+  /** [[appendBatchStats]] with at-least-once replay protection for
+    * streaming ingest: a stats table is append-only, so re-delivering a
+    * micro-batch (crash between the append and the stream-checkpoint
+    * commit) would DUPLICATE its rows and double-count every merge.
+    * Skips the append when rows for `batchId` already exist — correct
+    * under Structured Streaming's serialized micro-batch execution.
+    */
+  def appendBatchStatsIdempotent(batch: DataFrame, path: String,
+      keyCols: Seq[String], valueCol: String, distinctCol: String,
+      batchId: Long, lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      appendBatchStats(batch, path, keyCols, valueCol, distinctCol, batchId, lgK)
+  }
+
+  /** Corpus-wide summary from the stats table alone: exact merged
+    * count/sum/min/max/mean, plus the sketch-union distinct estimate.
+    * `allowDifferentLgConfigK` lets batches written at different
+    * precisions still merge (union degrades to the coarsest).
+    */
+  def mergedSummary(spark: SparkSession, path: String,
+      keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path).groupBy(keyCols.map(col): _*).agg(
+      sum(col("n_rows")).as("n_rows"),
+      sum(col("v_sum")).as("v_sum"),
+      min(col("v_min")).as("v_min"),
+      max(col("v_max")).as("v_max"),
+      sum(col("v_sum_sq")).as("v_sum_sq"),
+      expr("hll_sketch_estimate(hll_union_agg(distinct_hll, true))")
+        .as("distinct_est"))
+      .withColumn("v_mean", col("v_sum").cast("double") / col("n_rows"))
+
+  private def tempStatsDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_stats_").toString
+
+  /** q121: incremental stats maintenance, exact half — `documents`
+    * arrives as two ingest batches (doc_id parity); per-source
+    * count/sum/min/max over n_chars are answered from the MERGED stats
+    * table only and must hash-match the oracle's full scan.
+    */
+  def q121IncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val path = tempStatsDir()
+    appendBatchStats(docs.filter(col("doc_id") % 2 === 0), path,
+      Seq("source"), "n_chars", "n_chars", batchId = 0)
+    appendBatchStats(docs.filter(col("doc_id") % 2 === 1), path,
+      Seq("source"), "n_chars", "n_chars", batchId = 1)
+    mergedSummary(spark, path, Seq("source"))
+      .select(col("source"), col("n_rows").as("n_docs"),
+        col("v_sum").as("chars_total"), col("v_min").as("chars_min"),
+        col("v_max").as("chars_max"))
+      .orderBy("source")
+  }
+
+  val q121Sql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  min(n_chars) AS chars_min, max(n_chars) AS chars_max
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** q122: incremental stats maintenance, sketch half — distinct users
+    * per event type from per-batch HLL sketches unioned at read time,
+    * next to the exact full-scan count. Engine-specific sketch values →
+    * rows-only driver check; the quantitative grade is the ±5% tolerance
+    * check (tools/check_oracle.py), same regime as q09.
+    */
+  def q122SketchUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val path = tempStatsDir()
+    appendBatchStats(ev.filter(col("event_id") % 2 === 0), path,
+      Seq("event_type"), "user_id", "user_id", batchId = 0)
+    appendBatchStats(ev.filter(col("event_id") % 2 === 1), path,
+      Seq("event_type"), "user_id", "user_id", batchId = 1)
+    val est = mergedSummary(spark, path, Seq("event_type"))
+      .select(col("event_type"), col("distinct_est").as("approx_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q121_incremental_stats" -> (q121IncrementalStats _),
+    "q122_sketch_users" -> (q122SketchUsers _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q121_incremental_stats" -> q121Sql)
+}

@@ -194,6 +194,24 @@ object StreamOps {
         broadcastCutover), batchId)
     }
 
+  /** Streaming twin of [[graft.api.Stats]]: each micro-batch appends its
+    * mergeable stats rows (count/sum/min/max/moments + HLL sketch per
+    * key) to the persisted stats table — the live ingest path of the
+    * never-rescan pattern. [[graft.api.Stats.mergedSummary]] over the
+    * same directory serves corpus-wide answers that include every batch
+    * seen so far; at-least-once re-delivery is skipped by stored
+    * batch_id ([[graft.api.Stats.appendBatchStatsIdempotent]]), so a
+    * replay never double-counts. Returns the configured writer; the
+    * caller sets checkpoint/trigger options and calls `.start()`.
+    */
+  def incrementalStats(docs: DataFrame, statsDir: String,
+      keyCols: Seq[String], valueCol: String, distinctCol: String,
+      lgK: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendBatchStatsIdempotent(batch.toDF(), statsDir,
+        keyCols, valueCol, distinctCol, batchId, lgK)
+    }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

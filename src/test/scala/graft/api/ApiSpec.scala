@@ -985,4 +985,59 @@ class ApiSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(dups === Set((1L, 2L)))
   }
+
+  test("Stats: merged batch stats equal the full scan exactly; sketch estimate within 5%") {
+    import spark.implicits._
+    val docs = graft.Util.table(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("stats_spec_").toString
+    // three uneven ingest batches
+    Stats.appendBatchStats(docs.filter("doc_id % 3 = 0"), path, Seq("source"), "n_chars", "n_chars", 0)
+    Stats.appendBatchStats(docs.filter("doc_id % 3 = 1"), path, Seq("source"), "n_chars", "n_chars", 1)
+    Stats.appendBatchStats(docs.filter("doc_id % 3 = 2"), path, Seq("source"), "n_chars", "n_chars", 2)
+    val merged = Stats.mergedSummary(spark, path, Seq("source")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val full = docs.groupBy($"source").agg(
+      count(lit(1)).as("n"), sum($"n_chars").as("s"), min($"n_chars").as("mn"),
+      max($"n_chars").as("mx"), countDistinct($"n_chars").as("d"),
+      avg($"n_chars").as("mean")).collect()
+    assert(full.nonEmpty && merged.size === full.length)
+    full.foreach { r =>
+      val m = merged(r.getAs[String]("source"))
+      assert(m.getAs[Long]("n_rows") === r.getAs[Long]("n"))
+      assert(m.getAs[Long]("v_sum") === r.getAs[Long]("s"))
+      assert(m.getAs[Long]("v_min") === r.getAs[Long]("mn"))
+      assert(m.getAs[Long]("v_max") === r.getAs[Long]("mx"))
+      assert(math.abs(m.getAs[Double]("v_mean") - r.getAs[Double]("mean")) < 1e-9)
+      val exact = r.getAs[Long]("d").toDouble
+      assert(math.abs(m.getAs[Long]("distinct_est") - exact) / exact < 0.05,
+        s"estimate ${m.getAs[Long]("distinct_est")} vs exact $exact")
+    }
+  }
+
+  test("Stats: a late-arriving batch folds in without touching earlier batches") {
+    val docs = graft.Util.table(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("stats_spec_").toString
+    Stats.appendBatchStats(docs.filter("doc_id % 2 = 0"), path, Seq("source"), "n_chars", "n_chars", 0)
+    val before = Stats.mergedSummary(spark, path, Seq("source"))
+      .agg(sum("n_rows")).head().getLong(0)
+    Stats.appendBatchStats(docs.filter("doc_id % 2 = 1"), path, Seq("source"), "n_chars", "n_chars", 1)
+    val after = Stats.mergedSummary(spark, path, Seq("source"))
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(after === docs.count())
+    assert(before < after)
+    // stats table holds one row per (key, batch): |keys in b0| + |keys in b1|
+    val rows = spark.read.parquet(path)
+    assert(rows.count() ===
+      rows.select("source", "batch_id").distinct().count())
+  }
+
+  test("Stats: sketches written at different precisions still merge") {
+    val docs = graft.Util.table(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("stats_spec_").toString
+    Stats.appendBatchStats(docs.filter("doc_id % 2 = 0"), path, Seq("source"), "n_chars", "n_chars", 0, lgK = 12)
+    Stats.appendBatchStats(docs.filter("doc_id % 2 = 1"), path, Seq("source"), "n_chars", "n_chars", 1, lgK = 14)
+    val est = Stats.mergedSummary(spark, path, Seq("source"))
+      .agg(sum("distinct_est")).head().getLong(0)
+    assert(est > 0)
+  }
 }

@@ -858,4 +858,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._4)).sorted === Seq((1, 100L), (2, 500L), (3, 300L)),
       s"purchase must gate against the repaired click minimum: $rows")
   }
+
+  test("incrementalStats: micro-batches append mergeable stats; summary covers all batches; replay appends once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, length, lit}
+    val statsDir = java.nio.file.Files.createTempDirectory("stats-stream").toString + "/table"
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.incrementalStats(mem.toDF()
+        .withColumn("n_chars", length($"text").cast("long"))
+        .withColumn("source", concat(lit("s"), $"doc_id" % 2)),
+      statsDir, Seq("source"), "n_chars", "doc_id").start()
+    def doc(id: Long, text: String) = Doc(new Timestamp(id * 1000), id, text)
+    mem.addData(doc(0, "alpha"), doc(1, "beta ray"), doc(2, "gamma!"))
+    q.processAllAvailable()
+    mem.addData(doc(3, "delta function"), doc(4, "ep"))
+    q.processAllAvailable()
+    q.stop()
+
+    val summary = graft.api.Stats.mergedSummary(spark, statsDir, Seq("source"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(summary.keySet === Set("s0", "s1"))
+    // s0: docs 0,2,4 → lens 5,6,2; s1: docs 1,3 → lens 8,14
+    assert(summary("s0").getAs[Long]("n_rows") === 3L)
+    assert(summary("s0").getAs[Long]("v_sum") === 13L)
+    assert(summary("s0").getAs[Long]("v_min") === 2L)
+    assert(summary("s0").getAs[Long]("v_max") === 6L)
+    assert(summary("s0").getAs[Long]("distinct_est") === 3L) // HLL exact at n=3
+    assert(summary("s1").getAs[Long]("n_rows") === 2L)
+    assert(summary("s1").getAs[Long]("v_sum") === 22L)
+
+    // at-least-once replay: re-delivering an already-appended batchId is
+    // a no-op, a NEW batchId appends
+    val rowsBefore = spark.read.parquet(statsDir).count()
+    val replay = Seq(("s0", 99L)).toDF("source", "n_chars")
+      .withColumn("doc_id", lit(99L))
+    graft.api.Stats.appendBatchStatsIdempotent(replay, statsDir,
+      Seq("source"), "n_chars", "doc_id", batchId = 0L)
+    assert(spark.read.parquet(statsDir).count() === rowsBefore, "replayed batchId must not append")
+    graft.api.Stats.appendBatchStatsIdempotent(replay, statsDir,
+      Seq("source"), "n_chars", "doc_id", batchId = 7L)
+    assert(spark.read.parquet(statsDir).count() === rowsBefore + 1)
+  }
 }

@@ -37,6 +37,15 @@ TOLERANCE = {
         "round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50 "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
         "l_returnflag", "approx_p50", "exact_p50", 0.05),
+    # q122: distinct users per event type from MERGED per-batch HLL
+    # sketches (incremental stats table) — sketch values are
+    # engine-specific, the estimate must land within 5% of exact on both
+    # engines
+    "q122_sketch_users": (
+        "SELECT event_type, approx_count_distinct(user_id) AS approx_users, "
+        "COUNT(DISTINCT user_id) AS exact_users "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+        "event_type", "approx_users", "exact_users", 0.05),
 }
 
 
