@@ -210,6 +210,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer
+    * ([[ivfAssign]]), examine pairs only WITHIN each cluster, and drop
+    * the higher-id side of every pair whose cosine similarity meets the
+    * threshold — the lowest-id member of each near-duplicate
+    * neighborhood survives as its representative. Deterministic (no RNG:
+    * the paper keeps a random point per group; id order is the
+    * reproducible equivalent) and engine-portable.
+    *
+    * Returns the KEPT rows of `assigned` (all columns). Scale shape:
+    * the pair scan is [[ivfNearDupPairs]] (equi-join shuffle on
+    * `cluster`, Σ|cell|² work, no corpus broadcast); the drop set is a
+    * distinct projection of pair right-sides and removes via a
+    * left-anti hash join on the id — three shuffles total, nothing
+    * quadratic in the corpus. Exactness trade inherited from the
+    * blocked pair scan: a near-duplicate pair split across two cells is
+    * not seen (that IS SemDeDup — the paper only compares within
+    * clusters).
+    */
+  def semanticDedup(assigned: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val drops = ivfNearDupPairs(assigned, idCol, embCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Per-cluster audit of [[semanticDedup]]: one row per cluster with
+    * `(cluster, n_vecs, n_dropped, n_kept)` — the curation report a
+    * pipeline publishes alongside the deduplicated corpus. Same pair
+    * scan as [[semanticDedup]]; the drop set joins back LEFT so empty
+    * clusters still report zero drops.
+    */
+  def semanticDedupReport(assigned: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val drops = ivfNearDupPairs(assigned, idCol, embCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(1L))
+    assigned.join(drops, Seq(idCol), "left_outer")
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(col("__dropped")).as("n_dropped"),
+        (count(lit(1)) - count(col("__dropped"))).as("n_kept"))
+  }
+
   /** L2-normalize an embedding column to unit vectors (float components
     * promoted to double first): (idCol, norm, unit). After this, cosine
     * similarity IS the dot product — normalize once at ingest and every

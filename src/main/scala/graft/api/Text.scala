@@ -38,6 +38,24 @@ object Text {
   def langIdPredict(text: Column, threshold: Double = 0.08): Column =
     when(englishScore(text) >= threshold, "en").otherwise("other")
 
+  /** CCNet-style perplexity bucket (Wenzek et al. 2020,
+    * arXiv:1911.00359) over a per-document average token log-probability:
+    * `head` above `headMin`, `middle` above `midMin`, else `tail`
+    * (higher avg log-prob = lower perplexity = more in-distribution).
+    * The thresholds are CONSTANTS by contract — CCNet calibrates them
+    * offline against a reference corpus (e.g. tercile boundaries from
+    * [[graft.operators.Extended.exactQuantiles]] over a scored sample)
+    * and ships fixed cutoffs, so the production pass is one narrow
+    * comparison per row: no global sort, no data-dependent plan, the
+    * same document always lands in the same bucket regardless of what
+    * it shares a batch with.
+    */
+  def perplexityBucket(avgLogp: Column, headMin: Double,
+      midMin: Double): Column =
+    when(avgLogp > headMin, "head")
+      .when(avgLogp > midMin, "middle")
+      .otherwise("tail")
+
   /** The engine's document quality score: 0.5·length + 0.3·uniqueness +
     * 0.2·(1 − stopword density), each term in [0, 1].
     */

@@ -206,6 +206,38 @@ object SimilarityOps {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q123: SemDeDup-style semantic deduplication report
+    * ([[graft.api.Similarity.semanticDedupReport]], after Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus with the deterministic
+    * coarse quantizer (centroids = vec_id < 16, as q43/q82), flag the
+    * higher-id side of every within-cluster pair at cosine ≥ 0.45, and
+    * report per cluster how much survives — the curation audit a
+    * pipeline publishes alongside its deduplicated corpus. Scale shape
+    * is q82's pair scan (equi-join shuffle on cluster, Σ|cell|², no
+    * broadcast) plus a distinct + left join on the id — nothing
+    * quadratic in the corpus, no RNG (lowest id is the representative).
+    */
+  def q123SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val assigned = graft.api.Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    graft.api.Similarity.semanticDedupReport(assigned, "vec_id",
+        "embedding", 0.45)
+      .orderBy($"cluster")
+  }
+
+  val q123Sql: String =
+    s"""WITH $assignSql,
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45)
+       |SELECT e.cluster, COUNT(*) AS n_vecs, COUNT(d.vec_id) AS n_dropped,
+       |  COUNT(*) - COUNT(d.vec_id) AS n_kept
+       |FROM assign e LEFT JOIN drops d ON e.vec_id = d.vec_id
+       |GROUP BY e.cluster ORDER BY e.cluster""".stripMargin
+
   /** q83: exact top-3 for a LARGE probe set (10% of the corpus — far
     * beyond the broadcast contract of q42) via
     * [[graft.api.Similarity.cosineKnnShuffled]]: block-partitioned
@@ -458,7 +490,8 @@ object SimilarityOps {
     "q83_knn_shuffled" -> (q83KnnShuffled _),
     "q91_quantized_knn" -> (q91QuantizedKnn _),
     "q92_kmeans_step" -> (q92KmeansStep _),
-    "q99_ivf_nprobe" -> (q99IvfNprobe _))
+    "q99_ivf_nprobe" -> (q99IvfNprobe _),
+    "q123_semantic_dedup" -> (q123SemanticDedup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
@@ -472,5 +505,6 @@ object SimilarityOps {
     "q83_knn_shuffled" -> q83Sql,
     "q91_quantized_knn" -> q91Sql,
     "q92_kmeans_step" -> q92Sql,
-    "q99_ivf_nprobe" -> q99Sql)
+    "q99_ivf_nprobe" -> q99Sql,
+    "q123_semantic_dedup" -> q123Sql)
 }

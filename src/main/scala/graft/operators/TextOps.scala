@@ -710,6 +710,105 @@ object TextOps {
       |FROM tok JOIN probs USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q124: CCNet-style perplexity-bucketed curation (Wenzek et al.
+    * 2020, arXiv:1911.00359) — the quality gate BETWEEN q116's unigram
+    * LM scoring and a training run: score every document by average
+    * token log-probability, cut the corpus into head / middle / tail
+    * against FIXED calibrated thresholds
+    * ([[graft.api.Text.perplexityBucket]]), then keep a deterministic
+    * md5-keyed fraction per bucket (head 3/4, middle 1/2, tail 1/8 —
+    * favor in-distribution text, keep a trace of the tail for
+    * diversity) and report the realized budget per bucket.
+    *
+    * Scale shape: the scoring reuses q116's tokenize-ONCE plan (the
+    * collapsed (doc, token) pair frame is localCheckpoint'd and feeds
+    * vocabulary counts, the corpus total, and the scoring join); the
+    * bucket assignment and the md5 keep-gate are narrow per-row
+    * comparisons — no global sort, no window, no data-dependent
+    * literal. Thresholds are constants by the CCNet contract
+    * (calibrated offline, e.g. via
+    * [[graft.operators.Extended.exactQuantiles]] on a scored reference
+    * sample — TextSpec demonstrates the calibration round-trip), so the
+    * production plan is identical at any corpus size. The md5 gate is
+    * the q68/q93 reproducible-sampling trick: hex-prefix sets give
+    * 16ths with zero RNG state, the same documents survive on every
+    * engine and every run.
+    */
+  def q124PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = table(spark, dir, "documents")
+      .select($"doc_id", explode(toks()).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val counts = pairs.groupBy($"token").agg(sum($"c").as("n_tok"))
+    val total = counts.agg(sum($"n_tok").as("n_total"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select($"token", log($"n_tok".cast("double") / $"n_total").as("logp"))
+    val scores = pairs.join(probs, "token")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tokens"),
+        round(sum($"c".cast("double") * $"logp") / sum($"c"), 4).as("avg_logp"))
+    scores
+      .withColumn("bucket",
+        graft.api.Text.perplexityBucket($"avg_logp", Q124HeadMin, Q124MidMin))
+      .withColumn("h", substring(md5($"doc_id".cast("string")), 1, 1))
+      .withColumn("keep",
+        when($"bucket" === "head", $"h" <= "b")
+          .when($"bucket" === "middle", $"h" <= "7")
+          .otherwise($"h" <= "1"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).as("kept_tokens"),
+        round(avg($"avg_logp"), 4).as("mean_logp"))
+      .orderBy($"bucket")
+  }
+
+  /** Fixed CCNet bucket thresholds for the harness corpus — calibrated
+    * once offline (tercile-ish boundaries of the sf0.01 avg_logp
+    * distribution, snapped to the 4-decimal grid the scores live on) and
+    * then CONSTANT, per the CCNet contract: the cutoffs ship with the
+    * pipeline, the data never re-derives them.
+    */
+  private val Q124HeadMin: Double = -3.4010
+  private val Q124MidMin: Double = -3.4035
+
+  val q124Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |total AS (SELECT COUNT(*) AS n_total FROM tok),
+      |probs AS (
+      |  SELECT token, ln(COUNT(*) / CAST(n_total AS DOUBLE)) AS logp
+      |  FROM tok CROSS JOIN total GROUP BY token, n_total),
+      |scores AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    round(SUM(logp) / COUNT(*), 4) AS avg_logp
+      |  FROM tok JOIN probs USING (token)
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT *,
+      |    CASE WHEN avg_logp > ${Q124HeadMin} THEN 'head'
+      |         WHEN avg_logp > ${Q124MidMin} THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |  FROM scores),
+      |k AS (
+      |  SELECT *,
+      |    CASE WHEN bucket = 'head' THEN h <= 'b'
+      |         WHEN bucket = 'middle' THEN h <= '7'
+      |         ELSE h <= '1' END AS keep
+      |  FROM b)
+      |SELECT bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  round(AVG(avg_logp), 4) AS mean_logp
+      |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** q117: language-ID accuracy report — the metrics layer ABOVE q34's
     * raw confusion matrix: per true language (plus the rollup total),
     * how often [[graft.api.Text.langIdPredict]]'s binary en/other call
@@ -760,6 +859,7 @@ object TextOps {
     "q101_doc_chunks" -> (q101DocChunks _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
     "q117_langid_metrics" -> (q117LangidMetrics _),
+    "q124_perplexity_buckets" -> (q124PerplexityBuckets _),
     "q102_blocklist_filter" -> (q102BlocklistFilter _),
     "q114_conjunctive_search" -> (q114ConjunctiveSearch _),
     "q106_boilerplate_chunks" -> (q106BoilerplateChunks _),
@@ -856,6 +956,7 @@ object TextOps {
     "q101_doc_chunks" -> q101Sql,
     "q116_unigram_logprob" -> q116Sql,
     "q117_langid_metrics" -> q117Sql,
+    "q124_perplexity_buckets" -> q124Sql,
     "q102_blocklist_filter" -> q102Sql,
     "q114_conjunctive_search" -> q114Sql,
     "q106_boilerplate_chunks" -> q106Sql,

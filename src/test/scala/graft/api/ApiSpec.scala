@@ -932,6 +932,57 @@ class ApiSpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("perplexityBucket: exactQuantiles tercile calibration yields three ordered non-empty buckets") {
+    import spark.implicits._
+    // the offline CCNet calibration round-trip: score a reference corpus
+    // (q116's unigram LM), fit tercile cutoffs with the scale-safe exact
+    // quantile search, then bucket with the fitted constants
+    val scores = graft.operators.TextOps.q116UnigramLogprob(spark, sf)
+    val Seq(t1, t2) = graft.operators.Extended.exactQuantiles(
+      scores, "avg_logp", Seq(1.0 / 3, 2.0 / 3))
+    assert(t1 < t2)
+    val buckets = scores
+      .withColumn("bucket", Text.perplexityBucket($"avg_logp", headMin = t2, midMin = t1))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"avg_logp").as("lo"), max($"avg_logp").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(buckets.keySet === Set("head", "middle", "tail"))
+    assert(buckets("tail")._3 <= t1)
+    assert(buckets("middle")._2 > t1 && buckets("middle")._3 <= t2)
+    assert(buckets("head")._2 > t2)
+    // tercile cutoffs put roughly a third in each bucket (ties shift boundaries)
+    val n = scores.count()
+    buckets.foreach { case (b, (c, _, _)) =>
+      assert(c >= n / 6 && c <= n / 2, s"bucket $b holds $c of $n docs") }
+  }
+
+  test("semanticDedup: drops exactly the dominated ids, keeps every cluster minimum, report adds up") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assigned = Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    val t = 0.45
+    val kept = Similarity.semanticDedup(assigned, "vec_id", "embedding", t)
+      .select($"vec_id").as[Long].collect().toSet
+    val all = assigned.select($"vec_id", $"cluster")
+      .as[(Long, Long)].collect()
+    val dropped = Similarity.ivfNearDupPairs(assigned, "vec_id", "embedding", t)
+      .select($"id_b").as[Long].collect().toSet
+    assert(dropped.nonEmpty, "threshold should flag at least one near-dup at sf0.001")
+    assert(kept === all.map(_._1).toSet -- dropped)
+    // the lowest id of every cluster can never be a pair's right side
+    val minPerCluster = all.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }.toSet
+    assert(minPerCluster.subsetOf(kept))
+    val rep = Similarity.semanticDedupReport(assigned, "vec_id", "embedding", t)
+      .select($"cluster", $"n_vecs", $"n_dropped", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.map(_._2).sum === all.length)
+    assert(rep.map(_._4).sum === kept.size.toLong)
+    rep.foreach { case (c, n, d, k) =>
+      assert(n === d + k, s"cluster $c report rows don't add up") }
+  }
+
   test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -278,6 +278,26 @@ class PlanSpec extends SparkSpec {
       s"q116 must scan the checkpointed pair frame:\n$p")
   }
 
+  test("q124: tokenize-once carries over — no Generate, buckets are constant comparisons (no window, no percentile)") {
+    val p = planOf(graft.operators.TextOps.q124PerplexityBuckets(spark, sf))
+    assert(!p.contains("Generate"),
+      s"q124 consumers must read the materialized pair frame, not re-explode:\n$p")
+    assert(!p.contains("Window"),
+      s"q124 bucket/keep gates are narrow row-local comparisons, not a ranked window:\n$p")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q124 thresholds are calibrated constants — no quantile aggregate in the production plan:\n$p")
+  }
+
+  test("q123: semantic dedup pair scan is a cluster equi-join, never all-pairs") {
+    val p = planOf(graft.operators.SimilarityOps.q123SemanticDedup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"q123 must block pairs by cluster, never a corpus cartesian:\n$p")
+    // the pair scan keys on cluster (centroid attach is a 1-row
+    // broadcast cross — the only non-equi join allowed in this plan)
+    assert(p.contains("[cluster"),
+      s"q123 pair join must key on the cluster column:\n$p")
+  }
+
   test("decontamination above the cutover: Bloom gate sits before the exact shingle join (suite size bound is bits, not strings)") {
     // q85's sf-test suite sits under the broadcast cutover, so the Bloom
     // shape is locked by forcing the cutover to 0 over the same tables —
