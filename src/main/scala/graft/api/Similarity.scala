@@ -255,6 +255,96 @@ object Similarity {
         (count(lit(1)) - count(col("__dropped"))).as("n_kept"))
   }
 
+  /** Batch ids dominated by a corpus member of the same cell: the
+    * batch-vs-corpus half of incremental semantic dedup. Returns one
+    * column (`idCol`) of distinct dominated batch ids. Equi-join on
+    * `cluster`; the batch side is a micro-batch (small vs the corpus),
+    * so the planner broadcasts it and the corpus scan never shuffles.
+    */
+  private def crossCellDominated(assignedBatch: DataFrame,
+      assignedCorpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val b = assignedBatch.select(col("cluster"), col(idCol).as("b_id"),
+      col(embCol).as("b_emb"), col("norm").as("b_norm"))
+    val c = assignedCorpus.select(col("cluster"), col(idCol).as("c_id"),
+      col(embCol).as("c_emb"), col("norm").as("c_norm"))
+    c.join(broadcast(b), Seq("cluster"))
+      .filter(col("c_id") =!= col("b_id"))
+      .withColumn("sim", expr(dot("b_emb", "c_emb")) / (col("b_norm") * col("c_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+  }
+
+  /** Incremental SemDeDup: admit only the batch rows that are NOT
+    * semantically dominated — by a corpus member of their cell
+    * (cosine ≥ threshold) or by a lower-id batch member of their cell
+    * (the [[semanticDedup]] rule applied within the arriving batch).
+    * Both frames must be [[ivfAssign]]ed against the SAME centroids —
+    * the corpus's trained quantizer. Returns the admitted rows of
+    * `assignedBatch` (all columns).
+    *
+    * This is the q84 incremental-ingest contract in the embedding
+    * domain: work is proportional to the BATCH's cell collisions, never
+    * the corpus size, and admitted ∪ corpus is exactly what
+    * [[semanticDedup]] over corpus ∪ batch would keep when every batch
+    * id sorts after every corpus id (arrival order = id order).
+    */
+  def semanticDedupAgainst(assignedBatch: DataFrame,
+      assignedCorpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val corpusDrops = crossCellDominated(assignedBatch, assignedCorpus,
+      idCol, embCol, threshold)
+    val batchDrops = ivfNearDupPairs(assignedBatch, idCol, embCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assignedBatch
+      .join(corpusDrops.union(batchDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Per-cluster audit of [[semanticDedupAgainst]]: one row per cell the
+    * batch touches — (cluster, n_batch, n_dropped_corpus,
+    * n_dropped_batch, n_admitted), where a row dominated by BOTH a
+    * corpus and a batch member counts against the corpus (the corpus
+    * veto fires first in the pipeline). The admission report a
+    * continuous-ingest dedup stage publishes per micro-batch.
+    */
+  def semanticDedupAgainstReport(assignedBatch: DataFrame,
+      assignedCorpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val corpusDrops = crossCellDominated(assignedBatch, assignedCorpus,
+      idCol, embCol, threshold).withColumn("__c", lit(1L))
+    val batchDrops = ivfNearDupPairs(assignedBatch, idCol, embCol, threshold)
+      .select(col("id_b").as(idCol)).distinct().withColumn("__b", lit(1L))
+    assignedBatch
+      .join(corpusDrops, Seq(idCol), "left_outer")
+      .join(batchDrops, Seq(idCol), "left_outer")
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        count(col("__c")).as("n_dropped_corpus"),
+        count(when(col("__c").isNull, col("__b"))).as("n_dropped_batch"),
+        count(when(col("__c").isNull && col("__b").isNull, lit(1))).as("n_admitted"))
+  }
+
+  /** [[semanticDedupAgainst]] against a [[writeIvfIndex]]-persisted
+    * corpus: the batch is assigned with the index's own stored
+    * quantizer, and the corpus side is the `cells/` table — the
+    * cluster equi-join against the broadcast batch side lets dynamic
+    * partition pruning restrict the scan to the batch's cells, so a
+    * micro-batch touching 3 of 1000 cells reads 3/1000 of the index
+    * files. Returns the admitted batch rows (batch columns + cluster +
+    * norm). Compose with [[appendToIvfIndex]] to admit-then-index:
+    * later batches then dedupe against earlier admissions too.
+    */
+  def semanticDedupAgainstIvfIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val assignedBatch = ivfAssign(batch, cents, idCol, embCol)
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cluster"), col(idCol), col(embCol), col("norm"))
+    semanticDedupAgainst(assignedBatch, cells, idCol, embCol, threshold)
+  }
+
   /** L2-normalize an embedding column to unit vectors (float components
     * promoted to double first): (idCol, norm, unit). After this, cosine
     * similarity IS the dot product — normalize once at ingest and every

@@ -238,6 +238,61 @@ object SimilarityOps {
        |FROM assign e LEFT JOIN drops d ON e.vec_id = d.vec_id
        |GROUP BY e.cluster ORDER BY e.cluster""".stripMargin
 
+  /** q125: incremental semantic dedup
+    * ([[graft.api.Similarity.semanticDedupAgainstReport]]) — the
+    * continuous-ingest half of q123: an arriving batch (vec_id % 10 =
+    * 7) is admitted only where no corpus member of its cell and no
+    * lower-id batch sibling of its cell dominates it at cosine ≥ 0.45.
+    * Both sides are assigned with the CORPUS's quantizer (centroids =
+    * corpus vec_id < 16 — the batch never re-trains the cells it is
+    * judged against). Work is proportional to the batch's cell
+    * collisions, never the corpus size; the per-cell admission report
+    * is what an ingest gate publishes per micro-batch.
+    */
+  def q125IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir)
+    val corpus = all.filter($"vec_id" % 10 =!= 7)
+    val batch = all.filter($"vec_id" % 10 === 7)
+    val cents = corpus.filter($"vec_id" < 16)
+    val aCorpus = graft.api.Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+    val aBatch = graft.api.Similarity.ivfAssign(batch, cents, "vec_id", "embedding")
+    graft.api.Similarity.semanticDedupAgainstReport(aBatch, aCorpus,
+        "vec_id", "embedding", 0.45)
+      .orderBy($"cluster")
+  }
+
+  val q125Sql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < 16 AND vec_id % 10 <> 7 AND ${posNormSql("embedding")}),
+       |asg AS (
+       |  SELECT vec_id, embedding, cent_id AS cluster, is_batch FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      (e.vec_id % 10 = 7) AS is_batch,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("c.c_emb", "e.embedding")} DESC, c.cent_id) AS arn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE ${posNormSql("e.embedding")})
+       |  WHERE arn = 1),
+       |batch AS (SELECT vec_id, embedding, cluster FROM asg WHERE is_batch),
+       |corp AS (SELECT vec_id, embedding, cluster FROM asg WHERE NOT is_batch),
+       |cdrop AS (
+       |  SELECT DISTINCT b.vec_id FROM batch b JOIN corp c ON c.cluster = b.cluster
+       |  WHERE ${cosSql("c.embedding", "b.embedding")} >= 0.45),
+       |bdrop AS (
+       |  SELECT DISTINCT b2.vec_id
+       |  FROM batch b1 JOIN batch b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+       |  WHERE ${cosSql("b1.embedding", "b2.embedding")} >= 0.45)
+       |SELECT b.cluster, COUNT(*) AS n_batch,
+       |  COUNT(c.vec_id) AS n_dropped_corpus,
+       |  COUNT(CASE WHEN c.vec_id IS NULL THEN d.vec_id END) AS n_dropped_batch,
+       |  COUNT(CASE WHEN c.vec_id IS NULL AND d.vec_id IS NULL THEN 1 END) AS n_admitted
+       |FROM batch b
+       |LEFT JOIN cdrop c ON b.vec_id = c.vec_id
+       |LEFT JOIN bdrop d ON b.vec_id = d.vec_id
+       |GROUP BY b.cluster ORDER BY b.cluster""".stripMargin
+
   /** q83: exact top-3 for a LARGE probe set (10% of the corpus — far
     * beyond the broadcast contract of q42) via
     * [[graft.api.Similarity.cosineKnnShuffled]]: block-partitioned
@@ -491,7 +546,8 @@ object SimilarityOps {
     "q91_quantized_knn" -> (q91QuantizedKnn _),
     "q92_kmeans_step" -> (q92KmeansStep _),
     "q99_ivf_nprobe" -> (q99IvfNprobe _),
-    "q123_semantic_dedup" -> (q123SemanticDedup _))
+    "q123_semantic_dedup" -> (q123SemanticDedup _),
+    "q125_incremental_semdedup" -> (q125IncrementalSemdedup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
@@ -506,5 +562,6 @@ object SimilarityOps {
     "q91_quantized_knn" -> q91Sql,
     "q92_kmeans_step" -> q92Sql,
     "q99_ivf_nprobe" -> q99Sql,
-    "q123_semantic_dedup" -> q123Sql)
+    "q123_semantic_dedup" -> q123Sql,
+    "q125_incremental_semdedup" -> q125Sql)
 }

@@ -724,6 +724,61 @@ object StreamOps {
       sink(res, batchId)
     }
 
+  /** One micro-batch of the semantic-dedup ingest loop, REPLAY-SAFE:
+    * judge the batch against the index as it stands
+    * ([[graft.api.Similarity.semanticDedupAgainstIvfIndex]],
+    * materialized BEFORE any write so the append below cannot feed the
+    * plan that computes it), append the admitted rows
+    * ([[graft.api.Similarity.appendToIvfIndex]]) unless this batchId is
+    * already in the index's `ingest_log`, and return the admitted
+    * frame. A replayed batch recomputes the SAME admitted set against
+    * the post-append index: its own rows are excluded by id from
+    * dominating themselves, every original dropper is still present,
+    * and an originally-admitted row's siblings were admitted precisely
+    * because nothing at ≥ threshold separates them — so re-judging is
+    * deterministic and the skipped append keeps the index
+    * exactly-once.
+    */
+  def semanticDedupIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val admitted = graft.api.Similarity.semanticDedupAgainstIvfIndex(
+      spark, indexPath, batch, idCol, embCol, threshold).localCheckpoint()
+    val logPath = s"$indexPath/ingest_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!replayed && !admitted.isEmpty) {
+      graft.api.Similarity.appendToIvfIndex(
+        admitted.drop("cluster", "norm"), idCol, embCol, indexPath)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    }
+    admitted
+  }
+
+  /** Continuous semantic-dedup INGEST over a maintained persisted IVF
+    * index — the admission gate in front of [[ivfSearchStream]]'s
+    * serving loop: every micro-batch is deduplicated against the whole
+    * corpus-so-far (index cells, dynamic-partition-pruned to the cells
+    * the batch touches) AND against itself, and only the admitted rows
+    * are appended — so batch N+1 dedupes against batch N's admissions
+    * with no restart and no state store (the index IS the state,
+    * shared with every other reader). `sink` receives (admitted,
+    * batchId); replay safety and exactly-once appends are
+    * [[semanticDedupIngestBatch]]'s contract.
+    */
+  def semanticDedupIngestStream(batches: DataFrame, indexPath: String,
+      idCol: String, embCol: String, threshold: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(semanticDedupIngestBatch(batch, batchId, indexPath, idCol,
+          embCol, threshold), batchId)
+    }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

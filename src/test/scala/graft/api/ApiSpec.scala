@@ -983,6 +983,51 @@ class ApiSpec extends SparkSpec {
       assert(n === d + k, s"cluster $c report rows don't add up") }
   }
 
+  test("semanticDedupAgainst: admitted ∪ corpus-kept equals full semanticDedup when batch ids arrive last") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = all.filter($"vec_id" < 300)
+    val batch = all.filter($"vec_id" >= 300)
+    val cents = corpus.filter($"vec_id" < 16)
+    val t = 0.45
+    val aCorpus = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+    val aBatch = Similarity.ivfAssign(batch, cents, "vec_id", "embedding")
+    val aAll = Similarity.ivfAssign(all, cents, "vec_id", "embedding")
+    val admitted = Similarity.semanticDedupAgainst(aBatch, aCorpus,
+      "vec_id", "embedding", t).select($"vec_id").as[Long].collect().toSet
+    val corpusKept = Similarity.semanticDedup(aCorpus, "vec_id", "embedding", t)
+      .select($"vec_id").as[Long].collect().toSet
+    val fullKept = Similarity.semanticDedup(aAll, "vec_id", "embedding", t)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(admitted.nonEmpty && admitted.size < batch.count())
+    assert((admitted ++ corpusKept) === fullKept)
+    // the report's totals agree with the admitted frame
+    val rep = Similarity.semanticDedupAgainstReport(aBatch, aCorpus,
+        "vec_id", "embedding", t)
+      .agg(sum($"n_batch"), sum($"n_admitted"))
+      .as[(Long, Long)].head()
+    assert(rep._1 === batch.count())
+    assert(rep._2 === admitted.size.toLong)
+  }
+
+  test("semanticDedupAgainstIvfIndex matches the in-memory incremental dedup via the stored quantizer") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = all.filter($"vec_id" < 300)
+    val batch = all.filter($"vec_id" >= 300)
+    val cents = corpus.filter($"vec_id" < 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_semdedup").toString
+    Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", dir)
+    val viaIndex = Similarity.semanticDedupAgainstIvfIndex(spark, dir, batch,
+      "vec_id", "embedding", 0.45).select($"vec_id").as[Long].collect().toSet
+    val aCorpus = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+    val aBatch = Similarity.ivfAssign(batch, cents, "vec_id", "embedding")
+    val inMemory = Similarity.semanticDedupAgainst(aBatch, aCorpus,
+      "vec_id", "embedding", 0.45).select($"vec_id").as[Long].collect().toSet
+    assert(viaIndex === inMemory)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -307,6 +307,65 @@ class StreamOpsSpec extends SparkSpec {
       s"batch 4 must search the drift-retrained index: ${byBatch(4L)}")
   }
 
+  test("semanticDedupIngestStream: later batches dedupe against earlier admissions; replay appends once") {
+    import spark.implicits._
+    val centers = Seq(
+      Array(1.0f, 0f, 0f, 0.1f),
+      Array(0f, 1.0f, 0f, 0.1f),
+      Array(0f, 0f, 1.0f, 0.1f))
+    def blob(ids: Range): Seq[EmbRow] = ids.map { i =>
+      val c = centers(i % 3)
+      EmbRow(i.toLong, c.map(_ + 0.02f * ((i * 37 % 11) - 5)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "emb")
+    graft.api.Similarity.writeIvfIndex(
+      blob(0 until 90).toDF("id", "emb"), cents, "id", "emb", dir)
+
+    val mixA = Array(0.7f, 0.7f, 0f, 0.14f)   // ≤ ~0.72 vs every corpus member
+    val mixB = Array(0f, 0.7f, 0.7f, 0.14f)
+    val admittedByBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val mem = MemoryStream[EmbRow](spark)
+    val q = StreamOps.semanticDedupIngestStream(mem.toDF(), dir, "id", "emb",
+        threshold = 0.9) { (admitted, batchId) =>
+      admittedByBatch.synchronized {
+        admittedByBatch(batchId) =
+          admitted.select($"id".cast("long")).as[Long].collect().toSet
+      }
+    }.start()
+
+    // batch 0: one novel direction (admitted), its near-copy (dropped by
+    // the batch-internal lower-id rule), and a corpus look-alike
+    // (dropped by the corpus veto)
+    mem.addData(EmbRow(9000L, mixA), EmbRow(9001L, mixA.map(_ * 0.999f)),
+      EmbRow(9002L, centers(0)))
+    q.processAllAvailable()
+    // batch 1: a copy of batch 0's ADMISSION (must be dropped — 9000 is
+    // in the index now) plus a second novel direction (admitted)
+    mem.addData(EmbRow(9100L, mixA.map(_ * 1.001f)), EmbRow(9101L, mixB))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(admittedByBatch(0L) === Set(9000L))
+    assert(admittedByBatch(1L) === Set(9101L),
+      "batch 1's mixA copy must be dominated by batch 0's admission")
+
+    // REPLAY batch 1 through the public batch function: same admitted
+    // set, no second append (cells and ingest_log unchanged)
+    val cellsBefore = spark.read.parquet(s"$dir/cells").count()
+    val logBefore = spark.read.parquet(s"$dir/ingest_log").count()
+    val replayed = StreamOps.semanticDedupIngestBatch(
+      Seq(EmbRow(9100L, mixA.map(_ * 1.001f)), EmbRow(9101L, mixB))
+        .toDF("id", "emb"),
+      1L, dir, "id", "emb", threshold = 0.9)
+      .select($"id".cast("long")).as[Long].collect().toSet
+    assert(replayed === Set(9101L), "replay must re-derive the same admissions")
+    assert(spark.read.parquet(s"$dir/cells").count() === cellsBefore,
+      "a replayed batchId must not append again")
+    assert(spark.read.parquet(s"$dir/ingest_log").count() === logBefore)
+  }
+
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
     import spark.implicits._
     val centroidDir = java.nio.file.Files.createTempDirectory("cents").toString + "/table"
