@@ -357,6 +357,127 @@ object Similarity {
       .select(col(idCol), col("norm"),
         expr(s"transform(CAST($embCol AS ARRAY<DOUBLE>), x -> x / norm)").as("unit"))
 
+  /** Per-subspace slice frame for product quantization: one row per
+    * (vector, subspace) with `subv` = the m-th equal slice of the
+    * embedding as ARRAY<DOUBLE>. Narrow per-row explode (m rows per
+    * vector, each 1/m the width — the total byte volume is the corpus,
+    * not m× the corpus). The embedding dimension must be divisible by
+    * `m` (the integer-division slice would silently drop tail
+    * components otherwise).
+    */
+  private def subVectors(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int): DataFrame =
+    corpus
+      .select(col(idCol), expr(s"CAST($embCol AS ARRAY<DOUBLE>)").as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col(idCol), explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__e"))
+      .withColumn("sub", col("sub").cast("long"))
+      .withColumn("subv", expr(s"slice(__e, CAST(sub AS INT) * (size(__e) div $m) + 1, size(__e) div $m)"))
+      .drop("__e")
+
+  /** Product-quantization codebooks TRAINED per subspace (Jégou et al.
+    * 2011, "Product quantization for nearest neighbor search"): the
+    * embedding splits into `m` equal slices and each subspace learns its
+    * own `k`-codeword quantizer via [[kmeansIterate]] — m independent
+    * small k-means problems, each over 1/m-width vectors, so codebook
+    * state is m·k·(dim/m) = k·dim doubles regardless of corpus size.
+    * Returns (sub, code, cw); codes are the subspace k-means cluster
+    * labels. EAGER (k-means iterates when called) — train offline, the
+    * codebook is then a broadcast-sized constant, exactly like a
+    * CCNet-style calibrated threshold. A vector stored as m small codes
+    * costs m·log2(k) bits instead of dim·32 — with m=8, k=16 that is
+    * 4 bytes/vector against 256, the compression that makes 10⁹-vector
+    * ANN memory-resident.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    val sv = subVectors(corpus, idCol, embCol, m).localCheckpoint()
+    (0 until m).map { s =>
+      kmeansIterate(sv.filter(col("sub") === s), idCol, "subv", k, iters)
+        .select(lit(s.toLong).as("sub"), col("cluster").as("code"),
+          col("centroid").as("cw"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Deterministic pseudo-codebooks for oracle-checkable PQ plans: the
+    * codewords of subspace s are the s-th slices of the vectors with
+    * `idCol < k` — the q43 pseudo-centroid trick lifted to subspaces
+    * (no RNG, no iteration, cross-engine reproducible). Production
+    * quality comes from [[pqTrainCodebooks]]; the contract
+    * (shape, codes, search) is identical.
+    */
+  def pqCodebookFromIds(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int): DataFrame =
+    subVectors(corpus.filter(col(idCol) < k), idCol, embCol, m)
+      .select(col("sub"), col(idCol).cast("long").as("code"), col("subv").as("cw"))
+
+  /** PQ-encode a corpus against a codebook: per (vector, subspace) the
+    * L2-nearest codeword — argmin over `‖c‖² − 2·x·c` (the `‖x‖²` term
+    * is constant within the argmin and BOTH the engine and its oracles
+    * order by this same expression, so near-tie rounding can never
+    * disagree), ties broken by code id. Returns the detailed frame
+    * (idCol, sub, code, dist2) with dist2 the full reconstruction
+    * error `‖x−c‖²`; [[pqEncode]] folds it to one codes-array row per
+    * vector. Scale shape: codebook broadcast (k·dim doubles), corpus
+    * side narrow explode + per-row argmin window over m·k rows per
+    * vector — no shuffle of the embedding bytes beyond the explode.
+    */
+  def pqEncodeDetailed(corpus: DataFrame, codebooks: DataFrame,
+      idCol: String, embCol: String, m: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val sv = subVectors(corpus, idCol, embCol, m)
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("__ord"), col("code"))
+    sv.join(broadcast(codebooks), "sub")
+      .withColumn("__ord",
+        expr(dot("cw", "cw")) - lit(2.0) * expr(dot("subv", "cw")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub"), col("code"),
+        (expr(dot("subv", "subv")) + col("__ord")).as("dist2"))
+  }
+
+  /** One codes-array row per vector: (idCol, codes) with `codes[s]` the
+    * winning codeword of subspace s (array ordered by subspace).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      embCol: String, m: Int): DataFrame =
+    pqEncodeDetailed(corpus, codebooks, idCol, embCol, m)
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), p -> p.code)")
+        .as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k search over a PQ-encoded corpus:
+    * each probe precomputes its m·k lookup table of
+    * `probe_slice · codeword` dot products, and every candidate scores
+    * as the sum of m TABLE LOOKUPS — never a dim-width dot product
+    * against a raw candidate vector (candidates exist only as codes).
+    * `detailed` is [[pqEncodeDetailed]]'s (id, sub, code) frame; the
+    * LUT side (probes × m × k rows of scalars) broadcasts, the join is
+    * an equi-join on (sub, code), and the per-pair aggregation moves m
+    * scalar terms — the 100 TB shape: the full-width float corpus is
+    * never read at search time. Score approximates the inner product;
+    * L2-normalize corpus and probes first to rank by cosine. Returns
+    * (probe_id, rn, cand_id, sim=ADC score).
+    */
+  def pqSearchAdc(detailed: DataFrame, codebooks: DataFrame,
+      probes: DataFrame, idCol: String, embCol: String, m: Int,
+      kNbrs: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(probes.sparkSession)
+    val lut = subVectors(probes, idCol, embCol, m)
+      .select(col(idCol).as("probe_id"), col("sub"), col("subv"))
+      .join(codebooks, "sub")
+      .select(col("probe_id"), col("sub"), col("code"),
+        expr(dot("subv", "cw")).as("w"))
+    topKTail(
+      detailed.select(col(idCol).as("cand_id"), col("sub"), col("code"))
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(sum(col("w")).as("sim")),
+      kNbrs)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * half of a scaled ANN index (4× smaller than float32, 8× smaller
     * than the float64 Spark would otherwise box): per vector,

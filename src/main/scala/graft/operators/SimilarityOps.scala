@@ -293,6 +293,58 @@ object SimilarityOps {
        |LEFT JOIN bdrop d ON b.vec_id = d.vec_id
        |GROUP BY b.cluster ORDER BY b.cluster""".stripMargin
 
+  /** q126: product-quantization encode audit
+    * ([[graft.api.Similarity.pqEncodeDetailed]], after Jégou et al.
+    * 2011) — the embedding splits into 8 subspaces of 8 components;
+    * each (vector, subspace) slice maps to its L2-nearest codeword of a
+    * deterministic pseudo-codebook (codewords = the slices of vectors
+    * vec_id < 16, the q43 pseudo-centroid trick), and the report rolls
+    * up codeword occupancy and reconstruction error per (sub, code) —
+    * the codebook-health audit (dead codewords, per-cell distortion) a
+    * PQ index publishes. Both engines argmin the SAME expression
+    * (‖c‖² − 2·x·c, ties to the lowest code), so near-tie rounding
+    * cannot disagree; production codebooks come from
+    * [[graft.api.Similarity.pqTrainCodebooks]] (ApiSpec: training beats
+    * the pseudo-codebook, ADC recall floor).
+    */
+  def q126PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val cb = graft.api.Similarity.pqCodebookFromIds(
+      corpus, "vec_id", "embedding", m = 8, k = 16)
+    graft.api.Similarity.pqEncodeDetailed(corpus, cb, "vec_id", "embedding", m = 8)
+      .groupBy($"sub", $"code")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg($"dist2"), 4).as("avg_dist2"),
+        round(min($"dist2"), 4).as("min_dist2"),
+        round(max($"dist2"), 4).as("max_dist2"))
+      .orderBy($"sub", $"code")
+  }
+
+  val q126Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sv AS (
+       |  SELECT vec_id, s.sub, emb[(s.sub * 8 + 1):(s.sub * 8 + 8)] AS subv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+       |cw AS (SELECT sub, vec_id AS code, subv AS cwv FROM sv WHERE vec_id < 16),
+       |d AS (
+       |  SELECT v.vec_id, v.sub, c.code,
+       |    list_dot_product(v.subv, v.subv) +
+       |      (list_dot_product(c.cwv, c.cwv) - 2 * list_dot_product(v.subv, c.cwv)) AS dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |      ORDER BY (list_dot_product(c.cwv, c.cwv) - 2 * list_dot_product(v.subv, c.cwv)),
+       |        c.code) AS rn
+       |  FROM sv v JOIN cw c ON c.sub = v.sub)
+       |SELECT sub, code, COUNT(*) AS n_vecs,
+       |  round(AVG(dist2), 4) AS avg_dist2,
+       |  round(MIN(dist2), 4) AS min_dist2,
+       |  round(MAX(dist2), 4) AS max_dist2
+       |FROM d WHERE rn = 1
+       |GROUP BY sub, code ORDER BY sub, code""".stripMargin
+
   /** q83: exact top-3 for a LARGE probe set (10% of the corpus — far
     * beyond the broadcast contract of q42) via
     * [[graft.api.Similarity.cosineKnnShuffled]]: block-partitioned
@@ -547,7 +599,8 @@ object SimilarityOps {
     "q92_kmeans_step" -> (q92KmeansStep _),
     "q99_ivf_nprobe" -> (q99IvfNprobe _),
     "q123_semantic_dedup" -> (q123SemanticDedup _),
-    "q125_incremental_semdedup" -> (q125IncrementalSemdedup _))
+    "q125_incremental_semdedup" -> (q125IncrementalSemdedup _),
+    "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
@@ -563,5 +616,6 @@ object SimilarityOps {
     "q92_kmeans_step" -> q92Sql,
     "q99_ivf_nprobe" -> q99Sql,
     "q123_semantic_dedup" -> q123Sql,
-    "q125_incremental_semdedup" -> q125Sql)
+    "q125_incremental_semdedup" -> q125Sql,
+    "q126_pq_encode" -> q126Sql)
 }
