@@ -478,6 +478,87 @@ object Similarity {
       kNbrs)
   }
 
+  /** Persist an IVF-PQ index — the composed 10⁹-vector layout (FAISS
+    * IVFADC, Jégou et al. 2011 §IV): a coarse quantizer buckets the
+    * corpus into cells ([[ivfAssign]]), each member stores only the PQ
+    * codes of its RESIDUAL x − c(x) (residuals concentrate around zero,
+    * so the same codebook bits buy far less distortion than coding raw
+    * vectors), and one GLOBAL per-subspace codebook set serves every
+    * cell. Layout: `cells/` (cluster-partitioned: id, codes),
+    * `centroids/` (cluster, cent_emb), `codebooks/` (sub, code, cw). A
+    * member costs m·log2(k) bits + its id — at m=8, k=16 that is 4
+    * bytes against 256 float bytes, the compression that keeps a
+    * billion-vector index memory-resident. The residual frame is
+    * materialized once (feeds codebook training and encoding); at full
+    * corpus scale persist it to storage instead and train the codebooks
+    * on a sample.
+    */
+  def writePqIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, m: Int, k: Int, iters: Int, path: String): Unit = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol)
+    val cents = centroids.select(col(idCol).cast("long").as("cluster"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("cent_emb"))
+    val resid = assigned.join(broadcast(cents), "cluster")
+      .select(col(idCol), col("cluster"),
+        expr(s"zip_with(CAST($embCol AS ARRAY<DOUBLE>), cent_emb, (x, c) -> x - c)")
+          .as("resid"))
+      .localCheckpoint()
+    val cb = pqTrainCodebooks(resid, idCol, "resid", m, k, iters)
+    pqEncode(resid, cb, idCol, "resid", m)
+      .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** ADC search over a [[writePqIvfIndex]] index: probes rank their
+    * `nprobe` nearest cells against the stored coarse centroids, build
+    * one RESIDUAL lookup table per probed cell (m·k probe-residual ·
+    * codeword dots — the probe's residual differs per cell), and every
+    * candidate in a probed cell scores as
+    * `q·c(cell) + Σ_s lut[s][code_s]` — the inner-product ADC estimate
+    * of q·x, comparable ACROSS cells thanks to the q·c offset. The
+    * cells scan joins the broadcast LUT side on the partition column,
+    * so dynamic partition pruning restricts it to the probed cells'
+    * files; candidates are read as codes only — no float vector is
+    * touched at search time. Returns (probe_id, rn, cand_id, sim) with
+    * sim the ADC score (approximate — ApiSpec measures purity/recall).
+    */
+  def searchPqIvfIndex(spark: SparkSession, path: String, probes: DataFrame,
+      idCol: String, embCol: String, kNbrs: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val centsRaw = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("sub"))).head().getLong(0).toInt + 1
+    val p = rankCells(
+      withNorm(probes, embCol).select(col(idCol).as("probe_id"),
+        col(embCol).as("p_emb"), col("norm").as("p_norm")),
+      centsRaw.select(col("cluster").as(idCol), col("cent_emb").as(embCol)),
+      idCol, embCol, nprobe)
+    val lut = p.join(broadcast(centsRaw), "cluster")
+      .select(col("probe_id"), col("cluster"),
+        expr(s"zip_with(CAST(p_emb AS ARRAY<DOUBLE>), cent_emb, (x, c) -> x - c)")
+          .as("__r"),
+        expr(dot("p_emb", "cent_emb")).as("qc"))
+      .select(col("probe_id"), col("cluster"), col("qc"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"), col("__r"))
+      .withColumn("sub", col("sub").cast("long"))
+      .withColumn("subv",
+        expr(s"slice(__r, CAST(sub AS INT) * (size(__r) div $m) + 1, size(__r) div $m)"))
+      .join(cb, "sub")
+      .select(col("probe_id"), col("cluster"), col("qc"), col("sub"), col("code"),
+        expr(dot("subv", "cw")).as("w"))
+    val terms = spark.read.parquet(s"$path/cells")
+      .select(col("cluster"), col(idCol).as("cand_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+      .join(broadcast(lut), Seq("cluster", "sub", "code"))
+      .filter(col("cand_id") =!= col("probe_id"))
+    topKTail(terms.groupBy(col("probe_id"), col("cand_id"))
+      .agg((sum(col("w")) + first(col("qc"))).as("sim")), kNbrs)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * half of a scaled ANN index (4× smaller than float32, 8× smaller
     * than the float64 Spark would otherwise box): per vector,

@@ -1097,6 +1097,41 @@ class ApiSpec extends SparkSpec {
       f"ADC neighbors must stay within the probe's blob on separable data, got purity $purity%.3f")
   }
 
+  test("IVFPQ: residual-coded index search stays in-blob, partition-prunes, and stores codes only") {
+    import spark.implicits._
+    val blobs = (0 until 120).map { i =>
+      val c = i % 3
+      val emb = Array.tabulate(64) { j =>
+        val base = if (j % 3 == c) 1.0f else 0.0f
+        base + 0.05f * (((i * 31 + j * 7) % 11) - 5)
+      }
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 3).map { c =>
+      (1000L + c, Array.tabulate(64)(j => if (j % 3 == c) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.writePqIvfIndex(blobs, cents, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3, path = dir)
+    // the cell payload is ids + codes — no float vector survives
+    assert(spark.read.parquet(s"$dir/cells").columns.toSet ===
+      Set("vec_id", "codes", "cluster"))
+    val res = Similarity.searchPqIvfIndex(spark, dir,
+      blobs.filter($"vec_id" < 3), "vec_id", "embedding", kNbrs = 10, nprobe = 1)
+    val byProbe = res.select($"probe_id", $"cand_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+    assert(byProbe.size === 3)
+    byProbe.foreach { case (p, xs) =>
+      assert(xs.length === 10, s"probe $p returned ${xs.length} neighbors")
+      assert(xs.forall { case (_, c) => c % 3 == p % 3 },
+        s"probe $p left its blob: ${xs.mkString(",")}")
+    }
+    val plan = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruning"),
+      s"IVFPQ search must partition-prune the cells scan:\n$plan")
+  }
+
   test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
