@@ -6,10 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // Optional 3rd arg (local iteration only; the driver passes 2):
-    // comma-separated query names — dump and list only those oracles.
+    // Optional trailing args (local iteration only; the driver passes
+    // 2): query names, comma- and/or space-separated — dump and list
+    // only those oracles. Unknown names fail loudly instead of
+    // silently verifying nothing.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args.drop(2).flatMap(_.split(",")).map(_.trim)
+        .filter(_.nonEmpty).toSet)
+      else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEntry.configure(SparkSession.builder()

