@@ -496,7 +496,7 @@ object Similarity {
   def writePqIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String, m: Int, k: Int, iters: Int, path: String): Unit = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val assigned = ivfAssign(corpus, centroids, idCol, embCol)
+    val assigned = ivfAssignSim(corpus, centroids, idCol, embCol).localCheckpoint()
     val cents = centroids.select(col(idCol).cast("long").as("cluster"),
       expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("cent_emb"))
     val resid = assigned.join(broadcast(cents), "cluster")
@@ -510,6 +510,40 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // float-domain assignment coherence, same contract as the other two
+    // layouts — ivfDriftReport and maintainIvfIndex read it unchanged
+    cellStats(assigned, isBase = true)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append a batch to a [[writePqIvfIndex]] index WITHOUT retraining:
+    * members assign against the stored coarse centroids, residual-encode
+    * with the STORED codebooks (the quantizer is frozen between
+    * retrains — exactly [[appendToIvfIndex]]'s contract), and land as
+    * new files under their cell partitions; per-cell stats append
+    * `is_base = false` so [[ivfDriftReport]] sees PQ appends too.
+    * [[compactIvfCells]] is payload-agnostic and rewrites accumulated
+    * PQ append files the same as float cells.
+    */
+  def appendToPqIvfIndex(batch: DataFrame, idCol: String, embCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val centsRaw = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("sub"))).head().getLong(0).toInt + 1
+    val assigned = ivfAssignSim(batch,
+      centsRaw.select(col("cluster").as(idCol), col("cent_emb").as(embCol)),
+      idCol, embCol).localCheckpoint()
+    val resid = assigned.join(broadcast(centsRaw), "cluster")
+      .select(col(idCol), col("cluster"),
+        expr(s"zip_with(CAST($embCol AS ARRAY<DOUBLE>), cent_emb, (x, c) -> x - c)")
+          .as("resid"))
+    pqEncode(resid, cb, idCol, "resid", m)
+      .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+    cellStats(assigned, isBase = false)
+      .write.mode("append").parquet(s"$path/stats")
   }
 
   /** ADC search over a [[writePqIvfIndex]] index: probes rank their

@@ -1130,6 +1130,38 @@ class ApiSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("dynamicpruning"),
       s"IVFPQ search must partition-prune the cells scan:\n$plan")
+
+    // APPEND with the frozen quantizer: new blob-0 members encode with
+    // the stored codebooks and become findable without a rebuild
+    val extra = (0 until 6).map { i =>
+      val emb = Array.tabulate(64) { j =>
+        val base = if (j % 3 == 0) 1.0f else 0.0f
+        base + 0.05f * (((i * 13 + j * 5) % 11) - 5)
+      }
+      (2000L + i, emb)
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToPqIvfIndex(extra, "vec_id", "embedding", dir)
+    val afterAppend = Similarity.searchPqIvfIndex(spark, dir,
+      blobs.filter($"vec_id" === 0L), "vec_id", "embedding",
+      kNbrs = 50, nprobe = 1)
+      .select($"cand_id").as[Long].collect().toSet
+    assert((2000L until 2006L).forall(afterAppend.contains),
+      s"appended members must be searchable: $afterAppend")
+    // drift report covers the PQ layout (is_base=false rows landed)
+    val drift = Similarity.ivfDriftReport(spark, dir)
+      .filter($"n_appended" > 0).count()
+    assert(drift >= 1, "PQ appends must surface in the drift report")
+    // compaction is payload-agnostic: fewer files, identical results
+    val preCompact = Similarity.searchPqIvfIndex(spark, dir,
+      blobs.filter($"vec_id" < 3), "vec_id", "embedding", kNbrs = 10, nprobe = 3)
+      .select($"probe_id", $"rn", $"cand_id").as[(Long, Long, Long)].collect().toSet
+    val (fBefore, fAfter) = Similarity.compactIvfCells(spark, dir)
+    assert(fAfter < fBefore, s"append left files to compact: $fBefore -> $fAfter")
+    val postCompact = Similarity.searchPqIvfIndex(spark, dir,
+      blobs.filter($"vec_id" < 3), "vec_id", "embedding", kNbrs = 10, nprobe = 3)
+      .select($"probe_id", $"rn", $"cand_id").as[(Long, Long, Long)].collect().toSet
+    assert(postCompact === preCompact,
+      "compaction must be invisible to PQ search results")
   }
 
   test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
