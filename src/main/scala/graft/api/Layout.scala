@@ -35,6 +35,49 @@ object Layout {
   def readBucketed(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /** Write `df` Z-ordered on two numeric columns — the
+    * space-filling-curve layout behind multi-dimensional data skipping
+    * (Delta/Iceberg OPTIMIZE ZORDER): each value pair rescales to a
+    * `[0, 2^bits)` grid (bounds from one narrow agg over the input —
+    * write-time cost, read-time benefit, the same trade as bucketing),
+    * the coordinates interleave into a Morton key via a codegen'd
+    * higher-order fold (no UDF), and rows range-repartition + sort by
+    * that key into `numFiles` files. Every file then covers one curve
+    * segment — a 2-D TILE — so per-file parquet min/max statistics stay
+    * tight on BOTH columns and selective filters on EITHER column (or
+    * both) skip the files whose tile misses the predicate. A linear
+    * sort key only ever buys pruning on its leading column; LayoutSpec
+    * measures the per-file span shrink against an unordered write.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(aMin, aMax, bMin, bMax) =
+      df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val top = (1L << bits) - 1
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi > lo)
+        least(lit(top), greatest(lit(0L),
+          floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top.toDouble))
+            .cast("long")))
+      else lit(0L)
+    val withZ = df
+      .withColumn("__za", norm(col(colA), aMin, aMax))
+      .withColumn("__zb", norm(col(colB), bMin, bMax))
+      .withColumn("__z", expr(
+        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+           |  acc
+           |  | shiftleft(shiftright(__za, i) & 1L, 2 * i)
+           |  | shiftleft(shiftright(__zb, i) & 1L, 2 * i + 1))""".stripMargin))
+    withZ
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__za", "__zb", "__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketing is meant to buy for bucket-key joins.
     * Counts actual [[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]]

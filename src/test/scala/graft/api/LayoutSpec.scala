@@ -78,4 +78,40 @@ class LayoutSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("writeZOrdered: every file covers a 2-D tile — per-file spans shrink on BOTH columns") {
+    import spark.implicits._
+    // two independent uniform coordinates: a linear sort on `a` would
+    // leave `b`'s per-file span at full range
+    val n = 1 << 14
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 2654435761L % n).toLong % 1024L, (i * 40503L % n).toLong % 1024L)
+    }.toDF("id", "a", "b")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val plainDir = java.nio.file.Files.createTempDirectory("plain").toString + "/t"
+    Layout.writeZOrdered(df, zDir, "a", "b", numFiles = 16, bits = 10)
+    df.repartition(16).write.parquet(plainDir)
+
+    def spans(path: String): (Double, Double, Long) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+        .agg(avg($"sa"), avg($"sb"), count(lit(1)))
+        .as[(Double, Double, Long)].head()
+      perFile
+    }
+    val (za, zb, zn) = spans(zDir)
+    val (pa, pb, _) = spans(plainDir)
+    info(f"per-file avg span: z-ordered a=$za%.0f b=$zb%.0f ($zn files); unordered a=$pa%.0f b=$pb%.0f")
+    assert(zn === 16L)
+    // a 16-file Z-layout tiles the grid 4×4: each file's span on EACH
+    // column should be roughly a quarter of the range, far under the
+    // unordered layout's near-full spans
+    assert(za < pa * 0.5 && zb < pb * 0.5,
+      f"z-order must shrink spans on both columns: a $za%.0f vs $pa%.0f, b $zb%.0f vs $pb%.0f")
+    // layout changes bytes, never rows
+    assert(spark.read.parquet(zDir).count() === n.toLong)
+    assert(spark.read.parquet(zDir).agg(sum($"id")).as[Long].head() ===
+      df.agg(sum($"id")).as[Long].head())
+  }
 }
