@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *                         suite's size bound is ~10 bits/shingle)
   *   4. exact dedup      — normalized-fingerprint keeper per group
   *   5. near-dup dedup   — MinHash-LSH pairs → components → keepers
+  *   6. semantic dedup   — SemDeDup over the survivors' embeddings
+  *                         (optional; catches paraphrases the n-gram
+  *                         stages cannot see)
   *
   * Every stage is DataFrame-in/DataFrame-out; the wide ops are the
   * exact-dedup fingerprint window, the LSH bucket groupBy, and the
@@ -39,7 +42,9 @@ object PipelineDemo {
   def curate(docs: DataFrame, minQuality: Double = 0.5,
       nearDupJaccard: Double = 0.5, maxRepetition: Double = 0.3,
       benchmark: Option[DataFrame] = None, decontamNgram: Int = 8,
-      maxContamination: Double = 0.0): DataFrame = {
+      maxContamination: Double = 0.0,
+      embeddings: Option[DataFrame] = None, semanticCosine: Double = 0.85,
+      semanticCells: Int = 16): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.ShingleFunctions.register(docs.sparkSession)
 
@@ -81,7 +86,31 @@ object PipelineDemo {
         .filter($"jaccard" >= nearDupJaccard)
         .select($"id_a", $"id_b"))
     val dropIds = clusters.filter(!$"is_keeper").select($"id".as("doc_id"))
-    exactKept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val textKept = exactKept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+
+    // 5. semantic dedup (optional): SemDeDup over the survivors'
+    // embeddings — cluster with corpus-trained centroids, drop the
+    // higher-id side of any within-cell pair at cosine ≥ threshold.
+    // Catches paraphrases the n-gram stages cannot see; the embedding
+    // frame must carry (vec_id = doc_id, embedding).
+    embeddings match {
+      case Some(e) =>
+        val survivors = e.join(
+          textKept.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+        val cents = graft.api.Similarity.kmeansIterate(
+            survivors, "vec_id", "embedding", k = semanticCells, iters = 2)
+          .select($"cluster".as("vec_id"), $"centroid".as("embedding"))
+        // drop ONLY the semantically-dominated ids: a doc with no (or a
+        // zero-norm) embedding has no semantic judgment and survives
+        val semKept = graft.api.Similarity.semanticDedup(
+          graft.api.Similarity.ivfAssign(survivors, cents, "vec_id", "embedding"),
+          "vec_id", "embedding", semanticCosine)
+        val droppedIds = survivors
+          .join(semKept.select($"vec_id"), Seq("vec_id"), "left_anti")
+          .select($"vec_id".as("doc_id"))
+        textKept.join(broadcast(droppedIds), Seq("doc_id"), "left_anti")
+      case None => textKept
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,9 +122,10 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // evaluate inside the cache scope — dedup intermediates release on exit
     graft.api.Dedup.cacheScope {
-      val kept = curate(docs)
+      val kept = curate(docs, embeddings = Some(emb))
       println(s"[pipeline] in=${docs.count()} kept=${kept.count()}")
       kept.groupBy("lang_pred").count().show()
     }

@@ -36,6 +36,40 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("curate's semantic stage drops embedding paraphrases the n-gram stages cannot see") {
+    import spark.implicits._
+    // two texts with NO shared n-grams but near-identical embeddings:
+    // the text stages keep both, SemDeDup must drop the higher id
+    val texts = Seq(
+      (1L, "the committee approved the annual budget for the coastal research station today"),
+      (2L, "funding of the seaside laboratory was signed off by the board this afternoon"),
+      (3L, "completely unrelated gardening notes about tomato seedlings and compost rotation schedule")
+    ).toDF("doc_id", "text")
+    def vec(seed: Int, eps: Float): Array[Float] =
+      Array.tabulate(16)(j => (((seed * 31 + j * 7) % 13) - 6) * 0.1f + (if (j == 0) eps else 0f))
+    val emb = Seq(
+      (1L, vec(5, 0f)),
+      (2L, vec(5, 0.01f)),   // paraphrase of 1: cosine ≈ 1
+      (3L, vec(11, 0f))
+    ).toDF("vec_id", "embedding")
+    spark.sharedState.cacheManager.clearCache()
+    graft.api.Dedup.cacheScope {
+      val noSem = PipelineDemo.curate(texts, minQuality = 0.0,
+        maxRepetition = 1.0)
+      assert(noSem.count() === 3, "text stages alone must keep all three")
+      // one cell: the near-identical pair must share a cluster (two
+      // near-identical seed centroids could otherwise split it)
+      val withSem = PipelineDemo.curate(texts, minQuality = 0.0,
+        maxRepetition = 1.0, embeddings = Some(emb), semanticCosine = 0.9,
+        semanticCells = 1)
+      val keptIds = withSem.select($"doc_id").as[Long].collect().toSet
+      assert(keptIds.contains(1L) && !keptIds.contains(2L),
+        s"SemDeDup must drop the higher-id paraphrase, kept: $keptIds")
+      assert(keptIds.contains(3L))
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("curate with a benchmark leaves zero n-gram leaks in the kept set") {
     import spark.implicits._
     val all = spark.read.parquet(s"$sf/documents.parquet")
