@@ -494,7 +494,10 @@ object Similarity {
     * on a sample.
     */
   def writePqIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      embCol: String, m: Int, k: Int, iters: Int, path: String): Unit = {
+      embCol: String, m: Int, k: Int, iters: Int, path: String,
+      trainSampleFraction: Double = 1.0): Unit = {
+    require(trainSampleFraction > 0.0 && trainSampleFraction <= 1.0,
+      "trainSampleFraction must be in (0, 1]")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     val assigned = ivfAssignSim(corpus, centroids, idCol, embCol).localCheckpoint()
     val cents = centroids.select(col(idCol).cast("long").as("cluster"),
@@ -504,7 +507,16 @@ object Similarity {
         expr(s"zip_with(CAST($embCol AS ARRAY<DOUBLE>), cent_emb, (x, c) -> x - c)")
           .as("resid"))
       .localCheckpoint()
-    val cb = pqTrainCodebooks(resid, idCol, "resid", m, k, iters)
+    // codebooks summarize the residual DISTRIBUTION, not individual rows
+    // — at corpus scale train on a deterministic id-hash sample (the
+    // q68 trick: pure function of the data, same sample every run) and
+    // encode the full corpus with the result
+    val trainFrame =
+      if (trainSampleFraction >= 1.0) resid
+      else resid.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit((trainSampleFraction * 1000000L).toLong))
+    val cb = pqTrainCodebooks(trainFrame, idCol, "resid", m, k, iters)
     pqEncode(resid, cb, idCol, "resid", m)
       .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")

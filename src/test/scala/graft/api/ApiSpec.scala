@@ -1162,6 +1162,18 @@ class ApiSpec extends SparkSpec {
       .select($"probe_id", $"rn", $"cand_id").as[(Long, Long, Long)].collect().toSet
     assert(postCompact === preCompact,
       "compaction must be invisible to PQ search results")
+
+    // sampled codebook training (the corpus-scale path): half the
+    // residuals still summarize the distribution — search stays in-blob
+    val dirS = java.nio.file.Files.createTempDirectory("ivfpq_sample").toString
+    Similarity.writePqIvfIndex(blobs, cents, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3, path = dirS, trainSampleFraction = 0.5)
+    val sampled = Similarity.searchPqIvfIndex(spark, dirS,
+      blobs.filter($"vec_id" < 3), "vec_id", "embedding", kNbrs = 10, nprobe = 1)
+      .select($"probe_id", $"cand_id").as[(Long, Long)].collect()
+    assert(sampled.nonEmpty &&
+      sampled.forall { case (p, c) => c % 3 == p % 3 },
+      "sample-trained codebooks must keep ADC neighbors within the probe's blob")
   }
 
   test("cosineKnnShuffled matches the broadcast kNN exactly on a large probe set") {
