@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Library API for near-duplicate detection — DataFrame-in/DataFrame-out,
@@ -686,6 +687,60 @@ object Dedup {
     docs.select(col(idCol),
         graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash64"))
       .filter(col("simhash64").isNotNull)
+  }
+
+  /** Exact duplicate-substring spans across documents — the scalable
+    * stand-in for suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * `minLen`-char window anchored at stride `stride` is joined across
+    * the corpus, and a window whose content appears in ≥ 2 DISTINCT
+    * documents marks its position range as duplicated; overlapping hits
+    * merge into maximal spans per document.
+    *
+    * Returns one row per document that has at least one shared span:
+    * (idCol, n_spans, dup_chars) — dup_chars is the total character
+    * count covered by merged spans, the quantity the paper's ExactSubstr
+    * cut removes.
+    *
+    * Scale shape: window generation is NARROW (a per-row sequence
+    * explode — ~len/stride window rows per doc); the only wide ops are
+    * one shuffle keyed by window content (exact comparison on fixed
+    * 40-byte binary — Tungsten compares these without deserializing; a
+    * 64-bit-hash anchor would save shuffle width but reintroduce
+    * collision false-positives, the wrong trade for a DESTRUCTIVE dedup
+    * signal), the hit semi-join, and the per-doc island merge whose
+    * input is only the HIT windows (≪ corpus). Stride trades recall
+    * granularity for an S× cut in shuffled rows: a true shared span of
+    * length ≥ minLen + stride − 1 is always anchored; shorter overlaps
+    * may be missed — the documented winnowing-style guarantee.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, stride: Int = 8): DataFrame = {
+    require(minLen >= 2 && stride >= 1, s"bad span params ($minLen, $stride)")
+    val id = col(idCol)
+    val windows = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(id, col(textCol),
+        explode(sequence(lit(1), length(col(textCol)) - lit(minLen - 1),
+          lit(stride))).as("pos"))
+      .select(id, col("pos").cast("long").as("pos"),
+        col(textCol).substr(col("pos"), lit(minLen)).as("win"))
+    val shared = windows.groupBy(col("win"))
+      .agg(countDistinct(id).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("win"))
+    val hits = windows.join(shared, "win").select(id, col("pos"))
+    val byDoc = Window.partitionBy(id).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(minLen - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = hits.withColumn("newgrp",
+      when(col("pos") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+    val grouped = flagged.withColumn("grp",
+      sum(col("newgrp")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    grouped.groupBy(id, col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(minLen - 1)).as("e"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_chars"))
   }
 
   /** The declarative explode/groupBy formulation of [[simhash64]] —

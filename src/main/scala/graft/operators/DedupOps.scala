@@ -502,7 +502,55 @@ object DedupOps {
        |FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin
 
+  /** q128: exact duplicate-substring spans (the ExactSubstr signal of
+    * Lee et al. 2022) — stride-8 anchored 40-char windows joined across
+    * the corpus; windows whose content appears in ≥ 2 distinct documents
+    * merge into maximal per-doc spans. Reports, per affected document,
+    * the span count and total duplicated characters — the quantity an
+    * ExactSubstr cut would remove. Anchoring at stride 8 keeps the
+    * shuffled window count at |corpus|/8 rows (the winnowing trade:
+    * shared spans ≥ 47 chars are always caught); the island merge only
+    * ever sees HIT windows, a tiny fraction of the corpus. See
+    * [[graft.api.Dedup.duplicateSpans]] for the full shape contract.
+    */
+  def q128DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text",
+        minLen = 40, stride = 8)
+      .orderBy($"doc_id")
+  }
+
+  val q128Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substr(text, CAST(i AS INTEGER), 40) AS win
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, length(text) - 40 + 2, 8)) AS i)
+      |  WHERE length(text) >= 40),
+      |shared AS (
+      |  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, pos FROM w JOIN shared USING (win)),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 39) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS newgrp
+      |  FROM h),
+      |g AS (
+      |  SELECT doc_id, pos, SUM(newgrp) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 39 AS e
+      |  FROM g GROUP BY doc_id, grp)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+      |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
@@ -515,6 +563,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,
     "q55_dedup_clusters" -> q55Sql,
     "q84_incremental_dedup" -> q84Sql,

@@ -108,4 +108,40 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(grp.map(_.getAs[Long]("cluster")).distinct.length === 1)
     }
   }
+
+  test("q128: stride-1 duplicate spans recover a planted shared substring exactly") {
+    import spark.implicits._
+    // 60 shared chars planted at different offsets in otherwise-unique
+    // docs; at stride=1 the merged island must be exactly the planted
+    // span (minLen=40 windows tile every start position of it).
+    val shared = "the quick brown fox jumps over twelve lazy dogs and a cat daily"
+      .take(60)
+    assert(shared.length === 60)
+    // flanks differ in their FIRST/LAST characters so the true shared
+    // substring is exactly the 60 planted chars, nothing more
+    val docs = Seq(
+      (1L, "A" * 38 + shared + "B" * 30),
+      (2L, "C" * 12 + shared + "D" * 56),
+      (3L, "E" * 120) // self-repetitive but unique to one doc -> no span
+    ).toDF("doc_id", "text")
+    val got = graft.api.Dedup.duplicateSpans(docs, "doc_id", "text",
+        minLen = 40, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got === Seq((1L, 1L, 60L), (2L, 1L, 60L)))
+  }
+
+  test("q128: harness spans are well-formed (within doc, >= window length)") {
+    import spark.implicits._
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", length($"text").as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = DedupOps.q128DupSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, chars) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))
+      assert(n >= 1 && chars >= 40 * n, s"doc $id: $n spans, $chars chars")
+      assert(chars <= lens(id), s"doc $id: $chars > doc length ${lens(id)}")
+    }
+  }
 }
