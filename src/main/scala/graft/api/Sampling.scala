@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,4 +152,59 @@ object Sampling {
       .select(col(groupCol), col("n_g").as("n_docs"),
         round(col("w_norm"), 6).as("weight"),
         round(col("w_norm") * totalDraws, 2).as("expected_draws"))
+
+  /** Bucket count of the DSIR feature hash: 3 hex chars of md5 = 4096
+    * buckets, identical in any engine with md5 — no murmur-seed drift.
+    */
+  val DsirBuckets = 4096
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed n-gram features are under the
+    * TARGET distribution (rows where `targetFlag` is true) than under
+    * the RAW distribution (all rows). Features are unigram + adjacent-
+    * bigram occurrences hashed into [[DsirBuckets]] buckets; both
+    * distributions get add-one smoothing over the full bucket space.
+    *
+    * Returns (idCol, n_feats, w_micros): w_micros is the log-likelihood
+    * ratio × 10⁶ held as an INTEGER — each bucket's log-ratio is
+    * floored onto the micro grid once (≤ 4096 distinct `ln` calls, so
+    * cross-engine libm 1-ulp drift has no sum to accumulate in) and
+    * per-doc totals are exact integer sums, order-independent and
+    * hash-stable. Resampling = any deterministic top-k / threshold cut
+    * over w_micros downstream.
+    *
+    * Scale shape: feature explode is narrow; the bucket histogram is a
+    * 4096-key hash aggregate (map-side partials absorb stopword-bucket
+    * skew); the per-doc × bucket aggregate shuffles once on doc id; the
+    * 4096-row log-ratio table broadcasts into the scoring join. Nothing
+    * wide ever carries text.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: Column): DataFrame = {
+    val id = col(idCol)
+    val d = docs.select(id, targetFlag.as("is_target"),
+      split(col(textCol), " ").as("toks"))
+    val feats = d.select(id, col("is_target"), explode(concat(
+        filter(col("toks"), t => t =!= ""),
+        when(size(col("toks")) >= 2,
+            expr("transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(expr("array()")))).as("feat"))
+      .withColumn("bucket", substring(md5(col("feat")), 1, 3))
+    val buckets = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("r_b"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))
+    val tot = buckets.agg(sum(col("r_b")).as("r_tot"), sum(col("t_b")).as("t_tot"))
+    val B = lit(DsirBuckets.toDouble)
+    val lr = buckets.crossJoin(tot).select(col("bucket"),
+      floor(log(((col("t_b") + lit(1.0)) * (col("r_tot") + B)) /
+          ((col("r_b") + lit(1.0)) * (col("t_tot") + B))) * lit(1000000.0))
+        .cast("long").as("lr_micros"))
+    feats.groupBy(id, col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(id)
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("lr_micros")).as("w_micros"))
+  }
 }

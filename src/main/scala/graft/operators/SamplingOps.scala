@@ -207,7 +207,53 @@ object SamplingOps {
       |JOIN p USING (source)
       |WHERE u < keep_prob ORDER BY doc_id""".stripMargin
 
+  /** q129: DSIR importance weights — each doc scored by the add-one-
+    * smoothed log-likelihood ratio of its hashed unigram+bigram feature
+    * occurrences under the `lang='en'` target distribution vs the whole
+    * corpus ([[graft.api.Sampling.dsirWeights]]). Weights are held in
+    * integer micro-nats (per-bucket `ln` floored onto the 10⁻⁶ grid,
+    * then exact integer sums), so the result hash-matches DuckDB with
+    * no float summation-order exposure. The bucket table is 4096 rows →
+    * broadcast into the scoring join; only (doc, bucket) counts ever
+    * shuffle.
+    */
+  def q129DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.dsirWeights(
+        table(spark, dir, "documents"), "doc_id", "text", $"lang" === "en")
+      .orderBy($"doc_id")
+  }
+
+  val q129Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, is_target, unnest(list_concat(
+      |    list_filter(toks, t -> t <> ''),
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      |  FROM d),
+      |fb AS (SELECT doc_id, is_target, substr(md5(feat), 1, 3) AS bucket FROM f),
+      |b AS (
+      |  SELECT bucket, COUNT(*) AS r_b,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b
+      |  FROM fb GROUP BY bucket),
+      |tot AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM b),
+      |lr AS (
+      |  SELECT bucket,
+      |    CAST(FLOOR(LN(((t_b + 1.0) * (r_tot + 4096.0)) /
+      |      ((r_b + 1.0) * (t_tot + 4096.0))) * 1000000.0) AS BIGINT) AS lr_micros
+      |  FROM b, tot),
+      |db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM fb GROUP BY doc_id, bucket)
+      |SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_feats,
+      |  CAST(SUM(db.n * lr.lr_micros) AS BIGINT) AS w_micros
+      |FROM db JOIN lr USING (bucket)
+      |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q129_dsir_weights" -> (q129DsirWeights _),
     "q93_stratified_sample" -> (q93StratifiedSample _),
     "q94_redact_pii" -> (q94RedactPii _),
     "q95_sequence_packing" -> (q95SequencePacking _),
@@ -216,6 +262,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q129_dsir_weights" -> q129Sql,
     "q93_stratified_sample" -> q93Sql,
     "q94_redact_pii" -> q94Sql,
     "q95_sequence_packing" -> q95Sql,

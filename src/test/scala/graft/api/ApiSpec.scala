@@ -1284,4 +1284,26 @@ class ApiSpec extends SparkSpec {
       .agg(sum("distinct_est")).head().getLong(0)
     assert(est > 0)
   }
+
+  test("DSIR: feature counts are unigrams + bigrams; target docs outscore the rest") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = docs.select($"doc_id", $"text", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(w.size === texts.length)
+    texts.foreach { case (id, text, _) =>
+      val raw = text.split(" ", -1) // keep trailing empties like Spark's split
+      val expected = raw.count(_.nonEmpty) + math.max(raw.length - 1, 0)
+      assert(w(id)._1 === expected.toLong, s"doc $id feature count")
+    }
+    // the LLR must actually separate the target distribution: mean
+    // weight of lang=en docs strictly above the non-target mean
+    def mean(ids: Seq[Long]) = ids.map(w(_)._2.toDouble).sum / ids.size
+    val en = texts.filter(_._3 == "en").map(_._1).toSeq
+    val rest = texts.filter(_._3 != "en").map(_._1).toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest), s"no separation: ${mean(en)} vs ${mean(rest)}")
+  }
 }
