@@ -743,6 +743,64 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_chars"))
   }
 
+  /** EXACT set-similarity self-join via prefix + positional filtering
+    * (PPJoin, Xiao et al. 2008 / Bayardo et al. 2007): all unordered
+    * document pairs whose distinct-token Jaccard ≥ `tau`, with NO
+    * misses — unlike MinHash-LSH this is not probabilistic. Returns
+    * (id_a, id_b, n_inter, jaccard) with id_a < id_b.
+    *
+    * Why it scales: a pair with J ≥ τ must share a token within the
+    * first |s| − ⌈τ·|s|⌉ + 1 tokens of each set under ANY global total
+    * order — ordering by ascending document frequency makes those
+    * prefix tokens the RAREST, so the candidate equi-join on prefix
+    * tokens touches a small, skew-free fraction of the corpus instead
+    * of the n² pair space. Candidates are further pruned by the length
+    * filter (τ·|A| ≤ |B|) and the paper's positional filter (the
+    * first shared prefix token's positions bound the achievable
+    * overlap; shared tokens appear in the same relative order in both
+    * sets, so an any-row survivor test is equivalent to the paper's
+    * first-match test) before the exact intersection count verifies.
+    * Every stage is an equi-join or hash aggregate; the token lists
+    * themselves shuffle only into the verify join, restricted to
+    * candidate ids.
+    */
+  def ppJoinPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(filter(split(col(textCol), " "),
+        t => t =!= ""))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val ranked = toks.join(dfreq, "tok").join(sizes, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
+      .select(col("id"), col("tok"), col("rn"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // length filter: J >= tau forces tau·|A| <= |B| <= |A|/tau
+          col("b.sz") * lit(tau) <= col("a.sz") &&
+          col("a.sz") * lit(tau) <= col("b.sz") &&
+          // positional filter: overlap <= 1 + min(remaining tokens)
+          (lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))) >=
+            ceil(lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** The declarative explode/groupBy formulation of [[simhash64]] —
     * kept as the parity reference for the fused kernel (all stages are
     * hash aggregations with map-side partial combine).

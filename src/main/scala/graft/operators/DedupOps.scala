@@ -549,7 +549,51 @@ object DedupOps {
       |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q130: exact set-similarity join (PPJoin prefix + positional
+    * filtering — [[graft.api.Dedup.ppJoinPairs]]) at τ = 0.8 over
+    * distinct-token sets, aggregated to the per-doc similarity degree
+    * (n_partners, max Jaccard) because the corpus's templated docs
+    * yield tens of thousands of qualifying PAIRS — the degree report
+    * is the curation-facing view and keeps the graded dump bounded.
+    * The ORACLE is the brute-force token join: hash-matching it proves
+    * the prefix/positional pruning drops nothing (the algorithm's
+    * exactness claim, graded). Jaccard is the identical long-ratio
+    * division expression on both engines, so max_j is bit-stable.
+    */
+  def q130PpjoinDegrees(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+    pairs.select($"id_a".as("doc_id"), $"jaccard")
+      .unionAll(pairs.select($"id_b".as("doc_id"), $"jaccard"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_partners"), max($"jaccard").as("max_j"))
+      .orderBy($"doc_id")
+  }
+
+  val q130Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |  FROM i
+      |  JOIN s sa ON sa.doc_id = id_a
+      |  JOIN s sb ON sb.doc_id = id_b),
+      |q AS (SELECT * FROM p WHERE jaccard >= 0.8),
+      |d AS (SELECT id_a AS doc_id, jaccard FROM q
+      |      UNION ALL SELECT id_b, jaccard FROM q)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners, MAX(jaccard) AS max_j
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q130_ppjoin_degrees" -> (q130PpjoinDegrees _),
     "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
@@ -563,6 +607,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q130_ppjoin_degrees" -> q130Sql,
     "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,
     "q55_dedup_clusters" -> q55Sql,

@@ -130,6 +130,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 60L), (2L, 1L, 60L)))
   }
 
+  test("q130: PPJoin pair set equals brute-force Jaccard join exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .filter(_._2.nonEmpty)
+    val tau = 0.7
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= tau
+    } yield (a, b, inter.toLong)).toSet
+    val got = graft.api.Dedup.ppJoinPairs(docs, "doc_id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate test: no qualifying pairs at tau=0.7")
+  }
+
   test("q128: harness spans are well-formed (within doc, >= window length)") {
     import spark.implicits._
     val lens = spark.read.parquet(s"$sf/documents.parquet")
