@@ -224,4 +224,84 @@ object Text {
       .select(col(idCol), col("tok"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
   }
+
+  /** One BPE merge applied to a symbol array: greedy left-to-right
+    * non-overlapping replacement of adjacent (l, r) with their
+    * concatenation, as a single codegen'd `aggregate` fold — after a
+    * merge the new symbol becomes the fold's tail, so "aaa" under
+    * (a,a) correctly yields [aa, a], never [aa, aa].
+    */
+  private def bpeMergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, size(acc)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Distributed byte-pair-encoding merge training (Sennrich et al.
+    * 2016): learn `numMerges` merges from the corpus, returning them in
+    * rank order as (left, right, weighted_count).
+    *
+    * The scale move is the same one production BPE trainers make: all
+    * counting runs over the DISTINCT-WORD frequency histogram, which is
+    * Heaps-law-bounded (≪ corpus tokens), not over the corpus itself —
+    * the corpus is scanned exactly once to build the histogram. Each
+    * round is one pair-count aggregation over the vocab plus a 1-row
+    * collect of the argmax (ties broken by (left, right) so training is
+    * deterministic), then a narrow fold rewriting the symbol arrays.
+    * The vocab frame is localCheckpoint'd each round: lineage stays
+    * flat and the per-round codegen (each merge embeds its pair as
+    * literals) recompiles once per ROUND, not once per consumer.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, n))
+        words = words
+          .select(col("cnt"), bpeMergeOnce(col("syms"), l, r).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Token counts under a learned BPE merge list: each doc's words are
+    * char-split and the merges replayed in rank order (the fold chain
+    * is one nested codegen expression — keep merge lists modest or
+    * persist intermediates for very deep vocabularies). Returns
+    * (idCol, bpe_tokens) — the corpus-true token count a packing or
+    * budget step would consume.
+    */
+  def bpeSegmentCount(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val syms0: Column = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val syms = merges.foldLeft(syms0) { case (s, (l, r)) => bpeMergeOnce(s, l, r) }
+    words.select(col("id"), size(syms).as("n_syms"))
+      .groupBy(col("id")).agg(sum(col("n_syms")).as("bpe_tokens"))
+  }
 }

@@ -855,7 +855,40 @@ object TextOps {
        |FROM scored GROUP BY ROLLUP(lang) ORDER BY is_total, lang""".stripMargin
   }
 
+  /** q131: the BPE trainer's first-iteration count table — corpus-wide
+    * adjacent CHARACTER-pair occurrence counts within words (weighted
+    * by word occurrences, i.e. over the token stream, not distinct
+    * words), top 30 with a lexicographic tie-break. This is the
+    * aggregation [[graft.api.Text.bpeTrain]] argmaxes each round;
+    * grading it pins the counting semantics the whole trainer rests
+    * on. Narrow explode → one 2-char-key hash aggregate; both engines
+    * substring on CHARACTER indices so multibyte (zh) text agrees.
+    */
+  def q131BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "" && length($"w") >= 2)
+      .select($"w", explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select($"w".substr($"i", lit(2)).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(30)
+  }
+
+  val q131Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM w, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+      |  WHERE length(w) >= 2)
+      |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q131_bpe_pairs" -> (q131BpePairs _),
     "q101_doc_chunks" -> (q101DocChunks _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
     "q117_langid_metrics" -> (q117LangidMetrics _),
@@ -953,6 +986,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q131_bpe_pairs" -> q131Sql,
     "q101_doc_chunks" -> q101Sql,
     "q116_unigram_logprob" -> q116Sql,
     "q117_langid_metrics" -> q117Sql,

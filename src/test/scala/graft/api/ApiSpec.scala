@@ -1285,6 +1285,56 @@ class ApiSpec extends SparkSpec {
     assert(est > 0)
   }
 
+  test("BPE: distributed merge training matches a reference trainer, and segment counts agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+
+    // reference trainer: same greedy left-to-right merge, same
+    // (count desc, left, right) tie-break
+    def mergeSeq(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val words = texts.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w.map(_.toString).toVector, g.length.toLong) }
+    var vocab = words.toVector
+    val want = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    while (want.size < 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach { p => if (p.length == 2) counts((p(0), p(1))) += c }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      want += ((l, r, n))
+      vocab = vocab.map { case (syms, c) => (mergeSeq(syms, l, r), c) }
+    }
+
+    val got = graft.api.Text.bpeTrain(docs, "text", 8)
+    assert(got === want.toSeq)
+
+    // segment counts under the learned merges match the reference vocab state
+    val refCounts = texts.map { case (id, text) =>
+      var total = 0L
+      text.split(" ").filter(_.nonEmpty).foreach { w =>
+        var syms = w.map(_.toString).toVector
+        want.foreach { case (l, r, _) => syms = mergeSeq(syms, l, r) }
+        total += syms.length
+      }
+      (id, total)
+    }.toMap
+    val gotCounts = graft.api.Text.bpeSegmentCount(docs, "doc_id", "text",
+        want.toSeq.map { case (l, r, _) => (l, r) })
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCounts === refCounts)
+  }
+
   test("DSIR: feature counts are unigrams + bigrams; target docs outscore the rest") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
