@@ -478,6 +478,14 @@ object EventOps {
     */
   def q113Scd2History(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    scd2Frame(spark, dir).orderBy($"user_id", $"version")
+  }
+
+  /** The q113 SCD2 interval frame without its presentation sort —
+    * shared with the q132 point-in-time snapshot.
+    */
+  private def scd2Frame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
     val changes = events(spark, dir).filter($"user_id" < 20)
       .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
@@ -489,8 +497,56 @@ object EventOps {
       .select($"user_id", $"version", $"event_type",
         $"ts_ms".as("valid_from_ms"), $"valid_to_ms",
         $"valid_to_ms".isNull.as("is_current"))
-      .orderBy($"user_id", $"version")
   }
+
+  /** q132: point-in-time snapshot over the q113 SCD2 history — the
+    * time-travel read a warehouse runs against an upsert-versioned
+    * dimension: each entity's single valid version at the snapshot
+    * instant (valid_from ≤ T < valid_to, open-ended current rows
+    * included). T is the corpus midpoint ((min+max) integer-div 2 of
+    * event time), computed as a 1-row aggregate cross-joined into the
+    * interval filter — engine-exact integer arithmetic, no literal
+    * pinned to one scale factor. Exactly the q113 partitioning, plus
+    * one tiny broadcast: snapshot reads cost one window pass, never a
+    * self-join against the history.
+    */
+  def q132Scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tSnap = events(spark, dir).filter($"user_id" < 20)
+      .agg(min($"ts_ms").as("mn"), max($"ts_ms").as("mx"))
+      .select(expr("(mn + mx) div 2").as("t_snap"))
+    scd2Frame(spark, dir).crossJoin(tSnap)
+      .filter($"valid_from_ms" <= $"t_snap" &&
+        ($"valid_to_ms".isNull || $"valid_to_ms" > $"t_snap"))
+      .select($"user_id", $"version", $"event_type".as("state_at_t"),
+        $"valid_from_ms", $"t_snap")
+      .orderBy($"user_id")
+  }
+
+  val q132Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    LAG(event_type) OVER w AS prev_type
+      |  FROM events WHERE user_id < 20
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts_ms
+      |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type),
+      |hist AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER w AS version,
+      |    event_type, ts_ms AS valid_from_ms,
+      |    LEAD(ts_ms) OVER w AS valid_to_ms
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |snap AS (
+      |  SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS t_snap
+      |  FROM events WHERE user_id < 20)
+      |SELECT user_id, version, event_type AS state_at_t, valid_from_ms, t_snap
+      |FROM hist, snap
+      |WHERE valid_from_ms <= t_snap
+      |  AND (valid_to_ms IS NULL OR valid_to_ms > t_snap)
+      |ORDER BY user_id""".stripMargin
 
   val q113Sql: String =
     """WITH ordered AS (
@@ -514,6 +570,7 @@ object EventOps {
     "q104_funnel" -> (q104Funnel _),
     "q109_sliding_window" -> (q109SlidingWindow _),
     "q113_scd2_history" -> (q113Scd2History _),
+    "q132_scd2_snapshot" -> (q132Scd2Snapshot _),
     "q105_gap_fill" -> (q105GapFill _),
     "q23_json_extract" -> (q23JsonExtract _),
     "q24_cdc_latest" -> (q24CdcLatest _),
@@ -530,6 +587,7 @@ object EventOps {
     "q104_funnel" -> q104Sql,
     "q109_sliding_window" -> q109Sql,
     "q113_scd2_history" -> q113Sql,
+    "q132_scd2_snapshot" -> q132Sql,
     "q105_gap_fill" -> q105Sql,
     "q23_json_extract" -> q23Sql,
     "q24_cdc_latest" -> q24Sql,

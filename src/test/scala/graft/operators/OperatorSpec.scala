@@ -97,4 +97,23 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("q132: SCD2 snapshot state equals replaying raw events up to T") {
+    import spark.implicits._
+    val snap = EventOps.q132Scd2Snapshot(spark, sf).collect()
+    assert(snap.nonEmpty)
+    assert(snap.map(_.getAs[Long]("user_id")).distinct.length === snap.length)
+    val t = snap.head.getAs[Long]("t_snap")
+    // ground truth: last event (by ts, event_id) at or before T per user
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .filter($"user_id" < 20 && $"ts_ms" <= t)
+      .select($"user_id", $"ts_ms", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).maxBy(x => (x._1, x._2))._3 }
+    val got = snap.map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[String]("state_at_t")).toMap
+    assert(got === want)
+  }
 }
