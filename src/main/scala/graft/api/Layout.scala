@@ -78,6 +78,98 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Write `df` to `path`/data in `numFiles` parquet files plus a
+    * per-file Bloom SIDECAR table at `path`/_bloom (underscore-prefixed
+    * → invisible to normal parquet discovery): one row per data file
+    * holding a Bloom filter over `xxhash64(keyCol)`. Point lookups on a
+    * high-cardinality key then open only the files whose filter fires —
+    * the skip index parquet min/max stats can't provide when the key is
+    * uniform across files (hashed ids, UUIDs), complementing
+    * [[writeZOrdered]]'s range-clustered skipping. Bloom filters have
+    * no false negatives, so [[bloomIndexedLookup]] is exact; false
+    * positives only cost extra file opens (~`numBits/items` bits per
+    * key ⇒ ~2% at the default 8). For NON-unique keys the layout
+    * should concentrate each key first (bucket or Z-order) or every
+    * file containing the key is opened — documented, not enforced.
+    *
+    * The sidecar is built from one read-back of the written files
+    * grouped by `_metadata.file_path` — a write-time cost (like
+    * bucketing's) bought once per dataset. At 100 TB / 128 MB files
+    * that is ~800k sidecar rows of ~`numBits/8` bytes each — a driver
+    * collect at LOOKUP time only of the (file, filter) pairs, so size
+    * `items`/`numBits` to the real per-file row count, not a ceiling.
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int, items: Long = 1000000L, numBits: Long = 8000000L): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    val ItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val BitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    def raise(key: String, v: Long): Option[String] = {
+      val cur = try spark.conf.getOption(key) catch { case _: Throwable => None }
+      if (v > cur.map(_.toLong).getOrElse(0L)) { spark.conf.set(key, v.toString); cur }
+      else None
+    }
+    val priorItems = raise(ItemsKey, items)
+    val priorBits = raise(BitsKey, numBits)
+    try
+      spark.read.parquet(s"$path/data")
+        .select(col("_metadata.file_path").as("file"), col(keyCol))
+        .groupBy(col("file"))
+        .agg(expr(s"bloom_filter_agg(xxhash64(`$keyCol`), ${items}L, ${numBits}L)").as("bf"),
+          count(lit(1)).as("n_rows"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/_bloom")
+    finally {
+      priorItems.foreach(spark.conf.set(ItemsKey, _))
+      priorBits.foreach(spark.conf.set(BitsKey, _))
+    }
+  }
+
+  /** The data files whose sidecar Bloom filter fires for `value` — the
+    * file list [[bloomIndexedLookup]] will open. The probe hashes the
+    * value with the SAME engine expression the sidecar was built with
+    * (`xxhash64` after a cast to the key's column type, evaluated in a
+    * 1-row local job — no reimplemented hash to drift) and tests each
+    * collected (file, filter) pair with the public sketch API.
+    */
+  def bloomCandidateFiles(spark: SparkSession, path: String, keyCol: String,
+      value: Any): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val keyType = spark.read.parquet(s"$path/data").schema(keyCol).dataType
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast(keyType)).as("h"))
+      .head().getLong(0)
+    spark.read.parquet(s"$path/_bloom").select(col("file"), col("bf")).collect()
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]]("bf")
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      }
+      .map(_.getAs[String]("file")).toSeq
+  }
+
+  /** Exact point lookup `keyCol = value` over a [[writeBloomIndexed]]
+    * dataset, reading ONLY the Bloom-candidate files (no false
+    * negatives ⇒ same rows as a full scan with the filter; the residual
+    * predicate still applies inside the opened files, so Bloom false
+    * positives cannot leak rows).
+    */
+  def bloomIndexedLookup(spark: SparkSession, path: String, keyCol: String,
+      value: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val data = spark.read.parquet(s"$path/data")
+    val keyType = data.schema(keyCol).dataType
+    val files = bloomCandidateFiles(spark, path, keyCol, value)
+    val base =
+      if (files.isEmpty) data.filter(lit(false))
+      else spark.read.schema(data.schema).parquet(files: _*)
+    base.filter(col(keyCol) === lit(value).cast(keyType))
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the property bucketing is meant to buy for bucket-key joins.
     * Counts actual [[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]]

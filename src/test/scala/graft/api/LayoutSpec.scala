@@ -114,4 +114,37 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).agg(sum($"id")).as[Long].head() ===
       df.agg(sum($"id")).as[Long].head())
   }
+
+  test("bloom sidecar: lookups are exact, prune files, and miss cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nFiles = 8
+    Layout.writeBloomIndexed(docs, dir, "doc_id", nFiles,
+      items = 10000L, numBits = 80000L)
+
+    // the sidecar dir must be invisible to plain data reads
+    assert(spark.read.parquet(s"$dir/data").count() === docs.count())
+
+    val ids = docs.select($"doc_id").orderBy($"doc_id").limit(5)
+      .collect().map(_.getLong(0))
+    var prunedAtLeastOnce = false
+    ids.foreach { id =>
+      val cands = Layout.bloomCandidateFiles(spark, dir, "doc_id", id)
+      assert(cands.nonEmpty && cands.size <= nFiles)
+      if (cands.size < nFiles) prunedAtLeastOnce = true
+      val got = Layout.bloomIndexedLookup(spark, dir, "doc_id", id)
+        .collect().map(_.getAs[Long]("doc_id"))
+      val want = docs.filter($"doc_id" === id)
+        .collect().map(_.getAs[Long]("doc_id"))
+      assert(got.toSeq === want.toSeq, s"lookup $id")
+    }
+    // 10k-item/80k-bit filters over ~8 files: a unique key should
+    // almost never fire in all 8 — if it did the index is useless
+    assert(prunedAtLeastOnce, "no lookup pruned any file")
+
+    // a key that was never written: no candidate files, empty exact result
+    assert(Layout.bloomCandidateFiles(spark, dir, "doc_id", -1L).isEmpty)
+    assert(Layout.bloomIndexedLookup(spark, dir, "doc_id", -1L).count() === 0L)
+  }
 }
