@@ -592,7 +592,71 @@ object DedupOps {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners, MAX(jaccard) AS max_j
       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q133: PageRank centrality over the exact near-dup graph — which
+    * documents sit at the CENTER of duplication clusters (the canonical
+    * candidates a keep-one-per-cluster policy should prefer, vs the
+    * leaf-like one-off copies). Edges are the verified PPJoin pairs at
+    * τ = 0.8 ([[q130PpjoinDegrees]]'s pair set, both directions);
+    * ranks run 3 iterations of [[graft.api.Graph.pageRankFixedPoint]]
+    * in integer micro-units, so the distributed result is bit-exact
+    * against the oracle's unrolled-CTE twin — no float summation-order
+    * exposure anywhere. Per-iteration cost is one shuffle keyed by dst
+    * over the EDGE list (≪ corpus; only near-dup members appear).
+    */
+  def q133PagerankDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+      .select($"id".as("doc_id"), $"rank_micros")
+      .orderBy($"doc_id")
+  }
+
+  val q133Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |  FROM i
+      |  JOIN s sa ON sa.doc_id = id_a
+      |  JOIN s sb ON sb.doc_id = id_b),
+      |q AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM q
+      |      UNION ALL SELECT id_b, id_a FROM q),
+      |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+      |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM od),
+      |c1 AS (SELECT e.dst AS id, SUM(r0.r // od.od) AS c
+      |       FROM e JOIN r0 ON r0.id = e.src JOIN od ON od.src = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT od.src AS id,
+      |         CAST(150000 + (850000 * COALESCE(c1.c, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM od LEFT JOIN c1 ON c1.id = od.src),
+      |c2 AS (SELECT e.dst AS id, SUM(r1.r // od.od) AS c
+      |       FROM e JOIN r1 ON r1.id = e.src JOIN od ON od.src = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT od.src AS id,
+      |         CAST(150000 + (850000 * COALESCE(c2.c, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM od LEFT JOIN c2 ON c2.id = od.src),
+      |c3 AS (SELECT e.dst AS id, SUM(r2.r // od.od) AS c
+      |       FROM e JOIN r2 ON r2.id = e.src JOIN od ON od.src = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT od.src AS id,
+      |         CAST(150000 + (850000 * COALESCE(c3.c, 0)) // 1000000 AS BIGINT) AS r
+      |       FROM od LEFT JOIN c3 ON c3.id = od.src)
+      |SELECT id AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q133_pagerank_dups" -> (q133PagerankDups _),
     "q130_ppjoin_degrees" -> (q130PpjoinDegrees _),
     "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
@@ -607,6 +671,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q133_pagerank_dups" -> q133Sql,
     "q130_ppjoin_degrees" -> q130Sql,
     "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,

@@ -148,6 +148,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "degenerate test: no qualifying pairs at tau=0.7")
   }
 
+  test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
+    import spark.implicits._
+    // star: 0 connected to 1..4, plus a 5-6 pair off to the side
+    val undirected = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+    val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: same integer recurrence, driver-side
+    val adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val outdeg = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var r = outdeg.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = outdeg.keys.map(k => k -> (150000L + 850000L * contrib.getOrElse(k, 0L) / 1000000L)).toMap
+    }
+    assert(got === r)
+    // the star center accumulates rank from 4 leaves; leaves and the
+    // isolated pair stay near the baseline
+    assert(got(0L) > got(1L) && got(0L) > got(5L))
+  }
+
   test("q128: harness spans are well-formed (within doc, >= window length)") {
     import spark.implicits._
     val lens = spark.read.parquet(s"$sf/documents.parquet")
