@@ -1,12 +1,13 @@
 package graft.operators
 
-/** Pure-JVM codecs for the two media container formats whose specs allow
-  * a dependency-free decode: uncompressed BMP (Windows DIB, 24/32-bit)
-  * and PCM WAV (RIFF, 16-bit). These upgrade the multimodal path from
-  * "labeled stub" to a real decode for at least one image and one audio
-  * format (VERDICT r6 #5); formats that need entropy codecs (JPEG, MP3,
-  * H.264) stay behind [[MultimodalOps.stubDecode]] in this zero-egress
-  * container.
+/** Pure-JVM codecs for the media container formats whose specs allow a
+  * dependency-free decode: uncompressed BMP (Windows DIB, 24/32-bit),
+  * PCM WAV (RIFF, 16-bit), and non-interlaced 8-bit truecolor PNG
+  * (zlib via `java.util.zip`, all five scanline filters). These upgrade
+  * the multimodal path from "labeled stub" to a real decode for two
+  * image formats and one audio format (VERDICT r6 #5); formats that
+  * need entropy codecs beyond DEFLATE (JPEG, MP3, H.264) stay behind
+  * [[MultimodalOps.stubDecode]] in this zero-egress container.
   *
   * Everything here is byte-level header parsing + raw sample access —
   * deterministic, allocation-bounded by the payload, and safe to run
@@ -185,6 +186,176 @@ object MediaCodecs {
     val nEdges = math.max(1, img.pixels.length - img.height)
     Array(img.width.toFloat, img.height.toFloat, (r / n).toFloat, (g / n).toFloat,
       (b / n).toFloat, meanL.toFloat, math.sqrt(varL).toFloat, (edge / nEdges).toFloat)
+  }
+
+  // ---- PNG --------------------------------------------------------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte
+    b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte
+    b(off + 3) = (v & 0xff).toByte
+  }
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    putBe32(out, 0, data.length)
+    tag.getBytes("US-ASCII").copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    putBe32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** Encode a raster as an 8-bit truecolor (color type 2) non-interlaced
+    * PNG — filter 0 rows, one zlib stream, standard CRC'd chunks. Real
+    * PNG: any external reader accepts the output.
+    */
+  def encodePng(img: BmpImage): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height, "pixel count != w*h")
+    val w = img.width; val h = img.height
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + 3 * w) // leading filter byte stays 0 (None)
+      var x = 0
+      while (x < w) {
+        val px = img.pixels(y * w + x)
+        raw(rowOff + 1 + 3 * x) = ((px >> 16) & 0xff).toByte
+        raw(rowOff + 2 + 3 * x) = ((px >> 8) & 0xff).toByte
+        raw(rowOff + 3 + 3 * x) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // truecolor
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("IDAT", buf.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor (type 2) or truecolor+alpha (type 6)
+    * non-interlaced PNG — full chunk walk with CRC verification, one
+    * zlib inflate bounded to the exact expected raster size, and all
+    * five scanline filters (None/Sub/Up/Average/Paeth) reversed.
+    * Interlaced, paletted, and sub-8-bit images return None (they fall
+    * to the stub path, like any format needing more machinery).
+    */
+  def decodePng(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload.length < PngSig.length + 12 ||
+      !PngSig.indices.forall(i => payload(i) == PngSig(i))) return None
+    var off = PngSig.length
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (off + 12 > payload.length) return None
+      val len = be32(payload, off)
+      if (len < 0 || off + 12L + len > payload.length) return None
+      val tag = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + len)
+      if (crc.getValue.toInt != be32(payload, off + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(payload, off + 8); h = be32(payload, off + 12)
+          val bitDepth = payload(off + 16)
+          colorType = payload(off + 17)
+          val interlace = payload(off + 20)
+          if (w <= 0 || h <= 0 || bitDepth != 8 ||
+            (colorType != 2 && colorType != 6) ||
+            payload(off + 18) != 0 || payload(off + 19) != 0 ||
+            interlace != 0) return None
+          if (w.toLong * h > (64L << 20)) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(payload, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk — CRC already checked, skip
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = 1 + bpp * w
+    val raw = new Array[Byte](h * stride)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var produced = 0
+    try {
+      while (produced < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, produced, raw.length - produced)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        produced += n
+      }
+      if (produced < raw.length) return None
+      // trailing bytes beyond the raster ⇒ malformed
+      if (!inflater.finished() && inflater.inflate(new Array[Byte](1)) > 0) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // reverse the per-row filter in place
+    var y = 0
+    while (y < h) {
+      val rowOff = y * stride
+      val filter = raw(rowOff) & 0xff
+      if (filter > 4) return None
+      var i = 1
+      while (i <= bpp * w) {
+        val x = raw(rowOff + i) & 0xff
+        val a = if (i > bpp) raw(rowOff + i - bpp) & 0xff else 0 // left
+        val b = if (y > 0) raw(rowOff - stride + i) & 0xff else 0 // up
+        val c = if (i > bpp && y > 0) raw(rowOff - stride + i - bpp) & 0xff else 0
+        val rec = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            x + pred
+        }
+        raw(rowOff + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val pixels = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val rowOff = y * stride + 1
+      var x = 0
+      while (x < w) {
+        val p = rowOff + bpp * x
+        pixels(y * w + x) =
+          ((raw(p) & 0xff) << 16) | ((raw(p + 1) & 0xff) << 8) | (raw(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, pixels))
   }
 
   // ---- WAV --------------------------------------------------------------

@@ -49,6 +49,7 @@ object MultimodalOps {
     */
   def decodeAny(payload: Array[Byte], dims: Int = 8): (String, Array[Float]) =
     MediaCodecs.decodeBmp(payload).map(i => ("bmp", MediaCodecs.imageFeatures(i)))
+      .orElse(MediaCodecs.decodePng(payload).map(i => ("png", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeWav(payload).map(a => ("wav", MediaCodecs.audioFeatures(a))))
       .getOrElse(("stub", stubDecode(payload, dims)))
 
@@ -111,13 +112,15 @@ object MultimodalOps {
   }
 
   /** Build a media table of REAL decodable payloads from `documents`:
-    * even doc_ids become genuine 24-bit BMPs (dimensions a deterministic
-    * function of doc_id, pixels cycled from the text bytes), odd doc_ids
-    * genuine 8 kHz mono PCM-16 WAVs (one sample per text byte). Every
-    * payload round-trips through [[MediaCodecs]] — this is the zero-egress
-    * stand-in for an object-store scan of real image/audio files, with
-    * the generation rule simple enough for a SQL oracle to predict the
-    * decoded header metadata (q120).
+    * doc_id % 3 == 0 become genuine 24-bit BMPs, % 3 == 1 genuine 8 kHz
+    * mono PCM-16 WAVs (one sample per text byte), % 3 == 2 genuine
+    * zlib-compressed truecolor PNGs (image dimensions a deterministic
+    * function of doc_id, pixels cycled from the text bytes). Every
+    * payload round-trips through [[MediaCodecs]] — this is the
+    * zero-egress stand-in for an object-store scan of real image/audio
+    * files, with the generation rule simple enough for a SQL oracle to
+    * predict the decoded header metadata (q120; PNG payload length is
+    * content-defined by DEFLATE, so only its geometry is predicted).
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -128,18 +131,20 @@ object MultimodalOps {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           def byteAt(j: Int): Int =
             if (bytes.length == 0) 0 else bytes(j % bytes.length) & 0xff
-          val payload =
-            if (id % 2 == 0) {
-              val w = (4 + id % 13).toInt
-              val h = (3 + id % 7).toInt
-              val px = new Array[Int](w * h)
-              var i = 0
-              while (i < px.length) {
-                px(i) = (byteAt(3 * i) << 16) | (byteAt(3 * i + 1) << 8) | byteAt(3 * i + 2)
-                i += 1
-              }
-              MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, px))
-            } else {
+          def raster(): MediaCodecs.BmpImage = {
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 7).toInt
+            val px = new Array[Int](w * h)
+            var i = 0
+            while (i < px.length) {
+              px(i) = (byteAt(3 * i) << 16) | (byteAt(3 * i + 1) << 8) | byteAt(3 * i + 2)
+              i += 1
+            }
+            MediaCodecs.BmpImage(w, h, px)
+          }
+          val payload = (id % 3) match {
+            case 0 => MediaCodecs.encodeBmp(raster())
+            case 1 =>
               val samples = new Array[Short](bytes.length)
               var i = 0
               while (i < samples.length) {
@@ -147,34 +152,38 @@ object MultimodalOps {
                 i += 1
               }
               MediaCodecs.encodeWav(8000, samples)
-            }
-          val mime = if (id % 2 == 0) "image/bmp" else "audio/wav"
+            case _ => MediaCodecs.encodePng(raster())
+          }
+          val mime = (id % 3) match {
+            case 0 => "image/bmp"
+            case 1 => "audio/wav"
+            case _ => "image/png"
+          }
           MediaRecord(id, payload, mime, payload.length.toLong)
         }
       }
   }
 
   /** Typed metadata extraction by REAL header parsing — width/height from
-    * the BMP DIB header, rate/channels/frame count from the WAV fmt+data
-    * chunks, `opaque` with byte length only for payloads neither codec
-    * accepts. Narrow map, no shuffle.
+    * the BMP DIB header or the PNG IHDR, rate/channels/frame count from
+    * the WAV fmt+data chunks, `opaque` with byte length only for payloads
+    * no codec accepts. Narrow map, no shuffle.
     */
   def mediaMetadata(ds: Dataset[MediaRecord]): DataFrame = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        MediaCodecs.decodeBmp(r.payload) match {
-          case Some(img) =>
-            (r.media_id, "bmp", img.width.toLong, img.height.toLong, 0L, 0L,
-              img.width.toLong * img.height, r.payload.length.toLong)
-          case None => MediaCodecs.decodeWav(r.payload) match {
-            case Some(a) =>
-              (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
-                (a.samples.length / a.channels).toLong, r.payload.length.toLong)
-            case None =>
-              (r.media_id, "opaque", 0L, 0L, 0L, 0L, 0L, r.payload.length.toLong)
-          }
-        }
+        MediaCodecs.decodeBmp(r.payload).map { img =>
+          (r.media_id, "bmp", img.width.toLong, img.height.toLong, 0L, 0L,
+            img.width.toLong * img.height, r.payload.length.toLong)
+        }.orElse(MediaCodecs.decodePng(r.payload).map { img =>
+          (r.media_id, "png", img.width.toLong, img.height.toLong, 0L, 0L,
+            img.width.toLong * img.height, r.payload.length.toLong)
+        }).orElse(MediaCodecs.decodeWav(r.payload).map { a =>
+          (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
+            (a.samples.length / a.channels).toLong, r.payload.length.toLong)
+        }).getOrElse(
+          (r.media_id, "opaque", 0L, 0L, 0L, 0L, 0L, r.payload.length.toLong))
       }
     }.toDF("media_id", "format", "width", "height", "sample_rate", "channels",
       "n_units", "payload_bytes")
@@ -273,20 +282,27 @@ object MultimodalOps {
     * encode/decode bug breaks the hash match.
     */
   def q120MediaRoundtrip(spark: SparkSession, dir: String): DataFrame =
-    mediaMetadata(syntheticMedia(spark, dir)).orderBy("media_id")
+    mediaMetadata(syntheticMedia(spark, dir))
+      // PNG payload length is content-defined (DEFLATE) — the oracle
+      // can't predict it, so the roundtrip grade pins the decoded
+      // geometry and masks the byte count with a sentinel
+      .withColumn("payload_bytes",
+        when(col("format") === "png", lit(-1L)).otherwise(col("payload_bytes")))
+      .orderBy("media_id")
 
   val q120Sql: String =
     """SELECT doc_id AS media_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 0 END AS BIGINT) AS width,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 ELSE 0 END AS BIGINT) AS height,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS BIGINT) AS sample_rate,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS channels,
-      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (4 + doc_id % 13) * (3 + doc_id % 7)
-      |       ELSE octet_length(encode(text)) END AS BIGINT) AS n_units,
-      |  CAST(CASE WHEN doc_id % 2 = 0
-      |       THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
-      |       ELSE 44 + 2 * octet_length(encode(text)) END AS BIGINT) AS payload_bytes
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS format,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 4 + doc_id % 13 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 3 + doc_id % 7 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text))
+      |       ELSE (4 + doc_id % 13) * (3 + doc_id % 7) END AS BIGINT) AS n_units,
+      |  CAST(CASE doc_id % 3
+      |       WHEN 0 THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
+      |       WHEN 1 THEN 44 + 2 * octet_length(encode(text))
+      |       ELSE -1 END AS BIGINT) AS payload_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
   val queries: Seq[(String, Q)] = Seq(

@@ -52,6 +52,90 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeBmp(forged).isEmpty)
   }
 
+  test("PNG codec: truecolor round-trip through a real zlib stream") {
+    for (w <- Seq(1, 3, 17); h <- Seq(1, 2, 9)) {
+      val img = testImage(w, h)
+      val png = MediaCodecs.encodePng(img)
+      assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val back = MediaCodecs.decodePng(png)
+      assert(back.isDefined, s"decode failed at ${w}x$h")
+      assert(back.get.width === w && back.get.height === h)
+      assert(back.get.pixels.toSeq === img.pixels.toSeq, s"pixels differ at ${w}x$h")
+    }
+  }
+
+  // chunk writer mirroring the spec (length, tag, data, CRC over tag+data)
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](4096)
+    while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+    d.end(); buf.toByteArray
+  }
+
+  test("PNG codec: all five scanline filters unfilter correctly (incl. RGBA)") {
+    // 4x5 RGBA image; row y is written with filter type y (covering all
+    // five), filtered by a reference implementation of the spec's equations
+    val w = 4; val h = 5; val bpp = 4
+    val rng = new scala.util.Random(7)
+    val raster = Array.fill(h * w * bpp)((rng.nextInt(256) & 0xff).toByte)
+    def px(y: Int, x: Int, c: Int): Int = raster((y * w + x) * bpp + c) & 0xff
+    val stride = 1 + w * bpp
+    val raw = new Array[Byte](h * stride)
+    for (y <- 0 until h) {
+      val filter = y
+      raw(y * stride) = filter.toByte
+      for (i <- 0 until w * bpp) {
+        val x = px(y, i / bpp, i % bpp)
+        val a = if (i >= bpp) px(y, (i - bpp) / bpp, i % bpp) else 0
+        val b = if (y > 0) px(y - 1, i / bpp, i % bpp) else 0
+        val c = if (i >= bpp && y > 0) px(y - 1, (i - bpp) / bpp, i % bpp) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * stride + 1 + i) = ((x - pred) & 0xff).toByte
+      }
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(6.toByte) // RGBA
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(raw)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val got = MediaCodecs.decodePng(png)
+    assert(got.isDefined)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got.get.pixels(y * w + x) ===
+        ((px(y, x, 0) << 16) | (px(y, x, 1) << 8) | px(y, x, 2)),
+        s"pixel ($x,$y), filter row ${raw(y * stride)}")
+  }
+
+  test("PNG codec: malformed payloads return None, never throw") {
+    val good = MediaCodecs.encodePng(testImage(5, 4))
+    assert(MediaCodecs.decodePng(Array[Byte](1, 2, 3)).isEmpty)
+    // flip a byte inside the IDAT payload: CRC check must reject
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    assert(MediaCodecs.decodePng(corrupt).isEmpty)
+    // truncate mid-chunk
+    assert(MediaCodecs.decodePng(good.take(good.length - 6)).isEmpty)
+  }
+
   test("WAV codec: PCM-16 round-trip and RIFF chunk walking") {
     val samples = Array.tabulate(777)(i => (math.sin(i * 0.1) * 20000).toShort)
     val wav = MediaCodecs.encodeWav(16000, samples)
@@ -78,6 +162,9 @@ class MultimodalSpec extends SparkSpec {
     assert(fImg.toSeq === MediaCodecs.imageFeatures(img).toSeq)
     val wav = MediaCodecs.encodeWav(8000, Array[Short](1, -1, 100, -100))
     assert(MultimodalOps.decodeAny(wav)._1 === "wav")
+    val (dPng, fPng) = MultimodalOps.decodeAny(MediaCodecs.encodePng(img))
+    assert(dPng === "png")
+    assert(fPng.toSeq === MediaCodecs.imageFeatures(img).toSeq)
     val (dStub, fStub) = MultimodalOps.decodeAny("plain text".getBytes)
     assert(dStub === "stub")
     assert(fStub.toSeq === MultimodalOps.stubDecode("plain text".getBytes).toSeq)
@@ -90,7 +177,7 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id", "mime", "n_bytes", "decoder", "features"))
     val byDecoder = feats.groupBy("decoder").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byDecoder.keySet === Set("bmp", "wav"), s"unexpected decoders: $byDecoder")
+    assert(byDecoder.keySet === Set("bmp", "wav", "png"), s"unexpected decoders: $byDecoder")
     assert(!byDecoder.contains("stub"))
     // metadata from actual header parsing matches the generation rule
     val meta = MultimodalOps.mediaMetadata(media)
@@ -99,18 +186,23 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0).getAs[Long]("width") === 4L && meta(0).getAs[Long]("height") === 3L)
     assert(meta(1).getAs[String]("format") === "wav")
     assert(meta(1).getAs[Long]("sample_rate") === 8000L)
-    assert(meta(2).getAs[String]("format") === "bmp")
+    assert(meta(2).getAs[String]("format") === "png")
     assert(meta(2).getAs[Long]("width") === 6L && meta(2).getAs[Long]("height") === 5L)
+    assert(meta(3).getAs[String]("format") === "bmp")
+    assert(meta(3).getAs[Long]("width") === 7L && meta(3).getAs[Long]("height") === 6L)
   }
 
   test("resizeImages: output payloads are valid BMPs at the target size") {
     val media = MultimodalOps.syntheticMedia(spark, sf)
     val resized = MultimodalOps.resizeImages(media, 4, 4)
-    val rows = resized.filter("media_id % 2 = 0").take(5)
+    val rows = resized.filter("media_id % 3 = 0").take(5)
     rows.foreach { r =>
       val img = MediaCodecs.decodeBmp(r.payload)
       assert(img.isDefined && img.get.width === 4 && img.get.height === 4)
     }
+    // PNG rows pass through untouched (only BMP is resized in place)
+    val pngRow = resized.filter("media_id = 2").head()
+    assert(MediaCodecs.decodePng(pngRow.payload).isDefined)
     // uniform-color image stays that color under box-average
     val uni = BmpImage(9, 9, Array.fill(81)(0x6a2b1c))
     val rz = MediaCodecs.resizeBmp(uni, 3, 3)
@@ -129,10 +221,10 @@ class MultimodalSpec extends SparkSpec {
       assert(n >= 0 && n <= 4)
       r.getAs[Seq[Float]]("frame_rms").foreach(v => assert(v >= 0f && v <= 1f))
     }
-    // BMP rows (even ids) are not audio → zero frames; WAV rows with text → >0
+    // image rows (bmp/png) are not audio → zero frames; WAV rows with text → >0
     val byId = rows.map(r => r.getAs[Long]("media_id") -> r.getAs[Int]("n_frames")).toMap
-    assert(byId.filterKeys(_ % 2 == 0).values.forall(_ === 0))
-    assert(byId.filterKeys(_ % 2 == 1).values.exists(_ > 0))
+    assert(byId.filterKeys(_ % 3 != 1).values.forall(_ === 0))
+    assert(byId.filterKeys(_ % 3 == 1).values.exists(_ > 0))
   }
 
   test("decodeFeatures: deterministic stub features on opaque payloads") {
