@@ -181,30 +181,62 @@ object Sampling {
     * wide ever carries text.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetFlag: Column): DataFrame = {
-    val id = col(idCol)
-    val d = docs.select(id, targetFlag.as("is_target"),
-      split(col(textCol), " ").as("toks"))
-    val feats = d.select(id, col("is_target"), explode(concat(
+      targetFlag: Column): DataFrame =
+    dsirScoreAgainst(docs, idCol, textCol,
+      dsirBucketTable(docs, textCol, targetFlag))
+
+  /** The hashed unigram+bigram feature-occurrence frame behind DSIR:
+    * one row per feature occurrence with its 3-hex-char md5 bucket,
+    * carrying the named pass-through columns.
+    */
+  private def dsirFeatures(docs: DataFrame, textCol: String,
+      passthrough: Seq[String]): DataFrame = {
+    val d = docs.select(passthrough.map(col) :+ split(col(textCol), " ").as("toks"): _*)
+    d.select(passthrough.map(col) :+ explode(concat(
         filter(col("toks"), t => t =!= ""),
         when(size(col("toks")) >= 2,
             expr("transform(sequence(1, size(toks) - 1), " +
               "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .otherwise(expr("array()")))).as("feat"))
+          .otherwise(expr("array()")))).as("feat"): _*)
       .withColumn("bucket", substring(md5(col("feat")), 1, 3))
+  }
+
+  /** Train the DSIR bucket table from a reference corpus: one row per
+    * occupied feature bucket with its add-one-smoothed log-likelihood
+    * ratio in integer micro-nats (≤ [[DsirBuckets]] rows — broadcast
+    * size by construction). Train once on the reference corpus, then
+    * score any frame — or any micro-batch stream — against it with
+    * [[dsirScoreAgainst]].
+    */
+  def dsirBucketTable(docs: DataFrame, textCol: String,
+      targetFlag: Column): DataFrame = {
+    val feats = dsirFeatures(docs.withColumn("is_target", targetFlag),
+      textCol, Seq("is_target"))
     val buckets = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("r_b"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))
     val tot = buckets.agg(sum(col("r_b")).as("r_tot"), sum(col("t_b")).as("t_tot"))
     val B = lit(DsirBuckets.toDouble)
-    val lr = buckets.crossJoin(tot).select(col("bucket"),
+    buckets.crossJoin(tot).select(col("bucket"),
       floor(log(((col("t_b") + lit(1.0)) * (col("r_tot") + B)) /
           ((col("r_b") + lit(1.0)) * (col("t_tot") + B))) * lit(1000000.0))
         .cast("long").as("lr_micros"))
-    feats.groupBy(id, col("bucket")).agg(count(lit(1)).as("n"))
-      .join(broadcast(lr), "bucket")
+  }
+
+  /** Score documents against a trained [[dsirBucketTable]]: exact
+    * integer per-doc sums of bucket log-ratios (features hashing to
+    * buckets ABSENT from the table contribute 0 — the neutral prior
+    * for mass unseen at training time). The table broadcasts; only
+    * (doc, bucket) counts shuffle.
+    */
+  def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+      bucketTable: DataFrame): DataFrame = {
+    val id = col(idCol)
+    dsirFeatures(docs, textCol, Seq(idCol))
+      .groupBy(id, col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(bucketTable), Seq("bucket"), "left")
       .groupBy(id)
       .agg(sum(col("n")).as("n_feats"),
-        sum(col("n") * col("lr_micros")).as("w_micros"))
+        sum(col("n") * coalesce(col("lr_micros"), lit(0L))).as("w_micros"))
   }
 }

@@ -779,6 +779,32 @@ object StreamOps {
           embCol, threshold), batchId)
     }
 
+  /** Continuous DSIR admission gate — the quality counterpart of
+    * [[semanticDedupIngestStream]]'s dedup gate: every micro-batch of
+    * incoming documents is scored against a bucket table trained ONCE
+    * on a reference corpus ([[graft.api.Sampling.dsirBucketTable]],
+    * localCheckpoint'd at stream start so no batch re-derives the
+    * training plan), and only rows whose integer log-likelihood-ratio
+    * weight clears `minWeightMicros` reach the sink (with their
+    * `w_micros` attached). Scoring is STATELESS per batch — a
+    * broadcast join against the ≤ 4096-row table plus one doc-keyed
+    * aggregate — so replays are trivially deterministic and the gate
+    * needs no state store. `sink` receives (admitted, batchId).
+    */
+  def dsirGateStream(batches: DataFrame, bucketTable: DataFrame,
+      idCol: String, textCol: String, minWeightMicros: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lr = bucketTable.localCheckpoint()
+    batches.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val scored = graft.api.Sampling.dsirScoreAgainst(batch, idCol, textCol, lr)
+        val admitted = batch.join(
+          scored.filter(col("w_micros") >= minWeightMicros)
+            .select(col(idCol), col("w_micros")), Seq(idCol))
+        sink(admitted, batchId)
+    }
+  }
+
   /** One parsed record on the checkpoint-tracker path. */
   case class SeqRecord(streamName: String, sequenceNumber: String, commitTimestamp: String)
 

@@ -958,4 +958,44 @@ class StreamOpsSpec extends SparkSpec {
       Seq("source"), "n_chars", "doc_id", batchId = 7L)
     assert(spark.read.parquet(statsDir).count() === rowsBefore + 1)
   }
+
+  test("dsirGateStream: stream admissions equal batch scoring; gate is stateless across batches") {
+    import spark.implicits._
+    // train on a corpus whose target rows speak "good"-flavored tokens
+    val corpus = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose with useful words", true)
+      else (i, "zz spam zz junk zz noise zz", false)
+    }.toDF("doc_id", "text", "tgt")
+    val lr = graft.api.Sampling.dsirBucketTable(corpus, "text", $"tgt")
+
+    val incoming = Seq(
+      (100L, "good clean prose with useful words"),
+      (101L, "zz spam zz junk zz noise zz"),
+      (102L, "good useful words"),
+      (103L, "zz junk noise zz"))
+    // threshold 0: positive-LLR (target-like) docs pass
+    val admittedByBatch = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.dsirGateStream(mem.toDF().toDF("doc_id", "text"), lr,
+        "doc_id", "text", minWeightMicros = 0L) { (admitted, batchId) =>
+      admittedByBatch.synchronized {
+        admittedByBatch(batchId) = admitted.select($"doc_id", $"w_micros")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    }.start()
+    mem.addData(incoming.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(incoming.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch parity: the same docs scored in one batch, same threshold
+    val batchScores = graft.api.Sampling.dsirScoreAgainst(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", lr)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micros")).toMap
+    val want = batchScores.filter(_._2 >= 0L)
+    assert((admittedByBatch(0L) ++ admittedByBatch(1L)) === want)
+    // the gate actually separates: target-like docs in, spam out
+    assert(want.keySet === Set(100L, 102L))
+  }
 }
