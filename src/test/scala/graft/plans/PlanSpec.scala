@@ -345,6 +345,48 @@ class PlanSpec extends SparkSpec {
       s"q118 must scan the checkpointed candidate shingle frame:\n$p")
   }
 
+  test("q128: duplicate-span detection joins windows on content — never a cartesian; island merge keyed per doc") {
+    val p = planOf(graft.operators.DedupOps.q128DupSpans(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"shared-window detection must be an equi-join on window content:\n$p")
+    assert(p.contains("[win"),
+      s"the hit join must key on the window column:\n$p")
+    // the island merge is a per-doc window — an unpartitioned window
+    // would single-task every hit in the corpus
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"island merge must partition by doc id:\n$p")
+  }
+
+  test("q130/q133: PPJoin candidate generation is equi-join only — the n² pair space never materializes") {
+    for ((name, p) <- Seq(
+      "q130" -> planOf(graft.operators.DedupOps.q130PpjoinDegrees(spark, sf)),
+      "q133" -> planOf(graft.operators.DedupOps.q133PagerankDups(spark, sf)))) {
+      assert(!p.contains("CartesianProduct"),
+        s"$name must generate candidates via the prefix-token equi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not fall back to a nested-loop join:\n$p")
+    }
+  }
+
+  test("q133: rank iterations scan the materialized edge frame, not the dedup pipeline") {
+    val p = planOf(graft.operators.DedupOps.q133PagerankDups(spark, sf))
+    // pageRankFixedPoint localCheckpoints edges + outdeg before
+    // iterating; 3 iterations referencing a LIVE ppJoinPairs subtree
+    // would re-run shingling/verification once per consumer
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"q133 must scan checkpointed edge/degree frames:\n$p")
+    assert(!p.contains("Generate"),
+      s"q133's submitted plan must not re-derive the token explode:\n$p")
+  }
+
+  test("q129: DSIR scoring joins the 4096-row bucket table by broadcast") {
+    val p = planOf(graft.operators.SamplingOps.q129DsirWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket log-ratio table must broadcast into the scoring join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals frame may cross-join (as a broadcast):\n$p")
+  }
+
   test("GraftExtensions: char_entropy reaches SQL text through extension injection") {
     val fresh = spark.newSession()
     val h = fresh.sql("SELECT char_entropy('abab') AS h").head().getDouble(0)
