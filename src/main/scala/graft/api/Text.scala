@@ -304,4 +304,182 @@ object Text {
     words.select(col("id"), size(syms).as("n_syms"))
       .groupBy(col("id")).agg(sum(col("n_syms")).as("bpe_tokens"))
   }
+
+  /** EXACT heavy hitters — every token whose corpus frequency is
+    * ≥ `threshPerMille`‰ of all tokens, with its exact count — without
+    * ever shuffling the full vocabulary.
+    *
+    * Two passes, the classic sketch-then-recount shape:
+    *  1. Candidate generation: each partition runs a Misra–Gries
+    *     `frequent` summary of `capacity` counters over its tokens
+    *     (tokens never leave the partition; only ≤ capacity candidate
+    *     rows plus one total-count row per partition are emitted). By
+    *     pigeonhole, any token with global frequency > n/capacity
+    *     exceeds its share in at least one partition, so the UNION of
+    *     per-partition summaries is a guaranteed superset of the true
+    *     heavy hitters whenever `capacity · threshPerMille > 1000`
+    *     (enforced). A naive `groupBy(token)` would shuffle every
+    *     distinct token — ~10⁸ rows of long-tail vocabulary at 100 TB;
+    *     this shuffles `capacity × partitions` rows.
+    *  2. Exact recount: a second corpus scan counts ONLY tokens in the
+    *     broadcast candidate set (broadcast semi-join reaches the scan
+    *     as a runtime filter), then keeps those with
+    *     `count · 1000 ≥ threshPerMille · total` — pure integer
+    *     arithmetic, so the threshold is engine-exact.
+    *
+    * Output: (token, n) exact, ordered by n desc then token. The
+    * summaries frame is localCheckpoint'd: it is consumed twice (total
+    * + candidates) and each consumer would otherwise re-run the
+    * pass-1 corpus scan.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, capacity: Int = 4096,
+      threshPerMille: Int = 1): DataFrame = {
+    require(capacity.toLong * threshPerMille > 1000,
+      s"capacity $capacity too small for ${threshPerMille}/1000 threshold: " +
+        "the Misra-Gries superset guarantee needs capacity * threshPerMille > 1000")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    // Pass 1 — per-partition Misra-Gries. The "" sentinel row carries the
+    // partition's exact token count (empty tokens were filtered, so the
+    // key is free). Decrement-all triggers at most n/capacity times, so
+    // the summary costs amortized O(1) per token.
+    val summaries = toks.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](capacity * 2)
+      var np = 0L
+      while (it.hasNext) {
+        val t = it.next(); np += 1L
+        val cur = counts.getOrDefault(t, 0L)
+        if (cur > 0L || counts.size < capacity) counts.put(t, cur + 1L)
+        else {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue <= 1L) e.remove() else en.setValue(en.getValue - 1L)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)](("", np))
+      counts.forEach((k, v) => out += ((k, v)))
+      out.iterator
+    }.toDF("token", "cnt").localCheckpoint()
+    val total = summaries.filter(col("token") === "")
+      .agg(sum(col("cnt")).as("total"))
+    val candidates = summaries.filter(col("token") =!= "")
+      .select(col("token")).distinct()
+    toks.join(broadcast(candidates), Seq("token"), "leftsemi")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * 1000 >= lit(threshPerMille.toLong) * col("total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Distributed multinomial Naive Bayes text classifier, trained and
+    * applied in one plan — the shape of a fastText-style quality or
+    * language filter in a curation pipeline, here with the corpus's own
+    * `labelCol` as supervision.
+    *
+    * Training IS aggregation: per-(class, token) occurrence counts,
+    * per-class totals, vocabulary size and document priors are four hash
+    * aggregations over a single tokenized frame — embarrassingly
+    * parallel, no iteration. The model (vocab × classes Laplace-smoothed
+    * log-probability grid, Heaps-law-bounded ≪ corpus) is broadcast to
+    * score: each token occurrence joins its |classes| grid rows, one
+    * more hash agg sums per (doc, class), and a per-doc window argmax
+    * (score desc, class asc — deterministic tie-break) picks the
+    * prediction. The corpus is scanned exactly twice (train + score);
+    * nothing driver-side.
+    *
+    * Returns one row per non-empty document: (idCol, actual, predicted).
+    * All log-domain arithmetic is exact-integer ratios through `ln`, so
+    * both engines of a differential test see bit-identical model
+    * weights; class score gaps (≫ summation-order ulps) make the argmax
+    * engine-stable.
+    */
+  /** Per-class informative vocabulary — log-odds ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words"), the standard corpus-comparison statistic for
+    * "which tokens characterize this slice of the corpus": for token w
+    * in class i against the rest of the corpus,
+    *
+    *   δ_iw = ln((y_iw + α) / (n_i + α·V − y_iw − α))
+    *        − ln((y_rw + α) / (n_r + α·V − y_rw − α))
+    *   z_iw = δ_iw / sqrt(1/(y_iw + α) + 1/(y_rw + α))
+    *
+    * with y counts, n class token totals, V vocabulary size. Everything
+    * is one tokenization pass + three hash aggregations; the per-token z
+    * is a fixed scalar expression over exact integer counts (no
+    * cross-row float sums), so it is deterministic — rounded to 4
+    * decimals only because libm-vs-JVM `ln` can differ in the last ulp.
+    * Returns the `topK` tokens per class by z (desc, token tie-break):
+    * (labelCol, token, y, z).
+    */
+  def classLogOdds(docs: DataFrame, textCol: String, labelCol: String,
+      alpha: Double = 0.01, topK: Int = 5): DataFrame = {
+    val toks = docs.select(col(labelCol).as("cls"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val cc = toks.groupBy(col("cls"), col("token")).agg(count(lit(1)).as("y"))
+    val globals = cc.groupBy(col("token")).agg(sum(col("y")).as("y_all"))
+    val totals = cc.groupBy(col("cls")).agg(sum(col("y")).as("n_cls"))
+    val corpus = cc.agg(sum(col("y")).as("n_all"), countDistinct(col("token")).as("v"))
+    val a = lit(alpha)
+    val scored = cc.join(globals, "token")
+      .join(broadcast(totals), "cls")
+      .crossJoin(broadcast(corpus))
+      .select(col("cls"), col("token"), col("y"), {
+        val a0 = a * col("v").cast("double")
+        val yi = col("y").cast("double")
+        val yr = (col("y_all") - col("y")).cast("double")
+        val ni = col("n_cls").cast("double")
+        val nr = (col("n_all") - col("n_cls")).cast("double")
+        val delta = log((yi + a) / (ni + a0 - yi - a)) -
+          log((yr + a) / (nr + a0 - yr - a))
+        round(delta / sqrt(lit(1.0) / (yi + a) + lit(1.0) / (yr + a)), 4).as("z")
+      })
+    val w = Window.partitionBy(col("cls")).orderBy(col("z").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("cls").as(labelCol), col("token"), col("y"), col("z"))
+  }
+
+  def naiveBayesSelfScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    def toks = docs.select(col(idCol).as("nb_id"), col(labelCol).as("actual"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val classCounts = toks.groupBy(col("actual").as("cls"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val classTotals = classCounts.groupBy(col("cls")).agg(sum(col("c")).as("n_cls"))
+    val vocab = classCounts.agg(countDistinct(col("token")).as("v"))
+    val classes = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs_cls"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = classCounts.select(col("token")).distinct()
+      .crossJoin(classes.select(col("cls")))
+      .join(classCounts, Seq("cls", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(classTotals, "cls")
+      .crossJoin(vocab)
+      .select(col("cls"), col("token"),
+        log((col("c") + 1).cast("double") / (col("n_cls") + col("v")).cast("double"))
+          .as("logp"))
+    val priors = classes.crossJoin(nDocs)
+      .select(col("cls"),
+        log(col("n_docs_cls").cast("double") / col("n_docs").cast("double"))
+          .as("logprior"))
+    val scores = toks.join(broadcast(grid), "token")
+      .groupBy(col("nb_id"), col("actual"), col("cls"))
+      .agg(sum(col("logp")).as("s"))
+      .join(broadcast(priors), "cls")
+      .select(col("nb_id"), col("actual"), col("cls"),
+        (col("s") + col("logprior")).as("score"))
+    val w = Window.partitionBy(col("nb_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("nb_id").as(idCol), col("actual"), col("cls").as("predicted"))
+  }
 }

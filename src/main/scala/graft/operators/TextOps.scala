@@ -887,7 +887,127 @@ object TextOps {
       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
       |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
 
+  /** q134: exact heavy hitters — every token at ≥ 1‰ of the corpus token
+    * stream with its EXACT count, via [[graft.api.Text.heavyHitters]]:
+    * per-partition Misra–Gries candidate generation (only
+    * capacity × partitions summary rows ever shuffle — never the
+    * long-tail vocabulary) then a candidate-restricted broadcast-semi
+    * recount. The 1000·n ≥ total threshold is integer arithmetic, so the
+    * oracle (a plain full group-by, affordable at sf0.01) matches
+    * bit-for-bit — grading that the sketch superset + exact recount
+    * loses nothing.
+    */
+  def q134HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Text.heavyHitters(table(spark, dir, "documents"), "text")
+
+  val q134Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |t AS (SELECT token FROM toks WHERE token <> ''),
+      |total AS (SELECT COUNT(*) AS total FROM t)
+      |SELECT token, COUNT(*) AS n
+      |FROM t CROSS JOIN total
+      |GROUP BY token, total HAVING COUNT(*) * 1000 >= total
+      |ORDER BY n DESC, token""".stripMargin
+
+  /** q135: distributed multinomial Naive Bayes language classifier —
+    * trained on the corpus's own lang labels and applied back to it in
+    * one plan ([[graft.api.Text.naiveBayesSelfScore]]); graded as the
+    * actual × predicted confusion matrix (integer counts, engine-exact).
+    * Training is pure hash aggregation, the smoothed log-probability
+    * grid broadcasts to score, and the per-doc argmax tie-breaks
+    * deterministically — the fastText-style filter-model shape of a
+    * curation pipeline with no iteration and nothing driver-side.
+    */
+  def q135NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.naiveBayesSelfScore(
+        table(spark, dir, "documents"), "doc_id", "text", "lang")
+      .groupBy($"actual", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"actual", $"predicted")
+  }
+
+  val q135Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang AS actual, tok AS token
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> ''),
+      |cc AS (SELECT actual AS cls, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ct AS (SELECT cls, SUM(c) AS n_cls FROM cc GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT token) AS v FROM cc),
+      |classes AS (SELECT lang AS cls, COUNT(*) AS n_docs_cls FROM documents GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |grid AS (
+      |  SELECT cl.cls, tk.token,
+      |    ln(CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) / CAST(ct.n_cls + v.v AS DOUBLE)) AS logp
+      |  FROM (SELECT DISTINCT token FROM cc) tk
+      |  CROSS JOIN (SELECT cls FROM classes) cl
+      |  LEFT JOIN cc ON cc.cls = cl.cls AND cc.token = tk.token
+      |  JOIN ct ON ct.cls = cl.cls
+      |  CROSS JOIN v),
+      |scores AS (
+      |  SELECT tk.doc_id, tk.actual, g.cls, SUM(g.logp) AS s
+      |  FROM toks tk JOIN grid g ON g.token = tk.token
+      |  GROUP BY 1, 2, 3),
+      |final AS (
+      |  SELECT s.doc_id, s.actual, s.cls,
+      |    s.s + ln(CAST(c.n_docs_cls AS DOUBLE) / CAST(n.n_docs AS DOUBLE)) AS score
+      |  FROM scores s JOIN classes c ON c.cls = s.cls CROSS JOIN n),
+      |pred AS (
+      |  SELECT doc_id, actual, cls AS predicted,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+      |  FROM final)
+      |SELECT actual, predicted, COUNT(*) AS n_docs
+      |FROM pred WHERE rn = 1 GROUP BY actual, predicted
+      |ORDER BY actual, predicted""".stripMargin
+
+  /** q136: per-class informative vocabulary — Dirichlet-prior log-odds
+    * z-scores ([[graft.api.Text.classLogOdds]], Monroe et al. 2008): the
+    * top 5 tokens most over-represented in each lang vs the rest of the
+    * corpus. One tokenization pass + three hash aggregations; z is a
+    * fixed scalar expression over exact integer counts (both engines
+    * rank on the SAME 4-decimal rounding, so ordering is engine-stable).
+    */
+  def q136ClassLogodds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.classLogOdds(table(spark, dir, "documents"), "text", "lang")
+      .orderBy($"lang", $"z".desc, $"token")
+  }
+
+  val q136Sql: String =
+    """WITH toks AS (
+      |  SELECT lang AS cls, tok AS token
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> ''),
+      |cc AS (SELECT cls, token, COUNT(*) AS y FROM toks GROUP BY 1, 2),
+      |g AS (SELECT token, SUM(y) AS y_all FROM cc GROUP BY 1),
+      |t AS (SELECT cls, SUM(y) AS n_cls FROM cc GROUP BY 1),
+      |corp AS (SELECT SUM(y) AS n_all, COUNT(DISTINCT token) AS v FROM cc),
+      |scored AS (
+      |  SELECT cc.cls, cc.token, cc.y,
+      |    round((ln((CAST(cc.y AS DOUBLE) + 0.01)
+      |             / (CAST(t.n_cls AS DOUBLE) + 0.01 * CAST(corp.v AS DOUBLE)
+      |                - CAST(cc.y AS DOUBLE) - 0.01))
+      |         - ln((CAST(g.y_all - cc.y AS DOUBLE) + 0.01)
+      |             / (CAST(corp.n_all - t.n_cls AS DOUBLE)
+      |                + 0.01 * CAST(corp.v AS DOUBLE)
+      |                - CAST(g.y_all - cc.y AS DOUBLE) - 0.01)))
+      |      / sqrt(1.0 / (CAST(cc.y AS DOUBLE) + 0.01)
+      |           + 1.0 / (CAST(g.y_all - cc.y AS DOUBLE) + 0.01)), 4) AS z
+      |  FROM cc JOIN g USING (token) JOIN t USING (cls) CROSS JOIN corp),
+      |ranked AS (
+      |  SELECT cls, token, y, z,
+      |    ROW_NUMBER() OVER (PARTITION BY cls ORDER BY z DESC, token) AS rn
+      |  FROM scored)
+      |SELECT cls AS lang, token, y, z FROM ranked WHERE rn <= 5
+      |ORDER BY lang, z DESC, token""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q134_heavy_hitters" -> (q134HeavyHitters _),
+    "q135_naive_bayes" -> (q135NaiveBayes _),
+    "q136_class_logodds" -> (q136ClassLogodds _),
     "q131_bpe_pairs" -> (q131BpePairs _),
     "q101_doc_chunks" -> (q101DocChunks _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
@@ -986,6 +1106,9 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q134_heavy_hitters" -> q134Sql,
+    "q135_naive_bayes" -> q135Sql,
+    "q136_class_logodds" -> q136Sql,
     "q131_bpe_pairs" -> q131Sql,
     "q101_doc_chunks" -> q101Sql,
     "q116_unigram_logprob" -> q116Sql,

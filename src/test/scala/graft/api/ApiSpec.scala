@@ -1356,4 +1356,49 @@ class ApiSpec extends SparkSpec {
     assert(en.nonEmpty && rest.nonEmpty)
     assert(mean(en) > mean(rest), s"no separation: ${mean(en)} vs ${mean(rest)}")
   }
+
+  test("heavyHitters: exact counts equal brute force even when capacity forces eviction") {
+    import spark.implicits._
+    // Zipf-ish synthetic stream: token t_i appears ~ 4000/i times over a
+    // 200-token vocabulary, written as many small docs across several
+    // partitions. capacity=64 << vocab forces real Misra-Gries eviction
+    // inside every partition.
+    val words = (1 to 200).flatMap(i => Seq.fill(4000 / i)(s"t$i"))
+    val docs = new scala.util.Random(7).shuffle(words)
+      .grouped(25).map(_.mkString(" ")).toSeq
+      .toDF("body").repartition(8)
+    val got = Text.heavyHitters(docs, "body", capacity = 64, threshPerMille = 20)
+      .as[(String, Long)].collect().toSeq
+    val total = words.size.toLong
+    val expected = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, n) => n * 1000 >= 20 * total }
+      .toSeq.sortBy { case (t, n) => (-n, t) }
+    assert(got === expected, s"got ${got.take(5)}... expected ${expected.take(5)}...")
+    assert(got.nonEmpty && got.head._1 === "t1" && got.head._2 === 4000L)
+    // guarantee precondition is enforced
+    intercept[IllegalArgumentException] {
+      Text.heavyHitters(docs, "body", capacity = 64, threshPerMille = 1)
+    }
+  }
+
+  test("naiveBayesSelfScore: recovers well-separated classes and tie-breaks deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two classes with disjoint core vocabulary + shared filler
+    val mk = (cls: String, core: Seq[String]) => (0 until 40).map { i =>
+      val toks = Seq.fill(12)(core(rnd.nextInt(core.size))) ++
+        Seq.fill(4)("the") ++ Seq.fill(2)("and")
+      (cls.hashCode.toLong * 100 + i, rnd.shuffle(toks).mkString(" "), cls)
+    }
+    val docs = (mk("aa", Seq("alpha", "apple", "anchor", "arrow")) ++
+      mk("bb", Seq("bravo", "berry", "basket", "bridge")))
+      .toDF("id", "body", "label").repartition(4)
+    val scored = Text.naiveBayesSelfScore(docs, "id", "body", "label")
+    assert(scored.columns.toSeq === Seq("id", "actual", "predicted"))
+    assert(scored.count() === 80)
+    assert(scored.filter($"actual" =!= $"predicted").count() === 0)
+    // empty-text rows produce no tokens and are excluded, not mis-scored
+    val withEmpty = docs.union(Seq((999L, "", "aa")).toDF("id", "body", "label"))
+    assert(Text.naiveBayesSelfScore(withEmpty, "id", "body", "label").count() === 80)
+  }
 }
