@@ -67,9 +67,17 @@ object PlanDump {
     "q129_dsir_weights" ->
       "DSIR: narrow feature explode, 4096-bucket histogram, broadcast log-ratio scoring join, integer sums",
     "q130_ppjoin_degrees" ->
-      "PPJoin: rarest-prefix equi-join candidates (+length/positional pruning), exact verify, no n² pair space",
+      "adaptive set-similarity: bitmask distinct-set square on tiny vocabularies, PPJoin prefix filter otherwise",
     "q133_pagerank_dups" ->
-      "PageRank: checkpointed edge/degree frames, per-iteration dst-keyed agg, integer fixed-point ranks")
+      "PageRank: checkpointed edge/degree frames, per-iteration dst-keyed agg, integer fixed-point ranks",
+    "q137_block_dedup" ->
+      "C4-style block dedup: content-keyed first-occurrence window, ordered per-doc reassembly",
+    "q138_containment_degrees" ->
+      "asymmetric containment: small-side-prefix (or mask-square) candidates, exact verify, no n² pair space",
+    "q139_inverted_index" ->
+      "inverted index: bounded top-k posting cap per partition, no ranked-window sort of hot tokens",
+    "q140_leakage_split" ->
+      "leakage-safe split: cluster components over the edge list only, broadcast assignment join, md5 hash split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -899,4 +899,208 @@ object Dedup {
     nibbles.groupBy(id)
       .agg(expr("array_join(transform(array_sort(collect_list(struct(p, ch))), x -> x.ch), '')").as("simhash64"))
   }
+
+  /** C4-style block-level exact dedup with document reconstruction: the
+    * token stream of each document is cut into consecutive
+    * `blockTokens`-token blocks, every block whose exact content appeared
+    * earlier in the corpus (global first occurrence by (id, block index))
+    * is dropped, and each document is reassembled from its surviving
+    * blocks in order. This is the line/paragraph dedup of C4/RefinedWeb
+    * re-expressed for unstructured token streams: boilerplate repeated
+    * across documents disappears once per corpus instead of per document.
+    *
+    * Returns one row per input document:
+    * (id, n_blocks, n_kept, text_kept) — `text_kept` is "" when every
+    * block was a repeat.
+    *
+    * Scale shape: a narrow posexplode, one (id, block) hash aggregation
+    * to materialize block contents (state bounded by blockTokens), one
+    * shuffle keyed by block CONTENT for the first-occurrence window
+    * (skew-free: identical blocks hash to one key, and the window only
+    * ranks — duplicates of one block are a genuine single key's rows,
+    * bounded by that block's corpus frequency), and one final per-doc
+    * aggregation. No driver-side state; the full text is never shuffled
+    * as a unit, only blocks.
+    */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val blocks = toks.withColumn("blk", floor(col("pos") / blockTokens))
+      .groupBy(col("id"), col("blk"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("content"))
+    val firstW = Window.partitionBy(col("content"))
+    val kept = blocks
+      .withColumn("keep",
+        struct(col("id"), col("blk")) ===
+          min(struct(col("id"), col("blk"))).over(firstW))
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(blk, content) END)), x -> x.content), ' ')")
+          .as("text_kept"))
+  }
+
+  /** EXACT asymmetric containment self-join: all document pairs where
+    * the SMALLER distinct-token set is ≥ `tau`-contained in the larger
+    * (C(A→B) = |A∩B| / |A|, |A| ≤ |B|) — the sub-document duplication
+    * detector Jaccard misses: a paragraph pasted into a 100× larger page
+    * has tiny Jaccard but containment 1. Returns
+    * (id_small, id_large, n_inter, containment); equal-size pairs are
+    * canonicalized id_small < id_large.
+    *
+    * Adaptive like [[ppJoinPairs]] (same probe jobs, same eager
+    * construction semantics):
+    *
+    *  - **Bitmask path** (vocabulary ≤ 62 tokens, distinct sets ≤
+    *    `maskPathMaxMasks`): the bounded broadcast square over DISTINCT
+    *    masks evaluates `bit_count(ma & mb) ≥ τ·bit_count(ma)` directly;
+    *    equi-join expansion back to documents.
+    *
+    *  - **Prefix-filter path** otherwise: a qualifying pair must share a
+    *    token within the smaller set's first |A| − ⌈τ·|A|⌉ + 1 tokens
+    *    under the global df-ascending order (else the overlap is capped
+    *    below τ·|A|), so candidates come from joining ONLY small-side
+    *    prefix tokens — the rarest in the corpus — against the token
+    *    postings, then the exact intersection count verifies. Containment
+    *    has no upper length filter (|B| is unbounded), which is exactly
+    *    why the prefix must come from the small side only.
+    *
+    * Both paths emit the identical exact-integer division, so path
+    * choice never changes output bits.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double, maskPathMaxMasks: Int = 32768): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(filter(split(col(textCol), " "),
+        t => t =!= ""))).as("tok"))
+      .localCheckpoint()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val smallVocab =
+      if (dfreq.count() <= 62) Some(()) else None
+    smallVocab match {
+      case Some(_) =>
+        val masks = toks
+          .join(dfreq.select(col("tok")).orderBy(col("tok"))
+            .withColumn("bit",
+              (row_number().over(Window.orderBy(col("tok"))) - 1)), "tok")
+          .select(col("id"), expr("shiftleft(1L, bit)").as("b"))
+          .groupBy(col("id")).agg(expr("bit_or(b)").as("mask"))
+        val dm = masks.select(col("mask")).distinct()
+          .withColumn("sz", expr("bit_count(mask)"))
+          .localCheckpoint()
+        if (dm.count() <= maskPathMaxMasks) containmentPairsMask(masks, dm, tau)
+        else containmentPairsPrefix(toks, dfreq, sizes, tau)
+      case None => containmentPairsPrefix(toks, dfreq, sizes, tau)
+    }
+  }
+
+  /** Bitmask strategy of [[containmentPairs]]: the qualifying
+    * DISTINCT-MASK pairs via a bounded broadcast nested-loop (small side
+    * = fewer set bits; ties broken mask-ascending so each unordered mask
+    * pair is evaluated once), expanded to documents by equi-joins.
+    * Same-mask groups pair among themselves at containment 1.
+    */
+  private def containmentPairsMask(masks: DataFrame, dm: DataFrame,
+      tau: Double): DataFrame = {
+    val a = dm.select(col("mask").as("ma"), col("sz").as("sza"))
+    val b = dm.select(col("mask").as("mb"), col("sz").as("szb"))
+    val ni = expr("cast(bit_count(ma & mb) as bigint)")
+    val cont = ni.cast("double") / col("sza")
+    val mp = a.join(broadcast(b),
+        (col("sza") < col("szb") ||
+          (col("sza") === col("szb") && col("ma") <= col("mb"))) &&
+          cont >= lit(tau))
+      .select(col("ma"), col("mb"), ni.as("n_inter"), cont.as("containment"))
+    mp.join(masks.select(col("id").as("_ida"), col("mask").as("ma")), "ma")
+      .join(masks.select(col("id").as("_idb"), col("mask").as("mb")), "mb")
+      .filter(col("ma") =!= col("mb") || col("_ida") < col("_idb"))
+      .select(
+        when(col("ma") === col("mb"), least(col("_ida"), col("_idb")))
+          .otherwise(when(expr("bit_count(ma) = bit_count(mb)"),
+            least(col("_ida"), col("_idb"))).otherwise(col("_ida")))
+          .as("id_small"),
+        when(col("ma") === col("mb"), greatest(col("_ida"), col("_idb")))
+          .otherwise(when(expr("bit_count(ma) = bit_count(mb)"),
+            greatest(col("_ida"), col("_idb"))).otherwise(col("_idb")))
+          .as("id_large"),
+        col("n_inter"), col("containment"))
+  }
+
+  /** Prefix-filter strategy of [[containmentPairs]] — see the adaptive
+    * operator's scaladoc.
+    */
+  private def containmentPairsPrefix(toks: DataFrame, dfreq: DataFrame,
+      sizes: DataFrame, tau: Double): DataFrame = {
+    val ranked = toks.join(dfreq, "tok").join(sizes, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
+      .select(col("id"), col("tok"), col("sz"))
+    val other = toks.join(sizes, "id")
+      .select(col("id").as("id_b"), col("tok"), col("sz").as("sz_b"))
+    val cand = prefix.as("a").join(other.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id_b") &&
+          (col("a.sz") < col("b.sz_b") ||
+            (col("a.sz") === col("b.sz_b") && col("a.id") < col("b.id_b"))))
+      .select(col("a.id").as("id_small"), col("b.id_b").as("id_large"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_small"), col("tok")), "id_small")
+      .join(toks.select(col("id").as("id_large"), col("tok")),
+        Seq("id_large", "tok"))
+      .groupBy(col("id_small"), col("id_large"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_small"), col("sz").as("sz_s")),
+        "id_small")
+      .withColumn("containment", col("n_inter").cast("double") / col("sz_s"))
+      .filter(col("containment") >= tau)
+      .select(col("id_small"), col("id_large"), col("n_inter"),
+        col("containment"))
+  }
+
+  /** Leakage-safe train/validation split: documents are split by their
+    * NEAR-DUP CLUSTER, never individually, so no near-duplicate pair can
+    * straddle the split — the contamination a row-wise random split
+    * silently creates (validation "held-out" docs whose near-copies sit
+    * in train). `pairs` is any verified near-dup edge list (id_a, id_b),
+    * e.g. [[lshCandidatePairs]] output filtered to the similarity
+    * threshold; docs absent from every pair are singleton clusters of
+    * themselves.
+    *
+    * The assignment hashes the cluster REPRESENTATIVE (min member id):
+    * md5(cluster) first hex digit < '8' → train (≈ 50/50), else valid —
+    * deterministic, engine-portable, and trivially cluster-atomic since
+    * every member hashes the same representative. Returns one row per
+    * document: (id, cluster, cluster_size, split).
+    *
+    * Scale shape: [[clusterComponents]] (union-find below the cutover,
+    * large-star/small-star above) over the edge list only, one broadcast
+    * join back to the corpus id set, and a hash projection — the corpus
+    * itself is scanned once and never shuffled.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    // localCheckpoint: comps is tiny (one row per doc that appears in a
+    // pair) but its lineage is the whole candidate pipeline — without
+    // the cut, the broadcast build re-plans that entire subtree and the
+    // submitted plan balloons to thousands of nodes
+    val comps = clusterComponents(pairs)
+      .select(col("id"), col("cluster"), col("cluster_size"))
+      .localCheckpoint()
+    docs.select(col(idCol).as("id"))
+      .join(broadcast(comps), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), "train")
+          .otherwise("valid"))
+  }
 }

@@ -655,7 +655,151 @@ object DedupOps {
       |       FROM od LEFT JOIN c3 ON c3.id = od.src)
       |SELECT id AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** q137: C4-style block-level dedup with document reconstruction
+    * ([[graft.api.Dedup.blockDedup]], 10-token blocks): every block whose
+    * exact content appeared earlier (first occurrence by (doc, position))
+    * is dropped corpus-wide and documents are reassembled from their
+    * surviving blocks. The oracle recomputes the whole pipeline
+    * relationally — hash-matching the reconstructed TEXT grades block
+    * cutting, first-occurrence selection, and ordered reassembly at once.
+    */
+  def q137BlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Dedup.blockDedup(docs(spark, dir), "doc_id", "text", 10)
+      .select($"id".as("doc_id"), $"n_blocks", $"n_kept", $"text_kept")
+      .orderBy($"doc_id")
+  }
+
+  val q137Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS ord
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, (ord - 1) // 10 AS blk,
+      |    string_agg(tok, ' ' ORDER BY ord) AS content
+      |  FROM toks GROUP BY 1, 2),
+      |k AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY content ORDER BY doc_id, blk) AS rn
+      |  FROM b)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN content END, ' ' ORDER BY blk), '')
+      |    AS text_kept
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q138: asymmetric containment degrees
+    * ([[graft.api.Dedup.containmentPairs]] at τ = 0.9) — per document,
+    * how many documents it is contained IN (`n_within`), how many it
+    * CONTAINS (`n_holds`), and its max containment. This is the
+    * sub-document duplication view Jaccard misses (a template pasted
+    * into a much larger page). The brute-force oracle proves the
+    * adaptive candidate pruning (mask square here; small-side-prefix
+    * filter on wide vocabularies) drops no qualifying pair; containment
+    * is the identical exact-integer division on both engines.
+    */
+  def q138ContainmentDegrees(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.containmentPairs(
+      docs(spark, dir), "doc_id", "text", 0.9)
+    pairs.select($"id_small".as("doc_id"), $"containment", lit(1L).as("small"))
+      .unionAll(pairs.select($"id_large".as("doc_id"), $"containment",
+        lit(0L).as("small")))
+      .groupBy($"doc_id")
+      .agg(sum($"small").as("n_within"),
+        sum(lit(1L) - $"small").as("n_holds"),
+        max($"containment").as("max_c"))
+      .orderBy($"doc_id")
+  }
+
+  val q138Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT da, db, ni, sa.sz AS sza, sb.sz AS szb
+      |  FROM i JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db),
+      |r AS (
+      |  SELECT CASE WHEN sza <= szb THEN da ELSE db END AS id_small,
+      |    CASE WHEN sza <= szb THEN db ELSE da END AS id_large,
+      |    CAST(ni AS DOUBLE) / LEAST(sza, szb) AS containment
+      |  FROM j WHERE CAST(ni AS DOUBLE) / LEAST(sza, szb) >= 0.9),
+      |d AS (SELECT id_small AS doc_id, containment, 1 AS small FROM r
+      |      UNION ALL SELECT id_large, containment, 0 FROM r)
+      |SELECT doc_id, CAST(SUM(small) AS BIGINT) AS n_within,
+      |  CAST(SUM(1 - small) AS BIGINT) AS n_holds, MAX(containment) AS max_c
+      |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q140: leakage-safe train/valid split
+    * ([[graft.api.Dedup.leakageSafeSplit]]) — documents are assigned by
+    * NEAR-DUP CLUSTER (verified LSH pairs at J ≥ 0.5, the q55 graph;
+    * singletons are their own cluster) and the cluster representative's
+    * md5 decides train vs valid, so no near-duplicate pair can straddle
+    * the split. The oracle rebuilds the same clusters with a recursive
+    * CTE and applies the same hash rule; hash-matching the per-doc
+    * assignment grades cluster atomicity end-to-end.
+    */
+  def q140LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    graft.api.Dedup.leakageSafeSplit(d, "doc_id", pairs)
+      .select($"id".as("doc_id"), $"cluster", $"cluster_size", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q140Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |csize AS (SELECT cluster, COUNT(*) AS cnt FROM members GROUP BY cluster),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(m.cluster, d.doc_id) AS cluster,
+       |    CAST(COALESCE(s.cnt, 1) AS BIGINT) AS cluster_size
+       |  FROM documents d
+       |  LEFT JOIN members m ON m.doc_id = d.doc_id
+       |  LEFT JOIN csize s ON s.cluster = m.cluster)
+       |SELECT doc_id, cluster, cluster_size,
+       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+       |    BETWEEN '0' AND '7' THEN 'train' ELSE 'valid' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q137_block_dedup" -> (q137BlockDedup _),
+    "q138_containment_degrees" -> (q138ContainmentDegrees _),
+    "q140_leakage_split" -> (q140LeakageSplit _),
     "q133_pagerank_dups" -> (q133PagerankDups _),
     "q130_ppjoin_degrees" -> (q130PpjoinDegrees _),
     "q128_dup_spans" -> (q128DupSpans _),
@@ -671,6 +815,9 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q137_block_dedup" -> q137Sql,
+    "q138_containment_degrees" -> q138Sql,
+    "q140_leakage_split" -> q140Sql,
     "q133_pagerank_dups" -> q133Sql,
     "q130_ppjoin_degrees" -> q130Sql,
     "q128_dup_spans" -> q128Sql,

@@ -1004,7 +1004,35 @@ object TextOps {
       |SELECT cls AS lang, token, y, z FROM ranked WHERE rn <= 5
       |ORDER BY lang, z DESC, token""".stripMargin
 
+  /** q139: inverted-index build ([[graft.api.Text.invertedIndex]]) — per
+    * token: document frequency, total term frequency, and the 20 smallest
+    * doc ids as a capped posting list. The cap runs through the
+    * bounded-state top-k aggregator (score = −id), so a stopword's
+    * posting list reduces to ≤ 20 candidates per partition BEFORE the
+    * shuffle instead of sorting its full df in one ranked-window task —
+    * the index-build formulation that survives a 100 TB corpus. The
+    * oracle's `list_slice(list_sort(...))` checks the aggregator's
+    * smallest-k claim element-for-element.
+    */
+  def q139InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.invertedIndex(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy($"token")
+  }
+
+  val q139Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT token, doc_id, COUNT(*) AS c FROM t WHERE token <> ''
+      |  GROUP BY 1, 2)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(c) AS BIGINT) AS tf_total,
+      |  list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+      |FROM tf GROUP BY token ORDER BY token""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q139_inverted_index" -> (q139InvertedIndex _),
     "q134_heavy_hitters" -> (q134HeavyHitters _),
     "q135_naive_bayes" -> (q135NaiveBayes _),
     "q136_class_logodds" -> (q136ClassLogodds _),
@@ -1106,6 +1134,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q139_inverted_index" -> q139Sql,
     "q134_heavy_hitters" -> q134Sql,
     "q135_naive_bayes" -> q135Sql,
     "q136_class_logodds" -> q136Sql,

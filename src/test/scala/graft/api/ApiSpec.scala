@@ -1381,6 +1381,23 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("invertedIndex: capped postings are exactly the k smallest doc ids; df/tf exact") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      // "common" in every doc; "rare<i>" in one; "mid" in every third
+      val toks = Seq("common", "common", s"rare$i") ++
+        (if (i % 3 == 0) Seq("mid") else Nil)
+      (i.toLong, toks.mkString(" "))
+    }.toDF("id", "body").repartition(7)
+    val idx = graft.api.Text.invertedIndex(docs, "id", "body", maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(idx("common") === ((60L, 120L, Seq(0L, 1L, 2L, 3L, 4L))))
+    assert(idx("mid") === ((20L, 20L, Seq(0L, 3L, 6L, 9L, 12L))))
+    assert(idx("rare7") === ((1L, 1L, Seq(7L))))
+    assert(idx.size === 62)
+  }
+
   test("naiveBayesSelfScore: recovers well-separated classes and tie-breaks deterministically") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

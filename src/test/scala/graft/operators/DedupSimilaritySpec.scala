@@ -179,6 +179,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("containmentPairs: asymmetric semantics, both strategies agree, wide vocab matches brute force") {
+    import spark.implicits._
+    // a tiny doc fully pasted inside a much larger one: containment 1,
+    // Jaccard tiny — the case the operator exists for
+    val paste = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma " + (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val got = graft.api.Dedup.containmentPairs(paste, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 3L, 1.0)))
+    // harness corpus (31-token vocab -> mask path) vs forced prefix path:
+    // bit-for-bit identical including the double division
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val mask = rows(graft.api.Dedup.containmentPairs(docs, "doc_id", "text", 0.95))
+    val prefix = rows(graft.api.Dedup.containmentPairs(docs, "doc_id", "text", 0.95,
+      maskPathMaxMasks = 0))
+    assert(mask === prefix)
+    assert(mask.nonEmpty, "degenerate test: no qualifying pairs at tau=0.95")
+    // >62-token vocabulary routes to the prefix path on its own; brute force
+    val wide = (0 until 30).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${(i * 5 + j * 11) % 80}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = wide.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && (sa.size < sb.size || (sa.size == sb.size && a < b))
+      inter = (sa & sb).size
+      c = inter.toDouble / sa.size if c >= 0.5
+    } yield (a, b)).toSet
+    val gotWide = graft.api.Dedup.containmentPairs(wide, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotWide === want)
+  }
+
+  test("blockDedup: first occurrence survives, repeats drop, reconstruction preserves order") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f"),   // blocks (B=3): "a b c", "d e f"
+      (20L, "a b c x y z"),   // "a b c" repeats -> dropped; "x y z" kept
+      (30L, "a b c d e f"),   // everything repeats -> ""
+      (40L, "q r")            // short tail block kept
+    ).toDF("doc_id", "text")
+    val got = graft.api.Dedup.blockDedup(docs, "doc_id", "text", 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (10L, 2L, 2L, "a b c d e f"),
+      (20L, 2L, 1L, "x y z"),
+      (30L, 2L, 0L, ""),
+      (40L, 1L, 1L, "q r")))
+  }
+
+  test("leakageSafeSplit: clusters never straddle the split; singletons assigned") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.api.Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .filter($"jaccard" >= 0.5).select($"id_a", $"id_b")
+    val split = graft.api.Dedup.leakageSafeSplit(docs, "doc_id", pairs)
+    assert(split.count() === docs.count()) // every doc assigned exactly once
+    val straddling = split.groupBy($"cluster")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(straddling === 0L)
+    // both sides non-empty at 50/50 hash odds over hundreds of clusters
+    val bySplit = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "valid"), s"splits: $bySplit")
+    // a doc in NO pair is its own singleton cluster
+    val singleton = split.filter($"cluster_size" === 1).count()
+    assert(singleton > 0, "expected at least one singleton doc")
+  }
+
   test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
     import spark.implicits._
     // star: 0 connected to 1..4, plus a 5-6 pair off to the side

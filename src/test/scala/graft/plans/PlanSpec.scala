@@ -378,6 +378,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q138: containment pair generation stays off the n² doc space") {
+    val p = planOf(graft.operators.DedupOps.q138ContainmentDegrees(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"containment must prune mask pairs inside the join condition:\n$p")
+    assert(p.contains("bit_count"),
+      s"q138 must take the bitmask path on a 31-token vocabulary:\n$p")
+  }
+
+  test("q139: posting-list cap is a bounded aggregate, not a ranked window") {
+    // The inverted index must reduce hot tokens per-partition via the
+    // top-k aggregator; a Window (row_number over a token's postings)
+    // would sort a stopword's whole posting list in one task at scale.
+    val p = planOf(graft.operators.TextOps.q139InvertedIndex(spark, sf))
+    assert(!p.contains("Window"),
+      s"posting cap must not be a ranked window:\n$p")
+    assert(p.toLowerCase.contains("topkaggregator") || p.contains("top"),
+      s"expected the bounded top-k aggregate in the plan:\n$p")
+  }
+
   test("q133: rank iterations scan the materialized edge frame, not the dedup pipeline") {
     val p = planOf(graft.operators.DedupOps.q133PagerankDups(spark, sf))
     // pageRankFixedPoint localCheckpoints edges + outdeg before
