@@ -57,4 +57,36 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_micros"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED graph given as
+    * canonical (a < b) edge rows — the local clustering signal that
+    * separates "sits inside a duplication clique" from "bridges two
+    * clusters" (a keep-one-per-cluster policy wants the former as
+    * canonical, the latter inspected).
+    *
+    * Algorithm: the compact-forward / oriented enumeration — each
+    * triangle {x < y < z} is found EXACTLY once as the edge pair
+    * (x,y), (y,z) closed by (x,z), i.e. two hash equi-joins of the edge
+    * list against itself, no direction double-count, no division by 6.
+    * The a < b orientation is also the classic skew bound: a node's
+    * join fan-out is its FORWARD degree only, so a k-clique costs
+    * C(k,3) triangle rows (the true output) without any node exploding
+    * to degree² candidate pairs in both directions.
+    *
+    * The edge frame is localCheckpoint'd: three plan references
+    * (e1/e2/e3) would otherwise re-execute the upstream pair pipeline
+    * three times. Returns (id, n_triangles) for nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -519,4 +519,100 @@ object Text {
     stats.join(postings, "token")
       .select(col("token"), col("df"), col("tf_total"), col("postings"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Okapi) for a FIXED query term set,
+    * top `k` documents. Per-term scores are emitted as one fixed-order
+    * column sum (term₁ + term₂ + …), NOT a row-order `sum()` over the
+    * matched terms — floating addition is order-sensitive in the last
+    * ulp, and the fixed textual order is what makes the score (and
+    * therefore the top-k cut) bit-identical across engines and across
+    * partitionings of the same corpus. idf = ln(1 + (N−df+0.5)/(df+0.5))
+    * (the non-negative variant), tf saturation k1 = 1.2, length
+    * normalization b = 0.75.
+    *
+    * Scale shape: the corpus scans once for lengths and once for term
+    * postings, but the posting scan is pre-filtered to the query terms
+    * (an `isin` literal filter that reaches the parquet scan), so the
+    * expensive frame is |postings of query terms|, not the corpus. df
+    * and the 1-row (N, avgdl) aggregate broadcast onto it; the final
+    * ranking is a rounded-score global top-k.
+    *
+    * Returns (id, score) with score rounded to 4 decimals, ordered
+    * score desc then id, limited to `k`.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && query.distinct.size == query.size,
+      s"query terms must be non-empty and distinct: $query")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    // avgdl as an explicit exact-integer-sum division (NOT the engine's
+    // avg(): both engines then compute the identical double)
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(query: _*))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(lens, "id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    // one column per query term, then a FIXED-order sum of the columns
+    val aggCols = query.map(t =>
+      sum(when(col("token") === t, col("s"))).as(s"s_$t"))
+    val pivoted = scored.groupBy(col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val total = query.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduce(_ + _)
+    pivoted.withColumn("score_raw", total)
+      .orderBy(col("score_raw").desc, col("id"))
+      .limit(k)
+      .select(col("id"), round(col("score_raw"), 4).as("score"))
+  }
+
+  /** Per-group n-gram diversity report: total n-grams, distinct
+    * n-grams, type/token ratio, and Shannon entropy of the n-gram
+    * distribution — the corpus-diversity signal (templated/boilerplate
+    * sources read low on both metrics) a mixture designer balances
+    * against quality scores.
+    *
+    * Entropy uses the single-pass identity
+    * H = ln(total) − Σ c·ln(c) / total over per-(group, gram) counts c,
+    * so it needs no second total-joined pass; every term is the
+    * IDENTICAL arithmetic expression in any engine, and the rounded
+    * outputs (ttr to 6, entropy to 4 decimals) are engine-stable.
+    * n-grams are built by a narrow array transform over the token
+    * array — no window, no shuffle before the (group, gram) hash
+    * aggregation.
+    */
+  def ngramDiversity(docs: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val grams = docs.select(col(groupCol).as("grp"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("grp"), explode(when(size(col("toks")) >= n,
+          expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> array_join(slice(toks, i, $n), ' '))"))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val counts = grams.groupBy(col("grp"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("clnc"))
+      .select(col("grp"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6).as("ttr"),
+        round(log(col("n_grams")) - col("clnc") / col("n_grams"), 4)
+          .as("entropy"))
+  }
 }

@@ -796,7 +796,49 @@ object DedupOps {
        |    BETWEEN '0' AND '7' THEN 'train' ELSE 'valid' END AS split
        |FROM assigned ORDER BY doc_id""".stripMargin
 
+  /** q141: per-document triangle counts over the exact near-dup graph
+    * ([[graft.api.Graph.triangleCounts]] on [[graft.api.Dedup.ppJoinPairs]]
+    * edges at τ = 0.95) — the local clustering signal separating
+    * clique-interior documents (canonical keep candidates) from
+    * cluster-bridging ones. The oriented (a < b < c) enumeration finds
+    * each triangle exactly once via two equi-joins, so the oracle's
+    * identical brute-force join grades both the pair set and the
+    * enumeration with integer-exact counts.
+    */
+  def q141TriangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.95)
+      .select($"id_a", $"id_b")
+    graft.api.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"n_triangles")
+      .orderBy($"doc_id")
+  }
+
+  val q141Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT da AS a, db AS b FROM i
+      |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+      |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.95),
+      |tr AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM p e1 JOIN p e2 ON e2.a = e1.b
+      |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT x AS doc_id FROM tr UNION ALL SELECT y FROM tr
+      |      UNION ALL SELECT z FROM tr)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q141_triangle_counts" -> (q141TriangleCounts _),
     "q137_block_dedup" -> (q137BlockDedup _),
     "q138_containment_degrees" -> (q138ContainmentDegrees _),
     "q140_leakage_split" -> (q140LeakageSplit _),
@@ -815,6 +857,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q141_triangle_counts" -> q141Sql,
     "q137_block_dedup" -> q137Sql,
     "q138_containment_degrees" -> q138Sql,
     "q140_leakage_split" -> q140Sql,

@@ -1031,7 +1031,87 @@ object TextOps {
       |  list_slice(list_sort(list(doc_id)), 1, 20) AS postings
       |FROM tf GROUP BY token ORDER BY token""".stripMargin
 
+  /** q142: BM25 ranked retrieval ([[graft.api.Text.bm25TopK]]) for the
+    * fixed query {vector, stream, customer} — top 20 documents. The
+    * score is a FIXED-ORDER sum of per-term columns (never a row-order
+    * float sum), which is what lets the oracle's identical formula
+    * hash-match to the rounded 4th decimal and guarantees the same
+    * top-k cut; the posting scan is pre-filtered to the query terms, so
+    * the ranked frame is |matching postings|, not the corpus.
+    */
+  def q142Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.bm25TopK(table(spark, dir, "documents"), "doc_id", "text",
+        Seq("vector", "stream", "customer"), 20)
+      .select($"id".as("doc_id"), $"score")
+  }
+
+  val q142Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok AS token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> ''),
+      |lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |corpus AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE token IN ('vector', 'stream', 'customer') GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1.0)) /
+      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS s
+      |  FROM tf JOIN dfreq d USING (token) JOIN lens l USING (doc_id)
+      |  CROSS JOIN corpus c),
+      |pivoted AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN token = 'vector' THEN s END) AS s_vector,
+      |    MAX(CASE WHEN token = 'stream' THEN s END) AS s_stream,
+      |    MAX(CASE WHEN token = 'customer' THEN s END) AS s_customer
+      |  FROM scored GROUP BY doc_id),
+      |total AS (
+      |  SELECT doc_id,
+      |    COALESCE(s_vector, 0.0) + COALESCE(s_stream, 0.0)
+      |      + COALESCE(s_customer, 0.0) AS score_raw
+      |  FROM pivoted)
+      |SELECT doc_id, round(score_raw, 4) AS score
+      |FROM total ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q143: per-source 3-gram diversity ([[graft.api.Text.ngramDiversity]])
+    * — total/distinct trigram counts, type-token ratio, Shannon entropy
+    * via the single-pass H = ln(N) − Σ c·ln(c)/N identity. The
+    * corpus-diversity signal a mixture designer reads next to quality
+    * scores; every term is the identical arithmetic expression in both
+    * engines, rounded to engine-stable precision.
+    */
+  def q143NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Text.ngramDiversity(table(spark, dir, "documents"), "text", "source")
+      .select($"grp".as("source"), $"n_grams", $"n_distinct", $"ttr", $"entropy")
+      .orderBy($"source")
+  }
+
+  val q143Sql: String =
+    """WITH g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3),
+      |c AS (SELECT source, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+      |  round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 4)
+      |    AS entropy
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q142_bm25_topk" -> (q142Bm25 _),
+    "q143_ngram_diversity" -> (q143NgramDiversity _),
     "q139_inverted_index" -> (q139InvertedIndex _),
     "q134_heavy_hitters" -> (q134HeavyHitters _),
     "q135_naive_bayes" -> (q135NaiveBayes _),
@@ -1134,6 +1214,8 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q142_bm25_topk" -> q142Sql,
+    "q143_ngram_diversity" -> q143Sql,
     "q139_inverted_index" -> q139Sql,
     "q134_heavy_hitters" -> q134Sql,
     "q135_naive_bayes" -> q135Sql,

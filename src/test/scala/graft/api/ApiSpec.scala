@@ -1398,6 +1398,46 @@ class ApiSpec extends SparkSpec {
     assert(idx.size === 62)
   }
 
+  test("bm25TopK: matches a hand-computed reference on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "cat fish"),
+      (3L, "dog dog dog dog"),
+      (4L, "bird")).toDF("id", "body")
+    val got = graft.api.Text.bm25TopK(docs, "id", "body", Seq("cat", "dog"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // reference: N=4, avgdl=10/4=2.5; df(cat)=2, df(dog)=2
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / 2.5)
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    val want = Seq(
+      1L -> (s(2, 3) + s(1, 3)), // cat=2, dog=1
+      3L -> s(4, 4),             // dog=4
+      2L -> s(1, 2))             // cat=1
+      .map { case (id, v) =>
+        (id, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, v) => (-v, id) }
+    assert(got.toSeq === want)
+  }
+
+  test("ngramDiversity: exact trigram counts, ttr, and entropy on a known corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c a b c"),   // trigrams: abc bca cab abc -> 4 total, 3 distinct
+      ("s1", "a b"),           // too short, contributes nothing
+      ("s2", "x y z w")        // xyz yzw -> 2 total, 2 distinct
+    ).toDF("src", "body")
+    val got = graft.api.Text.ngramDiversity(docs, "body", "src", 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val h1 = math.log(4.0) - (2 * math.log(2.0)) / 4.0 // counts {2,1,1}
+    assert(got("s1") === ((4L, 3L, 0.75,
+      BigDecimal(h1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got("s2") === ((2L, 2L, 1.0,
+      BigDecimal(math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("naiveBayesSelfScore: recovers well-separated classes and tie-breaks deterministically") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

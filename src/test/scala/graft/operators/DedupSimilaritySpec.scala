@@ -255,6 +255,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(singleton > 0, "expected at least one singleton doc")
   }
 
+  test("triangleCounts: K4 plus a pendant edge — each clique node in 3 triangles, no double count") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant edge 4-9
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L)).toDF("id_a", "id_b")
+    val got = graft.api.Graph.triangleCounts(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
     import spark.implicits._
     // star: 0 connected to 1..4, plus a 5-6 pair off to the side
