@@ -42,9 +42,27 @@ object Util {
     "embeddings" -> "vec_id")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df = if (name == "events") normalizeEventTs(raw) else raw
     spreadKey.get(name).fold(df)(k => df.repartition(col(k)))
   }
+
+  /** The suite computes event time in a single convention: `ts` = bigint
+    * epoch NANOS. Historic testdata wrote parquet TIMESTAMP(NANOS) (read as
+    * that long directly via nanosAsLong); current testdata writes
+    * TIMESTAMP(MICROS), which Spark surfaces as TIMESTAMP_NTZ. Normalize at
+    * the scan: the session is UTC, so the NTZ wall clock IS the epoch and
+    * `unix_micros` × 1000 reproduces the nanos column exactly (micros
+    * precision ⇒ the low 3 digits are zero on both engines).
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
 
   /** The raw single-partition scan (for broadcast-only dims or tests). */
   def rawTable(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1016,7 +1016,11 @@ object TextOps {
     */
   def q139InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Postings ride as a comma-joined string: the correctness harness sorts
+    // result columns, and a raw array column is unsortable on the oracle side.
     graft.api.Text.invertedIndex(table(spark, dir, "documents"), "doc_id", "text")
+      .select($"token", $"df", $"tf_total",
+        array_join($"postings".cast("array<string>"), ",").as("postings"))
       .orderBy($"token")
   }
 
@@ -1028,7 +1032,8 @@ object TextOps {
       |  GROUP BY 1, 2)
       |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
       |  CAST(SUM(c) AS BIGINT) AS tf_total,
-      |  list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+      |  array_to_string(list_transform(list_slice(list_sort(list(doc_id)), 1, 20),
+      |    x -> CAST(x AS VARCHAR)), ',') AS postings
       |FROM tf GROUP BY token ORDER BY token""".stripMargin
 
   /** q142: BM25 ranked retrieval ([[graft.api.Text.bm25TopK]]) for the

@@ -105,8 +105,7 @@ class OperatorSpec extends SparkSpec {
     assert(snap.map(_.getAs[Long]("user_id")).distinct.length === snap.length)
     val t = snap.head.getAs[Long]("t_snap")
     // ground truth: last event (by ts, event_id) at or before T per user
-    val want = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val want = graft.Util.events(spark, sf)
       .filter($"user_id" < 20 && $"ts_ms" <= t)
       .select($"user_id", $"ts_ms", $"event_id", $"event_type").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
