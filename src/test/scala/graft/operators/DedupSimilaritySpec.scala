@@ -265,6 +265,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCounts: twin-collapse parity with brute force on a clique-heavy graph") {
+    import spark.implicits._
+    // two dup cliques (sizes 6 and 4) sharing a bridge, a twin-free cycle
+    // with a chord, and an isolated edge — exercises every count term
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val k4 = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val bridge = Seq((6L, 11L), (6L, 12L)) // 6 sees part of the K4: no twin
+    val cycle = Seq((21L, 22L), (22L, 23L), (23L, 24L), (21L, 24L), (21L, 23L))
+    val edges = (k6 ++ k4 ++ bridge ++ cycle ++ Seq((31L, 32L)))
+      .toDF("id_a", "id_b")
+    val got = graft.api.Graph.triangleCounts(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over all node triples, driver-side
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if adj(x, y) && adj(y, z) && adj(x, z)
+    } Seq(x, y, z).foreach(v => want(v) = want.getOrElse(v, 0L) + 1L)
+    assert(got === want.toMap)
+  }
+
   test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
     import spark.implicits._
     // star: 0 connected to 1..4, plus a 5-6 pair off to the side
