@@ -181,9 +181,33 @@ object Sampling {
     * wide ever carries text.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetFlag: Column): DataFrame =
-    dsirScoreAgainst(docs, idCol, textCol,
-      dsirBucketTable(docs, textCol, targetFlag))
+      targetFlag: Column): DataFrame = {
+    // Self-scoring runs train and score over the SAME corpus: fuse them on
+    // one checkpointed (doc, bucket, n) frame so the text tokenizes and
+    // hashes once, not once per phase. The bucket histogram is the same
+    // sum either way (r_b = Σ per-doc n), so results are bit-identical to
+    // dsirScoreAgainst(docs, dsirBucketTable(docs)).
+    val id = col(idCol)
+    val perDoc = dsirFeatures(docs.withColumn("is_target", targetFlag),
+        textCol, Seq(idCol, "is_target"))
+      .groupBy(id, col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val buckets = perDoc.groupBy(col("bucket")).agg(
+      sum(col("n")).as("r_b"),
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("t_b"))
+    val tot = buckets.agg(sum(col("r_b")).as("r_tot"), sum(col("t_b")).as("t_tot"))
+    val B = lit(DsirBuckets.toDouble)
+    val table = buckets.crossJoin(tot).select(col("bucket"),
+      floor(log(((col("t_b") + lit(1.0)) * (col("r_tot") + B)) /
+          ((col("r_b") + lit(1.0)) * (col("t_tot") + B))) * lit(1000000.0))
+        .cast("long").as("lr_micros"))
+    perDoc
+      .join(broadcast(table), Seq("bucket"), "left")
+      .groupBy(id)
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * coalesce(col("lr_micros"), lit(0L))).as("w_micros"))
+  }
 
   /** The hashed unigram+bigram feature-occurrence frame behind DSIR:
     * one row per feature occurrence with its 3-hex-char md5 bucket,
