@@ -77,7 +77,13 @@ object PlanDump {
     "q139_inverted_index" ->
       "inverted index: bounded top-k posting cap per partition, no ranked-window sort of hot tokens",
     "q140_leakage_split" ->
-      "leakage-safe split: cluster components over the edge list only, broadcast assignment join, md5 hash split")
+      "leakage-safe split: cluster components over the edge list only, broadcast assignment join, md5 hash split",
+    "q144_cluster_reps" ->
+      "canonical per cluster: component frame broadcasts into scored corpus, rank-1 WindowGroupLimit argmax",
+    "q145_source_quota" ->
+      "score quota cap: partial WindowGroupLimit per source, no full sort of a mega-domain",
+    "q146_next_event_pairs" ->
+      "next-event pairs: three lags share one user-keyed window shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

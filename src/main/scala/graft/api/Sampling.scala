@@ -36,6 +36,27 @@ object Sampling {
       .withColumn("sample_rank", col("__rn").cast("long")).drop("__rn")
   }
 
+  /** Per-group quota cap by score: keep the `k` BEST rows of every
+    * group (score descending, ties to the lowest id) — the source/domain
+    * balancing step of a curation pipeline ("no domain contributes more
+    * than k documents, and what it does contribute is its best"). The
+    * score-ranked sibling of [[stratifiedSample]] (hash-ranked): same
+    * rank-1..k window gate, so InferWindowGroupLimit prunes every
+    * partition to k rows BEFORE the per-group shuffle — a skewed
+    * mega-domain costs its scan, never a full sort. Returns the input
+    * rows plus `quota_rank` (1 = best kept).
+    */
+  def scoreQuotaCap(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    // raw row_number in the filter: a cast in between defeats
+    // InferWindowGroupLimit (the q88 lesson; PlanSpec locks q93/q145)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .withColumn("quota_rank", col("__rn").cast("long")).drop("__rn")
+  }
+
   /** Normalized temperature weights per group (one row per group,
     * unrounded): n_g, w_raw = n_g^alpha, w_norm = w_raw / Σ w_raw,
     * n_total — the SHARED formula behind [[mixtureWeights]] and

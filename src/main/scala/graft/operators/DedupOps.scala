@@ -837,8 +837,86 @@ object DedupOps {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q144: canonical-document selection — the final materialization of a
+    * dedup pass ([[graft.api.Dedup.canonicalPerCluster]] over
+    * [[graft.api.Dedup.clusterComponents]] of verified LSH pairs): one
+    * row per near-dup cluster keeping its highest-quality member (ties
+    * to the lowest doc id). The quality score is the q35 formula — a
+    * fixed-order double expression, bit-identical across engines, so
+    * the argmax cut is hash-stable. The component frame (near-dup
+    * members only) broadcasts into the scored corpus; the argmax is a
+    * rank-1 window gate (WindowGroupLimit prunes to one row per cluster
+    * per partition before the shuffle).
+    */
+  def q144ClusterReps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    val comps = graft.api.Dedup.clusterComponents(pairs)
+      .select($"id", $"cluster", $"cluster_size")
+    val scored = d.select($"doc_id",
+      graft.api.Text.qualityScore($"text").as("quality"))
+    graft.api.Dedup.canonicalPerCluster(comps, scored, "doc_id", "quality")
+      .select($"cluster", $"keep_doc_id", $"best_quality",
+        $"cluster_size", $"n_dropped")
+      .orderBy($"cluster")
+  }
+
+  val q144Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |csize AS (SELECT cluster, COUNT(*) AS cnt FROM members GROUP BY cluster),
+       |q AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+       |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+       |    FROM documents)),
+       |ranked AS (
+       |  SELECT m.cluster, m.doc_id, q.quality, s.cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cluster
+       |      ORDER BY q.quality DESC, m.doc_id) AS rn
+       |  FROM members m JOIN q USING (doc_id) JOIN csize s USING (cluster))
+       |SELECT cluster, doc_id AS keep_doc_id, quality AS best_quality,
+       |  CAST(cnt AS BIGINT) AS cluster_size,
+       |  CAST(cnt - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q141_triangle_counts" -> (q141TriangleCounts _),
+    "q144_cluster_reps" -> (q144ClusterReps _),
     "q137_block_dedup" -> (q137BlockDedup _),
     "q138_containment_degrees" -> (q138ContainmentDegrees _),
     "q140_leakage_split" -> (q140LeakageSplit _),
@@ -857,6 +935,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q144_cluster_reps" -> q144Sql,
     "q141_triangle_counts" -> q141Sql,
     "q137_block_dedup" -> q137Sql,
     "q138_containment_degrees" -> q138Sql,

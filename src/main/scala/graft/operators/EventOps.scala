@@ -566,7 +566,46 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** q146: next-event training pairs — the sequence-model example
+    * extraction pass over the event log: for every event with ≥ 3
+    * predecessors in its user's timeline, emit (context = the previous
+    * three event types oldest-first, label = this event's type). The
+    * total order inside a user is (event time, event id) — event ids are
+    * unique, so the SAME pairs come out of any partitioning and of the
+    * DuckDB twin. One window shuffle keyed by user; the three lags share
+    * a single WindowExec frame.
+    */
+  def q146NextEventPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("p1", lag($"event_type", 1).over(w))
+      .withColumn("p2", lag($"event_type", 2).over(w))
+      .withColumn("p3", lag($"event_type", 3).over(w))
+      .filter($"p3".isNotNull)
+      .select($"user_id", $"event_id",
+        concat_ws(">", $"p3", $"p2", $"p1").as("context"),
+        $"event_type".as("label"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q146Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAG(event_type, 1) OVER w AS p1,
+      |    LAG(event_type, 2) OVER w AS p2,
+      |    LAG(event_type, 3) OVER w AS p3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, event_id, p3 || '>' || p2 || '>' || p1 AS context,
+      |  event_type AS label
+      |FROM l WHERE p3 IS NOT NULL ORDER BY user_id, event_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q146_next_event_pairs" -> (q146NextEventPairs _),
     "q104_funnel" -> (q104Funnel _),
     "q109_sliding_window" -> (q109SlidingWindow _),
     "q113_scd2_history" -> (q113Scd2History _),
@@ -584,6 +623,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q146_next_event_pairs" -> q146Sql,
     "q104_funnel" -> q104Sql,
     "q109_sliding_window" -> q109Sql,
     "q113_scd2_history" -> q113Sql,

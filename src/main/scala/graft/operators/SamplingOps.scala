@@ -252,7 +252,46 @@ object SamplingOps {
       |FROM db JOIN lr USING (bucket)
       |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
 
+  /** q145: per-source quality quota ([[graft.api.Sampling.scoreQuotaCap]])
+    * — every source keeps its 15 best documents by the q35 quality
+    * formula (fixed-order double arithmetic, bit-identical cross-engine,
+    * ties to the lowest doc id). The rank-k window gate compiles to a
+    * WindowGroupLimit, so a skewed mega-source is pruned to 15 rows per
+    * partition before the shuffle instead of fully sorted.
+    */
+  def q145SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = table(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        graft.api.Text.qualityScore($"text").as("quality"))
+    graft.api.Sampling.scoreQuotaCap(scored, "source", "quality", "doc_id", 15)
+      .select($"source", $"quota_rank", $"doc_id", $"quality")
+      .orderBy($"source", $"quota_rank")
+  }
+
+  val q145Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+      |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+      |    FROM documents)),
+      |ranked AS (
+      |  SELECT source, doc_id, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS rn
+      |  FROM q)
+      |SELECT source, CAST(rn AS BIGINT) AS quota_rank, doc_id, quality
+      |FROM ranked WHERE rn <= 15 ORDER BY source, quota_rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q145_source_quota" -> (q145SourceQuota _),
     "q129_dsir_weights" -> (q129DsirWeights _),
     "q93_stratified_sample" -> (q93StratifiedSample _),
     "q94_redact_pii" -> (q94RedactPii _),
@@ -262,6 +301,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q145_source_quota" -> q145Sql,
     "q129_dsir_weights" -> q129Sql,
     "q93_stratified_sample" -> q93Sql,
     "q94_redact_pii" -> q94Sql,

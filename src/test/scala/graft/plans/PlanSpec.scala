@@ -154,6 +154,20 @@ class PlanSpec extends SparkSpec {
       s"q93's WindowGroupLimit must have a partial (pre-shuffle) pass:\n$p")
   }
 
+  test("q145: source quota plans a partial WindowGroupLimit (mega-source costs a scan, not a sort)") {
+    val p = planOf(graft.operators.SamplingOps.q145SourceQuota(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"q145 needs the per-partition top-k prune below the source window:\n$p")
+    assert(p.contains("Partial"),
+      s"q145's WindowGroupLimit must have a partial (pre-shuffle) pass:\n$p")
+  }
+
+  test("q146: the three context lags share one window shuffle") {
+    val p = planOf(graft.operators.EventOps.q146NextEventPairs(spark, sf))
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1,
+      s"q146's lags must ride a single Window node, not one per lag:\n$p")
+  }
+
   test("q85: benchmark shingle set broadcasts; corpus side never shuffles before the hit agg") {
     val p = planOf(graft.operators.DedupOps.q85Decontaminate(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
