@@ -695,6 +695,54 @@ object StreamOps {
     }
   }
 
+  case class NextEventIn(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String)
+  /** Last-3 event types, oldest first — O(1) per live user. */
+  case class Ctx3State(types: Seq[String])
+  case class NextEventPair(user_id: Long, event_id: Long, context: String,
+    label: String)
+
+  /** Live twin of q146: stateful next-event training-pair extraction —
+    * for every event whose user already has three seen events, emit
+    * (context = previous three event types oldest-first, label = this
+    * event's type). State per user is exactly the last three types
+    * (O(1), no timeline retained), so a billion-user stream holds three
+    * strings per live key.
+    *
+    * Ordering contract: each micro-batch's group is sorted by
+    * (ts_us, event_id) before folding, so a stream delivered in event
+    * order per user (any batch boundaries) produces EXACTLY the batch
+    * twin's pairs — the parity spec replays the events table and
+    * compares. An event arriving out of order ACROSS batches is folded
+    * at delivery time (its pairs reflect the context as of arrival);
+    * a pipeline needing late-event exactness should bound lateness
+    * upstream with a watermark + dedup and backfill from the batch twin.
+    */
+  def nextEventPairsStream(spark: SparkSession,
+      events: DataFrame): Dataset[NextEventPair] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts_us").cast("long").as("ts_us"), col("event_type"))
+      .as[NextEventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ctx3State, NextEventPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[NextEventIn], state: GroupState[Ctx3State]) =>
+          var ctx = state.getOption.map(_.types).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[NextEventPair]
+          evs.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (ctx.size == 3)
+              out += NextEventPair(uid, e.event_id, ctx.mkString(">"),
+                e.event_type)
+            ctx = (ctx :+ e.event_type).takeRight(3)
+          }
+          state.update(Ctx3State(ctx))
+          out.result().iterator
+      }
+  }
+
   /** Streaming ANN over a MAINTAINED persisted IVF index: each
     * micro-batch of probe embeddings searches the on-disk index
     * ([[graft.api.Similarity.searchQuantizedIvfIndex]] by default — int8

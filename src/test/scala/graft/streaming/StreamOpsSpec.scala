@@ -635,6 +635,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(streaming === batch)
   }
 
+  test("streaming nextEventPairsStream equals the batch q146 pairs over the same events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"),
+        $"event_type")
+    val srcDir = tmpDir("nextpair_src")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = StreamOps.nextEventPairsStream(spark, stream)
+      .writeStream.format("memory").queryName("nextpair_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streaming = spark.table("nextpair_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    val batch = graft.operators.EventOps.q146NextEventPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3))).toMap
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+  }
+
   test("streaming slidingAgg equals the batch q109 sliding aggregation over the same events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
