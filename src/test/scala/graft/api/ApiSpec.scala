@@ -468,6 +468,19 @@ class ApiSpec extends SparkSpec {
     assert(out(11L) === ((11L, 0.8, 2L, 1L)))
   }
 
+  test("scoreQuotaCap keeps each group's k best by score, ties to lowest id") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 5L, 0.5) // under quota: kept whole
+    ).toDF("source", "doc_id", "quality")
+    val out = Sampling.scoreQuotaCap(rows, "source", "quality", "doc_id", 2)
+      .select($"source", $"doc_id", $"quota_rank")
+      .as[(String, Long, Long)].collect().toSet
+    // tie at 0.9 → id 1 ranks before id 3; 0.7 and 0.1 cut
+    assert(out === Set(("a", 1L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
   test("l2Normalize yields unit vectors and drops zero/NaN rows") {
     import spark.implicits._
     val corpus = Seq(

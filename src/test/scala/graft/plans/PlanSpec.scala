@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       s"q145's WindowGroupLimit must have a partial (pre-shuffle) pass:\n$p")
   }
 
+  test("q144: component frame broadcasts into the scored corpus; argmax is a WindowGroupLimit") {
+    val p = planOf(graft.operators.DedupOps.q144ClusterReps(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q144's cluster membership must broadcast into the quality scan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"q144's per-cluster argmax needs the rank-1 prune:\n$p")
+  }
+
   test("q146: the three context lags share one window shuffle") {
     val p = planOf(graft.operators.EventOps.q146NextEventPairs(spark, sf))
     assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1,
