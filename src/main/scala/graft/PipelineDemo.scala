@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   *                         Bloom pre-gate + exact verify join, so the
   *                         suite's size bound is ~10 bits/shingle)
   *   4. exact dedup      — normalized-fingerprint keeper per group
-  *   5. near-dup dedup   — MinHash-LSH pairs → components → keepers
+  *   5. near-dup dedup   — MinHash-LSH pairs → components → the
+  *                         HIGHEST-QUALITY member survives each cluster
+  *                         (canonicalPerCluster over the stage-1 score,
+  *                         not an arbitrary min-id keeper)
   *   6. semantic dedup   — SemDeDup over the survivors' embeddings
   *                         (optional; catches paraphrases the n-gram
   *                         stages cannot see)
+  *   7. source quota     — optional per-group cap: each source keeps its
+  *                         k best survivors by quality (scoreQuotaCap)
   *
   * Every stage is DataFrame-in/DataFrame-out; the wide ops are the
   * exact-dedup fingerprint window, the LSH bucket groupBy, and the
@@ -44,7 +49,8 @@ object PipelineDemo {
       benchmark: Option[DataFrame] = None, decontamNgram: Int = 8,
       maxContamination: Double = 0.0,
       embeddings: Option[DataFrame] = None, semanticCosine: Double = 0.85,
-      semanticCells: Int = 16): DataFrame = {
+      semanticCells: Int = 16,
+      sourceQuota: Option[(String, Int)] = None): DataFrame = {
     import docs.sparkSession.implicits._
     graft.functions.ShingleFunctions.register(docs.sparkSession)
 
@@ -80,12 +86,19 @@ object PipelineDemo {
         org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
       .filter($"rn" === 1).drop("rn", "fp"))
 
-    // 4. near-dup dedup: drop every non-keeper member of an LSH cluster
+    // 4. near-dup dedup: each LSH cluster keeps its HIGHEST-QUALITY
+    // member (ties to lowest id) — the stage-1 score is already on the
+    // frame, so canonical selection costs one broadcast + rank-1 window
     val clusters = graft.api.Dedup.clusterComponents(
       graft.api.Dedup.lshCandidatePairs(exactKept, "doc_id", "text")
         .filter($"jaccard" >= nearDupJaccard)
         .select($"id_a", $"id_b"))
-    val dropIds = clusters.filter(!$"is_keeper").select($"id".as("doc_id"))
+    val canon = graft.api.Dedup.canonicalPerCluster(
+      clusters.select($"id", $"cluster", $"cluster_size"),
+      exactKept.select($"doc_id", $"quality"), "doc_id", "quality")
+    val dropIds = clusters
+      .join(canon.select($"keep_doc_id".as("id")), Seq("id"), "left_anti")
+      .select($"id".as("doc_id"))
     val textKept = exactKept.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
 
     // 5. semantic dedup (optional): SemDeDup over the survivors'
@@ -93,7 +106,7 @@ object PipelineDemo {
     // higher-id side of any within-cell pair at cosine ≥ threshold.
     // Catches paraphrases the n-gram stages cannot see; the embedding
     // frame must carry (vec_id = doc_id, embedding).
-    embeddings match {
+    val semFinal = embeddings match {
       case Some(e) =>
         val survivors = e.join(
           textKept.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
@@ -110,6 +123,14 @@ object PipelineDemo {
           .select($"vec_id".as("doc_id"))
         textKept.join(broadcast(droppedIds), Seq("doc_id"), "left_anti")
       case None => textKept
+    }
+
+    // 6. optional source quota: every group keeps its k best survivors
+    sourceQuota match {
+      case Some((groupCol, k)) =>
+        graft.api.Sampling.scoreQuotaCap(semFinal, groupCol, "quality",
+          "doc_id", k).drop("quota_rank")
+      case None => semFinal
     }
   }
 

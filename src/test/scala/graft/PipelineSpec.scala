@@ -36,6 +36,36 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("curate keeps the highest-quality member of a near-dup cluster and honors a source quota") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "to the hills where it finds a quiet place to rest for the long night"
+    val docs = Seq(
+      // near-dup cluster: 11 is longer (higher quality) than 10 — the
+      // min-id keeper would keep 10, canonical selection must keep 11
+      (10L, base, "a"),
+      (11L, base + " under bright summer stars watching the moon", "a"),
+      (20L, "completely different text about spark catalyst optimizer rules " +
+        "and distributed shuffle exchange planning at large cluster scale", "a"),
+      (30L, "a third unrelated document mentions sailing boats navigating " +
+        "open water with steady wind and calm seas tonight", "b")
+    ).toDF("doc_id", "text", "source")
+    graft.api.Dedup.cacheScope {
+      val kept = PipelineDemo.curate(docs, minQuality = 0.0, nearDupJaccard = 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept.contains(11L) && !kept.contains(10L),
+        s"cluster must keep its best-quality member: $kept")
+      assert(kept === Set(11L, 20L, 30L))
+
+      // quota: source a keeps only its single best survivor
+      val capped = PipelineDemo.curate(docs, minQuality = 0.0,
+          nearDupJaccard = 0.5, sourceQuota = Some(("source", 1)))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(capped.size === 2 && capped.contains(30L),
+        s"one survivor per source expected: $capped")
+    }
+  }
+
   test("curate's semantic stage drops embedding paraphrases the n-gram stages cannot see") {
     import spark.implicits._
     // two texts with NO shared n-grams but near-identical embeddings:
