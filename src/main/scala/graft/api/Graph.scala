@@ -30,10 +30,17 @@ object Graph {
     * them as materialized scans instead of re-deriving the upstream
     * subtree — the multi-consumer re-execution trap); each round is one
     * shuffle keyed by dst plus a left join back onto the node set.
-    * Returns (id, rank_micros).
+    * Checkpointed frames carry no planner statistics, so without help
+    * every per-iteration join sort-merges the FULL edge list; the node
+    * count is free after the checkpoint, and while it fits an executor
+    * (≤ `broadcastMaxNodes`) the rank/degree/contribution frames — all
+    * exactly one row per node — broadcast instead, leaving the dst-keyed
+    * partial aggregation as the round's only shuffle. Past the bound the
+    * shuffle formulation stands. Returns (id, rank_micros).
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, dampingMicros: Long = 850000L): DataFrame = {
+      iterations: Int = 3, dampingMicros: Long = 850000L,
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros out of (0, 1e6): $dampingMicros")
@@ -41,16 +48,18 @@ object Graph {
       .localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
+    val perNode: DataFrame => DataFrame =
+      if (outdeg.count() <= broadcastMaxNodes) broadcast else identity
     val baseMicros = 1000000L - dampingMicros
     var ranks = outdeg.select(col("src").as("id"), lit(1000000L).as("r"))
     (1 to iterations).foreach { _ =>
       val contrib = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+        .join(perNode(ranks), e("src") === ranks("id"))
+        .join(perNode(outdeg), "src")
         .select(col("dst"), expr("r div od").as("ct"))
         .groupBy(col("dst")).agg(sum(col("ct")).as("c"))
       ranks = outdeg.select(col("src").as("id"))
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(perNode(contrib.withColumnRenamed("dst", "id")), Seq("id"), "left")
         .select(col("id"),
           (lit(baseMicros) +
             expr(s"($dampingMicros * coalesce(c, 0L)) div 1000000")).as("r"))
@@ -99,14 +108,82 @@ object Graph {
     * references don't re-derive it). Returns (id, n_triangles) for
     * nodes in ≥ 1 triangle.
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-      broadcastMaxEdges: Long = 8000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** [[pageRankFixedPoint]] for an UNDIRECTED graph given as canonical
+    * (a < b) edge rows, with the same fixed-point integer semantics —
+    * but iterated on the TRUE-TWIN QUOTIENT. Twins (identical closed
+    * neighborhoods — duplicate groups) have equal degree and, by
+    * induction, equal rank at every iteration: they start equal and
+    * their neighbor multisets differ only by swapping equal-ranked
+    * members. So the node-level recurrence collapses exactly onto
+    * classes:
+    *
+    *   od_A  = (m_A − 1) + Σ_{B~A} m_B
+    *   f_X   = r_X div od_X                     (floored ONCE per class,
+    *                                             as every member floors)
+    *   r_A'  = base + d·((m_A−1)·f_A + Σ_{B~A} m_B·f_B) div 10⁶
+    *
+    * — bit-identical to iterating every node, while each round touches
+    * |quotient| rows instead of the full edge list (a dup-corpus clique
+    * is ONE row here). Expansion back to nodes is a map join. Returns
+    * (id, rank_micros) for every node in an edge.
+    *
+    * When to use which: twin detection costs ~one node-level iteration
+    * (it shuffles the closed-neighbor arrays, Σdeg ids). It pays for
+    * itself on exact-dup-dominated graphs (high-τ near-dup sets collapse
+    * 2×+ and iteration becomes ~free) and LOSES on loose graphs where
+    * classes ≈ nodes — q133's τ = 0.8 graph keeps the node-level
+    * [[pageRankFixedPoint]] for exactly that reason.
+    */
+  def pageRankUndirected(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 3, dampingMicros: Long = 850000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(dampingMicros > 0 && dampingMicros < 1000000L,
+      s"dampingMicros out of (0, 1e6): $dampingMicros")
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint()
+    val (n2c, qsz, qe) = twinQuotient(e)
+    val qdir = qe.select(col("qa").as("cid"), col("qb").as("nbr"))
+      .unionAll(qe.select(col("qb").as("cid"), col("qa").as("nbr")))
+      .localCheckpoint()
+    // class degree: in-class twins + all members of adjacent classes
+    val qdeg = qsz
+      .join(qdir.join(qsz.select(col("cid").as("nbr"), col("m").as("mn")), "nbr")
+          .groupBy(col("cid")).agg(sum(col("mn")).as("ext")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("m"),
+        (col("m") - 1 + coalesce(col("ext"), lit(0L))).as("od"))
+      .localCheckpoint()
+    val baseMicros = 1000000L - dampingMicros
+    var ranks = qdeg.select(col("cid"), lit(1000000L).as("r"))
+    (1 to iterations).foreach { _ =>
+      val f = ranks.join(broadcast(qdeg), "cid")
+        .select(col("cid"), col("m"), expr("r div od").as("f"))
+      val ext = qdir
+        .join(broadcast(f.select(col("cid").as("nbr"), col("m").as("mn"),
+          col("f").as("fn"))), "nbr")
+        .groupBy(col("cid")).agg(sum(col("mn") * col("fn")).as("c"))
+      ranks = f.join(broadcast(ext), Seq("cid"), "left")
+        .select(col("cid"), expr(
+          s"$baseMicros + ($dampingMicros * ((m - 1) * f + coalesce(c, 0L))) div 1000000")
+          .as("r"))
+    }
+    ranks.join(n2c, "cid")
+      .select(col("v").as("id"), col("r").as("rank_micros"))
+  }
+
+  /** True-twin quotient of an undirected graph given as canonical
+    * (a < b) edge rows: nodes with identical CLOSED neighborhoods —
+    * provably pairwise adjacent with identical external edges, the exact
+    * structure duplicate groups produce — collapse into one class.
+    * Returns (node → class map, class sizes, canonical deduped quotient
+    * edges), each localCheckpoint'd. Detection groups on the literal
+    * sorted neighbor array (exact, no hash-collision risk); total
+    * shuffled volume is Σdeg = 2|E|, linear in the edge list.
+    */
+  private def twinQuotient(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val und = e.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e.select(col("b").as("v"), col("a").as("w")))
-    // closed neighborhood as a sorted array — the exact twin signature
     val closed = und.groupBy(col("v"))
       .agg(sort_array(array_union(collect_list(col("w")), array(col("v"))))
         .as("nb"))
@@ -117,8 +194,6 @@ object Graph {
       .localCheckpoint()
     val qsz = n2c.groupBy(col("cid")).agg(count(lit(1)).as("m"))
       .localCheckpoint()
-    val qszB = broadcast(qsz)
-    // quotient edge list (canonical, deduped)
     val qe = e
       .join(n2c.select(col("v").as("a"), col("cid").as("ca")), "a")
       .join(n2c.select(col("v").as("b"), col("cid").as("cb")), "b")
@@ -127,6 +202,15 @@ object Graph {
         greatest(col("ca"), col("cb")).as("qb"))
       .distinct()
       .localCheckpoint()
+    (n2c, qsz, qe)
+  }
+
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+      broadcastMaxEdges: Long = 8000000L): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val (n2c, qsz, qe) = twinQuotient(e)
+    val qszB = broadcast(qsz)
     // within-class triangles: C(m-1, 2) per member
     val t1 = qsz.select(col("cid"),
       expr("((m - 1) * (m - 2)) div 2").as("t"))

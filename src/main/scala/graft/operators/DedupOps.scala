@@ -609,6 +609,11 @@ object DedupOps {
       .select($"id_a", $"id_b")
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    // node-level iteration, NOT pageRankUndirected: at tau = 0.8 the
+    // near-dup graph is loose (3879 nodes -> 2743 twin classes at
+    // sf0.1), so quotient detection shuffles the fat neighbor arrays
+    // for little contraction; the twin path wins on exact-dup-dominated
+    // graphs (tau >= 0.95 collapses 2x+)
     graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
       .select($"id".as("doc_id"), $"rank_micros")
       .orderBy($"doc_id")

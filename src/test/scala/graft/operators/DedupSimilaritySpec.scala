@@ -290,6 +290,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("pageRankUndirected: twin-quotient iteration equals node-level pageRankFixedPoint") {
+    import spark.implicits._
+    // clique-heavy graph + bridge + chorded cycle + isolated edge —
+    // classes of every size, external-degree asymmetry, no-neighbor class
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val k4 = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val und = (k6 ++ k4 ++ Seq((6L, 11L), (6L, 12L), (21L, 22L), (22L, 23L),
+      (23L, 24L), (21L, 24L), (21L, 23L), (31L, 32L)))
+    val pairs = und.toDF("id_a", "id_b")
+    val got = graft.api.Graph.pageRankUndirected(pairs, "id_a", "id_b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val want = graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("q133: fixed-point PageRank matches an integer reference; hubs outrank leaves") {
     import spark.implicits._
     // star: 0 connected to 1..4, plus a 5-6 pair off to the side
