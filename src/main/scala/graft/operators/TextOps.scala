@@ -1114,7 +1114,62 @@ object TextOps {
       |    AS entropy
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** q147: per-source corpus profile — the "data card" report a curation
+    * run opens with: document/token/char volumes, language mix, the
+    * high-quality share, and the exact-duplicate count, one row per
+    * source. Every output is an INTEGER (counts and exact sums; the
+    * quality and language signals enter only through threshold
+    * comparisons of bit-stable doubles), so the report hash-matches the
+    * oracle with no float-summation caveats. One scan, one hash
+    * aggregation; the fingerprint distinct rides the same shuffle as a
+    * partial aggregate.
+    */
+  def q147CorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .withColumn("n_tokens", graft.api.Text.tokenCount($"text"))
+      .withColumn("quality", graft.api.Text.qualityScore($"text"))
+      .withColumn("pred_lang", graft.api.Text.langIdPredict($"text"))
+      .withColumn("fp", graft.api.Text.normalizedFingerprint($"text"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tokens_total"),
+        sum(when($"pred_lang" === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when($"quality" >= 0.5, 1L).otherwise(0L)).as("n_high_quality"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"),
+        sum($"n_chars").as("chars_total"))
+      .orderBy($"source")
+  }
+
+  val q147Sql: String =
+    """WITH f AS (
+      |  SELECT source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, n_chars, n_tokens, fp,
+      |    LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+      |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2 AS quality,
+      |    CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.08
+      |      THEN 'en' ELSE 'other' END AS pred_lang
+      |  FROM f)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high_quality,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q147_corpus_profile" -> (q147CorpusProfile _),
     "q142_bm25_topk" -> (q142Bm25 _),
     "q143_ngram_diversity" -> (q143NgramDiversity _),
     "q139_inverted_index" -> (q139InvertedIndex _),
@@ -1219,6 +1274,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q147_corpus_profile" -> q147Sql,
     "q142_bm25_topk" -> q142Sql,
     "q143_ngram_diversity" -> q143Sql,
     "q139_inverted_index" -> q139Sql,
