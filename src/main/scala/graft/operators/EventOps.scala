@@ -165,6 +165,50 @@ object EventOps {
       |FROM events a WHERE a.event_type = 'purchase'
       |ORDER BY a.event_id""".stripMargin
 
+  /** q148: FORWARD as-of join with a tolerance bound — for every
+    * purchase, the next click of the same user strictly after it, kept
+    * only when it lands within 120 s (the merge-asof
+    * direction='forward', tolerance=Δ shape; q27 is the backward
+    * default). Same scalable formulation: union + `first(ignoreNulls)`
+    * over the FOLLOWING frame — one shuffle on user_id, no join — with
+    * the tolerance applied as a null-out afterwards, so "no match within
+    * Δ" is an explicit null, not a dropped row. Ties (same timestamp)
+    * break on event id, mirroring the backward twin.
+    */
+  def q148AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tolUs = 120000000L
+    val ev = events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("click_ts", when($"event_type" === "click", $"ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("next_click", first($"click_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("click_ts_us",
+        when($"next_click" - $"ts_us" <= tolUs, $"next_click"))
+      .select($"event_id", $"user_id", $"ts_us".as("purchase_ts_us"),
+        $"click_ts_us", ($"click_ts_us" - $"ts_us").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  val q148Sql: String =
+    """WITH p AS (
+      |  SELECT a.event_id, a.user_id, epoch_us(a.ts) AS purchase_ts_us,
+      |    (SELECT MIN(epoch_us(b.ts)) FROM events b
+      |     WHERE b.user_id = a.user_id AND b.event_type = 'click'
+      |       AND (epoch_us(b.ts) > epoch_us(a.ts)
+      |            OR (epoch_us(b.ts) = epoch_us(a.ts)
+      |                AND b.event_id > a.event_id))) AS next_click
+      |  FROM events a WHERE a.event_type = 'purchase')
+      |SELECT event_id, user_id, purchase_ts_us,
+      |  CASE WHEN next_click - purchase_ts_us <= 120000000
+      |    THEN next_click END AS click_ts_us,
+      |  CASE WHEN next_click - purchase_ts_us <= 120000000
+      |    THEN next_click - purchase_ts_us END AS gap_us
+      |FROM p ORDER BY event_id""".stripMargin
+
   /** q28: interval (range) self-join — pairs of events of the same user
     * within 60 s. Equi-join on user_id plus a range predicate: Spark plans
     * the equi part as a shuffled join and applies the band filter on top,
@@ -616,6 +660,7 @@ object EventOps {
     "q25_checkpoint_maxby" -> (q25CheckpointMaxby _),
     "q26_gate_semijoin" -> (q26GateSemijoin _),
     "q27_asof_join" -> (q27AsofJoin _),
+    "q148_asof_forward" -> (q148AsofForward _),
     "q28_interval_pairs" -> (q28IntervalPairs _),
     "q29_sessionize" -> (q29Sessionize _),
     "q30_tumbling_window" -> (q30TumblingWindow _),
@@ -634,6 +679,7 @@ object EventOps {
     "q25_checkpoint_maxby" -> q25Sql,
     "q26_gate_semijoin" -> q26Sql,
     "q27_asof_join" -> q27Sql,
+    "q148_asof_forward" -> q148Sql,
     "q28_interval_pairs" -> q28Sql,
     "q29_sessionize" -> q29Sql,
     "q30_tumbling_window" -> q30Sql,
