@@ -86,6 +86,58 @@ object Stats {
         .as("distinct_est"))
       .withColumn("v_mean", col("v_sum").cast("double") / col("n_rows"))
 
+  /** Count-min sketch as a RELATIONAL artifact: the sketch is a
+    * (depth × width)-row frame `(d, b, c)` — row `d`'s bucket `b` holds
+    * the summed count of keys hashing there under seed `d`. Everything
+    * a CMS needs is then plain relational algebra, which is exactly what
+    * makes it work at 100 TB:
+    *
+    *   - build  = one hash aggregation per depth over the key column
+    *     (emitted together via posexplode — ONE scan, map-side combine
+    *     absorbing heavy keys);
+    *   - merge  = union + re-aggregate (counter-wise sum) — batches,
+    *     partitions, or days of sketches combine associatively;
+    *   - lookup = broadcast-join the queried keys against the sketch,
+    *     take min(c) over depths.
+    *
+    * Guarantees (standard CMS): estimate ≥ true count always (counters
+    * only over-count), and P[err > (e/width)·N] ≤ e^-depth per key.
+    * Hashing is `xxhash64(key, seed = d)` — deterministic across
+    * engines, partitionings, and merges. Estimates for keys never
+    * inserted still return a (small) over-count, as CMS defines.
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 2048): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    df.select(posexplode(array((0 until depth).map(d =>
+        pmod(xxhash64(col(keyCol), lit(d)), lit(width))): _*))
+        .as(Seq("d", "b")))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Counter-wise sum of CMS frames built with the SAME (depth, width).
+    * Union semantics make this associative and commutative — the merge
+    * tree shape never changes an estimate.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+
+  /** Point-frequency estimates for `keys` (a frame with `keyCol`):
+    * min over depths of the landed counters. The sketch (depth × width
+    * rows) broadcasts; the key frame never shuffles.
+    */
+  def cmsLookup(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val landed = keys.select(col(keyCol),
+        posexplode(array((0 until depth).map(d =>
+          pmod(xxhash64(col(keyCol), lit(d)), lit(width))): _*))
+          .as(Seq("d", "b")))
+    landed.join(broadcast(sketch), Seq("d", "b"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString
 

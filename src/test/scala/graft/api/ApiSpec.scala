@@ -481,6 +481,33 @@ class ApiSpec extends SparkSpec {
     assert(out === Set(("a", 1L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
   }
 
+  test("count-min sketch: overestimates only, bounded error, merge == rebuild") {
+    import spark.implicits._
+    // zipf-ish skew: key k appears 600/k times, k = 1..40
+    val rows = (1 to 40).flatMap(k => Seq.fill(600 / k)(s"key_$k"))
+    val df = rows.toDF("tok")
+    val (depth, width) = (4, 512)
+    val sketch = Stats.cmsBuild(df, "tok", depth, width)
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val keys = exact.keys.toSeq.toDF("tok")
+    val est = Stats.cmsLookup(sketch, keys, "tok", depth, width)
+      .as[(String, Long)].collect().toMap
+    val n = rows.size.toLong
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"CMS must never under-count: $k")
+      assert(est(k) - c <= math.ceil(math.E / width * n).toLong * 3,
+        s"error way past the (e/width)N bound for $k: est=${est(k)} exact=$c")
+    }
+    // merge of two half-sketches is counter-identical to one build
+    val (h1, h2) = (rows.take(rows.size / 2), rows.drop(rows.size / 2))
+    val merged = Stats.cmsMerge(
+        Stats.cmsBuild(h1.toDF("tok"), "tok", depth, width),
+        Stats.cmsBuild(h2.toDF("tok"), "tok", depth, width))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = sketch.as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
   test("l2Normalize yields unit vectors and drops zero/NaN rows") {
     import spark.implicits._
     val corpus = Seq(
