@@ -859,8 +859,12 @@ object DedupOps {
     val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
       .filter($"jaccard" >= 0.5)
       .select($"id_a", $"id_b")
+    // checkpointed: the component frame is tiny (near-dup members only)
+    // but its lineage is the whole LSH pipeline — broadcast planning
+    // would re-expand that subtree into a 16k-line plan otherwise
     val comps = graft.api.Dedup.clusterComponents(pairs)
       .select($"id", $"cluster", $"cluster_size")
+      .localCheckpoint()
     val scored = d.select($"doc_id",
       graft.api.Text.qualityScore($"text").as("quality"))
     graft.api.Dedup.canonicalPerCluster(comps, scored, "doc_id", "quality")
