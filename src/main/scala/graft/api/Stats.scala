@@ -138,6 +138,35 @@ object Stats {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** Append one ingest batch's CMS rows (tagged `batch_id`) to a
+    * persisted sketch table, skipping re-delivered batches — the
+    * [[appendBatchStatsIdempotent]] contract for the frequency sketch.
+    * The merged sketch ([[mergedCms]]) then answers point-frequency
+    * queries over EVERYTHING ingested while reading only
+    * |batches| × depth × width rows.
+    */
+  def appendCmsBatchIdempotent(batch: DataFrame, path: String,
+      keyCol: String, batchId: Long, depth: Int = 4,
+      width: Int = 2048): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      cmsBuild(batch, keyCol, depth, width)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+  }
+
+  /** The corpus-wide sketch from the persisted table alone: counter-wise
+    * sum across batches (CMS merge is exact — the merged sketch is
+    * bit-identical to one build over the concatenated input).
+    */
+  def mergedCms(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString
 

@@ -212,6 +212,20 @@ object StreamOps {
         keyCols, valueCol, distinctCol, batchId, lgK)
     }
 
+  /** Live frequency-sketch ingest: each micro-batch appends its
+    * count-min rows ([[graft.api.Stats.cmsBuild]], tagged batch_id,
+    * replay-idempotent) to a persisted sketch table;
+    * [[graft.api.Stats.mergedCms]] over that table is bit-identical to
+    * one build over everything ingested — heavy-key monitoring over an
+    * unbounded stream in depth × width rows per batch.
+    */
+  def cmsIngestStream(keys: DataFrame, sketchDir: String, keyCol: String,
+      depth: Int = 4, width: Int = 2048): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    keys.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendCmsBatchIdempotent(batch.toDF(), sketchDir,
+        keyCol, batchId, depth, width)
+    }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

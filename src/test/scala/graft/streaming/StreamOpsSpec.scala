@@ -944,6 +944,40 @@ class StreamOpsSpec extends SparkSpec {
       s"purchase must gate against the repaired click minimum: $rows")
   }
 
+  test("cmsIngestStream: merged sketch equals one build over all batches; replay appends once") {
+    import spark.implicits._
+    val sketchDir = java.nio.file.Files.createTempDirectory("cms-stream").toString + "/table"
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.cmsIngestStream(mem.toDF(), sketchDir, "text",
+      depth = 3, width = 64).start()
+    def doc(id: Long, text: String) = Doc(new Timestamp(id * 1000), id, text)
+    mem.addData(doc(0, "alpha"), doc(1, "beta"), doc(2, "alpha"))
+    q.processAllAvailable()
+    mem.addData(doc(3, "alpha"), doc(4, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+
+    val merged = graft.api.Stats.mergedCms(spark, sketchDir)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = graft.api.Stats.cmsBuild(
+        Seq("alpha", "beta", "alpha", "alpha", "gamma").toDF("text"),
+        "text", depth = 3, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+    val est = graft.api.Stats.cmsLookup(
+        graft.api.Stats.mergedCms(spark, sketchDir),
+        Seq("alpha", "gamma").toDF("text"), "text", depth = 3, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 3L && est("gamma") >= 1L)
+
+    val rowsBefore = spark.read.parquet(sketchDir).count()
+    graft.api.Stats.appendCmsBatchIdempotent(
+      Seq("zeta").toDF("text"), sketchDir, "text", batchId = 0L,
+      depth = 3, width = 64)
+    assert(spark.read.parquet(sketchDir).count() === rowsBefore,
+      "replayed batchId must not append")
+  }
+
   test("incrementalStats: micro-batches append mergeable stats; summary covers all batches; replay appends once") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{concat, length, lit}
