@@ -585,7 +585,85 @@ object SimilarityOps {
        |  FROM cells s JOIN assign a ON a.cluster = s.cell AND a.vec_id <> s.probe_id)
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
 
+  /** q149: truncated-dimension retrieval quality (the Matryoshka-
+    * representation question): for each probe, how many of the full-dim
+    * top-5 survive when search uses only the first 2 / 4 dimensions.
+    * Reuses the [[graft.api.Similarity.cosineKnn]] kernel on `slice`d
+    * embeddings — prefix truncation costs a narrow projection, never a
+    * re-embedding — and reports an all-integer overlap count per
+    * (probe, dims), so the report hash-matches with no float caveats
+    * (ranking ties break on cand_id on both engines). Probes whose
+    * prefix is zero-norm drop from the truncated search and score 0,
+    * the honest "this prefix carries no signal" answer.
+    */
+  def q149TruncatedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    def top5(c: DataFrame): DataFrame =
+      graft.api.Similarity.cosineKnn(c, c.filter($"vec_id" < 10),
+          "vec_id", "embedding", k = 5)
+        .select($"probe_id", $"cand_id")
+    val full = top5(corpus).localCheckpoint() // reused by every dims pass
+    val truncated = Seq(2, 4).map { d =>
+      top5(corpus.select($"vec_id", slice($"embedding", 1, d).as("embedding")))
+        .withColumn("dims", lit(d.toLong))
+    }.reduce(_ unionAll _)
+    val overlap = truncated
+      .join(full, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy($"probe_id", $"dims").agg(count(lit(1)).as("n_overlap5"))
+    full.select($"probe_id").distinct()
+      .crossJoin(Seq(2L, 4L).toDF("dims"))
+      .join(overlap, Seq("probe_id", "dims"), "left")
+      .select($"probe_id", $"dims",
+        coalesce($"n_overlap5", lit(0L)).as("n_overlap5"))
+      .orderBy($"probe_id", $"dims")
+  }
+
+  private def cosSliceSql(a: String, b: String, d: String): String = {
+    def s(x: String) = s"list_slice(CAST($x AS DOUBLE[]), 1, $d)"
+    s"list_dot_product(${s(a)}, ${s(b)})" +
+      s" / (sqrt(list_dot_product(${s(a)}, ${s(a)}))" +
+      s" * sqrt(list_dot_product(${s(b)}, ${s(b)})))"
+  }
+
+  val q149Sql: String = {
+    val posSlice = (x: String) =>
+      s"list_dot_product(list_slice(CAST($x AS DOUBLE[]), 1, d.dims), " +
+        s"list_slice(CAST($x AS DOUBLE[]), 1, d.dims)) > 0"
+    s"""WITH full5 AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id < 10
+       |      AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
+       |  WHERE rn <= 5),
+       |t AS (
+       |  SELECT dims, probe_id, cand_id FROM (
+       |    SELECT d.dims, p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY d.dims, p.vec_id
+       |        ORDER BY ${cosSliceSql("p.embedding", "c.embedding", "d.dims")} DESC,
+       |          c.vec_id) AS rn
+       |    FROM (VALUES (2), (4)) d(dims)
+       |    CROSS JOIN embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id < 10
+       |      AND ${posSlice("p.embedding")} AND ${posSlice("c.embedding")})
+       |  WHERE rn <= 5),
+       |o AS (
+       |  SELECT t.probe_id, t.dims, COUNT(*) AS n
+       |  FROM t JOIN full5 USING (probe_id, cand_id) GROUP BY 1, 2),
+       |g AS (
+       |  SELECT DISTINCT probe_id, dd.dims
+       |  FROM full5 CROSS JOIN (VALUES (2), (4)) dd(dims))
+       |SELECT g.probe_id, CAST(g.dims AS BIGINT) AS dims,
+       |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap5
+       |FROM g LEFT JOIN o ON o.probe_id = g.probe_id AND o.dims = g.dims
+       |ORDER BY g.probe_id, dims""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q149_truncated_recall" -> (q149TruncatedRecall _),
     "q87_quantize_int8" -> (q87QuantizeInt8 _),
     "q42_cosine_knn" -> (q42CosineKnn _),
     "q43_ivf_knn" -> (q43IvfKnn _),
@@ -605,6 +683,7 @@ object SimilarityOps {
   val oracles: Seq[(String, String)] = Seq(
     "q87_quantize_int8" -> q87Sql,
     "q42_cosine_knn" -> q42Sql,
+    "q149_truncated_recall" -> q149Sql,
     "q43_ivf_knn" -> q43Sql,
     "q45_topk_udaf" -> q45Sql,
     "q49_embed_near_dup" -> q49Sql,
