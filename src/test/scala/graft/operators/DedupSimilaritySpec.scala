@@ -290,6 +290,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("triangleCounts + pageRankUndirected: parity with brute force on seeded random graphs with injected twins") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // random base graph, then clone nodes as TRUE twins (adjacent copy
+      // with identical external edges) — exercises class arithmetic at
+      // unplanned shapes
+      val base = (for {
+        a <- 1L to 10L; b <- (a + 1) to 10L if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSet
+      val clones = (1L to 10L).filter(_ => rnd.nextDouble() < 0.4)
+        .map(v => v -> (v + 100L)).toMap
+      val cloned = clones.flatMap { case (v, c) =>
+        base.collect {
+          case (a, b) if a == v => (math.min(c, b), math.max(c, b))
+          case (a, b) if b == v => (math.min(a, c), math.max(a, c))
+        } + ((v, c))
+      }
+      val und = (base ++ cloned).toSeq.sortBy(identity)
+      if (und.nonEmpty) {
+        val pairs = und.toDF("id_a", "id_b")
+        val es = und.toSet
+        def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+
+        val gotT = graft.api.Graph.triangleCounts(pairs, "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val wantT = scala.collection.mutable.Map.empty[Long, Long]
+        for {
+          i <- nodes.indices; j <- (i + 1) until nodes.size
+          k <- (j + 1) until nodes.size
+          (x, y, z) = (nodes(i), nodes(j), nodes(k))
+          if adj(x, y) && adj(y, z) && adj(x, z)
+        } Seq(x, y, z).foreach(v => wantT(v) = wantT.getOrElse(v, 0L) + 1L)
+        assert(gotT === wantT.toMap, s"triangle mismatch at seed $seed")
+
+        val gotR = graft.api.Graph
+          .pageRankUndirected(pairs, "id_a", "id_b", iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .toDF("src", "dst")
+        val wantR = graft.api.Graph
+          .pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotR === wantR, s"pagerank mismatch at seed $seed")
+      }
+    }
+  }
+
   test("pageRankUndirected: twin-quotient iteration equals node-level pageRankFixedPoint") {
     import spark.implicits._
     // clique-heavy graph + bridge + chorded cycle + isolated edge —
