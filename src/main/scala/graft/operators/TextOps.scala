@@ -1168,7 +1168,65 @@ object TextOps {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
       |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  /** q150: bigram conditional LM scoring — q116's n-gram upgrade (the
+    * CCNet-style filter usually runs an n-gram LM, not unigram): each
+    * document's average ln p(w₂|w₁) under the self-trained corpus MLE,
+    * p(w₂|w₁) = c(w₁w₂)/c(w₁·) with the prefix mass derived FROM the
+    * bigram table (no second count pass; self-training means every doc
+    * bigram has corpus count ≥ 1, so no smoothing is needed for
+    * finiteness). One tokenize pass: the corpus collapses immediately
+    * into per-(doc, bigram) counts and that frame is localCheckpoint'd
+    * to feed the corpus counts, prefix sums, and scoring join — the
+    * q116 materialize-once shape. log sums round to 4 decimals (noise
+    * ~1e-13 ≪ grid), the established cross-engine contract.
+    */
+  def q150BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = table(spark, dir, "documents")
+      .withColumn("tk", filter(split($"text", " "), t => t =!= ""))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cbg = pairs.groupBy($"bigram").agg(sum($"c").as("n_bg"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    val cpre = cbg.groupBy($"w1").agg(sum($"n_bg").as("n_pre"))
+    val probs = cbg.join(cpre, "w1")
+      .select($"bigram", log($"n_bg".cast("double") / $"n_pre").as("logp"))
+    pairs.join(probs, "bigram")
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        round(sum($"c".cast("double") * $"logp") / sum($"c"), 4).as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  val q150Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      |  FROM d WHERE len(tk) >= 2),
+      |cbg AS (SELECT bigram, COUNT(*) AS n_bg FROM b GROUP BY 1),
+      |cpre AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, SUM(n_bg) AS n_pre
+      |  FROM cbg GROUP BY 1),
+      |probs AS (
+      |  SELECT bigram, ln(n_bg / CAST(n_pre AS DOUBLE)) AS logp
+      |  FROM cbg JOIN cpre ON split_part(cbg.bigram, ' ', 1) = cpre.w1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  round(SUM(logp) / COUNT(*), 4) AS avg_logp
+      |FROM b JOIN probs USING (bigram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q150_bigram_logprob" -> (q150BigramLogprob _),
     "q147_corpus_profile" -> (q147CorpusProfile _),
     "q142_bm25_topk" -> (q142Bm25 _),
     "q143_ngram_diversity" -> (q143NgramDiversity _),
@@ -1275,6 +1333,7 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q147_corpus_profile" -> q147Sql,
+    "q150_bigram_logprob" -> q150Sql,
     "q142_bm25_topk" -> q142Sql,
     "q143_ngram_diversity" -> q143Sql,
     "q139_inverted_index" -> q139Sql,

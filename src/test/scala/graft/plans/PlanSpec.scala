@@ -288,6 +288,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q150: the corpus is bigrammed exactly once (pair frame materialized, no Generate in the plan)") {
+    val p = planOf(graft.operators.TextOps.q150BigramLogprob(spark, sf))
+    assert(!p.contains("Generate"),
+      s"q150 consumers must read the materialized bigram frame, not re-explode:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"q150 must scan the checkpointed bigram frame:\n$p")
+  }
+
   test("q116: the corpus is tokenized exactly once (pair frame materialized, no Generate in the plan)") {
     val p = planOf(graft.operators.TextOps.q116UnigramLogprob(spark, sf))
     // round 5 exploded documents three times (total, probs, scoring).
