@@ -662,7 +662,93 @@ object SimilarityOps {
        |ORDER BY g.probe_id, dims""".stripMargin
   }
 
+  /** q151: hybrid retrieval via reciprocal-rank fusion — the standard
+    * way BM25 lexical ranking and embedding-cosine ranking combine
+    * (score = Σ 1/(60 + rank), Cormack et al.'s RRF constant): the
+    * q142 BM25 top-20 for the fixed term query and the cosine top-20
+    * around probe vector 0 full-outer-join on doc id, each missing rank
+    * contributing 0. Ranks are integers, the fused score is a fixed-
+    * order sum of two identically-computed doubles, ties break on doc
+    * id — the cut is hash-stable. Both input rankings are bounded
+    * top-20 frames, so fusion is a 40-row join regardless of corpus
+    * size; all the heavy lifting stays in the two plan-locked
+    * sub-pipelines.
+    */
+  def q151RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bm = graft.api.Text.bm25TopK(table(spark, dir, "documents"),
+        "doc_id", "text", Seq("vector", "stream", "customer"), 20)
+      .select($"id".as("doc_id"), $"score")
+    val rb = bm.withColumn("r_text",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"r_text")
+    val corpus = emb(spark, dir)
+    val rv = graft.api.Similarity.cosineKnn(corpus,
+        corpus.filter($"vec_id" === 0), "vec_id", "embedding", k = 20)
+      .select($"cand_id".as("doc_id"), $"rn".cast("long").as("r_vec"))
+    rb.join(rv, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + $"r_text"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"r_vec"), lit(0.0)), 6))
+      .select($"doc_id", $"r_text", $"r_vec", $"rrf")
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
+  }
+
+  val q151Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok AS token
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''),
+       |lens AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |corpus AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       |  WHERE token IN ('vector', 'stream', 'customer') GROUP BY 1, 2),
+       |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (tf.tf * (1.2 + 1.0)) /
+       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)) AS s
+       |  FROM tf JOIN dfreq d USING (token) JOIN lens l USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |pivoted AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN token = 'vector' THEN s END) AS s_vector,
+       |    MAX(CASE WHEN token = 'stream' THEN s END) AS s_stream,
+       |    MAX(CASE WHEN token = 'customer' THEN s END) AS s_customer
+       |  FROM scored GROUP BY doc_id),
+       |total AS (
+       |  SELECT doc_id,
+       |    COALESCE(s_vector, 0.0) + COALESCE(s_stream, 0.0)
+       |      + COALESCE(s_customer, 0.0) AS score_raw
+       |  FROM pivoted),
+       |top20 AS (
+       |  SELECT doc_id, round(score_raw, 4) AS score
+       |  FROM total ORDER BY score_raw DESC, doc_id LIMIT 20),
+       |rb AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+       |    (ORDER BY score DESC, doc_id) AS BIGINT) AS r_text FROM top20),
+       |rv AS (
+       |  SELECT doc_id, r_vec FROM (
+       |    SELECT c.vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id)
+       |      AS BIGINT) AS r_vec
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> 0
+       |    WHERE p.vec_id = 0
+       |      AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
+       |  WHERE r_vec <= 20)
+       |SELECT COALESCE(rb.doc_id, rv.doc_id) AS doc_id, rb.r_text, rv.r_vec,
+       |  round(COALESCE(1.0 / (60 + rb.r_text), 0.0)
+       |    + COALESCE(1.0 / (60 + rv.r_vec), 0.0), 6) AS rrf
+       |FROM rb FULL OUTER JOIN rv ON rv.doc_id = rb.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q151_rrf_fusion" -> (q151RrfFusion _),
     "q149_truncated_recall" -> (q149TruncatedRecall _),
     "q87_quantize_int8" -> (q87QuantizeInt8 _),
     "q42_cosine_knn" -> (q42CosineKnn _),
@@ -684,6 +770,7 @@ object SimilarityOps {
     "q87_quantize_int8" -> q87Sql,
     "q42_cosine_knn" -> q42Sql,
     "q149_truncated_recall" -> q149Sql,
+    "q151_rrf_fusion" -> q151Sql,
     "q43_ivf_knn" -> q43Sql,
     "q45_topk_udaf" -> q45Sql,
     "q49_embed_near_dup" -> q49Sql,
