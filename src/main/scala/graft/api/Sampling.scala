@@ -65,6 +65,38 @@ object Sampling {
     * (correctly rounded by IEEE 754, unlike pow(x, 0.5) which carries a
     * 1-ulp allowance) so DuckDB twins compute bit-identical weights.
     */
+  /** Weight-proportional `k`-sample WITHOUT replacement per group —
+    * Efraimidis–Spirakis exponential races (Inf. Proc. Lett. 97(5),
+    * 2006): each row draws `priority = −ln(u) / w` (an Exp(w) variate —
+    * the race a row with twice the weight wins twice as often), and the
+    * k SMALLEST priorities per group are the sample. `u` is the
+    * deterministic Knuth multiplicative-hash uniform shifted to the
+    * half-integer grid `(m + 0.5) / 2³²` — never exactly 0 or 1, so the
+    * log is always finite, and the draw is reproducible on any engine,
+    * cluster, or re-run with no RNG state. Rows with a non-positive or
+    * null weight are dropped (they have no race rate).
+    *
+    * Returns the input columns plus (u, priority, sample_rank), rank
+    * 1..k by ascending priority. Scale shape: identical to
+    * [[stratifiedSample]] — one ranked window per group whose
+    * `row_number <= k` gate lets WindowGroupLimit cap every partition at
+    * k rows before the shuffle; the corpus never moves wholesale.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val x = pmod(col(idCol).cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long") // exact: x - lo is a multiple of 2^16
+    val u = (pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L + lo * 2654435761L,
+      lit(4294967296L)).cast("double") + 0.5) / 4294967296.0
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("u", u)
+      .withColumn("priority", (lit(0.0) - log(col("u"))) / col(weightCol).cast("double"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   private def normWeights(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     val wAll = Window.orderBy(col(groupCol))

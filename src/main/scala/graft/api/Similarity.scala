@@ -365,6 +365,123 @@ object Similarity {
     * `m` (the integer-division slice would silently drop tail
     * components otherwise).
     */
+  /** Deterministic ±1 hyperplane matrix for [[srpBandSignatures]]: entry
+    * (b, d) is the low bit of the first md5 byte of `"srp:<b>:<d>"` — a
+    * fixed PUBLIC derivation with no RNG state, so the engine and its
+    * oracles can embed the very same constants and any run on any
+    * cluster sketches identically.
+    */
+  def srpSigns(bits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (b, d) =>
+      if ((md.digest(s"srp:$b:$d".getBytes("UTF-8"))(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Signed-random-projection sketches (hyperplane LSH — Charikar, STOC
+    * 2002 §3): bit b of a vector's sketch is the SIGN of its dot product
+    * with pseudo-random ±1 hyperplane b (P[two vectors agree on a bit] =
+    * 1 − θ/π), and the `bits` sketch splits into `bands` integer bucket
+    * keys — vectors share a (band, band_sig) bucket iff EVERY bit of
+    * that band agrees, the banding trade that turns "mostly-agreeing
+    * sketches" into an equi-join key. The hyperplane matrix is a
+    * bits×dim constant ([[srpSigns]]) folded into the plan; every bit is
+    * one codegen'd fixed-order `vector_dot`, so the corpus is scanned
+    * once with NO shuffle before the bucket join. Returns (idCol, band,
+    * band_sig).
+    *
+    * Sizing: P[a random pair shares one band] ≈ 2^−(bits/bands), so
+    * bits/bands must grow with log₂(corpus) to keep candidate volume
+    * linear — 8 bits/band ≈ 0.4% random collisions, right for ~10⁴–10⁶
+    * rows; push to 16–24 bits/band at 10⁹ (the hyperplane family is
+    * unbounded — widen `bits`, keep the same derivation).
+    */
+  def srpBandSignatures(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, "bits must split evenly into bands")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val rpb = bits / bands
+    val signs = srpSigns(bits, dim)
+    def bitSql(b: Int): String = {
+      val arr = signs(b).map(v => s"${v}D").mkString(",")
+      s"(CASE WHEN vector_dot($embCol, array($arr)) >= 0.0D THEN ${1L << (b % rpb)}L ELSE 0L END)"
+    }
+    val bandCols = (0 until bands).map { g =>
+      expr((g * rpb until (g + 1) * rpb).map(bitSql).mkString(" + ")).as(s"__b$g")
+    }
+    corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(g => col(s"__b$g")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+      .withColumn("band", col("band").cast("long"))
+  }
+
+  /** SRP-LSH near-duplicate pairs: bucket-join candidates from
+    * [[srpBandSignatures]] (equi-join on (band, band_sig), id-ordered,
+    * deduped across bands), then EXACT cosine verification ≥ `minCos` —
+    * the standard candidate-then-verify contract: the sketch only
+    * prunes, the verified score decides, so false bucket collisions
+    * never surface. Complements the MinHash/SimHash text family with
+    * the embedding-space LSH; against brute force ([[cosineKnn]]) the
+    * pair candidate volume drops from n²/2 to the banded collision set.
+    */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, bits: Int, bands: Int, minCos: Double): DataFrame = {
+    val sigs = srpBandSignatures(corpus, idCol, embCol, dim, bits, bands)
+    val cand = sigs.select(col("band"), col("band_sig"), col(idCol).as("a_id"))
+      .join(sigs.select(col("band"), col("band_sig"), col(idCol).as("b_id")),
+        Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val normed = withNorm(corpus, embCol)
+    cand
+      .join(normed.select(col(idCol).as("a_id"), col(embCol).as("__ea"),
+        col("norm").as("__na")), "a_id")
+      .join(normed.select(col(idCol).as("b_id"), col(embCol).as("__eb"),
+        col("norm").as("__nb")), "b_id")
+      .withColumn("cos", expr(dot("__ea", "__eb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** SRP-bucketed approximate top-k search: each probe's candidate set
+    * is the UNION of its `bands` hash buckets (equi-join on
+    * (band, band_sig) — ~bands·2^−(bits/bands) of the corpus per probe,
+    * never a scan), reranked by EXACT cosine and cut to k. The
+    * candidate-then-rerank contract means results are always true
+    * cosines; only RECALL depends on the sketch geometry (measured in
+    * ApiSpec against [[cosineKnn]]). Scale shape: signatures are one
+    * shuffle-free scan each side, the bucket join shuffles only
+    * (id, band, sig) triples, and the rerank joins embeddings to the
+    * candidate set — corpus embedding bytes move only for candidates.
+    */
+  def srpSearch(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, dim: Int, bits: Int, bands: Int, k: Int): DataFrame = {
+    val cSigs = srpBandSignatures(corpus, idCol, embCol, dim, bits, bands)
+    val pSigs = srpBandSignatures(probes, idCol, embCol, dim, bits, bands)
+    val cand = pSigs
+      .select(col("band"), col("band_sig"), col(idCol).as("probe_id"))
+      .join(cSigs.select(col("band"), col("band_sig"), col(idCol).as("cand_id")),
+        Seq("band", "band_sig"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"))
+      .distinct()
+    val cNorm = withNorm(corpus, embCol)
+    val pNorm = withNorm(probes, embCol)
+    topKTail(
+      cand
+        .join(pNorm.select(col(idCol).as("probe_id"), col(embCol).as("__ep"),
+          col("norm").as("__np")), "probe_id")
+        .join(cNorm.select(col(idCol).as("cand_id"), col(embCol).as("__ec"),
+          col("norm").as("__nc")), "cand_id")
+        .withColumn("sim", expr(dot("__ep", "__ec")) / (col("__np") * col("__nc")))
+        .select(col("probe_id"), col("cand_id"), col("sim")),
+      k)
+  }
+
   private def subVectors(corpus: DataFrame, idCol: String, embCol: String,
       m: Int): DataFrame =
     corpus

@@ -648,7 +648,122 @@ object EventOps {
       |  event_type AS label
       |FROM l WHERE p3 IS NOT NULL ORDER BY user_id, event_id""".stripMargin
 
+  /** q152: last-touch attribution — every purchase credits the most
+    * recent PRIOR click/view by the same user within a 7-day lookback
+    * window, else the 'organic' bucket. The touch lookup is ONE window
+    * pass over each user's timeline (two conditional
+    * `last(_, ignoreNulls)` carries over ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING — both non-null exactly on touch rows, so they always
+    * read the SAME row), never a purchases×touches self-join: cost is a
+    * per-user sort, not |purchases|·|touches|, and the user partitioning
+    * is the natural key distribution at 100 TB. Revenue sums on the
+    * cent grid (decimal, engine-exact); the mean touch→purchase gap is
+    * an exact long sum over one double division.
+    */
+  def q152Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isTouch = $"event_type" === "click" || $"event_type" === "view"
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seven = lit(7L * 24 * 3600 * 1000)
+    events(spark, dir)
+      .withColumn("t_touch", last(when(isTouch, $"ts_ms"), ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(when(isTouch, $"event_type"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("attributed", $"t_touch".isNotNull && $"ts_ms" - $"t_touch" <= seven)
+      .select(
+        when($"attributed", $"touch_type").otherwise(lit("organic")).as("channel"),
+        when($"attributed", $"ts_ms" - $"t_touch").as("gap_ms"),
+        $"value")
+      .groupBy($"channel")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        dsum($"value").as("revenue"),
+        round(sum($"gap_ms").cast("double") / count($"gap_ms"), 4).as("avg_gap_ms"))
+      .orderBy($"channel")
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, value, ts_ms,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts_ms END
+      |      IGNORE NULLS) OVER w AS t_touch,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+      |      IGNORE NULLS) OVER w AS touch_type
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (
+      |  SELECT
+      |    CASE WHEN t_touch IS NOT NULL AND ts_ms - t_touch <= 604800000
+      |      THEN touch_type ELSE 'organic' END AS channel,
+      |    CASE WHEN t_touch IS NOT NULL AND ts_ms - t_touch <= 604800000
+      |      THEN ts_ms - t_touch END AS gap_ms,
+      |    value
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  ROUND(CAST(SUM(gap_ms) AS DOUBLE) / COUNT(gap_ms), 4) AS avg_gap_ms
+      |FROM p GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** q153: cohort retention matrix — users cohort by FIRST-seen date,
+    * activity marks by (cohort_day, offset_day), retention is active
+    * users over cohort size. All keys are pure integer date arithmetic
+    * (day diffs against a fixed anchor — no calendar-week conventions to
+    * disagree on), so both engines draw identical cells; the percentage
+    * is one exact long×100 over one double division. Scale shape: the
+    * first-seen frame is one user-keyed agg reusing the events
+    * partitioning, the activity agg is (days × cohorts)-bounded — the
+    * matrix never grows with event volume, only with the calendar — and
+    * the cohort-size lookup is a window `first` over the offset-0 cell
+    * (guaranteed present: every user is active the day they appear).
+    */
+  def q153CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val anchor = lit(java.sql.Date.valueOf("2024-01-01"))
+    val e = events(spark, dir)
+      .select($"user_id",
+        datediff(to_date(timestamp_micros(expr("ts div 1000"))), anchor).as("day"))
+    val firstSeen = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val act = e.join(firstSeen, "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("offset_day"))
+      .agg(countDistinct($"user_id").as("n_active"))
+    val w = Window.partitionBy($"cohort_day").orderBy($"offset_day")
+    act
+      .withColumn("cohort_size", first($"n_active").over(w))
+      .select(
+        date_add(anchor, $"cohort_day").as("cohort_date"),
+        $"offset_day".cast("long").as("offset_day"),
+        $"n_active",
+        round(($"n_active" * 100).cast("double") / $"cohort_size", 4)
+          .as("retention_pct"))
+      .orderBy($"cohort_date", $"offset_day")
+  }
+
+  val q153Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) - DATE '2024-01-01' AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT cohort_day, e.day - cohort_day AS offset_day,
+      |    COUNT(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+      |s AS (
+      |  SELECT cohort_day, offset_day, n_active,
+      |    FIRST_VALUE(n_active) OVER (PARTITION BY cohort_day
+      |      ORDER BY offset_day) AS cohort_size
+      |  FROM a)
+      |SELECT DATE '2024-01-01' + CAST(cohort_day AS INTEGER) AS cohort_date,
+      |  CAST(offset_day AS BIGINT) AS offset_day, n_active,
+      |  ROUND(CAST(n_active * 100 AS DOUBLE) / cohort_size, 4) AS retention_pct
+      |FROM s ORDER BY cohort_date, offset_day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q152_attribution" -> (q152Attribution _),
+    "q153_cohort_retention" -> (q153CohortRetention _),
     "q146_next_event_pairs" -> (q146NextEventPairs _),
     "q104_funnel" -> (q104Funnel _),
     "q109_sliding_window" -> (q109SlidingWindow _),
@@ -668,6 +783,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q152_attribution" -> q152Sql,
+    "q153_cohort_retention" -> q153Sql,
     "q146_next_event_pairs" -> q146Sql,
     "q104_funnel" -> q104Sql,
     "q109_sliding_window" -> q109Sql,

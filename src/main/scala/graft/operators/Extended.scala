@@ -918,7 +918,63 @@ object Extended {
     exactQuantilesMulti(df, Some(groupCol), Seq(valueCol -> ps), persist = persist)
       .map { case (g, m) => g -> ps.map(p => m((valueCol, p))) }
 
+  /** q158: robust outlier report per event type via the median absolute
+    * deviation — med = median(value), MAD = median(|value − med|), and a
+    * row is an outlier when |value − med| > 4.4478·MAD (the 3σ cut
+    * under normality: 3 × the 1.4826 consistency constant, folded into
+    * ONE multiply so both engines evaluate the identical double). Both
+    * medians run through [[exactQuantilesMulti]] — two rounds of the
+    * O(1)-state count-partitioned search, never a full-multiset
+    * `percentile` aggregate — and the deviation frame is one narrow
+    * projection over the scan, so the whole report is a handful of
+    * bounded passes at any corpus size. MAD is the robust scale
+    * estimator (50% breakdown point) that a mean/stddev z-score cut
+    * lacks — one fat-tailed batch can't drag its own threshold.
+    */
+  def q158MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_type", $"value")
+    val meds = exactQuantilesBy(ev, "event_type", "value", Seq(0.5))
+      .map { case (g, vs) => (g.asInstanceOf[String], vs.head) }.toSeq
+    val medDf = broadcast(meds.toDF("event_type", "med"))
+    val dev = ev.join(medDf, "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val mads = exactQuantilesBy(dev, "event_type", "dev", Seq(0.5))
+      .map { case (g, vs) => (g.asInstanceOf[String], vs.head) }.toSeq
+    dev.join(broadcast(mads.toDF("event_type", "mad")), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min($"med"), 4).as("med"),
+        round(min($"mad"), 4).as("mad"),
+        sum(when($"dev" > lit(4.4478) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_pct",
+        round(($"n_outliers" * 100).cast("double") / $"n_events", 4))
+      .orderBy($"event_type")
+  }
+
+  val q158Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n_events,
+      |  ROUND(MIN(d.med), 4) AS med,
+      |  ROUND(MIN(md.mad), 4) AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  ROUND(CAST(SUM(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END) * 100
+      |    AS DOUBLE) / COUNT(*), 4) AS outlier_pct
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q158_mad_outliers" -> (q158MadOutliers _),
     "q103_winsorize" -> (q103Winsorize _),
     "q110_approx_quantiles" -> (q110ApproxQuantiles _),
     "q115_equidepth_hist" -> (q115EquidepthHist _),
@@ -939,6 +995,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q158_mad_outliers" -> q158Sql,
     "q103_winsorize" -> q103Sql,
     "q115_equidepth_hist" -> q115Sql,
     "q81_salted_agg" -> q81Sql,

@@ -290,7 +290,50 @@ object SamplingOps {
       |SELECT source, CAST(rn AS BIGINT) AS quota_rank, doc_id, quality
       |FROM ranked WHERE rn <= 15 ORDER BY source, quota_rank""".stripMargin
 
+  /** q154: weight-proportional sampling without replacement
+    * ([[graft.api.Sampling.weightedSample]], Efraimidis–Spirakis 2006)
+    * — 8 docs per source, drawn with probability proportional to length
+    * (`n_chars`): priority = −ln(u)/w with u the deterministic
+    * half-integer Knuth-hash uniform, k smallest priorities win. Both
+    * engines evaluate the IDENTICAL integer hash then one ln and one
+    * division, so the same docs are drawn; the displayed priority
+    * rounds to 6 decimals. The ranked window carries a
+    * WindowGroupLimit like q93 — skewed sources cost a scan, not a
+    * shuffle.
+    */
+  def q154WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.api.Sampling.weightedSample(
+        table(spark, dir, "documents").select($"doc_id", $"source", $"n_chars"),
+        "source", "doc_id", "n_chars", k = 8)
+      .select($"source", $"sample_rank", $"doc_id", $"n_chars",
+        round($"priority", 6).as("priority"))
+      .orderBy($"source", $"sample_rank")
+  }
+
+  val q154Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    (CAST(((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+      |       + ((doc_id % 4294967296) % 65536) * 2654435761 AS BIGINT)
+      |     % 4294967296) AS m
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |p AS (
+      |  SELECT source, doc_id, n_chars,
+      |    (0.0 - ln((CAST(m AS DOUBLE) + 0.5) / 4294967296))
+      |      / CAST(n_chars AS DOUBLE) AS priority
+      |  FROM d),
+      |ranked AS (
+      |  SELECT source, doc_id, n_chars, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY priority, doc_id) AS sample_rank
+      |  FROM p)
+      |SELECT source, sample_rank, doc_id, n_chars,
+      |  ROUND(priority, 6) AS priority
+      |FROM ranked WHERE sample_rank <= 8 ORDER BY source, sample_rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q154_weighted_sample" -> (q154WeightedSample _),
     "q145_source_quota" -> (q145SourceQuota _),
     "q129_dsir_weights" -> (q129DsirWeights _),
     "q93_stratified_sample" -> (q93StratifiedSample _),
@@ -301,6 +344,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q154_weighted_sample" -> q154Sql,
     "q145_source_quota" -> q145Sql,
     "q129_dsir_weights" -> q129Sql,
     "q93_stratified_sample" -> q93Sql,

@@ -747,7 +747,189 @@ object SimilarityOps {
        |FROM rb FULL OUTER JOIN rv ON rv.doc_id = rb.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q155: asymmetric-distance (ADC) top-5 search over the PQ-encoded
+    * corpus ([[graft.api.Similarity.pqSearchAdc]], Jégou et al. 2011
+    * §III) — the SEARCH half of q126's encode: each probe precomputes
+    * its 8×16 table of probe-slice · codeword dot products (broadcast),
+    * and every candidate scores as the sum of 8 table lookups via an
+    * equi-join on (sub, code) — the full-width float corpus is never
+    * read at search time, which is the whole point of storing 4-byte
+    * codes for 10⁹ vectors. Codebook = the deterministic q126
+    * pseudo-codebook, so both engines score identically.
+    */
+  def q155PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val cb = graft.api.Similarity.pqCodebookFromIds(
+      corpus, "vec_id", "embedding", m = 8, k = 16)
+    val det = graft.api.Similarity.pqEncodeDetailed(
+      corpus, cb, "vec_id", "embedding", m = 8)
+    graft.api.Similarity.pqSearchAdc(det, cb,
+        corpus.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
+        m = 8, kNbrs = 5)
+      .select($"probe_id", $"rn", $"cand_id", round($"sim", 4).as("sim"))
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  WHERE embedding IS NOT NULL),
+      |sv AS (
+      |  SELECT vec_id, s.sub, emb[(s.sub * 8 + 1):(s.sub * 8 + 8)] AS subv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) s),
+      |cw AS (SELECT sub, vec_id AS code, subv AS cwv FROM sv WHERE vec_id < 16),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT v.vec_id, v.sub, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+      |        ORDER BY (list_dot_product(c.cwv, c.cwv)
+      |          - 2 * list_dot_product(v.subv, c.cwv)), c.code) AS rn
+      |    FROM sv v JOIN cw c ON c.sub = v.sub)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT p.vec_id AS probe_id, p.sub, c.code,
+      |    list_dot_product(p.subv, c.cwv) AS w
+      |  FROM sv p JOIN cw c ON c.sub = p.sub WHERE p.vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT l.probe_id, enc.vec_id AS cand_id, SUM(l.w) AS sim
+      |  FROM enc JOIN lut l ON l.sub = enc.sub AND l.code = enc.code
+      |  WHERE enc.vec_id <> l.probe_id GROUP BY 1, 2)
+      |SELECT probe_id, rn, cand_id, ROUND(sim, 4) AS sim FROM (
+      |  SELECT probe_id, cand_id, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+
+  /** q156: hyperplane-LSH approximate top-3 search
+    * ([[graft.api.Similarity.srpSearch]], Charikar STOC 2002) — 32
+    * signed-random-projection bits in 4 bands of 8 for probes
+    * vec_id < 10: every probe's candidate set is the union of its 4
+    * hash buckets (~4·2⁻⁸ ≈ 1.6% of the corpus — bucket equi-join,
+    * never a scan), exact-cosine reranked, top 3. The embedding-space
+    * member of the LSH family (MinHash covers sets, SimHash token
+    * multisets); results are always TRUE cosines — the sketch only
+    * prunes, so only recall (ApiSpec-measured vs brute force) depends
+    * on geometry. Both engines fold the SAME embedded ±1 hyperplane
+    * constants in the same order, so buckets, candidates, and the
+    * reranked cut agree exactly.
+    */
+  def q156SrpSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    graft.api.Similarity.srpSearch(corpus, corpus.filter($"vec_id" < 10),
+        "vec_id", "embedding", dim = 64, bits = 32, bands = 4, k = 3)
+      .select($"probe_id", $"rn", $"cand_id", round($"sim", 4).as("sim"))
+      .orderBy($"probe_id", $"rn")
+  }
+
+  val q156Sql: String = {
+    val signs = graft.api.Similarity.srpSigns(32, 64)
+    val rpb = 8
+    def bitSql(b: Int): String =
+      s"(CASE WHEN list_dot_product(emb, [${signs(b).mkString(", ")}]) >= 0.0" +
+        s" THEN ${1L << (b % rpb)} ELSE 0 END)"
+    val bandSelects = (0 until 4).map { g =>
+      s"SELECT vec_id, $g AS band, " +
+        (g * rpb until (g + 1) * rpb).map(bitSql).mkString(" + ") +
+        " AS band_sig FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sig AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM sig p JOIN sig c
+       |    ON p.band = c.band AND p.band_sig = c.band_sig
+       |    AND p.vec_id <> c.vec_id
+       |  WHERE p.vec_id < 10),
+       |n AS (
+       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+       |  WHERE list_dot_product(emb, emb) > 0),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.cand_id,
+       |    list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) AS sim
+       |  FROM cand JOIN n x ON x.vec_id = cand.probe_id
+       |    JOIN n y ON y.vec_id = cand.cand_id)
+       |SELECT probe_id, rn, cand_id, ROUND(sim, 4) AS sim FROM (
+       |  SELECT probe_id, cand_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  /** q157: embedding-dimension Pearson correlation matrix (first 8
+    * dims, upper triangle) from ONE aggregation pass of explicit raw
+    * moments — n, Σx, Σx², Σxy — then the textbook closed form
+    * `(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))` evaluated on the
+    * single stats row. The moment formulation (not the builtin `corr`,
+    * whose streaming co-moment merge order is engine-private) is what
+    * both engines can evaluate EXPRESSION-IDENTICALLY; the scan is one
+    * pass, state is O(dims²) regardless of corpus size, and the rounded
+    * 6-decimal display absorbs partial-sum reassociation. The
+    * diagnostic behind whitening / redundant-dimension pruning of an
+    * embedding space.
+    */
+  def q157DimCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 8
+    val pairs = for (i <- 0 until d; j <- i + 1 until d) yield (i, j)
+    val x = emb(spark, dir).filter($"embedding".isNotNull)
+      .select((0 until d).map(i =>
+        element_at($"embedding", i + 1).cast("double").as(s"x$i")): _*)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        (0 until d).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+        (0 until d).map(i => sum(col(s"x$i") * col(s"x$i")).as(s"q$i")) ++
+        pairs.map { case (i, j) =>
+          sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j") }
+    val stats = x.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(
+        lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+        round(
+          (col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j")) /
+            (sqrt(col("n") * col(s"q$i") - col(s"s$i") * col(s"s$i")) *
+              sqrt(col("n") * col(s"q$j") - col(s"s$j") * col(s"s$j"))),
+          6).as("corr"))
+    }
+    stats.select(explode(array(rows: _*)).as("r"))
+      .select($"r.dim_i", $"r.dim_j", $"r.corr")
+      .orderBy($"dim_i", $"dim_j")
+  }
+
+  val q157Sql: String = {
+    val d = 8
+    val pairs = for (i <- 0 until d; j <- i + 1 until d) yield (i, j)
+    val dims = 0 until d
+    val sums =
+      dims.map(i => s"SUM(x$i) AS s$i") ++
+        dims.map(i => s"SUM(x$i * x$i) AS q$i") ++
+        pairs.map { case (i, j) => s"SUM(x$i * x$j) AS p${i}_$j" }
+    val cells = pairs.map { case (i, j) =>
+      s"SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j, " +
+        s"ROUND((n * p${i}_$j - s$i * s$j) / " +
+        s"(sqrt(n * q$i - s$i * s$i) * sqrt(n * q$j - s$j * s$j)), 6) " +
+        s"AS corr FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |x AS (SELECT ${dims.map(i => s"emb[${i + 1}] AS x$i").mkString(", ")} FROM e),
+       |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${sums.mkString(", ")} FROM x)
+       |SELECT dim_i, dim_j, corr FROM (
+       |  $cells)
+       |ORDER BY dim_i, dim_j""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q155_pq_adc" -> (q155PqAdc _),
+    "q156_srp_search" -> (q156SrpSearch _),
+    "q157_dim_corr" -> (q157DimCorr _),
     "q151_rrf_fusion" -> (q151RrfFusion _),
     "q149_truncated_recall" -> (q149TruncatedRecall _),
     "q87_quantize_int8" -> (q87QuantizeInt8 _),
@@ -767,6 +949,9 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q155_pq_adc" -> q155Sql,
+    "q156_srp_search" -> q156Sql,
+    "q157_dim_corr" -> q157Sql,
     "q87_quantize_int8" -> q87Sql,
     "q42_cosine_knn" -> q42Sql,
     "q149_truncated_recall" -> q149Sql,

@@ -1498,4 +1498,73 @@ class ApiSpec extends SparkSpec {
     val withEmpty = docs.union(Seq((999L, "", "aa")).toDF("id", "body", "label"))
     assert(Text.naiveBayesSelfScore(withEmpty, "id", "body", "label").count() === 80)
   }
+
+  test("weightedSample: deterministic, exactly the k smallest priorities, weight-monotone") {
+    import spark.implicits._
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val s5 = Sampling.weightedSample(docs, "source", "doc_id", "n_chars", 5)
+    // re-run draws the identical sample (no RNG state)
+    val again = Sampling.weightedSample(docs, "source", "doc_id", "n_chars", 5)
+      .select("source", "sample_rank", "doc_id").collect().toSet
+    assert(s5.select("source", "sample_rank", "doc_id").collect().toSet === again)
+    // the k=5 cut is exactly the first 5 ranks of the full ranking
+    val full = Sampling.weightedSample(docs, "source", "doc_id", "n_chars", Int.MaxValue)
+    val fullTop = full.filter($"sample_rank" <= 5)
+      .select("source", "sample_rank", "doc_id").collect().toSet
+    assert(s5.select("source", "sample_rank", "doc_id").collect().toSet === fullTop)
+    // per-group sizes: min(k, positive-weight group size), ranks 1..n contiguous
+    val gsz = docs.filter($"n_chars".isNotNull && $"n_chars" > 0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    s5.groupBy("source").agg(count(lit(1)).as("n"), max("sample_rank").as("mx"))
+      .collect().foreach { r =>
+        val want = math.min(5L, gsz(r.getString(0)))
+        assert(r.getLong(1) === want && r.getInt(2).toLong === want)
+      }
+    // an overwhelming weight races to rank 1; non-positive weights never appear
+    val synth = (0L until 100L).map(i =>
+      (i, "g", if (i == 42L) 1e12 else if (i == 7L) 0.0 else 1.0))
+      .toDF("id", "grp", "w")
+    val drawn = Sampling.weightedSample(synth, "grp", "id", "w", 10).collect()
+    assert(drawn.find(_.getAs[Int]("sample_rank") == 1).get.getAs[Long]("id") === 42L)
+    assert(!drawn.exists(_.getAs[Long]("id") == 7L))
+  }
+
+  test("srp: deterministic signatures, true-cosine rerank, planted near-dups recovered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(i => (i.toLong, vec()))
+    val dups = base.map { case (i, v) =>
+      (i + 100L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)) }
+    val corpus = (base ++ dups).toDF("vid", "e")
+    // signatures are a pure function of the data
+    val sig1 = Similarity.srpBandSignatures(corpus, "vid", "e", 16, 32, 4)
+    val sig2 = Similarity.srpBandSignatures(corpus, "vid", "e", 16, 32, 4)
+    assert(sig1.collect().toSet === sig2.collect().toSet)
+    assert(sig1.count() === 40L * 4)
+    // brute-force truth: planted pairs all have cosine >= 0.9
+    val truth = Similarity.nearDupPairs(corpus, "vid", "e", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 15) // the plant worked
+    val found = Similarity.srpNearDupPairs(corpus, "vid", "e", 16, 32, 4, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // emitted pairs are verified (subset of truth), and recall is high
+    assert(found.subsetOf(truth))
+    assert(found.size.toDouble / truth.size >= 0.7)
+    // srpSearch returns TRUE cosines: every (probe, cand, sim) agrees with
+    // the exact cosine brute force computes for that pair
+    val got = Similarity.srpSearch(corpus, corpus.filter($"vid" < 5),
+      "vid", "e", 16, 32, 4, 2).collect()
+    assert(got.nonEmpty)
+    val brute = Similarity.cosineKnn(corpus, corpus.filter($"vid" < 5),
+      "vid", "e", k = 39).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cand_id")) -> r.getAs[Double]("sim"))
+      .toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))
+      assert(math.abs(brute(key) - r.getAs[Double]("sim")) < 1e-12)
+    }
+  }
 }

@@ -115,4 +115,62 @@ class OperatorSpec extends SparkSpec {
       r.getAs[Long]("user_id") -> r.getAs[String]("state_at_t")).toMap
     assert(got === want)
   }
+
+  test("q152: attribution buckets partition the purchases; gaps within the window") {
+    import spark.implicits._
+    val rows = EventOps.q152Attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nPurch = graft.Util.events(spark, sf)
+      .filter($"event_type" === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch)
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "organic")))
+    // attributed channels carry a gap inside the 7-day window; organic none
+    rows.foreach { r =>
+      val gap = Option(r.getAs[java.lang.Double]("avg_gap_ms"))
+      if (r.getAs[String]("channel") == "organic") assert(gap.isEmpty)
+      else gap.foreach(g => assert(g >= 0 && g <= 7L * 24 * 3600 * 1000))
+    }
+  }
+
+  test("q153: cohort matrix — offset-0 retention is 100, actives never exceed cohort size") {
+    import spark.implicits._
+    val rows = EventOps.q153CohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_date").toString)
+    byCohort.values.foreach { cells =>
+      val at0 = cells.find(_.getAs[Long]("offset_day") == 0L).get
+      assert(at0.getAs[Double]("retention_pct") === 100.0)
+      val size = at0.getAs[Long]("n_active")
+      cells.foreach(c => assert(c.getAs[Long]("n_active") <= size))
+    }
+    // every user is counted in exactly one cohort at offset 0
+    val nUsers = graft.Util.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(
+      _.find(_.getAs[Long]("offset_day") == 0L).get.getAs[Long]("n_active")).sum === nUsers)
+  }
+
+  test("q158: MAD report matches a brute-force median computation") {
+    import spark.implicits._
+    val rows = Extended.q158MadOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.Util.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).sorted }
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = vals(t)
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)).sorted)
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-6, s"med($t)")
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-6, s"mad($t)")
+      val nOut = xs.count(x => math.abs(x - med) > 4.4478 * mad)
+      assert(r.getAs[Long]("n_outliers") === nOut, s"outliers($t)")
+    }
+  }
 }
