@@ -667,8 +667,12 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val seven = lit(7L * 24 * 3600 * 1000)
     events(spark, dir)
-      .withColumn("t_touch", last(when(isTouch, $"ts_ms"), ignoreNulls = true).over(w))
-      .withColumn("touch_type", last(when(isTouch, $"event_type"), ignoreNulls = true).over(w))
+      // ONE carried struct = one window function = one in-memory sweep
+      .withColumn("touch",
+        last(when(isTouch, struct($"ts_ms".as("t"), $"event_type".as("ty"))),
+          ignoreNulls = true).over(w))
+      .withColumn("t_touch", $"touch.t")
+      .withColumn("touch_type", $"touch.ty")
       .filter($"event_type" === "purchase")
       .withColumn("attributed", $"t_touch".isNotNull && $"ts_ms" - $"t_touch" <= seven)
       .select(

@@ -709,6 +709,60 @@ object StreamOps {
     }
   }
 
+  case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+    ts_ms: Long, value: Double)
+  /** Most recent touch per live user — O(1): one (ts, type) pair. */
+  case class TouchState(t: Long, ty: String)
+  case class Attribution(user_id: Long, event_id: Long, channel: String,
+    gap_ms: Option[Long], value: Double)
+
+  /** Live twin of q152: stateful last-touch attribution — every
+    * conversion event emits its channel (the most recent prior touch
+    * type within `windowMs`, else "organic"), gap, and value, as it
+    * arrives. State per user is exactly ONE (ts, type) pair, so a
+    * billion-user stream holds one tuple per live key — compare the
+    * batch twin's window sort, which this replaces with an O(1) running
+    * carry.
+    *
+    * Ordering contract (same as [[nextEventPairsStream]]): each
+    * micro-batch's group folds in (ts_ms, event_id) order, so an
+    * in-order-per-user stream reproduces the batch twin exactly (the
+    * parity spec replays the events table); a touch arriving AFTER its
+    * conversion was already emitted cannot retro-attribute — append-only
+    * output, backfill exactness from q152.
+    */
+  def attributionStream(spark: SparkSession, events: DataFrame,
+      touches: Set[String] = Set("click", "view"),
+      conversion: String = "purchase",
+      windowMs: Long = 7L * 24 * 3600 * 1000): Dataset[Attribution] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        col("ts_ms").cast("long").as("ts_ms"),
+        col("value").cast("double").as("value"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[AttrEvent], state: GroupState[TouchState]) =>
+          var touch = state.getOption
+          val out = Vector.newBuilder[Attribution]
+          evs.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            if (e.event_type == conversion) {
+              val hit = touch.filter(t => e.ts_ms - t.t <= windowMs)
+              out += Attribution(uid, e.event_id,
+                hit.map(_.ty).getOrElse("organic"),
+                hit.map(t => e.ts_ms - t.t), e.value)
+            }
+            if (touches.contains(e.event_type))
+              touch = Some(TouchState(e.ts_ms, e.event_type))
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class NextEventIn(user_id: Long, event_id: Long, ts_us: Long,
     event_type: String)
   /** Last-3 event types, oldest first — O(1) per live user. */

@@ -506,4 +506,30 @@ class PlanSpec extends SparkSpec {
       fresh.sql("SELECT text_shingles('a b c', CAST(id AS INT)) AS s FROM range(1)").collect()
     }
   }
+
+  test("q152: attribution is a window carry, never a purchases×touches self-join") {
+    val p = planOf(graft.operators.EventOps.q152Attribution(spark, sf))
+    assert(!p.contains("Join"), "last-touch lookup must not join")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1)
+  }
+
+  test("q154: weighted sample keeps the partial top-k gate before the shuffle") {
+    val p = planOf(graft.operators.SamplingOps.q154WeightedSample(spark, sf))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q155/q156: ANN candidate generation is equi-join only — no nested-loop pairing") {
+    for (df <- Seq(graft.operators.SimilarityOps.q155PqAdc(spark, sf),
+        graft.operators.SimilarityOps.q156SrpSearch(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), "candidate space must stay bucketed")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "candidate space must stay bucketed")
+    }
+  }
+
+  test("q157: correlation matrix is one aggregation pass — no join, no window") {
+    val p = planOf(graft.operators.SimilarityOps.q157DimCorr(spark, sf))
+    assert(!p.contains("Join"))
+    assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext)
+  }
 }

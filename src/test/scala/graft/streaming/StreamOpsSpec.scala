@@ -661,6 +661,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(streaming.nonEmpty)
   }
 
+  test("streaming attributionStream: per-conversion rows roll up to the batch q152 report") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", $"ts_ms", $"value")
+    val srcDir = tmpDir("attr_src")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = StreamOps.attributionStream(spark, stream)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    // roll the per-conversion stream rows up to q152's report shape
+    val streaming = spark.table("attr_out")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Util.dsum($"value").as("revenue"),
+        round(sum($"gap_ms").cast("double") / count($"gap_ms"), 4).as("avg_gap_ms"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        Option(r.getAs[java.lang.Double]("avg_gap_ms")))).toMap
+    val batch = graft.operators.EventOps.q152Attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        Option(r.getAs[java.lang.Double]("avg_gap_ms")))).toMap
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+    // state carries ACROSS batches: split delivery, touch in batch 1,
+    // conversion in batch 2
+    val mem = MemoryStream[StreamOps.AttrEvent](spark)
+    val q2 = StreamOps.attributionStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("attr_out2")
+      .outputMode("append").start()
+    mem.addData(StreamOps.AttrEvent(1L, 1L, "click", 1000L, 0.0))
+    q2.processAllAvailable()
+    mem.addData(StreamOps.AttrEvent(1L, 2L, "purchase", 2000L, 5.0))
+    q2.processAllAvailable()
+    // outside the window → organic
+    mem.addData(StreamOps.AttrEvent(1L, 3L, "purchase",
+      2000L + 8L * 24 * 3600 * 1000, 7.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.table("attr_out2").orderBy("event_id").collect()
+    assert(rows.map(r => (r.getLong(1), r.getString(2))).toSeq ===
+      Seq((2L, "click"), (3L, "organic")))
+  }
+
   test("streaming slidingAgg equals the batch q109 sliding aggregation over the same events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
