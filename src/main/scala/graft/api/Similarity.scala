@@ -187,6 +187,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic
+    * counterpart of the n-gram decontamination gate
+    * ([[graft.api.Dedup]]): every corpus row gets its max-cosine match
+    * among the benchmark vectors (the benchmark collapses into ONE
+    * broadcast array row, same contract as [[ivfAssign]] — a benchmark
+    * is centroids-sized by definition), and rows at or above
+    * `threshold` are flagged `contaminated`. One narrow pass over the
+    * corpus, no shuffle, no corpus materialization — the 100 TB plan is
+    * the scan itself. Ties in the argmax break to the LOWEST benchmark
+    * id (struct-max on (sim, −id)), so the report is a pure function of
+    * the data. Returns (id, bench_id, sim, contaminated).
+    */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val emb = withNorm(corpus, embCol)
+    emb.crossJoin(broadcast(centArray(benchmark, idCol, embCol)))
+      .withColumn("best", expr(
+        s"""array_max(transform(cents, c ->
+           |  struct(${dot("c.cent_emb", embCol)} / (c.cent_norm * norm) AS sim,
+           |         -c.cent_id AS neg_id)))""".stripMargin))
+      .select(col(idCol), (-col("best.neg_id")).as("bench_id"),
+        col("best.sim").as("sim"),
+        (col("best.sim") >= threshold).as("contaminated"))
+  }
+
   /** BLOCKED near-duplicate pairs — the 10⁹-vector formulation: pairs
     * are examined only WITHIN each IVF cell of an [[ivfAssign]]ed
     * corpus, so the plan is an equi-join shuffle on `cluster` (both

@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.Util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental corpus statistics — the "never rescan" pattern for a
@@ -166,6 +166,103 @@ object Stats {
   def mergedCms(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .groupBy(col("d"), col("b")).agg(sum(col("c")).as("c"))
+
+  /** Drift-monitor reference: per-key fixed bin edges (from the
+    * reference distribution's [min, max], `bins` equal widths) plus the
+    * reference count per bin — the frozen baseline every arriving batch
+    * is compared against. All bins are enumerated (zero-count bins
+    * included) so smoothing and merging are total. |keys| × bins rows.
+    *
+    * Fixed edges are what make the streaming PSI mergeable: bin counts
+    * from any number of micro-batches sum, whereas per-batch edges
+    * (q168's batch formulation re-derives them per run) would make
+    * counts incomparable across batches.
+    */
+  def psiReference(ref: DataFrame, keyCol: String, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val mm = ref.groupBy(col(keyCol)).agg(
+      min(col(valueCol).cast("double")).as("lo"),
+      max(col(valueCol).cast("double")).as("hi"),
+      count(lit(1)).as("n_ref"))
+    val counts = ref.select(col(keyCol), col(valueCol).cast("double").as("v"))
+      .join(broadcast(mm), keyCol)
+      .withColumn("bin", binOf(col("v"), col("lo"), col("hi"), bins))
+      .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("ref_n"))
+    mm.select(col(keyCol), col("lo"), col("hi"), col("n_ref"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(counts, Seq(keyCol, "bin"), "left")
+      .na.fill(0L, Seq("ref_n"))
+  }
+
+  /** Equal-width bin index against fixed [lo, hi) edges, clamped into
+    * [0, bins): streaming data beyond the reference range lands in the
+    * edge bins instead of vanishing. Degenerate references (lo == hi)
+    * put everything in bin 0.
+    */
+  private def binOf(v: Column, lo: Column, hi: Column, bins: Int): Column =
+    when(hi > lo,
+      greatest(least(floor((v - lo) * bins / (hi - lo)).cast("long"),
+        lit(bins - 1L)), lit(0L)))
+      .otherwise(lit(0L))
+
+  /** One arriving batch's bin counts against the persisted reference's
+    * edges, appended to the bins table (tagged batch_id,
+    * replay-idempotent — the [[appendBatchStatsIdempotent]] contract).
+    * Keys absent from the reference are dropped: there is no baseline
+    * to drift from (surface them via a separate unseen-key monitor).
+    */
+  def appendPsiBatchIdempotent(batch: DataFrame, refPath: String,
+      binsPath: String, keyCol: String, valueCol: String, batchId: Long,
+      bins: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(binsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(binsPath).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      val edges = spark.read.parquet(refPath)
+        .select(col(keyCol), col("lo"), col("hi")).distinct()
+      batch.select(col(keyCol), col(valueCol).cast("double").as("v"))
+        .join(broadcast(edges), keyCol)
+        .withColumn("bin", binOf(col("v"), col("lo"), col("hi"), bins))
+        .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as("cur_n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(binsPath)
+    }
+  }
+
+  /** Population-stability-index report over EVERYTHING ingested so far:
+    * merged current bin counts (sums across batches — the reason the
+    * edges are frozen) vs. the reference proportions, +0.5/bin
+    * smoothing on both sides, PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref).
+    * Reads only the reference and bins tables — |keys| × bins rows per
+    * batch — never the ingested data. The streaming counterpart of
+    * [[graft.operators.EventOps.q168PsiDrift]].
+    */
+  def psiReport(spark: SparkSession, refPath: String, binsPath: String,
+      keyCol: String): DataFrame = {
+    val ref = spark.read.parquet(refPath)
+    val cur = spark.read.parquet(binsPath)
+      .groupBy(col(keyCol), col("bin")).agg(sum(col("cur_n")).as("cur_n"))
+    val bins = ref.groupBy(col(keyCol)).agg(count(lit(1)).as("n_bins"))
+    ref.join(cur, Seq(keyCol, "bin"), "left")
+      .na.fill(0L, Seq("cur_n"))
+      .join(broadcast(bins), keyCol)
+      .withColumn("n_cur_tot",
+        sum(col("cur_n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))))
+      .withColumn("p_ref",
+        (col("ref_n") + 0.5) / (col("n_ref") + lit(0.5) * col("n_bins")))
+      .withColumn("p_cur",
+        (col("cur_n") + 0.5) / (col("n_cur_tot") + lit(0.5) * col("n_bins")))
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("n_ref")).as("n_ref"),
+        min(col("n_cur_tot")).as("n_cur"),
+        sum((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .as("psi"))
+  }
 
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString

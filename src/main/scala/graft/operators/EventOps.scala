@@ -765,7 +765,396 @@ object EventOps {
       |  ROUND(CAST(n_active * 100 AS DOUBLE) / cohort_size, 4) AS retention_pct
       |FROM s ORDER BY cohort_date, offset_day""".stripMargin
 
+  /** q163: two-sample Kolmogorov–Smirnov drift test per event type —
+    * the max gap between the empirical CDFs of `value` in two user
+    * cohorts (even vs. odd user_id, the deterministic stand-in for
+    * "last week vs. this week"). The pipeline-monitoring primitive: a
+    * big KS statistic on a feature column means the distribution
+    * shifted and downstream models/filters are stale. Shape: one hash
+    * agg collapses the corpus to distinct (type, value) rows with
+    * per-cohort counts — everything after runs on |distinct values|
+    * rows, never corpus rows — then a per-type cumulative window walks
+    * the merged value points. Cohort totals ride the same window (full-
+    * partition frame), so no second scan and no join.
+    */
+  def q163KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2 === 0).as("is_a"))
+      .groupBy($"event_type", $"value")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("a_n"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("b_n"))
+    val cum = Window.partitionBy($"event_type").orderBy($"value")
+    val tot = Window.partitionBy($"event_type")
+    g.select($"event_type",
+        sum($"a_n").over(cum).as("ca"), sum($"b_n").over(cum).as("cb"),
+        sum($"a_n").over(tot).as("na"), sum($"b_n").over(tot).as("nb"))
+      .groupBy($"event_type")
+      .agg(
+        min($"na").as("n_a"), min($"nb").as("n_b"),
+        round(max(abs($"ca".cast("double") / $"na"
+          - $"cb".cast("double") / $"nb")), 6).as("ks"))
+      .orderBy($"event_type")
+  }
+
+  val q163Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, value,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a_n,
+      |    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS b_n
+      |  FROM events GROUP BY event_type, value),
+      |c AS (
+      |  SELECT event_type,
+      |    SUM(a_n) OVER (PARTITION BY event_type ORDER BY value) AS ca,
+      |    SUM(b_n) OVER (PARTITION BY event_type ORDER BY value) AS cb,
+      |    SUM(a_n) OVER (PARTITION BY event_type) AS na,
+      |    SUM(b_n) OVER (PARTITION BY event_type) AS nb
+      |  FROM g)
+      |SELECT event_type, CAST(MIN(na) AS BIGINT) AS n_a,
+      |  CAST(MIN(nb) AS BIGINT) AS n_b,
+      |  ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+      |    AS ks
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q166: inter-arrival-time percentiles per event type — the latency
+    * texture of the stream (how bursty is each type's per-user
+    * traffic), p50/p90/p99 of the gap between a user's consecutive
+    * events of that type. Gaps come from one `lag` window per
+    * (type, user) — partition-local, no shuffle beyond the window's —
+    * and the percentiles run through
+    * [[graft.operators.Extended.exactQuantilesMulti]]'s O(1)-state
+    * count-partitioned search, the same scale contract as q51/q119:
+    * never a full-multiset percentile aggregate. Gap millis derive from
+    * the nanos column by one division both engines evaluate identically
+    * (micros-precision inputs ⇒ identical doubles).
+    */
+  def q166InterarrivalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts", $"event_id")
+    val gaps = events(spark, dir)
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"event_type",
+        (($"ts" - $"prev").cast("double") / 1e6).as("gap_ms"))
+    val qs = Extended.exactQuantilesMulti(gaps, Some("event_type"),
+      Seq("gap_ms" -> Seq(0.5, 0.9, 0.99)))
+    qs.toSeq
+      .map { case (g, m) =>
+        (g.asInstanceOf[String], m(("gap_ms", 0.5)), m(("gap_ms", 0.9)),
+          m(("gap_ms", 0.99)))
+      }
+      .toDF("event_type", "raw_p50", "raw_p90", "raw_p99")
+      .select($"event_type",
+        round($"raw_p50", 4).as("p50_ms"),
+        round($"raw_p90", 4).as("p90_ms"),
+        round($"raw_p99", 4).as("p99_ms"))
+      .orderBy($"event_type")
+  }
+
+  val q166Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts, event_id))
+      |      / 1000.0 AS gap_ms
+      |  FROM events)
+      |SELECT event_type,
+      |  ROUND(quantile_cont(gap_ms, 0.5), 4) AS p50_ms,
+      |  ROUND(quantile_cont(gap_ms, 0.9), 4) AS p90_ms,
+      |  ROUND(quantile_cont(gap_ms, 0.99), 4) AS p99_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q168: population-stability-index drift per event type — the other
+    * standard drift score next to [[q163KsDrift]]'s KS: 10 equal-width
+    * bins over the per-type value range, cohort proportions smoothed by
+    * +0.5/bin (so empty bins stay finite), PSI = Σ (pₐ−p_b)·ln(pₐ/p_b).
+    * Where KS is binless and order-driven, PSI is binned and
+    * magnitude-driven — it feeds the streaming twin
+    * ([[graft.streaming.StreamOps]]) because bin counts are mergeable
+    * across micro-batches while a CDF walk is not. All ten bins are
+    * enumerated explicitly (sequence × type) so zero-count bins
+    * contribute their smoothed mass identically on both engines. Two
+    * scans (min/max, then binning) of a narrow projection; the bin
+    * frame is 10 rows per type.
+    */
+  def q168PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2 === 0).as("is_a"))
+    val mm = ev.groupBy($"event_type").agg(
+      min($"value").as("lo"), max($"value").as("hi"),
+      sum(when($"is_a", 1L).otherwise(0L)).as("na"),
+      sum(when(!$"is_a", 1L).otherwise(0L)).as("nb"))
+    val binned = ev.join(broadcast(mm), "event_type")
+      .withColumn("bin", when($"hi" > $"lo",
+          least(floor(($"value" - $"lo") * 10 / ($"hi" - $"lo")).cast("long"),
+            lit(9L)))
+        .otherwise(lit(0L)))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("a_n"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("b_n"))
+    val allBins = mm.select($"event_type", $"na", $"nb",
+      explode(sequence(lit(0L), lit(9L))).as("bin"))
+    allBins.join(binned, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("a_n", "b_n"))
+      .withColumn("pa", ($"a_n" + 0.5) / ($"na" + 5.0))
+      .withColumn("pb", ($"b_n" + 0.5) / ($"nb" + 5.0))
+      .groupBy($"event_type")
+      .agg(
+        min($"na").as("n_a"), min($"nb").as("n_b"),
+        round(sum(($"pa" - $"pb") * log($"pa" / $"pb")), 6).as("psi"))
+      .orderBy($"event_type")
+  }
+
+  val q168Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value, user_id % 2 = 0 AS is_a FROM events),
+      |mm AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+      |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+      |  FROM ev GROUP BY event_type),
+      |binned AS (
+      |  SELECT ev.event_type,
+      |    CASE WHEN hi > lo THEN LEAST(CAST(FLOOR((value - lo) * 10 / (hi - lo))
+      |      AS BIGINT), 9) ELSE 0 END AS bin,
+      |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS a_n,
+      |    SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS b_n
+      |  FROM ev JOIN mm USING (event_type) GROUP BY 1, 2),
+      |allbins AS (
+      |  SELECT event_type, na, nb, CAST(b.bin AS BIGINT) AS bin
+      |  FROM mm, (SELECT unnest(range(0, 10)) AS bin) b),
+      |filled AS (
+      |  SELECT a.event_type, a.na, a.nb,
+      |    COALESCE(b.a_n, 0) AS a_n, COALESCE(b.b_n, 0) AS b_n
+      |  FROM allbins a LEFT JOIN binned b
+      |    ON a.event_type = b.event_type AND a.bin = b.bin)
+      |SELECT event_type, CAST(MIN(na) AS BIGINT) AS n_a,
+      |  CAST(MIN(nb) AS BIGINT) AS n_b,
+      |  ROUND(SUM(((a_n + 0.5) / (na + 5.0) - (b_n + 0.5) / (nb + 5.0))
+      |    * ln(((a_n + 0.5) / (na + 5.0)) / ((b_n + 0.5) / (nb + 5.0)))), 6)
+      |    AS psi
+      |FROM filled GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q170: Welch's t-test per event type — is the cohort mean shift
+    * (even vs. odd user_id) statistically significant? The inferential
+    * companion to [[q163KsDrift]]/[[q168PsiDrift]]'s distances: t
+    * statistic and Welch–Satterthwaite degrees of freedom from per-
+    * cohort (n, Σv, Σv²). The sums accumulate as EXACT DECIMALS
+    * (`value` lives on a 2-decimal grid ⇒ v² is exact on 1e-4), so the
+    * only double arithmetic is the final closed form over identical
+    * exact inputs — bit-identical across engines and partitionings, no
+    * reassociation noise, no cancellation hazard in the variance
+    * subtraction. One scan, six numbers per (type, cohort).
+    */
+  def q170WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d2(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val s = events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2 === 0).as("is_a"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).cast("double").as("na"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).cast("double").as("nb"),
+        sum(when($"is_a", d2($"value"))).cast("double").as("sa"),
+        sum(when(!$"is_a", d2($"value"))).cast("double").as("sb"),
+        sum(when($"is_a", d2($"value") * d2($"value"))).cast("double").as("qa"),
+        sum(when(!$"is_a", d2($"value") * d2($"value"))).cast("double").as("qb"))
+    val va = ($"qa" - $"sa" * $"sa" / $"na") / ($"na" - 1)
+    val vb = ($"qb" - $"sb" * $"sb" / $"nb") / ($"nb" - 1)
+    val sem = va / $"na" + vb / $"nb"
+    s.select($"event_type",
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        round(($"sa" / $"na" - $"sb" / $"nb") / sqrt(sem), 4).as("t_stat"),
+        round(sem * sem / ((va / $"na") * (va / $"na") / ($"na" - 1)
+          + (vb / $"nb") * (vb / $"nb") / ($"nb" - 1)), 2).as("dof"))
+      .orderBy($"event_type")
+  }
+
+  val q170Sql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qa,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS qb
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND((sa / na - sb / nb) / sqrt(
+      |    ((qa - sa * sa / na) / (na - 1)) / na
+      |    + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_stat,
+      |  ROUND((((qa - sa * sa / na) / (na - 1)) / na
+      |      + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+      |    * (((qa - sa * sa / na) / (na - 1)) / na
+      |      + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+      |    / ((((qa - sa * sa / na) / (na - 1)) / na)
+      |        * (((qa - sa * sa / na) / (na - 1)) / na) / (na - 1)
+      |      + (((qb - sb * sb / nb) / (nb - 1)) / nb)
+      |        * (((qb - sb * sb / nb) / (nb - 1)) / nb) / (nb - 1)), 2) AS dof
+      |FROM s ORDER BY event_type""".stripMargin
+
+  /** q171: Jensen–Shannon divergence of the event-type MIX between the
+    * two user cohorts — categorical drift, completing the drift suite
+    * (KS: continuous order, PSI: continuous binned, JSD: categorical).
+    * Exact per-type counts; probabilities and the symmetric KL halves
+    * are one double expression per type summed over |types| rows.
+    * Bounded by ln 2; 0 = identical mixes. One hash agg over the scan.
+    */
+  def q171JsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = events(spark, dir)
+      .select($"event_type", ($"user_id" % 2 === 0).as("is_a"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("a_n"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("b_n"))
+    val tot = Window.partitionBy(lit(1))
+    c.withColumn("pa", $"a_n".cast("double") / sum($"a_n").over(tot))
+      .withColumn("pb", $"b_n".cast("double") / sum($"b_n").over(tot))
+      .withColumn("m", ($"pa" + $"pb") / 2)
+      .agg(
+        sum($"a_n").as("n_a"), sum($"b_n").as("n_b"),
+        round(sum($"pa" * log($"pa" / $"m") / 2
+          + $"pb" * log($"pb" / $"m") / 2), 6).as("jsd"))
+  }
+
+  val q171Sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a_n,
+      |    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS b_n
+      |  FROM events GROUP BY event_type),
+      |p AS (
+      |  SELECT a_n, b_n,
+      |    CAST(a_n AS DOUBLE) / SUM(a_n) OVER () AS pa,
+      |    CAST(b_n AS DOUBLE) / SUM(b_n) OVER () AS pb
+      |  FROM c)
+      |SELECT CAST(SUM(a_n) AS BIGINT) AS n_a, CAST(SUM(b_n) AS BIGINT) AS n_b,
+      |  ROUND(SUM(pa * ln(pa / ((pa + pb) / 2)) / 2
+      |    + pb * ln(pb / ((pa + pb) / 2)) / 2), 6) AS jsd
+      |FROM p""".stripMargin
+
+  /** q172: lag-1 autocorrelation of daily event volume per type — does
+    * today's traffic predict tomorrow's (seasonality/health signal for
+    * the ingest pipeline)? Daily counts are exact integers; consecutive
+    * days pair by an equi-join on day+1 (no window, no spine); the
+    * Pearson correlation evaluates the explicit integer moment sums in
+    * one double expression — the q157 determinism recipe, so the result
+    * is bit-identical at any partitioning. State: one row per
+    * (type, day), pairs bounded by the calendar.
+    */
+  def q172DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val pairs = daily.as("t")
+      .join(daily.as("u"),
+        $"t.event_type" === $"u.event_type" && $"u.day" === $"t.day" + 1)
+      .select($"t.event_type".as("event_type"), $"t.c".as("x"), $"u.c".as("y"))
+    pairs.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"event_type", $"n_pairs",
+        round(($"n_pairs" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n_pairs" * $"syy" - $"sy" * $"sy").cast("double"))), 6)
+          .as("lag1_autocorr"))
+      .orderBy($"event_type")
+  }
+
+  val q172Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT t.event_type, t.c AS x, u.c AS y
+      |  FROM daily t JOIN daily u
+      |    ON u.event_type = t.event_type AND u.day = t.day + 1),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_pairs,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM pairs GROUP BY event_type)
+      |SELECT event_type, n_pairs,
+      |  ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+      |    AS lag1_autocorr
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** q174: changepoint detection on daily volume per event type — the
+    * day where the cumulative count deviates most from the uniform-rate
+    * line, score_d = |cum_d − d·total/n| (the CUSUM-style statistic
+    * without its recursive form, so it stays one window pass over the
+    * calendar-bounded daily frame). A level shift mid-series puts its
+    * corner at the top; a steady series scores near zero everywhere.
+    * Daily counts and cumulative sums are exact integers; the score is
+    * one double expression; the argmax tie-breaks to the earliest day —
+    * deterministic end to end. State: |types| × |days| rows, whatever
+    * the event volume.
+    */
+  def q174Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy($"event_type").orderBy($"day")
+    val tot = Window.partitionBy($"event_type")
+    val scored = daily
+      .withColumn("d_idx", row_number().over(cum).cast("long"))
+      .withColumn("cum", sum($"c").over(cum))
+      .withColumn("total", sum($"c").over(tot))
+      .withColumn("n_days", count(lit(1)).over(tot))
+      .withColumn("score", abs($"cum".cast("double")
+        - $"d_idx".cast("double") * $"total".cast("double") / $"n_days"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"score".desc, $"day".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"day".as("peak_day"), $"cum".as("cum_at_peak"),
+        round($"score", 4).as("score"))
+      .orderBy($"event_type")
+  }
+
+  val q174Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, day,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+      |    ABS(CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+      |      - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+      |        * CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE)
+      |        / COUNT(*) OVER (PARTITION BY event_type)) AS score
+      |  FROM daily),
+      |best AS (
+      |  SELECT event_type, day, cum, score, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY score DESC, day ASC) AS rk
+      |  FROM scored)
+      |SELECT event_type, day AS peak_day, CAST(cum AS BIGINT) AS cum_at_peak,
+      |  ROUND(score, 4) AS score
+      |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q174_changepoint" -> (q174Changepoint _),
+    "q170_welch_ttest" -> (q170WelchTtest _),
+    "q171_js_divergence" -> (q171JsDivergence _),
+    "q172_daily_autocorr" -> (q172DailyAutocorr _),
+    "q163_ks_drift" -> (q163KsDrift _),
+    "q166_interarrival_quantiles" -> (q166InterarrivalQuantiles _),
+    "q168_psi_drift" -> (q168PsiDrift _),
     "q152_attribution" -> (q152Attribution _),
     "q153_cohort_retention" -> (q153CohortRetention _),
     "q146_next_event_pairs" -> (q146NextEventPairs _),
@@ -787,6 +1176,13 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q174_changepoint" -> q174Sql,
+    "q170_welch_ttest" -> q170Sql,
+    "q171_js_divergence" -> q171Sql,
+    "q172_daily_autocorr" -> q172Sql,
+    "q163_ks_drift" -> q163Sql,
+    "q166_interarrival_quantiles" -> q166Sql,
+    "q168_psi_drift" -> q168Sql,
     "q152_attribution" -> q152Sql,
     "q153_cohort_retention" -> q153Sql,
     "q146_next_event_pairs" -> q146Sql,

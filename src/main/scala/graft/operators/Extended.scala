@@ -973,7 +973,119 @@ object Extended {
       |FROM d JOIN md USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 
+  /** q159: distributed least-squares fit per group — slope, intercept,
+    * R², and n of `l_extendedprice ~ l_quantity` per return flag,
+    * through the SQL-standard `regr_*` aggregate family. Every one of
+    * them is algebraic over the five running sums (n, Σx, Σy, Σxy, Σx²),
+    * so the plan is a single scan with map-side partials and a shuffle
+    * of one 5-number state per (group, partition) — model fitting at
+    * 100 TB costs exactly what a sum does. This is the closed-form
+    * regression path; anything iterative (IRLS, gradient steps) would
+    * multiply scans without changing the aggregation shape.
+    */
+  def q159OlsRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        regr_count($"l_extendedprice", $"l_quantity").as("n_pairs"),
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avg_qty"),
+        round(regr_avgy($"l_extendedprice", $"l_quantity"), 4).as("avg_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q159Sql: String =
+    """SELECT l_returnflag,
+      |  regr_count(l_extendedprice, l_quantity) AS n_pairs,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+      |  ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q169: TWO-feature least squares — `l_extendedprice ~ l_quantity +
+    * l_discount` per return flag via the normal equations, Cramer-solved
+    * on a 3×3 moment matrix. The scale story is the same one pass /
+    * O(d²)-state shape as q157's correlation matrix, but the determinism
+    * story is stronger: every moment (Σx, Σx², Σxy, …) accumulates as an
+    * EXACT DECIMAL sum (all three columns live on a 2-decimal grid, so
+    * products are exact on the 1e-4 grid), and only the final
+    * Cramer-formula arithmetic runs in double — from identical exact
+    * inputs through an identical expression tree, so coefficients are
+    * bit-identical across engines and partitionings with no cancellation
+    * hazard from reassociated float sums. This is how distributed
+    * multi-feature fitting should work at 100 TB: the cluster computes
+    * nine exact sums; the solve is free.
+    */
+  def q169Ols2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val sums = table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d2($"l_quantity")).cast("double").as("s1"),
+        sum(d2($"l_discount")).cast("double").as("s2"),
+        sum(d2($"l_extendedprice")).cast("double").as("sy"),
+        sum(d2($"l_quantity") * d2($"l_quantity")).cast("double").as("s11"),
+        sum(d2($"l_discount") * d2($"l_discount")).cast("double").as("s22"),
+        sum(d2($"l_quantity") * d2($"l_discount")).cast("double").as("s12"),
+        sum(d2($"l_quantity") * d2($"l_extendedprice")).cast("double").as("s1y"),
+        sum(d2($"l_discount") * d2($"l_extendedprice")).cast("double").as("s2y"))
+    val det = $"n" * ($"s11" * $"s22" - $"s12" * $"s12") -
+      $"s1" * ($"s1" * $"s22" - $"s12" * $"s2") +
+      $"s2" * ($"s1" * $"s12" - $"s11" * $"s2")
+    val det0 = $"sy" * ($"s11" * $"s22" - $"s12" * $"s12") -
+      $"s1" * ($"s1y" * $"s22" - $"s12" * $"s2y") +
+      $"s2" * ($"s1y" * $"s12" - $"s11" * $"s2y")
+    val det1 = $"n" * ($"s1y" * $"s22" - $"s12" * $"s2y") -
+      $"sy" * ($"s1" * $"s22" - $"s12" * $"s2") +
+      $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")
+    val det2 = $"n" * ($"s11" * $"s2y" - $"s1y" * $"s12") -
+      $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2") +
+      $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")
+    sums.select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        round(det0 / det, 4).as("intercept"),
+        round(det1 / det, 4).as("beta_qty"),
+        round(det2 / det, 4).as("beta_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q169Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ROUND((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |    + s2 * (s1y * s12 - s11 * s2y))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |    + s2 * (s1 * s12 - s11 * s2)), 4) AS intercept,
+      |  ROUND((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |    + s2 * (s1 * s2y - s1y * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |    + s2 * (s1 * s12 - s11 * s2)), 4) AS beta_qty,
+      |  ROUND((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |    + sy * (s1 * s12 - s11 * s2))
+      |    / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |    + s2 * (s1 * s12 - s11 * s2)), 4) AS beta_disc
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q159_ols_regression" -> (q159OlsRegression _),
+    "q169_ols_two_feature" -> (q169Ols2 _),
     "q158_mad_outliers" -> (q158MadOutliers _),
     "q103_winsorize" -> (q103Winsorize _),
     "q110_approx_quantiles" -> (q110ApproxQuantiles _),
@@ -995,6 +1107,8 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q159_ols_regression" -> q159Sql,
+    "q169_ols_two_feature" -> q169Sql,
     "q158_mad_outliers" -> q158Sql,
     "q103_winsorize" -> q103Sql,
     "q115_equidepth_hist" -> q115Sql,

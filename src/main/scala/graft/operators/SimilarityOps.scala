@@ -926,7 +926,149 @@ object SimilarityOps {
        |ORDER BY dim_i, dim_j""".stripMargin
   }
 
+  /** q164: k-NN label vote — the classifier readout of the similarity
+    * stack: probes (vec_id < 20) take their 10 nearest corpus neighbors
+    * (vec_id ≥ 20) by cosine via [[graft.api.Similarity.cosineKnn]]
+    * (broadcast probes, no corpus shuffle), majority-vote the
+    * neighbors' labels (ties to the smaller label id), and report the
+    * prediction against the probe's true label. The standard
+    * label-propagation / embedding-quality harness: if k-NN can't
+    * recover labels, the embedding space is noise. Vote counting is
+    * integer; the ranked-window tie-break chain (sim desc, cand_id;
+    * votes desc, label asc) makes the prediction a pure function of
+    * the data.
+    */
+  def q164KnnLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir)
+    val corpus = all.filter($"vec_id" >= 20)
+    val probes = all.filter($"vec_id" < 20)
+    val nn = graft.api.Similarity.cosineKnn(corpus, probes, "vec_id",
+      "embedding", k = 10)
+    val votes = nn
+      .join(corpus.select($"vec_id".as("cand_id"), $"label".as("n_label")),
+        "cand_id")
+      .groupBy($"probe_id", $"n_label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"votes".desc, $"n_label".asc)
+    votes.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(probes.select($"vec_id".as("probe_id"), $"label".as("true_label")),
+        "probe_id")
+      .select($"probe_id", $"true_label",
+        $"n_label".cast("long").as("pred_label"), $"votes",
+        ($"n_label" === $"true_label").as("correct"))
+      .orderBy($"probe_id")
+  }
+
+  val q164Sql: String =
+    s"""WITH nn AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rn
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id >= 20
+       |    WHERE p.vec_id < 20
+       |      AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
+       |  WHERE rn <= 10),
+       |votes AS (
+       |  SELECT nn.probe_id, c.label AS n_label, COUNT(*) AS votes
+       |  FROM nn JOIN embeddings c ON c.vec_id = nn.cand_id
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT probe_id, n_label, votes, ROW_NUMBER() OVER (
+       |    PARTITION BY probe_id ORDER BY votes DESC, n_label ASC) AS rk
+       |  FROM votes)
+       |SELECT b.probe_id, p.label AS true_label,
+       |  CAST(b.n_label AS BIGINT) AS pred_label, b.votes,
+       |  b.n_label = p.label AS correct
+       |FROM best b JOIN embeddings p ON p.vec_id = b.probe_id
+       |WHERE b.rk = 1 ORDER BY b.probe_id""".stripMargin
+
+  /** q165: intra- vs. inter-label cosine gap — embedding-space quality
+    * in two numbers per class: mean cosine of same-label pairs vs.
+    * different-label pairs over the deterministic consecutive-id
+    * pairing (vec_id i joined to i+1). A healthy space shows
+    * intra ≫ inter; a collapsed or shuffled space shows no gap. The
+    * pairing is a narrow self-equi-join on vec_id+1 — exactly n−1
+    * candidate pairs at any corpus size, no quadratic blow-up, no
+    * shuffle beyond the join's — and the per-pair cosine is the same
+    * dot/(norm·norm) expression the kNN family uses. Means round to 6;
+    * pair counts are exact.
+    */
+  def q165LabelCosineGap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = emb(spark, dir)
+    val a = e.select($"vec_id", $"embedding".as("a_emb"), $"label".as("a_label"))
+    val b = e.select(($"vec_id" - 1).as("vec_id"), $"embedding".as("b_emb"),
+      $"label".as("b_label"))
+    a.join(b, "vec_id")
+      .withColumn("sim", expr(cos("a_emb", "b_emb")))
+      .groupBy($"a_label".cast("long").as("label"))
+      .agg(
+        sum(when($"a_label" === $"b_label", 1L).otherwise(0L)).as("n_intra"),
+        sum(when($"a_label" =!= $"b_label", 1L).otherwise(0L)).as("n_inter"),
+        round(avg(when($"a_label" === $"b_label", $"sim")), 6).as("intra_cos"),
+        round(avg(when($"a_label" =!= $"b_label", $"sim")), 6).as("inter_cos"))
+      .withColumn("gap", round($"intra_cos" - $"inter_cos", 6))
+      .orderBy($"label")
+  }
+
+  val q165Sql: String =
+    s"""WITH p AS (
+       |  SELECT a.label AS a_label, b.label AS b_label,
+       |    ${cosSql("a.embedding", "b.embedding")} AS sim
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+       |SELECT CAST(a_label AS BIGINT) AS label,
+       |  CAST(SUM(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+       |  CAST(SUM(CASE WHEN a_label <> b_label THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+       |  ROUND(AVG(CASE WHEN a_label = b_label THEN sim END), 6) AS intra_cos,
+       |  ROUND(AVG(CASE WHEN a_label <> b_label THEN sim END), 6) AS inter_cos,
+       |  ROUND(ROUND(AVG(CASE WHEN a_label = b_label THEN sim END), 6)
+       |    - ROUND(AVG(CASE WHEN a_label <> b_label THEN sim END), 6), 6) AS gap
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q173: embedding-space benchmark decontamination
+    * ([[graft.api.Similarity.embeddingDecontaminate]]): vectors
+    * vec_id < 50 play the benchmark/eval set; the corpus (vec_id ≥ 50)
+    * rows whose best-benchmark cosine reaches 0.4 are the semantic
+    * leaks an n-gram decontamination gate (q85) cannot see —
+    * paraphrased eval questions share no shingles. The benchmark
+    * broadcasts as one array row; the corpus is scanned once, never
+    * shuffled — the plan a 100 TB corpus needs.
+    */
+  def q173EmbedDecon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = emb(spark, dir)
+    graft.api.Similarity.embeddingDecontaminate(
+        all.filter($"vec_id" >= 50), all.filter($"vec_id" < 50),
+        "vec_id", "embedding", threshold = 0.4)
+      .filter($"contaminated")
+      .select($"vec_id", $"bench_id", round($"sim", 6).as("sim"))
+      .orderBy($"vec_id")
+  }
+
+  val q173Sql: String =
+    s"""WITH best AS (
+       |  SELECT c.vec_id, b.vec_id AS bench_id,
+       |    ${cosSql("c.embedding", "b.embedding")} AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosSql("c.embedding", "b.embedding")} DESC,
+       |        b.vec_id ASC) AS rn
+       |  FROM embeddings c JOIN embeddings b ON b.vec_id < 50
+       |  WHERE c.vec_id >= 50
+       |    AND ${posNormSql("c.embedding")} AND ${posNormSql("b.embedding")})
+       |SELECT vec_id, CAST(bench_id AS BIGINT) AS bench_id,
+       |  ROUND(sim, 6) AS sim
+       |FROM best WHERE rn = 1 AND sim >= 0.4 ORDER BY vec_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q173_embed_decon" -> (q173EmbedDecon _),
+    "q164_knn_label_vote" -> (q164KnnLabelVote _),
+    "q165_label_cosine_gap" -> (q165LabelCosineGap _),
     "q155_pq_adc" -> (q155PqAdc _),
     "q156_srp_search" -> (q156SrpSearch _),
     "q157_dim_corr" -> (q157DimCorr _),
@@ -949,6 +1091,9 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q173_embed_decon" -> q173Sql,
+    "q164_knn_label_vote" -> q164Sql,
+    "q165_label_cosine_gap" -> q165Sql,
     "q155_pq_adc" -> q155Sql,
     "q156_srp_search" -> q156Sql,
     "q157_dim_corr" -> q157Sql,

@@ -1225,7 +1225,191 @@ object TextOps {
       |FROM b JOIN probs USING (bigram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q160: Zipf-law fit per source — the log-log slope of token
+    * frequency vs. frequency rank over each source's top-100 ranks,
+    * via `regr_slope` (algebraic: five running sums, map-side
+    * partials). A healthy natural-language corpus sits near −1;
+    * template/boilerplate-heavy sources flatten toward 0 — a standard
+    * corpus-quality data-card number. The shuffle is bounded by vocab
+    * size (never corpus size): token-count agg, then a per-source
+    * window for ranks, then one tiny regression aggregate. Ranks
+    * tie-break on token text so the fit is a pure function of the data.
+    */
+  def q160ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = table(spark, dir, "documents")
+      .select($"source", explode(filter(toks(), t => t =!= "")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("freq"))
+    tf.withColumn("rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"freq".desc, $"tok".asc)))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        round(regr_slope(
+          when($"rank" <= 100, log($"freq".cast("double"))),
+          log($"rank".cast("double"))), 4).as("zipf_slope"))
+      .orderBy($"source")
+  }
+
+  val q160Sql: String =
+    """WITH tf AS (
+      |  SELECT source, tok, COUNT(*) AS freq FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '),
+      |      t -> t <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY source, tok),
+      |ranked AS (
+      |  SELECT source, freq, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY freq DESC, tok ASC) AS rank
+      |  FROM tf)
+      |SELECT source, COUNT(*) AS vocab,
+      |  ROUND(regr_slope(CASE WHEN rank <= 100 THEN ln(CAST(freq AS DOUBLE)) END,
+      |    ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** q161: Gini coefficient of document lengths per source — how
+    * concentrated a source's bytes are in its longest documents
+    * (0 = uniform, →1 = a few giants hold everything), the standard
+    * corpus-balance number next to [[q147CorpusProfile]]'s averages.
+    * Computed from the rank formulation G = 2·Σᵢ i·xᵢ / (n·Σx) −
+    * (n+1)/n over ascending ranks: one per-source sort window plus
+    * exact integer sums (i·x stays far under Long range at any corpus
+    * size), so the only double operation is the final division —
+    * bit-identical across engines and partitionings. Rank ties (equal
+    * lengths) are broken by doc_id, which cannot change the sum: tied
+    * ranks multiply equal x values.
+    */
+  def q161GiniChars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    table(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".asc, $"doc_id".asc))
+        .cast("long"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_total"),
+        sum($"i" * $"n_chars").as("ix_sum"))
+      .select($"source", $"n_docs", $"chars_total",
+        round(
+          ($"ix_sum" * 2).cast("double") /
+            ($"n_docs" * $"chars_total").cast("double") -
+            ($"n_docs" + 1).cast("double") / $"n_docs".cast("double"),
+          6).as("gini"))
+      .orderBy($"source")
+  }
+
+  val q161Sql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS i
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  ROUND(CAST(2 * SUM(i * n_chars) AS DOUBLE)
+      |      / CAST(COUNT(*) * SUM(n_chars) AS DOUBLE)
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** q162: vocabulary overlap between sources — Jaccard similarity of
+    * each source pair's distinct-token sets, the data-card view of "how
+    * much do my crawl slices repeat each other" that sits between
+    * per-doc near-dup (q39/q40) and corpus-level cross-source dup rows
+    * (q107). The distinct (source, token) frame is bounded by
+    * |sources| × vocab regardless of corpus bytes; the pair counts come
+    * from a self-equi-join on token (shuffle keyed by token — skew
+    * bounded because each source contributes a token once), and the
+    * per-source set sizes broadcast back onto the 𝒪(|sources|²) result.
+    */
+  def q162SourceVocabJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = table(spark, dir, "documents")
+      .select($"source", explode(filter(toks(), t => t =!= "")).as("tok"))
+      .distinct()
+      .localCheckpoint() // tokenize once; reused three times below
+    val inter = st.as("a").join(st.as("b"),
+        $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = st.groupBy($"source").agg(count(lit(1)).as("v"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"v".as("v_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"v".as("v_b"))), "src_b")
+      .select($"src_a", $"src_b", $"v_a", $"v_b", $"inter",
+        round($"inter".cast("double") / ($"v_a" + $"v_b" - $"inter"), 6)
+          .as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q162Sql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '),
+      |      t -> t <> '')) AS tok
+      |    FROM documents)),
+      |sizes AS (SELECT source, COUNT(*) AS v FROM st GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, inter,
+      |  ROUND(CAST(inter AS DOUBLE) / (sa.v + sb.v - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
+  /** q167: readability scoring per source — a Flesch-reading-ease-shaped
+    * quality signal from exact integer sufficient statistics: Σ words
+    * and Σ vowel-group "syllables" per source (each doc is one
+    * "sentence" in this corpus — the synthetic text carries no sentence
+    * punctuation, so the sentence term degrades to words-per-doc; the
+    * operator's shape is what transfers to real text). All cross-row
+    * aggregation is integer sums; the score is derived from the two
+    * ratios in one deterministic double expression. One narrow map +
+    * one hash agg — embarrassingly parallel at any scale.
+    */
+  def q167Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"source",
+        size(filter(toks(), t => t =!= "")).cast("long").as("w"),
+        regexp_count($"text", lit("[aeiou]+")).cast("long").as("s"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").as("words"), sum($"s").as("syllables"))
+      .select($"source", $"n_docs", $"words", $"syllables",
+        round($"words".cast("double") / $"n_docs", 4).as("words_per_doc"),
+        round($"syllables".cast("double") / $"words", 4).as("syl_per_word"),
+        round(lit(206.835)
+          - lit(1.015) * ($"words".cast("double") / $"n_docs")
+          - lit(84.6) * ($"syllables".cast("double") / $"words"), 4)
+          .as("flesch"))
+      .orderBy($"source")
+  }
+
+  val q167Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS s
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(s) AS BIGINT) AS syllables,
+      |  ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS words_per_doc,
+      |  ROUND(CAST(SUM(s) AS DOUBLE) / SUM(w), 4) AS syl_per_word,
+      |  ROUND(206.835 - 1.015 * (CAST(SUM(w) AS DOUBLE) / COUNT(*))
+      |    - 84.6 * (CAST(SUM(s) AS DOUBLE) / SUM(w)), 4) AS flesch
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q160_zipf_slope" -> (q160ZipfSlope _),
+    "q161_gini_chars" -> (q161GiniChars _),
+    "q162_source_vocab_jaccard" -> (q162SourceVocabJaccard _),
+    "q167_readability" -> (q167Readability _),
     "q150_bigram_logprob" -> (q150BigramLogprob _),
     "q147_corpus_profile" -> (q147CorpusProfile _),
     "q142_bm25_topk" -> (q142Bm25 _),
@@ -1332,6 +1516,10 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q160_zipf_slope" -> q160Sql,
+    "q161_gini_chars" -> q161Sql,
+    "q162_source_vocab_jaccard" -> q162Sql,
+    "q167_readability" -> q167Sql,
     "q147_corpus_profile" -> q147Sql,
     "q150_bigram_logprob" -> q150Sql,
     "q142_bm25_topk" -> q142Sql,

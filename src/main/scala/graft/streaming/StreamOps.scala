@@ -226,6 +226,26 @@ object StreamOps {
         keyCol, batchId, depth, width)
     }
 
+  /** Live distribution-drift monitor — the streaming twin of the batch
+    * PSI query (q168): bin edges are FROZEN from a reference
+    * distribution ([[graft.api.Stats.psiReference]]), each micro-batch
+    * appends its bin counts against those edges (replay-idempotent,
+    * batch_id-tagged), and [[graft.api.Stats.psiReport]] over the two
+    * small tables scores drift for everything ingested so far. Because
+    * the edges never move, bin counts are mergeable across any number
+    * of batches — the property the batch query's per-run min/max edges
+    * don't have — and the report's cost is |keys| × bins rows per
+    * batch, independent of stream volume. Returns the configured
+    * writer; the caller sets checkpoint/trigger options and `.start()`.
+    */
+  def psiIngestStream(values: DataFrame, refPath: String, binsPath: String,
+      keyCol: String, valueCol: String,
+      bins: Int = 10): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendPsiBatchIdempotent(batch.toDF(), refPath,
+        binsPath, keyCol, valueCol, batchId, bins)
+    }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

@@ -1,0 +1,402 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Brute-force ground-truth checks for the statistical-analytics wave
+  * (q159–q168): regression, Zipf/Gini corpus shape, vocabulary overlap,
+  * KS/PSI drift, k-NN classification, readability, inter-arrival
+  * percentiles. Each test recomputes the answer from collected rows with
+  * plain Scala and compares against the distributed result.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def medianInterp(xs: Array[Double], p: Double): Double = {
+    val s = xs.sorted
+    val idx = p * (s.length - 1)
+    val lo = idx.toInt
+    if (lo == s.length - 1) s(lo)
+    else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+  }
+
+  test("q159: regr_slope/intercept match the closed-form least-squares fit") {
+    import spark.implicits._
+    val rows = Extended.q159OlsRegression(spark, sf).collect()
+    assert(rows.length === 3)
+    val li = graft.Util.table(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = li(r.getAs[String]("l_returnflag"))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = sy / n - slope * sx / n
+      assert(r.getAs[Long]("n_pairs") === xs.length)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3)
+      assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-2)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q160: Zipf slope is negative and matches a hand regression on one source") {
+    import spark.implicits._
+    val rows = TextOps.q160ZipfSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("zipf_slope") < 0.0))
+    val src = rows.head.getAs[String]("source")
+    val freqs = graft.Util.table(spark, sf, "documents")
+      .filter($"source" === src).collect()
+      .flatMap(_.getAs[String]("text").split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, a) => (t, a.length.toLong) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    assert(rows.head.getAs[Long]("vocab") === freqs.length)
+    val pts = freqs.take(100).zipWithIndex
+      .map { case ((_, f), i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val slope = (n * pts.map(p => p._1 * p._2).sum - sx * sy) /
+      (n * pts.map(p => p._1 * p._1).sum - sx * sx)
+    assert(math.abs(rows.head.getAs[Double]("zipf_slope") - slope) < 1e-3)
+  }
+
+  test("q161: Gini matches the brute-force rank formula and sits in [0, 1)") {
+    import spark.implicits._
+    val rows = TextOps.q161GiniChars(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = graft.Util.table(spark, sf, "documents")
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      val xs = bySrc(r.getAs[String]("source")).map(_._2).sorted
+      val n = xs.length.toDouble
+      val ix = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val want = 2.0 * ix / (n * xs.sum) - (n + 1) / n
+      assert(math.abs(g - want) < 1e-6)
+    }
+  }
+
+  test("q162: one pair per source combination; Jaccard matches brute-force sets") {
+    import spark.implicits._
+    val rows = TextOps.q162SourceVocabJaccard(spark, sf).collect()
+    val nSrc = graft.Util.table(spark, sf, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    val vocab = graft.Util.table(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).toSet))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).reduce(_ ++ _) }
+    val r0 = rows.head
+    val (a, b) = (vocab(r0.getAs[String]("src_a")), vocab(r0.getAs[String]("src_b")))
+    val inter = (a & b).size
+    assert(r0.getAs[Long]("inter") === inter)
+    val want = inter.toDouble / (a.size + b.size - inter)
+    assert(math.abs(r0.getAs[Double]("jaccard") - want) < 1e-6)
+  }
+
+  test("q163: KS statistic matches a brute-force two-sample ECDF walk") {
+    import spark.implicits._
+    val rows = EventOps.q163KsDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"value", $"user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type"))
+      val as = xs.filter(_._3 % 2 == 0).map(_._2).sorted
+      val bs = xs.filter(_._3 % 2 != 0).map(_._2).sorted
+      assert(r.getAs[Long]("n_a") === as.length)
+      assert(r.getAs[Long]("n_b") === bs.length)
+      val pts = (as ++ bs).distinct
+      val want = pts.map { v =>
+        math.abs(as.count(_ <= v).toDouble / as.length -
+          bs.count(_ <= v).toDouble / bs.length)
+      }.max
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+      assert(math.abs(ks - want) < 1e-6)
+    }
+  }
+
+  test("q164: every probe classified; votes sum to k; majority recomputed") {
+    import spark.implicits._
+    val rows = SimilarityOps.q164KnnLabelVote(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("probe_id")).toSet === (0L until 20L).toSet)
+    val emb = graft.Util.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val corpus = emb.filter(_._1 >= 20)
+    rows.take(3).foreach { r =>
+      val p = emb.find(_._1 == r.getAs[Long]("probe_id")).get
+      val top = corpus.map(c => (c._1, c._3, cos(p._2, c._2)))
+        .sortBy(t => (-t._3, t._1)).take(10)
+      val want = top.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
+        .toSeq.sortBy(t => (-t._2, t._1)).head
+      assert(r.getAs[Long]("pred_label") === want._1.toLong)
+      assert(r.getAs[Long]("votes") === want._2.toLong)
+      assert(r.getAs[Int]("true_label") === p._3)
+      assert(r.getAs[Boolean]("correct") === (want._1 == p._3))
+    }
+  }
+
+  test("q165: intra/inter means recomputed from the consecutive pairing") {
+    import spark.implicits._
+    val rows = SimilarityOps.q165LabelCosineGap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.Util.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label"))).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = emb.zip(emb.tail)
+      .map { case (a, b) => (a._3, b._3, cos(a._2, b._2)) }
+    val nPairs = rows.map(r =>
+      r.getAs[Long]("n_intra") + r.getAs[Long]("n_inter")).sum
+    assert(nPairs === pairs.length)
+    val r0 = rows.head
+    val mine = pairs.filter(_._1 == r0.getAs[Long]("label").toInt)
+    val intra = mine.filter(p => p._1 == p._2).map(_._3)
+    if (intra.nonEmpty)
+      assert(math.abs(r0.getAs[Double]("intra_cos") - intra.sum / intra.length) < 1e-5)
+  }
+
+  test("q166: inter-arrival percentiles are ordered and p50 matches brute force") {
+    import spark.implicits._
+    val rows = EventOps.q166InterarrivalQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(x => (x._1, x._2))
+    val gapsByType = ev.toSeq.flatMap { case ((t, _), xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._4))
+      sorted.zip(sorted.tail).map { case (a, b) => (t, (b._3 - a._3).toDouble / 1e6) }
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50_ms"),
+        r.getAs[Double]("p90_ms"), r.getAs[Double]("p99_ms"))
+      assert(p50 <= p90 && p90 <= p99)
+      val gaps = gapsByType(r.getAs[String]("event_type")).map(_._2).toArray
+      assert(math.abs(p50 - medianInterp(gaps, 0.5)) < 1e-3)
+    }
+  }
+
+  test("q167: readability identities hold (ratios derive from the integer sums)") {
+    val rows = TextOps.q167Readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, w, s) = (r.getAs[Long]("n_docs"), r.getAs[Long]("words"),
+        r.getAs[Long]("syllables"))
+      assert(n > 0 && w > 0 && s > 0)
+      assert(math.abs(r.getAs[Double]("words_per_doc") - w.toDouble / n) < 1e-3)
+      assert(math.abs(r.getAs[Double]("syl_per_word") - s.toDouble / w) < 1e-3)
+      val flesch = 206.835 - 1.015 * (w.toDouble / n) - 84.6 * (s.toDouble / w)
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3)
+    }
+  }
+
+  test("q169: two-feature OLS matches a brute-force normal-equation solve") {
+    import spark.implicits._
+    val rows = Extended.q169Ols2(spark, sf).collect()
+    assert(rows.length === 3)
+    val li = graft.Util.table(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_discount", $"l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = li(r.getAs[String]("l_returnflag"))
+      val n = xs.length.toDouble
+      val (s1, s2, sy) = (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+      val s11 = xs.map(t => t._2 * t._2).sum
+      val s22 = xs.map(t => t._3 * t._3).sum
+      val s12 = xs.map(t => t._2 * t._3).sum
+      val s1y = xs.map(t => t._2 * t._4).sum
+      val s2y = xs.map(t => t._3 * t._4).sum
+      val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)) / det
+      val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)) / det
+      val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)) / det
+      assert(r.getAs[Long]("n_rows") === xs.length)
+      assert(math.abs(r.getAs[Double]("intercept") - b0) < 1e-2)
+      assert(math.abs(r.getAs[Double]("beta_qty") - b1) < 1e-3)
+      assert(math.abs(r.getAs[Double]("beta_disc") - b2) < 1e-1)
+      // residuals through the fit must beat the mean-only model
+      val sse = xs.map(t => math.pow(t._4 - (b0 + b1 * t._2 + b2 * t._3), 2)).sum
+      val sst = xs.map(t => math.pow(t._4 - sy / n, 2)).sum
+      assert(sse < sst)
+    }
+  }
+
+  test("q170: Welch t and dof match brute force; dof between min(n)-1 and n_a+n_b-2") {
+    import spark.implicits._
+    val rows = EventOps.q170WelchTtest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"value", $"user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type"))
+      val as = xs.filter(_._3 % 2 == 0).map(_._2)
+      val bs = xs.filter(_._3 % 2 != 0).map(_._2)
+      def meanVar(v: Array[Double]): (Double, Double) = {
+        val m = v.sum / v.length
+        (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+      }
+      val ((ma, va), (mb, vb)) = (meanVar(as), meanVar(bs))
+      val sem = va / as.length + vb / bs.length
+      val t = (ma - mb) / math.sqrt(sem)
+      val dof = sem * sem /
+        (math.pow(va / as.length, 2) / (as.length - 1) +
+          math.pow(vb / bs.length, 2) / (bs.length - 1))
+      assert(r.getAs[Long]("n_a") === as.length)
+      assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3)
+      assert(math.abs(r.getAs[Double]("dof") - dof) < 1.0)
+      assert(dof >= math.min(as.length, bs.length) - 1 &&
+        dof <= as.length + bs.length - 2)
+    }
+  }
+
+  test("q171: JSD in [0, ln 2]; matches brute force over the type mix") {
+    import spark.implicits._
+    val rows = EventOps.q171JsDivergence(spark, sf).collect()
+    assert(rows.length === 1)
+    val xs = graft.Util.events(spark, sf)
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val aCnt = xs.filter(_._2 % 2 == 0).groupBy(_._1).map { case (k, v) => k -> v.length }
+    val bCnt = xs.filter(_._2 % 2 != 0).groupBy(_._1).map { case (k, v) => k -> v.length }
+    val (na, nb) = (aCnt.values.sum.toDouble, bCnt.values.sum.toDouble)
+    val want = aCnt.keySet.map { k =>
+      val (pa, pb) = (aCnt(k) / na, bCnt(k) / nb)
+      val m = (pa + pb) / 2
+      pa * math.log(pa / m) / 2 + pb * math.log(pb / m) / 2
+    }.sum
+    val jsd = rows.head.getAs[Double]("jsd")
+    assert(jsd >= 0.0 && jsd <= math.log(2.0))
+    assert(math.abs(jsd - want) < 1e-6)
+    assert(rows.head.getAs[Long]("n_a") === na.toLong)
+  }
+
+  test("q172: lag-1 autocorrelation bounded by 1 and matches brute force") {
+    import spark.implicits._
+    val rows = EventOps.q172DailyAutocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => ((t, d), v.length.toLong) }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mine = daily.collect { case ((tt, d), c) if tt == t => (d, c) }.toMap
+      val pairs = mine.toSeq.flatMap { case (d, c) =>
+        mine.get(d + 1).map(c2 => (c.toDouble, c2.toDouble))
+      }
+      assert(r.getAs[Long]("n_pairs") === pairs.length)
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val want = (n * pairs.map(p => p._1 * p._2).sum - sx * sy) /
+        (math.sqrt(n * pairs.map(p => p._1 * p._1).sum - sx * sx) *
+          math.sqrt(n * pairs.map(p => p._2 * p._2).sum - sy * sy))
+      val got = r.getAs[Double]("lag1_autocorr")
+      assert(got >= -1.0 && got <= 1.0)
+      assert(math.abs(got - want) < 1e-6)
+    }
+  }
+
+  test("q173: flagged set equals brute-force best-benchmark-cosine thresholding") {
+    import spark.implicits._
+    val rows = SimilarityOps.q173EmbedDecon(spark, sf).collect()
+    val emb = graft.Util.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val bench = emb.filter(_._1 < 50)
+    val want = emb.filter(_._1 >= 50).flatMap { case (id, e) =>
+      val (bid, s) = bench.map(b => (b._1, cos(e, b._2)))
+        .maxBy(t => (t._2, -t._1))
+      if (s >= 0.4) Some((id, bid, s)) else None
+    }.sortBy(_._1)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq === want.map(_._1).toSeq)
+    rows.zip(want).foreach { case (r, (_, bid, s)) =>
+      assert(r.getAs[Long]("bench_id") === bid)
+      assert(math.abs(r.getAs[Double]("sim") - s) < 1e-5)
+      assert(r.getAs[Double]("sim") >= 0.4)
+    }
+  }
+
+  test("q174: changepoint peak matches the brute-force cumulative-deviation argmax") {
+    import spark.implicits._
+    val rows = EventOps.q174Changepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = daily(t).map(x => (x._2, x._3)).toSeq.sortBy(_._1)
+      val total = days.map(_._2).sum.toDouble
+      val n = days.length.toDouble
+      var cum = 0L
+      val scored = days.zipWithIndex.map { case ((d, c), i) =>
+        cum += c
+        (d, cum, math.abs(cum - (i + 1) * total / n))
+      }
+      val best = scored.maxBy(s => (s._3, -s._1))
+      assert(r.getAs[Long]("peak_day") === best._1)
+      assert(r.getAs[Long]("cum_at_peak") === best._2)
+      assert(math.abs(r.getAs[Double]("score") - best._3) < 1e-3)
+    }
+  }
+
+  test("q168: PSI is non-negative and matches the brute-force binned formula") {
+    import spark.implicits._
+    val rows = EventOps.q168PsiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"value", $"user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0)
+      val xs = ev(r.getAs[String]("event_type"))
+      val (lo, hi) = (xs.map(_._2).min, xs.map(_._2).max)
+      def bin(v: Double): Long =
+        if (hi > lo) math.min(math.floor((v - lo) * 10 / (hi - lo)).toLong, 9L) else 0L
+      val as = xs.filter(_._3 % 2 == 0)
+      val bs = xs.filter(_._3 % 2 != 0)
+      val want = (0L to 9L).map { b =>
+        val pa = (as.count(x => bin(x._2) == b) + 0.5) / (as.length + 5.0)
+        val pb = (bs.count(x => bin(x._2) == b) + 0.5) / (bs.length + 5.0)
+        (pa - pb) * math.log(pa / pb)
+      }.sum
+      assert(math.abs(psi - want) < 1e-6)
+    }
+  }
+}

@@ -532,4 +532,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
     assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext)
   }
+
+  test("q159/q169: regression fits are single-pass aggregations — no join, no window") {
+    for (df <- Seq(graft.operators.Extended.q159OlsRegression(spark, sf),
+        graft.operators.Extended.q169Ols2(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("Join"), "closed-form fit must not join")
+      assert(!"\\(\\d+\\) Window\\b".r.findAllIn(p).hasNext)
+      assert(p.contains("partial_"), "moment sums must combine map-side")
+    }
+  }
+
+  test("q163: KS walk runs on the collapsed distinct-value frame (agg below the window)") {
+    val p = planOf(graft.operators.EventOps.q163KsDrift(spark, sf))
+    assert(!p.contains("Join"), "two-sample ECDFs must share one scan")
+    // the hash agg must appear BELOW the window operators in the plan
+    // tree: aggregate node ids are larger (deeper) than the window's
+    val aggId = "\\((\\d+)\\) HashAggregate".r.findAllMatchIn(p).map(_.group(1).toInt).max
+    val winId = "\\((\\d+)\\) Window\\b".r.findAllMatchIn(p).map(_.group(1).toInt).min
+    assert(aggId > winId, "distinct-value collapse must run before the cumulative walk")
+  }
+
+  test("q170/q171: drift tests are aggregation-only — no self-join per cohort") {
+    for (df <- Seq(graft.operators.EventOps.q170WelchTtest(spark, sf),
+        graft.operators.EventOps.q171JsDivergence(spark, sf))) {
+      assert(!planOf(df).contains("Join"),
+        "cohorts must split by conditional aggregation, not a join per cohort")
+    }
+  }
+
+  test("q164: probe set broadcasts — the corpus embedding scan never shuffles for the join") {
+    val p = planOf(graft.operators.SimilarityOps.q164KnnLabelVote(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probes must broadcast")
+  }
+
+  test("q160: Zipf fit aggregates the vocab-bounded token counts (partial aggregation present)") {
+    val p = planOf(graft.operators.TextOps.q160ZipfSlope(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "token counting must combine map-side before the shuffle")
+  }
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   */
 case class EmbRow(id: Long, emb: Array[Float])
 
+/** Keyed value row for the drift-monitor tests (top-level for encoders). */
+case class KV(k: String, v: Double)
+
 /** Behavioral tests of the streaming window/watermark/dedup operators
   * with MemoryStream, forcing micro-batch boundaries so the watermark
   * actually advances between batches.
@@ -1066,6 +1069,72 @@ class StreamOpsSpec extends SparkSpec {
     graft.api.Stats.appendBatchStatsIdempotent(replay, statsDir,
       Seq("source"), "n_chars", "doc_id", batchId = 7L)
     assert(spark.read.parquet(statsDir).count() === rowsBefore + 1)
+  }
+
+  test("psiIngestStream: frozen-edge bin counts merge across batches; report matches brute force; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("psi-stream").toString
+    val (refPath, binsPath) = (s"$base/ref", s"$base/bins")
+
+    // reference: both keys uniform over [0, 99]
+    val refVals = (0 until 100).map(_.toDouble)
+    val ref = refVals.flatMap(v => Seq(KV("a", v), KV("b", v))).toDF("k", "v")
+    graft.api.Stats.psiReference(ref, "k", "v").write.parquet(refPath)
+
+    // stream: key a stays uniform (split across two batches); key b
+    // shifts entirely ABOVE the reference range (clamps into bin 9)
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.psiIngestStream(mem.toDF(), refPath, binsPath, "k", "v")
+      .start()
+    mem.addData((0 until 50).map(i => KV("a", i.toDouble)) ++
+      (0 until 20).map(i => KV("b", 200.0 + i)): _*)
+    q.processAllAvailable()
+    mem.addData((50 until 100).map(i => KV("a", i.toDouble)) ++
+      (20 until 40).map(i => KV("b", 200.0 + i)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // frozen edges: every appended bin index is inside [0, 10)
+    val binIdx = spark.read.parquet(binsPath).select("bin")
+      .as[Long].collect()
+    assert(binIdx.forall(b => b >= 0 && b <= 9))
+
+    def psiOf(refXs: Seq[Double], curXs: Seq[Double]): Double = {
+      val (lo, hi) = (refXs.min, refXs.max)
+      def bin(v: Double): Long =
+        math.max(math.min(math.floor((v - lo) * 10 / (hi - lo)).toLong, 9L), 0L)
+      (0L to 9L).map { b =>
+        val pr = (refXs.count(bin(_) == b) + 0.5) / (refXs.size + 5.0)
+        val pc = (curXs.count(bin(_) == b) + 0.5) / (curXs.size + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+    }
+    val report = graft.api.Stats.psiReport(spark, refPath, binsPath, "k")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(report.keySet === Set("a", "b"))
+    assert(report("a").getAs[Long]("n_cur") === 100L)
+    assert(report("b").getAs[Long]("n_cur") === 40L)
+    val psiA = report("a").getAs[Double]("psi")
+    val psiB = report("b").getAs[Double]("psi")
+    assert(math.abs(psiA - psiOf(refVals, refVals)) < 1e-9,
+      "uniform stream over a uniform reference must score ~0")
+    assert(math.abs(psiB - psiOf(refVals, (0 until 40).map(200.0 + _))) < 1e-9)
+    assert(psiB > 1.0 && psiA < 0.01, s"shifted key must dominate: $psiA vs $psiB")
+
+    // at-least-once replay: re-delivered batchId appends nothing
+    val before = spark.read.parquet(binsPath).count()
+    graft.api.Stats.appendPsiBatchIdempotent(
+      Seq(KV("a", 3.0)).toDF("k", "v"), refPath, binsPath, "k", "v",
+      batchId = 0L)
+    assert(spark.read.parquet(binsPath).count() === before,
+      "replayed batchId must not append")
+
+    // keys with no reference baseline are dropped, not scored
+    graft.api.Stats.appendPsiBatchIdempotent(
+      Seq(KV("ghost", 1.0)).toDF("k", "v"), refPath, binsPath, "k", "v",
+      batchId = 5L)
+    assert(!graft.api.Stats.psiReport(spark, refPath, binsPath, "k")
+      .collect().map(_.getAs[String]("k")).contains("ghost"))
   }
 
   test("dsirGateStream: stream admissions equal batch scoring; gate is stateless across batches") {
