@@ -264,6 +264,70 @@ object Stats {
           .as("psi"))
   }
 
+  /** Categorical drift reference — the [[psiReference]] counterpart for
+    * discrete columns (event types, languages, sources): per-key
+    * reference category counts, frozen. |keys| × |categories| rows.
+    */
+  def catReference(ref: DataFrame, keyCol: String, catCol: String): DataFrame =
+    ref.groupBy(col(keyCol), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("ref_n"))
+
+  /** One arriving batch's per-category counts appended to the counts
+    * table (batch_id-tagged, replay-idempotent). Categories NOT in the
+    * reference are still counted — unseen categories are precisely what
+    * a categorical monitor must surface (they enter the report with a
+    * smoothed-zero reference mass).
+    */
+  def appendCatBatchIdempotent(batch: DataFrame, countsPath: String,
+      keyCol: String, catCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      batch.groupBy(col(keyCol), col(catCol).as("cat"))
+        .agg(count(lit(1)).as("cur_n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(countsPath)
+  }
+
+  /** Jensen–Shannon divergence per key over everything ingested so far:
+    * merged current category counts vs. the reference mix, over the
+    * UNION of reference and observed categories (an unseen category
+    * contributes through its smoothed-zero reference mass — the "new
+    * language showed up in the crawl" alarm), +0.5 smoothing per
+    * category on both sides. Bounded by ln 2. Reads only the two count
+    * tables. The streaming twin of
+    * [[graft.operators.EventOps.q171JsDivergence]].
+    */
+  def jsdReport(spark: SparkSession, refPath: String, countsPath: String,
+      keyCol: String): DataFrame = {
+    val ref = spark.read.parquet(refPath)
+    val cur = spark.read.parquet(countsPath)
+      .groupBy(col(keyCol), col("cat")).agg(sum(col("cur_n")).as("cur_n"))
+    val joined = ref.join(cur, Seq(keyCol, "cat"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    joined
+      .withColumn("n_cats", count(lit(1)).over(w))
+      .withColumn("n_ref_tot", sum(col("ref_n")).over(w))
+      .withColumn("n_cur_tot", sum(col("cur_n")).over(w))
+      .withColumn("p_ref",
+        (col("ref_n") + 0.5) / (col("n_ref_tot") + lit(0.5) * col("n_cats")))
+      .withColumn("p_cur",
+        (col("cur_n") + 0.5) / (col("n_cur_tot") + lit(0.5) * col("n_cats")))
+      .withColumn("m", (col("p_ref") + col("p_cur")) / 2)
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("n_ref_tot")).as("n_ref"),
+        min(col("n_cur_tot")).as("n_cur"),
+        sum(when(col("ref_n") === 0 && col("cur_n") > 0, 1L).otherwise(0L))
+          .as("unseen_cats"),
+        sum(col("p_cur") * log(col("p_cur") / col("m")) / 2
+          + col("p_ref") * log(col("p_ref") / col("m")) / 2).as("jsd"))
+  }
+
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString
 

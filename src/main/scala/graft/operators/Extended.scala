@@ -1083,9 +1083,61 @@ object Extended {
       |    + s2 * (s1 * s12 - s11 * s2)), 4) AS beta_disc
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** q175: weighted median — the revenue-weighted "typical" quantity per
+    * return flag: the smallest quantity whose cumulative
+    * extendedprice-weight reaches half the group total. The exact-
+    * quantile engine covers unweighted order statistics; the weighted
+    * form collapses to |distinct values| rows first (hash agg with
+    * map-side combine — the same corpus-to-values collapse as q163's
+    * KS), then one cumulative window. All weights accumulate as EXACT
+    * DECIMALS (prices are 2-decimal), so the half-total crossing is an
+    * exact comparison — no float boundary flicker between engines. The
+    * canonical "how big is a typical dollar's order" curation statistic.
+    */
+  def q175WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byVal = table(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(sum($"l_extendedprice".cast(DecimalType(18, 2))).as("w"))
+    val cum = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"l_returnflag")
+    byVal
+      .withColumn("cw", sum($"w").over(cum))
+      .withColumn("tw", sum($"w").over(tot))
+      .filter($"cw" * 2 >= $"tw")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"l_returnflag").orderBy($"l_quantity")))
+      .filter($"rk" === 1)
+      .select($"l_returnflag",
+        $"l_quantity".as("weighted_median_qty"),
+        round($"tw".cast("double"), 2).as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q175Sql: String =
+    """WITH byval AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM byval),
+      |hit AS (
+      |  SELECT l_returnflag, l_quantity, tw, ROW_NUMBER() OVER (
+      |    PARTITION BY l_returnflag ORDER BY l_quantity) AS rk
+      |  FROM cums WHERE cw * 2 >= tw)
+      |SELECT l_returnflag, l_quantity AS weighted_median_qty,
+      |  ROUND(CAST(tw AS DOUBLE), 2) AS total_weight
+      |FROM hit WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_ols_regression" -> (q159OlsRegression _),
     "q169_ols_two_feature" -> (q169Ols2 _),
+    "q175_weighted_median" -> (q175WeightedMedian _),
     "q158_mad_outliers" -> (q158MadOutliers _),
     "q103_winsorize" -> (q103Winsorize _),
     "q110_approx_quantiles" -> (q110ApproxQuantiles _),
@@ -1109,6 +1161,7 @@ object Extended {
   val oracles: Seq[(String, String)] = Seq(
     "q159_ols_regression" -> q159Sql,
     "q169_ols_two_feature" -> q169Sql,
+    "q175_weighted_median" -> q175Sql,
     "q158_mad_outliers" -> q158Sql,
     "q103_winsorize" -> q103Sql,
     "q115_equidepth_hist" -> q115Sql,

@@ -246,6 +246,24 @@ object StreamOps {
         binsPath, keyCol, valueCol, batchId, bins)
     }
 
+  /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
+    * for discrete columns: each micro-batch appends its per-category
+    * counts (replay-idempotent) against a frozen
+    * [[graft.api.Stats.catReference]];
+    * [[graft.api.Stats.jsdReport]] scores the merged mix vs. the
+    * reference (Jensen–Shannon, smoothed, unseen categories surfaced).
+    * Counts are trivially mergeable, so the report covers everything
+    * ingested at |keys| × |categories| cost. Returns the configured
+    * writer; the caller sets checkpoint/trigger options and `.start()`.
+    */
+  def catDriftIngestStream(values: DataFrame, countsPath: String,
+      keyCol: String,
+      catCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendCatBatchIdempotent(batch.toDF(), countsPath,
+        keyCol, catCol, batchId)
+    }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

@@ -374,6 +374,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("drift family torture: seeded random corpora — bounds hold, planted shift dominates") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 77)) {
+      val rng = new scala.util.Random(seed)
+      def v2(x: Double): Double = math.max(0.01, math.round(x * 100).toDouble / 100)
+      // "stable": both cohorts ~N(50,10); "shifted": odd users ~N(80,10)
+      val rows = (0 until 4000).map { i =>
+        val uid = rng.nextInt(100).toLong
+        val typ = if (i % 2 == 0) "stable" else "shifted"
+        val base = 50.0 + 10.0 * rng.nextGaussian()
+        val value =
+          if (typ == "shifted" && uid % 2 != 0) v2(base + 30.0) else v2(base)
+        val day = rng.nextInt(10).toLong
+        (i.toLong, day * 86400000000000L + i.toLong * 1000000L, uid, typ, value, "{}")
+      }
+      val dir = tmpDir(s"drift-$seed")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+
+      val ks = EventOps.q163KsDrift(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("ks")).toMap
+      val psi = EventOps.q168PsiDrift(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("psi")).toMap
+      val t = EventOps.q170WelchTtest(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("t_stat")).toMap
+      ks.values.foreach(k => assert(k >= 0.0 && k <= 1.0, s"seed=$seed ks=$k"))
+      psi.values.foreach(p => assert(p >= 0.0, s"seed=$seed psi=$p"))
+      assert(ks("shifted") > ks("stable") + 0.2,
+        s"seed=$seed: planted shift must dominate KS: $ks")
+      assert(psi("shifted") > psi("stable") + 0.5,
+        s"seed=$seed: planted shift must dominate PSI: $psi")
+      assert(math.abs(t("shifted")) > 10 * math.abs(t("stable")).max(0.1),
+        s"seed=$seed: planted shift must dominate t: $t")
+
+      val jsd = EventOps.q171JsDivergence(spark, dir).collect().head.getAs[Double]("jsd")
+      assert(jsd >= 0.0 && jsd < 0.01,
+        s"seed=$seed: the TYPE mix is cohort-balanced by construction, jsd=$jsd")
+      EventOps.q172DailyAutocorr(spark, dir).collect().foreach { r =>
+        val a = r.getAs[Double]("lag1_autocorr")
+        assert(a >= -1.0 && a <= 1.0, s"seed=$seed autocorr=$a")
+      }
+      val cp = EventOps.q174Changepoint(spark, dir).collect()
+      assert(cp.map(_.getAs[String]("event_type")).toSet === Set("stable", "shifted"))
+      cp.foreach(r => assert(r.getAs[Double]("score") >= 0.0))
+    }
+  }
+
   test("q168: PSI is non-negative and matches the brute-force binned formula") {
     import spark.implicits._
     val rows = EventOps.q168PsiDrift(spark, sf).collect()

@@ -1137,6 +1137,56 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("k")).contains("ghost"))
   }
 
+  test("catDriftIngestStream: JSD report matches brute force; unseen categories surfaced; replay appends once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files.createTempDirectory("cat-stream").toString
+    val (refPath, countsPath) = (s"$base/ref", s"$base/counts")
+
+    // reference mix for one key: x:60, y:40
+    val ref = (Seq.fill(60)("x") ++ Seq.fill(40)("y")).map(KV(_, 0.0)).toDF("k", "v")
+      .select(lit("m").as("key"), $"k".as("cat_v"))
+    graft.api.Stats.catReference(ref, "key", "cat_v").write.parquet(refPath)
+
+    // stream: x:30, y:30 in batch 1; z (unseen): 40 in batch 2
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.catDriftIngestStream(
+      mem.toDF().select(lit("m").as("key"), $"k".as("cat_v")),
+      countsPath, "key", "cat_v").start()
+    mem.addData(Seq.fill(30)(KV("x", 0.0)) ++ Seq.fill(30)(KV("y", 0.0)): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(40)(KV("z", 0.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = graft.api.Stats.jsdReport(spark, refPath, countsPath, "key")
+      .collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getAs[Long]("n_ref") === 100L)
+    assert(r.getAs[Long]("n_cur") === 100L)
+    assert(r.getAs[Long]("unseen_cats") === 1L)
+    // brute force over the union {x, y, z} with +0.5 smoothing
+    val refC = Map("x" -> 60L, "y" -> 40L, "z" -> 0L)
+    val curC = Map("x" -> 30L, "y" -> 30L, "z" -> 40L)
+    val want = refC.keySet.toSeq.map { c =>
+      val pr = (refC(c) + 0.5) / (100 + 0.5 * 3)
+      val pc = (curC(c) + 0.5) / (100 + 0.5 * 3)
+      val m = (pr + pc) / 2
+      pc * math.log(pc / m) / 2 + pr * math.log(pr / m) / 2
+    }.sum
+    val jsd = r.getAs[Double]("jsd")
+    assert(math.abs(jsd - want) < 1e-12)
+    assert(jsd > 0.0 && jsd <= math.log(2.0))
+
+    val before = spark.read.parquet(countsPath).count()
+    graft.api.Stats.appendCatBatchIdempotent(
+      Seq(KV("x", 0.0)).toDF("k", "v").select(lit("m").as("key"), $"k".as("cat_v")),
+      countsPath, "key", "cat_v", batchId = 0L)
+    assert(spark.read.parquet(countsPath).count() === before,
+      "replayed batchId must not append")
+  }
+
   test("dsirGateStream: stream admissions equal batch scoring; gate is stateless across batches") {
     import spark.implicits._
     // train on a corpus whose target rows speak "good"-flavored tokens
