@@ -1134,10 +1134,75 @@ object Extended {
       |  ROUND(CAST(tw AS DOUBLE), 2) AS total_weight
       |FROM hit WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** q176: declarative data-quality audit over lineitem
+    * ([[graft.api.Quality.audit]]): seven expectations compiled into
+    * one scan (all row-local rules as conditional counts), one hash agg
+    * (the uniqueness rule), and one anti-join (referential integrity) —
+    * the minimum passes those semantics admit. The synthetic data
+    * genuinely violates three of the seven (quantity cap, unit-price
+    * floor, line-number uniqueness), so the report exercises both
+    * outcomes. The gate every 100 TB ingest runs before data goes
+    * downstream.
+    */
+  def q176DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Quality._
+    val li = table(spark, dir, "lineitem")
+    val orders = table(spark, dir, "orders")
+    audit(li, Seq(
+      NotNull("l_shipdate"),
+      InRange("l_quantity", 1, 45),
+      InRange("l_discount", 0.0, 0.1),
+      Matches("l_returnflag", "[ARN]"),
+      Check("unit_price_floor",
+        col("l_extendedprice") >= col("l_quantity") * 900),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("l_orderkey", orders, "o_orderkey")))
+      .orderBy(col("constraint"))
+  }
+
+  val q176Sql: String =
+    """WITH rl AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+      |    SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45)
+      |      THEN 1 ELSE 0 END) AS v_qty,
+      |    SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1)
+      |      THEN 1 ELSE 0 END) AS v_disc,
+      |    SUM(CASE WHEN l_returnflag IS NOT NULL
+      |      AND NOT regexp_full_match(l_returnflag, '(?:[ARN])') THEN 1 ELSE 0 END) AS v_flag,
+      |    SUM(CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity * 900, FALSE)
+      |      THEN 1 ELSE 0 END) AS v_floor
+      |  FROM lineitem),
+      |uq AS (
+      |  SELECT COALESCE(SUM(n - 1), 0) AS v FROM (
+      |    SELECT COUNT(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+      |fk AS (
+      |  SELECT COUNT(*) AS v FROM lineitem l
+      |  WHERE l.l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT * FROM (
+      |  SELECT 'not_null(l_shipdate)' AS "constraint", 'not_null' AS kind,
+      |    CAST(v_notnull AS BIGINT) AS violations, n_rows, v_notnull = 0 AS pass FROM rl
+      |  UNION ALL SELECT 'in_range(l_quantity, 1.0, 45.0)', 'in_range',
+      |    CAST(v_qty AS BIGINT), n_rows, v_qty = 0 FROM rl
+      |  UNION ALL SELECT 'in_range(l_discount, 0.0, 0.1)', 'in_range',
+      |    CAST(v_disc AS BIGINT), n_rows, v_disc = 0 FROM rl
+      |  UNION ALL SELECT 'matches(l_returnflag)', 'matches',
+      |    CAST(v_flag AS BIGINT), n_rows, v_flag = 0 FROM rl
+      |  UNION ALL SELECT 'unit_price_floor', 'check',
+      |    CAST(v_floor AS BIGINT), n_rows, v_floor = 0 FROM rl
+      |  UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', 'unique',
+      |    CAST(uq.v AS BIGINT), rl.n_rows, uq.v = 0 FROM uq, rl
+      |  UNION ALL SELECT 'ref_integrity(l_orderkey -> o_orderkey)', 'ref_integrity',
+      |    CAST(fk.v AS BIGINT), rl.n_rows, fk.v = 0 FROM fk, rl)
+      |ORDER BY "constraint"""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q159_ols_regression" -> (q159OlsRegression _),
     "q169_ols_two_feature" -> (q169Ols2 _),
     "q175_weighted_median" -> (q175WeightedMedian _),
+    "q176_dq_audit" -> (q176DqAudit _),
     "q158_mad_outliers" -> (q158MadOutliers _),
     "q103_winsorize" -> (q103Winsorize _),
     "q110_approx_quantiles" -> (q110ApproxQuantiles _),
@@ -1162,6 +1227,7 @@ object Extended {
     "q159_ols_regression" -> q159Sql,
     "q169_ols_two_feature" -> q169Sql,
     "q175_weighted_median" -> q175Sql,
+    "q176_dq_audit" -> q176Sql,
     "q158_mad_outliers" -> q158Sql,
     "q103_winsorize" -> q103Sql,
     "q115_equidepth_hist" -> q115Sql,
