@@ -83,7 +83,17 @@ object PlanDump {
     "q145_source_quota" ->
       "score quota cap: partial WindowGroupLimit per source, no full sort of a mega-domain",
     "q146_next_event_pairs" ->
-      "next-event pairs: three lags share one user-keyed window shuffle")
+      "next-event pairs: three lags share one user-keyed window shuffle",
+    "q159_ols_regression" ->
+      "closed-form regression: regr_* algebraic aggregates, one scan, map-side partials",
+    "q163_ks_drift" ->
+      "two-sample KS: distinct-value collapse below the cumulative window walk",
+    "q168_psi_drift" ->
+      "PSI drift: broadcast per-type edges, 10-bin conditional agg, enumerated bins",
+    "q173_embed_decon" ->
+      "embedding decontamination: one broadcast benchmark array row, narrow max-cosine flag",
+    "q176_dq_audit" ->
+      "data-quality audit: all row-local expectations in one conditional-count pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
