@@ -67,6 +67,47 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micros"))
   }
 
+  /** Synchronous label propagation for community detection over an
+    * UNDIRECTED graph given as canonical (a, b) pairs — the lightweight
+    * community pass that groups near-duplicate families beyond direct
+    * connectivity. Every node starts as its own label; each round every
+    * node adopts the most frequent label among its neighbors, ties
+    * broken to the SMALLEST label id — so each round is a pure function
+    * of the previous one (no random visit order, no partition
+    * sensitivity: the result is reproducible across runs and cluster
+    * layouts, unlike classic asynchronous LPA). Fixed `iterations`
+    * rounds; synchronous LPA can 2-cycle on bipartite structures, which
+    * a fixed round count simply truncates.
+    *
+    * Scale shape ([[pageRankFixedPoint]]'s contract): the doubled edge
+    * list is checkpointed once; each round is one equi-join of the
+    * one-row-per-node label frame (broadcast while the node count fits
+    * `broadcastMaxNodes`) against the edges plus one (node, label) hash
+    * aggregation with an argmax — state never exceeds one row per node.
+    * Returns (id, community).
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 5, broadcastMaxNodes: Long = 10000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    val nodes = und.select(col("src")).distinct().localCheckpoint()
+    val perNode: DataFrame => DataFrame =
+      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
+    var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
+    (1 to iterations).foreach { _ =>
+      val adopted = und
+        .join(perNode(labels), und("dst") === labels("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
+      labels = adopted
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph given as
     * canonical (a < b) edge rows — the local clustering signal that
     * separates "sits inside a duplication clique" from "bridges two

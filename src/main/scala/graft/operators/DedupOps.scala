@@ -660,6 +660,64 @@ object DedupOps {
       |       FROM od LEFT JOIN c3 ON c3.id = od.src)
       |SELECT id AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** q177: label-propagation communities over the exact near-dup graph
+    * — the lightweight clustering pass between raw connectivity (q55's
+    * connected components) and centrality (q133's PageRank): three
+    * SYNCHRONOUS rounds of most-frequent-neighbor-label adoption with
+    * ties to the smallest label ([[graft.api.Graph.labelPropagation]]).
+    * Synchronous + deterministic tie-break means every round is a pure
+    * function of the previous labeling — no visit order, no partition
+    * sensitivity — which is what lets the oracle replay the exact same
+    * three rounds as unrolled CTEs and hash-match. Per-round cost is
+    * one equi-join of the one-row-per-node label frame against the edge
+    * list plus one argmax aggregation.
+    */
+  def q177LabelPropCommunities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b")
+    graft.api.Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 3)
+      .select($"id".as("doc_id"), $"community")
+      .orderBy($"doc_id")
+  }
+
+  val q177Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |  FROM i
+      |  JOIN s sa ON sa.doc_id = id_a
+      |  JOIN s sb ON sb.doc_id = id_b),
+      |q AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.8),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM q
+      |      UNION ALL SELECT id_b, id_a FROM q),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+      |c1 AS (SELECT e.src, l.lbl, COUNT(*) AS n
+      |       FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+      |l1 AS (SELECT src AS id, lbl FROM (
+      |         SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+      |           ORDER BY n DESC, lbl ASC) AS rn FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT e.src, l.lbl, COUNT(*) AS n
+      |       FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+      |l2 AS (SELECT src AS id, lbl FROM (
+      |         SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+      |           ORDER BY n DESC, lbl ASC) AS rn FROM c2) WHERE rn = 1),
+      |c3 AS (SELECT e.src, l.lbl, COUNT(*) AS n
+      |       FROM e JOIN l2 l ON l.id = e.dst GROUP BY 1, 2),
+      |l3 AS (SELECT src AS id, lbl FROM (
+      |         SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+      |           ORDER BY n DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1)
+      |SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin
+
   /** q137: C4-style block-level dedup with document reconstruction
     * ([[graft.api.Dedup.blockDedup]], 10-token blocks): every block whose
     * exact content appeared earlier (first occurrence by (doc, position))
@@ -930,6 +988,7 @@ object DedupOps {
     "q138_containment_degrees" -> (q138ContainmentDegrees _),
     "q140_leakage_split" -> (q140LeakageSplit _),
     "q133_pagerank_dups" -> (q133PagerankDups _),
+    "q177_label_prop_communities" -> (q177LabelPropCommunities _),
     "q130_ppjoin_degrees" -> (q130PpjoinDegrees _),
     "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
@@ -950,6 +1009,7 @@ object DedupOps {
     "q138_containment_degrees" -> q138Sql,
     "q140_leakage_split" -> q140Sql,
     "q133_pagerank_dups" -> q133Sql,
+    "q177_label_prop_communities" -> q177Sql,
     "q130_ppjoin_degrees" -> q130Sql,
     "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,
