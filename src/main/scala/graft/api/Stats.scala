@@ -264,6 +264,47 @@ object Stats {
           .as("psi"))
   }
 
+  /** Streaming approximate quantiles from the maintained drift bins —
+    * the read-side bonus of the [[psiReference]]/[[appendPsiBatchIdempotent]]
+    * tables: merged cumulative bin counts give the quantile by linear
+    * interpolation INSIDE the landing bin. Error is bounded by one bin
+    * width of the reference's [lo, hi] range (values clamp at the
+    * edges), which is the right trade for an ops dashboard reading
+    * |keys| × bins rows instead of re-scanning the stream; the exact
+    * engine ([[graft.operators.Extended.exactQuantilesMulti]]) remains
+    * the batch path. Returns (key, n, qLABEL…) one row per key.
+    */
+  def binQuantileEstimate(spark: SparkSession, refPath: String,
+      binsPath: String, keyCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must be in [0,1]: $ps")
+    val ref = spark.read.parquet(refPath)
+      .select(col(keyCol), col("bin"), col("lo"), col("hi"))
+    val nBins = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val cur = spark.read.parquet(binsPath)
+      .groupBy(col(keyCol), col("bin")).agg(sum(col("cur_n")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col("bin"))
+    val cum = ref.join(cur, Seq(keyCol, "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("n_bins", count(lit(1)).over(nBins))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("tot", sum(col("n")).over(nBins))
+      .withColumn("width", (col("hi") - col("lo")) / col("n_bins"))
+    val qCols = ps.map { p =>
+      // first bin whose cumulative count reaches p·total; interpolate
+      // within it by the fraction of the bin's mass still needed
+      val need = col("tot") * p
+      val frac = (need - (col("cum") - col("n"))) / col("n")
+      min(when(col("cum") >= need && col("n") > 0,
+        col("lo") + (col("bin") + least(greatest(frac, lit(0.0)), lit(1.0)))
+          * col("width")))
+        .as(s"q${(p * 100).round}")
+    }
+    val aggs = min(col("tot")).as("n") +: qCols
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Categorical drift reference — the [[psiReference]] counterpart for
     * discrete columns (event types, languages, sources): per-key
     * reference category counts, frozen. |keys| × |categories| rows.

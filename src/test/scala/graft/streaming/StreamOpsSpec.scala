@@ -1137,6 +1137,32 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("k")).contains("ghost"))
   }
 
+  test("binQuantileEstimate: merged-bin quantiles land within one bin width of truth") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("binq").toString
+    val (refPath, binsPath) = (s"$base/ref", s"$base/bins")
+    val vals = (0 until 100).map(_.toDouble)
+    graft.api.Stats.psiReference(vals.map(KV("m", _)).toDF("k", "v"), "k", "v")
+      .write.parquet(refPath)
+    // current = the same uniform distribution, split over two batches
+    graft.api.Stats.appendPsiBatchIdempotent(
+      vals.take(50).map(KV("m", _)).toDF("k", "v"), refPath, binsPath,
+      "k", "v", batchId = 0L)
+    graft.api.Stats.appendPsiBatchIdempotent(
+      vals.drop(50).map(KV("m", _)).toDF("k", "v"), refPath, binsPath,
+      "k", "v", batchId = 1L)
+    val est = graft.api.Stats.binQuantileEstimate(spark, refPath, binsPath,
+      "k", Seq(0.5, 0.9)).collect()
+    assert(est.length === 1)
+    val r = est.head
+    assert(r.getAs[Long]("n") === 100L)
+    val binWidth = 99.0 / 10
+    assert(math.abs(r.getAs[Double]("q50") - 49.5) <= binWidth,
+      s"q50=${r.getAs[Double]("q50")}")
+    assert(math.abs(r.getAs[Double]("q90") - 89.1) <= binWidth,
+      s"q90=${r.getAs[Double]("q90")}")
+  }
+
   test("catDriftIngestStream: JSD report matches brute force; unseen categories surfaced; replay appends once") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
