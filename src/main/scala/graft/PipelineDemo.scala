@@ -134,6 +134,58 @@ object PipelineDemo {
     }
   }
 
+  /** Corpus health data card for a (curated) documents frame — the
+    * observability stage that runs AFTER [[curate]] and gates promotion
+    * to training: a declarative DQ audit (schema-level expectations)
+    * plus a per-source statistical profile (volume, length
+    * concentration, vocabulary shape). Returns (audit, profile).
+    *
+    *   - audit: [[graft.api.Quality.audit]] — doc_id present+unique,
+    *     text present, n_chars positive and consistent with the text
+    *     column; one scan + one hash agg.
+    *   - profile: per source — doc count, total/mean chars, Gini of
+    *     lengths (rank formula, exact integer sums), and the Zipf
+    *     log-log slope of the top-100 token ranks (regr_slope over the
+    *     vocab-bounded count frame). One tokenizing scan + one window.
+    */
+  def healthReport(docs: DataFrame): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    import graft.api.Quality._
+    val audit0 = audit(docs, Seq(
+      NotNull("doc_id"),
+      Unique(Seq("doc_id")),
+      NotNull("text"),
+      InRange("n_chars", 1, Double.MaxValue),
+      Check("n_chars_matches_text", length($"text") === $"n_chars")))
+
+    val tf = docs
+      .select($"source", explode(filter(split($"text", " "), t => t =!= ""))
+        .as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"freq".desc, $"tok".asc)))
+    val zipf = tf.groupBy($"source").agg(
+      count(lit(1)).as("vocab"),
+      round(regr_slope(
+        when($"rank" <= 100, log($"freq".cast("double"))),
+        log($"rank".cast("double"))), 4).as("zipf_slope"))
+    val gini = docs
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"),
+        sum($"i" * $"n_chars").as("ix_sum"))
+      .select($"source", $"n_docs", $"chars_total",
+        round($"chars_total".cast("double") / $"n_docs", 2).as("chars_mean"),
+        round(($"ix_sum" * 2).cast("double") /
+          ($"n_docs" * $"chars_total").cast("double") -
+          ($"n_docs" + 1).cast("double") / $"n_docs".cast("double"), 6)
+          .as("gini_chars"))
+    (audit0, gini.join(zipf, "source").orderBy($"source"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkEntry.configure(SparkSession.builder()
@@ -149,6 +201,9 @@ object PipelineDemo {
       val kept = curate(docs, embeddings = Some(emb))
       println(s"[pipeline] in=${docs.count()} kept=${kept.count()}")
       kept.groupBy("lang_pred").count().show()
+      val (auditRep, profile) = healthReport(kept)
+      auditRep.show(truncate = false)
+      profile.show(truncate = false)
     }
     spark.stop()
   }

@@ -23,10 +23,13 @@ object Probe {
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // match Bench: per-run cache release, so repeated runs measure the
+        // query and not an ever-growing pinned storage pool
+        spark.sharedState.cacheManager.clearCache()
+        dt
       }
       println(f"== $name%-22s ${times.map(t => f"$t%7.2f").mkString(" ")}")
-      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -131,6 +131,30 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("healthReport: curated corpus passes the audit; profile carries sane card numbers") {
+    import spark.implicits._
+    val docs = graft.Util.table(spark, sf, "documents")
+    val (auditRep, profile) = PipelineDemo.healthReport(docs)
+    val byName = auditRep.collect()
+      .map(r => r.getAs[String]("constraint") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(byName.size === 5)
+    // the synthetic documents table is schema-clean: every expectation holds
+    byName.foreach { case (n, (v, p)) => assert(p && v === 0L, s"$n: $v") }
+
+    val prof = profile.collect()
+    assert(prof.nonEmpty)
+    val srcs = docs.select("source").distinct().count()
+    assert(prof.length === srcs)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      val g = r.getAs[Double]("gini_chars")
+      assert(g >= 0.0 && g < 1.0, s"gini $g")
+      assert(r.getAs[Double]("zipf_slope") < 0.0, "token law must slope down")
+      assert(r.getAs[Long]("vocab") > 0)
+    }
+  }
+
   test("chunk-level dedup composes: chunkFixed feeds exact and MinHash dedup (boilerplate path)") {
     import spark.implicits._
     // two docs sharing a long boilerplate footer + one clean doc — the
