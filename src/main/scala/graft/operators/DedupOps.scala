@@ -718,6 +718,99 @@ object DedupOps {
       |           ORDER BY n DESC, lbl ASC) AS rn FROM c3) WHERE rn = 1)
       |SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** q178: n-gram novelty scoring — per document, the fraction of its
+    * distinct 4-word shingles whose FIRST corpus occurrence (minimum
+    * doc_id) is this document. The curation signal between exact dup
+    * detection and ExactSubstr spans: novelty ≈ 1 marks genuinely new
+    * content, novelty ≈ 0 marks recombinations of already-seen phrasing
+    * (boilerplate, templates, near-copies) even when no single pair
+    * crosses a dedup threshold. Shape: the shingle explode is narrow,
+    * first-occurrence is one min-aggregate keyed by shingle (map-side
+    * combinable, vocab-bounded state), and the verdict joins back on the
+    * shingle key — no pairwise anything.
+    */
+  def q178NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+      .select($"doc_id", explode($"sh_arr").as("sh"))
+    val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round($"n_novel".cast("double") / $"n_shingles", 6))
+      .orderBy($"doc_id")
+  }
+
+  val q178Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS novelty
+       |FROM sh s JOIN first f ON f.sh = s.sh
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** q180: dedup-rate-vs-threshold planning curve — for each candidate
+    * Jaccard threshold, how many verified near-dup pairs survive and
+    * how many documents they touch. The "choose your τ" data card a
+    * curation team reads before a destructive dedup pass: pair volume
+    * and affected-doc volume as a function of strictness, from ONE LSH
+    * candidate generation (the thresholds fan out over the verified
+    * pair frame — |pairs| × |τ| rows, never a re-run of the pipeline).
+    */
+  def q180DedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val tauDf = taus.toDF("tau")
+    val fan = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .select($"id_a", $"id_b", $"jaccard")
+      .crossJoin(broadcast(tauDf))
+      .filter($"jaccard" >= $"tau")
+    val pc = fan.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+    val dc = fan.select($"tau", explode(array($"id_a", $"id_b")).as("d"))
+      .groupBy($"tau").agg(countDistinct($"d").as("n_docs"))
+    tauDf.join(pc, Seq("tau"), "left").join(dc, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .orderBy($"tau")
+  }
+
+  val q180Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |p AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    i.n_inter / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b),
+       |taus AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+       |pc AS (
+       |  SELECT tau, COUNT(*) AS n_pairs
+       |  FROM p, taus WHERE jaccard >= tau GROUP BY tau),
+       |dc AS (
+       |  SELECT tau, COUNT(DISTINCT d) AS n_docs FROM (
+       |    SELECT tau, doc_a AS d FROM p, taus WHERE jaccard >= tau
+       |    UNION ALL SELECT tau, doc_b FROM p, taus WHERE jaccard >= tau)
+       |  GROUP BY tau)
+       |SELECT t.tau, COALESCE(pc.n_pairs, 0) AS n_pairs,
+       |  COALESCE(dc.n_docs, 0) AS n_docs
+       |FROM taus t LEFT JOIN pc ON pc.tau = t.tau
+       |LEFT JOIN dc ON dc.tau = t.tau
+       |ORDER BY t.tau""".stripMargin
+
   /** q137: C4-style block-level dedup with document reconstruction
     * ([[graft.api.Dedup.blockDedup]], 10-token blocks): every block whose
     * exact content appeared earlier (first occurrence by (doc, position))
@@ -989,6 +1082,8 @@ object DedupOps {
     "q140_leakage_split" -> (q140LeakageSplit _),
     "q133_pagerank_dups" -> (q133PagerankDups _),
     "q177_label_prop_communities" -> (q177LabelPropCommunities _),
+    "q178_ngram_novelty" -> (q178NgramNovelty _),
+    "q180_dedup_threshold_curve" -> (q180DedupThresholdCurve _),
     "q130_ppjoin_degrees" -> (q130PpjoinDegrees _),
     "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
@@ -1010,6 +1105,8 @@ object DedupOps {
     "q140_leakage_split" -> q140Sql,
     "q133_pagerank_dups" -> q133Sql,
     "q177_label_prop_communities" -> q177Sql,
+    "q178_ngram_novelty" -> q178Sql,
+    "q180_dedup_threshold_curve" -> q180Sql,
     "q130_ppjoin_degrees" -> q130Sql,
     "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,

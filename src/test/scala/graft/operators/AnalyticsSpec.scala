@@ -421,6 +421,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q178: novelty bounded; earliest doc fully novel; brute-force check on a sample") {
+    import spark.implicits._
+    val rows = DedupOps.q178NgramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+    assert(rows.head.getAs[Double]("novelty") === 1.0,
+      "the earliest shingled doc can only contain first occurrences")
+    // brute force: distinct 4-gram sets per doc, min-doc first occurrence
+    val sh = graft.Util.table(spark, sf, "documents").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").split(" ")
+        r.getAs[Long]("doc_id") ->
+          toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val firstDoc = sh.toSeq.flatMap { case (d, ss) => ss.map(_ -> d) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    rows.take(5).foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val mine = sh(d)
+      assert(r.getAs[Long]("n_shingles") === mine.size)
+      assert(r.getAs[Long]("n_novel") === mine.count(s => firstDoc(s) == d))
+    }
+  }
+
+  test("q180: threshold curve is monotone non-increasing; doc counts consistent with pair counts") {
+    import spark.implicits._
+    val rows = DedupOps.q180DedupThresholdCurve(spark, sf).collect()
+    assert(rows.length === 5)
+    val byTau = rows.sortBy(_.getAs[Double]("tau"))
+    byTau.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("n_pairs") >= w(1).getAs[Long]("n_pairs"))
+      assert(w(0).getAs[Long]("n_docs") >= w(1).getAs[Long]("n_docs"))
+    }
+    byTau.foreach { r =>
+      val (p, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))
+      assert(d <= 2 * p, "a pair involves at most two docs")
+      assert(p == 0 || d >= 2, "any surviving pair involves at least two docs")
+    }
+  }
+
   test("q168: PSI is non-negative and matches the brute-force binned formula") {
     import spark.implicits._
     val rows = EventOps.q168PsiDrift(spark, sf).collect()
