@@ -1147,7 +1147,50 @@ object EventOps {
       |  ROUND(score, 4) AS score
       |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** q179: burstiness of daily volume per event type — the
+    * variance-to-mean ratio (index of dispersion) of daily counts. A
+    * Poisson-ish healthy stream sits near 1; VMR ≫ 1 flags bursty
+    * ingest (batch dumps, replays) and VMR ≪ 1 flags suspiciously
+    * uniform (synthetic/throttled) traffic — the sanity check next to
+    * [[q172DailyAutocorr]]'s ordering signal and [[q174Changepoint]]'s
+    * level shift. Daily counts are exact integers; n, Σc, Σc² are exact
+    * integer sums; the ratio is one double expression over them —
+    * bit-identical across engines and partitionings. Calendar-bounded
+    * state.
+    */
+  def q179DailyDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum($"c").as("sc"), sum($"c" * $"c").as("scc"))
+      .select($"event_type", $"n_days",
+        round($"sc".cast("double") / $"n_days", 4).as("mean_daily"),
+        round((($"scc" - $"sc" * $"sc" / $"n_days").cast("double")
+          / ($"n_days" - 1))
+          / ($"sc".cast("double") / $"n_days"), 6).as("vmr"))
+      .orderBy($"event_type")
+  }
+
+  val q179Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    SUM(c) AS sc, SUM(c * c) AS scc
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  ROUND(CAST(sc AS DOUBLE) / n_days, 4) AS mean_daily,
+      |  ROUND((CAST(scc - sc * sc / n_days AS DOUBLE) / (n_days - 1))
+      |    / (CAST(sc AS DOUBLE) / n_days), 6) AS vmr
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q179_daily_dispersion" -> (q179DailyDispersion _),
     "q174_changepoint" -> (q174Changepoint _),
     "q170_welch_ttest" -> (q170WelchTtest _),
     "q171_js_divergence" -> (q171JsDivergence _),
@@ -1177,6 +1220,7 @@ object EventOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q174_changepoint" -> q174Sql,
+    "q179_daily_dispersion" -> q179Sql,
     "q170_welch_ttest" -> q170Sql,
     "q171_js_divergence" -> q171Sql,
     "q172_daily_autocorr" -> q172Sql,

@@ -465,6 +465,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q179: dispersion matches brute-force variance/mean of daily counts") {
+    import spark.implicits._
+    val rows = EventOps.q179DailyDispersion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val cs = daily(r.getAs[String]("event_type")).map(_._3.toDouble).toSeq
+      val mean = cs.sum / cs.length
+      val varS = cs.map(c => (c - mean) * (c - mean)).sum / (cs.length - 1)
+      assert(r.getAs[Long]("n_days") === cs.length)
+      assert(math.abs(r.getAs[Double]("mean_daily") - mean) < 1e-3)
+      assert(math.abs(r.getAs[Double]("vmr") - varS / mean) < 1e-4)
+      assert(r.getAs[Double]("vmr") >= 0.0)
+    }
+  }
+
   test("q168: PSI is non-negative and matches the brute-force binned formula") {
     import spark.implicits._
     val rows = EventOps.q168PsiDrift(spark, sf).collect()
