@@ -1074,7 +1074,84 @@ object DedupOps {
        |  CAST(cnt - 1 AS BIGINT) AS n_dropped
        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** q184: blocked edit-distance fuzzy matching — the record-linkage
+    * dedup angle the hash families (MinHash/SimHash) can't see: two doc
+    * HEADS within Levenshtein distance 20 (half the head) are near-identical openings
+    * even when later edits scatter every shingle. Classic
+    * blocking-key formulation: candidate pairs come from an EQUI-join
+    * on the 8-char head prefix (never an all-pairs cross), blocks are
+    * capped at 256 members BEFORE the self-join (a degenerate hot
+    * prefix — boilerplate headers — would otherwise go quadratic; the
+    * cap is part of the operator contract and the oracle mirrors it),
+    * and the O(40²) DP cost is bounded by comparing fixed 40-char heads
+    * only. Output is the distance histogram of surviving pairs plus the
+    * distinct docs touched at each distance.
+    */
+  def q184FuzzyBlockJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val heads = docs(spark, dir)
+      .select($"doc_id", lower(substring($"text", 1, 40)).as("head"))
+    // Two blocking passes (head prefix + head suffix): an edit inside one
+    // key still lands the pair in the other key's block, so only pairs
+    // mutated in BOTH windows are missed — the standard multi-key
+    // blocking recall argument.
+    val keyed = heads
+      .select($"doc_id", $"head", substring($"head", 1, 8).as("blk"))
+      .unionAll(heads.select($"doc_id", $"head",
+        substring($"head", 33, 8).as("blk")))
+      .filter(length($"blk") === 8)
+    val blocks = keyed.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .filter($"bc" >= 2 && $"bc" <= 256)
+      .select($"blk")
+    val h = keyed.join(blocks, Seq("blk"), "left_semi")
+    val pairs = h.as("a").join(h.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.head".as("ha"), $"b.head".as("hb"))
+      .distinct() // a pair can match in both blocking passes
+      .select($"id_a", $"id_b",
+        levenshtein($"ha", $"hb").cast("long").as("dist"))
+      .filter($"dist" <= 20)
+    val perPair = pairs.groupBy($"dist").agg(count(lit(1)).as("n_pairs"))
+    val perDoc = pairs
+      .select($"dist", explode(array($"id_a", $"id_b")).as("doc_id"))
+      .groupBy($"dist").agg(countDistinct($"doc_id").as("n_docs"))
+    perPair.join(perDoc, "dist").orderBy($"dist")
+  }
+
+  val q184Sql: String =
+    """WITH heads AS (
+      |  SELECT doc_id, lower(substring(text, 1, 40)) AS head FROM documents),
+      |keyed AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, head, substring(head, 1, 8) AS blk FROM heads
+      |    UNION ALL
+      |    SELECT doc_id, head, substring(head, 33, 8) AS blk FROM heads)
+      |  WHERE length(blk) = 8),
+      |blocks AS (
+      |  SELECT blk FROM keyed GROUP BY blk
+      |  HAVING COUNT(*) BETWEEN 2 AND 256),
+      |h AS (SELECT keyed.* FROM keyed JOIN blocks USING (blk)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.head AS ha, b.head AS hb
+      |  FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      |f AS (
+      |  SELECT * FROM (
+      |    SELECT id_a, id_b, CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+      |    FROM cand)
+      |  WHERE dist <= 20),
+      |pc AS (SELECT dist, COUNT(*) AS n_pairs FROM f GROUP BY dist),
+      |dc AS (
+      |  SELECT dist, COUNT(DISTINCT doc_id) AS n_docs FROM (
+      |    SELECT dist, id_a AS doc_id FROM f
+      |    UNION ALL SELECT dist, id_b FROM f)
+      |  GROUP BY dist)
+      |SELECT pc.dist, pc.n_pairs, dc.n_docs
+      |FROM pc JOIN dc USING (dist) ORDER BY dist""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q184_fuzzy_block_join" -> (q184FuzzyBlockJoin _),
     "q141_triangle_counts" -> (q141TriangleCounts _),
     "q144_cluster_reps" -> (q144ClusterReps _),
     "q137_block_dedup" -> (q137BlockDedup _),
@@ -1098,6 +1175,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q184_fuzzy_block_join" -> q184Sql,
     "q144_cluster_reps" -> q144Sql,
     "q141_triangle_counts" -> q141Sql,
     "q137_block_dedup" -> q137Sql,

@@ -1189,7 +1189,233 @@ object EventOps {
       |    / (CAST(sc AS DOUBLE) / n_days), 6) AS vmr
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q181: Mann–Whitney U (rank-sum) test per event type — the
+    * nonparametric companion to [[q170WelchTtest]]: does the even-user
+    * cohort's `value` distribution stochastically dominate the odd
+    * cohort's, without assuming normality? The corpus first collapses to
+    * per (type, value) cohort counts (the [[q163KsDrift]] recipe), so
+    * the rank walk runs over |distinct values| rows, not event rows.
+    * Average ranks with ties ride as DOUBLED integers (2·rank is always
+    * integral), tie correction Σ(c³−c) accumulates in decimal — every
+    * input to the final z closed form is an exact integer, and `/` and
+    * `sqrt` are IEEE-correctly-rounded, so the statistic is
+    * bit-identical across engines and partitionings.
+    */
+  def q181MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val counts = events(spark, dir)
+      .select($"event_type", $"value", ($"user_id" % 2 === 0).as("is_a"))
+      .groupBy($"event_type", $"value")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", $"ca" + $"cb")
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+    val ranked = counts
+      .withColumn("r2",
+        lit(2L) * (sum($"c").over(w) - $"c") + $"c" + 1L) // 2 · average rank
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+    val m = ranked.groupBy($"event_type")
+      .agg(
+        sum($"ca").as("na"), sum($"cb").as("nb"),
+        sum(dec($"ca") * dec($"r2")).as("ra2"),
+        sum(dec($"c") * dec($"c") * dec($"c") - dec($"c")).as("tie3"))
+    val na = $"na".cast("double"); val nb = $"nb".cast("double")
+    val n = na + nb
+    val u = ($"ra2".cast("double") - na * (na + 1)) / 2.0
+    val varU = na * nb / 12.0 * ((n + 1) - $"tie3".cast("double") / (n * (n - 1)))
+    m.select($"event_type", $"na".as("n_a"), $"nb".as("n_b"),
+        round(u, 2).as("u_stat"),
+        round((u - na * nb / 2.0) / sqrt(varU), 4).as("z_stat"))
+      .orderBy($"event_type")
+  }
+
+  val q181Sql: String =
+    """WITH counts AS (
+      |  SELECT event_type, value,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, ca, cb, c,
+      |    2 * (SUM(c) OVER (PARTITION BY event_type ORDER BY value) - c) + c + 1 AS r2
+      |  FROM counts),
+      |m AS (
+      |  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb,
+      |    SUM(CAST(ca AS HUGEINT) * r2) AS ra2,
+      |    SUM(CAST(c AS HUGEINT) * c * c - c) AS tie3
+      |  FROM ranked GROUP BY event_type)
+      |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND((CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) / 2.0, 2)
+      |    AS u_stat,
+      |  ROUND(((CAST(ra2 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) / 2.0
+      |      - CAST(na AS DOUBLE) * nb / 2.0)
+      |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+      |      * ((na + nb + 1) - CAST(tie3 AS DOUBLE)
+      |        / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 4) AS z_stat
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** q182: chi-squared homogeneity test — is the event-type mix on even
+    * calendar days the same as on odd days (weekday/batch-cadence drift
+    * in the ingest mix)? The contingency table is |types| × 2 exact
+    * integer counts from one scan; expectations and per-type
+    * contributions are closed-form doubles over those integers; the
+    * total statistic sums the ROUNDED contributions in an unpartitioned
+    * window over the |types|-row frame (already aggregated — the window
+    * never sees event rows). dof = |types| − 1.
+    */
+  def q182Chi2Drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = events(spark, dir)
+      .select($"event_type",
+        (expr("ts div 86400000000000") % 2 === 0).as("is_a"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("oa"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("ob"))
+    val tot = obs.agg(
+      sum($"oa").as("ta"), sum($"ob").as("tb"), count(lit(1)).as("k"))
+    val joined = obs.crossJoin(broadcast(tot))
+    val rowTot = ($"oa" + $"ob").cast("double")
+    val n = ($"ta" + $"tb").cast("double")
+    val ea = rowTot * $"ta".cast("double") / n
+    val eb = rowTot * $"tb".cast("double") / n
+    val part = ($"oa" - ea) * ($"oa" - ea) / ea + ($"ob" - eb) * ($"ob" - eb) / eb
+    joined
+      .withColumn("chi2_part", round(part, 6))
+      .withColumn("chi2_total",
+        round(sum($"chi2_part").over(Window.partitionBy()), 4))
+      .select($"event_type", $"oa".as("n_a"), $"ob".as("n_b"),
+        $"chi2_part", $"chi2_total", ($"k" - 1L).as("dof"))
+      .orderBy($"event_type")
+  }
+
+  val q182Sql: String =
+    """WITH obs AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0 THEN 1 ELSE 0 END) AS oa,
+      |    SUM(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 1 THEN 1 ELSE 0 END) AS ob
+      |  FROM events GROUP BY event_type),
+      |tot AS (SELECT SUM(oa) AS ta, SUM(ob) AS tb, COUNT(*) AS k FROM obs),
+      |scored AS (
+      |  SELECT event_type, oa, ob, k,
+      |    ROUND(
+      |      (oa - CAST(oa + ob AS DOUBLE) * ta / (ta + tb))
+      |        * (oa - CAST(oa + ob AS DOUBLE) * ta / (ta + tb))
+      |        / (CAST(oa + ob AS DOUBLE) * ta / (ta + tb))
+      |      + (ob - CAST(oa + ob AS DOUBLE) * tb / (ta + tb))
+      |        * (ob - CAST(oa + ob AS DOUBLE) * tb / (ta + tb))
+      |        / (CAST(oa + ob AS DOUBLE) * tb / (ta + tb)), 6) AS chi2_part
+      |  FROM obs CROSS JOIN tot)
+      |SELECT event_type, CAST(oa AS BIGINT) AS n_a, CAST(ob AS BIGINT) AS n_b,
+      |  chi2_part,
+      |  ROUND(SUM(chi2_part) OVER (), 4) AS chi2_total,
+      |  CAST(k - 1 AS BIGINT) AS dof
+      |FROM scored ORDER BY event_type""".stripMargin
+
+  /** q183: EWMA smoothing of daily event volume per type (α = 0.3,
+    * zero-init: ewma_t = α·Σ_{i≤t} (1−α)^{t−i}·c_i) — the trend line a
+    * monitoring dashboard draws over [[q179DailyDispersion]]'s raw
+    * counts. The recursion is rewritten as a SCALED CUMULATIVE SUM —
+    * ewma_t = α·(1−α)^t · Σ c_i·(1−α)^(−i) — so the whole series is one
+    * ordered window pass over the calendar-bounded daily frame instead
+    * of a sequential fold; both engines accumulate the cumsum in the
+    * same day order, so the only cross-engine freedom is `pow`'s final
+    * ulp, absorbed by the 4-decimal round. The (1−α)^(−idx) rescale is
+    * benign here because the window is calendar-bounded (≤ a few
+    * hundred days ⇒ factor ≤ 1e46 < double max at ~1e308); an unbounded
+    * series would chunk the cumsum per epoch.
+    */
+  def q183EwmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alpha = 0.3
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("idx", row_number().over(w).cast("double"))
+      .withColumn("s",
+        sum($"c" * pow(lit(1.0 - alpha), -$"idx")).over(w))
+      .select($"event_type", $"day", $"c",
+        round(lit(alpha) * pow(lit(1.0 - alpha), $"idx") * $"s", 4).as("ewma"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q183Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |idxed AS (
+      |  SELECT event_type, day, c,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS idx
+      |  FROM daily),
+      |cum AS (
+      |  SELECT event_type, day, c, idx,
+      |    SUM(c * POWER(0.7, -idx)) OVER (
+      |      PARTITION BY event_type ORDER BY day) AS s
+      |  FROM idxed)
+      |SELECT event_type, day, c, ROUND(0.3 * POWER(0.7, idx) * s, 4) AS ewma
+      |FROM cum ORDER BY event_type, day""".stripMargin
+
+  /** q187: rolling 7-day distinct users per day — the DAU/WAU-style
+    * reach metric over the events stream. Distinct users can't ride a
+    * window frame (COUNT(DISTINCT) OVER RANGE is unsupported and would
+    * hold per-frame sets anyway), so the corpus first collapses to
+    * distinct (user, day) rows, each of which then votes into the ≤ 7
+    * trailing windows it belongs to via a NARROW `sequence`+`explode`
+    * (bounded ×7 fanout, no range join, no per-window set state),
+    * followed by one hash count-distinct keyed by window day. Phantom
+    * window-end days beyond the observed calendar are clipped by a
+    * broadcast semi-join against the day spine. The companion rolling
+    * event count is a plain integer RANGE frame over the |days|-row
+    * daily frame.
+    */
+  def q187RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+    val du = ev.distinct()
+    val days = du.select($"day").distinct()
+    val users = du
+      .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy($"day").agg(countDistinct($"user_id").as("n7_users"))
+    val daily = ev.groupBy($"day").agg(count(lit(1)).as("c"))
+    val evs = daily
+      .withColumn("n7_events",
+        sum($"c").over(Window.orderBy($"day").rangeBetween(-6, 0)))
+      .select($"day", $"n7_events")
+    users.join(evs, "day")
+      .select($"day", $"n7_users", $"n7_events")
+      .orderBy($"day")
+  }
+
+  val q187Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |du AS (SELECT DISTINCT user_id, day FROM ev),
+      |days AS (SELECT DISTINCT day FROM du),
+      |win AS (
+      |  SELECT d.day, COUNT(DISTINCT u.user_id) AS n7_users
+      |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY d.day),
+      |daily AS (SELECT day, COUNT(*) AS c FROM ev GROUP BY day),
+      |evs AS (
+      |  SELECT day, CAST(SUM(c) OVER (
+      |    ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n7_events
+      |  FROM daily)
+      |SELECT w.day, w.n7_users, e.n7_events
+      |FROM win w JOIN evs e USING (day) ORDER BY day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q181_mannwhitney" -> (q181MannWhitney _),
+    "q182_chi2_drift" -> (q182Chi2Drift _),
+    "q183_ewma_daily" -> (q183EwmaDaily _),
+    "q187_rolling_distinct" -> (q187RollingDistinct _),
     "q179_daily_dispersion" -> (q179DailyDispersion _),
     "q174_changepoint" -> (q174Changepoint _),
     "q170_welch_ttest" -> (q170WelchTtest _),
@@ -1219,6 +1445,10 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q181_mannwhitney" -> q181Sql,
+    "q182_chi2_drift" -> q182Sql,
+    "q183_ewma_daily" -> q183Sql,
+    "q187_rolling_distinct" -> q187Sql,
     "q174_changepoint" -> q174Sql,
     "q179_daily_dispersion" -> q179Sql,
     "q170_welch_ttest" -> q170Sql,

@@ -1065,7 +1065,71 @@ object SimilarityOps {
        |  ROUND(sim, 6) AS sim
        |FROM best WHERE rn = 1 AND sim >= 0.4 ORDER BY vec_id""".stripMargin
 
+  /** q186: embedding-space drift — per label, the cosine and L2 gap
+    * between the centroid of cohort A (even vec_id) and cohort B (odd).
+    * The monitoring twin of [[q76LabelCentroids]]: a healthy embedding
+    * pipeline has cos ≈ 1 between random halves of a label; a re-trained
+    * encoder or an upstream normalization change drops it. Per-dim
+    * cohort means come from ONE posexplode + conditional-avg pass
+    * (narrow, hash agg on (label, dim) — never |dims| scans); the means
+    * are rounded to 6 decimals BEFORE the dot products so the final
+    * 64-term sums start from identical inputs in both engines, and the
+    * rounded output absorbs their reassociation ulps. State: |labels| ×
+    * |dims| rows regardless of corpus size.
+    */
+  def q186CentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, dir, "embeddings")
+    val cent = emb
+      .select($"label", ($"vec_id" % 2 === 0).as("is_a"),
+        posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(
+        round(avg(when($"is_a", $"v".cast("double"))), 6).as("ca"),
+        round(avg(when(!$"is_a", $"v".cast("double"))), 6).as("cb"))
+    val m = cent.groupBy($"label")
+      .agg(
+        sum($"ca" * $"cb").as("dot"),
+        sum($"ca" * $"ca").as("qa"),
+        sum($"cb" * $"cb").as("qb"),
+        sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("dd"))
+    val cnt = emb.groupBy($"label")
+      .agg(
+        sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+    m.join(cnt, "label")
+      .select($"label", $"n_a", $"n_b",
+        round($"dot" / sqrt($"qa" * $"qb"), 6).as("cos_shift"),
+        round(sqrt($"dd"), 6).as("l2_shift"))
+      .orderBy($"label")
+  }
+
+  val q186Sql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 = 0 AS is_a, unnest(embedding) AS v,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim,
+      |    ROUND(AVG(CASE WHEN is_a THEN CAST(v AS DOUBLE) END), 6) AS ca,
+      |    ROUND(AVG(CASE WHEN NOT is_a THEN CAST(v AS DOUBLE) END), 6) AS cb
+      |  FROM e GROUP BY 1, 2),
+      |m AS (
+      |  SELECT label, SUM(ca * cb) AS dot, SUM(ca * ca) AS qa,
+      |    SUM(cb * cb) AS qb, SUM((ca - cb) * (ca - cb)) AS dd
+      |  FROM cent GROUP BY label),
+      |cnt AS (
+      |  SELECT label,
+      |    SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b
+      |  FROM embeddings GROUP BY label)
+      |SELECT m.label, CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+      |  ROUND(dot / sqrt(qa * qb), 6) AS cos_shift,
+      |  ROUND(sqrt(dd), 6) AS l2_shift
+      |FROM m JOIN cnt c USING (label) ORDER BY label""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q186_centroid_shift" -> (q186CentroidShift _),
     "q173_embed_decon" -> (q173EmbedDecon _),
     "q164_knn_label_vote" -> (q164KnnLabelVote _),
     "q165_label_cosine_gap" -> (q165LabelCosineGap _),
@@ -1091,6 +1155,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q186_centroid_shift" -> q186Sql,
     "q173_embed_decon" -> q173Sql,
     "q164_knn_label_vote" -> q164Sql,
     "q165_label_cosine_gap" -> q165Sql,

@@ -1405,7 +1405,69 @@ object TextOps {
       |    - 84.6 * (CAST(SUM(s) AS DOUBLE) / SUM(w)), 4) AS flesch
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q185: per-document keyword tagging — each doc's single most
+    * distinctive term by relative document frequency (score = tf/df,
+    * the idf-free cousin of [[q74Tfidf]]'s ranking), then the top-5
+    * tag census per language. Scoring uses tf/df INSTEAD of tf·ln(N/df)
+    * deliberately: IEEE division is correctly rounded, so the per-doc
+    * argmax ordering is bit-identical across engines (a `ln`-based
+    * score can flip near-equal candidates by an ulp), and for a FIXED
+    * doc tf/df ranks candidates by the same "frequent here, rare
+    * elsewhere" signal. Ties break lexicographically. Both phases are
+    * hash aggregations plus one equi-join of the (token, df) frame
+    * against per-doc tf rows — the per-doc window ranks each doc's ≤
+    * |distinct tokens in doc| candidates, never the corpus.
+    */
+  def q185DocTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(spark, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"lang", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("score", $"tf".cast("double") / $"df")
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token".asc)
+    val top = scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val census = top.groupBy($"lang", $"token").agg(count(lit(1)).as("n_docs"))
+    census
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n_docs".desc, $"token".asc))
+        .cast("long"))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"token", $"n_docs")
+      .orderBy($"lang", $"rk")
+  }
+
+  val q185Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, token, COUNT(*) AS tf FROM toks
+      |  WHERE token <> '' GROUP BY 1, 2, 3),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.lang, tf.token,
+      |    CAST(tf.tf AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (token)),
+      |top AS (
+      |  SELECT doc_id, lang, token, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+      |  FROM scored),
+      |census AS (
+      |  SELECT lang, token, COUNT(*) AS n_docs FROM top
+      |  WHERE rn = 1 GROUP BY lang, token)
+      |SELECT lang,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY n_docs DESC, token ASC) AS BIGINT) AS rk,
+      |  token, n_docs
+      |FROM census QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q185_doc_top_term" -> (q185DocTopTerm _),
     "q160_zipf_slope" -> (q160ZipfSlope _),
     "q161_gini_chars" -> (q161GiniChars _),
     "q162_source_vocab_jaccard" -> (q162SourceVocabJaccard _),
@@ -1516,6 +1578,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q185_doc_top_term" -> q185Sql,
     "q160_zipf_slope" -> q160Sql,
     "q161_gini_chars" -> q161Sql,
     "q162_source_vocab_jaccard" -> q162Sql,

@@ -510,4 +510,181 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(psi - want) < 1e-6)
     }
   }
+
+  test("q181: Mann-Whitney U matches the brute-force tie-averaged rank sum") {
+    import spark.implicits._
+    val rows = EventOps.q181MannWhitney(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"value", $"user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type"))
+      val sorted = xs.sortBy(_._2)
+      // average rank per value (1-based)
+      val ranks = scala.collection.mutable.Map[Double, Double]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        ranks(sorted(i)._2) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+        i = j
+      }
+      val as = xs.filter(_._3 % 2 == 0)
+      val na = as.length.toDouble
+      val nb = xs.length - na
+      val ra = as.map(x => ranks(x._2)).sum
+      val u = ra - na * (na + 1) / 2
+      assert(r.getAs[Long]("n_a") === as.length)
+      assert(math.abs(r.getAs[Double]("u_stat") - u) < 1e-6)
+      val n = na + nb
+      val tie3 = xs.groupBy(_._2).values.map { g =>
+        val c = g.size.toDouble; c * c * c - c
+      }.sum
+      val varU = na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+      val z = (u - na * nb / 2) / math.sqrt(varU)
+      assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-3)
+    }
+  }
+
+  test("q182: chi-squared statistic matches the brute-force contingency table") {
+    import spark.implicits._
+    val rows = EventOps.q182Chi2Drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), (r.getLong(1) / 86400000000000L) % 2 == 0))
+    val byType = ev.groupBy(_._1)
+    val (ta, tb) = (ev.count(_._2).toDouble, ev.count(!_._2).toDouble)
+    var total = 0.0
+    rows.foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val (oa, ob) = (xs.count(_._2).toDouble, xs.count(!_._2).toDouble)
+      assert(r.getAs[Long]("n_a") === oa.toLong)
+      val ea = (oa + ob) * ta / (ta + tb)
+      val eb = (oa + ob) * tb / (ta + tb)
+      val part = (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+      assert(math.abs(r.getAs[Double]("chi2_part") - part) < 1e-5)
+      total += part
+      assert(r.getAs[Long]("dof") === rows.length - 1L)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("chi2_total") - total) < 1e-3)
+    }
+  }
+
+  test("q183: EWMA matches the sequential zero-init recursion") {
+    import spark.implicits._
+    val rows = EventOps.q183EwmaDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .groupBy(_._1).map { case (t, v) => (t, v.toSeq.sortBy(_._2)) }
+    val got = rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+      r.getAs[Double]("ewma")).toMap
+    daily.foreach { case (t, series) =>
+      var e = 0.0
+      series.foreach { case (_, d, c) =>
+        e = 0.3 * c + 0.7 * e
+        assert(math.abs(got((t, d)) - e) < 1e-3, s"type $t day $d")
+      }
+    }
+  }
+
+  test("q187: rolling 7-day distinct users matches brute-force trailing sets") {
+    import spark.implicits._
+    val rows = EventOps.q187RollingDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L))
+    val days = ev.map(_._2).distinct.sorted
+    assert(rows.length === days.length)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val win = ev.filter(x => x._2 >= d - 6 && x._2 <= d)
+      assert(r.getAs[Long]("n7_users") === win.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("n7_events") === win.length.toLong)
+    }
+  }
+
+  test("q185: per-doc top term matches the brute-force tf/df argmax census") {
+    import spark.implicits._
+    val rows = TextOps.q185DocTopTerm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tf = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (t, g) => (id, lang, t, g.length) }
+    }
+    val df = tf.groupBy(_._3).map { case (t, g) => (t, g.map(_._1).distinct.size) }
+    val top = tf.groupBy(_._1).toSeq.map { case (_, cand) =>
+      val best = cand.minBy(c => (-c._4.toDouble / df(c._3), c._3))
+      (best._2, best._3)
+    }
+    val census = top.groupBy(identity).map { case ((lang, tok), g) =>
+      (lang, tok, g.size.toLong) }
+    val byLang = census.groupBy(_._1).map { case (l, g) =>
+      (l, g.toSeq.sortBy(c => (-c._3, c._2)).take(5)) }
+    rows.foreach { r =>
+      val want = byLang(r.getAs[String]("lang"))(r.getAs[Long]("rk").toInt - 1)
+      assert(r.getAs[String]("token") === want._2)
+      assert(r.getAs[Long]("n_docs") === want._3)
+    }
+  }
+
+  test("q186: centroid shift cosine matches brute-force cohort centroids") {
+    import spark.implicits._
+    val rows = SimilarityOps.q186CentroidShift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val em = graft.Util.table(spark, sf, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._2)
+    rows.foreach { r =>
+      val xs = em(r.getAs[Int]("label"))
+      val as = xs.filter(_._1 % 2 == 0).map(_._3)
+      val bs = xs.filter(_._1 % 2 != 0).map(_._3)
+      assert(r.getAs[Long]("n_a") === as.length.toLong)
+      val dims = xs.head._3.length
+      def cent(vs: Array[Array[Float]]) = Array.tabulate(dims) { d =>
+        math.rint(vs.map(_(d).toDouble).sum / vs.length * 1e6) / 1e6
+      }
+      val (ca, cb) = (cent(as), cent(bs))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val qa = ca.map(x => x * x).sum
+      val qb = cb.map(x => x * x).sum
+      assert(math.abs(r.getAs[Double]("cos_shift")
+        - dot / math.sqrt(qa * qb)) < 1e-5)
+      val l2 = math.sqrt(ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(math.abs(r.getAs[Double]("l2_shift") - l2) < 1e-5)
+    }
+  }
+
+  test("q184: fuzzy block join reports only capped-block pairs within distance") {
+    import spark.implicits._
+    val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
+    // exact duplicate heads must surface as dist-0 pairs when present
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).take(40).toLowerCase))
+    val exactPairs = docs.groupBy(_._2).values
+      .filter(g => g.size >= 2 && g.size <= 256)
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val d0 = rows.find(_.getAs[Long]("dist") == 0L)
+      .map(_.getAs[Long]("n_pairs")).getOrElse(0L)
+    assert(d0 >= exactPairs * 9 / 10,
+      s"dist-0 pairs $d0 should cover nearly all $exactPairs exact-head pairs")
+    rows.foreach { r =>
+      val (p, d) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("dist") <= 20L)
+      assert(d <= 2 * p, "a pair involves at most two docs")
+      assert(p == 0 || d >= 2)
+    }
+  }
 }

@@ -572,4 +572,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_"),
       "token counting must combine map-side before the shuffle")
   }
+
+  test("q184: fuzzy matching pairs via block equi-join, never a cartesian") {
+    val p = planOf(graft.operators.DedupOps.q184FuzzyBlockJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), "blocked self-join must stay equi")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocked self-join must stay equi")
+  }
+
+  test("q181/q182: rank/chi2 tests run their windows on collapsed frames (agg below window)") {
+    for (df <- Seq(graft.operators.EventOps.q181MannWhitney(spark, sf),
+        graft.operators.EventOps.q182Chi2Drift(spark, sf))) {
+      val p = planOf(df)
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0)
+      // formatted plans list leaves last: the aggregate node that feeds the
+      // window must appear below (after) it in the operator tree printout
+      assert(p.substring(winIdx).contains("HashAggregate"),
+        "the window input must already be aggregated, not raw event rows")
+    }
+  }
+
+  test("q187: distinct-user fanout is narrow explode + semi-join, no range join") {
+    val p = planOf(graft.operators.EventOps.q187RollingDistinct(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "day clip must be a hash semi-join")
+    assert(p.contains("Generate"), "window membership must come from explode fanout")
+  }
 }
