@@ -369,6 +369,49 @@ object Stats {
           + col("p_ref") * log(col("p_ref") / col("m")) / 2).as("jsd"))
   }
 
+  /** Replay-idempotent per-(key, day) count append — the mergeable state
+    * behind [[ewmaReport]] and the streaming twin of
+    * [[graft.operators.EventOps.q183EwmaDaily]]
+    * ([[graft.streaming.StreamOps.ewmaIngestStream]]). Counts sum
+    * associatively, so micro-batches may split days arbitrarily; the
+    * table stays |keys| × |days| × |batches| rows regardless of stream
+    * volume. At-least-once re-delivery of a batchId appends nothing.
+    */
+  def appendDailyCountsIdempotent(batch: DataFrame, countsPath: String,
+      keyCol: String, dayCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      batch.groupBy(col(keyCol).as("k"), col(dayCol).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(countsPath)
+    }
+  }
+
+  /** EWMA trend over everything ingested so far: merges the per-batch
+    * daily counts (sums — the reason the state is mergeable) and applies
+    * the same scaled-cumulative-sum formulation as the batch q183 — so
+    * stream and batch agree bit-for-bit on identical data, whatever the
+    * micro-batch cut. Reads only the counts table.
+    */
+  def ewmaReport(spark: SparkSession, countsPath: String,
+      alpha: Double = 0.3): DataFrame = {
+    val daily = spark.read.parquet(countsPath)
+      .groupBy(col("k"), col("day")).agg(sum(col("c")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("day"))
+    daily
+      .withColumn("idx", row_number().over(w).cast("double"))
+      .withColumn("s", sum(col("c") * pow(lit(1.0 - alpha), -col("idx"))).over(w))
+      .select(col("k"), col("day"), col("c"),
+        round(lit(alpha) * pow(lit(1.0 - alpha), col("idx")) * col("s"), 4)
+          .as("ewma"))
+  }
+
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString
 

@@ -1411,7 +1411,129 @@ object EventOps {
       |SELECT w.day, w.n7_users, e.n7_events
       |FROM win w JOIN evs e USING (day) ORDER BY day""".stripMargin
 
+  /** q188: hash-deterministic bootstrap confidence interval for the mean
+    * of `value` per event type — uncertainty quantification for every
+    * mean the dashboards report. 32 binomial(2, ½) replicate weights per
+    * row come from two md5 hex characters keyed by (event_id, replicate)
+    * — the same cross-engine-identical hash family the MinHash operators
+    * use, so resampling is reproducible anywhere with no RNG state. The
+    * ×32 replicate fanout happens INSIDE the codegen stage feeding a
+    * partial aggregation (the shuffle carries |types|×32 partial sums
+    * per partition, never 32× the data) — the online-bootstrap
+    * formulation that survives 100 TB. Replicate means divide exact
+    * DECIMAL sums; the CI is mean ± 1.96·sd over the 32 replicate
+    * means.
+    */
+  def q188BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d2(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val low8 = "01234567"
+    val rep = events(spark, dir)
+      .select($"event_type", $"event_id", $"value",
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("h", md5(concat($"event_id".cast("string"), lit(":"),
+        $"b".cast("string"))))
+      .withColumn("w",
+        when(substring($"h", 1, 1).isin(low8.map(_.toString): _*), 1L)
+          .otherwise(0L)
+        + when(substring($"h", 2, 1).isin(low8.map(_.toString): _*), 1L)
+          .otherwise(0L))
+    val means = rep.groupBy($"event_type", $"b")
+      .agg((sum(d2($"value") * $"w").cast("double") / sum($"w"))
+        .as("mean_b"))
+    val boot = means.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rep"),
+        sum($"mean_b").as("sm"), sum($"mean_b" * $"mean_b").as("smm"))
+      .withColumn("sd_boot",
+        sqrt(($"smm" - $"sm" * $"sm" / $"n_rep") / ($"n_rep" - 1)))
+    val full = events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(d2($"value")).cast("double") / count(lit(1))).as("mean_val"))
+    full.join(boot, "event_type")
+      .select($"event_type", $"n", round($"mean_val", 4).as("mean_val"),
+        round($"sd_boot", 4).as("sd_boot"),
+        round($"mean_val" - lit(1.96) * $"sd_boot", 4).as("ci_lo"),
+        round($"mean_val" + lit(1.96) * $"sd_boot", 4).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
+  val q188Sql: String =
+    """WITH rep AS (
+      |  SELECT event_type, value, b,
+      |    (CASE WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |        CAST(b AS VARCHAR)), 1, 1) IN
+      |        ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+      |        CAST(b AS VARCHAR)), 2, 1) IN
+      |        ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS w
+      |  FROM events CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |means AS (
+      |  SELECT event_type, b,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE) / SUM(w)
+      |      AS mean_b
+      |  FROM rep GROUP BY 1, 2),
+      |boot AS (
+      |  SELECT event_type, COUNT(*) AS n_rep, SUM(mean_b) AS sm,
+      |    SUM(mean_b * mean_b) AS smm
+      |  FROM means GROUP BY event_type),
+      |sd AS (
+      |  SELECT event_type,
+      |    sqrt((smm - sm * sm / n_rep) / (n_rep - 1)) AS sd_boot
+      |  FROM boot),
+      |fullm AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      AS mean_val
+      |  FROM events GROUP BY event_type)
+      |SELECT f.event_type, f.n, ROUND(f.mean_val, 4) AS mean_val,
+      |  ROUND(s.sd_boot, 4) AS sd_boot,
+      |  ROUND(f.mean_val - 1.96 * s.sd_boot, 4) AS ci_lo,
+      |  ROUND(f.mean_val + 1.96 * s.sd_boot, 4) AS ci_hi
+      |FROM fullm f JOIN sd s USING (event_type) ORDER BY event_type""".stripMargin
+
+  /** q189: day-of-week seasonality profile per event type — mean daily
+    * volume by weekday slot (epoch-day mod 7, timezone-free) plus the
+    * max/min seasonality ratio, the card that says "weekend traffic is
+    * 0.4× weekdays" before anyone alerts on a Saturday dip. Daily counts
+    * are exact integers; per-slot means are correctly-rounded divisions;
+    * the ratio is a max/min over 7 doubles in an already-aggregated
+    * |types|×7 frame.
+    */
+  def q189WeekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val means = daily.groupBy($"event_type", ($"day" % 7).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum($"c").cast("double") / count(lit(1))).as("mean_daily"))
+    val w = Window.partitionBy($"event_type")
+    means
+      .withColumn("season_ratio",
+        round(max($"mean_daily").over(w) / min($"mean_daily").over(w), 4))
+      .select($"event_type", $"dow", $"n_days",
+        round($"mean_daily", 4).as("mean_daily"), $"season_ratio")
+      .orderBy($"event_type", $"dow")
+  }
+
+  val q189Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |slot AS (
+      |  SELECT event_type, day % 7 AS dow, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_daily
+      |  FROM daily GROUP BY 1, 2)
+      |SELECT event_type, dow, n_days, ROUND(mean_daily, 4) AS mean_daily,
+      |  ROUND(MAX(mean_daily) OVER (PARTITION BY event_type)
+      |    / MIN(mean_daily) OVER (PARTITION BY event_type), 4) AS season_ratio
+      |FROM slot ORDER BY event_type, dow""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q188_bootstrap_ci" -> (q188BootstrapCi _),
+    "q189_weekday_profile" -> (q189WeekdayProfile _),
     "q181_mannwhitney" -> (q181MannWhitney _),
     "q182_chi2_drift" -> (q182Chi2Drift _),
     "q183_ewma_daily" -> (q183EwmaDaily _),
@@ -1445,6 +1567,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q188_bootstrap_ci" -> q188Sql,
+    "q189_weekday_profile" -> q189Sql,
     "q181_mannwhitney" -> q181Sql,
     "q182_chi2_drift" -> q182Sql,
     "q183_ewma_daily" -> q183Sql,

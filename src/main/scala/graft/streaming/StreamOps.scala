@@ -246,6 +246,23 @@ object StreamOps {
         binsPath, keyCol, valueCol, batchId, bins)
     }
 
+  /** Live EWMA trend maintenance — each micro-batch appends its
+    * per-(key, day) counts (replay-idempotent);
+    * [[graft.api.Stats.ewmaReport]] folds the merged daily series with
+    * the same scaled-cumsum the batch q183 uses, so the live trend line
+    * equals the batch one on identical data regardless of micro-batch
+    * boundaries. State: |keys| × |days| × |batches| count rows — never
+    * the events. Returns the configured writer; the caller sets
+    * checkpoint/trigger options and `.start()`.
+    */
+  def ewmaIngestStream(values: DataFrame, countsPath: String,
+      keyCol: String,
+      dayCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendDailyCountsIdempotent(batch.toDF(), countsPath,
+        keyCol, dayCol, batchId)
+    }
+
   /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
     * for discrete columns: each micro-batch appends its per-category
     * counts (replay-idempotent) against a frozen

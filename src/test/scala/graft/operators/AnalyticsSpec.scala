@@ -611,6 +611,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q188: bootstrap CI brackets the mean and matches brute-force replicate weights") {
+    import spark.implicits._
+    val rows = EventOps.q188BootstrapCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type"))
+      val mean = xs.map(_._3).sum / xs.length
+      assert(math.abs(r.getAs[Double]("mean_val") - mean) < 1e-2)
+      val reps = (0 until 32).map { b =>
+        var (sw, swv) = (0L, BigDecimal(0))
+        xs.foreach { case (_, id, v) =>
+          val h = md5hex(s"$id:$b")
+          val w = (if (h(0) <= '7') 1 else 0) + (if (h(1) <= '7') 1 else 0)
+          sw += w; swv += BigDecimal(v) * w
+        }
+        (swv / sw).toDouble
+      }
+      val rm = reps.sum / reps.length
+      val sd = math.sqrt(reps.map(m => (m - rm) * (m - rm)).sum / (reps.length - 1))
+      assert(math.abs(r.getAs[Double]("sd_boot") - sd) < 1e-3)
+      assert(r.getAs[Double]("ci_lo") < mean && mean < r.getAs[Double]("ci_hi"))
+    }
+  }
+
+  test("q189: weekday profile means and seasonality ratio match brute force") {
+    import spark.implicits._
+    val rows = EventOps.q189WeekdayProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .toSeq.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val slots = daily(t).groupBy(_._2 % 7)
+        .map { case (dow, g) => (dow, g.map(_._3).sum.toDouble / g.size) }
+      val m = slots(r.getAs[Long]("dow"))
+      assert(math.abs(r.getAs[Double]("mean_daily") - m) < 1e-3)
+      val ratio = slots.values.max / slots.values.min
+      assert(math.abs(r.getAs[Double]("season_ratio") - ratio) < 1e-3)
+    }
+  }
+
   test("q185: per-doc top term matches the brute-force tf/df argmax census") {
     import spark.implicits._
     val rows = TextOps.q185DocTopTerm(spark, sf).collect()

@@ -1071,6 +1071,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(statsDir).count() === rowsBefore + 1)
   }
 
+  test("ewmaIngestStream: merged daily counts reproduce the batch EWMA recursion; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ewma-stream").toString
+    val countsPath = s"$base/counts"
+
+    // day series per key; batch 2 splits day 2 across the batch boundary
+    // (counts must merge) and appends days 3-4
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.ewmaIngestStream(mem.toDF(), countsPath, "k", "v")
+      .start()
+    mem.addData(Seq.fill(10)(KV("a", 1.0)) ++ Seq.fill(4)(KV("a", 2.0)) ++
+      Seq.fill(6)(KV("b", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(2)(KV("a", 2.0)) ++ Seq.fill(8)(KV("a", 3.0)) ++
+      Seq.fill(3)(KV("a", 4.0)) ++ Seq.fill(9)(KV("b", 2.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.api.Stats.ewmaReport(spark, countsPath).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("c"), r.getAs[Double]("ewma"))).toMap
+    // merged counts: day-2 halves sum across the batch cut
+    assert(got(("a", 1L))._1 === 10L)
+    assert(got(("a", 2L))._1 === 6L)
+    val series = Map(
+      "a" -> Seq(1L -> 10L, 2L -> 6L, 3L -> 8L, 4L -> 3L),
+      "b" -> Seq(1L -> 6L, 2L -> 9L))
+    series.foreach { case (k, days) =>
+      var e = 0.0
+      days.foreach { case (d, c) =>
+        e = 0.3 * c + 0.7 * e
+        assert(math.abs(got((k, d))._2 - e) < 1e-3, s"key $k day $d")
+      }
+    }
+
+    // at-least-once replay: re-delivered batchId appends nothing
+    val before = spark.read.parquet(countsPath).count()
+    graft.api.Stats.appendDailyCountsIdempotent(
+      Seq(KV("a", 9.0)).toDF("k", "v"), countsPath, "k", "v", batchId = 0L)
+    assert(spark.read.parquet(countsPath).count() === before)
+  }
+
   test("psiIngestStream: frozen-edge bin counts merge across batches; report matches brute force; replay appends once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("psi-stream").toString
