@@ -1150,7 +1150,59 @@ object DedupOps {
       |SELECT pc.dist, pc.n_pairs, dc.n_docs
       |FROM pc JOIN dc USING (dist) ORDER BY dist""".stripMargin
 
+  /** q192: duplicate-group source purity — for every head-fingerprint
+    * duplicate group (md5 of the lowered 40-char head, ≥ 2 docs — the
+    * same head key the fuzzy matcher [[q184FuzzyBlockJoin]] blocks on,
+    * since this corpus's near-dups mutate tails, not openings), how
+    * concentrated are its sources?
+    * Pure groups (one source re-crawling itself) are a mirror/ingest-bug
+    * signal; mixed groups (the same text from many sources) are true
+    * web-scale duplication and the ones cross-source dedup must keep
+    * exactly once. Reported as a (group_size, n_sources) histogram with
+    * the average source-entropy per cell — |distinct shapes| rows, not
+    * |groups|. Group membership and per-source counts are exact
+    * integers; entropy is one ln expression per (group, source) row,
+    * averaged after a 6-decimal round so the cross-engine ulp of `ln`
+    * never reaches the 4-decimal output.
+    */
+  def q192DupSourcePurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = docs(spark, dir)
+      .select(md5(lower(substring($"text", 1, 40))).as("grp"), $"source")
+      .groupBy($"grp", $"source").agg(count(lit(1)).as("c"))
+    val sized = g.withColumn("n",
+        sum($"c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp")))
+      .filter($"n" >= 2)
+    val perGroup = sized.groupBy($"grp")
+      .agg(
+        max($"n").as("group_size"),
+        count(lit(1)).as("n_sources"),
+        round(-sum(($"c" / $"n") * log($"c" / $"n")), 6).as("entropy"))
+    perGroup.groupBy($"group_size", $"n_sources")
+      .agg(count(lit(1)).as("n_groups"),
+        round(avg($"entropy"), 4).as("avg_entropy"))
+      .orderBy($"group_size", $"n_sources")
+  }
+
+  val q192Sql: String =
+    """WITH g AS (
+      |  SELECT md5(lower(substring(text, 1, 40))) AS grp, source, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT grp, source, c, SUM(c) OVER (PARTITION BY grp) AS n
+      |  FROM g),
+      |perGroup AS (
+      |  SELECT grp, MAX(n) AS group_size, COUNT(*) AS n_sources,
+      |    ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+      |      AS entropy
+      |  FROM sized WHERE n >= 2 GROUP BY grp)
+      |SELECT CAST(group_size AS BIGINT) AS group_size, n_sources,
+      |  COUNT(*) AS n_groups, ROUND(AVG(entropy), 4) AS avg_entropy
+      |FROM perGroup GROUP BY 1, 2 ORDER BY group_size, n_sources""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q192_dup_source_purity" -> (q192DupSourcePurity _),
     "q184_fuzzy_block_join" -> (q184FuzzyBlockJoin _),
     "q141_triangle_counts" -> (q141TriangleCounts _),
     "q144_cluster_reps" -> (q144ClusterReps _),
@@ -1175,6 +1227,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q192_dup_source_purity" -> q192Sql,
     "q184_fuzzy_block_join" -> q184Sql,
     "q144_cluster_reps" -> q144Sql,
     "q141_triangle_counts" -> q141Sql,

@@ -1414,9 +1414,11 @@ object EventOps {
   /** q188: hash-deterministic bootstrap confidence interval for the mean
     * of `value` per event type — uncertainty quantification for every
     * mean the dashboards report. 32 binomial(2, ½) replicate weights per
-    * row come from two md5 hex characters keyed by (event_id, replicate)
-    * — the same cross-engine-identical hash family the MinHash operators
-    * use, so resampling is reproducible anywhere with no RNG state. The
+    * row come from consecutive hex-character pairs of TWO md5 digests
+    * keyed by event_id (64 hex chars → 32 draws) — the same
+    * cross-engine-identical hash family the MinHash operators use, so
+    * resampling is reproducible anywhere with no RNG state, and hashing
+    * costs 2 digests per ROW, not one per (row, replicate). The
     * ×32 replicate fanout happens INSIDE the codegen stage feeding a
     * partial aggregation (the shuffle carries |types|×32 partial sums
     * per partition, never 32× the data) — the online-bootstrap
@@ -1428,17 +1430,17 @@ object EventOps {
     import spark.implicits._
     def d2(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
-    val low8 = "01234567"
     val rep = events(spark, dir)
-      .select($"event_type", $"event_id", $"value",
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("h", md5(concat($"event_id".cast("string"), lit(":"),
-        $"b".cast("string"))))
-      .withColumn("w",
-        when(substring($"h", 1, 1).isin(low8.map(_.toString): _*), 1L)
-          .otherwise(0L)
-        + when(substring($"h", 2, 1).isin(low8.map(_.toString): _*), 1L)
-          .otherwise(0L))
+      .select($"event_type", $"value",
+        concat(md5(concat($"event_id".cast("string"), lit(":0"))),
+          md5(concat($"event_id".cast("string"), lit(":1")))).as("h"))
+      .select($"event_type", $"value", posexplode(expr(
+        "transform(sequence(0, 31), b -> " +
+          "(CASE WHEN substring(h, b * 2 + 1, 1) IN " +
+          "('0','1','2','3','4','5','6','7') THEN 1L ELSE 0L END) + " +
+          "(CASE WHEN substring(h, b * 2 + 2, 1) IN " +
+          "('0','1','2','3','4','5','6','7') THEN 1L ELSE 0L END))"))
+        .as(Seq("b", "w")))
     val means = rep.groupBy($"event_type", $"b")
       .agg((sum(d2($"value") * $"w").cast("double") / sum($"w"))
         .as("mean_b"))
@@ -1460,15 +1462,18 @@ object EventOps {
   }
 
   val q188Sql: String =
-    """WITH rep AS (
+    """WITH hashed AS (
+      |  SELECT event_type, value,
+      |    md5(CAST(event_id AS VARCHAR) || ':0')
+      |      || md5(CAST(event_id AS VARCHAR) || ':1') AS h
+      |  FROM events),
+      |rep AS (
       |  SELECT event_type, value, b,
-      |    (CASE WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' ||
-      |        CAST(b AS VARCHAR)), 1, 1) IN
+      |    (CASE WHEN substring(h, CAST(b * 2 + 1 AS INT), 1) IN
       |        ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN substring(md5(CAST(event_id AS VARCHAR) || ':' ||
-      |        CAST(b AS VARCHAR)), 2, 1) IN
+      |    + (CASE WHEN substring(h, CAST(b * 2 + 2 AS INT), 1) IN
       |        ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END) AS w
-      |  FROM events CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |  FROM hashed CROSS JOIN (SELECT unnest(range(32)) AS b)),
       |means AS (
       |  SELECT event_type, b,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE) / SUM(w)
@@ -1531,7 +1536,57 @@ object EventOps {
       |    / MIN(mean_daily) OVER (PARTITION BY event_type), 4) AS season_ratio
       |FROM slot ORDER BY event_type, dow""".stripMargin
 
+  /** q193: NEAREST as-of join — for every purchase, the signup of the
+    * same user closest in time, in either direction (ties → earlier).
+    * Completes the as-of family: backward ([[q27AsofJoin]]), forward
+    * ([[q148AsofForward]]), nearest. Same union-window formulation — a
+    * running `last` over the backward frame plus a `first` over the
+    * forward frame, one shuffle on user_id, no join blow-up — then a
+    * three-way null-safe pick. The oracle states the same thing as a
+    * per-purchase argmin over the user's signups.
+    */
+  def q193AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .filter($"event_type".isin("signup", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("signup_ts", when($"event_type" === "signup", $"ts_us"))
+    val ord = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val bwF = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("bw", last($"signup_ts", ignoreNulls = true).over(bwF))
+      .withColumn("fw", first($"signup_ts", ignoreNulls = true).over(fwF))
+      .filter($"event_type" === "purchase")
+      .withColumn("nearest", when($"bw".isNull, $"fw")
+        .when($"fw".isNull, $"bw")
+        .when($"ts_us" - $"bw" <= $"fw" - $"ts_us", $"bw")
+        .otherwise($"fw"))
+      .filter($"nearest".isNotNull)
+      .select($"event_id", $"user_id", $"ts_us".as("purchase_ts_us"),
+        $"nearest".as("signup_ts_us"),
+        ($"nearest" - $"ts_us").as("signed_gap_us"))
+      .orderBy($"event_id")
+  }
+
+  val q193Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'signup'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts_us, s.ts_us AS sts,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |      ORDER BY ABS(p.ts_us - s.ts_us), s.ts_us) AS rn
+      |  FROM p JOIN s ON p.user_id = s.user_id)
+      |SELECT event_id, user_id, ts_us AS purchase_ts_us,
+      |  sts AS signup_ts_us, sts - ts_us AS signed_gap_us
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q193_asof_nearest" -> (q193AsofNearest _),
     "q188_bootstrap_ci" -> (q188BootstrapCi _),
     "q189_weekday_profile" -> (q189WeekdayProfile _),
     "q181_mannwhitney" -> (q181MannWhitney _),
@@ -1567,6 +1622,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q193_asof_nearest" -> q193Sql,
     "q188_bootstrap_ci" -> q188Sql,
     "q189_weekday_profile" -> q189Sql,
     "q181_mannwhitney" -> q181Sql,

@@ -988,7 +988,73 @@ object Relational {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q190: national market share (the TPC-H Q8 shape) — within the
+    * AMERICA customer market and PROMO parts, NATION_1 suppliers' share
+    * of order volume by year. The star joins are all broadcast (part
+    * filter, supplier+nation, customer+nation+region) so the only fact
+    * shuffle is lineitem→orders on the order key; the share is a
+    * conditional decimal-sum ratio — one aggregation, one IEEE division.
+    */
+  def q190MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ldt("1995-01-01T00:00:00") &&
+        $"o_orderdate" < ldt("1997-01-01T00:00:00"))
+    val part = rawTable(spark, dir, "part").filter($"p_type" === "PROMO")
+    val supp = rawTable(spark, dir, "supplier")
+    val cust = rawTable(spark, dir, "customer")
+    val nat = rawTable(spark, dir, "nation")
+    val reg = rawTable(spark, dir, "region").filter($"r_name" === "AMERICA")
+    val snat = nat.select($"n_nationkey".as("s_natkey"), $"n_name".as("supp_nation"))
+    val cnat = nat.select($"n_nationkey".as("c_natkey"), $"n_regionkey")
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(snat), $"s_nationkey" === $"s_natkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(cnat), $"c_nationkey" === $"c_natkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        dsum6(when($"supp_nation" === "NATION_1", vol).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        dsum6(vol).as("total_volume"))
+      .select($"o_year", round($"nation_volume" / $"total_volume", 6)
+          .as("mkt_share"),
+        $"nation_volume", $"total_volume")
+      .orderBy($"o_year")
+  }
+
+  val q190Sql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  ROUND(
+      |    CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(24,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(24,6))) AS DOUBLE), 6) AS mkt_share,
+      |  CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(24,6))) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE) AS total_volume
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region   ON n2.n_regionkey = r_regionkey
+      |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q190_market_share" -> (q190MarketShare _),
     "q111_integrity_audit" -> (q111IntegrityAudit _),
     "q112_returned_revenue" -> (q112ReturnedRevenue _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1027,6 +1093,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q190_market_share" -> q190Sql,
     "q111_integrity_audit" -> q111Sql,
     "q112_returned_revenue" -> q112Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -1466,7 +1466,52 @@ object TextOps {
       |  token, n_docs
       |FROM census QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  /** q191: token burstiness (Church–Gale) — variance-to-mean ratio of a
+    * token's per-doc term frequency across the docs that contain it.
+    * Function words spread evenly (VMR ≈ their mean); topical/keyword
+    * tokens CLUMP (VMR ≫ 1 relative to mean) — the signal TF-IDF's
+    * df-only view can't see, and a feature quality filters use to spot
+    * keyword-stuffed docs. One pass over the per-(doc, token) tf frame,
+    * exact integer moments, df ≥ 20 floor, top-20 by VMR (ties
+    * lexicographic). Everything after the tf aggregation is
+    * vocab-bounded.
+    */
+  def q191TokenBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = table(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"token")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tf").as("st"), sum($"tf" * $"tf").as("stt"))
+      .filter($"n_docs" >= 20)
+      .select($"token", $"n_docs",
+        round($"st".cast("double") / $"n_docs", 4).as("mean_tf"),
+        round((($"stt" - $"st" * $"st" / $"n_docs").cast("double")
+          / ($"n_docs" - 1))
+          / ($"st".cast("double") / $"n_docs"), 6).as("vmr"))
+      .orderBy($"vmr".desc, $"token")
+      .limit(20)
+  }
+
+  val q191Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |m AS (
+      |  SELECT token, COUNT(*) AS n_docs, SUM(tf) AS st, SUM(tf * tf) AS stt
+      |  FROM tf GROUP BY token HAVING COUNT(*) >= 20)
+      |SELECT token, n_docs,
+      |  ROUND(CAST(st AS DOUBLE) / n_docs, 4) AS mean_tf,
+      |  ROUND((CAST(stt - st * st / n_docs AS DOUBLE) / (n_docs - 1))
+      |    / (CAST(st AS DOUBLE) / n_docs), 6) AS vmr
+      |FROM m ORDER BY vmr DESC, token LIMIT 20""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q191_token_burstiness" -> (q191TokenBurstiness _),
     "q185_doc_top_term" -> (q185DocTopTerm _),
     "q160_zipf_slope" -> (q160ZipfSlope _),
     "q161_gini_chars" -> (q161GiniChars _),
@@ -1578,6 +1623,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q191_token_burstiness" -> q191Sql,
     "q185_doc_top_term" -> q185Sql,
     "q160_zipf_slope" -> q160Sql,
     "q161_gini_chars" -> q161Sql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lower, md5, substring, year}
 
 /** Brute-force ground-truth checks for the statistical-analytics wave
   * (q159–q168): regression, Zipf/Gini corpus shape, vocabulary overlap,
@@ -629,8 +630,9 @@ class AnalyticsSpec extends SparkSpec {
       val reps = (0 until 32).map { b =>
         var (sw, swv) = (0L, BigDecimal(0))
         xs.foreach { case (_, id, v) =>
-          val h = md5hex(s"$id:$b")
-          val w = (if (h(0) <= '7') 1 else 0) + (if (h(1) <= '7') 1 else 0)
+          val h = md5hex(s"$id:0") + md5hex(s"$id:1")
+          val w = (if (h(2 * b) <= '7') 1 else 0) +
+            (if (h(2 * b + 1) <= '7') 1 else 0)
           sw += w; swv += BigDecimal(v) * w
         }
         (swv / sw).toDouble
@@ -714,6 +716,118 @@ class AnalyticsSpec extends SparkSpec {
         - dot / math.sqrt(qa * qb)) < 1e-5)
       val l2 = math.sqrt(ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum)
       assert(math.abs(r.getAs[Double]("l2_shift") - l2) < 1e-5)
+    }
+  }
+
+  test("q190: market share matches the brute-force star join and is a valid share") {
+    import spark.implicits._
+    val rows = Relational.q190MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def m(name: String, cols: String*) =
+      graft.Util.rawTable(spark, sf, name).select(cols.map(col): _*).collect()
+    val region = m("region", "r_regionkey", "r_name")
+      .filter(_.getString(1) == "AMERICA").map(_.getInt(0).toLong).toSet
+    val nation = m("nation", "n_nationkey", "n_regionkey", "n_name")
+      .map(r => r.getInt(0).toLong -> (r.getInt(1).toLong, r.getString(2))).toMap
+    val cust = m("customer", "c_custkey", "c_nationkey")
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val supp = m("supplier", "s_suppkey", "s_nationkey")
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val part = m("part", "p_partkey", "p_type")
+      .filter(_.getString(1) == "PROMO").map(_.getLong(0)).toSet
+    val ord = graft.Util.table(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("y"),
+        $"o_orderdate").collect()
+      .filter { r =>
+        val y = r.getAs[Int]("y"); y >= 1995 && y <= 1996
+      }.map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Int]("y"))).toMap
+    val vols = graft.Util.table(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount").collect()
+      .flatMap { r =>
+        for {
+          (ck, y) <- ord.get(r.getLong(0))
+          if part.contains(r.getLong(1))
+          cn <- cust.get(ck)
+          if region.contains(nation(cn)._1)
+          sn <- supp.get(r.getLong(2))
+        } yield (y, nation(sn)._2 == "NATION_1",
+          BigDecimal(r.getDouble(3)) * (1 - BigDecimal(r.getDouble(4))))
+      }
+    val byYear = vols.groupBy(_._1)
+    rows.foreach { r =>
+      val y = r.getAs[Long]("o_year").toInt
+      val xs = byYear(y)
+      val tot = xs.map(_._3).sum
+      val nat1 = xs.filter(_._2).map(_._3).sum
+      assert(math.abs(r.getAs[Double]("total_volume") - tot.toDouble) < 1e-2)
+      assert(math.abs(r.getAs[Double]("mkt_share") - (nat1 / tot).toDouble) < 1e-4)
+      assert(r.getAs[Double]("mkt_share") >= 0 && r.getAs[Double]("mkt_share") <= 1)
+    }
+  }
+
+  test("q191: burstiness matches brute-force per-doc tf moments") {
+    import spark.implicits._
+    val rows = TextOps.q191TokenBurstiness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val tf = graft.Util.table(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).groupBy(identity)
+          .map { case (t, g) => (t, g.length.toLong) }
+      }.groupBy(_._1)
+    rows.foreach { r =>
+      val xs = tf(r.getAs[String]("token")).map(_._2.toDouble).toSeq
+      assert(xs.length >= 20)
+      assert(r.getAs[Long]("n_docs") === xs.length)
+      val mean = xs.sum / xs.length
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(math.abs(r.getAs[Double]("mean_tf") - mean) < 1e-3)
+      assert(math.abs(r.getAs[Double]("vmr") - varS / mean) < 1e-4)
+    }
+  }
+
+  test("q192: dup-group purity histogram matches brute-force head-fingerprint grouping") {
+    import spark.implicits._
+    val rows = DedupOps.q192DupSourcePurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select(md5(lower(substring($"text", 1, 40))).as("g"), $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val groups = docs.groupBy(_._1).filter(_._2.length >= 2)
+    val cells = groups.values.map { g =>
+      val bySrc = g.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val n = g.length.toDouble
+      val ent = -bySrc.values.map(c => (c / n) * math.log(c / n)).sum
+      ((g.length.toLong, bySrc.size.toLong), ent)
+    }.toSeq.groupBy(_._1)
+    assert(rows.length === cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("group_size"), r.getAs[Long]("n_sources"))
+      val es = cells(k).map(_._2)
+      assert(r.getAs[Long]("n_groups") === es.length.toLong)
+      assert(math.abs(r.getAs[Double]("avg_entropy") - es.sum / es.length) < 1e-3)
+    }
+  }
+
+  test("q193: nearest as-of picks the time-closest signup (ties earlier)") {
+    import spark.implicits._
+    val rows = EventOps.q193AsofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / 1000L, r.getLong(3)))
+    val signups = ev.filter(_._1 == "signup").groupBy(_._2)
+    val purchases = ev.filter(_._1 == "purchase")
+      .map(r => r._4 -> (r._2, r._3)).toMap
+    assert(rows.length ===
+      purchases.count { case (_, (u, _)) => signups.contains(u) })
+    rows.foreach { r =>
+      val (u, pts) = purchases(r.getAs[Long]("event_id"))
+      val best = signups(u).map(_._3)
+        .minBy(s => (math.abs(pts - s), s))
+      assert(r.getAs[Long]("signup_ts_us") === best)
+      assert(r.getAs[Long]("signed_gap_us") === best - pts)
     }
   }
 

@@ -573,6 +573,15 @@ class PlanSpec extends SparkSpec {
       "token counting must combine map-side before the shuffle")
   }
 
+  test("q190: market-share star joins broadcast every dimension (one fact shuffle)") {
+    val p = planOf(graft.operators.Relational.q190MarketShare(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    // the only sort-merge/shuffled join allowed is lineitem↔orders
+    val shuffled = "ShuffledHashJoin|SortMergeJoin".r.findAllIn(p).size
+    assert(shuffled <= 1, s"dims must broadcast, found $shuffled shuffled joins")
+    assert(p.contains("PushedFilters"), "p_type/r_name filters must reach the scans")
+  }
+
   test("q184: fuzzy matching pairs via block equi-join, never a cartesian") {
     val p = planOf(graft.operators.DedupOps.q184FuzzyBlockJoin(spark, sf))
     assert(!p.contains("CartesianProduct"), "blocked self-join must stay equi")
