@@ -93,7 +93,15 @@ object PlanDump {
     "q173_embed_decon" ->
       "embedding decontamination: one broadcast benchmark array row, narrow max-cosine flag",
     "q176_dq_audit" ->
-      "data-quality audit: all row-local expectations in one conditional-count pass")
+      "data-quality audit: all row-local expectations in one conditional-count pass",
+    "q190_market_share" ->
+      "TPC-H Q8 star: every dimension broadcast, one fact shuffle, conditional decimal share",
+    "q184_fuzzy_block_join" ->
+      "blocked Levenshtein linkage: multi-key equi-join blocking, capped blocks, no cartesian",
+    "q187_rolling_distinct" ->
+      "rolling 7-day reach: distinct collapse, bounded explode fanout, hash count-distinct",
+    "q188_bootstrap_ci" ->
+      "online bootstrap: replicate fanout fused into partial aggregation, 2 digests per row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
