@@ -1585,7 +1585,52 @@ object EventOps {
       |  sts AS signup_ts_us, sts - ts_us AS signed_gap_us
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** q195: shuffle-skew diagnostic card — per event type, how
+    * concentrated is the per-user event distribution? Reports the
+    * Herfindahl index (Σ(c_u/n)², ≈ 1/n_users when uniform, → 1 when one
+    * user dominates) and the top-user share — the numbers that say
+    * whether user_id is a safe shuffle key or needs salting
+    * ([[graft.operators.Skew]]) BEFORE a job falls over at 100 TB.
+    * Per-user counts are one hash agg; everything above is |users|-frame
+    * integer moments and two IEEE divisions.
+    */
+  def q195SkewCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("c"))
+    perUser.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"c").as("n_events"),
+        max($"c").as("max_user_events"),
+        sum($"c" * $"c").as("scc"))
+      .select($"event_type", $"n_users", $"n_events", $"max_user_events",
+        round($"scc".cast("double")
+          / ($"n_events".cast("double") * $"n_events".cast("double")), 6)
+          .as("hhi"),
+        round($"max_user_events".cast("double") / $"n_events", 6)
+          .as("top_share"))
+      .orderBy($"event_type")
+  }
+
+  val q195Sql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n_users, SUM(c) AS n_events,
+      |    MAX(c) AS max_user_events, SUM(c * c) AS scc
+      |  FROM pu GROUP BY event_type)
+      |SELECT event_type, n_users, CAST(n_events AS BIGINT) AS n_events,
+      |  max_user_events,
+      |  ROUND(CAST(scc AS DOUBLE)
+      |    / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)), 6) AS hhi,
+      |  ROUND(CAST(max_user_events AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+      |    AS top_share
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q195_skew_card" -> (q195SkewCard _),
     "q193_asof_nearest" -> (q193AsofNearest _),
     "q188_bootstrap_ci" -> (q188BootstrapCi _),
     "q189_weekday_profile" -> (q189WeekdayProfile _),
@@ -1622,6 +1667,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q195_skew_card" -> q195Sql,
     "q193_asof_nearest" -> q193Sql,
     "q188_bootstrap_ci" -> q188Sql,
     "q189_weekday_profile" -> q189Sql,

@@ -1198,7 +1198,101 @@ object Extended {
       |    CAST(fk.v AS BIGINT), rl.n_rows, fk.v = 0 FROM fk, rl)
       |ORDER BY "constraint"""".stripMargin
 
+  /** q194: one-pass column profiling card over `orders` — per column:
+    * row count, null count, exact distinct count, and native min/max
+    * (numeric-typed columns report `min_num`/`max_num`, strings report
+    * `min_str`/`max_str`; timestamps profile as epoch micros so no
+    * engine-specific date formatting ever reaches the output). ALL
+    * per-column aggregates compute in ONE aggregation over one scan —
+    * profiling six columns costs the same pass as profiling one (the
+    * multi-distinct expand is |cols|×, the price of exactness,
+    * documented); the per-column rows then unfold from the single agg
+    * row with `stack` — driver-free, 6 rows whatever the table size.
+    */
+  def q194ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = table(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("null_ok"),
+        countDistinct($"o_orderkey").as("nd_ok"),
+        min($"o_orderkey").cast("double").as("min_ok"),
+        max($"o_orderkey").cast("double").as("max_ok"),
+        sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_ck"),
+        countDistinct($"o_custkey").as("nd_ck"),
+        min($"o_custkey").cast("double").as("min_ck"),
+        max($"o_custkey").cast("double").as("max_ck"),
+        sum(when($"o_orderstatus".isNull, 1L).otherwise(0L)).as("null_os"),
+        countDistinct($"o_orderstatus").as("nd_os"),
+        min($"o_orderstatus").as("smin_os"),
+        max($"o_orderstatus").as("smax_os"),
+        sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("null_tp"),
+        countDistinct($"o_totalprice").as("nd_tp"),
+        min($"o_totalprice").as("min_tp"),
+        max($"o_totalprice").as("max_tp"),
+        sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("null_od"),
+        countDistinct($"o_orderdate").as("nd_od"),
+        unix_micros(min($"o_orderdate").cast("timestamp")).cast("double").as("min_od"),
+        unix_micros(max($"o_orderdate").cast("timestamp")).cast("double").as("max_od"),
+        sum(when($"o_orderpriority".isNull, 1L).otherwise(0L)).as("null_op"),
+        countDistinct($"o_orderpriority").as("nd_op"),
+        min($"o_orderpriority").as("smin_op"),
+        max($"o_orderpriority").as("smax_op"))
+    agg.selectExpr("n", """stack(6,
+        'o_orderkey',      null_ok, nd_ok, min_ok, max_ok, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_custkey',       null_ck, nd_ck, min_ck, max_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_orderstatus',   null_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smin_os, smax_os,
+        'o_totalprice',    null_tp, nd_tp, min_tp, max_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_orderdate',     null_od, nd_od, min_od, max_od, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        'o_orderpriority', null_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), smin_op, smax_op)
+        as (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""")
+      .select($"col_name", $"n", $"n_null", $"n_distinct",
+        $"min_num", $"max_num", $"min_str", $"max_str")
+      .orderBy($"col_name")
+  }
+
+  val q194Sql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ok,
+      |    COUNT(DISTINCT o_orderkey) AS nd_ok,
+      |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_ok,
+      |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_ok,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+      |    COUNT(DISTINCT o_custkey) AS nd_ck,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS min_ck,
+      |    CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
+      |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_os,
+      |    COUNT(DISTINCT o_orderstatus) AS nd_os,
+      |    MIN(o_orderstatus) AS smin_os, MAX(o_orderstatus) AS smax_os,
+      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+      |    COUNT(DISTINCT o_totalprice) AS nd_tp,
+      |    MIN(o_totalprice) AS min_tp, MAX(o_totalprice) AS max_tp,
+      |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_od,
+      |    COUNT(DISTINCT o_orderdate) AS nd_od,
+      |    CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS min_od,
+      |    CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS max_od,
+      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_op,
+      |    COUNT(DISTINCT o_orderpriority) AS nd_op,
+      |    MIN(o_orderpriority) AS smin_op, MAX(o_orderpriority) AS smax_op
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name, n, CAST(null_ok AS BIGINT) AS n_null,
+      |  nd_ok AS n_distinct, min_ok AS min_num, max_ok AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      |UNION ALL SELECT 'o_custkey', n, CAST(null_ck AS BIGINT), nd_ck,
+      |  min_ck, max_ck, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderstatus', n, CAST(null_os AS BIGINT), nd_os,
+      |  NULL, NULL, smin_os, smax_os FROM a
+      |UNION ALL SELECT 'o_totalprice', n, CAST(null_tp AS BIGINT), nd_tp,
+      |  min_tp, max_tp, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderdate', n, CAST(null_od AS BIGINT), nd_od,
+      |  min_od, max_od, NULL, NULL FROM a
+      |UNION ALL SELECT 'o_orderpriority', n, CAST(null_op AS BIGINT), nd_op,
+      |  NULL, NULL, smin_op, smax_op FROM a
+      |ORDER BY col_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q194_column_profile" -> (q194ColumnProfile _),
     "q159_ols_regression" -> (q159OlsRegression _),
     "q169_ols_two_feature" -> (q169Ols2 _),
     "q175_weighted_median" -> (q175WeightedMedian _),
@@ -1224,6 +1318,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q194_column_profile" -> q194Sql,
     "q159_ols_regression" -> q159Sql,
     "q169_ols_two_feature" -> q169Sql,
     "q175_weighted_median" -> q175Sql,

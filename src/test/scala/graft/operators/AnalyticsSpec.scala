@@ -831,6 +831,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q194: column profile matches per-column brute force") {
+    import spark.implicits._
+    val rows = Extended.q194ColumnProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size === 6)
+    val ord = graft.Util.table(spark, sf, "orders").collect()
+    assert(rows.values.forall(_.getAs[Long]("n") === ord.length.toLong))
+    val ck = ord.map(_.getAs[Long]("o_custkey"))
+    assert(rows("o_custkey").getAs[Long]("n_distinct") === ck.distinct.length)
+    assert(rows("o_custkey").getAs[Double]("min_num") === ck.min.toDouble)
+    assert(rows("o_custkey").getAs[Double]("max_num") === ck.max.toDouble)
+    assert(rows("o_custkey").getAs[Long]("n_null") === 0L)
+    val st = ord.map(_.getAs[String]("o_orderstatus"))
+    assert(rows("o_orderstatus").getAs[Long]("n_distinct") === st.distinct.length)
+    assert(rows("o_orderstatus").getAs[String]("min_str") === st.min)
+    assert(rows("o_orderstatus").getAs[String]("max_str") === st.max)
+    assert(rows("o_orderstatus").isNullAt(
+      rows("o_orderstatus").fieldIndex("min_num")))
+    val tp = ord.map(_.getAs[Double]("o_totalprice"))
+    assert(rows("o_totalprice").getAs[Double]("min_num") === tp.min)
+    assert(rows("o_totalprice").getAs[Double]("max_num") === tp.max)
+  }
+
+  test("q195: skew card HHI/top-share match brute-force user concentration") {
+    import spark.implicits._
+    val rows = EventOps.q195SkewCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val cs = ev(r.getAs[String]("event_type")).groupBy(_._2)
+        .values.map(_.length.toLong).toSeq
+      val n = cs.sum.toDouble
+      assert(r.getAs[Long]("n_users") === cs.length.toLong)
+      assert(r.getAs[Long]("n_events") === cs.sum)
+      assert(r.getAs[Long]("max_user_events") === cs.max)
+      val hhi = cs.map(c => (c / n) * (c / n)).sum
+      assert(math.abs(r.getAs[Double]("hhi") - hhi) < 1e-5)
+      assert(hhi >= 1.0 / cs.length - 1e-9 && hhi <= 1.0)
+      assert(math.abs(r.getAs[Double]("top_share") - cs.max / n) < 1e-6)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
