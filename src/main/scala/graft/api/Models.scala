@@ -81,6 +81,61 @@ object Models {
     df.withColumn(probCol, lit(1.0) / (lit(1.0) + exp(-eta)))
   }
 
+  /** Population covariance matrix of the first `dims` components of an
+    * array column — ONE aggregation over one scan producing d(d+1)/2
+    * pair sums + d means via `element_at` projections (no explode, no
+    * ×d² fanout; map-side partials, a d²-number shuffle state). The d×d
+    * matrix materializes on the driver where d is model-sized — the
+    * input [[pcaTopComponent]] and any whitening transform consume.
+    * q196 is the oracle-checked relational twin of these moments.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dims: Int): Array[Array[Double]] = {
+    require(dims >= 1, s"dims must be positive: $dims")
+    val proj = df.select((0 until dims).map(i =>
+      element_at(col(vecCol), i + 1).cast("double").as(s"x$i")): _*)
+    val aggs =
+      (for { i <- 0 until dims; j <- i until dims }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"s_${i}_$j")) ++
+        (0 until dims).map(i => sum(col(s"x$i")).as(s"m_$i")) :+
+        count(lit(1)).cast("double").as("n")
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Double]("n")
+    val cov = Array.ofDim[Double](dims, dims)
+    for { i <- 0 until dims; j <- i until dims } {
+      val v = row.getAs[Double](s"s_${i}_$j") / n -
+        (row.getAs[Double](s"m_$i") / n) * (row.getAs[Double](s"m_$j") / n)
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    cov
+  }
+
+  /** Top principal component of a symmetric PSD matrix by power
+    * iteration — runs on the driver (the matrix is model-sized; the
+    * DATA-sized work already happened in [[covarianceMatrix]]'s one
+    * scan). Deterministic all-ones init (valid unless the top eigvec is
+    * exactly orthogonal to 1, which a diagonal perturbation of real
+    * covariance data never is). Returns (unit eigenvector, eigenvalue);
+    * the sign is fixed by making the largest-magnitude component
+    * positive so results are reproducible.
+    */
+  def pcaTopComponent(cov: Array[Array[Double]],
+      iterations: Int = 100): (Array[Double], Double) = {
+    val d = cov.length
+    require(d >= 1 && cov.forall(_.length == d), "square matrix required")
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    (1 to iterations).foreach { _ =>
+      val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      require(norm > 1e-300, "zero matrix has no principal component")
+      v = av.map(_ / norm)
+      lambda = norm
+    }
+    val kmax = (0 until d).maxBy(i => math.abs(v(i)))
+    if (v(kmax) < 0) v = v.map(-_)
+    (v, lambda)
+  }
+
   /** Gaussian elimination with partial pivoting — d is model-sized. */
   private def solve(aIn: Array[Array[Double]], bIn: Array[Double]): Array[Double] = {
     val d = bIn.length

@@ -1629,7 +1629,82 @@ object EventOps {
       |    AS top_share
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q197: session-level funnel conversion — within each 30-minute-gap
+    * session ([[q29Sessionize]]'s exact island construction), did the
+    * user progress view → click → purchase in strict event-time order?
+    * The per-user funnel (q104) counts users who EVER converted; the
+    * session cut answers the sharper product question of converting in
+    * one sitting. Stage timestamps collapse to three conditional MINs
+    * per session (one hash agg over the sessionized frame — no
+    * per-stage self-joins), the ordered-containment test is two
+    * comparisons, and the report is one global rollup row.
+    */
+  def q197SessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000L
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val sess = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag($"ts_us", 1).over(wOrd))
+      .withColumn("is_new", when($"prev_ts".isNull ||
+        $"ts_us" - $"prev_ts" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = sess.groupBy($"user_id", $"session_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts_us")).as("tv"),
+        min(when($"event_type" === "click", $"ts_us")).as("tc"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tp"))
+    perSession.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when($"tv".isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"tv".isNotNull && $"tc".isNotNull && $"tv" < $"tc", 1L)
+          .otherwise(0L)).as("n_view_click"),
+        sum(when($"tv".isNotNull && $"tc".isNotNull && $"tp".isNotNull &&
+          $"tv" < $"tc" && $"tc" < $"tp", 1L).otherwise(0L)).as("n_full"))
+      .select($"n_sessions", $"n_view", $"n_view_click", $"n_full",
+        round($"n_view_click".cast("double") / $"n_view", 6)
+          .as("click_rate"),
+        round($"n_full".cast("double") / $"n_view", 6).as("conversion_rate"))
+  }
+
+  val q197Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, tsu,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN tsu END) AS tv,
+      |    MIN(CASE WHEN event_type = 'click' THEN tsu END) AS tc,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN tsu END) AS tp
+      |  FROM sess GROUP BY user_id, session_id),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_sessions,
+      |    SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+      |    SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tv < tc
+      |      THEN 1 ELSE 0 END) AS n_view_click,
+      |    SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+      |      AND tv < tc AND tc < tp THEN 1 ELSE 0 END) AS n_full
+      |  FROM per_session)
+      |SELECT n_sessions, CAST(n_view AS BIGINT) AS n_view,
+      |  CAST(n_view_click AS BIGINT) AS n_view_click,
+      |  CAST(n_full AS BIGINT) AS n_full,
+      |  ROUND(CAST(n_view_click AS DOUBLE) / CAST(n_view AS DOUBLE), 6)
+      |    AS click_rate,
+      |  ROUND(CAST(n_full AS DOUBLE) / CAST(n_view AS DOUBLE), 6)
+      |    AS conversion_rate
+      |FROM agg""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q197_session_conversion" -> (q197SessionConversion _),
     "q195_skew_card" -> (q195SkewCard _),
     "q193_asof_nearest" -> (q193AsofNearest _),
     "q188_bootstrap_ci" -> (q188BootstrapCi _),
@@ -1667,6 +1742,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q197_session_conversion" -> q197Sql,
     "q195_skew_card" -> q195Sql,
     "q193_asof_nearest" -> q193Sql,
     "q188_bootstrap_ci" -> q188Sql,

@@ -1128,7 +1128,53 @@ object SimilarityOps {
       |  ROUND(sqrt(dd), 6) AS l2_shift
       |FROM m JOIN cnt c USING (label) ORDER BY label""".stripMargin
 
+  /** q196: embedding covariance structure — the population covariance of
+    * the first 8 dimensions as (i, j, cov) upper-triangle rows, the
+    * input a PCA/whitening stage consumes
+    * ([[graft.api.Models.pcaTopComponent]] power-iterates the same
+    * moments driver-side). ONE aggregation over one scan produces all
+    * d(d+1)/2 pair sums + d means via `element_at` projections (no
+    * explode, no ×d² row fanout); the triangle rows unfold from the
+    * single agg row with `stack`. The cov closed form is written
+    * identically in both engines so the only cross-engine freedom is
+    * double-sum reassociation, absorbed by the 6-decimal round.
+    */
+  def q196EmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = 8
+    val proj = table(spark, dir, "embeddings")
+      .select((0 until dims).map(i =>
+        element_at($"embedding", i + 1).cast("double").as(s"x$i")): _*)
+    val pairAggs =
+      (for { i <- 0 until dims; j <- i until dims }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"s_${i}_$j")) ++
+        (0 until dims).map(i => sum(col(s"x$i")).as(s"m_$i")) :+
+        count(lit(1)).as("n")
+    val agg = proj.agg(pairAggs.head, pairAggs.tail: _*)
+    val entries = (for { i <- 0 until dims; j <- i until dims } yield
+      s"CAST($i AS BIGINT), CAST($j AS BIGINT), " +
+        s"ROUND(s_${i}_$j / n - (m_$i / n) * (m_$j / n), 6)").mkString(", ")
+    agg.selectExpr("n",
+        s"stack(${dims * (dims + 1) / 2}, $entries) as (i, j, cov)")
+      .select($"i", $"j", $"n", $"cov")
+      .orderBy($"i", $"j")
+  }
+
+  val q196Sql: String =
+    """WITH d AS (SELECT unnest(range(8)) AS i),
+      |pairs AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i),
+      |x AS (
+      |  SELECT p.i, p.j,
+      |    CAST(embedding[CAST(p.i + 1 AS INT)] AS DOUBLE) AS xi,
+      |    CAST(embedding[CAST(p.j + 1 AS INT)] AS DOUBLE) AS xj
+      |  FROM embeddings CROSS JOIN pairs p)
+      |SELECT i, j, COUNT(*) AS n,
+      |  ROUND(SUM(xi * xj) / COUNT(*)
+      |    - (SUM(xi) / COUNT(*)) * (SUM(xj) / COUNT(*)), 6) AS cov
+      |FROM x GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q196_embed_covariance" -> (q196EmbedCovariance _),
     "q186_centroid_shift" -> (q186CentroidShift _),
     "q173_embed_decon" -> (q173EmbedDecon _),
     "q164_knn_label_vote" -> (q164KnnLabelVote _),
@@ -1155,6 +1201,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q196_embed_covariance" -> q196Sql,
     "q186_centroid_shift" -> q186Sql,
     "q173_embed_decon" -> q173Sql,
     "q164_knn_label_vote" -> q164Sql,

@@ -66,4 +66,44 @@ class ModelsGraphSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
     assert(again === got)
   }
+
+  test("covarianceMatrix: matches brute-force population covariance; symmetric") {
+    import spark.implicits._
+    val rows = Seq(
+      Array(1.0f, 2.0f, 3.0f), Array(2.0f, 4.0f, 5.0f),
+      Array(3.0f, 6.0f, 8.0f), Array(0.0f, 1.0f, 2.0f),
+      Array(5.0f, 9.0f, 13.0f))
+    val df = rows.map(Tuple1(_)).toDF("emb")
+    val cov = Models.covarianceMatrix(df, "emb", 3)
+    val n = rows.length.toDouble
+    def mean(k: Int) = rows.map(_(k).toDouble).sum / n
+    for { i <- 0 until 3; j <- 0 until 3 } {
+      val want = rows.map(r => r(i).toDouble * r(j)).sum / n - mean(i) * mean(j)
+      assert(math.abs(cov(i)(j) - want) < 1e-9, s"cov($i)($j)")
+      assert(cov(i)(j) === cov(j)(i))
+    }
+  }
+
+  test("pcaTopComponent: returns the dominant eigenpair of a known matrix") {
+    // eigvalues 3 and 1, top eigvec (1,1)/√2
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (v, lambda) = Models.pcaTopComponent(a)
+    assert(math.abs(lambda - 3.0) < 1e-9)
+    assert(math.abs(v(0) - 1 / math.sqrt(2)) < 1e-9)
+    assert(math.abs(v(1) - 1 / math.sqrt(2)) < 1e-9)
+    // residual ‖Av − λv‖ ≈ 0 on the embeddings covariance too
+    val cov = Models.covarianceMatrix(
+      graft.Util.table(spark, sf, "embeddings"), "embedding", 8)
+    // random embeddings are near-isotropic (small eigengap), so power
+    // iteration needs more rounds and a method-appropriate tolerance
+    val (v8, l8) = Models.pcaTopComponent(cov, iterations = 2000)
+    assert(math.abs(v8.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    val res = (0 until 8).map { i =>
+      val av = (0 until 8).map(j => cov(i)(j) * v8(j)).sum
+      math.pow(av - l8 * v8(i), 2)
+    }.sum
+    assert(math.sqrt(res) < 1e-2 * math.max(l8, 1e-12), s"residual $res")
+    // λ must dominate the Rayleigh quotient of axis-aligned probes
+    (0 until 8).foreach(i => assert(l8 >= cov(i)(i) - 1e-9))
+  }
 }

@@ -876,6 +876,66 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q196: covariance rows match brute force; diagonal non-negative") {
+    import spark.implicits._
+    val rows = SimilarityOps.q196EmbedCovariance(spark, sf).collect()
+    assert(rows.length === 36)
+    val em = graft.Util.table(spark, sf, "embeddings")
+      .select($"embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    val n = em.length.toDouble
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      assert(r.getAs[Long]("n") === em.length.toLong)
+      val want = em.map(e => e(i) * e(j)).sum / n -
+        (em.map(_(i)).sum / n) * (em.map(_(j)).sum / n)
+      assert(math.abs(r.getAs[Double]("cov") - want) < 1e-4, s"cov($i,$j)")
+      if (i == j) assert(r.getAs[Double]("cov") >= -1e-9)
+    }
+  }
+
+  test("q197: session conversion matches brute-force sessionized funnel") {
+    import spark.implicits._
+    val row = EventOps.q197SessionConversion(spark, sf).collect().head
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    var (nSess, nView, nVC, nFull) = (0L, 0L, 0L, 0L)
+    ev.values.foreach { xs =>
+      val sorted = xs.sortBy(e => (e._2, e._3))
+      var sessions = Seq.newBuilder[Seq[(Long, String)]]
+      var cur = List.empty[(Long, String)]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._2 - prev > 1800000000L) {
+          sessions += cur.reverse; cur = Nil
+        }
+        cur = (e._2, e._4) :: cur; prev = e._2
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      sessions.result().foreach { s =>
+        nSess += 1
+        def first(t: String) = s.filter(_._2 == t).map(_._1).minOption
+        (first("view"), first("click"), first("purchase")) match {
+          case (Some(tv), tcO, tpO) =>
+            nView += 1
+            if (tcO.exists(tv < _)) {
+              nVC += 1
+              if (tpO.exists(tp => tcO.exists(tc => tv < tc && tc < tp))) nFull += 1
+            }
+          case _ => ()
+        }
+      }
+    }
+    assert(row.getAs[Long]("n_sessions") === nSess)
+    assert(row.getAs[Long]("n_view") === nView)
+    assert(row.getAs[Long]("n_view_click") === nVC)
+    assert(row.getAs[Long]("n_full") === nFull)
+    assert(math.abs(row.getAs[Double]("conversion_rate")
+      - nFull.toDouble / nView) < 1e-5)
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
