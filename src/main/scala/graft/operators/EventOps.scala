@@ -1703,7 +1703,115 @@ object EventOps {
       |    AS conversion_rate
       |FROM agg""".stripMargin
 
+  /** q198: user growth curve — new users per day (first-seen attribution)
+    * and the cumulative registered-user count. The corpus collapses to
+    * one (user, first_day) row via a min-aggregation — no window ever
+    * sees event rows — then the growth curve is a daily rollup plus one
+    * cumulative sum over the calendar-bounded frame. The companion to
+    * [[q187RollingDistinct]]'s rolling reach: reach says who's active,
+    * growth says who's NEW.
+    */
+  def q198UserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("first_day"))
+    firstSeen.groupBy($"first_day".as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_total",
+        sum($"n_new").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"day")
+  }
+
+  val q198Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+      |  FROM events GROUP BY user_id),
+      |daily AS (
+      |  SELECT first_day AS day, COUNT(*) AS n_new FROM fs GROUP BY 1)
+      |SELECT day, n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_total
+      |FROM daily ORDER BY day""".stripMargin
+
+  /** q199: view→purchase conversion latency — per user, the gap from
+    * FIRST view to FIRST purchase after it, rolled up per purchase-day
+    * cohort: conversions, exact mean/min/max latency. Stage firsts are
+    * two conditional MINs in one per-user aggregation (no self-join);
+    * gaps are exact integer micros, so the rollup is integer moments +
+    * one IEEE division.
+    */
+  def q199ConvertLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts_us")).as("tv"),
+        min(when($"event_type" === "purchase", $"ts_us")).as("tp"))
+      .filter($"tv".isNotNull && $"tp".isNotNull && $"tv" < $"tp")
+      .select($"user_id", ($"tp" - $"tv").as("gap_us"),
+        expr("tp div 86400000000").as("day"))
+    perUser.groupBy($"day")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(avg($"gap_us"), 2).as("mean_gap_us"),
+        min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"))
+      .orderBy($"day")
+  }
+
+  val q199Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY user_id),
+      |conv AS (
+      |  SELECT user_id, tp - tv AS gap_us, tp // 86400000000 AS day
+      |  FROM pu WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp)
+      |SELECT day, COUNT(*) AS n_converted,
+      |  ROUND(AVG(gap_us), 2) AS mean_gap_us,
+      |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+      |FROM conv GROUP BY day ORDER BY day""".stripMargin
+
+  /** q200: decayed engagement score — per user, Σ value·e^((t−T)/τ)
+    * with τ = 7 days and T the corpus max timestamp: recent activity
+    * counts fully, week-old activity ≈ 37%. T rides in as a broadcast
+    * one-row cross join (never a window over events); the decay weight
+    * is a narrow per-row expression feeding one hash aggregation, and
+    * the top-20 ranks on the 6-decimal-ROUNDED score (ties → user_id)
+    * so cross-engine `exp` ulps can't reorder the cut.
+    */
+  def q200DecayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tauUs = 7.0 * 86400000000.0
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val tMax = ev.agg(max($"ts_us").as("t_max"))
+    ev.crossJoin(broadcast(tMax))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value" * exp(($"ts_us" - $"t_max") / tauUs)), 6)
+          .as("score"))
+      .orderBy($"score".desc, $"user_id")
+      .limit(20)
+  }
+
+  val q200Sql: String =
+    """WITH t AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(SUM(value * exp((epoch_us(ts) - t_max) / 604800000000.0)), 6)
+      |    AS score
+      |FROM events CROSS JOIN t
+      |GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q198_user_growth" -> (q198UserGrowth _),
+    "q199_convert_latency" -> (q199ConvertLatency _),
+    "q200_decayed_engagement" -> (q200DecayedEngagement _),
     "q197_session_conversion" -> (q197SessionConversion _),
     "q195_skew_card" -> (q195SkewCard _),
     "q193_asof_nearest" -> (q193AsofNearest _),
@@ -1742,6 +1850,9 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q198_user_growth" -> q198Sql,
+    "q199_convert_latency" -> q199Sql,
+    "q200_decayed_engagement" -> q200Sql,
     "q197_session_conversion" -> q197Sql,
     "q195_skew_card" -> q195Sql,
     "q193_asof_nearest" -> q193Sql,

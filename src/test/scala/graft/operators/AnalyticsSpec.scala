@@ -936,6 +936,75 @@ class AnalyticsSpec extends SparkSpec {
       - nFull.toDouble / nView) < 1e-5)
   }
 
+  test("q198: growth curve matches brute-force first-seen; cumulative is monotone") {
+    import spark.implicits._
+    val rows = EventOps.q198UserGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fs = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).min) }
+    val daily = fs.values.groupBy(identity).map { case (d, g) => (d, g.size.toLong) }
+    assert(rows.length === daily.size)
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("day")).foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert(r.getAs[Long]("n_new") === daily(d))
+      cum += daily(d)
+      assert(r.getAs[Long]("n_total") === cum)
+    }
+    assert(cum === fs.size.toLong, "cumulative ends at the user count")
+  }
+
+  test("q199: conversion latency matches brute-force first-view/first-purchase gaps") {
+    import spark.implicits._
+    val rows = EventOps.q199ConvertLatency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getString(2)))
+      .groupBy(_._1)
+    val conv = ev.values.flatMap { xs =>
+      val tv = xs.filter(_._3 == "view").map(_._2).minOption
+      val tp = xs.filter(_._3 == "purchase").map(_._2).minOption
+      (tv, tp) match {
+        case (Some(v), Some(p)) if v < p => Some((p / 86400000000L, p - v))
+        case _ => None
+      }
+    }.toSeq.groupBy(_._1)
+    assert(rows.length === conv.size)
+    rows.foreach { r =>
+      val gaps = conv(r.getAs[Long]("day")).map(_._2)
+      assert(r.getAs[Long]("n_converted") === gaps.length.toLong)
+      assert(r.getAs[Long]("min_gap_us") === gaps.min)
+      assert(r.getAs[Long]("max_gap_us") === gaps.max)
+      assert(math.abs(r.getAs[Double]("mean_gap_us")
+        - gaps.sum.toDouble / gaps.length) < 1.0)
+    }
+  }
+
+  test("q200: decayed engagement matches the brute-force exponential sum; top-20 ordered") {
+    import spark.implicits._
+    val rows = EventOps.q200DecayedEngagement(spark, sf).collect()
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getDouble(2)))
+    val tMax = ev.map(_._2).max
+    val scores = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(x => x._3 * math.exp((x._2 - tMax) / 604800000000.0)).sum)
+    }
+    assert(rows.length === math.min(20, scores.size))
+    val want = scores.toSeq
+      .map { case (u, s) => (u, math.rint(s * 1e6) / 1e6) }
+      .sortBy { case (u, s) => (-s, u) }.take(20)
+    rows.zip(want).foreach { case (r, (u, s)) =>
+      assert(r.getAs[Long]("user_id") === u)
+      assert(math.abs(r.getAs[Double]("score") - s) < 1e-4)
+    }
+    val got = rows.map(_.getAs[Double]("score"))
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
