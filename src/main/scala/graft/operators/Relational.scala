@@ -1053,7 +1053,59 @@ object Relational {
       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY 1 ORDER BY o_year""".stripMargin
 
+  /** q201: sole-returning supplier (the TPC-H Q21 double-correlation
+    * shape) — suppliers who returned an item in multi-supplier orders
+    * where NO other supplier returned: a correlated EXISTS (another
+    * supplier participated) plus a correlated NOT EXISTS (no other
+    * supplier returned), re-expressed Spark-first as one LEFT SEMI and
+    * one LEFT ANTI join over the distinct (order, supplier)
+    * participation pairs. Both joins are equi on the order key with a
+    * supplier-inequality residual — hash joins, never a cartesian — and
+    * the pair frames are distinct-collapsed BEFORE joining so the join
+    * inputs are |participations|, not line items.
+    */
+  def q201SoleReturner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    val pairs = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val all = li.select($"l_orderkey", $"l_suppkey").distinct()
+    val withOther = pairs.as("p").join(all.as("a"),
+      $"p.l_orderkey" === $"a.l_orderkey" &&
+        $"p.l_suppkey" =!= $"a.l_suppkey", "left_semi")
+    val sole = withOther.as("p").join(pairs.as("r"),
+      $"p.l_orderkey" === $"r.l_orderkey" &&
+        $"p.l_suppkey" =!= $"r.l_suppkey", "left_anti")
+    val supp = rawTable(spark, dir, "supplier").select($"s_suppkey", $"s_name")
+    sole.groupBy($"l_suppkey").agg(count(lit(1)).as("n_sole_return_orders"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_sole_return_orders")
+      .orderBy($"n_sole_return_orders".desc, $"s_suppkey")
+      .limit(20)
+  }
+
+  val q201Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  WHERE l_returnflag = 'R'),
+      |alls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |sole AS (
+      |  SELECT p.l_orderkey, p.l_suppkey FROM pairs p
+      |  WHERE EXISTS (
+      |      SELECT 1 FROM alls a
+      |      WHERE a.l_orderkey = p.l_orderkey
+      |        AND a.l_suppkey <> p.l_suppkey)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM pairs r
+      |      WHERE r.l_orderkey = p.l_orderkey
+      |        AND r.l_suppkey <> p.l_suppkey))
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_sole_return_orders
+      |FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2 ORDER BY n_sole_return_orders DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q201_sole_returner" -> (q201SoleReturner _),
     "q190_market_share" -> (q190MarketShare _),
     "q111_integrity_audit" -> (q111IntegrityAudit _),
     "q112_returned_revenue" -> (q112ReturnedRevenue _),
@@ -1093,6 +1145,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q201_sole_returner" -> q201Sql,
     "q190_market_share" -> q190Sql,
     "q111_integrity_audit" -> q111Sql,
     "q112_returned_revenue" -> q112Sql,

@@ -1005,6 +1005,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.zip(got.tail).forall { case (a, b) => a >= b }, "descending")
   }
 
+  test("q201: sole-returner matches brute-force EXISTS/NOT-EXISTS semantics") {
+    import spark.implicits._
+    val rows = Relational.q201SoleReturner(spark, sf).collect()
+    val li = graft.Util.table(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val allPairs = li.map(x => (x._1, x._2)).distinct.groupBy(_._1)
+    val rPairs = li.filter(_._3 == "R").map(x => (x._1, x._2)).distinct
+    val rByOrder = rPairs.groupBy(_._1)
+    val counts = rPairs.filter { case (o, s) =>
+      allPairs(o).exists(_._2 != s) && !rByOrder(o).exists(_._2 != s)
+    }.groupBy(_._2).map { case (s, g) => (s, g.length.toLong) }
+    val want = counts.toSeq.sortBy { case (s, n) => (-n, s) }.take(20)
+    assert(rows.length === math.min(20, counts.size))
+    rows.zip(want).foreach { case (r, (s, n)) =>
+      assert(r.getAs[Long]("s_suppkey") === s)
+      assert(r.getAs[Long]("n_sole_return_orders") === n)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()

@@ -582,6 +582,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "p_type/r_name filters must reach the scans")
   }
 
+  test("q201: EXISTS/NOT-EXISTS correlation is semi+anti hash joins, never a cartesian") {
+    val p = planOf(graft.operators.Relational.q201SoleReturner(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "supplier-inequality residual must ride an equi hash join")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
   test("q184: fuzzy matching pairs via block equi-join, never a cartesian") {
     val p = planOf(graft.operators.DedupOps.q184FuzzyBlockJoin(spark, sf))
     assert(!p.contains("CartesianProduct"), "blocked self-join must stay equi")
