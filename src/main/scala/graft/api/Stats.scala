@@ -412,6 +412,49 @@ object Stats {
           .as("ewma"))
   }
 
+  /** Replay-idempotent per-batch (key, min-day) append — the mergeable
+    * state behind [[growthReport]] and
+    * [[graft.streaming.StreamOps.growthIngestStream]]. MIN is
+    * associative, so each batch contributes one candidate first-day per
+    * key it saw and the report folds candidates across batches — the
+    * table stays |keys seen| × |batches| rows regardless of stream
+    * volume, and re-delivered batchIds append nothing.
+    */
+  def appendFirstSeenIdempotent(batch: DataFrame, path: String,
+      keyCol: String, dayCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      batch.groupBy(col(keyCol).as("k"))
+        .agg(min(col(dayCol).cast("long")).as("first_day"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Growth curve over everything ingested so far — new keys per
+    * first-seen day + cumulative total, from the merged per-batch
+    * candidates (min across batches = true first sighting). The live
+    * twin of [[graft.operators.EventOps.q198UserGrowth]]: identical
+    * result on identical data, whatever the micro-batch cut. Reads only
+    * the first-seen table.
+    */
+  def growthReport(spark: SparkSession, path: String): DataFrame = {
+    val firstSeen = spark.read.parquet(path)
+      .groupBy(col("k")).agg(min(col("first_day")).as("first_day"))
+    firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("n_total",
+        sum(col("n_new")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   private def tempStatsDir(): String =
     java.nio.file.Files.createTempDirectory("graft_stats_").toString
 

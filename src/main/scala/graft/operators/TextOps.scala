@@ -1510,7 +1510,68 @@ object TextOps {
       |    / (CAST(st AS DOUBLE) / n_docs), 6) AS vmr
       |FROM m ORDER BY vmr DESC, token LIMIT 20""".stripMargin
 
+  /** q202: language × source independence test — the full r×c
+    * chi-squared contingency analysis (q182 is the 2-cohort special
+    * case): is the language mix the same across crawl sources? Per-cell
+    * standardized residuals name WHICH (source, lang) cell drives the
+    * dependence — the actionable part of the card. Observed counts are
+    * one hash agg; margins ride two broadcast-sized frames back in; the
+    * statistic sums ROUNDED cell contributions over the |cells| frame.
+    * dof = (r−1)(c−1).
+    */
+  def q202LangSourceIndependence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val obs = table(spark, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+    val wAll = Window.partitionBy()
+    val wSrc = Window.partitionBy($"source")
+    val wLang = Window.partitionBy($"lang")
+    val scored = obs
+      .withColumn("n", sum($"o").over(wAll))
+      .withColumn("rs", sum($"o").over(wSrc))
+      .withColumn("cs", sum($"o").over(wLang))
+      .withColumn("e", $"rs".cast("double") * $"cs" / $"n")
+      .withColumn("part", round(($"o" - $"e") * ($"o" - $"e") / $"e", 6))
+      .withColumn("std_residual", round(($"o" - $"e") / sqrt($"e"), 4))
+      .withColumn("n_src",
+        size(collect_set($"source").over(wAll)).cast("long"))
+      .withColumn("n_lang", size(collect_set($"lang").over(wAll)).cast("long"))
+    scored
+      .withColumn("chi2_total", round(sum($"part").over(wAll), 4))
+      .select($"source", $"lang", $"o".as("n_docs"),
+        round($"e", 4).as("expected"), $"std_residual",
+        $"chi2_total", (($"n_src" - 1) * ($"n_lang" - 1)).as("dof"))
+      .orderBy($"source", $"lang")
+  }
+
+  val q202Sql: String =
+    """WITH obs AS (
+      |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT source, lang, o,
+      |    SUM(o) OVER () AS n,
+      |    SUM(o) OVER (PARTITION BY source) AS rs,
+      |    SUM(o) OVER (PARTITION BY lang) AS cs,
+      |    COUNT(DISTINCT source) OVER () AS n_src,
+      |    COUNT(DISTINCT lang) OVER () AS n_lang
+      |  FROM obs),
+      |enriched AS (
+      |  SELECT source, lang, o,
+      |    CAST(rs AS DOUBLE) * cs / n AS e, n_src, n_lang,
+      |    ROUND((o - CAST(rs AS DOUBLE) * cs / n)
+      |      * (o - CAST(rs AS DOUBLE) * cs / n)
+      |      / (CAST(rs AS DOUBLE) * cs / n), 6) AS part
+      |  FROM scored)
+      |SELECT source, lang, CAST(o AS BIGINT) AS n_docs,
+      |  ROUND(e, 4) AS expected,
+      |  ROUND((o - e) / sqrt(e), 4) AS std_residual,
+      |  ROUND(SUM(part) OVER (), 4) AS chi2_total,
+      |  CAST((n_src - 1) * (n_lang - 1) AS BIGINT) AS dof
+      |FROM enriched ORDER BY source, lang""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q202_lang_source_independence" -> (q202LangSourceIndependence _),
     "q191_token_burstiness" -> (q191TokenBurstiness _),
     "q185_doc_top_term" -> (q185DocTopTerm _),
     "q160_zipf_slope" -> (q160ZipfSlope _),
@@ -1623,6 +1684,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q202_lang_source_independence" -> q202Sql,
     "q191_token_burstiness" -> q191Sql,
     "q185_doc_top_term" -> q185Sql,
     "q160_zipf_slope" -> q160Sql,

@@ -263,6 +263,23 @@ object StreamOps {
         keyCol, dayCol, batchId)
     }
 
+  /** Live user-growth maintenance — each micro-batch appends its
+    * per-key min first-day candidates (replay-idempotent);
+    * [[graft.api.Stats.growthReport]] folds candidates with a MIN merge
+    * so the growth curve equals the batch q198 on identical data
+    * regardless of micro-batch boundaries or out-of-order key
+    * reappearances. State: |keys seen| × |batches| rows — never the
+    * events. Returns the configured writer; the caller sets
+    * checkpoint/trigger options and `.start()`.
+    */
+  def growthIngestStream(values: DataFrame, path: String,
+      keyCol: String,
+      dayCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendFirstSeenIdempotent(batch.toDF(), path,
+        keyCol, dayCol, batchId)
+    }
+
   /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
     * for discrete columns: each micro-batch appends its per-category
     * counts (replay-idempotent) against a frozen

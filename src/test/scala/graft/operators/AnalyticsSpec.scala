@@ -1025,6 +1025,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q202: contingency independence matches brute-force margins and residuals") {
+    import spark.implicits._
+    val rows = TextOps.q202LangSourceIndependence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select($"source", $"lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val rs = docs.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val cs = docs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    assert(rows.length === cells.size)
+    var total = 0.0
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val o = cells(key)
+      val e = rs(key._1) * cs(key._2) / n
+      assert(r.getAs[Long]("n_docs") === o.toLong)
+      assert(math.abs(r.getAs[Double]("expected") - e) < 1e-3)
+      assert(math.abs(r.getAs[Double]("std_residual")
+        - (o - e) / math.sqrt(e)) < 1e-3)
+      assert(r.getAs[Long]("dof") === (rs.size - 1L) * (cs.size - 1L))
+      total += (o - e) * (o - e) / e
+    }
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("chi2_total") - total) < 1e-2))
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()

@@ -1113,6 +1113,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(countsPath).count() === before)
   }
 
+  test("growthIngestStream: min-merged first sightings reproduce the batch growth curve; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("growth-stream").toString
+    val path = s"$base/first_seen"
+
+    // key "a" reappears in batch 2 with an EARLIER day (out-of-order
+    // delivery) — the min merge must move its first sighting back
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.growthIngestStream(mem.toDF(), path, "k", "v").start()
+    mem.addData(KV("a", 5.0), KV("a", 7.0), KV("b", 5.0))
+    q.processAllAvailable()
+    mem.addData(KV("a", 3.0), KV("c", 6.0), KV("b", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.api.Stats.growthReport(spark, path).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_total"))).toMap
+    // first sightings: a→3, b→5, c→6
+    assert(got === Map(3L -> (1L, 1L), 5L -> (1L, 2L), 6L -> (1L, 3L)))
+
+    val before = spark.read.parquet(path).count()
+    graft.api.Stats.appendFirstSeenIdempotent(
+      Seq(KV("z", 1.0)).toDF("k", "v"), path, "k", "v", batchId = 0L)
+    assert(spark.read.parquet(path).count() === before,
+      "replayed batchId must not append")
+  }
+
   test("psiIngestStream: frozen-edge bin counts merge across batches; report matches brute force; replay appends once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("psi-stream").toString
