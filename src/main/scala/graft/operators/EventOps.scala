@@ -1808,7 +1808,99 @@ object EventOps {
       |FROM events CROSS JOIN t
       |GROUP BY user_id ORDER BY score DESC, user_id LIMIT 20""".stripMargin
 
+  /** q203: seasonal-naive forecast backtest — predict each day's volume
+    * per type as "same weekday last week" (the forecast every anomaly
+    * detector should have to beat) and score MAE / MAPE / bias over the
+    * evaluable days. The forecast join is an equi-join of the daily
+    * frame to itself on day−7 (calendar-bounded, no window state);
+    * errors are exact integer differences, the scores one IEEE division
+    * each. A model that can't beat q203's numbers has no business
+    * paging anyone.
+    */
+  def q203SeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    daily.as("t").join(daily.as("p"),
+        $"t.event_type" === $"p.event_type" && $"p.day" === $"t.day" - 7)
+      .select($"t.event_type".as("event_type"),
+        $"t.c".as("actual"), $"p.c".as("forecast"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(avg(abs($"actual" - $"forecast")), 4).as("mae"),
+        round(avg(abs($"actual" - $"forecast").cast("double") / $"actual"), 6)
+          .as("mape"),
+        round(avg(($"forecast" - $"actual").cast("double")), 4).as("bias"))
+      .orderBy($"event_type")
+  }
+
+  val q203Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT t.event_type, t.c AS actual, p.c AS forecast
+      |  FROM daily t JOIN daily p
+      |    ON p.event_type = t.event_type AND p.day = t.day - 7)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  ROUND(AVG(ABS(actual - forecast)), 4) AS mae,
+      |  ROUND(AVG(CAST(ABS(actual - forecast) AS DOUBLE) / actual), 6)
+      |    AS mape,
+      |  ROUND(AVG(CAST(forecast - actual AS DOUBLE)), 4) AS bias
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q204: Theil–Sen robust trend — the MEDIAN of all pairwise daily
+    * slopes per event type, the outlier-proof answer to "is volume
+    * growing?" that one burst day can't hijack (unlike q159's
+    * least-squares). The pairwise frame is calendar-bounded (|days|²/2
+    * pairs of DAILY rows — never event rows), the slopes are exact
+    * integer differences divided once (IEEE), and the median picks the
+    * lower-middle element by rank — engine-identical without an
+    * interpolation contract.
+    */
+  def q204TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .select($"a.event_type".as("event_type"),
+        (($"b.c" - $"a.c").cast("double") / ($"b.day" - $"a.day"))
+          .as("slope"))
+    val w = Window.partitionBy($"event_type").orderBy($"slope")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"n".as("n_pairs"),
+        round($"slope", 6).as("theilsen_slope"))
+      .orderBy($"event_type")
+  }
+
+  val q204Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |ranked AS (
+      |  SELECT event_type, slope,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM slopes)
+      |SELECT event_type, n AS n_pairs, ROUND(slope, 6) AS theilsen_slope
+      |FROM ranked WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q203_seasonal_naive" -> (q203SeasonalNaive _),
+    "q204_theil_sen" -> (q204TheilSen _),
     "q198_user_growth" -> (q198UserGrowth _),
     "q199_convert_latency" -> (q199ConvertLatency _),
     "q200_decayed_engagement" -> (q200DecayedEngagement _),
@@ -1850,6 +1942,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q203_seasonal_naive" -> q203Sql,
+    "q204_theil_sen" -> q204Sql,
     "q198_user_growth" -> q198Sql,
     "q199_convert_latency" -> q199Sql,
     "q200_decayed_engagement" -> q200Sql,

@@ -1053,6 +1053,49 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("chi2_total") - total) < 1e-2))
   }
 
+  test("q203: seasonal-naive backtest matches brute-force day-7 forecasts") {
+    import spark.implicits._
+    val rows = EventOps.q203SeasonalNaive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => ((t, d), v.length.toLong) }
+    val byType = daily.groupBy(_._1._1)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val m = byType(t).map { case ((_, d), c) => (d, c) }
+      val pairs = m.toSeq.flatMap { case (d, c) =>
+        m.get(d - 7).map(f => (c, f))
+      }
+      assert(r.getAs[Long]("n_days") === pairs.length.toLong)
+      val mae = pairs.map { case (a, f) => math.abs(a - f).toDouble }.sum / pairs.length
+      val mape = pairs.map { case (a, f) => math.abs(a - f).toDouble / a }.sum / pairs.length
+      assert(math.abs(r.getAs[Double]("mae") - mae) < 1e-3)
+      assert(math.abs(r.getAs[Double]("mape") - mape) < 1e-4)
+    }
+  }
+
+  test("q204: Theil-Sen slope is the brute-force median pairwise slope") {
+    import spark.implicits._
+    val rows = EventOps.q204TheilSen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = daily(r.getAs[String]("event_type")).map(x => (x._2, x._3)).toSeq
+      val slopes = (for {
+        a <- xs; b <- xs if a._1 < b._1
+      } yield (b._2 - a._2).toDouble / (b._1 - a._1)).sorted
+      assert(r.getAs[Long]("n_pairs") === slopes.length.toLong)
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      assert(math.abs(r.getAs[Double]("theilsen_slope") - med) < 1e-5)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
