@@ -1201,7 +1201,57 @@ object DedupOps {
       |  COUNT(*) AS n_groups, ROUND(AVG(entropy), 4) AS avg_entropy
       |FROM perGroup GROUP BY 1, 2 ORDER BY group_size, n_sources""".stripMargin
 
+  /** q206: dedup savings estimate — the "what does dedup buy us" card:
+    * token volume the corpus sheds if every head-fingerprint duplicate
+    * group ([[q192DupSourcePurity]]'s key) keeps only its lowest-id
+    * member. Token counts ride the same split-filter census the text
+    * family uses; keeper selection is a min-aggregation per group (no
+    * ranked window); the report is one global rollup row. The number a
+    * platform team multiplies by per-token training cost before
+    * approving the dedup pass.
+    */
+  def q206DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .select($"doc_id",
+        md5(lower(substring($"text", 1, 40))).as("grp"),
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"grp")
+    d.withColumn("keeper", min($"doc_id").over(w))
+      .withColumn("is_dropped", $"doc_id" =!= $"keeper")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"is_dropped", 1L).otherwise(0L)).as("n_dropped_docs"),
+        sum($"n_tokens").as("tokens_total"),
+        sum(when($"is_dropped", $"n_tokens").otherwise(0L))
+          .as("tokens_dropped"))
+      .select($"n_docs", $"n_dropped_docs", $"tokens_total", $"tokens_dropped",
+        round($"tokens_dropped".cast("double") / $"tokens_total", 6)
+          .as("pct_tokens_saved"))
+  }
+
+  val q206Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(lower(substring(text, 1, 40))) AS grp,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |k AS (
+      |  SELECT d.*, MIN(doc_id) OVER (PARTITION BY grp) AS keeper FROM d)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN n_tokens ELSE 0 END)
+      |    AS BIGINT) AS tokens_dropped,
+      |  ROUND(CAST(SUM(CASE WHEN doc_id <> keeper THEN n_tokens ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS DOUBLE), 6) AS pct_tokens_saved
+      |FROM k""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q206_dedup_savings" -> (q206DedupSavings _),
     "q192_dup_source_purity" -> (q192DupSourcePurity _),
     "q184_fuzzy_block_join" -> (q184FuzzyBlockJoin _),
     "q141_triangle_counts" -> (q141TriangleCounts _),
@@ -1227,6 +1277,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q206_dedup_savings" -> q206Sql,
     "q192_dup_source_purity" -> q192Sql,
     "q184_fuzzy_block_join" -> q184Sql,
     "q144_cluster_reps" -> q144Sql,

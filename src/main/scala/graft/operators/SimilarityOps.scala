@@ -1173,7 +1173,53 @@ object SimilarityOps {
       |    - (SUM(xi) / COUNT(*)) * (SUM(xj) / COUNT(*)), 6) AS cov
       |FROM x GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  /** q205: embedding quality audit — per label: vector count, dimension
+    * agreement, zero/NaN pathology counts, and the L2-norm
+    * min/mean/max. The audit every ANN index build should run first:
+    * zero vectors poison cosine scoring (division by zero), NaNs
+    * propagate silently, and a norm distribution far from 1 flags a
+    * missing normalization step upstream. Norms fold left-to-right via
+    * the same higher-order `aggregate` contract the dot-product kernels
+    * use, so they hash-match the oracle's list fold exactly; everything
+    * else is conditional counting in ONE pass.
+    */
+  def q205EmbedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = table(spark, dir, "embeddings")
+      .withColumn("dim", size($"embedding"))
+      .withColumn("norm2", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("has_nan", expr("exists(embedding, x -> isnan(x))"))
+    e.groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct($"dim").as("n_dims_seen"),
+        sum(when($"norm2" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when($"has_nan", 1L).otherwise(0L)).as("n_nan"),
+        round(min(sqrt($"norm2")), 6).as("min_norm"),
+        round(avg(sqrt($"norm2")), 6).as("mean_norm"),
+        round(max(sqrt($"norm2")), 6).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  val q205Sql: String =
+    """WITH e AS (
+      |  SELECT label, len(embedding) AS dim,
+      |    list_aggregate(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS norm2,
+      |    len(list_filter(embedding, x -> isnan(x))) > 0 AS has_nan
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  COUNT(DISTINCT dim) AS n_dims_seen,
+      |  CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+      |  ROUND(MIN(sqrt(norm2)), 6) AS min_norm,
+      |  ROUND(AVG(sqrt(norm2)), 6) AS mean_norm,
+      |  ROUND(MAX(sqrt(norm2)), 6) AS max_norm
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q205_embed_quality" -> (q205EmbedQuality _),
     "q196_embed_covariance" -> (q196EmbedCovariance _),
     "q186_centroid_shift" -> (q186CentroidShift _),
     "q173_embed_decon" -> (q173EmbedDecon _),
@@ -1201,6 +1247,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q205_embed_quality" -> q205Sql,
     "q196_embed_covariance" -> q196Sql,
     "q186_centroid_shift" -> q186Sql,
     "q173_embed_decon" -> q173Sql,

@@ -1096,6 +1096,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q205: embedding audit matches brute-force norms and pathology counts") {
+    import spark.implicits._
+    val rows = SimilarityOps.q205EmbedQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val em = graft.Util.table(spark, sf, "embeddings")
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Float]](1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = em(r.getAs[Int]("label")).map(_._2)
+      assert(r.getAs[Long]("n_vecs") === xs.length.toLong)
+      assert(r.getAs[Long]("n_dims_seen") === xs.map(_.length).distinct.length)
+      val norms = xs.map(v =>
+        math.sqrt(v.map(x => x.toDouble * x).sum))
+      assert(r.getAs[Long]("n_zero") === norms.count(_ == 0.0).toLong)
+      assert(r.getAs[Long]("n_nan") === xs.count(_.exists(_.isNaN)).toLong)
+      assert(math.abs(r.getAs[Double]("mean_norm")
+        - norms.sum / norms.length) < 1e-4)
+      assert(math.abs(r.getAs[Double]("min_norm") - norms.min) < 1e-5)
+      assert(math.abs(r.getAs[Double]("max_norm") - norms.max) < 1e-5)
+    }
+  }
+
+  test("q206: dedup savings matches brute-force keeper accounting") {
+    import spark.implicits._
+    val row = DedupOps.q206DedupSavings(spark, sf).collect().head
+    val docs = graft.Util.table(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val head = r.getString(1).take(40).toLowerCase
+        (r.getLong(0), head, r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      }
+    val keepers = docs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val dropped = docs.filter(d => keepers(d._2) != d._1)
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(row.getAs[Long]("n_dropped_docs") === dropped.length.toLong)
+    assert(row.getAs[Long]("tokens_total") === docs.map(_._3).sum)
+    assert(row.getAs[Long]("tokens_dropped") === dropped.map(_._3).sum)
+    assert(math.abs(row.getAs[Double]("pct_tokens_saved")
+      - dropped.map(_._3).sum.toDouble / docs.map(_._3).sum) < 1e-6)
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
