@@ -1898,7 +1898,60 @@ object EventOps {
       |FROM ranked WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q207: behavioral predictability — the Markov transition entropy
+    * H(next | current) per event type, from per-user consecutive event
+    * pairs ([[q146NextEventPairs]]'s extraction): a type whose
+    * followers are near-uniform (H ≈ ln 5) carries no signal for
+    * next-event prediction; H ≈ 0 means the journey is deterministic.
+    * Pair extraction is one user-keyed window (`lead`), the transition
+    * table is |types|² counts, and the entropy is one ln expression per
+    * transition row — everything after the pair frame is
+    * state-space-bounded. The argmax follower rides along via the
+    * bounded-state `max_by`.
+    */
+  def q207TransitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val pairs = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type".as("cur"), $"nxt")
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy($"cur")
+    pairs.withColumn("n", sum($"c").over(wc))
+      .groupBy($"cur")
+      .agg(
+        max($"n").as("n_pairs"),
+        count(lit(1)).as("n_followers"),
+        round(-sum(($"c" / $"n") * log($"c" / $"n")), 4).as("entropy"),
+        max_by($"nxt", concat(lpad($"c".cast("string"), 20, "0"),
+          lit("|"), $"nxt")).as("top_follower"),
+        max($"c").as("top_count"))
+      .orderBy($"cur")
+  }
+
+  val q207Sql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS cur,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |t AS (
+      |  SELECT cur, nxt, COUNT(*) AS c FROM pairs
+      |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT cur, nxt, c, SUM(c) OVER (PARTITION BY cur) AS n FROM t)
+      |SELECT cur, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |  COUNT(*) AS n_followers,
+      |  ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4)
+      |    AS entropy,
+      |  MAX_BY(nxt, printf('%020d', c) || '|' || nxt) AS top_follower,
+      |  MAX(c) AS top_count
+      |FROM sized GROUP BY cur ORDER BY cur""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q207_transition_entropy" -> (q207TransitionEntropy _),
     "q203_seasonal_naive" -> (q203SeasonalNaive _),
     "q204_theil_sen" -> (q204TheilSen _),
     "q198_user_growth" -> (q198UserGrowth _),
@@ -1942,6 +1995,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q207_transition_entropy" -> q207Sql,
     "q203_seasonal_naive" -> q203Sql,
     "q204_theil_sen" -> q204Sql,
     "q198_user_growth" -> q198Sql,

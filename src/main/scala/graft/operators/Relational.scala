@@ -1104,7 +1104,59 @@ object Relational {
       |GROUP BY 1, 2 ORDER BY n_sole_return_orders DESC, s_suppkey
       |LIMIT 20""".stripMargin
 
+  /** q208: revenue Pareto concentration — customers bucketed into
+    * revenue deciles (NTILE over exact-decimal per-customer revenue,
+    * ties broken by custkey so the bucketing is engine-identical), with
+    * each decile's revenue and the cumulative share: the "do 10% of
+    * customers carry 40% of revenue" card. The heavy lifting is one
+    * hash agg per customer; the decile frame is 10 rows, so the ranked
+    * window and the cumulative share cost nothing at any scale.
+    */
+  def q208RevenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // revenue stays DECIMAL through BOTH aggregations (per-customer and
+    // per-decile) so the cent-rounded decile totals are exact, not a
+    // double re-sum
+    val perCust = table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice"
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+        .as("revenue"))
+    val w = Window.orderBy($"revenue".desc, $"o_custkey")
+    val dec = perCust
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum($"revenue").cast("double"), 2).as("decile_revenue"))
+    dec
+      .withColumn("cum_share", round(
+        sum($"decile_revenue").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / sum($"decile_revenue").over(Window.partitionBy()), 6))
+      .orderBy($"decile")
+  }
+
+  val q208Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS revenue
+      |  FROM orders GROUP BY o_custkey),
+      |dec AS (
+      |  SELECT CAST(NTILE(10) OVER (ORDER BY revenue DESC, o_custkey)
+      |    AS BIGINT) AS decile, revenue
+      |  FROM pc),
+      |g AS (
+      |  SELECT decile, COUNT(*) AS n_cust,
+      |    ROUND(CAST(SUM(revenue) AS DOUBLE), 2) AS decile_revenue
+      |  FROM dec GROUP BY decile)
+      |SELECT decile, n_cust, decile_revenue,
+      |  ROUND(SUM(decile_revenue) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    / SUM(decile_revenue) OVER (), 6) AS cum_share
+      |FROM g ORDER BY decile""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q208_revenue_pareto" -> (q208RevenuePareto _),
     "q201_sole_returner" -> (q201SoleReturner _),
     "q190_market_share" -> (q190MarketShare _),
     "q111_integrity_audit" -> (q111IntegrityAudit _),
@@ -1145,6 +1197,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q208_revenue_pareto" -> q208Sql,
     "q201_sole_returner" -> q201Sql,
     "q190_market_share" -> q190Sql,
     "q111_integrity_audit" -> q111Sql,

@@ -1138,6 +1138,62 @@ class AnalyticsSpec extends SparkSpec {
       - dropped.map(_._3).sum.toDouble / docs.map(_._3).sum) < 1e-6)
   }
 
+  test("q207: transition entropy matches brute-force Markov counts") {
+    import spark.implicits._
+    val rows = EventOps.q207TransitionEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val pairs = ev.values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }
+    val byCur = pairs.groupBy(_._1)
+    rows.foreach { r =>
+      val fs = byCur(r.getAs[String]("cur")).map(_._2)
+      val counts = fs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(r.getAs[Long]("n_pairs") === fs.length.toLong)
+      assert(r.getAs[Long]("n_followers") === counts.size.toLong)
+      val n = fs.length.toDouble
+      val h = -counts.values.map(c => (c / n) * math.log(c / n)).sum
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-3)
+      val top = counts.toSeq.maxBy { case (t, c) => (c, t) }
+      assert(r.getAs[String]("top_follower") === top._1)
+      assert(r.getAs[Long]("top_count") === top._2)
+    }
+  }
+
+  test("q208: Pareto deciles match brute-force NTILE accounting; shares monotone to 1") {
+    import spark.implicits._
+    val rows = Relational.q208RevenuePareto(spark, sf).collect()
+    val pc = graft.Util.table(spark, sf, "orders")
+      .select($"o_custkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (k, rev) => (-rev, k) }
+    val nC = pc.length
+    val nBuckets = math.min(10, nC)
+    assert(rows.length === nBuckets)
+    // NTILE: first (n mod 10) buckets get ceil(n/10), rest floor(n/10)
+    val base = nC / 10; val extra = nC % 10
+    var idx = 0
+    var cum = BigDecimal(0)
+    val totalCents = rows.map(r => BigDecimal(r.getAs[Double]("decile_revenue"))).sum
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile").toInt
+      val sz = base + (if (d <= extra) 1 else 0)
+      val bucket = pc.slice(idx, idx + sz); idx += sz
+      assert(r.getAs[Long]("n_cust") === sz.toLong)
+      val rev = bucket.map(_._2).sum
+      assert((BigDecimal(r.getAs[Double]("decile_revenue")) - rev).abs < BigDecimal("0.02"))
+      cum += BigDecimal(r.getAs[Double]("decile_revenue"))
+      assert(math.abs(r.getAs[Double]("cum_share") - (cum / totalCents).toDouble) < 1e-4)
+    }
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-9)
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
