@@ -1109,8 +1109,14 @@ object Relational {
     * ties broken by custkey so the bucketing is engine-identical), with
     * each decile's revenue and the cumulative share: the "do 10% of
     * customers carry 40% of revenue" card. The heavy lifting is one
-    * hash agg per customer; the decile frame is 10 rows, so the ranked
-    * window and the cumulative share cost nothing at any scale.
+    * hash agg per customer; the cumulative-share frame is 10 rows.
+    * Scale note: the NTILE window sorts the PER-CUSTOMER frame (already
+    * |customers|, never |orders|) in one partition — fine to ~10⁷
+    * customers; beyond that, swap the exact NTILE for decile edges from
+    * the exact-quantile engine ([[Extended.exactQuantilesMulti]]) and a
+    * narrow comparison assignment (tie placement at edges then differs
+    * from NTILE's rank split, which is why the oracle-matched variant
+    * keeps NTILE).
     */
   def q208RevenuePareto(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
