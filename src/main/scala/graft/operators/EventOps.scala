@@ -1950,7 +1950,64 @@ object EventOps {
       |  MAX(c) AS top_count
       |FROM sized GROUP BY cur ORDER BY cur""".stripMargin
 
+  /** q209: event-type affinity (market-basket lift over users) — for
+    * every ordered type pair, support P(A∧B), confidence P(B|A), and
+    * lift P(A∧B)/(P(A)·P(B)) with users as baskets: lift > 1 means the
+    * behaviors co-occur beyond chance. The corpus collapses to distinct
+    * (user, type) incidence rows first; the pair join is incidence ⋈
+    * incidence on user (each user contributes ≤ |types|² pairs, so the
+    * fanout is state-space-bounded per user, never |events|²); the
+    * probabilities are exact integer count ratios.
+    */
+  def q209TypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inc = events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+    val nUsers = inc.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val typeCounts = inc.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+    val pairs = inc.as("a").join(inc.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.event_type" =!= $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select($"event_type".as("type_a"),
+        $"cnt".as("ca"))), "type_a")
+      .join(broadcast(typeCounts.select($"event_type".as("type_b"),
+        $"cnt".as("cb"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select($"type_a", $"type_b", $"n_both", $"ca", $"cb",
+        round($"n_both".cast("double") / $"n_users", 6).as("support"),
+        round($"n_both".cast("double") / $"ca", 6).as("confidence"),
+        round($"n_both".cast("double") * $"n_users"
+          / ($"ca".cast("double") * $"cb"), 6).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val q209Sql: String =
+    """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM inc),
+      |tc AS (SELECT event_type, COUNT(*) AS cnt FROM inc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM inc a JOIN inc b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both, ca.cnt AS ca, cb.cnt AS cb,
+      |  ROUND(CAST(n_both AS DOUBLE) / n_users, 6) AS support,
+      |  ROUND(CAST(n_both AS DOUBLE) / ca.cnt, 6) AS confidence,
+      |  ROUND(CAST(n_both AS DOUBLE) * n_users
+      |    / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+      |FROM pairs
+      |JOIN tc ca ON pairs.type_a = ca.event_type
+      |JOIN tc cb ON pairs.type_b = cb.event_type
+      |CROSS JOIN nu
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q209_type_affinity" -> (q209TypeAffinity _),
     "q207_transition_entropy" -> (q207TransitionEntropy _),
     "q203_seasonal_naive" -> (q203SeasonalNaive _),
     "q204_theil_sen" -> (q204TheilSen _),
@@ -1995,6 +2052,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q209_type_affinity" -> q209Sql,
     "q207_transition_entropy" -> q207Sql,
     "q203_seasonal_naive" -> q203Sql,
     "q204_theil_sen" -> q204Sql,

@@ -1194,6 +1194,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-9)
   }
 
+  test("q209: affinity lift matches brute-force user-basket counts") {
+    import spark.implicits._
+    val rows = EventOps.q209TypeAffinity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val inc = graft.Util.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val users = inc.map(_._1).distinct.length.toDouble
+    val byType = inc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byUser = inc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val both = byUser.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(r.getAs[Long]("n_both") === both)
+      assert(r.getAs[Long]("ca") === byType(a))
+      assert(math.abs(r.getAs[Double]("support") - both / users) < 1e-5)
+      assert(math.abs(r.getAs[Double]("confidence")
+        - both.toDouble / byType(a)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lift")
+        - both * users / (byType(a).toDouble * byType(b))) < 1e-4)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
