@@ -2006,7 +2006,53 @@ object EventOps {
       |CROSS JOIN nu
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** q210: weekly rollup with week-over-week deltas — volume, active
+    * users, and value sum per (type, epoch-week), each with its WoW
+    * percent change via `lag` over the calendar-bounded weekly frame.
+    * The weekly rollup is one hash agg (count-distinct users pays the
+    * usual exact-distinct expand, documented at q194); deltas are exact
+    * integer differences over an IEEE division, computed on the
+    * |types|×|weeks| frame. The dashboard staple done
+    * shuffle-minimally.
+    */
+  def q210WeeklyDeltas(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d2(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val weekly = events(spark, dir)
+      .select($"event_type", expr("ts div 604800000000000").as("week"),
+        $"user_id", $"value")
+      .groupBy($"event_type", $"week")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum(d2($"value")).cast("double").as("sum_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    weekly
+      .withColumn("prev_events", lag($"n_events", 1).over(w))
+      .select($"event_type", $"week", $"n_events", $"n_users",
+        round($"sum_value", 2).as("sum_value"),
+        round(($"n_events" - $"prev_events").cast("double") * 100.0
+          / $"prev_events", 4).as("wow_pct"))
+      .orderBy($"event_type", $"week")
+  }
+
+  val q210Sql: String =
+    """WITH weekly AS (
+      |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, week, n_events, n_users,
+      |  ROUND(sum_value, 2) AS sum_value,
+      |  ROUND(CAST(n_events - LAG(n_events) OVER w AS DOUBLE) * 100.0
+      |    / LAG(n_events) OVER w, 4) AS wow_pct
+      |FROM weekly
+      |WINDOW w AS (PARTITION BY event_type ORDER BY week)
+      |ORDER BY event_type, week""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q210_weekly_deltas" -> (q210WeeklyDeltas _),
     "q209_type_affinity" -> (q209TypeAffinity _),
     "q207_transition_entropy" -> (q207TransitionEntropy _),
     "q203_seasonal_naive" -> (q203SeasonalNaive _),
@@ -2052,6 +2098,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q210_weekly_deltas" -> q210Sql,
     "q209_type_affinity" -> q209Sql,
     "q207_transition_entropy" -> q207Sql,
     "q203_seasonal_naive" -> q203Sql,

@@ -1217,6 +1217,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q210: weekly rollup and WoW deltas match brute force") {
+    import spark.implicits._
+    val rows = EventOps.q210WeeklyDeltas(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts", $"user_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 604800000000000L,
+        r.getLong(2), r.getDouble(3)))
+    val weekly = ev.groupBy(x => (x._1, x._2)).map { case ((t, wk), xs) =>
+      ((t, wk), (xs.length.toLong, xs.map(_._3).distinct.length.toLong,
+        xs.map(x => BigDecimal(x._4)).sum))
+    }
+    assert(rows.length === weekly.size)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("week"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val k = (r.getAs[String]("event_type"), r.getAs[Long]("week"))
+        val (n, u, v) = weekly(k)
+        assert(r.getAs[Long]("n_events") === n)
+        assert(r.getAs[Long]("n_users") === u)
+        assert((BigDecimal(r.getAs[Double]("sum_value")) - v).abs < BigDecimal("0.01"))
+        if (i == 0) assert(r.isNullAt(r.fieldIndex("wow_pct")))
+        else {
+          val prev = weekly((k._1, sorted(i - 1).getAs[Long]("week")))._1
+          assert(math.abs(r.getAs[Double]("wow_pct")
+            - (n - prev).toDouble * 100.0 / prev) < 1e-3)
+        }
+      }
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
