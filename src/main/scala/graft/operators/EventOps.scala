@@ -2051,7 +2051,70 @@ object EventOps {
       |WINDOW w AS (PARTITION BY event_type ORDER BY week)
       |ORDER BY event_type, week""".stripMargin
 
+  /** q211: daily-volume anomaly flags — days whose count deviates from
+    * the per-type MEDIAN by more than 2.5 robust z-units
+    * (z = (c − median)/(1.4826·MAD)): the outlier-proof alarm that a
+    * burst day can't recalibrate, unlike mean/stddev control limits
+    * (the burst inflates σ and hides itself). Median and MAD are exact
+    * RANK PICKS over the calendar-bounded daily frame (lower-middle
+    * element — no interpolation contract), so the thresholds are
+    * engine-identical; the flag pass is one comparison per daily row.
+    */
+  def q211VolumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    def medianOf(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(valCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"event_type", col(valCol).cast("double").as(outCol))
+    }
+    val med = medianOf(daily, "c", "med")
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs($"c" - $"med"))
+    val mad = medianOf(dev, "adev", "mad")
+    daily.join(med, "event_type").join(mad, "event_type")
+      // a zero MAD (constant series) has no robust scale: nothing to flag
+      .filter($"mad" > 0.0)
+      .withColumn("z", round(($"c" - $"med") / (lit(1.4826) * $"mad"), 4))
+      .filter(abs($"z") > 2.5)
+      .select($"event_type", $"day", $"c".as("n_events"), $"med", $"z")
+      .orderBy($"event_type", $"day")
+  }
+
+  val q211Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, CAST(c AS DOUBLE) AS med FROM (
+      |    SELECT event_type, c,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM daily)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT d.event_type, ABS(d.c - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, CAST(adev AS DOUBLE) AS mad FROM (
+      |    SELECT event_type, adev,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, d.day, d.c AS n_events, m.med,
+      |  ROUND((d.c - m.med) / (1.4826 * a.mad), 4) AS z
+      |FROM daily d JOIN med m USING (event_type) JOIN mad a USING (event_type)
+      |WHERE a.mad > 0
+      |  AND ABS(ROUND((d.c - m.med) / (1.4826 * a.mad), 4)) > 2.5
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q211_volume_anomalies" -> (q211VolumeAnomalies _),
     "q210_weekly_deltas" -> (q210WeeklyDeltas _),
     "q209_type_affinity" -> (q209TypeAffinity _),
     "q207_transition_entropy" -> (q207TransitionEntropy _),
@@ -2098,6 +2161,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q211_volume_anomalies" -> q211Sql,
     "q210_weekly_deltas" -> q210Sql,
     "q209_type_affinity" -> q209Sql,
     "q207_transition_entropy" -> q207Sql,

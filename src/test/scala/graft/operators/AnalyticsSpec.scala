@@ -1249,6 +1249,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q211: anomaly flags match the brute-force median/MAD rule") {
+    import spark.implicits._
+    val rows = EventOps.q211VolumeAnomalies(spark, sf).collect()
+    val daily = graft.Util.events(spark, sf)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000000L))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .toSeq.groupBy(_._1)
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val want = daily.flatMap { case (t, xs) =>
+      val cs = xs.map(_._3.toDouble)
+      val med = lowerMedian(cs)
+      val mad = lowerMedian(cs.map(c => math.abs(c - med)))
+      if (mad <= 0.0) Seq.empty
+      else xs.flatMap { case (_, d, c) =>
+        val z = math.rint((c - med) / (1.4826 * mad) * 1e4) / 1e4
+        if (math.abs(z) > 2.5) Some(((t, d), (c, med, z))) else None
+      }
+    }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (c, med, z) = want((r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      assert(r.getAs[Long]("n_events") === c)
+      assert(r.getAs[Double]("med") === med)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()

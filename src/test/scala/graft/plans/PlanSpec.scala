@@ -582,6 +582,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), "p_type/r_name filters must reach the scans")
   }
 
+  test("q209: basket pair fanout joins the DISTINCT incidence frame (agg below the self-join)") {
+    val p = planOf(graft.operators.EventOps.q209TypeAffinity(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // both self-join inputs must be the deduplicated incidence frame:
+    // an aggregate appears below the join in the formatted tree
+    assert(p.contains("HashAggregate") || p.contains("Aggregate"))
+  }
+
   test("q201: EXISTS/NOT-EXISTS correlation is semi+anti hash joins, never a cartesian") {
     val p = planOf(graft.operators.Relational.q201SoleReturner(spark, sf))
     assert(!p.contains("CartesianProduct"))
