@@ -2113,7 +2113,37 @@ object EventOps {
       |  AND ABS(ROUND((d.c - m.med) / (1.4826 * a.mad), 4)) > 2.5
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** q212: SKETCHED rolling 7-day reach — [[q187RollingDistinct]]'s
+    * scale path: one HLL sketch per (day) from a single pass, then the
+    * rolling union is `hll_union_agg` over a 7-row window frame of the
+    * |days|-frame — mergeability replaces the ×7 row fanout entirely,
+    * which is the formulation that survives when the per-window
+    * distinct sets (q187's exact path) no longer fit. Output carries
+    * the exact count next to the estimate; like q09/q110/q122 the
+    * sketch value is engine-specific, so the driver grades rows-only
+    * and the quantitative check is the ±5% tolerance rule (ScalaTest +
+    * tools/check_oracle.py).
+    */
+  def q212RollingReachSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+    val dailySketch = ev.groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("hll"))
+    val approx = dailySketch.selectExpr("day",
+      "hll_sketch_estimate(hll_union_agg(hll, true) OVER (ORDER BY day " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS approx_users7")
+    val du = ev.distinct()
+    val days = du.select($"day").distinct()
+    val exact = du
+      .select($"user_id", explode(sequence($"day", $"day" + 6)).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy($"day").agg(countDistinct($"user_id").as("exact_users7"))
+    approx.join(exact, "day").orderBy($"day")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q212_rolling_reach_sketch" -> (q212RollingReachSketch _),
     "q211_volume_anomalies" -> (q211VolumeAnomalies _),
     "q210_weekly_deltas" -> (q210WeeklyDeltas _),
     "q209_type_affinity" -> (q209TypeAffinity _),

@@ -1279,6 +1279,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q212: sketched rolling reach lands within 5% of the exact windowed distinct") {
+    import spark.implicits._
+    val rows = EventOps.q212RollingReachSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx_users7"), r.getAs[Long]("exact_users7"))
+      assert(e > 0)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"day ${r.getAs[Long]("day")}: $a vs $e")
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()

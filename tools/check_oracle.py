@@ -41,6 +41,16 @@ TOLERANCE = {
     # sketches (incremental stats table) — sketch values are
     # engine-specific, the estimate must land within 5% of exact on both
     # engines
+    # q212: 7-day rolling reach from windowed HLL unions — both engines'
+    # estimates must land within 5% of the exact windowed distinct
+    "q212_rolling_reach_sketch": (
+        "WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), "
+        "days AS (SELECT DISTINCT day FROM du) "
+        "SELECT d.day AS day, approx_count_distinct(u.user_id) AS approx_users7, "
+        "COUNT(DISTINCT u.user_id) AS exact_users7 "
+        "FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day "
+        "GROUP BY d.day ORDER BY d.day",
+        "day", "approx_users7", "exact_users7", 0.05),
     "q122_sketch_users": (
         "SELECT event_type, approx_count_distinct(user_id) AS approx_users, "
         "COUNT(DISTINCT user_id) AS exact_users "
