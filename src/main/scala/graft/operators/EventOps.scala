@@ -2142,7 +2142,132 @@ object EventOps {
     approx.join(exact, "day").orderBy($"day")
   }
 
+  /** q213: two-proportion z-test — do even-user and odd-user cohorts
+    * differ in the share of users whose FIRST event is a view (the
+    * "entered through the front door" proposition — ever-converted
+    * saturates to 1.0 on this data and has no variance to test)?
+    * Completes the inferential family: means ([[q170WelchTtest]]),
+    * ranks ([[q181MannWhitney]]), proportions here — the A/B readout
+    * every experimentation platform ships. The per-user first event is
+    * one bounded `min_by` agg (ordering key zero-padded so both engines
+    * pick identically); the pooled-variance z statistic is a closed
+    * form over four exact integers — bit-identical across engines and
+    * partitionings. A pooled rate of 0 or 1 yields NULL, not a
+    * divide-by-zero.
+    */
+  def q213TwoProportionZ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy($"user_id")
+      .agg(min_by($"event_type",
+        concat(lpad($"ts_us".cast("string"), 20, "0"),
+          lpad($"event_id".cast("string"), 20, "0"))).as("first_type"))
+      .withColumn("converted",
+        when($"first_type" === "view", 1L).otherwise(0L))
+      .withColumn("is_a", $"user_id" % 2 === 0)
+    val m = perUser.agg(
+      sum(when($"is_a", 1L).otherwise(0L)).as("na"),
+      sum(when(!$"is_a", 1L).otherwise(0L)).as("nb"),
+      sum(when($"is_a", $"converted").otherwise(0L)).as("xa"),
+      sum(when(!$"is_a", $"converted").otherwise(0L)).as("xb"))
+    val na = $"na".cast("double"); val nb = $"nb".cast("double")
+    val xa = $"xa".cast("double"); val xb = $"xb".cast("double")
+    val p = (xa + xb) / (na + nb)
+    // pooled p of 0 or 1 has zero variance: the test is undefined (NULL),
+    // not a divide-by-zero
+    val v = p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)
+    m.select(
+      $"na".as("n_a"), $"nb".as("n_b"), $"xa".as("conv_a"), $"xb".as("conv_b"),
+      round(xa / na, 6).as("rate_a"), round(xb / nb, 6).as("rate_b"),
+      round(when(v > 0.0, (xa / na - xb / nb) / sqrt(v)), 4).as("z_stat"))
+  }
+
+  val q213Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN MIN_BY(event_type,
+      |        printf('%020d', epoch_us(ts)) || printf('%020d', event_id))
+      |      = 'view' THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+      |    SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS xa,
+      |    SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS xb
+      |  FROM pu)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(xa AS BIGINT) AS conv_a, CAST(xb AS BIGINT) AS conv_b,
+      |  ROUND(CAST(xa AS DOUBLE) / na, 6) AS rate_a,
+      |  ROUND(CAST(xb AS DOUBLE) / nb, 6) AS rate_b,
+      |  ROUND(CASE WHEN (CAST(xa + xb AS DOUBLE) / (na + nb))
+      |      * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |      * (1.0 / na + 1.0 / nb) > 0
+      |    THEN (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+      |      / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+      |        * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |        * (1.0 / na + 1.0 / nb))
+      |    END, 4) AS z_stat
+      |FROM m""".stripMargin
+
+  /** q214: Benford leading-digit audit over `value` — the fraud /
+    * synthetic-data screen: naturally-grown magnitudes follow
+    * P(d) = log10(1+1/d); fabricated or uniformly-generated values
+    * don't. The leading digit comes from INTEGER string arithmetic on
+    * exact cents (never `log10` of a double, whose ulp at exact powers
+    * of ten would flip digits between engines); the per-digit rows
+    * carry observed share, the Benford expectation, and the chi-squared
+    * total over the 9-row frame. One scan, nine output rows.
+    */
+  def q214BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = events(spark, dir)
+      .select((round($"value" * 100, 0)).cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    digits
+      .withColumn("total", sum($"n").over(w))
+      .withColumn("observed", $"n".cast("double") / $"total")
+      .withColumn("benford",
+        log(10.0, lit(1.0) + lit(1.0) / $"digit"))
+      .withColumn("chi2_part", round(
+        ($"observed" - $"benford") * ($"observed" - $"benford")
+          / $"benford" * $"total", 6))
+      .withColumn("chi2_total", round(sum($"chi2_part").over(w), 4))
+      .select($"digit", $"n", round($"observed", 6).as("observed"),
+        round($"benford", 6).as("benford"), $"chi2_total")
+      .orderBy($"digit")
+  }
+
+  val q214Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+      |    AS digit
+      |  FROM (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |        FROM events)
+      |  WHERE cents > 0),
+      |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |s AS (
+      |  SELECT digit, n, SUM(n) OVER () AS total,
+      |    CAST(n AS DOUBLE) / SUM(n) OVER () AS observed,
+      |    log10(1.0 + 1.0 / digit) AS benford
+      |  FROM g),
+      |p AS (
+      |  SELECT digit, n, observed, benford,
+      |    ROUND((observed - benford) * (observed - benford)
+      |      / benford * total, 6) AS chi2_part
+      |  FROM s)
+      |SELECT digit, n, ROUND(observed, 6) AS observed,
+      |  ROUND(benford, 6) AS benford,
+      |  ROUND(SUM(chi2_part) OVER (), 4) AS chi2_total
+      |FROM p ORDER BY digit""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q213_two_proportion_z" -> (q213TwoProportionZ _),
+    "q214_benford_audit" -> (q214BenfordAudit _),
     "q212_rolling_reach_sketch" -> (q212RollingReachSketch _),
     "q211_volume_anomalies" -> (q211VolumeAnomalies _),
     "q210_weekly_deltas" -> (q210WeeklyDeltas _),
@@ -2191,6 +2316,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q213_two_proportion_z" -> q213Sql,
+    "q214_benford_audit" -> q214Sql,
     "q211_volume_anomalies" -> q211Sql,
     "q210_weekly_deltas" -> q210Sql,
     "q209_type_affinity" -> q209Sql,

@@ -1290,6 +1290,55 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q213: two-proportion z matches brute-force first-event incidence") {
+    import spark.implicits._
+    val row = EventOps.q213TwoProportionZ(spark, sf).collect().head
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val conv = ev.map { case (u, xs) =>
+      (u, xs.minBy(e => (e._2, e._3))._4 == "view")
+    }
+    val (as, bs) = conv.partition(_._1 % 2 == 0)
+    val (na, nb) = (as.size.toDouble, bs.size.toDouble)
+    val (xa, xb) = (as.count(_._2).toDouble, bs.count(_._2).toDouble)
+    assert(row.getAs[Long]("n_a") === as.size.toLong)
+    assert(row.getAs[Long]("conv_a") === xa.toLong)
+    assert(math.abs(row.getAs[Double]("rate_a") - xa / na) < 1e-5)
+    val p = (xa + xb) / (na + nb)
+    if (p > 0 && p < 1) {
+      val z = (xa / na - xb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+      assert(math.abs(row.getAs[Double]("z_stat") - z) < 1e-3)
+    } else assert(row.isNullAt(row.fieldIndex("z_stat")))
+  }
+
+  test("q214: Benford audit matches brute-force leading-digit census") {
+    import spark.implicits._
+    val rows = EventOps.q214BenfordAudit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val cents = graft.Util.events(spark, sf)
+      .select($"value").collect()
+      .map(r => math.rint(r.getDouble(0) * 100).toLong).filter(_ > 0)
+    val digits = cents.map(_.toString.head.asDigit.toLong)
+    val census = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = digits.length.toDouble
+    var chi2 = 0.0
+    census.foreach { case (d, n) =>
+      val o = n / total
+      val b = math.log10(1.0 + 1.0 / d)
+      chi2 += (o - b) * (o - b) / b * total
+    }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n") === census(d))
+      assert(math.abs(r.getAs[Double]("observed") - census(d) / total) < 1e-5)
+      assert(math.abs(r.getAs[Double]("benford")
+        - math.log10(1.0 + 1.0 / d)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("chi2_total") - chi2) < 1e-2)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
