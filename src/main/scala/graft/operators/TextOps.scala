@@ -1570,7 +1570,51 @@ object TextOps {
       |  CAST((n_src - 1) * (n_lang - 1) AS BIGINT) AS dof
       |FROM enriched ORDER BY source, lang""".stripMargin
 
+  /** q215: lexical richness per source — hapax legomena rate (share of
+    * the vocabulary occurring exactly once) and dis legomena (exactly
+    * twice), alongside type-token ratio: the fast "is this source
+    * template spam or organic text" card next to the Zipf slope (q160)
+    * and Heaps curve (q108). Template-heavy sources re-use a small
+    * vocabulary (low hapax rate); organic text keeps minting one-off
+    * tokens. One token-count pass, then conditional counting on the
+    * vocab-bounded (source, token, tf) frame.
+    */
+  def q215HapaxRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = table(spark, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum($"tf").as("n_tokens"),
+        sum(when($"tf" === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when($"tf" === 2L, 1L).otherwise(0L)).as("dis"))
+      .select($"source", $"vocab", $"n_tokens", $"hapax", $"dis",
+        round($"hapax".cast("double") / $"vocab", 6).as("hapax_rate"),
+        round($"vocab".cast("double") / $"n_tokens", 6).as("type_token_ratio"))
+      .orderBy($"source")
+  }
+
+  val q215Sql: String =
+    """WITH tf AS (
+      |  SELECT source, token, COUNT(*) AS tf FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS vocab,
+      |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      |  ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS hapax_rate,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+      |    AS type_token_ratio
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q215_hapax_rate" -> (q215HapaxRate _),
     "q202_lang_source_independence" -> (q202LangSourceIndependence _),
     "q191_token_burstiness" -> (q191TokenBurstiness _),
     "q185_doc_top_term" -> (q185DocTopTerm _),
@@ -1684,6 +1728,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q215_hapax_rate" -> q215Sql,
     "q202_lang_source_independence" -> q202Sql,
     "q191_token_burstiness" -> q191Sql,
     "q185_doc_top_term" -> q185Sql,

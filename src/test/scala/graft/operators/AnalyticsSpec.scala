@@ -1339,6 +1339,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q215: hapax rate matches brute-force per-source tf census") {
+    import spark.implicits._
+    val rows = TextOps.q215HapaxRate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tf = graft.Util.table(spark, sf, "documents")
+      .select($"source", $"text").collect()
+      .flatMap { r =>
+        r.getString(1).split(" ").filter(_.nonEmpty).map((r.getString(0), _))
+      }
+      .groupBy(identity).map { case ((s, t), g) => (s, t, g.length.toLong) }
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val xs = tf(r.getAs[String]("source")).toSeq
+      assert(r.getAs[Long]("vocab") === xs.length.toLong)
+      assert(r.getAs[Long]("n_tokens") === xs.map(_._3).sum)
+      assert(r.getAs[Long]("hapax") === xs.count(_._3 == 1L).toLong)
+      assert(r.getAs[Long]("dis") === xs.count(_._3 == 2L).toLong)
+      assert(math.abs(r.getAs[Double]("hapax_rate")
+        - xs.count(_._3 == 1L).toDouble / xs.length) < 1e-5)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
