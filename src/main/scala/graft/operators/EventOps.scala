@@ -2265,7 +2265,49 @@ object EventOps {
       |  ROUND(SUM(chi2_part) OVER (), 4) AS chi2_total
       |FROM p ORDER BY digit""".stripMargin
 
+  /** q216: longest activity streak per user, as a histogram — the
+    * engagement "habit" metric (how many users have ever shown up N
+    * days in a row). Day-granular gaps-and-islands: distinct
+    * (user, day) rows get an island key `day − row_number` (consecutive
+    * days share it), islands collapse to lengths, each user keeps their
+    * max, and the report is the |streak lengths| histogram. Everything
+    * after the distinct collapse is windows over one user-keyed
+    * shuffle; the histogram is calendar-bounded.
+    */
+  def q216StreakHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val streaks = du
+      .withColumn("island", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(max($"len").as("best"))
+    streaks.groupBy($"best".as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"streak_days")
+  }
+
+  val q216Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM du),
+      |lens AS (
+      |  SELECT user_id, island, COUNT(*) AS len
+      |  FROM isl GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, MAX(len) AS best FROM lens GROUP BY user_id)
+      |SELECT best AS streak_days, COUNT(*) AS n_users
+      |FROM best GROUP BY best ORDER BY streak_days""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q216_streak_histogram" -> (q216StreakHistogram _),
     "q213_two_proportion_z" -> (q213TwoProportionZ _),
     "q214_benford_audit" -> (q214BenfordAudit _),
     "q212_rolling_reach_sketch" -> (q212RollingReachSketch _),
@@ -2316,6 +2358,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q216_streak_histogram" -> q216Sql,
     "q213_two_proportion_z" -> q213Sql,
     "q214_benford_audit" -> q214Sql,
     "q211_volume_anomalies" -> q211Sql,

@@ -1361,6 +1361,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q216: streak histogram matches brute-force consecutive-day runs") {
+    import spark.implicits._
+    val rows = EventOps.q216StreakHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val du = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L)).distinct
+      .groupBy(_._1)
+    val best = du.values.map { xs =>
+      val days = xs.map(_._2).distinct.sorted
+      var (cur, mx) = (1L, 1L)
+      days.zip(days.tail).foreach { case (a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        mx = math.max(mx, cur)
+      }
+      mx
+    }.toSeq
+    val want = best.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") === want(r.getAs[Long]("streak_days")))
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).sum === du.size.toLong)
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
