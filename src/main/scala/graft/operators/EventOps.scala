@@ -2306,7 +2306,154 @@ object EventOps {
       |SELECT best AS streak_days, COUNT(*) AS n_users
       |FROM best GROUP BY best ORDER BY streak_days""".stripMargin
 
+  /** q217: Mantel–Haenszel stratified odds ratio — does the even-user
+    * cohort purchase more per active day than the odd cohort, AFTER
+    * controlling for the day (the confounder a crude pooled ratio
+    * ignores — Simpson's-paradox protection for every A/B readout over
+    * time-varying traffic)? Each day is a 2×2 stratum of exact integer
+    * counts over the distinct (user, day[, purchased]) incidence frame;
+    * MH OR = Σ(a·d/n) / Σ(b·c/n) folds the strata without ever
+    * weighting by anything float-derived, and the crude OR rides along
+    * so the confounding gap is visible. Output also carries the
+    * stratum count and total exposure.
+    */
+  def q217MantelHaenszel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"),
+        ($"event_type" === "purchase").as("p"))
+      .groupBy($"user_id", $"day")
+      .agg(max(when($"p", 1L).otherwise(0L)).as("purchased"))
+      .withColumn("is_a", $"user_id" % 2 === 0)
+    val strata = ud.groupBy($"day")
+      .agg(
+        sum(when($"is_a" && $"purchased" === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when($"is_a" && $"purchased" === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!$"is_a" && $"purchased" === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!$"is_a" && $"purchased" === 0L, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", ($"a" + $"b" + $"c" + $"d").cast("double"))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum($"a" + $"b" + $"c" + $"d").as("n_user_days"),
+        sum($"a".cast("double") * $"d" / $"n").as("num"),
+        sum($"b".cast("double") * $"c" / $"n").as("den"),
+        sum($"a").as("sa"), sum($"b").as("sb"),
+        sum($"c").as("sc"), sum($"d").as("sd"))
+      .select($"n_strata", $"n_user_days",
+        round($"num" / $"den", 4).as("mh_odds_ratio"),
+        round($"sa".cast("double") * $"sd"
+          / ($"sb".cast("double") * $"sc"), 4).as("crude_odds_ratio"))
+  }
+
+  val q217Sql: String =
+    """WITH ud AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS purchased
+      |  FROM events GROUP BY 1, 2),
+      |strata AS (
+      |  SELECT day,
+      |    SUM(CASE WHEN user_id % 2 = 0 AND purchased = 1 THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN user_id % 2 = 0 AND purchased = 0 THEN 1 ELSE 0 END) AS b,
+      |    SUM(CASE WHEN user_id % 2 = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS c,
+      |    SUM(CASE WHEN user_id % 2 = 1 AND purchased = 0 THEN 1 ELSE 0 END) AS d
+      |  FROM ud GROUP BY day),
+      |m AS (
+      |  SELECT COUNT(*) AS n_strata,
+      |    SUM(a + b + c + d) AS n_user_days,
+      |    SUM(CAST(a AS DOUBLE) * d / CAST(a + b + c + d AS DOUBLE)) AS num,
+      |    SUM(CAST(b AS DOUBLE) * c / CAST(a + b + c + d AS DOUBLE)) AS den,
+      |    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd
+      |  FROM strata)
+      |SELECT n_strata, CAST(n_user_days AS BIGINT) AS n_user_days,
+      |  ROUND(num / den, 4) AS mh_odds_ratio,
+      |  ROUND(CAST(sa AS DOUBLE) * sd / (CAST(sb AS DOUBLE) * sc), 4)
+      |    AS crude_odds_ratio
+      |FROM m""".stripMargin
+
+  /** q218: churn half-life — fit retention(offset) ≈ e^(slope·offset)
+    * over day offsets 1..30 from first sighting and report
+    * half-life = −ln 2 / slope: the single number that compresses the
+    * whole retention curve (NULL when the fitted slope isn't negative —
+    * no measurable decay, as in this synthetic corpus, is "no
+    * half-life", not a negative extrapolation). Numerators (users active EXACTLY offset
+    * days after their first day) and denominators (users whose cohort
+    * is old enough to be evaluable at that offset — right-censoring
+    * handled exactly, not ignored) are exact integer counts from the
+    * first-seen and incidence frames; the log-linear fit is the q159
+    * closed form over ≤ 30 (offset, ln r) points.
+    */
+  def q218ChurnHalflife(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val fs = du.groupBy($"user_id").agg(min($"day").as("first_day"))
+    val maxDay = du.agg(max($"day").as("max_day"))
+    val num = du.join(fs, "user_id")
+      .select(($"day" - $"first_day").as("o"))
+      .filter($"o" >= 1 && $"o" <= 30)
+      .groupBy($"o").agg(count(lit(1)).as("active"))
+    val den = fs.crossJoin(broadcast(maxDay))
+      .select($"first_day", $"max_day",
+        explode(sequence(lit(1L), lit(30L))).as("o"))
+      .filter($"first_day" + $"o" <= $"max_day")
+      .groupBy($"o").agg(count(lit(1)).as("cohort"))
+    val pts = num.join(den, "o")
+      .filter($"cohort" >= 10 && $"active" >= 1)
+      .select($"o".cast("double").as("x"),
+        log($"active".cast("double") / $"cohort").as("y"))
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .withColumn("slope_raw", ($"n_points" * $"sxy" - $"sx" * $"sy")
+        / ($"n_points" * $"sxx" - $"sx" * $"sx"))
+      .select($"n_points", round($"slope_raw", 6).as("slope"),
+        // a non-negative slope means no measurable decay: half-life is
+        // undefined (NULL), not a nonsense negative extrapolation
+        round(when($"slope_raw" < 0.0,
+          lit(-math.log(2.0)) / $"slope_raw"), 2).as("half_life_days"))
+  }
+
+  val q218Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |fs AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id),
+      |mx AS (SELECT MAX(day) AS max_day FROM du),
+      |num AS (
+      |  SELECT du.day - fs.first_day AS o, COUNT(*) AS active
+      |  FROM du JOIN fs USING (user_id)
+      |  WHERE du.day - fs.first_day BETWEEN 1 AND 30
+      |  GROUP BY 1),
+      |den AS (
+      |  SELECT t.o, COUNT(*) AS cohort
+      |  FROM fs CROSS JOIN mx
+      |  CROSS JOIN (SELECT unnest(range(1, 31)) AS o) t
+      |  WHERE fs.first_day + t.o <= mx.max_day
+      |  GROUP BY t.o),
+      |pts AS (
+      |  SELECT CAST(o AS DOUBLE) AS x,
+      |    ln(CAST(active AS DOUBLE) / cohort) AS y
+      |  FROM num JOIN den USING (o)
+      |  WHERE cohort >= 10 AND active >= 1),
+      |m AS (
+      |  SELECT COUNT(*) AS n_points, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pts)
+      |SELECT n_points,
+      |  ROUND((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+      |    AS slope,
+      |  ROUND(CASE WHEN (n_points * sxy - sx * sy)
+      |      / (n_points * sxx - sx * sx) < 0
+      |    THEN -ln(2) / ((n_points * sxy - sx * sy)
+      |      / (n_points * sxx - sx * sx)) END, 2) AS half_life_days
+      |FROM m""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q217_mantel_haenszel" -> (q217MantelHaenszel _),
+    "q218_churn_halflife" -> (q218ChurnHalflife _),
     "q216_streak_histogram" -> (q216StreakHistogram _),
     "q213_two_proportion_z" -> (q213TwoProportionZ _),
     "q214_benford_audit" -> (q214BenfordAudit _),
@@ -2358,6 +2505,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q217_mantel_haenszel" -> q217Sql,
+    "q218_churn_halflife" -> q218Sql,
     "q216_streak_histogram" -> q216Sql,
     "q213_two_proportion_z" -> q213Sql,
     "q214_benford_audit" -> q214Sql,

@@ -1386,6 +1386,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum === du.size.toLong)
   }
 
+  test("q217: MH odds ratio matches brute-force stratum folding") {
+    import spark.implicits._
+    val row = EventOps.q217MantelHaenszel(spark, sf).collect().head
+    val ud = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L, r.getString(2)))
+      .groupBy(x => (x._1, x._2))
+      .map { case ((u, d), xs) => (u, d, xs.exists(_._3 == "purchase")) }
+    val strata = ud.groupBy(_._2).values.map { g =>
+      val a = g.count(x => x._1 % 2 == 0 && x._3).toDouble
+      val b = g.count(x => x._1 % 2 == 0 && !x._3).toDouble
+      val c = g.count(x => x._1 % 2 != 0 && x._3).toDouble
+      val d = g.count(x => x._1 % 2 != 0 && !x._3).toDouble
+      (a, b, c, d)
+    }.toSeq
+    assert(row.getAs[Long]("n_strata") === strata.length.toLong)
+    val num = strata.map { case (a, b, c, d) => a * d / (a + b + c + d) }.sum
+    val den = strata.map { case (a, b, c, d) => b * c / (a + b + c + d) }.sum
+    assert(math.abs(row.getAs[Double]("mh_odds_ratio") - num / den) < 1e-3)
+    val (sa, sb, sc, sd) = strata.foldLeft((0.0, 0.0, 0.0, 0.0)) {
+      case ((pa, pb, pc, pd), (a, b, c, d)) => (pa + a, pb + b, pc + c, pd + d)
+    }
+    assert(math.abs(row.getAs[Double]("crude_odds_ratio")
+      - sa * sd / (sb * sc)) < 1e-3)
+  }
+
+  test("q218: churn fit matches brute-force censored retention regression") {
+    import spark.implicits._
+    val row = EventOps.q218ChurnHalflife(spark, sf).collect().head
+    val du = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000000L)).distinct
+    val fs = du.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxDay = du.map(_._2).max
+    val pts = (1L to 30L).flatMap { o =>
+      val cohort = fs.values.count(_ + o <= maxDay)
+      val active = du.count { case (u, d) => d - fs(u) == o }
+      if (cohort >= 10 && active >= 1)
+        Some((o.toDouble, math.log(active.toDouble / cohort)))
+      else None
+    }
+    assert(row.getAs[Long]("n_points") === pts.length.toLong)
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val slope = (n * pts.map(p => p._1 * p._2).sum - sx * sy) /
+      (n * pts.map(p => p._1 * p._1).sum - sx * sx)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-4)
+    if (slope < 0)
+      assert(math.abs(row.getAs[Double]("half_life_days")
+        - (-math.log(2.0) / slope)) < 1.0)
+    else assert(row.isNullAt(row.fieldIndex("half_life_days")))
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
