@@ -2451,7 +2451,92 @@ object EventOps {
       |      / (n_points * sxx - sx * sx)) END, 2) AS half_life_days
       |FROM m""".stripMargin
 
+  /** q219: Kaplan–Meier survival curve for time-to-conversion — the
+    * right-censored estimator of "what fraction of viewers have NOT yet
+    * purchased after h hours", the statistically honest version of the
+    * conversion-latency rollup (q199 averages only the converters; KM
+    * keeps the users who never converted in the at-risk denominator
+    * until their observation window ends). Per-user (time, is_event)
+    * collapses to one row each; at-risk counts come from one cumulative
+    * window over the |distinct times| frame (the KS collapse trick);
+    * the survival product folds as exp(Σ ln(1−d/n)) so it's one ordered
+    * cumulative sum, not a sequential product. Death times where the
+    * whole risk set dies are excluded by the d < n guard (S hits exact
+    * 0 there; ln(0) is engine-divergent).
+    */
+  def q219KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val tv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("tv"))
+    val tp = ev.filter($"event_type" === "purchase").as("e")
+      .join(tv.as("v"), $"e.user_id" === $"v.user_id")
+      .filter($"e.ts_us" > $"v.tv")
+      .groupBy($"e.user_id".as("user_id")).agg(min($"e.ts_us").as("tp"))
+    val maxTs = ev.agg(max($"ts_us").as("max_ts"))
+    val subjects = tv.join(tp, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxTs))
+      .select(
+        when($"tp".isNotNull, expr("(tp - tv) div 3600000000"))
+          .otherwise(expr("(max_ts - tv) div 3600000000")).as("t"),
+        $"tp".isNotNull.as("is_event"))
+    val grouped = subjects.groupBy($"t")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when($"is_event", 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy($"t")
+    val risk = grouped
+      .withColumn("n_total", sum($"c_all").over(Window.partitionBy()))
+      .withColumn("cum_before",
+        coalesce(sum($"c_all").over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", $"n_total" - $"cum_before")
+      .filter($"d" > 0 && $"d" < $"n_risk")
+    risk
+      .withColumn("s_km", round(exp(sum(
+        log(lit(1.0) - $"d".cast("double") / $"n_risk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))), 6))
+      .select($"t".as("hours"), $"n_risk", $"d".as("n_converted"), $"s_km")
+      .orderBy($"hours")
+  }
+
+  val q219Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |tv AS (
+      |  SELECT user_id, MIN(ts_us) AS tv FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |tp AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS tp
+      |  FROM ev e JOIN tv v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > v.tv
+      |  GROUP BY e.user_id),
+      |mx AS (SELECT MAX(ts_us) AS max_ts FROM ev),
+      |subjects AS (
+      |  SELECT CASE WHEN tp.tp IS NOT NULL
+      |      THEN (tp.tp - tv.tv) // 3600000000
+      |      ELSE (mx.max_ts - tv.tv) // 3600000000 END AS t,
+      |    tp.tp IS NOT NULL AS is_event
+      |  FROM tv LEFT JOIN tp USING (user_id) CROSS JOIN mx),
+      |grouped AS (
+      |  SELECT t, COUNT(*) AS c_all,
+      |    SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS d
+      |  FROM subjects GROUP BY t),
+      |risk AS (
+      |  SELECT t, d,
+      |    SUM(c_all) OVER () - COALESCE(SUM(c_all) OVER (
+      |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM grouped),
+      |alive AS (SELECT * FROM risk WHERE d > 0 AND d < n_risk)
+      |SELECT t AS hours, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS n_converted,
+      |  ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (
+      |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |    AS s_km
+      |FROM alive ORDER BY hours""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q219_kaplan_meier" -> (q219KaplanMeier _),
     "q217_mantel_haenszel" -> (q217MantelHaenszel _),
     "q218_churn_halflife" -> (q218ChurnHalflife _),
     "q216_streak_histogram" -> (q216StreakHistogram _),
@@ -2505,6 +2590,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q219_kaplan_meier" -> q219Sql,
     "q217_mantel_haenszel" -> q217Sql,
     "q218_churn_halflife" -> q218Sql,
     "q216_streak_histogram" -> q216Sql,

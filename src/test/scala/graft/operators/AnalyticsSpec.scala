@@ -1439,6 +1439,48 @@ class AnalyticsSpec extends SparkSpec {
     else assert(row.isNullAt(row.fieldIndex("half_life_days")))
   }
 
+  test("q219: Kaplan-Meier curve matches the brute-force product-limit estimator") {
+    import spark.implicits._
+    val rows = EventOps.q219KaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getString(2)))
+    val maxTs = ev.map(_._2).max
+    val subjects = ev.groupBy(_._1).values.flatMap { xs =>
+      xs.filter(_._3 == "view").map(_._2).minOption.map { tv =>
+        val tp = xs.filter(e => e._3 == "purchase" && e._2 > tv)
+          .map(_._2).minOption
+        tp match {
+          case Some(p) => ((p - tv) / 3600000000L, true)
+          case None => ((maxTs - tv) / 3600000000L, false)
+        }
+      }
+    }.toSeq
+    val grouped = subjects.groupBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.count(_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val total = subjects.size.toLong
+    var before = 0L
+    var s = 1.0
+    val want = grouped.flatMap { case (t, cAll, d) =>
+      val nRisk = total - before
+      before += cAll
+      if (d > 0 && d < nRisk) {
+        s *= 1.0 - d.toDouble / nRisk
+        Some(t -> (nRisk, d, s))
+      } else None
+    }.toMap
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (nRisk, d, sv) = want(r.getAs[Long]("hours"))
+      assert(r.getAs[Long]("n_risk") === nRisk)
+      assert(r.getAs[Long]("n_converted") === d)
+      assert(math.abs(r.getAs[Double]("s_km") - sv) < 1e-4)
+      assert(r.getAs[Double]("s_km") >= 0.0 && r.getAs[Double]("s_km") <= 1.0)
+    }
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
