@@ -2535,7 +2535,111 @@ object EventOps {
       |    AS s_km
       |FROM alive ORDER BY hours""".stripMargin
 
+  /** q220: log-rank test — do the even- and odd-user cohorts share the
+    * same time-to-conversion survival curve ([[q219KaplanMeier]]'s
+    * hypothesis-test companion, and the standard A/B readout when the
+    * outcome is a LATENCY rather than a rate)? Every death time is a
+    * 2×2 stratum (the [[q217MantelHaenszel]] folding applied to
+    * survival data): observed deaths vs. hypergeometric expectation and
+    * variance, χ² = (ΣO−ΣE)²/ΣV with 1 dof. Per-cohort at-risk counts
+    * come from two cumulative windows over the same |distinct times|
+    * frame; every stratum input is an exact integer.
+    */
+  def q220LogRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val tv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("tv"))
+    val tp = ev.filter($"event_type" === "purchase").as("e")
+      .join(tv.as("v"), $"e.user_id" === $"v.user_id")
+      .filter($"e.ts_us" > $"v.tv")
+      .groupBy($"e.user_id".as("user_id")).agg(min($"e.ts_us").as("tp"))
+    val maxTs = ev.agg(max($"ts_us").as("max_ts"))
+    val subjects = tv.join(tp, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxTs))
+      .select(($"user_id" % 2 === 0).as("is_a"),
+        when($"tp".isNotNull, expr("(tp - tv) div 3600000000"))
+          .otherwise(expr("(max_ts - tv) div 3600000000")).as("t"),
+        $"tp".isNotNull.as("is_event"))
+    val grouped = subjects.groupBy($"t")
+      .agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("c2"),
+        sum(when($"is_a" && $"is_event", 1L).otherwise(0L)).as("d1"),
+        sum(when(!$"is_a" && $"is_event", 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy($"t")
+    val wAll = Window.partitionBy()
+    val risk = grouped
+      .withColumn("n1", sum($"c1").over(wAll) - coalesce(
+        sum($"c1").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n2", sum($"c2").over(wAll) - coalesce(
+        sum($"c2").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("d", $"d1" + $"d2")
+      .withColumn("n", ($"n1" + $"n2").cast("double"))
+      .filter($"d" > 0 && ($"n1" + $"n2") > $"d")
+    risk.agg(
+        count(lit(1)).as("n_times"),
+        sum($"d1").as("obs_a"),
+        sum($"d".cast("double") * $"n1" / $"n").as("exp_a"),
+        sum($"d".cast("double") * ($"n1".cast("double") / $"n")
+          * ($"n2".cast("double") / $"n")
+          * ($"n" - $"d") / ($"n" - 1)).as("v"))
+      .select($"n_times", $"obs_a", round($"exp_a", 4).as("exp_a"),
+        round(($"obs_a" - $"exp_a") * ($"obs_a" - $"exp_a") / $"v", 4)
+          .as("logrank_chi2"))
+  }
+
+  val q220Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |tv AS (
+      |  SELECT user_id, MIN(ts_us) AS tv FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |tp AS (
+      |  SELECT e.user_id, MIN(e.ts_us) AS tp
+      |  FROM ev e JOIN tv v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > v.tv
+      |  GROUP BY e.user_id),
+      |mx AS (SELECT MAX(ts_us) AS max_ts FROM ev),
+      |subjects AS (
+      |  SELECT tv.user_id % 2 = 0 AS is_a,
+      |    CASE WHEN tp.tp IS NOT NULL
+      |      THEN (tp.tp - tv.tv) // 3600000000
+      |      ELSE (mx.max_ts - tv.tv) // 3600000000 END AS t,
+      |    tp.tp IS NOT NULL AS is_event
+      |  FROM tv LEFT JOIN tp USING (user_id) CROSS JOIN mx),
+      |grouped AS (
+      |  SELECT t,
+      |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS c2,
+      |    SUM(CASE WHEN is_a AND is_event THEN 1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN NOT is_a AND is_event THEN 1 ELSE 0 END) AS d2
+      |  FROM subjects GROUP BY t),
+      |risk AS (
+      |  SELECT t, d1, d2, d1 + d2 AS d,
+      |    SUM(c1) OVER () - COALESCE(SUM(c1) OVER (
+      |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n1,
+      |    SUM(c2) OVER () - COALESCE(SUM(c2) OVER (
+      |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n2
+      |  FROM grouped),
+      |alive AS (
+      |  SELECT *, CAST(n1 + n2 AS DOUBLE) AS n FROM risk
+      |  WHERE d > 0 AND n1 + n2 > d),
+      |m AS (
+      |  SELECT COUNT(*) AS n_times, SUM(d1) AS obs_a,
+      |    SUM(CAST(d AS DOUBLE) * n1 / n) AS exp_a,
+      |    SUM(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+      |      * (CAST(n2 AS DOUBLE) / n) * (n - d) / (n - 1)) AS v
+      |  FROM alive)
+      |SELECT n_times, CAST(obs_a AS BIGINT) AS obs_a,
+      |  ROUND(exp_a, 4) AS exp_a,
+      |  ROUND((obs_a - exp_a) * (obs_a - exp_a) / v, 4) AS logrank_chi2
+      |FROM m""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q220_logrank" -> (q220LogRank _),
     "q219_kaplan_meier" -> (q219KaplanMeier _),
     "q217_mantel_haenszel" -> (q217MantelHaenszel _),
     "q218_churn_halflife" -> (q218ChurnHalflife _),
@@ -2590,6 +2694,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q220_logrank" -> q220Sql,
     "q219_kaplan_meier" -> q219Sql,
     "q217_mantel_haenszel" -> q217Sql,
     "q218_churn_halflife" -> q218Sql,

@@ -1481,6 +1481,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q220: log-rank statistic matches brute-force stratum-by-stratum folding") {
+    import spark.implicits._
+    val row = EventOps.q220LogRank(spark, sf).collect().head
+    val ev = graft.Util.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getString(2)))
+    val maxTs = ev.map(_._2).max
+    val subjects = ev.groupBy(_._1).flatMap { case (u, xs) =>
+      xs.filter(_._3 == "view").map(_._2).minOption.map { tvv =>
+        val tpp = xs.filter(e => e._3 == "purchase" && e._2 > tvv)
+          .map(_._2).minOption
+        val (t, e) = tpp match {
+          case Some(p) => ((p - tvv) / 3600000000L, true)
+          case None => ((maxTs - tvv) / 3600000000L, false)
+        }
+        (u % 2 == 0, t, e)
+      }
+    }.toSeq
+    val times = subjects.map(_._2).distinct.sorted
+    var (obs, expd, vr, nt) = (0L, 0.0, 0.0, 0L)
+    times.foreach { t =>
+      val n1 = subjects.count(s => s._1 && s._2 >= t).toDouble
+      val n2 = subjects.count(s => !s._1 && s._2 >= t).toDouble
+      val d1 = subjects.count(s => s._1 && s._2 == t && s._3).toLong
+      val d2 = subjects.count(s => !s._1 && s._2 == t && s._3).toLong
+      val d = (d1 + d2).toDouble
+      val n = n1 + n2
+      if (d > 0 && n > d) {
+        nt += 1; obs += d1
+        expd += d * n1 / n
+        vr += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+      }
+    }
+    assert(row.getAs[Long]("n_times") === nt)
+    assert(row.getAs[Long]("obs_a") === obs)
+    assert(math.abs(row.getAs[Double]("exp_a") - expd) < 1e-3)
+    assert(math.abs(row.getAs[Double]("logrank_chi2")
+      - (obs - expd) * (obs - expd) / vr) < 1e-3)
+  }
+
   test("q184: fuzzy block join reports only capped-block pairs within distance") {
     import spark.implicits._
     val rows = DedupOps.q184FuzzyBlockJoin(spark, sf).collect()
