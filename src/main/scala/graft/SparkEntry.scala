@@ -34,7 +34,8 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     (Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      Extended.queries ++ SamplingOps.queries ++ graft.api.Stats.queries).toMap
+      Extended.queries ++ SamplingOps.queries ++ graft.api.Stats.queries ++
+      GovernanceOps.queries ++ ModelOps.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -47,5 +48,6 @@ object SparkEntry {
   val oracleSql: Map[String, String] =
     (Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      Extended.oracles ++ SamplingOps.oracles ++ graft.api.Stats.oracles).toMap
+      Extended.oracles ++ SamplingOps.oracles ++ graft.api.Stats.oracles ++
+      GovernanceOps.oracles ++ ModelOps.oracles).toMap
 }

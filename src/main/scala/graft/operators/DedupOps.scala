@@ -1250,7 +1250,108 @@ object DedupOps {
       |    / CAST(SUM(n_tokens) AS DOUBLE), 6) AS pct_tokens_saved
       |FROM k""".stripMargin
 
+  /** q232: near-dup graph topology card — the one-row structural
+    * summary of the duplicate graph ([[q141TriangleCounts]]'s edges,
+    * exact Jaccard ≥ 0.95 via the ppjoin) that tells an operator WHAT
+    * KIND of duplication a corpus carries before picking a cluster
+    * strategy: wedge count and global clustering (3·triangles/wedges ≈ 1
+    * means clique-y template families → twin-collapse wins; low means
+    * chain-y drift → union-find depth matters), degree assortativity
+    * (hub-hub vs hub-leaf mixing), and max degree (the skew bound for
+    * any per-node expansion). Triangles are counted once each via the
+    * oriented a<b join; every moment (Σd, Σd², Σd·d', wedges) is an
+    * exact integer folded to ONE row — products go through decimal so
+    * the assortativity numerator/denominator cannot overflow at
+    * web-graph degrees — and the three tiny aggregates cross-join
+    * broadcast-style, never collecting an edge list.
+    */
+  def q232DupGraphCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.95)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val e = pairs.union(pairs.select($"id_b", $"id_a")).toDF("src", "dst")
+    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum($"d").as("s1"),
+      // endpoint moments: the directed edge list carries each node d
+      // times, so Σ_edges deg = Σ_nodes d² and Σ_edges deg² = Σ_nodes d³
+      sum($"d".cast(dec) * $"d".cast(dec)).as("s1e"),
+      sum($"d".cast(dec) * $"d".cast(dec) * $"d".cast(dec)).as("sx2e"),
+      max($"d").as("max_degree"),
+      sum($"d" * ($"d" - 1)).as("wedges2"))
+    val xyAgg = e.join(deg.withColumnRenamed("id", "src")
+          .withColumnRenamed("d", "d_src"), Seq("src"))
+      .join(deg.withColumnRenamed("id", "dst")
+          .withColumnRenamed("d", "d_dst"), Seq("dst"))
+      .agg(sum($"d_src".cast(dec) * $"d_dst".cast(dec)).as("sxy"),
+        count(lit(1)).as("m2"))
+    val triAgg = pairs.as("e1")
+      .join(pairs.as("e2"), $"e1.id_b" === $"e2.id_a")
+      .join(pairs.as("e3"),
+        $"e3.id_a" === $"e1.id_a" && $"e3.id_b" === $"e2.id_b")
+      .agg(count(lit(1)).as("n_triangles"))
+    val num = ($"m2".cast(dec) * $"sxy") - ($"s1e" * $"s1e")
+    val den = ($"m2".cast(dec) * $"sx2e") - ($"s1e" * $"s1e")
+    degAgg.crossJoin(triAgg).crossJoin(xyAgg)
+      .select(
+        $"n_nodes", expr("m2 div 2").as("n_edges"), $"max_degree",
+        round($"s1".cast("double") / $"n_nodes", 6).as("avg_degree"),
+        expr("wedges2 div 2").as("n_wedges"),
+        $"n_triangles",
+        when($"wedges2" > 0,
+          round($"n_triangles" * 6.0 / $"wedges2", 6)).as("clustering"),
+        when(den =!= 0,
+          round(num.cast("double") / den.cast("double"), 6)).as("assortativity"))
+  }
+
+  val q232Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT da AS a, db AS b FROM i
+      |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+      |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.95),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY 1),
+      |da AS (
+      |  SELECT COUNT(*) AS n_nodes, SUM(d) AS s1,
+      |    SUM(CAST(d AS HUGEINT) * d) AS s1e,
+      |    SUM(CAST(d AS HUGEINT) * d * d) AS sx2e,
+      |    MAX(d) AS max_degree, SUM(d*(d-1)) AS wedges2
+      |  FROM deg),
+      |xy AS (
+      |  SELECT SUM(CAST(g1.d AS HUGEINT) * g2.d) AS sxy, COUNT(*) AS m2
+      |  FROM e JOIN deg g1 ON g1.id = e.src JOIN deg g2 ON g2.id = e.dst),
+      |tr AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM p e1 JOIN p e2 ON e2.a = e1.b
+      |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  CAST(max_degree AS BIGINT) AS max_degree,
+      |  ROUND(CAST(s1 AS DOUBLE) / n_nodes, 6) AS avg_degree,
+      |  CAST(wedges2 // 2 AS BIGINT) AS n_wedges,
+      |  CAST(n_triangles AS BIGINT) AS n_triangles,
+      |  CASE WHEN wedges2 > 0
+      |    THEN ROUND(n_triangles * 6.0 / wedges2, 6) END AS clustering,
+      |  CASE WHEN CAST(m2 AS HUGEINT) * sx2e - s1e * s1e <> 0
+      |    THEN ROUND(
+      |      CAST(CAST(m2 AS HUGEINT) * sxy - s1e * s1e AS DOUBLE) /
+      |      CAST(CAST(m2 AS HUGEINT) * sx2e - s1e * s1e AS DOUBLE), 6)
+      |    END AS assortativity
+      |FROM da CROSS JOIN xy CROSS JOIN tr""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q232_dup_graph_card" -> (q232DupGraphCard _),
     "q206_dedup_savings" -> (q206DedupSavings _),
     "q192_dup_source_purity" -> (q192DupSourcePurity _),
     "q184_fuzzy_block_join" -> (q184FuzzyBlockJoin _),
@@ -1277,6 +1378,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q232_dup_graph_card" -> q232Sql,
     "q206_dedup_savings" -> q206Sql,
     "q192_dup_source_purity" -> q192Sql,
     "q184_fuzzy_block_join" -> q184Sql,

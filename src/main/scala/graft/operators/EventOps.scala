@@ -2638,7 +2638,61 @@ object EventOps {
       |  ROUND((obs_a - exp_a) * (obs_a - exp_a) / v, 4) AS logrank_chi2
       |FROM m""".stripMargin
 
+  /** q231: moving-average seasonal decomposition — the weekday seasonal
+    * INDEX of daily revenue after removing the trend (a centered 7-day
+    * moving average), i.e. the classical decomposition's seasonal
+    * component where [[q189WeekdayProfile]] reports raw weekday means
+    * (trend and season confounded). Everything is integer cents until
+    * the two final divisions: daily revenue collapses to exact cents,
+    * the MA window is a bigint sum over a 7-row frame (associative —
+    * safe under any engine's sliding-window tree), and the detrended
+    * value is kept ×7 (7y − Σ₇) to avoid the division entirely. Scale:
+    * one data-sized aggregation to |days| rows; windows and the weekday
+    * fold run on the calendar-bounded frame.
+    */
+  def q231SeasonalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day_idx"))
+      .agg((sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        * 100).cast("long").as("y_c"))
+    val w7 = Window.orderBy($"day_idx").rowsBetween(-3, 3)
+    val full = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum($"y_c").over(w7))
+      .filter($"n7" === 7)
+    full.groupBy(($"day_idx" % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"y_c" * 7 - $"sum7").as("detr7"),
+        sum($"y_c").as("yc"))
+      .select($"weekday", $"n_days",
+        round($"detr7".cast("double") / ($"n_days" * 700.0), 6).as("seasonal"),
+        round($"yc".cast("double") / ($"n_days" * 100.0), 6).as("avg_revenue"))
+      .orderBy($"weekday")
+  }
+
+  val q231Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day_idx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y_c
+      |  FROM events GROUP BY 1),
+      |ma AS (
+      |  SELECT day_idx, y_c,
+      |    COUNT(*) OVER (ORDER BY day_idx
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+      |    SUM(y_c) OVER (ORDER BY day_idx
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7
+      |  FROM daily),
+      |full7 AS (SELECT * FROM ma WHERE n7 = 7)
+      |SELECT day_idx % 7 AS weekday, COUNT(*) AS n_days,
+      |  ROUND(CAST(SUM(y_c * 7 - sum7) AS DOUBLE) / (COUNT(*) * 700.0), 6)
+      |    AS seasonal,
+      |  ROUND(CAST(SUM(y_c) AS DOUBLE) / (COUNT(*) * 100.0), 6)
+      |    AS avg_revenue
+      |FROM full7 GROUP BY 1 ORDER BY weekday""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q231_seasonal_decomposition" -> (q231SeasonalDecomposition _),
     "q220_logrank" -> (q220LogRank _),
     "q219_kaplan_meier" -> (q219KaplanMeier _),
     "q217_mantel_haenszel" -> (q217MantelHaenszel _),
@@ -2694,6 +2748,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q231_seasonal_decomposition" -> q231Sql,
     "q220_logrank" -> q220Sql,
     "q219_kaplan_meier" -> q219Sql,
     "q217_mantel_haenszel" -> q217Sql,

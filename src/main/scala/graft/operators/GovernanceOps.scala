@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy / data-governance audits — the release-gate checks a
+  * training-data pipeline runs before a corpus (or an aggregate table
+  * derived from user data) leaves the trust boundary. Re-identification
+  * risk is a GROUPING property: a row is exposed when its
+  * quasi-identifier (QI) combination is shared by too few other rows
+  * (k-anonymity, Sweeney 2002), and a group is exposed when it is
+  * homogeneous in a sensitive attribute even at safe k (l-diversity,
+  * Machanavajjhala 2007). Both reduce to hash aggregations over the QI
+  * columns, so the audits cost one shuffle whose cardinality is the QI
+  * DOMAIN (bounded, independent of row count) — at 100 TB the risk
+  * card is exactly as cheap as a group-count, and never collects rows.
+  *
+  * All outputs are integer counts plus 6-decimal shares of
+  * correctly-rounded double divisions — engine-exact vs the DuckDB
+  * oracles.
+  */
+object GovernanceOps {
+
+  /** Per-QI-group size frame: one row per distinct QI combination with
+    * its population `k`. The single shuffle of every audit below.
+    */
+  def qiGroupSizes(df: DataFrame, qiCols: Seq[Column]): DataFrame =
+    df.groupBy(qiCols: _*).agg(count(lit(1)).as("k"))
+
+  /** k-anonymity band histogram over the group-size frame: how many QI
+    * groups (and how many ROWS — the actual exposure mass) sit at each
+    * risk tier. `k_lo` carries the band's lower bound for ordering and
+    * for joining against a policy table.
+    */
+  def kAnonymityBands(groupSizes: DataFrame): DataFrame = {
+    val k = col("k")
+    val kLo = when(k === 1, 1L).when(k <= 4, 2L).when(k <= 9, 5L)
+      .when(k <= 19, 10L).otherwise(20L)
+    groupSizes
+      .groupBy(kLo.as("k_lo"))
+      .agg(count(lit(1)).as("n_groups"), sum(k).as("n_rows"))
+      .withColumn("row_share", round(
+        col("n_rows").cast("double") /
+          sum(col("n_rows")).over(Window.partitionBy()), 6))
+  }
+
+  /** q221: k-anonymity audit of the customer table under the
+    * QI (nation, market segment, account-balance kilobucket) — the
+    * classic "is anyone unique in the release?" card. Two hash
+    * aggregations: rows → QI groups (cardinality = QI domain), groups →
+    * 5 risk bands; the window total is over the 5-row band frame.
+    * Scale: the only data-sized pass is the first groupBy, with
+    * map-side partial aggregation; nothing downstream grows with rows.
+    */
+  def q221KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qi = Seq($"c_nationkey",
+      $"c_mktsegment",
+      floor($"c_acctbal" / 1000.0).cast("long").as("bal_kb"))
+    kAnonymityBands(qiGroupSizes(table(spark, dir, "customer"), qi))
+      .orderBy($"k_lo")
+  }
+
+  val q221Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_kb,
+      |    COUNT(*) AS k
+      |  FROM customer GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2
+      |              WHEN k <= 9 THEN 5 WHEN k <= 19 THEN 10
+      |              ELSE 20 END AS k_lo,
+      |    COUNT(*) AS n_groups, SUM(k) AS n_rows
+      |  FROM g GROUP BY 1)
+      |SELECT CAST(k_lo AS BIGINT) AS k_lo,
+      |  CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  ROUND(CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER (), 6) AS row_share
+      |FROM b ORDER BY k_lo""".stripMargin
+
+  /** q222: l-diversity audit — k-anonymity's blind spot is a large QI
+    * group where everyone shares the SAME sensitive value (membership
+    * alone leaks it). Under QI (nation, 2k-balance bucket) with market
+    * segment as the sensitive attribute, reports for each distinct-
+    * sensitive-count l: how many groups, how many rows, and the row
+    * share. l=1 rows are fully exposed regardless of k. Same two-
+    * aggregation shape as q221 (count_distinct adds one extra partial
+    * pass), cardinality bounded by the QI domain.
+    */
+  def q222LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = table(spark, dir, "customer")
+      .groupBy($"c_nationkey",
+        floor($"c_acctbal" / 2000.0).cast("long").as("bal_2kb"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"c_mktsegment").as("l"))
+    g.groupBy($"l")
+      .agg(count(lit(1)).as("n_groups"), sum($"k").as("n_rows"))
+      .withColumn("row_share", round(
+        $"n_rows".cast("double") /
+          sum($"n_rows").over(Window.partitionBy()), 6))
+      .orderBy($"l")
+  }
+
+  val q222Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey,
+      |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_2kb,
+      |    COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(l AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  ROUND(CAST(SUM(k) AS DOUBLE) / SUM(SUM(k)) OVER (), 6) AS row_share
+      |FROM g GROUP BY l ORDER BY l""".stripMargin
+
+  /** q223: generalization ladder — the anonymization DIAL. Coarsening
+    * the balance bucket (500 → 1000 → 2000 → 4000) shrinks the QI
+    * domain and pulls every group's k up; the audit reports, per rung,
+    * how far from k≥5 the release still is (violating groups, rows at
+    * risk, smallest group). The release policy picks the first rung
+    * with n_rows_at_risk = 0 — computing the whole ladder in ONE pass
+    * (constant ×4 explode, then one grouped aggregation keyed by
+    * (width, QI)) beats four separate audits and keeps the shuffle
+    * bounded by 4 × QI domain. At 100 TB the fanout is still a narrow
+    * map; no row leaves its partition before the partial aggregate.
+    */
+  def q223GeneralizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val widths = array(lit(500L), lit(1000L), lit(2000L), lit(4000L))
+    val g = table(spark, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment", $"c_acctbal",
+        explode(widths).as("width"))
+      .groupBy($"width", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / $"width").cast("long").as("bal_b"))
+      .agg(count(lit(1)).as("k"))
+    g.groupBy($"width")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"k" < 5, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when($"k" < 5, $"k").otherwise(0L)).as("n_rows_at_risk"),
+        min($"k").as("k_min"))
+      .withColumn("anonymous_k5", $"n_rows_at_risk" === 0L)
+      .orderBy($"width")
+  }
+
+  val q223Sql: String =
+    """WITH g AS (
+      |  SELECT w.width, c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / w.width) AS BIGINT) AS bal_b,
+      |    COUNT(*) AS k
+      |  FROM customer
+      |  CROSS JOIN (SELECT CAST(UNNEST([500, 1000, 2000, 4000]) AS BIGINT)
+      |              AS width) w
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT width, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_groups,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  CAST(MIN(k) AS BIGINT) AS k_min,
+      |  SUM(CASE WHEN k < 5 THEN k ELSE 0 END) = 0 AS anonymous_k5
+      |FROM g GROUP BY width ORDER BY width""".stripMargin
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q221_k_anonymity" -> (q221KAnonymity _),
+    "q222_l_diversity" -> (q222LDiversity _),
+    "q223_generalization_ladder" -> (q223GeneralizationLadder _))
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q221_k_anonymity" -> q221Sql,
+    "q222_l_diversity" -> q222Sql,
+    "q223_generalization_ladder" -> q223Sql)
+}

@@ -1161,7 +1161,179 @@ object Relational {
       |    / SUM(decile_revenue) OVER (), 6) AS cum_share
       |FROM g ORDER BY decile""".stripMargin
 
+  /** q227: small-quantity-order revenue (the TPC-H Q17 correlated-avg
+    * shape) — revenue locked up in orders of a brand's parts whose
+    * quantity is below 20% of that part's historical average. The
+    * correlated scalar subquery (per-part avg over ALL of lineitem)
+    * becomes one hash aggregate over the brand's line items joined back
+    * by part key; the brand part list is a broadcast semi-join pushed
+    * BELOW both the aggregate and the final join, so the big table is
+    * scanned once and filtered at the scan. The threshold is
+    * sum/(5·n) from an exact decimal sum — one correctly-rounded
+    * division, engine-identical — rather than 0.2·avg(double).
+    */
+  def q227SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brandParts = rawTable(spark, dir, "part")
+      .filter($"p_brand" === "Brand#4").select($"p_partkey")
+    val li = table(spark, dir, "lineitem")
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
+    val thr = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg((dsum($"l_quantity") / (count(lit(1)) * 5.0)).as("q_thr"))
+    li.join(thr, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"q_thr")
+      .agg(round(dsum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q227Sql: String =
+    """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+      |li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM bp)),
+      |thr AS (
+      |  SELECT l_partkey AS t_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      / (COUNT(*) * 5.0) AS q_thr
+      |  FROM li GROUP BY 1)
+      |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM li JOIN thr ON l_partkey = t_partkey
+      |WHERE l_quantity < q_thr""".stripMargin
+
+  /** q228: large-volume orders (the TPC-H Q18 group-HAVING-IN shape) —
+    * orders whose total quantity exceeds 250 units, with their
+    * customer. The IN-subquery over a grouped HAVING is one hash
+    * aggregate on the order key (which REUSES the lineitem spread
+    * partitioning — no extra shuffle) filtered before any join, so the
+    * order/customer joins see only the ~10⁻² surviving fraction.
+    * Exact-decimal quantity sums; top 20 by price with key tie-break.
+    */
+  def q228BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = table(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 250.0)
+    val ord = table(spark, dir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+    ord.join(table(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", round($"sum_qty", 2).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val q228Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250.0)
+      |SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  ROUND(sum_qty, 2) AS sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** q229: dormant high-balance customers (the TPC-H Q22 shape —
+    * global-scalar threshold + NOT EXISTS) — per nation, customers
+    * whose balance beats the all-positive-balance average but who never
+    * placed an URGENT order. The scalar subquery is a one-row broadcast
+    * cross join (threshold = exact decimal sum / count, one division);
+    * the NOT EXISTS is a LEFT ANTI against the distinct urgent-order
+    * customer keys, collapsed BEFORE the join so the anti probe is
+    * |distinct customers|, not |orders|.
+    */
+  def q229DormantBalances(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "customer")
+    val thr = cust.filter($"c_acctbal" > 0.0)
+      .agg((dsum($"c_acctbal") / count(lit(1))).as("bal_thr"))
+    val urgent = table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(thr))
+      .filter($"c_acctbal" > $"bal_thr")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        round(dsum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q229Sql: String =
+    """WITH thr AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(*) AS bal_thr
+      |  FROM customer WHERE c_acctbal > 0.0),
+      |urgent AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT')
+      |SELECT c_nationkey, COUNT(*) AS n_custs,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total_bal
+      |FROM customer CROSS JOIN thr
+      |WHERE c_acctbal > bal_thr
+      |  AND NOT EXISTS (SELECT 1 FROM urgent u
+      |                  WHERE u.o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** q230: cheapest supplier per part (the TPC-H Q2 correlated-min
+    * shape) — for every size-10 part, the supplier with the lowest
+    * observed unit price, with nation attribution. The correlated MIN
+    * becomes a per-(part,supplier) hash aggregate (unit price =
+    * price/qty, correctly-rounded division, identical both engines)
+    * and the arg-min a rank-1 window per part with a supplier-key tie
+    * break — deterministic, engine-identical selection, never a
+    * self-join back on a float equality. Dims broadcast; the only
+    * data-sized shuffle is the (part,supplier) aggregate.
+    */
+  def q230CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = rawTable(spark, dir, "part")
+      .filter($"p_size" === 10).select($"p_partkey", $"p_name")
+    val uc = table(spark, dir, "lineitem")
+      .join(broadcast(parts.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"unit_cost", $"l_suppkey")
+    val best = uc.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val supp = rawTable(spark, dir, "supplier")
+    val nat = rawTable(spark, dir, "nation")
+    best.join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"p_partkey", $"p_name", $"s_name", $"n_name",
+        round($"unit_cost", 6).as("unit_cost"))
+      .orderBy($"p_partkey")
+  }
+
+  val q230Sql: String =
+    """WITH uc AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 10)
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |    ORDER BY unit_cost, l_suppkey) AS rn
+      |  FROM uc)
+      |SELECT p_partkey, p_name, s_name, n_name,
+      |  ROUND(unit_cost, 6) AS unit_cost
+      |FROM best
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q227_small_qty_revenue" -> (q227SmallQtyRevenue _),
+    "q228_big_orders" -> (q228BigOrders _),
+    "q229_dormant_balances" -> (q229DormantBalances _),
+    "q230_cheapest_supplier" -> (q230CheapestSupplier _),
     "q208_revenue_pareto" -> (q208RevenuePareto _),
     "q201_sole_returner" -> (q201SoleReturner _),
     "q190_market_share" -> (q190MarketShare _),
@@ -1203,6 +1375,10 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q227_small_qty_revenue" -> q227Sql,
+    "q228_big_orders" -> q228Sql,
+    "q229_dormant_balances" -> q229Sql,
+    "q230_cheapest_supplier" -> q230Sql,
     "q208_revenue_pareto" -> q208Sql,
     "q201_sole_returner" -> q201Sql,
     "q190_market_share" -> q190Sql,

@@ -298,6 +298,53 @@ object StreamOps {
         keyCol, catCol, batchId)
     }
 
+  /** Live k-anonymity monitor, ingest side — the streaming twin of
+    * [[graft.operators.GovernanceOps.q221KAnonymity]]. Each micro-batch
+    * appends ONE row per quasi-identifier combination it saw (its
+    * partial count, batch_id-tagged and replay-idempotent, the
+    * [[graft.api.Stats]] counts-table pattern), so re-identification
+    * risk is monitorable DURING ingest without rescanning the corpus:
+    * the table grows with |batches| × |QI domain|, never with rows.
+    */
+  def kAnonymityIngestStream(rows: DataFrame, countsPath: String,
+      qiCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      kAnonymityIngestBatch(batch.toDF(), batchId, countsPath, qiCols)
+    }
+
+  /** One [[kAnonymityIngestStream]] micro-batch append — public so the
+    * replay-idempotence spec can drive it directly.
+    */
+  def kAnonymityIngestBatch(batch: DataFrame, batchId: Long,
+      countsPath: String, qiCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      batch.groupBy(qiCols.map(col): _*)
+        .agg(count(lit(1)).as("cur_n"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(countsPath)
+  }
+
+  /** Read side of the live k-anonymity monitor: merge the per-batch
+    * partial counts back to per-QI-group sizes (exact — counts add)
+    * and band them with the SAME
+    * [[graft.operators.GovernanceOps.kAnonymityBands]] the batch audit
+    * uses, so stream == batch is an identity, not a convention. Reads
+    * only the counts table.
+    */
+  def kAnonymityReport(spark: SparkSession, countsPath: String,
+      qiCols: Seq[String]): DataFrame = {
+    val merged = spark.read.parquet(countsPath)
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("cur_n")).as("k"))
+    graft.operators.GovernanceOps.kAnonymityBands(merged)
+      .orderBy(col("k_lo"))
+  }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

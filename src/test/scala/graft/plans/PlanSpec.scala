@@ -625,4 +625,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "day clip must be a hash semi-join")
     assert(p.contains("Generate"), "window membership must come from explode fanout")
   }
+
+  test("q223: the whole generalization ladder reads customer ONCE (explode, not 4 scans)") {
+    val p = planOf(graft.operators.GovernanceOps.q223GeneralizationLadder(spark, sf))
+    // formatted explain lists each node once in the tree and once in the
+    // details; the details header line "(n) Scan parquet" counts scans
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+      "the width ladder must fan out of one scan, not re-scan per width")
+    assert(p.contains("Generate"), "widths come from a constant explode")
+  }
+
+  test("q224: AUC is join-free — one aggregation chain, never a pos-x-neg pair build") {
+    val p = planOf(graft.operators.ModelOps.q224AucCard(spark, sf))
+    assert(!p.contains("Join"), "the rank identity must avoid any pairwise join")
+    assert(p.contains("HashAggregate"),
+      "distinct-score collapse must be a hash aggregate below the window")
+  }
+
+  test("q230: correlated-min supplier pick broadcasts every dimension") {
+    val p = planOf(graft.operators.Relational.q230CheapestSupplier(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part/supplier/nation must all broadcast against the aggregated fact")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank-1 argmin must prune per-partition before the shuffle")
+  }
 }
