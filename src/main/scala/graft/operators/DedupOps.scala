@@ -1350,7 +1350,104 @@ object DedupOps {
       |    END AS assortativity
       |FROM da CROSS JOIN xy CROSS JOIN tr""".stripMargin
 
+  /** q234: onion peeling toward the 2-core — four fixed rounds of
+    * "drop degree<2 nodes" over the Jaccard ≥ 0.8 near-dup graph, with
+    * per-layer node/edge counts. The layer profile separates the two
+    * duplication regimes the [[q232DupGraphCard]] moments hint at:
+    * chain-y drift graphs evaporate within a couple of peels (everything
+    * is a tendril), clique-y template families are immovable 2-core
+    * (counts go flat immediately) — and the flat-point is the size of
+    * the structurally-robust duplication worth running cluster
+    * resolution on. Each round is one degree aggregation + two semi
+    * joins on the surviving edge list (monotonically shrinking,
+    * checkpointed against lineage blowup); the round count is FIXED so
+    * the distributed result is a pure function of the data,
+    * oracle-replayable as unrolled CTEs — the [[q133PagerankDups]]
+    * convention for iterative graph ops.
+    */
+  def q234OnionLayers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def stats(e: DataFrame, it: Int): DataFrame =
+      e.select($"id_a".as("id")).union(e.select($"id_b".as("id"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(it.toLong).as("iteration"), $"n_nodes", $"n_edges")
+    var e = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+      .select($"id_a", $"id_b").localCheckpoint()
+    var out = stats(e, 0)
+    for (i <- 1 to 4) {
+      val keep = e.select($"id_a".as("id")).union(e.select($"id_b".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("d"))
+        .filter($"d" >= 2).select($"id").localCheckpoint()
+      e = e.join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .localCheckpoint()
+      out = out.unionByName(stats(e, i))
+    }
+    out.orderBy($"iteration")
+  }
+
+  // MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default;
+  // the unrolled peel references each layer several times, which would
+  // re-evaluate the Jaccard join exponentially without the hint
+  val q234Sql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |e0 AS MATERIALIZED (
+      |  SELECT da AS a, db AS b FROM i
+      |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+      |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+      |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM
+      |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE d >= 2),
+      |e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT id FROM k1)
+      |       AND b IN (SELECT id FROM k1)),
+      |d2 AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM
+      |  (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |k2 AS MATERIALIZED (SELECT id FROM d2 WHERE d >= 2),
+      |e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT id FROM k2)
+      |       AND b IN (SELECT id FROM k2)),
+      |d3 AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM
+      |  (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+      |k3 AS MATERIALIZED (SELECT id FROM d3 WHERE d >= 2),
+      |e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT id FROM k3)
+      |       AND b IN (SELECT id FROM k3)),
+      |d4 AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM
+      |  (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+      |k4 AS MATERIALIZED (SELECT id FROM d4 WHERE d >= 2),
+      |e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT id FROM k4)
+      |       AND b IN (SELECT id FROM k4))
+      |SELECT CAST(iteration AS BIGINT) AS iteration,
+      |  CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(n_edges AS BIGINT) AS n_edges
+      |FROM (
+      |  SELECT 0 AS iteration,
+      |    (SELECT COUNT(*) FROM (SELECT a FROM e0 UNION SELECT b FROM e0))
+      |      AS n_nodes,
+      |    (SELECT COUNT(*) FROM e0) AS n_edges
+      |  UNION ALL SELECT 1,
+      |    (SELECT COUNT(*) FROM (SELECT a FROM e1 UNION SELECT b FROM e1)),
+      |    (SELECT COUNT(*) FROM e1)
+      |  UNION ALL SELECT 2,
+      |    (SELECT COUNT(*) FROM (SELECT a FROM e2 UNION SELECT b FROM e2)),
+      |    (SELECT COUNT(*) FROM e2)
+      |  UNION ALL SELECT 3,
+      |    (SELECT COUNT(*) FROM (SELECT a FROM e3 UNION SELECT b FROM e3)),
+      |    (SELECT COUNT(*) FROM e3)
+      |  UNION ALL SELECT 4,
+      |    (SELECT COUNT(*) FROM (SELECT a FROM e4 UNION SELECT b FROM e4)),
+      |    (SELECT COUNT(*) FROM e4))
+      |ORDER BY iteration""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q234_onion_layers" -> (q234OnionLayers _),
     "q232_dup_graph_card" -> (q232DupGraphCard _),
     "q206_dedup_savings" -> (q206DedupSavings _),
     "q192_dup_source_purity" -> (q192DupSourcePurity _),
@@ -1378,6 +1475,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q234_onion_layers" -> q234Sql,
     "q232_dup_graph_card" -> q232Sql,
     "q206_dedup_savings" -> q206Sql,
     "q192_dup_source_purity" -> q192Sql,

@@ -1329,7 +1329,174 @@ object Relational {
       |JOIN nation ON s_nationkey = n_nationkey
       |WHERE rn = 1 ORDER BY p_partkey""".stripMargin
 
+  /** q235: join-blowup audit — the cardinality forecast an operator
+    * reads BEFORE submitting a self-join: exact output size of
+    * lineitem⋈lineitem on l_partkey (Σₖ n(k)²) and the top-5 keys by
+    * contribution. A single hot key routinely carries most of a skewed
+    * join's output; this card prices the join and names the keys to
+    * salt ([[graft.operators.Skew]]) — for the cost of one per-key
+    * count aggregate, a 1-row broadcast total, and a TakeOrdered top-5.
+    * Nothing here grows with the would-be join output.
+    */
+  def q235JoinBlowup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perKey = table(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = perKey.agg(
+      sum($"n_rows" * $"n_rows").as("total_pairs"),
+      sum($"n_rows").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(tot))
+      .select($"l_partkey", $"n_rows",
+        ($"n_rows" * $"n_rows").as("pair_contrib"),
+        round(($"n_rows" * $"n_rows").cast("double") / $"total_pairs", 6)
+          .as("share"),
+        $"total_pairs", $"total_rows", $"n_keys")
+      .orderBy($"n_rows".desc, $"l_partkey")
+      .limit(5)
+  }
+
+  val q235Sql: String =
+    """WITH pk AS (
+      |  SELECT l_partkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(n_rows * n_rows) AS total_pairs,
+      |    SUM(n_rows) AS total_rows, COUNT(*) AS n_keys
+      |  FROM pk)
+      |SELECT l_partkey, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_rows * n_rows AS BIGINT) AS pair_contrib,
+      |  ROUND(CAST(n_rows * n_rows AS DOUBLE) / total_pairs, 6) AS share,
+      |  CAST(total_pairs AS BIGINT) AS total_pairs,
+      |  CAST(total_rows AS BIGINT) AS total_rows,
+      |  CAST(n_keys AS BIGINT) AS n_keys
+      |FROM pk CROSS JOIN tot
+      |ORDER BY n_rows DESC, l_partkey LIMIT 5""".stripMargin
+
+  /** q236: important part values (the TPC-H Q11 group-HAVING-vs-global
+    * shape) — parts whose revenue through nations-0-4 suppliers exceeds
+    * 0.0011 of that region's total. The supplier region filter is a
+    * broadcast semi-join at the scan; the global total is the same
+    * 1-row broadcast as q229 but over the ALREADY-AGGREGATED per-part
+    * frame, so the second pass costs |parts|, not line items. Exact
+    * decimal sums make the threshold comparison engine-identical.
+    */
+  def q236ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regionSupp = rawTable(spark, dir, "supplier")
+      .filter($"s_nationkey" < 5).select($"s_suppkey")
+    val v = table(spark, dir, "lineitem")
+      .join(broadcast(regionSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(dsum($"l_extendedprice").as("part_value"))
+    val tot = v.agg(dsum6($"part_value").as("total_value"))
+    v.crossJoin(broadcast(tot))
+      .filter($"part_value" > $"total_value" * 0.0011)
+      .select($"l_partkey", round($"part_value", 2).as("part_value"))
+      .orderBy($"part_value".desc, $"l_partkey")
+  }
+
+  val q236Sql: String =
+    """WITH rs AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+      |v AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS part_value
+      |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(CAST(part_value AS DECIMAL(24,6))) AS DOUBLE)
+      |    AS total_value
+      |  FROM v)
+      |SELECT l_partkey, ROUND(part_value, 2) AS part_value
+      |FROM v CROSS JOIN t
+      |WHERE part_value > total_value * 0.0011
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** q237: top supplier(s) by quarterly revenue (the TPC-H Q15
+    * view-plus-scalar-max shape) — revenue per supplier over Q1-1997
+    * shipments, keeping every supplier TIED at the maximum (the classic
+    * "= (SELECT MAX ...)" correlation, not a LIMIT 1 that would drop
+    * ties). Revenue folds as exact decimals on the 1e-6 grid, so the
+    * float equality against the 1-row broadcast max is engine-safe —
+    * the only join is that broadcast.
+    */
+  def q237TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1997-01-01T00:00:00") &&
+        $"l_shipdate" < ldt("1997-04-01T00:00:00"))
+      .groupBy($"l_suppkey")
+      .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val mx = rev.agg(max($"rev").as("max_rev"))
+    rev.crossJoin(broadcast(mx)).filter($"rev" === $"max_rev")
+      .join(broadcast(rawTable(spark, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"rev", 2).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q237Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(24,6))) AS DOUBLE) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, ROUND(rev, 2) AS total_revenue
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = (SELECT MAX(rev) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q238: heavy shippers of a part family (the TPC-H Q20 nested-IN
+    * chain) — nations-0-9 suppliers who moved >40 units of at least two
+    * distinct red-prefixed parts. The three-level nesting (parts →
+    * qualifying (supplier, part) volumes → qualifying suppliers)
+    * becomes a broadcast-semi part filter at the scan, a
+    * (supplier, part) hash aggregate with a HAVING cut, and a
+    * supplier-level recount — each level collapses before the next, so
+    * the chain never joins raw line items against raw line items.
+    */
+  def q238HeavyShippers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = rawTable(spark, dir, "part")
+      .filter($"p_name".startsWith("red ")).select($"p_partkey")
+    val qualifying = table(spark, dir, "lineitem")
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(dsum($"l_quantity").as("qty"))
+      .filter($"qty" > 40.0)
+    val heavy = qualifying.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_heavy_parts"))
+      .filter($"n_heavy_parts" >= 2)
+    heavy.join(broadcast(rawTable(spark, dir, "supplier")
+        .filter($"s_nationkey" < 10)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_heavy_parts")
+      .orderBy($"s_suppkey")
+  }
+
+  val q238Sql: String =
+    """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+      |q AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM red)
+      |  GROUP BY 1, 2 HAVING qty > 40.0),
+      |h AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_heavy_parts FROM q
+      |  GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT s_suppkey, s_name, CAST(n_heavy_parts AS BIGINT)
+      |  AS n_heavy_parts
+      |FROM h JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 10 ORDER BY s_suppkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q236_important_parts" -> (q236ImportantParts _),
+    "q237_top_supplier" -> (q237TopSupplier _),
+    "q238_heavy_shippers" -> (q238HeavyShippers _),
+    "q235_join_blowup" -> (q235JoinBlowup _),
     "q227_small_qty_revenue" -> (q227SmallQtyRevenue _),
     "q228_big_orders" -> (q228BigOrders _),
     "q229_dormant_balances" -> (q229DormantBalances _),
@@ -1375,6 +1542,10 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q236_important_parts" -> q236Sql,
+    "q237_top_supplier" -> q237Sql,
+    "q238_heavy_shippers" -> q238Sql,
+    "q235_join_blowup" -> q235Sql,
     "q227_small_qty_revenue" -> q227Sql,
     "q228_big_orders" -> q228Sql,
     "q229_dormant_balances" -> q229Sql,

@@ -1613,7 +1613,92 @@ object TextOps {
       |    AS type_token_ratio
       |FROM tf GROUP BY source ORDER BY source""".stripMargin
 
+  /** q233: Kneser-Ney smoothed bigram perplexity per source — the
+    * industry-standard LM smoothing ([[q150BigramLogprob]]'s MLE
+    * upgraded with absolute discounting D=0.75 and the continuation
+    * distribution): P(w₂|w₁) = (c₁₂−D)/c₁ + (D·N₁₊(w₁·)/c₁)·N₁₊(·w₂)/T.
+    * The continuation term scores a word by how many CONTEXTS it
+    * follows, not how often — the "San Francisco" correction that makes
+    * KN the right perplexity filter where raw MLE over-trusts frequent
+    * continuations. Every model quantity is an integer count derived
+    * from ONE (source, bigram) aggregation (type tables are
+    * vocab-bounded, Heaps-sublinear); per-bigram log-probs are snapped
+    * to integer micro-nats so the per-source folds are EXACT integer
+    * sums — no order-dependent double accumulation at corpus scale.
+    */
+  def q233KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = table(spark, dir, "documents")
+      .withColumn("tk", filter(toks(), t => t =!= ""))
+      .filter(size($"tk") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"source", $"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val global = bg.groupBy($"bigram").agg(sum($"cnt").as("c12"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+      .withColumn("w2", substring_index($"bigram", " ", -1))
+      .localCheckpoint()
+    val pre = global.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
+    val suf = global.groupBy($"w2").agg(count(lit(1)).as("n1m"))
+    val types = global.agg(count(lit(1)).as("t_types"))
+    val p = ($"c12" - 0.75) / $"c1" +
+      ($"n1p" * 0.75) / $"c1" * ($"n1m" / $"t_types".cast("double"))
+    val probs = global.join(pre, "w1").join(suf, "w2")
+      .crossJoin(broadcast(types))
+      .select($"bigram", round(log(p) * 1e6).cast("long").as("lnp_q"))
+    bg.join(probs, "bigram")
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_bigrams"),
+        sum($"cnt" * $"lnp_q").as("s_q"))
+      .select($"source", $"n_bigrams",
+        round($"s_q".cast("double") /
+          ($"n_bigrams".cast("double") * 1e6), 6).as("avg_ln_p"))
+      .withColumn("perplexity", round(exp(-$"avg_ln_p"), 4))
+      .orderBy($"source")
+  }
+
+  val q233Sql: String =
+    """WITH d AS (
+      |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      |  FROM d WHERE len(tk) >= 2),
+      |bg AS (SELECT source, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      |global AS (
+      |  SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+      |    split_part(bigram, ' ', 2) AS w2, SUM(cnt) AS c12
+      |  FROM bg GROUP BY 1, 2, 3),
+      |pre AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p
+      |        FROM global GROUP BY 1),
+      |suf AS (SELECT w2, COUNT(*) AS n1m FROM global GROUP BY 1),
+      |ty AS (SELECT COUNT(*) AS t_types FROM global),
+      |probs AS (
+      |  SELECT bigram,
+      |    CAST(ROUND(ln((c12 - 0.75) / c1 +
+      |      (n1p * 0.75) / c1 * (n1m / CAST(t_types AS DOUBLE))) * 1e6)
+      |      AS BIGINT) AS lnp_q
+      |  FROM global JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN ty),
+      |sc AS (
+      |  SELECT source, SUM(cnt) AS n_bigrams, SUM(cnt * lnp_q) AS s_q
+      |  FROM bg JOIN probs USING (bigram) GROUP BY source),
+      |o AS (
+      |  SELECT source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |    ROUND(CAST(s_q AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6), 6)
+      |      AS avg_ln_p
+      |  FROM sc)
+      |SELECT source, n_bigrams, avg_ln_p,
+      |  ROUND(exp(-avg_ln_p), 4) AS perplexity
+      |FROM o ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q233_kneser_ney" -> (q233KneserNey _),
     "q215_hapax_rate" -> (q215HapaxRate _),
     "q202_lang_source_independence" -> (q202LangSourceIndependence _),
     "q191_token_burstiness" -> (q191TokenBurstiness _),
@@ -1728,6 +1813,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q233_kneser_ney" -> q233Sql,
     "q215_hapax_rate" -> q215Sql,
     "q202_lang_source_independence" -> q202Sql,
     "q191_token_burstiness" -> q191Sql,

@@ -287,6 +287,136 @@ class GovernanceModelSpec extends SparkSpec {
     assert(math.abs(mass) < 0.1 * scale)
   }
 
+  test("q233: Kneser-Ney per-source log-prob matches brute-force smoothing") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val occ = docs.flatMap { case (src, tk) =>
+      tk.sliding(2).filter(_.length == 2).map(p => (src, (p(0), p(1))))
+    }
+    val c12 = occ.groupBy(_._2).map { case (bg, g) => bg -> g.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, g) => w -> g.values.sum }
+    val n1p = c12.groupBy(_._1._1).map { case (w, g) => w -> g.size.toLong }
+    val n1m = c12.groupBy(_._1._2).map { case (w, g) => w -> g.size.toLong }
+    val t = c12.size.toDouble
+    val lnpQ = c12.map { case (bg @ (w1, w2), c) =>
+      val p = (c - 0.75) / c1(w1) + (n1p(w1) * 0.75) / c1(w1) * (n1m(w2) / t)
+      bg -> math.round(math.log(p) * 1e6)
+    }
+    val want = occ.groupBy(_._1).map { case (src, g) =>
+      src -> (g.size.toLong, g.map(x => lnpQ(x._2)).sum.toDouble / (g.size * 1e6))
+    }
+    val rows = TextOps.q233KneserNey(spark, sf).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, avg) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(math.abs(r.getAs[Double]("avg_ln_p") - avg) < 1e-6)
+      assert(r.getAs[Double]("avg_ln_p") < 0.0, "log-probs must be negative")
+      assert(r.getAs[Double]("perplexity") > 1.0)
+    }
+  }
+
+  test("q234: onion layers match a brute-force peel; counts are monotone non-increasing") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    var edges = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, sa) = docs(i); (idb, sb) = docs(j)
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.8
+    } yield if (ida < idb) (ida, idb) else (idb, ida)).toSeq
+    def nodes(es: Seq[(Long, Long)]) = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = scala.collection.mutable.Buffer((0L, nodes(edges).size.toLong, edges.size.toLong))
+    for (i <- 1 to 4) {
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (k, g) => k -> g.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      want += ((i.toLong, nodes(edges).size.toLong, edges.size.toLong))
+    }
+    val rows = DedupOps.q234OnionLayers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("iteration"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges")))
+    assert(rows.toSeq === want.toSeq)
+    assert(rows.map(_._3).sliding(2).forall(p => p.last <= p.head))
+  }
+
+  test("q235: join-blowup audit matches brute-force per-key squares") {
+    val perKey = lineitems().groupBy(_.getAs[Long]("l_partkey"))
+      .map { case (k, g) => k -> g.length.toLong }
+    val totalPairs = perKey.values.map(n => n * n).sum
+    val top = perKey.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+    val rows = Relational.q235JoinBlowup(spark, sf).collect()
+    assert(rows.length === math.min(5, perKey.size))
+    rows.zip(top).foreach { case (r, (k, n)) =>
+      assert(r.getAs[Long]("l_partkey") === k)
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("pair_contrib") === n * n)
+      assert(r.getAs[Long]("total_pairs") === totalPairs)
+      assert(math.abs(r.getAs[Double]("share") - n * n / totalPairs.toDouble) < 1e-6)
+    }
+  }
+
+  test("q236/q237/q238: TPC-H Q11/Q15/Q20 shapes match brute force") {
+    import spark.implicits._
+    val li = lineitems()
+    val suppNation = graft.Util.rawTable(spark, sf, "supplier")
+      .select($"s_suppkey", $"s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // q236
+    val region = suppNation.filter(_._2 < 5).keySet
+    val v = li.filter(r => region(r.getAs[Long]("l_suppkey")))
+      .groupBy(_.getAs[Long]("l_partkey"))
+      .map { case (k, g) =>
+        k -> g.map(r => BigDecimal(r.getAs[Double]("l_extendedprice")).setScale(2)).sum.toDouble
+      }
+    val tot = v.values.map(x => BigDecimal(x).setScale(6)).sum.toDouble
+    val wantImportant = v.filter(_._2 > tot * 0.0011)
+    val r236 = Relational.q236ImportantParts(spark, sf).collect()
+    assert(r236.length === wantImportant.size)
+    r236.foreach(r => assert(wantImportant.contains(r.getAs[Long]("l_partkey"))))
+    // q237
+    val t0 = java.time.Instant.parse("1997-01-01T00:00:00Z").toEpochMilli
+    val t1 = java.time.Instant.parse("1997-04-01T00:00:00Z").toEpochMilli
+    def shipMs(r: Row): Long = r.getAs[Any]("l_shipdate") match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant => i.toEpochMilli
+    }
+    val rev = li.filter { r =>
+        val ms = shipMs(r); ms >= t0 && ms < t1
+      }.groupBy(_.getAs[Long]("l_suppkey"))
+      .map { case (k, g) =>
+        k -> g.map(r => BigDecimal(
+          r.getAs[Double]("l_extendedprice") * (1.0 - r.getAs[Double]("l_discount")))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      }
+    val mx = rev.values.max
+    val r237 = Relational.q237TopSupplier(spark, sf).collect()
+    assert(r237.map(_.getAs[Long]("s_suppkey")).toSet ===
+      rev.filter(_._2 == mx).keySet)
+    // q238
+    val red = graft.Util.rawTable(spark, sf, "part")
+      .filter($"p_name".startsWith("red ")).select($"p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val qual = li.filter(r => red(r.getAs[Long]("l_partkey")))
+      .groupBy(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("l_partkey")))
+      .map { case (k, g) =>
+        k -> g.map(r => BigDecimal(r.getAs[Double]("l_quantity")).setScale(2)).sum.toDouble
+      }.filter(_._2 > 40.0)
+    val heavy = qual.keys.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+      .filter(_._2 >= 2).filter { case (s, _) => suppNation(s) < 10 }
+    val r238 = Relational.q238HeavyShippers(spark, sf).collect()
+    assert(r238.map(_.getAs[Long]("s_suppkey")).toSet === heavy.keySet)
+    r238.foreach(r =>
+      assert(r.getAs[Long]("n_heavy_parts") === heavy(r.getAs[Long]("s_suppkey"))))
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
