@@ -2691,7 +2691,169 @@ object EventOps {
       |    AS avg_revenue
       |FROM full7 GROUP BY 1 ORDER BY weekday""".stripMargin
 
+  /** q241: lead-lag cross-correlation — Pearson correlation between the
+    * view and purchase daily-revenue series at day offsets −3…+3, the
+    * "does engagement lead spend, and by how long?" card. Both series
+    * collapse to integer cents; the ±3 offset fan-out is a constant
+    * 7-row explode joined back on the shifted day (calendar-bounded
+    * frames, never event-sized); every Pearson moment is an exact
+    * integer in overflow-safe decimals with two final FP ops (one
+    * division, one sqrt — both correctly rounded, engine-identical).
+    */
+  def q241LeadLagXcorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = events(spark, dir)
+    def daily(t: String) = ev.filter($"event_type" === t)
+      .groupBy(expr("ts_ms div 86400000").as("d"))
+      .agg((sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        * 100).cast("long").as(s"c_$t"))
+    val x = daily("view")
+    val y = daily("purchase")
+    val lags = array((-3L to 3L).map(lit): _*)
+    val joined = x.select($"d".as("xd"), $"c_view", explode(lags).as("lag"))
+      .join(y, $"xd" + $"lag" === $"d")
+      .select($"lag", $"c_view".as("x"), $"c_purchase".as("y"))
+    joined.groupBy($"lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast(dec) * $"y".cast(dec)).as("sxy"),
+        sum($"x".cast(dec) * $"x".cast(dec)).as("sxx"),
+        sum($"y".cast(dec) * $"y".cast(dec)).as("syy"))
+      .select($"lag", $"n_days",
+        round(($"n_days".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec))
+          .cast("double") /
+          sqrt((($"n_days".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec)) *
+            ($"n_days".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy".cast(dec)))
+            .cast("double")), 6).as("pearson_r"))
+      .orderBy($"lag")
+  }
+
+  val q241Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS d, value FROM events),
+      |x AS (
+      |  SELECT d, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS x FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |y AS (
+      |  SELECT d, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS y FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (
+      |  SELECT l.lag, x.x, y.y
+      |  FROM x CROSS JOIN (SELECT CAST(UNNEST([-3,-2,-1,0,1,2,3]) AS BIGINT)
+      |                     AS lag) l
+      |  JOIN y ON x.d + l.lag = y.d),
+      |m AS (
+      |  SELECT lag, COUNT(*) AS n_days, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM j GROUP BY lag)
+      |SELECT lag, n_days,
+      |  ROUND(CAST(CAST(n_days AS HUGEINT) * sxy
+      |      - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |    SQRT(CAST((CAST(n_days AS HUGEINT) * sxx
+      |        - CAST(sx AS HUGEINT) * sx)
+      |      * (CAST(n_days AS HUGEINT) * syy
+      |        - CAST(sy AS HUGEINT) * sy) AS DOUBLE)), 6) AS pearson_r
+      |FROM m ORDER BY lag""".stripMargin
+
+  /** q242: top event-type trigram paths — the most common length-3
+    * behavioral sequences ([[q207TransitionEntropy]]'s bigram
+    * transitions extended to the path mining a sequence model trains
+    * on), with each path's share of all trigrams. Two lags over ONE
+    * user-keyed window (the q146 next-event shape), then a hash agg on
+    * the |types|³-bounded path domain; the top-10 cut is a TakeOrdered,
+    * not a global sort.
+    */
+  def q242TrigramPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tri = events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+    val counts = tri.groupBy($"path").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy()), 6))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val q242Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t3
+      |  FROM events),
+      |tri AS (
+      |  SELECT event_type || '>' || t2 || '>' || t3 AS path FROM o
+      |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+      |c AS (SELECT path, COUNT(*) AS n FROM tri GROUP BY 1)
+      |SELECT path, n, ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+      |FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  /** q243: late-data audit — how out-of-order is each stream, in
+    * watermark terms? Lateness of an event = (running max event time in
+    * ARRIVAL order) − (its own event time), per event_type; the bucket
+    * histogram (in-order / ≤1 min / ≤5 min / ≤30 min / beyond) is
+    * exactly the evidence for choosing a `withWatermark` allowance: the
+    * share in the last bucket is the drop rate that allowance would
+    * cost. Arrival order is the event_id sequence (the commit-order
+    * proxy the replicator checkpoints by). One per-stream window over
+    * the arrival sequence — the per-stream ORDER is the semantic, so
+    * the sort is irreducible but partitioned by stream.
+    */
+  def q243LateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events(spark, dir)
+      .select($"event_type", $"event_id", $"ts_ms")
+      .withColumn("late_ms", max($"ts_ms").over(w) - $"ts_ms")
+    val bucket = when($"late_ms" === 0, "a_in_order")
+      .when($"late_ms" <= 60000L, "b_1min")
+      .when($"late_ms" <= 300000L, "c_5min")
+      .when($"late_ms" <= 1800000L, "d_30min")
+      .otherwise("e_beyond")
+    late.groupBy($"event_type", bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"), max($"late_ms").as("max_late_ms"))
+      .withColumn("share", round($"n_events".cast("double") /
+        sum($"n_events").over(Window.partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val q243Sql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    MAX(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - epoch_ms(ts) AS late_ms
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN late_ms = 0 THEN 'a_in_order'
+      |         WHEN late_ms <= 60000 THEN 'b_1min'
+      |         WHEN late_ms <= 300000 THEN 'c_5min'
+      |         WHEN late_ms <= 1800000 THEN 'd_30min'
+      |         ELSE 'e_beyond' END AS bucket,
+      |    late_ms
+      |  FROM l)
+      |SELECT event_type, bucket, COUNT(*) AS n_events,
+      |  MAX(late_ms) AS max_late_ms,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+      |    SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS share
+      |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q241_leadlag_xcorr" -> (q241LeadLagXcorr _),
+    "q242_trigram_paths" -> (q242TrigramPaths _),
+    "q243_late_data_audit" -> (q243LateDataAudit _),
     "q231_seasonal_decomposition" -> (q231SeasonalDecomposition _),
     "q220_logrank" -> (q220LogRank _),
     "q219_kaplan_meier" -> (q219KaplanMeier _),
@@ -2748,6 +2910,9 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q241_leadlag_xcorr" -> q241Sql,
+    "q242_trigram_paths" -> q242Sql,
+    "q243_late_data_audit" -> q243Sql,
     "q231_seasonal_decomposition" -> q231Sql,
     "q220_logrank" -> q220Sql,
     "q219_kaplan_meier" -> q219Sql,

@@ -458,6 +458,87 @@ class GovernanceModelSpec extends SparkSpec {
     }
   }
 
+  private def eventRows(): Array[(Long, Long, String, Double, Long)] = {
+    import spark.implicits._
+    graft.Util.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+  }
+
+  test("q241: lead-lag correlations match brute-force integer-cents Pearson") {
+    val ev = eventRows()
+    def daily(t: String) = ev.filter(_._3 == t).groupBy(_._5 / 86400000L)
+      .map { case (d, g) =>
+        d -> g.map(x => BigDecimal(x._4).setScale(2)).sum
+          .*(BigDecimal(100)).toLongExact
+      }
+    val x = daily("view"); val y = daily("purchase")
+    val rows = EventOps.q241LeadLagXcorr(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq === (-3L to 3L))
+    rows.foreach { r =>
+      val l = r.getAs[Long]("lag")
+      val pts = x.toSeq.flatMap { case (d, xv) => y.get(d + l).map(yv => (xv, yv)) }
+      assert(r.getAs[Long]("n_days") === pts.size.toLong)
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1.toDouble).sum; val sy = pts.map(_._2.toDouble).sum
+      val sxy = pts.map(p => p._1.toDouble * p._2).sum
+      val sxx = pts.map(p => p._1.toDouble * p._1).sum
+      val syy = pts.map(p => p._2.toDouble * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Double]("pearson_r") - want) < 1e-6)
+      assert(math.abs(r.getAs[Double]("pearson_r")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q242: trigram paths match brute-force sequence counts") {
+    val ev = eventRows()
+    val tri = ev.groupBy(_._2).values.flatMap { g =>
+      g.toSeq.sortBy(e => (e._5, e._1)).map(_._3).sliding(3)
+        .filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq
+    // NOTE: the query orders by (ts, event_id); ts_ms is the floor of ts
+    // nanos so sorting by (ts_ms, event_id) can disagree within a
+    // millisecond — rebuild with nanos below if this ever flakes. The
+    // testdata's event times are ms-granular, so ts_ms order == ts order.
+    val counts = tri.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val total = counts.values.sum.toDouble
+    val rows = EventOps.q242TrigramPaths(spark, sf).collect()
+    assert(rows.length === math.min(10, counts.size))
+    rows.zip(top).foreach { case (r, (p, n)) =>
+      assert(r.getAs[String]("path") === p)
+      assert(r.getAs[Long]("n") === n)
+      assert(math.abs(r.getAs[Double]("share") - n / total) < 1e-6)
+    }
+  }
+
+  test("q243: late-data buckets match a brute-force running-max walk") {
+    val ev = eventRows()
+    val want = ev.groupBy(_._3).flatMap { case (t, g) =>
+      var runMax = Long.MinValue
+      val lates = g.toSeq.sortBy(_._1).map { e =>
+        runMax = math.max(runMax, e._5); runMax - e._5
+      }
+      def bucket(l: Long) = if (l == 0) "a_in_order" else if (l <= 60000) "b_1min"
+        else if (l <= 300000) "c_5min" else if (l <= 1800000) "d_30min"
+        else "e_beyond"
+      lates.groupBy(bucket).map { case (b, ls) =>
+        (t, b) -> (ls.size.toLong, ls.max, ls.size.toDouble / g.size)
+      }
+    }
+    val rows = EventOps.q243LateDataAudit(spark, sf).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, mx, share) = want((r.getAs[String]("event_type"), r.getAs[String]("bucket")))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("max_late_ms") === mx)
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-6)
+    }
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
