@@ -345,6 +345,53 @@ object StreamOps {
       .orderBy(col("k_lo"))
   }
 
+  /** Live deterministic stratified sample, ingest side — the streaming
+    * twin of [[graft.api.Sampling.stratifiedSample]]. The md5-order
+    * sample is a BOTTOM-K SKETCH (k smallest hash values per stratum),
+    * and bottom-k is mergeable: min-k(min-k(A) ∪ min-k(B)) =
+    * min-k(A ∪ B). So each micro-batch appends only its own per-stratum
+    * bottom-k candidates (≤ k·|strata| rows per batch, batch_id-tagged
+    * and replay-idempotent) and the maintained table stays a valid
+    * basis for the corpus-so-far sample at any moment — a uniform
+    * reservoir over an unbounded stream with NO RNG state to
+    * checkpoint, and bit-identical to re-sampling the full corpus.
+    */
+  def stratifiedSampleIngestStream(rows: DataFrame, path: String,
+      strataCol: String, idCol: String,
+      k: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      stratifiedSampleIngestBatch(batch.toDF(), batchId, path, strataCol, idCol, k)
+    }
+
+  /** One [[stratifiedSampleIngestStream]] micro-batch append — public
+    * so the replay-idempotence spec can drive it directly.
+    */
+  def stratifiedSampleIngestBatch(batch: DataFrame, batchId: Long,
+      path: String, strataCol: String, idCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      graft.api.Sampling.stratifiedSample(batch, strataCol, idCol, k)
+        .drop("sample_rank")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+  }
+
+  /** Read side of the live sample: merge the per-batch bottom-k
+    * candidates back through the SAME ranking
+    * ([[graft.api.Sampling.stratifiedSample]] over the candidate
+    * table), so stream == batch is the bottom-k merge identity, not a
+    * convention. Reads ≤ k·|strata|·|batches| candidate rows — never
+    * the corpus.
+    */
+  def stratifiedSampleReport(spark: SparkSession, path: String,
+      strataCol: String, idCol: String, k: Int): DataFrame =
+    graft.api.Sampling.stratifiedSample(
+      spark.read.parquet(path).drop("batch_id"), strataCol, idCol, k)
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

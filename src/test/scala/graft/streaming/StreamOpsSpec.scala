@@ -1322,4 +1322,30 @@ class StreamOpsSpec extends SparkSpec {
     // the gate actually separates: target-like docs in, spam out
     assert(want.keySet === Set(100L, 102L))
   }
+
+  test("stratified-sample ingest: 3-batch bottom-k merge + replay == one-shot sample") {
+    import spark.implicits._
+    val dir = tmpDir("bksample")
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"source", $"doc_id")
+    (0 until 3).foreach { i =>
+      StreamOps.stratifiedSampleIngestBatch(
+        docs.filter($"doc_id" % 3 === i), i.toLong, s"$dir/cand", "source", "doc_id", 5)
+    }
+    // at-least-once replay of batch 2 must be a no-op
+    StreamOps.stratifiedSampleIngestBatch(
+      docs.filter($"doc_id" % 3 === 2), 2L, s"$dir/cand", "source", "doc_id", 5)
+    val live = StreamOps.stratifiedSampleReport(spark, s"$dir/cand", "source", "doc_id", 5)
+      .select($"source", $"sample_rank", $"doc_id")
+      .orderBy($"source", $"sample_rank").collect()
+    val batch = graft.api.Sampling.stratifiedSample(docs, "source", "doc_id", 5)
+      .select($"source", $"sample_rank", $"doc_id")
+      .orderBy($"source", $"sample_rank").collect()
+    assert(live.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // candidate table stays bottom-k-bounded: <= k per stratum per batch
+    val cand = spark.read.parquet(s"$dir/cand")
+    val worst = cand.groupBy($"source", $"batch_id")
+      .count().agg(org.apache.spark.sql.functions.max($"count")).collect().head.getLong(0)
+    assert(worst <= 5L)
+  }
 }
