@@ -1006,6 +1006,23 @@ object StreamOps {
       sink(res, batchId)
     }
 
+  /** Live near-dup candidate lookups over the persisted MinHash text
+    * index ([[graft.api.TextIndex]]) — the text-side twin of
+    * [[ivfSearchStream]]: each micro-batch of probe documents is
+    * signed with the index's stored parameters and searched against
+    * the band files as they stand, so
+    * [[graft.api.TextIndex.appendToMinhashIndex]] ingest lands for the
+    * NEXT batch's probes without a restart.
+    */
+  def minhashSearchStream(probes: DataFrame, indexPath: String, idCol: String,
+      textCol: String, minEstJaccard: Double = 0.0)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probes.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.api.TextIndex.searchMinhashIndex(
+        batch.sparkSession, indexPath, batch.toDF(), idCol, textCol,
+        minEstJaccard), batchId)
+    }
+
   /** One micro-batch of the semantic-dedup ingest loop, REPLAY-SAFE:
     * judge the batch against the index as it stands
     * ([[graft.api.Similarity.semanticDedupAgainstIvfIndex]],

@@ -1567,4 +1567,51 @@ class ApiSpec extends SparkSpec {
       assert(math.abs(brute(key) - r.getAs[Double]("sim")) < 1e-12)
     }
   }
+
+  test("TextIndex: search over the persisted index == direct banding candidates") {
+    import spark.implicits._
+    val dir = tmpDir("mhidx")
+    val docs = graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text")
+    val probes = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    graft.api.TextIndex.writeMinhashIndex(docs, "doc_id", "text", dir)
+    val got = graft.api.TextIndex.searchMinhashIndex(spark, dir, probes,
+        "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"))).toSet
+    val want = graft.api.Dedup.lshCandidatePairsAgainst(probes, docs,
+        "doc_id", "text", maxBucketSize = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "shifted-id copies must collide with their originals")
+    // a verbatim copy agrees on every seed
+    val self = graft.api.TextIndex.searchMinhashIndex(spark, dir, probes,
+        "doc_id", "text").filter($"doc_id" === $"probe_id" - 1000000L).collect()
+    self.foreach { r =>
+      assert(r.getAs[Long]("n_agree") === graft.api.Dedup.NumSeeds.toLong)
+      assert(r.getAs[Double]("est_jaccard") === 1.0)
+    }
+    assert(self.nonEmpty)
+  }
+
+  test("TextIndex: append under frozen parameters == index built once; probe sigs pushed to the scan") {
+    import spark.implicits._
+    val dir1 = tmpDir("mhidx_half")
+    val dir2 = tmpDir("mhidx_all")
+    val docs = graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text")
+    val (h1, h2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    graft.api.TextIndex.writeMinhashIndex(h1, "doc_id", "text", dir1)
+    graft.api.TextIndex.appendToMinhashIndex(h2, "doc_id", "text", dir1)
+    graft.api.TextIndex.writeMinhashIndex(docs, "doc_id", "text", dir2)
+    val probes = docs.limit(40).select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    def res(d: String) = graft.api.TextIndex.searchMinhashIndex(spark, d, probes,
+        "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_agree"))).toSet
+    assert(res(dir1) === res(dir2))
+    val plan = graft.api.TextIndex.searchMinhashIndex(spark, dir1, probes,
+      "doc_id", "text").queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("band_sig"),
+      "probe bucket signatures must reach the index scan as a pushed filter")
+  }
 }

@@ -1348,4 +1348,39 @@ class StreamOpsSpec extends SparkSpec {
       .count().agg(org.apache.spark.sql.functions.max($"count")).collect().head.getLong(0)
     assert(worst <= 5L)
   }
+
+  test("minhashSearchStream: appends to the text index land for the next batch") {
+    import spark.implicits._
+    val dir = tmpDir("mhstream")
+    val docs = graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text")
+    val (h1, h2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    graft.api.TextIndex.writeMinhashIndex(h1, "doc_id", "text", dir)
+    // one probe duplicating an h1 doc, one duplicating an h2 doc
+    val p1 = docs.filter($"doc_id" % 2 === 0).limit(1)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val p2 = docs.filter($"doc_id" % 2 === 1).limit(1)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hits = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.minhashSearchStream(mem.toDF().toDF("doc_id", "text"),
+        dir, "doc_id", "text", minEstJaccard = 1.0) { (res, batchId) =>
+      hits.synchronized {
+        hits(batchId) = res.select($"doc_id").collect().map(_.getLong(0)).toSet
+      }
+    }.start()
+    mem.addData(p2.toSeq: _*)
+    q.processAllAvailable()
+    assert(hits(0L).isEmpty, "h2 duplicate must miss before the append")
+    graft.api.TextIndex.appendToMinhashIndex(h2, "doc_id", "text", dir)
+    mem.addData(p2.toSeq: _*)
+    mem.addData(p1.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val post = hits.filterKeys(_ > 0L).values.flatten.toSet
+    assert(post.contains(p2.head._1 - 1000000L),
+      "the appended half must be searchable without a restart")
+    assert(post.contains(p1.head._1 - 1000000L))
+  }
 }
