@@ -1287,11 +1287,13 @@ object DedupOps {
           .withColumnRenamed("d", "d_dst"), Seq("dst"))
       .agg(sum($"d_src".cast(dec) * $"d_dst".cast(dec)).as("sxy"),
         count(lit(1)).as("m2"))
-    val triAgg = pairs.as("e1")
-      .join(pairs.as("e2"), $"e1.id_b" === $"e2.id_a")
-      .join(pairs.as("e3"),
-        $"e3.id_a" === $"e1.id_a" && $"e3.id_b" === $"e2.id_b")
-      .agg(count(lit(1)).as("n_triangles"))
+    // twin-collapse triangle total (Σ per-node incident counts = 3T):
+    // the dup graph is clique-heavy, and the plain oriented 3-way join
+    // pays C(k,3) rows per k-clique — the quotient enumeration counts
+    // the same triangles from class multiplicities in linear edge volume
+    val triAgg = graft.api.Graph.triangleCounts(pairs, "id_a", "id_b")
+      .agg((sum($"n_triangles") / 3).cast("long").as("n_triangles"))
+      .select(coalesce($"n_triangles", lit(0L)).as("n_triangles"))
     val num = ($"m2".cast(dec) * $"sxy") - ($"s1e" * $"s1e")
     val den = ($"m2".cast(dec) * $"sx2e") - ($"s1e" * $"s1e")
     degAgg.crossJoin(triAgg).crossJoin(xyAgg)
@@ -1367,43 +1369,54 @@ object DedupOps {
     */
   def q234OnionLayers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def stats(e: DataFrame, it: Int): DataFrame =
-      e.select($"id_a".as("id")).union(e.select($"id_b".as("id"))).distinct()
-        .agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(it.toLong).as("iteration"), $"n_nodes", $"n_edges")
-    var e = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+    // LSH-candidate edges verified to exact Jaccard >= 0.8: both engines
+    // replay the identical banding pipeline (bucket cap included), so
+    // the edge set is oracle-exact at a fraction of the exact
+    // set-similarity join's cost on this dense corpus
+    var e = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
       .select($"id_a", $"id_b").localCheckpoint()
-    var out = stats(e, 0)
-    for (i <- 1 to 4) {
-      val keep = e.select($"id_a".as("id")).union(e.select($"id_b".as("id")))
-        .groupBy($"id").agg(count(lit(1)).as("d"))
-        .filter($"d" >= 2).select($"id").localCheckpoint()
-      e = e.join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
-        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
-        .localCheckpoint()
-      out = out.unionByName(stats(e, i))
+    // one degree aggregation per round serves BOTH the layer stats and
+    // the peel cut (n_nodes = |degree frame|, no separate distinct pass)
+    var out: DataFrame = null
+    for (i <- 0 to 4) {
+      val deg = e.select($"id_a".as("id")).union(e.select($"id_b".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("d")).localCheckpoint()
+      val stats = deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(i.toLong).as("iteration"), $"n_nodes", $"n_edges")
+      out = if (out == null) stats else out.unionByName(stats)
+      if (i < 4) {
+        val keep = deg.filter($"d" >= 2).select($"id")
+        e = e.join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .localCheckpoint()
+      }
     }
     out.orderBy($"iteration")
   }
 
   // MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default;
   // the unrolled peel references each layer several times, which would
-  // re-evaluate the Jaccard join exponentially without the hint
+  // re-evaluate the verified-candidate join exponentially without the
+  // hint. Edges replay the Spark LSH pipeline exactly (shared CTEs).
   val q234Sql: String =
-    """WITH t AS MATERIALIZED (
-      |  SELECT DISTINCT doc_id,
-      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-      |  FROM documents),
-      |s AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
-      |i AS MATERIALIZED (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
-      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+      |mh AS MATERIALIZED ($minhashesSql),
+      |$bandsCandsSql,
+      |sizes AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cands c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b),
       |e0 AS MATERIALIZED (
-      |  SELECT da AS a, db AS b FROM i
-      |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
-      |  WHERE CAST(ni AS DOUBLE) / (sa.sz + sb.sz - ni) >= 0.8),
+      |  SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.doc_a
+      |  JOIN sizes zb ON zb.doc_id = i.doc_b
+      |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8),
       |d1 AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM
       |  (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
       |k1 AS MATERIALIZED (SELECT id FROM d1 WHERE d >= 2),

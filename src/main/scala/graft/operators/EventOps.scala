@@ -2850,7 +2850,78 @@ object EventOps {
       |    SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS share
       |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
 
+  /** q244: session shape card — depth (events) and duration percentiles
+    * over 30-minute-gap sessions, the "how long is a session really"
+    * numbers capacity and UX decisions read. Sessionization is one
+    * user-keyed window (gap flag → cumulative session id → per-session
+    * collapse); the percentiles run through
+    * [[graft.operators.Extended.exactQuantilesMulti]] — the suite's
+    * O(1)-state order-statistic engine — over the SESSION frame, which
+    * is already |sessions| ≪ |events|. Exact: integer depths/durations,
+    * engine-identical interpolation.
+    */
+  def q244SessionCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ms")
+      .withColumn("new_sess",
+        when(lag($"ts_ms", 1).over(w).isNull ||
+          $"ts_ms" - lag($"ts_ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).cast("double").as("depth"),
+        (max($"ts_ms") - min($"ts_ms")).cast("double").as("duration_ms"))
+    val nSessions = sessions.count()
+    val qs = Extended.exactQuantilesMulti(sessions, None, Seq(
+      "depth" -> Seq(0.5, 0.9, 0.99),
+      "duration_ms" -> Seq(0.5, 0.9, 0.99)))(0)
+    Seq((nSessions,
+        qs(("depth", 0.5)), qs(("depth", 0.9)), qs(("depth", 0.99)),
+        qs(("duration_ms", 0.5)), qs(("duration_ms", 0.9)),
+        qs(("duration_ms", 0.99))))
+      .toDF("n_sessions", "d50", "d90", "d99", "t50", "t90", "t99")
+      .select($"n_sessions",
+        round($"d50", 4).as("depth_p50"), round($"d90", 4).as("depth_p90"),
+        round($"d99", 4).as("depth_p99"),
+        round($"t50", 4).as("duration_p50_ms"),
+        round($"t90", 4).as("duration_p90_ms"),
+        round($"t99", 4).as("duration_p99_ms"))
+  }
+
+  val q244Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts), event_id) IS NULL
+      |      OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts), event_id) > 1800000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+      |    ts_ms
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sess_id,
+      |    CAST(COUNT(*) AS DOUBLE) AS depth,
+      |    CAST(MAX(ts_ms) - MIN(ts_ms) AS DOUBLE) AS duration_ms
+      |  FROM s GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_sessions,
+      |  ROUND(quantile_cont(depth, 0.5), 4) AS depth_p50,
+      |  ROUND(quantile_cont(depth, 0.9), 4) AS depth_p90,
+      |  ROUND(quantile_cont(depth, 0.99), 4) AS depth_p99,
+      |  ROUND(quantile_cont(duration_ms, 0.5), 4) AS duration_p50_ms,
+      |  ROUND(quantile_cont(duration_ms, 0.9), 4) AS duration_p90_ms,
+      |  ROUND(quantile_cont(duration_ms, 0.99), 4) AS duration_p99_ms
+      |FROM g""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q244_session_card" -> (q244SessionCard _),
     "q241_leadlag_xcorr" -> (q241LeadLagXcorr _),
     "q242_trigram_paths" -> (q242TrigramPaths _),
     "q243_late_data_audit" -> (q243LateDataAudit _),
@@ -2910,6 +2981,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q244_session_card" -> q244Sql,
     "q241_leadlag_xcorr" -> q241Sql,
     "q242_trigram_paths" -> q242Sql,
     "q243_late_data_audit" -> q243Sql,

