@@ -1532,7 +1532,84 @@ object DedupOps {
       |  ROUND(CAST(SUM(lev) AS DOUBLE) / COUNT(*), 6) AS avg_lev
       |FROM sc GROUP BY 1 ORDER BY jw_bucket""".stripMargin
 
+  /** q247: source modularity of the near-dup graph — Newman modularity
+    * of the SOURCE partition over the LSH-verified ≥0.8 edges: is
+    * duplication an intra-source phenomenon (template reuse inside a
+    * crawl, Q → high) or cross-source contamination (mirrors/syndication,
+    * Q ≈ 0)? The provenance answer that decides whether dedup can shard
+    * BY SOURCE at 100 TB (intra-source duplication dedups
+    * embarrassingly parallel per shard; cross-source needs the global
+    * pass). Q = [4m·Σ_c m_c − Σ_c d_c²] / (4m²) — all integers until
+    * one division; per-community folds are |sources|-bounded.
+    */
+  def q247SourceModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val src = table(spark, dir, "documents").select($"doc_id", $"source")
+    val e = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val withSrc = e
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
+    val m = withSrc.agg(count(lit(1)).as("m"),
+      sum(when($"src_a" === $"src_b", 1L).otherwise(0L)).as("m_intra"))
+    val degBySrc = withSrc
+      .select($"src_a".as("s")).union(withSrc.select($"src_b".as("s")))
+      .groupBy($"s").agg(count(lit(1)).as("d_c"))
+    val sums = degBySrc.agg(count(lit(1)).as("n_sources"),
+      sum($"d_c".cast(dec) * $"d_c".cast(dec)).as("sum_dc2"))
+    m.crossJoin(sums)
+      .select($"m".as("n_edges"), $"m_intra".as("n_intra_edges"), $"n_sources",
+        round($"m_intra".cast("double") / $"m", 6).as("intra_share"),
+        round(($"m".cast(dec) * $"m_intra" * 4 - $"sum_dc2").cast("double") /
+          ($"m".cast(dec) * $"m".cast(dec) * 4).cast("double"), 6)
+          .as("modularity"))
+  }
+
+  val q247Sql: String =
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+      |mh AS MATERIALIZED ($minhashesSql),
+      |$bandsCandsSql,
+      |sizes AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cands c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b),
+      |e0 AS MATERIALIZED (
+      |  SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.doc_a
+      |  JOIN sizes zb ON zb.doc_id = i.doc_b
+      |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8),
+      |es AS MATERIALIZED (
+      |  SELECT da.source AS src_a, db.source AS src_b
+      |  FROM e0 JOIN documents da ON da.doc_id = e0.a
+      |  JOIN documents db ON db.doc_id = e0.b),
+      |mm AS (
+      |  SELECT COUNT(*) AS m,
+      |    SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS m_intra
+      |  FROM es),
+      |deg AS (
+      |  SELECT s, COUNT(*) AS d_c FROM (
+      |    SELECT src_a AS s FROM es UNION ALL SELECT src_b FROM es)
+      |  GROUP BY 1),
+      |ds AS (
+      |  SELECT COUNT(*) AS n_sources,
+      |    SUM(CAST(d_c AS HUGEINT) * d_c) AS sum_dc2
+      |  FROM deg)
+      |SELECT CAST(m AS BIGINT) AS n_edges,
+      |  CAST(m_intra AS BIGINT) AS n_intra_edges,
+      |  CAST(n_sources AS BIGINT) AS n_sources,
+      |  ROUND(CAST(m_intra AS DOUBLE) / m, 6) AS intra_share,
+      |  ROUND(CAST(CAST(m AS HUGEINT) * m_intra * 4 - sum_dc2 AS DOUBLE) /
+      |    CAST(CAST(m AS HUGEINT) * m * 4 AS DOUBLE), 6) AS modularity
+      |FROM mm CROSS JOIN ds""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q247_source_modularity" -> (q247SourceModularity _),
     "q239_jw_linkage" -> (q239JwLinkage _),
     "q234_onion_layers" -> (q234OnionLayers _),
     "q232_dup_graph_card" -> (q232DupGraphCard _),
@@ -1562,6 +1639,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q247_source_modularity" -> q247Sql,
     "q239_jw_linkage" -> q239Sql,
     "q234_onion_layers" -> q234Sql,
     "q232_dup_graph_card" -> q232Sql,

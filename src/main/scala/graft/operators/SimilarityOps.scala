@@ -1218,7 +1218,77 @@ object SimilarityOps {
       |  ROUND(MAX(sqrt(norm2)), 6) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** q246: silhouette card — per-label clustering quality of the
+    * embedding space against the ground-truth labels: for a
+    * deterministic md5-sample of 10 points per label, a = mean cosine
+    * distance to the own cluster, b = the nearest other cluster's mean,
+    * silhouette = (b−a)/max(a,b). The structure-quality number that
+    * tells a curator whether label-conditioned sampling or per-label
+    * centroids ([[q76LabelCentroids]]) are even meaningful. Scale: the
+    * probe set is |labels|×10 rows BROADCAST against one corpus scan
+    * (the q42 kNN shape — the corpus never shuffles); per-pair
+    * distances snap to the 1e-6 grid so every mean folds as an exact
+    * decimal, keeping the card hash-stable at any partitioning.
+    */
+  def q246SilhouetteCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = emb(spark, dir)
+    val w = Window.partitionBy($"label")
+      .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+    val probes = e.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+      .select($"vec_id".as("probe_id"), $"label".as("probe_label"),
+        $"embedding".as("pe"))
+    val pairs = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"probe_label", $"label",
+        round(lit(1.0) - expr(cos("pe", "embedding")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(24, 6)).as("d6"))
+    val g = pairs.groupBy($"probe_id", $"probe_label", $"label")
+      .agg((sum($"d6").cast("double") / count(lit(1))).as("md"))
+    val s = g.groupBy($"probe_id", $"probe_label")
+      .agg(max(when($"label" === $"probe_label", $"md")).as("a"),
+        min(when($"label" =!= $"probe_label", $"md")).as("b"))
+      .select($"probe_label",
+        round(($"b" - $"a") / greatest($"a", $"b"), 6).as("s"))
+    s.groupBy($"probe_label".as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        round(sum($"s".cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_silhouette"),
+        min($"s").as("min_silhouette"), max($"s").as("max_silhouette"))
+      .orderBy($"label")
+  }
+
+  val q246Sql: String =
+    s"""WITH p AS (
+       |  SELECT vec_id AS probe_id, label AS probe_label, embedding AS pe
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= 10),
+       |pairs AS (
+       |  SELECT probe_id, probe_label, c.label,
+       |    CAST(ROUND(1.0 - ${cosSql("pe", "c.embedding")}, 6)
+       |      AS DECIMAL(24,6)) AS d6
+       |  FROM p JOIN embeddings c ON c.vec_id <> p.probe_id),
+       |g AS (
+       |  SELECT probe_id, probe_label, label,
+       |    CAST(SUM(d6) AS DOUBLE) / COUNT(*) AS md
+       |  FROM pairs GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT probe_label,
+       |    ROUND((MIN(CASE WHEN label <> probe_label THEN md END)
+       |        - MAX(CASE WHEN label = probe_label THEN md END))
+       |      / GREATEST(MAX(CASE WHEN label = probe_label THEN md END),
+       |        MIN(CASE WHEN label <> probe_label THEN md END)), 6) AS s
+       |  FROM g GROUP BY probe_id, probe_label)
+       |SELECT probe_label AS label, COUNT(*) AS n_probes,
+       |  ROUND(CAST(SUM(CAST(s AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_silhouette,
+       |  MIN(s) AS min_silhouette, MAX(s) AS max_silhouette
+       |FROM s GROUP BY probe_label ORDER BY label""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q246_silhouette_card" -> (q246SilhouetteCard _),
     "q205_embed_quality" -> (q205EmbedQuality _),
     "q196_embed_covariance" -> (q196EmbedCovariance _),
     "q186_centroid_shift" -> (q186CentroidShift _),
@@ -1247,6 +1317,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q246_silhouette_card" -> q246Sql,
     "q205_embed_quality" -> q205Sql,
     "q196_embed_covariance" -> q196Sql,
     "q186_centroid_shift" -> q186Sql,

@@ -589,6 +589,67 @@ class GovernanceModelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("target_partitions") >= 1L))
   }
 
+  test("q246: silhouette card matches brute-force per-probe computation") {
+    import spark.implicits._
+    val e = graft.Util.rawTable(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val probes = e.groupBy(_._3).values.flatMap { g =>
+      g.sortBy(v => (md5(v._1.toString), v._1)).take(10)
+    }.toSeq
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      BigDecimal(1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sil = probes.map { p =>
+      val byLabel = e.filter(_._1 != p._1).groupBy(_._3)
+        .map { case (l, g) => l -> g.map(v => cosDist(p._2, v._2)).sum / g.count(_._1 != p._1) }
+      val a = byLabel(p._3)
+      val b = byLabel.filter(_._1 != p._3).values.min
+      p._3 -> (b - a) / math.max(a, b)
+    }
+    val want = sil.groupBy(_._1).map { case (l, g) =>
+      l -> (g.size.toLong, g.map(_._2).sum / g.size)
+    }
+    val rows = SimilarityOps.q246SilhouetteCard(spark, sf).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, avg) = want(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_probes") === n)
+      assert(math.abs(r.getAs[Double]("avg_silhouette") - avg) < 1e-4)
+      assert(r.getAs[Double]("min_silhouette") <= r.getAs[Double]("max_silhouette"))
+    }
+  }
+
+  test("q247: source modularity matches brute-force Newman Q over LSH edges") {
+    import spark.implicits._
+    val srcOf = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = graft.api.Dedup.lshCandidatePairs(
+        graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text"),
+        "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+    val m = edges.length.toDouble
+    val intra = edges.count { case (a, b) => a == b }
+    val deg = edges.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, g) => k -> g.size.toDouble }
+    val wantQ = intra / m - deg.values.map(d => (d / (2 * m)) * (d / (2 * m))).sum
+    val r = DedupOps.q247SourceModularity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("n_intra_edges") === intra.toLong)
+    assert(r.getAs[Long]("n_sources") === deg.size.toLong)
+    assert(math.abs(r.getAs[Double]("modularity") - wantQ) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intra_share") - intra / m) < 1e-6)
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
