@@ -392,6 +392,94 @@ object StreamOps {
     graft.api.Sampling.stratifiedSample(
       spark.read.parquet(path).drop("batch_id"), strataCol, idCol, k)
 
+  /** Live late-data audit, ingest side — the streaming twin of
+    * [[graft.operators.EventOps.q243LateDataAudit]]. Lateness composes
+    * across ordered micro-batches because the running max does: each
+    * batch computes per-stream lateness against max(within-batch
+    * running max, carried high-water mark), folds its bucket counts
+    * into the persisted audit table, and advances the per-stream mark.
+    * State is |streams|×5 audit rows + |streams| marks — broadcast
+    * scale by construction (the streamingKmeans state-table contract) —
+    * and the batch_id in the marks table makes at-least-once replay a
+    * no-op. Feed batches in commit (event_id) order, which is exactly
+    * the order the replicator checkpoints by.
+    */
+  def lateDataIngestStream(events: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      lateDataIngestBatch(batch.toDF(), batchId, path)
+    }
+
+  /** One [[lateDataIngestStream]] micro-batch fold — public so the
+    * parity/replay spec can drive it directly. Expects columns
+    * (event_type, event_id, ts_ms).
+    */
+  def lateDataIngestBatch(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marksPath = s"$path/marks"
+    val aggPath = s"$path/agg"
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(marksPath))
+    if (hasState && !spark.read.parquet(marksPath)
+        .filter(col("batch_id") === batchId).isEmpty) return
+    val marks =
+      if (hasState) spark.read.parquet(marksPath)
+        .select($"event_type", $"max_ts")
+      else spark.emptyDataset[(String, Long)].toDF("event_type", "max_ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val late = batch.select($"event_type", $"event_id", $"ts_ms")
+      .join(marks.withColumnRenamed("max_ts", "carried"), Seq("event_type"), "left")
+      .withColumn("late_ms",
+        greatest(max($"ts_ms").over(w), coalesce($"carried", lit(Long.MinValue)))
+          - $"ts_ms")
+    val bucket = when($"late_ms" === 0, "a_in_order")
+      .when($"late_ms" <= 60000L, "b_1min")
+      .when($"late_ms" <= 300000L, "c_5min")
+      .when($"late_ms" <= 1800000L, "d_30min")
+      .otherwise("e_beyond")
+    val batchAgg = late.groupBy($"event_type", bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_events"), max($"late_ms").as("max_late_ms"))
+    val prevAgg =
+      if (hasState && fs.exists(new org.apache.hadoop.fs.Path(aggPath)))
+        spark.read.parquet(aggPath)
+      else spark.emptyDataset[(String, String, Long, Long)]
+        .toDF("event_type", "bucket", "n_events", "max_late_ms")
+    // state is |streams|-bounded — materialize on the driver before the
+    // overwrite (cannot overwrite a path mid-read)
+    val mergedAgg = prevAgg.unionByName(batchAgg)
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"n_events").as("n_events"), max($"max_late_ms").as("max_late_ms"))
+      .collect().toSeq
+    val newMarks = marks
+      .unionByName(batch.groupBy($"event_type").agg(max($"ts_ms").as("max_ts")))
+      .groupBy($"event_type").agg(max($"max_ts").as("max_ts"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    spark.createDataFrame(spark.sparkContext.parallelize(mergedAgg, 1),
+        prevAgg.schema)
+      .write.mode("overwrite").parquet(aggPath)
+    newMarks.toDF("event_type", "max_ts").withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("overwrite").parquet(marksPath)
+  }
+
+  /** Read side of the live late-data audit: the persisted bucket table
+    * plus per-stream shares — the same shape (and, under ordered
+    * ingest, the same values) as the batch q243 audit. Reads only the
+    * |streams|×5-row state.
+    */
+  def lateDataReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/agg")
+      .withColumn("share", round($"n_events".cast("double") /
+        sum($"n_events").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"bucket")
+  }
+
   /** Streaming mini-batch k-means: maintains a centroid table at
     * `centroidDir` that every micro-batch refines — the batch
     * cosine-assigns to the current centroids (the shared

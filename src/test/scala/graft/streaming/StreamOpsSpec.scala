@@ -1383,4 +1383,24 @@ class StreamOpsSpec extends SparkSpec {
       "the appended half must be searchable without a restart")
     assert(post.contains(p1.head._1 - 1000000L))
   }
+
+  test("late-data ingest: ordered 3-batch fold + replay == batch q243 audit") {
+    import spark.implicits._
+    val dir = tmpDir("latedata")
+    val ev = graft.Util.events(spark, sf)
+      .select($"event_type", $"event_id", $"ts_ms")
+    val ids = ev.select($"event_id").collect().map(_.getLong(0)).sorted
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    StreamOps.lateDataIngestBatch(ev.filter($"event_id" <= c1), 0L, dir)
+    StreamOps.lateDataIngestBatch(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2), 1L, dir)
+    // at-least-once replay of batch 1 must be a no-op
+    StreamOps.lateDataIngestBatch(
+      ev.filter($"event_id" > c1 && $"event_id" <= c2), 1L, dir)
+    StreamOps.lateDataIngestBatch(ev.filter($"event_id" > c2), 2L, dir)
+    val live = StreamOps.lateDataReport(spark, dir).collect().map(_.toSeq).toSeq
+    val batch = graft.operators.EventOps.q243LateDataAudit(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(live === batch)
+  }
 }
