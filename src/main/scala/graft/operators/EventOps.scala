@@ -2920,7 +2920,145 @@ object EventOps {
       |  ROUND(quantile_cont(duration_ms, 0.99), 4) AS duration_p99_ms
       |FROM g""".stripMargin
 
+  /** q248: first-touch vs last-touch attribution — the same 7-day
+    * conversions credited under both models, per channel, with the
+    * share delta that quantifies how much the model CHOICE (not the
+    * data) moves budget. Both picks come from ONE value-ranged window
+    * pass: min/max of a zero-padded (ts, event_id, type) ordering key
+    * over the strictly-before 7-day RANGE frame — the engine-identical
+    * argmin/argmax trick, two window functions sharing one frame.
+    */
+  def q248AttributionCompare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isTouch = $"event_type" === "click" || $"event_type" === "view"
+    val key = concat(lpad($"ts_ms".cast("string"), 13, "0"),
+      lpad($"event_id".cast("string"), 12, "0"), $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
+      .rangeBetween(-7L * 24 * 3600 * 1000, -1L)
+    val conv = events(spark, dir)
+      .withColumn("first_key", min(when(isTouch, key)).over(w))
+      .withColumn("last_key", max(when(isTouch, key)).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        coalesce(substring($"first_key", 26, 100), lit("organic")).as("first_ch"),
+        coalesce(substring($"last_key", 26, 100), lit("organic")).as("last_ch"))
+    val first = conv.groupBy($"first_ch".as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val last = conv.groupBy($"last_ch".as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    val tot = conv.agg(count(lit(1)).as("n_conv"))
+    first.join(last, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("n_first", "n_last"))
+      .crossJoin(broadcast(tot))
+      .select($"channel", $"n_first", $"n_last",
+        round($"n_first".cast("double") / $"n_conv", 6).as("first_share"),
+        round($"n_last".cast("double") / $"n_conv", 6).as("last_share"),
+        round(($"n_last" - $"n_first").cast("double") / $"n_conv", 6)
+          .as("share_delta"))
+      .orderBy($"channel")
+  }
+
+  val q248Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |k AS (
+      |  SELECT *,
+      |    lpad(CAST(ts_ms AS VARCHAR), 13, '0')
+      |      || lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type AS key,
+      |    event_type IN ('click', 'view') AS is_touch
+      |  FROM e),
+      |t AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN is_touch THEN key END) OVER w AS first_key,
+      |    MAX(CASE WHEN is_touch THEN key END) OVER w AS last_key
+      |  FROM k
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+      |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)),
+      |conv AS (
+      |  SELECT COALESCE(substring(first_key, 26), 'organic') AS first_ch,
+      |    COALESCE(substring(last_key, 26), 'organic') AS last_ch
+      |  FROM t WHERE event_type = 'purchase'),
+      |f AS (SELECT first_ch AS channel, COUNT(*) AS n_first
+      |      FROM conv GROUP BY 1),
+      |l AS (SELECT last_ch AS channel, COUNT(*) AS n_last
+      |      FROM conv GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_conv FROM conv)
+      |SELECT channel, COALESCE(n_first, 0) AS n_first,
+      |  COALESCE(n_last, 0) AS n_last,
+      |  ROUND(CAST(COALESCE(n_first, 0) AS DOUBLE) / n_conv, 6)
+      |    AS first_share,
+      |  ROUND(CAST(COALESCE(n_last, 0) AS DOUBLE) / n_conv, 6) AS last_share,
+      |  ROUND(CAST(COALESCE(n_last, 0) - COALESCE(n_first, 0) AS DOUBLE)
+      |    / n_conv, 6) AS share_delta
+      |FROM f FULL OUTER JOIN l USING (channel) CROSS JOIN tot
+      |ORDER BY channel""".stripMargin
+
+  /** q250: attribution lookback sensitivity — the q152 model re-scored
+    * under 1/3/7/14-day lookbacks in ONE pass: the carried last-touch
+    * struct is computed once (one window sweep), then a constant ×4
+    * lookback explode reclassifies each conversion per window. The
+    * "how sensitive is the budget split to the window constant" answer
+    * for the price of one extra 4-way fanout AFTER the window — never
+    * four event scans.
+    */
+  def q250LookbackSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isTouch = $"event_type" === "click" || $"event_type" === "view"
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lookbacks = array(Seq(1L, 3L, 7L, 14L).map(lit): _*)
+    events(spark, dir)
+      .withColumn("t_touch",
+        last(when(isTouch, $"ts_ms"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"ts_ms", $"t_touch", $"value",
+        explode(lookbacks).as("lookback_days"))
+      .withColumn("attributed", $"t_touch".isNotNull &&
+        $"ts_ms" - $"t_touch" <= $"lookback_days" * 86400000L)
+      .groupBy($"lookback_days")
+      .agg(
+        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(!$"attributed", 1L).otherwise(0L)).as("n_organic"),
+        round(sum(when($"attributed", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("attributed_share"),
+        round(dsum(when($"attributed", $"value").otherwise(0.0)), 2)
+          .as("attributed_revenue"))
+      .orderBy($"lookback_days")
+  }
+
+  val q250Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, value, ts_ms,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts_ms END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_touch
+      |  FROM e),
+      |x AS (
+      |  SELECT l.lookback_days, value,
+      |    t_touch IS NOT NULL
+      |      AND ts_ms - t_touch <= l.lookback_days * 86400000 AS attributed
+      |  FROM t CROSS JOIN (SELECT CAST(UNNEST([1, 3, 7, 14]) AS BIGINT)
+      |                     AS lookback_days) l
+      |  WHERE event_type = 'purchase')
+      |SELECT lookback_days,
+      |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_attributed,
+      |  CAST(SUM(CASE WHEN NOT attributed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_organic,
+      |  ROUND(CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS attributed_share,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN attributed THEN value ELSE 0.0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_revenue
+      |FROM x GROUP BY 1 ORDER BY lookback_days""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q248_attribution_compare" -> (q248AttributionCompare _),
+    "q250_lookback_sweep" -> (q250LookbackSweep _),
     "q244_session_card" -> (q244SessionCard _),
     "q241_leadlag_xcorr" -> (q241LeadLagXcorr _),
     "q242_trigram_paths" -> (q242TrigramPaths _),
@@ -2981,6 +3119,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q248_attribution_compare" -> q248Sql,
+    "q250_lookback_sweep" -> q250Sql,
     "q244_session_card" -> q244Sql,
     "q241_leadlag_xcorr" -> q241Sql,
     "q242_trigram_paths" -> q242Sql,

@@ -1697,7 +1697,71 @@ object TextOps {
       |  ROUND(exp(-avg_ln_p), 4) AS perplexity
       |FROM o ORDER BY source""".stripMargin
 
+  /** q249: Good-Turing frequency-of-frequencies card — N_r (bigram
+    * types seen exactly r times) over the 10 lowest occupied
+    * frequencies, the adjusted count r* = (r+1)·N_{r+1}/N_r, and the
+    * unseen-mass estimate N_1/N that [[q233KneserNey]]'s constant
+    * discount approximates. The spectrum is the LM-smoothing
+    * diagnostic AND a corpus-health signal (a bulge at r=2 exactly
+    * doubled — template duplication). Two type-bounded aggregations
+    * (bigram tf → freq-of-freqs) plus a lead over the tiny spectrum
+    * frame; every output is an exact integer ratio.
+    */
+  def q249GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = table(spark, dir, "documents")
+      .withColumn("tk", filter(toks(), t => t =!= ""))
+      .filter(size($"tk") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy($"r").agg(count(lit(1)).as("n_r"))
+    val tot = tf.agg(sum($"r").as("n_tokens"), count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"r")
+    nr.withColumn("n_r_next", lead($"n_r", 1).over(w))
+      .withColumn("r_next", lead($"r", 1).over(w))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .crossJoin(broadcast(tot))
+      .select($"r", $"n_r",
+        when($"r_next" === $"r" + 1,
+          round(($"r" + 1) * $"n_r_next".cast("double") / $"n_r", 6))
+          .as("r_star"),
+        round($"n_r" * $"r".cast("double") / $"n_tokens", 6).as("mass_share"),
+        round($"n_r".cast("double") / $"n_types", 6).as("type_share"))
+      .orderBy($"r")
+  }
+
+  val q249Sql: String =
+    """WITH tf AS (
+      |  SELECT bigram, COUNT(*) AS r FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      |    FROM (SELECT list_filter(string_split(text, ' '), t -> t <> '')
+      |          AS tk FROM documents)
+      |    WHERE len(tk) >= 2)
+      |  GROUP BY bigram),
+      |nr AS (SELECT r, COUNT(*) AS n_r FROM tf GROUP BY r),
+      |tot AS (SELECT SUM(r) AS n_tokens, COUNT(*) AS n_types FROM tf),
+      |sp AS (
+      |  SELECT r, n_r,
+      |    LEAD(n_r) OVER (ORDER BY r) AS n_r_next,
+      |    LEAD(r) OVER (ORDER BY r) AS r_next,
+      |    ROW_NUMBER() OVER (ORDER BY r) AS rk
+      |  FROM nr)
+      |SELECT r, CAST(n_r AS BIGINT) AS n_r,
+      |  CASE WHEN r_next = r + 1
+      |    THEN ROUND((r + 1) * CAST(n_r_next AS DOUBLE) / n_r, 6) END
+      |    AS r_star,
+      |  ROUND(CAST(n_r * r AS DOUBLE) / n_tokens, 6) AS mass_share,
+      |  ROUND(CAST(n_r AS DOUBLE) / n_types, 6) AS type_share
+      |FROM sp CROSS JOIN tot
+      |WHERE rk <= 10 ORDER BY r""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q249_good_turing" -> (q249GoodTuring _),
     "q233_kneser_ney" -> (q233KneserNey _),
     "q215_hapax_rate" -> (q215HapaxRate _),
     "q202_lang_source_independence" -> (q202LangSourceIndependence _),
@@ -1813,6 +1877,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q249_good_turing" -> q249Sql,
     "q233_kneser_ney" -> q233Sql,
     "q215_hapax_rate" -> q215Sql,
     "q202_lang_source_independence" -> q202Sql,

@@ -650,6 +650,74 @@ class GovernanceModelSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intra_share") - intra / m) < 1e-6)
   }
 
+  test("q248/q250: attribution models match brute-force window walks") {
+    val ev = eventRows()
+    val isTouch = (t: String) => t == "click" || t == "view"
+    val byUser = ev.groupBy(_._2)
+    // q248: first/last touch in a STRICT 7-day value range before the conversion
+    val conv = byUser.values.flatMap { g =>
+      val sorted = g.toSeq.sortBy(e => (e._5, e._1))
+      sorted.filter(_._3 == "purchase").map { p =>
+        val inWin = sorted.filter(e => isTouch(e._3) &&
+          e._5 >= p._5 - 7L * 86400000L && e._5 <= p._5 - 1)
+        val first = inWin.sortBy(e => (e._5, e._1)).headOption.map(_._3)
+        val last = inWin.sortBy(e => (e._5, e._1)).lastOption.map(_._3)
+        (first.getOrElse("organic"), last.getOrElse("organic"))
+      }
+    }.toSeq
+    val rows248 = EventOps.q248AttributionCompare(spark, sf).collect()
+    val wantF = conv.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val wantL = conv.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows248.map(_.getAs[String]("channel")).toSet === (wantF.keySet ++ wantL.keySet))
+    rows248.foreach { r =>
+      val ch = r.getAs[String]("channel")
+      assert(r.getAs[Long]("n_first") === wantF.getOrElse(ch, 0L))
+      assert(r.getAs[Long]("n_last") === wantL.getOrElse(ch, 0L))
+    }
+    assert(rows248.map(_.getAs[Long]("n_first")).sum === conv.size.toLong)
+    assert(rows248.map(_.getAs[Long]("n_last")).sum === conv.size.toLong)
+    // q250: last touch strictly before in ROW order, swept lookbacks
+    val rows250 = EventOps.q250LookbackSweep(spark, sf).collect()
+    assert(rows250.map(_.getAs[Long]("lookback_days")).toSeq === Seq(1L, 3L, 7L, 14L))
+    rows250.foreach { r =>
+      val lb = r.getAs[Long]("lookback_days") * 86400000L
+      val n = byUser.values.map { g =>
+        val sorted = g.toSeq.sortBy(e => (e._5, e._1))
+        sorted.zipWithIndex.count { case (p, i) =>
+          p._3 == "purchase" && sorted.take(i).reverse.find(e => isTouch(e._3))
+            .exists(t => p._5 - t._5 <= lb)
+        }
+      }.sum
+      assert(r.getAs[Long]("n_attributed") === n.toLong)
+    }
+    val shares = rows250.map(_.getAs[Double]("attributed_share")).toSeq
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a },
+      "longer lookbacks cannot attribute fewer conversions")
+  }
+
+  test("q249: Good-Turing spectrum matches brute-force bigram frequency-of-frequencies") {
+    import spark.implicits._
+    val bigrams = graft.Util.rawTable(spark, sf, "documents")
+      .select($"text").collect().map(_.getString(0))
+      .flatMap(_.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+    val tf = bigrams.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val nr = tf.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val nTokens = tf.values.sum.toDouble
+    val spectrum = nr.keys.toSeq.sorted.take(10)
+    val rows = TextOps.q249GoodTuring(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("r")).toSeq === spectrum)
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      assert(r.getAs[Long]("n_r") === nr(rr))
+      if (nr.contains(rr + 1))
+        assert(math.abs(r.getAs[Double]("r_star") -
+          (rr + 1) * nr(rr + 1).toDouble / nr(rr)) < 1e-6)
+      else assert(r.isNullAt(r.fieldIndex("r_star")))
+      assert(math.abs(r.getAs[Double]("mass_share") - nr(rr) * rr / nTokens) < 1e-6)
+    }
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
