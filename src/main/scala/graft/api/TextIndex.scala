@@ -67,6 +67,37 @@ object TextIndex {
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** Rewrite each band partition's accumulated append files into
+    * target-sized, band_sig-SORTED files — continuous
+    * [[appendToMinhashIndex]] ingest otherwise grows one unsorted file
+    * per append per band, degrading both file listing and the sorted
+    * row-group pruning [[searchMinhashIndex]] relies on. Same
+    * aside-rename protocol as the IVF compactor: the rewrite lands
+    * complete or not at all, and signatures are untouched (search
+    * results are bit-identical before/after).
+    */
+  def compactMinhashBands(spark: SparkSession, path: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    readMeta(spark, path) // layout check
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = spark.read.parquet(bandsDir.toString)
+    val nFiles = math.max(1L,
+      math.ceil(rows.count().toDouble / targetRowsPerFile).toLong).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/bands_compact_tmp")
+    fs.delete(tmp, true)
+    rows.repartition(nFiles, col("band"))
+      .sortWithinPartitions(col("band_sig"))
+      .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$path/bands_precompact")
+    fs.delete(old, true)
+    require(fs.rename(bandsDir, old),
+      s"compactMinhashBands: cannot move $bandsDir aside")
+    require(fs.rename(tmp, bandsDir),
+      s"compactMinhashBands: cannot move rewrite into $bandsDir")
+    fs.delete(old, true)
+  }
+
   private def readMeta(spark: SparkSession, path: String): Int = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"minhash index meta corrupt at $path/meta")

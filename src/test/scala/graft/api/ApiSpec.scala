@@ -1614,4 +1614,36 @@ class ApiSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("band_sig"),
       "probe bucket signatures must reach the index scan as a pushed filter")
   }
+
+  test("TextIndex: compaction shrinks append debris; search bit-identical before/after") {
+    import spark.implicits._
+    val dir = tmpDir("mhidx_compact")
+    val docs = graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text")
+    graft.api.TextIndex.writeMinhashIndex(docs.filter($"doc_id" % 4 === 0),
+      "doc_id", "text", dir)
+    (1 to 3).foreach { i =>
+      graft.api.TextIndex.appendToMinhashIndex(
+        docs.filter($"doc_id" % 4 === i), "doc_id", "text", dir)
+    }
+    val probes = docs.limit(30).select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    def res() = graft.api.TextIndex.searchMinhashIndex(spark, dir, probes,
+        "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_agree"))).toSet
+    def nFiles() = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = res()
+    val filesBefore = nFiles()
+    graft.api.TextIndex.compactMinhashBands(spark, dir)
+    assert(res() === before)
+    assert(before.nonEmpty)
+    assert(nFiles() < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore)")
+  }
 }
