@@ -101,7 +101,17 @@ object PlanDump {
     "q187_rolling_distinct" ->
       "rolling 7-day reach: distinct collapse, bounded explode fanout, hash count-distinct",
     "q188_bootstrap_ci" ->
-      "online bootstrap: replicate fanout fused into partial aggregation, 2 digests per row")
+      "online bootstrap: replicate fanout fused into partial aggregation, 2 digests per row",
+    "q223_generalization_ladder" ->
+      "k-anonymity ladder: four bucket widths from ONE customer scan via constant explode",
+    "q224_auc_card" ->
+      "rank-identity AUC: join-free — score-grid hash agg below one cumulative window",
+    "q234_onion_layers" ->
+      "onion peel: LSH-verified edges, per-round shared degree agg + two semi-joins, checkpointed shrink",
+    "q246_silhouette_card" ->
+      "silhouette: broadcast md5-sampled probes, corpus never shuffles, decimal-exact distance folds",
+    "q248_attribution_compare" ->
+      "first-vs-last attribution: two window functions share one value-ranged frame, one sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
