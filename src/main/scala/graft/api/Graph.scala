@@ -289,4 +289,115 @@ object Graph {
     perClass.join(n2c, "cid")
       .select(col("v").as("id"), col("n_triangles"))
   }
+
+  /** One-row structural summary of an undirected graph (`pairs` =
+    * unique a<b edges): node/edge counts, degree moments, wedges,
+    * once-counted triangles (via the twin-collapse [[triangleCounts]] —
+    * linear edge volume on clique-heavy graphs), global clustering and
+    * Newman degree assortativity. All moments are exact integers in
+    * overflow-safe decimals; the card never collects an edge list.
+    * Columns: n_nodes, n_edges, max_degree, avg_degree, n_wedges,
+    * n_triangles, clustering, assortativity.
+    */
+  def topologyCard(pairs0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = pairs0.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .localCheckpoint()
+    val e = pairs.unionAll(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("s1"),
+      // endpoint moments: the directed edge list carries each node d
+      // times, so Σ_edges deg = Σ_nodes d² and Σ_edges deg² = Σ_nodes d³
+      sum(col("d").cast(dec) * col("d").cast(dec)).as("s1e"),
+      sum(col("d").cast(dec) * col("d").cast(dec) * col("d").cast(dec)).as("sx2e"),
+      max(col("d")).as("max_degree"),
+      sum(col("d") * (col("d") - 1)).as("wedges2"))
+    val xyAgg = e.join(deg.withColumnRenamed("id", "src")
+          .withColumnRenamed("d", "d_src"), Seq("src"))
+      .join(deg.withColumnRenamed("id", "dst")
+          .withColumnRenamed("d", "d_dst"), Seq("dst"))
+      .agg(sum(col("d_src").cast(dec) * col("d_dst").cast(dec)).as("sxy"),
+        count(lit(1)).as("m2"))
+    val triAgg = triangleCounts(pairs, "id_a", "id_b")
+      .agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    val num = (col("m2").cast(dec) * col("sxy")) - (col("s1e") * col("s1e"))
+    val den = (col("m2").cast(dec) * col("sx2e")) - (col("s1e") * col("s1e"))
+    degAgg.crossJoin(triAgg).crossJoin(xyAgg)
+      .select(
+        col("n_nodes"), expr("m2 div 2").as("n_edges"), col("max_degree"),
+        round(col("s1").cast("double") / col("n_nodes"), 6).as("avg_degree"),
+        expr("wedges2 div 2").as("n_wedges"),
+        col("n_triangles"),
+        when(col("wedges2") > 0,
+          round(col("n_triangles") * 6.0 / col("wedges2"), 6)).as("clustering"),
+        when(den =!= 0,
+          round(num.cast("double") / den.cast("double"), 6)).as("assortativity"))
+  }
+
+  /** Fixed-round onion peel toward the `minDegree`-core: each round
+    * drops nodes of degree < `minDegree` and reports per-layer
+    * node/edge counts. One degree aggregation per round serves both the
+    * layer stats and the cut; the edge list shrinks monotonically and
+    * is checkpointed per round against lineage blowup. The round count
+    * is FIXED so the distributed result is a pure function of the data
+    * (oracle-replayable as unrolled CTEs). Columns: iteration, n_nodes,
+    * n_edges.
+    */
+  def onionPeel(pairs: DataFrame, aCol: String, bCol: String,
+      minDegree: Int = 2, rounds: Int = 4): DataFrame = {
+    var e = pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (i <- 0 to rounds) {
+      val deg = e.select(col("id_a").as("id"))
+        .unionAll(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d")).localCheckpoint()
+      val stats = deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(i.toLong).as("iteration"), col("n_nodes"), col("n_edges"))
+      out = if (out == null) stats else out.unionByName(stats)
+      if (i < rounds) {
+        val keep = deg.filter(col("d") >= minDegree).select(col("id"))
+        e = e.join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    out.orderBy(col("iteration"))
+  }
+
+  /** Newman modularity of a NODE PARTITION (`labels`: one label per
+    * node id) over an undirected edge list: Q = [4m·Σ_c m_c − Σ_c d_c²]
+    * / (4m²) — all integers until one division, community folds bounded
+    * by |labels|. Columns: n_edges, n_intra_edges, n_communities,
+    * intra_share, modularity.
+    */
+  def partitionModularity(pairs: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = labels.select(col(idCol).as("id"), col(labelCol).as("lab"))
+    val withLab = pairs
+      .select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .join(lab.select(col("id").as("id_a"), col("lab").as("lab_a")), "id_a")
+      .join(lab.select(col("id").as("id_b"), col("lab").as("lab_b")), "id_b")
+    val m = withLab.agg(count(lit(1)).as("m"),
+      sum(when(col("lab_a") === col("lab_b"), 1L).otherwise(0L)).as("m_intra"))
+    val degByLab = withLab
+      .select(col("lab_a").as("l")).unionAll(withLab.select(col("lab_b").as("l")))
+      .groupBy(col("l")).agg(count(lit(1)).as("d_c"))
+    val sums = degByLab.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c").cast(dec) * col("d_c").cast(dec)).as("sum_dc2"))
+    m.crossJoin(sums)
+      .select(col("m").as("n_edges"), col("m_intra").as("n_intra_edges"),
+        col("n_communities"),
+        round(col("m_intra").cast("double") / col("m"), 6).as("intra_share"),
+        round((col("m").cast(dec) * col("m_intra") * 4 - col("sum_dc2"))
+          .cast("double") /
+          (col("m").cast(dec) * col("m").cast(dec) * 4).cast("double"), 6)
+          .as("modularity"))
+  }
 }

@@ -1267,45 +1267,10 @@ object DedupOps {
     */
   def q232DupGraphCard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.95)
-      .select($"id_a", $"id_b").localCheckpoint()
-    val e = pairs.union(pairs.select($"id_b", $"id_a")).toDF("src", "dst")
-    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
-    val degAgg = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum($"d").as("s1"),
-      // endpoint moments: the directed edge list carries each node d
-      // times, so Σ_edges deg = Σ_nodes d² and Σ_edges deg² = Σ_nodes d³
-      sum($"d".cast(dec) * $"d".cast(dec)).as("s1e"),
-      sum($"d".cast(dec) * $"d".cast(dec) * $"d".cast(dec)).as("sx2e"),
-      max($"d").as("max_degree"),
-      sum($"d" * ($"d" - 1)).as("wedges2"))
-    val xyAgg = e.join(deg.withColumnRenamed("id", "src")
-          .withColumnRenamed("d", "d_src"), Seq("src"))
-      .join(deg.withColumnRenamed("id", "dst")
-          .withColumnRenamed("d", "d_dst"), Seq("dst"))
-      .agg(sum($"d_src".cast(dec) * $"d_dst".cast(dec)).as("sxy"),
-        count(lit(1)).as("m2"))
-    // twin-collapse triangle total (Σ per-node incident counts = 3T):
-    // the dup graph is clique-heavy, and the plain oriented 3-way join
-    // pays C(k,3) rows per k-clique — the quotient enumeration counts
-    // the same triangles from class multiplicities in linear edge volume
-    val triAgg = graft.api.Graph.triangleCounts(pairs, "id_a", "id_b")
-      .agg((sum($"n_triangles") / 3).cast("long").as("n_triangles"))
-      .select(coalesce($"n_triangles", lit(0L)).as("n_triangles"))
-    val num = ($"m2".cast(dec) * $"sxy") - ($"s1e" * $"s1e")
-    val den = ($"m2".cast(dec) * $"sx2e") - ($"s1e" * $"s1e")
-    degAgg.crossJoin(triAgg).crossJoin(xyAgg)
-      .select(
-        $"n_nodes", expr("m2 div 2").as("n_edges"), $"max_degree",
-        round($"s1".cast("double") / $"n_nodes", 6).as("avg_degree"),
-        expr("wedges2 div 2").as("n_wedges"),
-        $"n_triangles",
-        when($"wedges2" > 0,
-          round($"n_triangles" * 6.0 / $"wedges2", 6)).as("clustering"),
-        when(den =!= 0,
-          round(num.cast("double") / den.cast("double"), 6)).as("assortativity"))
+    graft.api.Graph.topologyCard(
+      graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.95)
+        .select($"id_a", $"id_b"),
+      "id_a", "id_b")
   }
 
   val q232Sql: String =
@@ -1373,27 +1338,11 @@ object DedupOps {
     // replay the identical banding pipeline (bucket cap included), so
     // the edge set is oracle-exact at a fraction of the exact
     // set-similarity join's cost on this dense corpus
-    var e = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
-      .filter($"jaccard" >= 0.8)
-      .select($"id_a", $"id_b").localCheckpoint()
-    // one degree aggregation per round serves BOTH the layer stats and
-    // the peel cut (n_nodes = |degree frame|, no separate distinct pass)
-    var out: DataFrame = null
-    for (i <- 0 to 4) {
-      val deg = e.select($"id_a".as("id")).union(e.select($"id_b".as("id")))
-        .groupBy($"id").agg(count(lit(1)).as("d")).localCheckpoint()
-      val stats = deg.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(i.toLong).as("iteration"), $"n_nodes", $"n_edges")
-      out = if (out == null) stats else out.unionByName(stats)
-      if (i < 4) {
-        val keep = deg.filter($"d" >= 2).select($"id")
-        e = e.join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
-          .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
-          .localCheckpoint()
-      }
-    }
-    out.orderBy($"iteration")
+    graft.api.Graph.onionPeel(
+      graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+        .filter($"jaccard" >= 0.8)
+        .select($"id_a", $"id_b"),
+      "id_a", "id_b", minDegree = 2, rounds = 4)
   }
 
   // MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default;
@@ -1544,27 +1493,14 @@ object DedupOps {
     */
   def q247SourceModularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val src = table(spark, dir, "documents").select($"doc_id", $"source")
-    val e = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
-      .filter($"jaccard" >= 0.8)
-      .select($"id_a", $"id_b").localCheckpoint()
-    val withSrc = e
-      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
-      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
-    val m = withSrc.agg(count(lit(1)).as("m"),
-      sum(when($"src_a" === $"src_b", 1L).otherwise(0L)).as("m_intra"))
-    val degBySrc = withSrc
-      .select($"src_a".as("s")).union(withSrc.select($"src_b".as("s")))
-      .groupBy($"s").agg(count(lit(1)).as("d_c"))
-    val sums = degBySrc.agg(count(lit(1)).as("n_sources"),
-      sum($"d_c".cast(dec) * $"d_c".cast(dec)).as("sum_dc2"))
-    m.crossJoin(sums)
-      .select($"m".as("n_edges"), $"m_intra".as("n_intra_edges"), $"n_sources",
-        round($"m_intra".cast("double") / $"m", 6).as("intra_share"),
-        round(($"m".cast(dec) * $"m_intra" * 4 - $"sum_dc2").cast("double") /
-          ($"m".cast(dec) * $"m".cast(dec) * 4).cast("double"), 6)
-          .as("modularity"))
+    graft.api.Graph.partitionModularity(
+        graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+          .filter($"jaccard" >= 0.8)
+          .select($"id_a", $"id_b").localCheckpoint(),
+        "id_a", "id_b",
+        table(spark, dir, "documents").select($"doc_id", $"source"),
+        "doc_id", "source")
+      .withColumnRenamed("n_communities", "n_sources")
   }
 
   val q247Sql: String =
