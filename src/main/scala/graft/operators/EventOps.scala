@@ -2936,17 +2936,24 @@ object EventOps {
     val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
       .rangeBetween(-7L * 24 * 3600 * 1000, -1L)
     val conv = events(spark, dir)
-      .withColumn("first_key", min(when(isTouch, key)).over(w))
-      .withColumn("last_key", max(when(isTouch, key)).over(w))
+      .select($"event_type",
+        min(when(isTouch, key)).over(w).as("first_key"),
+        max(when(isTouch, key)).over(w).as("last_key"))
       .filter($"event_type" === "purchase")
       .select(
         coalesce(substring($"first_key", 26, 100), lit("organic")).as("first_ch"),
         coalesce(substring($"last_key", 26, 100), lit("organic")).as("last_ch"))
-    val first = conv.groupBy($"first_ch".as("channel"))
-      .agg(count(lit(1)).as("n_first"))
-    val last = conv.groupBy($"last_ch".as("channel"))
-      .agg(count(lit(1)).as("n_last"))
-    val tot = conv.agg(count(lit(1)).as("n_conv"))
+    // collapse to the |channels|² contingency frame FIRST (one window
+    // pass, one shuffle), then derive both marginals and the total from
+    // the checkpointed tiny frame — three consumers of `conv` would
+    // otherwise re-expand the window subtree into three event scans
+    val cc = conv.groupBy($"first_ch", $"last_ch")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val first = cc.groupBy($"first_ch".as("channel"))
+      .agg(sum($"n").as("n_first"))
+    val last = cc.groupBy($"last_ch".as("channel"))
+      .agg(sum($"n").as("n_last"))
+    val tot = cc.agg(sum($"n").as("n_conv"))
     first.join(last, Seq("channel"), "full_outer")
       .na.fill(0L, Seq("n_first", "n_last"))
       .crossJoin(broadcast(tot))

@@ -642,6 +642,25 @@ class PlanSpec extends SparkSpec {
       "distinct-score collapse must be a hash aggregate below the window")
   }
 
+  test("q246: silhouette probes broadcast — the corpus embedding scan never shuffles for the pair join") {
+    val p = planOf(graft.operators.SimilarityOps.q246SilhouetteCard(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded probe frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "no data-sized shuffle join on the pair path")
+  }
+
+  test("q248: first/last attribution runs ONE event pass (contingency checkpoint, no re-expanded scans)") {
+    val p = planOf(graft.operators.EventOps.q248AttributionCompare(spark, sf))
+    // the window pass materializes into the |channels|^2 contingency
+    // frame once; the final plan must read ONLY that checkpoint — a
+    // re-expanded window subtree would show parquet scans per consumer
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 0,
+      "marginals must derive from the checkpointed contingency frame")
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).size <= 1)
+  }
+
   test("q230: correlated-min supplier pick broadcasts every dimension") {
     val p = planOf(graft.operators.Relational.q230CheapestSupplier(spark, sf))
     assert(!p.contains("CartesianProduct"))
