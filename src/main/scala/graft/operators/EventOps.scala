@@ -2873,6 +2873,9 @@ object EventOps {
       .groupBy($"user_id", $"sess_id")
       .agg(count(lit(1)).cast("double").as("depth"),
         (max($"ts_ms") - min($"ts_ms")).cast("double").as("duration_ms"))
+      // materialized once: the count below and the quantile engine's
+      // passes would each re-run the sessionization window otherwise
+      .localCheckpoint()
     val nSessions = sessions.count()
     val qs = Extended.exactQuantilesMulti(sessions, None, Seq(
       "depth" -> Seq(0.5, 0.9, 0.99),
