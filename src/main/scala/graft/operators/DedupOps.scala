@@ -1544,7 +1544,91 @@ object DedupOps {
       |    CAST(CAST(m AS HUGEINT) * m * 4 AS DOUBLE), 6) AS modularity
       |FROM mm CROSS JOIN ds""".stripMargin
 
+  /** q251: duplication-vs-quality card — does near-duplication
+    * concentrate in LOW-quality documents? Per dup-degree tier (0 /
+    * 1 / 2-4 / 5+ verified ≥0.8 neighbors): doc counts, mean quality
+    * score and mean length. If the low-quality tiers carry the
+    * duplication, a quality filter performs much of the dedup for free
+    * (run it FIRST and shrink the LSH input); if quality is flat across
+    * tiers the two filters are independent passes. Degrees come from
+    * the LSH-verified pair frame (never an all-pairs join); the
+    * per-tier quality means fold 1e-6-snapped scores as exact decimals.
+    */
+  def q251DupQualityCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val deg = pairs.select($"id_a".as("doc_id"))
+      .unionAll(pairs.select($"id_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("d"))
+    val scored = d.select($"doc_id",
+        round(graft.api.Text.qualityScore($"text"), 6).as("q6"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(deg, Seq("doc_id"), "left")
+      .withColumn("dd", coalesce($"d", lit(0L)))
+    val tier = when($"dd" === 0, "a_unique").when($"dd" === 1, "b_1")
+      .when($"dd" <= 4, "c_2_4").otherwise("d_5plus")
+    scored.groupBy(tier.as("dup_tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"q6".cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_quality"),
+        round(sum($"n_tokens").cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"))
+      .orderBy($"dup_tier")
+  }
+
+  val q251Sql: String =
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+      |mh AS MATERIALIZED ($minhashesSql),
+      |$bandsCandsSql,
+      |sizes AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |  FROM cands c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b),
+      |e0 AS MATERIALIZED (
+      |  SELECT i.doc_a AS a, i.doc_b AS b FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.doc_a
+      |  JOIN sizes zb ON zb.doc_id = i.doc_b
+      |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.8),
+      |deg AS (
+      |  SELECT doc_id, COUNT(*) AS dd FROM (
+      |    SELECT a AS doc_id FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id,
+      |    ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+      |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2, 6) AS q6,
+      |    n_tokens
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |        AS n_uniq,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+      |        AS n_stop
+      |    FROM documents)),
+      |t AS (
+      |  SELECT CASE WHEN COALESCE(dd, 0) = 0 THEN 'a_unique'
+      |              WHEN dd = 1 THEN 'b_1'
+      |              WHEN dd <= 4 THEN 'c_2_4'
+      |              ELSE 'd_5plus' END AS dup_tier, q6, n_tokens
+      |  FROM q LEFT JOIN deg USING (doc_id))
+      |SELECT dup_tier, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(q6 AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_quality,
+      |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+      |FROM t GROUP BY 1 ORDER BY dup_tier""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q251_dup_quality_card" -> (q251DupQualityCard _),
     "q247_source_modularity" -> (q247SourceModularity _),
     "q239_jw_linkage" -> (q239JwLinkage _),
     "q234_onion_layers" -> (q234OnionLayers _),
@@ -1575,6 +1659,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q251_dup_quality_card" -> q251Sql,
     "q247_source_modularity" -> q247Sql,
     "q239_jw_linkage" -> q239Sql,
     "q234_onion_layers" -> q234Sql,

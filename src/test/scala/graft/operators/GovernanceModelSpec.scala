@@ -718,6 +718,36 @@ class GovernanceModelSpec extends SparkSpec {
     }
   }
 
+  test("q251: dup-quality tiers match brute-force degree bucketing") {
+    import spark.implicits._
+    val deg = graft.api.Dedup.lshCandidatePairs(
+        graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text"),
+        "doc_id", "text")
+      .filter($"jaccard" >= 0.8)
+      .select($"id_a", $"id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val docsN = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    def tier(d: Long) = if (d == 0) "a_unique" else if (d == 1) "b_1"
+      else if (d <= 4) "c_2_4" else "d_5plus"
+    val want = docsN.groupBy(x => tier(deg.getOrElse(x._1, 0L)))
+      .map { case (t, g) =>
+        t -> (g.length.toLong, g.map(_._2).sum.toDouble / g.length)
+      }
+    val rows = DedupOps.q251DupQualityCard(spark, sf).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val (n, avgTok) = want(r.getAs[String]("dup_tier"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(math.abs(r.getAs[Double]("avg_tokens") - avgTok) < 1e-6)
+      val q = r.getAs[Double]("avg_quality")
+      assert(q > 0.0 && q <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docsN.length.toLong)
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
