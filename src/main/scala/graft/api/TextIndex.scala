@@ -98,6 +98,28 @@ object TextIndex {
     fs.delete(old, true)
   }
 
+  /** Maintenance policy: compact when append debris crosses the
+    * threshold (files per band), otherwise do nothing — the
+    * [[Similarity.maintainIvfIndex]] pattern for the text side, so an
+    * ingest loop can call this after every append batch and pay the
+    * rewrite only when it buys something. Returns true when a
+    * compaction ran.
+    */
+  def maintainMinhashIndex(spark: SparkSession, path: String,
+      maxFilesPerBand: Int = 16,
+      targetRowsPerFile: Long = 4000000L): Boolean = {
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(bandsDir, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    val run = n > maxFilesPerBand.toLong * Bands
+    if (run) compactMinhashBands(spark, path, targetRowsPerFile)
+    run
+  }
+
   private def readMeta(spark: SparkSession, path: String): Int = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"minhash index meta corrupt at $path/meta")

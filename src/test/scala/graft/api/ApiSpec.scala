@@ -1646,4 +1646,24 @@ class ApiSpec extends SparkSpec {
     assert(nFiles() < filesBefore,
       s"compaction must shrink the file count (was $filesBefore)")
   }
+
+  test("TextIndex: maintenance policy compacts only past the debris threshold") {
+    import spark.implicits._
+    val dir = tmpDir("mhidx_maint")
+    val docs = graft.Util.rawTable(spark, sf, "documents").select($"doc_id", $"text")
+    graft.api.TextIndex.writeMinhashIndex(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", dir)
+    assert(!graft.api.TextIndex.maintainMinhashIndex(spark, dir,
+      maxFilesPerBand = 64), "a fresh index must not trigger compaction")
+    (1 to 2).foreach { i =>
+      graft.api.TextIndex.appendToMinhashIndex(
+        docs.filter($"doc_id" % 3 === i), "doc_id", "text", dir)
+    }
+    assert(graft.api.TextIndex.maintainMinhashIndex(spark, dir,
+      maxFilesPerBand = 1), "debris past the threshold must compact")
+    // compaction preserved searchability
+    val probes = docs.limit(10).select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    assert(graft.api.TextIndex.searchMinhashIndex(spark, dir, probes,
+      "doc_id", "text", minEstJaccard = 1.0).count() > 0)
+  }
 }
