@@ -446,4 +446,196 @@ object MediaCodecs {
       (frames.toDouble / a.sampleRate).toFloat, math.sqrt(sum2 / nn).toFloat,
       peak.toFloat, (sumAbs / nn).toFloat, (zc / nn).toFloat)
   }
+
+  // ---- GIF87a (pure JVM: LZW is self-contained — no codec library) ----
+
+  /** Encode an 8-bit-indexed raster as a GIF87a with a 256-entry
+    * grayscale global palette (entry i = RGB(i,i,i)). The LZW stream
+    * emits LITERAL root codes only, tracking the decoder's dictionary
+    * growth exactly (width bumps at 2^w, CLEAR before the 12-bit
+    * ceiling) — valid GIF accepted by any decoder, deterministic
+    * output, no compression state. `indices` are 0..255, row-major.
+    */
+  def encodeGif(w: Int, h: Int, indices: Array[Int]): Array[Byte] = {
+    require(indices.length == w * h, "indices must be w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0xF7) // global table, 8 bits/pixel, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    w16(0); w16(0); w16(w); w16(h)
+    out.write(0) // no local table, not interlaced
+    val minCodeSize = 8
+    out.write(minCodeSize)
+    // LZW bitstream (LSB-first), literal codes + synchronized width schedule
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putCode(code: Int, width: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    var width = minCodeSize + 1
+    var nextCode = eoi + 1
+    putCode(clear, width)
+    var first = true
+    i = 0
+    while (i < indices.length) {
+      putCode(indices(i) & 0xff, width)
+      if (!first) {
+        // the decoder adds a dictionary entry for every code after the
+        // first one following a CLEAR (stopping at the 4096 ceiling,
+        // width capped at 12) — mirror its schedule exactly; literal
+        // root codes stay decodable with a full dictionary, so no
+        // mid-stream CLEAR is ever needed
+        if (nextCode < 4096) {
+          nextCode += 1
+          if (nextCode == (1 << width) && width < 12) width += 1
+        }
+      } else first = false
+      i += 1
+    }
+    putCode(eoi, width)
+    if (bitCnt > 0) data.write((bitBuf & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n)
+      out.write(bytes, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a (non-interlaced, single-image) GIF87a/89a into a grayscale
+    * [[BmpImage]] via full LZW decompression — extensions skipped, local
+    * palettes honored. Returns None on anything that is not a decodable
+    * GIF (wrong magic, interlaced, truncated stream, bad codes).
+    */
+  def decodeGif(payload: Array[Byte]): Option[BmpImage] = {
+    try {
+      if (payload.length < 13) return None
+      val magic = new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (magic != "GIF87a" && magic != "GIF89a") return None
+      var pos = 6
+      def u16l(): Int = { val v = (payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8); pos += 2; v }
+      u16l(); u16l() // logical screen size (per-image size is authoritative)
+      val packed = payload(pos) & 0xff; pos += 3 // packed, bg, aspect
+      var palette: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        palette = Array.tabulate(n) { k =>
+          ((payload(pos + 3 * k) & 0xff) << 16) |
+            ((payload(pos + 3 * k + 1) & 0xff) << 8) |
+            (payload(pos + 3 * k + 2) & 0xff)
+        }
+        pos += 3 * n
+      }
+      // skip extension blocks until the image descriptor
+      while ((payload(pos) & 0xff) == 0x21) {
+        pos += 2 // introducer + label
+        var len = payload(pos) & 0xff
+        while (len != 0) { pos += 1 + len; len = payload(pos) & 0xff }
+        pos += 1
+      }
+      if ((payload(pos) & 0xff) != 0x2C) return None
+      pos += 1
+      u16l(); u16l() // left, top
+      val w = u16l(); val h = u16l()
+      val ipacked = payload(pos) & 0xff; pos += 1
+      if ((ipacked & 0x40) != 0) return None // interlaced unsupported
+      if ((ipacked & 0x80) != 0) {
+        val n = 2 << (ipacked & 7)
+        palette = Array.tabulate(n) { k =>
+          ((payload(pos + 3 * k) & 0xff) << 16) |
+            ((payload(pos + 3 * k + 1) & 0xff) << 8) |
+            (payload(pos + 3 * k + 2) & 0xff)
+        }
+        pos += 3 * n
+      }
+      if (palette == null) return None
+      val minCodeSize = payload(pos) & 0xff; pos += 1
+      if (minCodeSize < 2 || minCodeSize > 8) return None
+      // concatenate sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      var len = payload(pos) & 0xff; pos += 1
+      while (len != 0) {
+        data.write(payload, pos, len); pos += len
+        len = payload(pos) & 0xff; pos += 1
+      }
+      val bits = data.toByteArray
+      // LZW decode
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      var width = minCodeSize + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      var dictSize = eoi + 1
+      var bitPos = 0
+      def readCode(): Int = {
+        if (bitPos + width > bits.length * 8) return -1
+        var v = 0; var k = 0
+        while (k < width) {
+          val b = bitPos + k
+          if ((bits(b >> 3) & (1 << (b & 7))) != 0) v |= 1 << k
+          k += 1
+        }
+        bitPos += width; v
+      }
+      val out = new Array[Int](w * h)
+      var outPos = 0
+      def emit(code: Int): Int = { // writes the sequence, returns its first index
+        val stack = new scala.collection.mutable.ArrayBuffer[Int]()
+        var c = code
+        while (c >= clear) { stack += suffix(c); c = prefix(c) }
+        stack += c
+        var k = stack.length - 1
+        while (k >= 0 && outPos < out.length) { out(outPos) = stack(k); outPos += 1; k -= 1 }
+        c
+      }
+      var prev = -1
+      var done = false
+      while (!done && outPos < out.length) {
+        val code = readCode()
+        if (code < 0 || code == eoi) done = true
+        else if (code == clear) { width = minCodeSize + 1; dictSize = eoi + 1; prev = -1 }
+        else if (prev == -1) {
+          if (code >= clear) return None
+          emit(code); prev = code
+        } else {
+          if (code > dictSize || (code == dictSize && dictSize >= 4096)) return None
+          val firstIdx =
+            if (code == dictSize) { // KwKwK case
+              var c = prev; while (c >= clear) c = prefix(c)
+              val f = c
+              if (dictSize < 4096) { prefix(dictSize) = prev; suffix(dictSize) = f }
+              emit(if (dictSize < 4096) dictSize else code)
+              if (dictSize < 4096) dictSize += 1
+              f
+            } else {
+              val f = emit(code)
+              if (dictSize < 4096) { prefix(dictSize) = prev; suffix(dictSize) = f; dictSize += 1 }
+              f
+            }
+          val _ = firstIdx
+          prev = code
+        }
+        if (dictSize == (1 << width) && width < 12) width += 1
+      }
+      if (outPos != w * h) return None
+      Some(BmpImage(w, h, out.map(i => palette(i & (palette.length - 1)))))
+    } catch { case _: Exception => None }
+  }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing — image/audio/video payloads as opaque
   * `binary` columns with typed metadata. Decode is REAL for uncompressed
-  * BMP and PCM-16 WAV via the pure-JVM [[MediaCodecs]] (header parse +
-  * raw pixel/sample access — no external codec needed); formats that need
+  * BMP, PCM-16 WAV, zlib PNG and LZW GIF via the pure-JVM
+  * [[MediaCodecs]] (no external codec needed); formats that need
   * entropy codecs (JPEG/MP3/H.264, whose libs aren't in this zero-egress
   * container) fall back to the deterministic [[MultimodalOps.stubDecode]],
   * labeled per-row in the `decoder` column. q44 is the oracle-checkable
@@ -50,6 +50,7 @@ object MultimodalOps {
   def decodeAny(payload: Array[Byte], dims: Int = 8): (String, Array[Float]) =
     MediaCodecs.decodeBmp(payload).map(i => ("bmp", MediaCodecs.imageFeatures(i)))
       .orElse(MediaCodecs.decodePng(payload).map(i => ("png", MediaCodecs.imageFeatures(i))))
+      .orElse(MediaCodecs.decodeGif(payload).map(i => ("gif", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeWav(payload).map(a => ("wav", MediaCodecs.audioFeatures(a))))
       .getOrElse(("stub", stubDecode(payload, dims)))
 
@@ -142,23 +143,32 @@ object MultimodalOps {
             }
             MediaCodecs.BmpImage(w, h, px)
           }
-          val payload = (id % 3) match {
-            case 0 => MediaCodecs.encodeBmp(raster())
-            case 1 =>
-              val samples = new Array[Short](bytes.length)
-              var i = 0
-              while (i < samples.length) {
-                samples(i) = (((bytes(i) & 0xff) - 128) << 8).toShort
-                i += 1
-              }
-              MediaCodecs.encodeWav(8000, samples)
-            case _ => MediaCodecs.encodePng(raster())
+          def gifIndices(): (Int, Int, Array[Int]) = {
+            val w = (4 + id % 13).toInt
+            val h = (3 + id % 7).toInt
+            (w, h, Array.tabulate(w * h)(byteAt))
           }
-          val mime = (id % 3) match {
-            case 0 => "image/bmp"
-            case 1 => "audio/wav"
-            case _ => "image/png"
-          }
+          val payload =
+            if (id % 6 == 5) { val (w, h, ix) = gifIndices(); MediaCodecs.encodeGif(w, h, ix) }
+            else (id % 3) match {
+              case 0 => MediaCodecs.encodeBmp(raster())
+              case 1 =>
+                val samples = new Array[Short](bytes.length)
+                var i = 0
+                while (i < samples.length) {
+                  samples(i) = (((bytes(i) & 0xff) - 128) << 8).toShort
+                  i += 1
+                }
+                MediaCodecs.encodeWav(8000, samples)
+              case _ => MediaCodecs.encodePng(raster())
+            }
+          val mime =
+            if (id % 6 == 5) "image/gif"
+            else (id % 3) match {
+              case 0 => "image/bmp"
+              case 1 => "audio/wav"
+              case _ => "image/png"
+            }
           MediaRecord(id, payload, mime, payload.length.toLong)
         }
       }
@@ -178,6 +188,9 @@ object MultimodalOps {
             img.width.toLong * img.height, r.payload.length.toLong)
         }.orElse(MediaCodecs.decodePng(r.payload).map { img =>
           (r.media_id, "png", img.width.toLong, img.height.toLong, 0L, 0L,
+            img.width.toLong * img.height, r.payload.length.toLong)
+        }).orElse(MediaCodecs.decodeGif(r.payload).map { img =>
+          (r.media_id, "gif", img.width.toLong, img.height.toLong, 0L, 0L,
             img.width.toLong * img.height, r.payload.length.toLong)
         }).orElse(MediaCodecs.decodeWav(r.payload).map { a =>
           (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
@@ -292,16 +305,22 @@ object MultimodalOps {
 
   val q120Sql: String =
     """SELECT doc_id AS media_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS format,
+      |  CASE WHEN doc_id % 6 = 5 THEN 'gif'
+      |       WHEN doc_id % 3 = 0 THEN 'bmp'
+      |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END AS format,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 4 + doc_id % 13 END AS BIGINT) AS width,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 3 + doc_id % 7 END AS BIGINT) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text))
       |       ELSE (4 + doc_id % 13) * (3 + doc_id % 7) END AS BIGINT) AS n_units,
-      |  CAST(CASE doc_id % 3
-      |       WHEN 0 THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
-      |       WHEN 1 THEN 44 + 2 * octet_length(encode(text))
+      |  CAST(CASE
+      |       WHEN doc_id % 6 = 5 THEN
+      |         -- GIF87a with literal-code LZW is byte-deterministic:
+      |         -- 795 header/palette/framing + ceil(9*(w*h+2)/8) data
+      |         795 + (9 * ((4 + doc_id % 13) * (3 + doc_id % 7) + 2) + 7) // 8
+      |       WHEN doc_id % 3 = 0 THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
+      |       WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
       |       ELSE -1 END AS BIGINT) AS payload_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 

@@ -177,7 +177,7 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id", "mime", "n_bytes", "decoder", "features"))
     val byDecoder = feats.groupBy("decoder").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byDecoder.keySet === Set("bmp", "wav", "png"), s"unexpected decoders: $byDecoder")
+    assert(byDecoder.keySet === Set("bmp", "wav", "png", "gif"), s"unexpected decoders: $byDecoder")
     assert(!byDecoder.contains("stub"))
     // metadata from actual header parsing matches the generation rule
     val meta = MultimodalOps.mediaMetadata(media)
@@ -268,5 +268,50 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Seq[Int]]("frames").length === n)
       r.getAs[Seq[Int]]("frames").foreach(b => assert(b >= 0 && b <= 255))
     }
+  }
+
+  test("GIF codec: LZW roundtrip across sizes incl. 12-bit width growth; JDK ImageIO cross-check") {
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((1, 1), (4, 3), (16, 9), (37, 23), (100, 80))) {
+      val idx = Array.fill(w * h)(rnd.nextInt(256))
+      val gif = MediaCodecs.encodeGif(w, h, idx)
+      val img = MediaCodecs.decodeGif(gif)
+      assert(img.isDefined, s"decode failed at ${w}x$h")
+      assert(img.get.width === w && img.get.height === h)
+      assert(img.get.pixels.zip(idx).forall { case (p, i) =>
+        p == ((i << 16) | (i << 8) | i)
+      }, s"pixel mismatch at ${w}x$h")
+    }
+    // spec compliance: the JDK's own GIF reader (an independent
+    // implementation) must decode our encoder's output pixel-exactly
+    val idx = Array.tabulate(19 * 11)(i => (i * 7) % 256)
+    val gif = MediaCodecs.encodeGif(19, 11, idx)
+    val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(io != null, "ImageIO must accept the GIF")
+    assert(io.getWidth === 19 && io.getHeight === 11)
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val v = idx(y * 19 + x)
+      assert((io.getRGB(x, y) & 0xffffff) === ((v << 16) | (v << 8) | v))
+    }
+    // non-GIF bytes degrade to None, not an exception
+    assert(MediaCodecs.decodeGif("not a gif at all".getBytes).isEmpty)
+    assert(MediaCodecs.decodeGif(Array[Byte]()).isEmpty)
+  }
+
+  test("syntheticMedia: GIF rows decode through the real codec path") {
+    import spark.implicits._
+    val meta = MultimodalOps.mediaMetadata(
+      MultimodalOps.syntheticMedia(spark, sf)).filter($"format" === "gif")
+    val rows = meta.collect()
+    assert(rows.nonEmpty, "doc_id % 6 == 5 rows must be GIFs")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(id % 6 === 5)
+      assert(r.getAs[Long]("width") === 4 + id % 13)
+      assert(r.getAs[Long]("height") === 3 + id % 7)
+    }
+    val feats = MultimodalOps.decodeFeatures(
+      MultimodalOps.syntheticMedia(spark, sf))
+    assert(feats.filter($"decoder" === "gif").count() === rows.length.toLong)
   }
 }
