@@ -3066,7 +3066,40 @@ object EventOps {
       |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_revenue
       |FROM x GROUP BY 1 ORDER BY lookback_days""".stripMargin
 
+  /** q252: weekday×hour activity heatmap — event counts and value share
+    * per (epoch-weekday, hour-of-day) cell, the load-shape card behind
+    * batch-window placement and autoscaling schedules (and the visual
+    * check on [[q231SeasonalDecomposition]]'s weekday indices). One
+    * hash aggregation to a ≤168-row frame; integer day/hour arithmetic
+    * on epoch millis, exact decimal value sums.
+    */
+  def q252ActivityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy(
+        expr("(ts_ms div 86400000) % 7").as("weekday"),
+        expr("(ts_ms div 3600000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"))
+      .withColumn("event_share", round($"n_events".cast("double") /
+        sum($"n_events").over(Window.partitionBy()), 6))
+      .orderBy($"weekday", $"hour")
+  }
+
+  val q252Sql: String =
+    """WITH c AS (
+      |  SELECT (epoch_ms(ts) // 86400000) % 7 AS weekday,
+      |    (epoch_ms(ts) // 3600000) % 24 AS hour,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT weekday, hour, n_events, sum_value,
+      |  ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (), 6)
+      |    AS event_share
+      |FROM c ORDER BY weekday, hour""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q252_activity_heatmap" -> (q252ActivityHeatmap _),
     "q248_attribution_compare" -> (q248AttributionCompare _),
     "q250_lookback_sweep" -> (q250LookbackSweep _),
     "q244_session_card" -> (q244SessionCard _),
@@ -3129,6 +3162,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q252_activity_heatmap" -> q252Sql,
     "q248_attribution_compare" -> q248Sql,
     "q250_lookback_sweep" -> q250Sql,
     "q244_session_card" -> q244Sql,

@@ -748,6 +748,20 @@ class GovernanceModelSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docsN.length.toLong)
   }
 
+  test("q252: activity heatmap matches brute-force epoch arithmetic; shares sum to 1") {
+    val ev = eventRows()
+    val want = ev.groupBy(e => ((e._5 / 86400000L) % 7, (e._5 / 3600000L) % 24))
+      .map { case (k, g) => k -> g.size.toLong }
+    val rows = EventOps.q252ActivityHeatmap(spark, sf).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") ===
+        want((r.getAs[Long]("weekday"), r.getAs[Long]("hour"))))
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum === ev.length.toLong)
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-4)
+  }
+
   test("q232: dup-graph card matches brute-force topology over exact Jaccard edges") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")
