@@ -1492,7 +1492,402 @@ object Relational {
       |FROM h JOIN supplier ON l_suppkey = s_suppkey
       |WHERE s_nationkey < 10 ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q253-q262 complete the TPC-H join-shape family: with these, all 22
+  // canonical TPC-H plan shapes have a representative in the suite
+  // (adapted where the synthetic schema lacks partsupp / l_shipmode /
+  // l_commitdate — each adaptation keeps the SHAPE, which is what the
+  // optimizer exercises, and documents the substitution).
+  // --------------------------------------------------------------------
+
+  /** q253: shipping priority (the TPC-H Q3 shape) — unshipped revenue of
+    * BUILDING-segment orders, top 10. The segment filter collapses
+    * customers to a broadcast semi-join at the orders scan; lineitem and
+    * orders then equi-join on the order key they are both already spread
+    * by, and the top-10 cut is a TakeOrderedAndProject (per-partition
+    * heap, never a global sort). Ties at the cut are broken by order key
+    * on both engines, so the LIMIT is deterministic.
+    */
+  def q253ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = rawTable(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" < ldt("1998-07-01T00:00:00"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" > ldt("1998-07-01T00:00:00"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .select($"l_orderkey", round($"rev", 2).as("revenue"), $"o_orderdate")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q253Sql: String =
+    """SELECT l_orderkey,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q254: order-priority check (the TPC-H Q4 EXISTS shape) — per
+    * priority, how many Q1-1997 orders had at least one line shipped
+    * more than 60 days after the order date (the synthetic schema has no
+    * l_commitdate/l_receiptdate, so "late" is shipdate − orderdate > 60d
+    * — same correlated-EXISTS-with-inequality shape). The EXISTS is a
+    * LEFT SEMI hash join on the order key with the inequality as a
+    * residual — never a count-then-filter that would materialize the
+    * multiplicity.
+    */
+  def q254OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = table(spark, dir, "orders")
+      .filter($"o_orderdate" >= ldt("1997-01-01T00:00:00") &&
+        $"o_orderdate" < ldt("1997-04-01T00:00:00"))
+    val li = table(spark, dir, "lineitem")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q254Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q255: forecast-revenue change (the TPC-H Q6 shape) — the purest
+    * scan-filter-aggregate in the book: every predicate (shipdate year,
+    * discount band, quantity cap) lands in PushedFilters on the parquet
+    * scan, and the single global sum folds as exact decimals. At 100 TB
+    * this is the query where pushdown IS the plan — nothing else runs.
+    */
+  def q255ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1997-01-01T00:00:00") &&
+        $"l_shipdate" < ldt("1998-01-01T00:00:00") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.04 &&
+        $"l_quantity" < 24.0)
+      .agg(dsum6($"l_extendedprice" * $"l_discount").as("rev"))
+      .select(round($"rev", 2).as("revenue"))
+  }
+
+  val q255Sql: String =
+    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** q256: volume shipping between two nations (the TPC-H Q7 shape) —
+    * revenue NATION_1↔NATION_2 by direction and ship year. Both nation
+    * memberships are pushed to the supplier/customer scans (isin(1,2))
+    * BEFORE any fact joins, so the broadcast dims carry only the two
+    * nations; the cross-pair residual (exclude 1→1 and 2→2) runs after
+    * the broadcasts. The only fact shuffle is lineitem→orders.
+    */
+  def q256VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    val supp = rawTable(spark, dir, "supplier")
+      .filter($"s_nationkey".isin(1, 2))
+      .select($"s_suppkey",
+        concat(lit("NATION_"), $"s_nationkey").as("supp_nation"))
+    val cust = rawTable(spark, dir, "customer")
+      .filter($"c_nationkey".isin(1, 2))
+      .select($"c_custkey",
+        concat(lit("NATION_"), $"c_nationkey").as("cust_nation"))
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1996-01-01T00:00:00") &&
+        $"l_shipdate" < ldt("1998-01-01T00:00:00"))
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(table(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum6(vol).as("rev"))
+      .select($"supp_nation", $"cust_nation", $"l_year",
+        round($"rev", 2).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q256Sql: String =
+    """SELECT 'NATION_' || s_nationkey AS supp_nation,
+      |  'NATION_' || c_nationkey AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+      |  AND s_nationkey <> c_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q257: product-type profit (the TPC-H Q9 shape) — profit on
+    * bolt-parts by supplier nation and order year. The synthetic schema
+    * has no partsupp/ps_supplycost, so cost is proxied as
+    * 0.6·p_retailprice·quantity (documented substitution — the plan
+    * shape, a 5-table star with a name-LIKE part filter and a
+    * nation×year aggregate, is Q9's). Part/supplier/nation broadcast;
+    * the only fact shuffle is lineitem→orders on the shared spread key.
+    */
+  def q257ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = rawTable(spark, dir, "part")
+      .filter($"p_name".contains("bolt"))
+      .select($"p_partkey", $"p_retailprice")
+    val supp = rawTable(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val nat = rawTable(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * lit(0.6) * $"l_quantity"
+    table(spark, dir, "lineitem")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(table(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum6(amount).as("profit"))
+      .select($"nation", $"o_year", round($"profit", 2).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q257Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  ROUND(CAST(SUM(CAST(
+      |    l_extendedprice * (1.0 - l_discount)
+      |      - p_retailprice * 0.6 * l_quantity
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS sum_profit
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q258: priority shipping split (the TPC-H Q12 shape) — per return
+    * flag (standing in for the absent l_shipmode), 1998 shipments split
+    * into high-priority (URGENT/HIGH) vs low-priority order counts. The
+    * CASE-conditional sums fold map-side in one hash aggregate after the
+    * single order-key join — Q12's join+conditional-count shape exactly.
+    */
+  def q258PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1998-01-01T00:00:00") &&
+        $"l_shipdate" < ldt("1999-01-01T00:00:00"))
+      .join(table(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q258Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q259: customer order-count distribution (the TPC-H Q13 shape) —
+    * how many customers placed 0, 1, 2, … non-LOW-priority orders. The
+    * classic formulation outer-joins raw customers to raw orders; at
+    * scale that shuffles the fact table to preserve zero-order
+    * customers. Here orders pre-aggregate to one row per customer
+    * FIRST (map-side partial → |customers| rows), and the outer join
+    * runs customer-LEFT-JOIN-aggregate where the right side is the
+    * already-collapsed frame — the zero-count rows come from
+    * coalesce(n, 0), not from shuffling line-level multiplicity.
+    */
+  def q259CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = table(spark, dir, "orders")
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    table(spark, dir, "customer")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", coalesce($"n", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q259Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders
+      |  WHERE o_orderpriority <> '5-LOW' GROUP BY 1),
+      |cc AS (
+      |  SELECT c_custkey, COALESCE(n, 0) AS c_count
+      |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM cc GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q260: promotion revenue share (the TPC-H Q14 shape) — the share of
+    * September-1997 revenue from PROMO-type parts, as a conditional
+    * decimal-sum ratio over one broadcast part join. One aggregation,
+    * one IEEE division at the end — the same ratio discipline as q190.
+    */
+  def q260PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1997-09-01T00:00:00") &&
+        $"l_shipdate" < ldt("1997-10-01T00:00:00"))
+      .join(broadcast(rawTable(spark, dir, "part")
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .agg(dsum6(when($"p_type" === "PROMO", vol).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum6(vol).as("total_rev"))
+      .select(round(lit(100.0) * $"promo_rev" / $"total_rev", 6)
+          .as("promo_pct"),
+        round($"promo_rev", 2).as("promo_rev"),
+        round($"total_rev", 2).as("total_rev"))
+  }
+
+  val q260Sql: String =
+    """SELECT
+      |  ROUND(100.0 *
+      |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |      AS DECIMAL(24,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(24,6))) AS DOUBLE), 6) AS promo_pct,
+      |  ROUND(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS promo_rev,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS total_rev
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  /** q261: parts-supplier relationship count (the TPC-H Q16 shape) —
+    * distinct supplier count per (brand, type, size) bucket, excluding
+    * flagged suppliers. The synthetic schema has no partsupp, so the
+    * association is the DISTINCT (partkey, suppkey) projection of
+    * lineitem (collapsed BEFORE any join — the relationship frame is
+    * |partsupp|, not |lineitem|); the excluded-supplier NOT IN (no
+    * comment column → negative account balance stands in) is a
+    * broadcast LEFT ANTI, and the part attribute filter a broadcast
+    * inner join. countDistinct is safe here because the grouping is
+    * already the collapsed pair frame.
+    */
+  def q261PartsSupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rel = table(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val flagged = rawTable(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val pt = rawTable(spark, dir, "part")
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    rel.join(broadcast(flagged), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q261Sql: String =
+    """WITH rel AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (
+      |  SELECT l_partkey, l_suppkey FROM rel
+      |  WHERE l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+      |SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ok JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q262: discounted-revenue triple (the TPC-H Q19 shape) — revenue
+    * from three disjunctive (brand, size-band, quantity-band) clauses.
+    * The brand disjunction's union (the only part of the OR that prunes
+    * the dimension) is pushed to the part scan; the full three-clause OR
+    * rides the single broadcast equi-join as a residual — one join, no
+    * union-of-three-scans, no cartesian.
+    */
+  def q262DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = rawTable(spark, dir, "part")
+      .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val clause =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) &&
+        $"l_quantity".between(1.0, 11.0)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(1, 10) &&
+        $"l_quantity".between(10.0, 20.0)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(20.0, 30.0))
+    table(spark, dir, "lineitem")
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey" && clause)
+      .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("rev"))
+      .select(round($"rev", 2).as("revenue"))
+  }
+
+  val q262Sql: String =
+    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |    AND l_quantity BETWEEN 1.0 AND 11.0)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |    AND l_quantity BETWEEN 10.0 AND 20.0)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q253_shipping_priority" -> (q253ShippingPriority _),
+    "q254_order_priority" -> (q254OrderPriority _),
+    "q255_forecast_revenue" -> (q255ForecastRevenue _),
+    "q256_volume_shipping" -> (q256VolumeShipping _),
+    "q257_product_profit" -> (q257ProductProfit _),
+    "q258_priority_shipping" -> (q258PriorityShipping _),
+    "q259_customer_distribution" -> (q259CustomerDistribution _),
+    "q260_promo_revenue" -> (q260PromoRevenue _),
+    "q261_parts_supplier_count" -> (q261PartsSupplierCount _),
+    "q262_discounted_revenue" -> (q262DiscountedRevenue _),
     "q236_important_parts" -> (q236ImportantParts _),
     "q237_top_supplier" -> (q237TopSupplier _),
     "q238_heavy_shippers" -> (q238HeavyShippers _),
@@ -1542,6 +1937,16 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q253_shipping_priority" -> q253Sql,
+    "q254_order_priority" -> q254Sql,
+    "q255_forecast_revenue" -> q255Sql,
+    "q256_volume_shipping" -> q256Sql,
+    "q257_product_profit" -> q257Sql,
+    "q258_priority_shipping" -> q258Sql,
+    "q259_customer_distribution" -> q259Sql,
+    "q260_promo_revenue" -> q260Sql,
+    "q261_parts_supplier_count" -> q261Sql,
+    "q262_discounted_revenue" -> q262Sql,
     "q236_important_parts" -> q236Sql,
     "q237_top_supplier" -> q237Sql,
     "q238_heavy_shippers" -> q238Sql,

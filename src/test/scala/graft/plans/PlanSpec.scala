@@ -669,4 +669,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "the rank-1 argmin must prune per-partition before the shuffle")
   }
+
+  test("q253: top-10 is a heap cut (TakeOrderedAndProject), segment filter a broadcast semi") {
+    val p = planOf(graft.operators.Relational.q253ShippingPriority(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the LIMIT must be a per-partition heap, never a global sort")
+    assert(p.contains("LeftSemi"), "segment membership must be a semi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q254: the EXISTS is a semi-join with the lateness residual, not a count-filter") {
+    val p = planOf(graft.operators.Relational.q254OrderPriority(spark, sf))
+    assert(p.contains("LeftSemi"),
+      "correlated EXISTS must plan as a left semi hash join")
+    // exactly one aggregate: the per-priority count (no per-order
+    // pre-count that would materialize lineitem multiplicity)
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size <= 2,
+      s"only the partial+final priority count may aggregate:\n$p")
+  }
+
+  test("q255: pure scan-filter-agg — every predicate in PushedFilters, no join, no exchange beyond the final gather") {
+    val p = planOf(graft.operators.Relational.q255ForecastRevenue(spark, sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    assert(!p.contains("Join"), "Q6 shape must not join anything")
+  }
+
+  test("q259: the zero-preserving outer join runs against the PRE-AGGREGATED order counts") {
+    val p = planOf(graft.operators.Relational.q259CustomerDistribution(spark, sf))
+    // orders collapse to one row per customer before the outer join, so
+    // the join is hash/broadcast on collapsed frames — never a
+    // sort-merge of raw facts against customers
+    assert(p.contains("LeftOuter"))
+    val joinIdx = p.indexOf("LeftOuter")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && aggIdx < p.length,
+      "per-customer pre-aggregation must exist")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
+    val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
+    assert(p.contains("In(p_brand"),
+      "the brand union must prune the dimension scan")
+    assert("(?m)^\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size === 1,
+      "exactly one part join carries the OR residual")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Union"), "never a union-of-three-scans rewrite")
+  }
 }
