@@ -101,7 +101,7 @@ object PlanDump {
     "q187_rolling_distinct" ->
       "rolling 7-day reach: distinct collapse, bounded explode fanout, hash count-distinct",
     "q188_bootstrap_ci" ->
-      "online bootstrap: replicate fanout fused into partial aggregation, 2 digests per row",
+      "online bootstrap: replicates as 64 agg slots in ONE hash aggregate — no explode, no join, 2 digests per row",
     "q223_generalization_ladder" ->
       "k-anonymity ladder: four bucket widths from ONE customer scan via constant explode",
     "q224_auc_card" ->

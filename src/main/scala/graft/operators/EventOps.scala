@@ -1418,46 +1418,48 @@ object EventOps {
     * keyed by event_id (64 hex chars → 32 draws) — the same
     * cross-engine-identical hash family the MinHash operators use, so
     * resampling is reproducible anywhere with no RNG state, and hashing
-    * costs 2 digests per ROW, not one per (row, replicate). The
-    * ×32 replicate fanout happens INSIDE the codegen stage feeding a
-    * partial aggregation (the shuffle carries |types|×32 partial sums
-    * per partition, never 32× the data) — the online-bootstrap
-    * formulation that survives 100 TB. Replicate means divide exact
-    * DECIMAL sums; the CI is mean ± 1.96·sd over the 32 replicate
-    * means.
+    * costs 2 digests per ROW, not one per (row, replicate). The 32
+    * replicates are COLUMNS, not rows: one hash aggregate keyed by
+    * event_type carries 64 slots (Σwᵥ·value, Σwᵥ per replicate) plus the
+    * full-sample count/sum, so the events scan is read ONCE, nothing is
+    * exploded ×32, and the shuffle moves |types| rows of fixed width —
+    * the online-bootstrap formulation that survives 100 TB. Replicate
+    * means divide exact DECIMAL sums (bit-identical to the row-wise
+    * oracle regardless of fold order); the CI is
+    * mean ± 1.96·sd over the 32 replicate means.
     */
   def q188BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def d2(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
-    val rep = events(spark, dir)
+    val loHex = ('0' to '7').map(c => s"'$c'").mkString(", ")
+    def w(b: Int) = expr(
+      s"(CASE WHEN substring(h, ${2 * b + 1}, 1) IN ($loHex) " +
+        "THEN 1L ELSE 0L END) + " +
+        s"(CASE WHEN substring(h, ${2 * b + 2}, 1) IN ($loHex) " +
+        "THEN 1L ELSE 0L END)").as(s"w$b")
+    val base = events(spark, dir)
       .select($"event_type", $"value",
         concat(md5(concat($"event_id".cast("string"), lit(":0"))),
           md5(concat($"event_id".cast("string"), lit(":1")))).as("h"))
-      .select($"event_type", $"value", posexplode(expr(
-        "transform(sequence(0, 31), b -> " +
-          "(CASE WHEN substring(h, b * 2 + 1, 1) IN " +
-          "('0','1','2','3','4','5','6','7') THEN 1L ELSE 0L END) + " +
-          "(CASE WHEN substring(h, b * 2 + 2, 1) IN " +
-          "('0','1','2','3','4','5','6','7') THEN 1L ELSE 0L END))"))
-        .as(Seq("b", "w")))
-    val means = rep.groupBy($"event_type", $"b")
-      .agg((sum(d2($"value") * $"w").cast("double") / sum($"w"))
-        .as("mean_b"))
-    val boot = means.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_rep"),
-        sum($"mean_b").as("sm"), sum($"mean_b" * $"mean_b").as("smm"))
-      .withColumn("sd_boot",
-        sqrt(($"smm" - $"sm" * $"sm" / $"n_rep") / ($"n_rep" - 1)))
-    val full = events(spark, dir)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        (sum(d2($"value")).cast("double") / count(lit(1))).as("mean_val"))
-    full.join(boot, "event_type")
-      .select($"event_type", $"n", round($"mean_val", 4).as("mean_val"),
-        round($"sd_boot", 4).as("sd_boot"),
-        round($"mean_val" - lit(1.96) * $"sd_boot", 4).as("ci_lo"),
-        round($"mean_val" + lit(1.96) * $"sd_boot", 4).as("ci_hi"))
+      .select($"event_type" +: $"value" +: (0 until 32).map(w): _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(d2($"value")).as("sv")) ++
+      (0 until 32).flatMap(b => Seq(
+        sum(d2($"value") * col(s"w$b")).as(s"swv$b"),
+        sum(col(s"w$b")).as(s"sw$b")))
+    val wide = base.groupBy($"event_type").agg(aggCols.head, aggCols.tail: _*)
+    val meanB = (0 until 32)
+      .map(b => col(s"swv$b").cast("double") / col(s"sw$b"))
+    val sm = meanB.reduce(_ + _)
+    val smm = meanB.map(m => m * m).reduce(_ + _)
+    val nRep = lit(32.0)
+    wide
+      .withColumn("mv", $"sv".cast("double") / $"n")
+      .withColumn("sb", sqrt((smm - sm * sm / nRep) / (nRep - 1.0)))
+      .select($"event_type", $"n", round($"mv", 4).as("mean_val"),
+        round($"sb", 4).as("sd_boot"),
+        round($"mv" - lit(1.96) * $"sb", 4).as("ci_lo"),
+        round($"mv" + lit(1.96) * $"sb", 4).as("ci_hi"))
       .orderBy($"event_type")
   }
 

@@ -709,6 +709,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q188: bootstrap replicates are aggregate SLOTS — no explode, no join, one aggregation") {
+    val p = planOf(graft.operators.EventOps.q188BootstrapCi(spark, sf))
+    assert(!p.contains("Generate"),
+      "replicate weights must be columns, never an exploded row fanout")
+    assert(!p.contains("Join"), "full-sample stats fold in the same agg")
+    assert("(?m)^\\(\\d+\\) HashAggregate".r.findAllIn(p).size <= 2,
+      s"one partial+final aggregate pair only:\n$p")
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
