@@ -82,9 +82,12 @@ object Graph {
     * Scale shape ([[pageRankFixedPoint]]'s contract): the doubled edge
     * list is checkpointed once; each round is one equi-join of the
     * one-row-per-node label frame (broadcast while the node count fits
-    * `broadcastMaxNodes`) against the edges plus one (node, label) hash
-    * aggregation with an argmax — state never exceeds one row per node.
-    * Returns (id, community).
+    * `broadcastMaxNodes`) against the edges plus ONE aggregation — the
+    * most-frequent-smallest adoption is Spark's deterministic `mode`
+    * (partial-mergeable, per-group state bounded by the node's distinct
+    * neighbor labels), which replaces the former (node, label) count +
+    * argmax re-shuffle pair, halving the exchanges per round. State
+    * never exceeds one row per node. Returns (id, community).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
       iterations: Int = 5, broadcastMaxNodes: Long = 10000000L): DataFrame = {
@@ -97,12 +100,14 @@ object Graph {
       if (nodes.count() <= broadcastMaxNodes) broadcast else identity
     var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
     (1 to iterations).foreach { _ =>
+      // mode(deterministic = true) returns the SMALLEST value among the
+      // tied most-frequent — exactly the synchronous-LPA tie-break, in
+      // one aggregation
       val adopted = und
         .join(perNode(labels), und("dst") === labels("id"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
-        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
-        .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
       labels = adopted
     }
     labels.select(col("id"), col("lbl").as("community"))
