@@ -718,6 +718,22 @@ class PlanSpec extends SparkSpec {
       s"one partial+final aggregate pair only:\n$p")
   }
 
+  test("q263: JL pair grid is a broadcast cross of bounded probe frames — no data-sized shuffle") {
+    val p = planOf(graft.operators.SimilarityOps.q263JlDistortion(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 10x20 pair grid must broadcast, never shuffle the corpus")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Generate"),
+      "projection folds are expressions, not exploded rows")
+  }
+
+  test("q264: projected candidate cut prunes per-partition before the exact rerank") {
+    val p = planOf(graft.operators.SimilarityOps.q264JlSearchRecall(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      "the pool-N candidate window must prune per-partition")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
