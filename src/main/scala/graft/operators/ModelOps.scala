@@ -167,13 +167,114 @@ object ModelOps {
       |  ROUND(tp * 2.0 / (tp * 2 + fp + fn), 6) AS f1
       |FROM g ORDER BY t""".stripMargin
 
+  /** The suite's deterministic Knuth multiplicative-hash uniform
+    * (overflow-free mulmod split, [[graft.api.Sampling]]'s convention)
+    * over a key column — inlined here for the conformal split so the
+    * oracle draws the identical train/calibration/evaluation rows.
+    */
+  private def knuthU(id: Column): Column = {
+    val x = pmod(id.cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    (pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L + lo * 2654435761L,
+      lit(4294967296L)).cast("double") / 4294967296.0)
+  }
+
+  private val knuthUSql: String =
+    "(CAST(((((x // 65536) * 2654435761) % 65536) * 65536" +
+      " + (x % 65536) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
+
+  /** q265: split-conformal prediction intervals (Vovk et al.; the
+    * Angelopoulos-Bates recipe) for a per-priority order-value
+    * predictor — the distribution-free uncertainty wrapper any point
+    * model gets before its predictions gate decisions. Three
+    * deterministic Knuth-hash splits of orders (train u<0.5,
+    * calibration 0.5≤u<0.75, evaluation u≥0.75); the model is the
+    * train-split per-priority exact-decimal mean; q̂ is the 0.9
+    * calibration quantile of |residual| via the scale-safe
+    * [[Extended.exactQuantilesMulti]] engine (same bit-identical
+    * interpolation as q51 — no percentile aggregate anywhere); the card
+    * reports held-out coverage of ŷ ± q̂, which lands ≈0.9 exactly as
+    * the theory promises (the finite-sample ⌈(n+1)(1−α)⌉/n correction
+    * is sub-resolution at these calibration sizes and is documented
+    * out). Scale shape: two tiny per-group aggregates broadcast back,
+    * one narrow covered/not flag per evaluation row, one final
+    * conditional count — the corpus never shuffles.
+    */
+  def q265ConformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+      .select($"o_orderpriority".as("grp"), $"o_totalprice".as("y"),
+        knuthU($"o_orderkey").as("u"))
+    val yhat = o.filter($"u" < 0.5)
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_train"),
+        (sum($"y".cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("yhat"))
+    val calib = o.filter($"u" >= 0.5 && $"u" < 0.75)
+      .join(broadcast(yhat), "grp")
+      .withColumn("r", abs($"y" - $"yhat"))
+    val nCalib = calib.groupBy($"grp").agg(count(lit(1)).as("n_calib"))
+    val qhat = Extended.exactQuantilesMulti(calib, Some("grp"),
+        Seq("r" -> Seq(0.9)))
+      .toSeq.map { case (g, m) => (g.asInstanceOf[String], m(("r", 0.9))) }
+      .toDF("grp", "qhat")
+    val ev = o.filter($"u" >= 0.75)
+      .join(broadcast(yhat), "grp")
+      .join(broadcast(qhat), "grp")
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(abs($"y" - $"yhat") <= $"qhat", 1L).otherwise(0L))
+          .as("n_covered"))
+    yhat.join(broadcast(nCalib), "grp").join(broadcast(qhat), "grp")
+      .join(ev, "grp")
+      .select($"grp".as("o_orderpriority"), $"n_train", $"n_calib",
+        $"n_eval", round($"yhat", 4).as("yhat"),
+        round($"qhat", 4).as("qhat"),
+        round($"qhat" * 2.0, 4).as("interval_width"),
+        round($"n_covered".cast("double") / $"n_eval", 4).as("coverage"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q265Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderpriority AS grp, o_totalprice AS y, $knuthUSql AS u
+      |  FROM (SELECT *, o_orderkey % 4294967296 AS x FROM orders)),
+      |tr AS (
+      |  SELECT grp, COUNT(*) AS n_train,
+      |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS yhat
+      |  FROM o WHERE u < 0.5 GROUP BY 1),
+      |ca AS (
+      |  SELECT o.grp, abs(y - yhat) AS r
+      |  FROM o JOIN tr ON o.grp = tr.grp WHERE u >= 0.5 AND u < 0.75),
+      |q AS (
+      |  SELECT grp, COUNT(*) AS n_calib, quantile_cont(r, 0.9) AS qhat
+      |  FROM ca GROUP BY 1),
+      |ev AS (
+      |  SELECT o.grp, COUNT(*) AS n_eval,
+      |    SUM(CASE WHEN abs(y - yhat) <= qhat THEN 1 ELSE 0 END)
+      |      AS n_covered
+      |  FROM o JOIN tr ON o.grp = tr.grp JOIN q ON o.grp = q.grp
+      |  WHERE u >= 0.75 GROUP BY 1)
+      |SELECT tr.grp AS o_orderpriority,
+      |  CAST(tr.n_train AS BIGINT) AS n_train,
+      |  CAST(q.n_calib AS BIGINT) AS n_calib,
+      |  CAST(ev.n_eval AS BIGINT) AS n_eval,
+      |  ROUND(tr.yhat, 4) AS yhat, ROUND(q.qhat, 4) AS qhat,
+      |  ROUND(q.qhat * 2.0, 4) AS interval_width,
+      |  ROUND(CAST(ev.n_covered AS DOUBLE) / ev.n_eval, 4) AS coverage
+      |FROM tr JOIN q ON tr.grp = q.grp JOIN ev ON tr.grp = ev.grp
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q224_auc_card" -> (q224AucCard _),
     "q225_calibration_card" -> (q225CalibrationCard _),
-    "q226_threshold_sweep" -> (q226ThresholdSweep _))
+    "q226_threshold_sweep" -> (q226ThresholdSweep _),
+    "q265_conformal_interval" -> (q265ConformalInterval _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q224_auc_card" -> q224Sql,
     "q225_calibration_card" -> q225Sql,
-    "q226_threshold_sweep" -> q226Sql)
+    "q226_threshold_sweep" -> q226Sql,
+    "q265_conformal_interval" -> q265Sql)
 }
