@@ -3223,7 +3223,70 @@ object EventOps {
       |      + theta * theta * var_pre) / var_post, 6) AS var_reduction
       |FROM j ORDER BY variant""".stripMargin
 
+  /** q267: experiment power planner — the BEFORE-the-test card that
+    * pairs with q213's two-proportion z readout: for each event type's
+    * baseline heavy-usage conversion rate p̂ (share of users with ≥15
+    * events of the type — every user touches every type in this data,
+    * so raw touch would degenerate to p=1), the required users per
+    * variant to detect an absolute lift of {1, 2, 5} points at
+    * α=0.05 (two-sided) / 80% power — n = (z_{α/2}+z_β)²·2p̂(1−p̂)/δ² —
+    * and the minimum detectable effect the CURRENT population already
+    * supports. The z constants (1.96, 0.8416) are literals in both
+    * engines, every moment is an exact integer count, and the plan is
+    * one per-(type, user) count aggregate + a 3-row constant explode —
+    * nothing downstream scales with events.
+    */
+  def q267PowerPlanner(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+    val perType = perUser.groupBy($"event_type")
+      .agg(sum(when($"n" >= 15L, 1L).otherwise(0L)).as("n_conv"))
+    val total = events(spark, dir)
+      .agg(countDistinct($"user_id").as("n_users"))
+    val z2 = (lit(1.96) + lit(0.8416)) * (lit(1.96) + lit(0.8416))
+    val p = $"n_conv".cast("double") / $"n_users".cast("double")
+    perType.crossJoin(broadcast(total))
+      .crossJoin(Seq(0.01, 0.02, 0.05).toDF("mde_abs"))
+      .withColumn("p_base", round(p, 6))
+      .withColumn("n_required",
+        ceil(z2 * lit(2.0) * p * (lit(1.0) - p) /
+          ($"mde_abs" * $"mde_abs")).cast("long"))
+      .withColumn("mde_at_current", round(
+        sqrt(z2 * lit(2.0) * p * (lit(1.0) - p) /
+          $"n_users".cast("double")), 6))
+      .select($"event_type", $"mde_abs", $"p_base", $"n_conv", $"n_users",
+        $"n_required", $"mde_at_current")
+      .orderBy($"event_type", $"mde_abs")
+  }
+
+  val q267Sql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n FROM events
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN n >= 15 THEN 1 ELSE 0 END) AS n_conv
+      |  FROM pu GROUP BY 1),
+      |t AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+      |g AS (
+      |  SELECT event_type, n_conv, n_users,
+      |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+      |    (1.96 + 0.8416) * (1.96 + 0.8416) AS z2,
+      |    CAST(d.mde_abs AS DOUBLE) AS mde_abs
+      |  FROM c CROSS JOIN t
+      |  CROSS JOIN (VALUES (0.01), (0.02), (0.05)) d(mde_abs))
+      |SELECT event_type, mde_abs, ROUND(p, 6) AS p_base,
+      |  CAST(n_conv AS BIGINT) AS n_conv,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(ceil(z2 * 2.0 * p * (1.0 - p) / (mde_abs * mde_abs))
+      |    AS BIGINT) AS n_required,
+      |  ROUND(sqrt(z2 * 2.0 * p * (1.0 - p) / CAST(n_users AS DOUBLE)), 6)
+      |    AS mde_at_current
+      |FROM g ORDER BY event_type, mde_abs""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q267_power_planner" -> (q267PowerPlanner _),
     "q266_cuped_card" -> (q266CupedCard _),
     "q252_activity_heatmap" -> (q252ActivityHeatmap _),
     "q248_attribution_compare" -> (q248AttributionCompare _),
@@ -3288,6 +3351,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q267_power_planner" -> q267Sql,
     "q266_cuped_card" -> q266Sql,
     "q252_activity_heatmap" -> q252Sql,
     "q248_attribution_compare" -> q248Sql,
