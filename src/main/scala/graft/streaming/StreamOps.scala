@@ -392,6 +392,80 @@ object StreamOps {
     graft.api.Sampling.stratifiedSample(
       spark.read.parquet(path).drop("batch_id"), strataCol, idCol, k)
 
+  /** Live conformal-calibration maintenance, ingest side — the
+    * streaming twin of the batch split-conformal card
+    * ([[graft.operators.ModelOps.q265ConformalInterval]]'s calibration
+    * stage): each micro-batch's scored rows (group, id, residual)
+    * contribute their k smallest Knuth-hash priorities per group
+    * (replay-idempotent, batch_id-tagged) to a persisted candidate
+    * table. Because the deterministic bottom-k is a mergeable uniform
+    * sample ([[graft.api.Sampling.stratifiedSample]]'s merge identity),
+    * the union of per-batch candidates re-ranked once IS the bottom-k
+    * of everything ever scored — a true streaming calibration
+    * reservoir with |groups|·k·|batches| stored rows and never the
+    * stream. Returns the configured writer; the caller sets
+    * checkpoint/trigger options and `.start()`.
+    */
+  def conformalIngestStream(scored: DataFrame, path: String,
+      groupCol: String, idCol: String, residualCol: String,
+      k: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      conformalIngestBatch(batch.toDF(), batchId, path, groupCol, idCol, residualCol, k)
+    }
+
+  /** One [[conformalIngestStream]] micro-batch append — public so the
+    * replay-idempotence spec can drive it directly.
+    */
+  def conformalIngestBatch(batch: DataFrame, batchId: Long, path: String,
+      groupCol: String, idCol: String, residualCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended)
+      graft.api.Sampling.stratifiedSample(
+          batch.select(col(groupCol), col(idCol), col(residualCol)),
+          groupCol, idCol, k)
+        .drop("sample_rank", "u", "priority")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+  }
+
+  /** Read side of the live calibration: merge the candidates back
+    * through the SAME bottom-k ranking, then emit per group the
+    * calibration size, the (1−alpha) linearly-interpolated residual
+    * quantile q̂ (quantile_cont semantics over the ≤k retained values —
+    * bounded, so an in-group sorted array is legal state), and the
+    * ± interval width a point prediction wears. Stream == batch holds
+    * by the bottom-k merge identity: any micro-batch slicing of the
+    * same scored rows yields the identical report.
+    */
+  def conformalReport(spark: SparkSession, path: String,
+      groupCol: String, idCol: String, residualCol: String, k: Int,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val merged = graft.api.Sampling.stratifiedSample(
+        spark.read.parquet(path).drop("batch_id"), groupCol, idCol, k)
+      .drop("sample_rank", "u", "priority")
+    val q = lit(1.0 - alpha)
+    merged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_calib"),
+        sort_array(collect_list(col(residualCol))).as("vs"))
+      .withColumn("h", q * (col("n_calib") - lit(1)).cast("double"))
+      .withColumn("lo", floor(col("h")).cast("int"))
+      .withColumn("qhat",
+        when(col("n_calib") === 1, element_at(col("vs"), 1))
+          .otherwise(element_at(col("vs"), col("lo") + 1) +
+            (col("h") - col("lo").cast("double")) *
+              (element_at(col("vs"),
+                least(col("lo") + 2, col("n_calib").cast("int"))) -
+                element_at(col("vs"), col("lo") + 1))))
+      .select(col(groupCol), col("n_calib"), col("qhat"),
+        (col("qhat") * 2.0).as("interval_width"))
+      .orderBy(col(groupCol))
+  }
+
   /** Live late-data audit, ingest side — the streaming twin of
     * [[graft.operators.EventOps.q243LateDataAudit]]. Lateness composes
     * across ordered micro-batches because the running max does: each

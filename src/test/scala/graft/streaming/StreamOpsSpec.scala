@@ -1349,6 +1349,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(worst <= 5L)
   }
 
+  test("conformal ingest: 3-batch calibration reservoir + replay == one-shot; quantile matches brute force") {
+    import spark.implicits._
+    val dir = tmpDir("conformal")
+    // scored rows: residual = deterministic function of the id so every
+    // slicing sees the same population
+    val scored = graft.Util.rawTable(spark, sf, "orders")
+      .select($"o_orderpriority".as("grp"), $"o_orderkey".as("id"),
+        (org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.hash($"o_orderkey")) % 1000L)
+          .cast("double").as("r"))
+    (0 until 3).foreach { i =>
+      StreamOps.conformalIngestBatch(
+        scored.filter($"id" % 3 === i), i.toLong, s"$dir/cand", "grp", "id", "r", 50)
+    }
+    // at-least-once replay of batch 1 must be a no-op
+    StreamOps.conformalIngestBatch(
+      scored.filter($"id" % 3 === 1), 1L, s"$dir/cand", "grp", "id", "r", 50)
+    val live = StreamOps.conformalReport(spark, s"$dir/cand", "grp", "id", "r", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // one-shot: ingest everything as a single batch into a fresh table
+    StreamOps.conformalIngestBatch(scored, 0L, s"$dir/one", "grp", "id", "r", 50)
+    val oneShot = StreamOps.conformalReport(spark, s"$dir/one", "grp", "id", "r", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(live === oneShot, "micro-batch slicing must not change the report")
+    // brute force: the same bottom-50-by-knuth-priority sample, 0.9
+    // quantile_cont by hand
+    val sample = graft.api.Sampling.stratifiedSample(scored, "grp", "id", 50)
+    live.foreach { case (g, n, qhat) =>
+      val vs = sample.filter($"grp" === g).select($"r")
+        .collect().map(_.getDouble(0)).sorted
+      assert(n === vs.length.toLong)
+      val h = 0.9 * (vs.length - 1)
+      val lo = h.toInt
+      val want =
+        if (lo + 1 >= vs.length) vs(lo)
+        else vs(lo) + (h - lo) * (vs(lo + 1) - vs(lo))
+      assert(math.abs(qhat - want) < 1e-9, s"group $g: $qhat vs $want")
+    }
+    assert(live.map(_._2).forall(_ <= 50L), "calibration state stays k-bounded")
+  }
+
   test("minhashSearchStream: appends to the text index land for the next batch") {
     import spark.implicits._
     val dir = tmpDir("mhstream")
