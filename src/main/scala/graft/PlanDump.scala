@@ -111,7 +111,19 @@ object PlanDump {
     "q246_silhouette_card" ->
       "silhouette: broadcast md5-sampled probes, corpus never shuffles, decimal-exact distance folds",
     "q248_attribution_compare" ->
-      "first-vs-last attribution: two window functions share one value-ranged frame, one sweep")
+      "first-vs-last attribution: two window functions share one value-ranged frame, one sweep",
+    "q253_shipping_priority" ->
+      "TPC-H Q3: broadcast-semi segment gate, spread-key equi-join, TakeOrderedAndProject heap cut",
+    "q255_forecast_revenue" ->
+      "TPC-H Q6: every predicate in PushedFilters — the scan IS the plan",
+    "q259_customer_distribution" ->
+      "TPC-H Q13: order counts pre-aggregated per customer BELOW the zero-preserving outer join",
+    "q262_discounted_revenue" ->
+      "TPC-H Q19: one broadcast join carries the disjunctive triple, brand-IN pruned at the scan",
+    "q263_jl_distortion" ->
+      "JL audit: broadcast pair grid, 17 codegen dot folds per pair, corpus never shuffles",
+    "q265_conformal_interval" ->
+      "split-conformal: Knuth-hash splits, broadcast per-group model + quantile, narrow coverage flags")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -126,7 +138,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val w = new PrintWriter(out)
     try {
-      w.println(s"# Physical plans of flagship queries (sf0.1, local[$cpus])")
+      w.println(s"# Physical plans of flagship queries ($sfDir, local[$cpus])")
       w.println()
       w.println("Generated by `runMain graft.PlanDump` from `.explain(\"formatted\")` — " +
         "the plan properties the engine is designed around (pushed filters, pruned " +
