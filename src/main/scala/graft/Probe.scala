@@ -22,7 +22,11 @@ object Probe {
       val fn = SparkEntry.queries(name)
       val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop write, NOT count(): count() lets Catalyst prune every
+        // expression the row count doesn't need (e.g. all of a wide
+        // aggregate's value columns), silently under-measuring — the
+        // same rule Bench documents
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         // match Bench: per-run cache release, so repeated runs measure the
         // query and not an ever-growing pinned storage pool

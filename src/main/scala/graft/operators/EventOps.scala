@@ -1430,31 +1430,46 @@ object EventOps {
     */
   def q188BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def d2(c: org.apache.spark.sql.Column) =
-      c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
-    val loHex = ('0' to '7').map(c => s"'$c'").mkString(", ")
-    def w(b: Int) = expr(
-      s"(CASE WHEN substring(h, ${2 * b + 1}, 1) IN ($loHex) " +
-        "THEN 1L ELSE 0L END) + " +
-        s"(CASE WHEN substring(h, ${2 * b + 2}, 1) IN ($loHex) " +
-        "THEN 1L ELSE 0L END)").as(s"w$b")
+    // Weight decode: the 64 hex chars parse as EIGHT 32-bit chunks (one
+    // conv per chunk), and each draw is pure bit arithmetic — hex digit
+    // ≤ 7 ⇔ the nibble's top bit is 0, so the contribution is
+    // 1 − bit. This replaces the naive 64 substring + 64 string-set
+    // membership tests (≈500 string compares per row — measured as the
+    // query's dominant cost) with 8 parses + 128 shift/ands.
+    def chunk(c: Int) =
+      expr(s"CAST(conv(substring(h, ${8 * c + 1}, 8), 16, 10) AS BIGINT)")
+        .as(s"c$c")
+    def w(b: Int) = {
+      def half(i: Int) = { // 0-based hex index -> 1 - top nibble bit
+        val c = i / 8; val sh = 4 * (7 - i % 8) + 3
+        s"(1L - (shiftright(c$c, $sh) & 1L))"
+      }
+      expr(s"${half(2 * b)} + ${half(2 * b + 1)}").as(s"w$b")
+    }
+    // value rides as exact integer CENTS (the 2-decimal grid the suite's
+    // DECIMAL(18,2) convention asserts): long sums < 2^53 cast to double
+    // and divided by 100.0 are the identical correctly-rounded IEEE
+    // value the oracle's DECIMAL-sum-to-DOUBLE cast produces.
     val base = events(spark, dir)
       .select($"event_type", $"value",
         concat(md5(concat($"event_id".cast("string"), lit(":0"))),
           md5(concat($"event_id".cast("string"), lit(":1")))).as("h"))
-      .select($"event_type" +: $"value" +: (0 until 32).map(w): _*)
-    val aggCols = Seq(count(lit(1)).as("n"), sum(d2($"value")).as("sv")) ++
+      .select($"event_type" +: $"value" +: (0 until 8).map(chunk): _*)
+      .select($"event_type" +:
+        round($"value" * 100.0).cast("long").as("vc") +:
+        (0 until 32).map(w): _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum($"vc").as("sv")) ++
       (0 until 32).flatMap(b => Seq(
-        sum(d2($"value") * col(s"w$b")).as(s"swv$b"),
+        sum($"vc" * col(s"w$b")).as(s"swv$b"),
         sum(col(s"w$b")).as(s"sw$b")))
     val wide = base.groupBy($"event_type").agg(aggCols.head, aggCols.tail: _*)
     val meanB = (0 until 32)
-      .map(b => col(s"swv$b").cast("double") / col(s"sw$b"))
+      .map(b => ($"swv$b".cast("double") / 100.0) / col(s"sw$b"))
     val sm = meanB.reduce(_ + _)
     val smm = meanB.map(m => m * m).reduce(_ + _)
     val nRep = lit(32.0)
     wide
-      .withColumn("mv", $"sv".cast("double") / $"n")
+      .withColumn("mv", ($"sv".cast("double") / 100.0) / $"n")
       .withColumn("sb", sqrt((smm - sm * sm / nRep) / (nRep - 1.0)))
       .select($"event_type", $"n", round($"mv", 4).as("mean_val"),
         round($"sb", 4).as("sd_boot"),
