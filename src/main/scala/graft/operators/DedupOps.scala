@@ -1109,9 +1109,14 @@ object DedupOps {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
         $"a.head".as("ha"), $"b.head".as("hb"))
       .distinct() // a pair can match in both blocking passes
+      // threshold form: banded DP abandons a pair once its distance
+      // provably exceeds 20 (returns -1) — O(len·k) instead of O(len²).
+      // At k = len/2 the band is half the matrix, so this measures flat
+      // here; it is the form that wins when the threshold tightens
+      // relative to the compared length. Surviving distances identical.
       .select($"id_a", $"id_b",
-        levenshtein($"ha", $"hb").cast("long").as("dist"))
-      .filter($"dist" <= 20)
+        levenshtein($"ha", $"hb", 20).cast("long").as("dist"))
+      .filter($"dist" >= 0)
     val perPair = pairs.groupBy($"dist").agg(count(lit(1)).as("n_pairs"))
     val perDoc = pairs
       .select($"dist", explode(array($"id_a", $"id_b")).as("doc_id"))
