@@ -344,6 +344,100 @@ object DedupOps {
        |  USING (cluster)
        |ORDER BY m.doc_id""".stripMargin
 
+  /** q268: soft dedup — duplicate-aware loss weighting (the SoftDeDup
+    * idea: instead of DROPPING near-duplicates, keep every document and
+    * down-weight it by 1/cluster_size, so each duplication family
+    * contributes one document's worth of expected loss mass). Per
+    * source: raw token mass, the soft (re-weighted) effective token
+    * mass, the hard-dedup keeper token mass, and both keep ratios —
+    * the curation card that prices "drop vs down-weight" before
+    * committing to either. Weights fold as exact integer micro-tokens
+    * ((tokens·10⁶) div cluster_size), so the sums are engine-identical;
+    * documents outside the dup graph are singletons (weight 1, kept).
+    * Shape: the q55 cluster machinery (LSH candidates → verify →
+    * components) plus one token-count projection and one per-source
+    * aggregate — nothing new shuffles beyond the cluster build.
+    */
+  def q268SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val pairs = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    val members = graft.api.Dedup.clusterComponents(pairs)
+      .select($"id".as("doc_id"), $"cluster_size", $"is_keeper")
+    d.select($"doc_id", $"source", graft.api.Text.tokenCount($"text").as("n_tokens"))
+      .join(members, Seq("doc_id"), "left")
+      .select($"source", $"n_tokens",
+        coalesce($"cluster_size", lit(1L)).as("csz"),
+        coalesce($"is_keeper", lit(true)).as("keep"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tok_sum"),
+        sum(expr("(n_tokens * 1000000) div csz")).as("soft_micros"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).as("hard_tokens"))
+      .select($"source", $"n_docs", $"tok_sum".as("n_tokens"),
+        expr("soft_micros div 1000000").as("soft_tokens"),
+        $"hard_tokens",
+        round(($"soft_micros".cast("double") / lit(1000000.0)) /
+          $"tok_sum".cast("double"), 6).as("soft_keep_ratio"),
+        round($"hard_tokens".cast("double") /
+          $"tok_sum".cast("double"), 6).as("hard_keep_ratio"))
+      .orderBy($"source")
+  }
+
+  val q268Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |cs AS (SELECT cluster, COUNT(*) AS cnt FROM members GROUP BY cluster),
+       |tk AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |j AS (
+       |  SELECT tk.source, tk.n_tokens,
+       |    COALESCE(cs.cnt, 1) AS csz,
+       |    COALESCE(m.doc_id = m.cluster, TRUE) AS keep
+       |  FROM tk
+       |  LEFT JOIN members m ON m.doc_id = tk.doc_id
+       |  LEFT JOIN cs ON cs.cluster = m.cluster)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM((n_tokens * 1000000) // csz) // 1000000 AS BIGINT)
+       |    AS soft_tokens,
+       |  CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS hard_tokens,
+       |  ROUND((CAST(SUM((n_tokens * 1000000) // csz) AS DOUBLE)
+       |      / 1000000.0) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+       |    AS soft_keep_ratio,
+       |  ROUND(CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS DOUBLE)
+       |      / CAST(SUM(n_tokens) AS DOUBLE), 6) AS hard_keep_ratio
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** q84: incremental ingest dedup — verified LSH pairs BETWEEN an
     * incoming batch (odd doc ids) and the standing corpus (even ids),
     * the production shape for "dedupe new documents against everything
@@ -1654,6 +1748,7 @@ object DedupOps {
     "q128_dup_spans" -> (q128DupSpans _),
     "q118_minhash_calibration" -> (q118MinhashCalibration _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
+    "q268_soft_dedup" -> (q268SoftDedup _),
     "q84_incremental_dedup" -> (q84IncrementalDedup _),
     "q85_decontaminate" -> (q85Decontaminate _),
     "q37_dedup_exact" -> (q37DedupExact _),
@@ -1685,6 +1780,7 @@ object DedupOps {
     "q128_dup_spans" -> q128Sql,
     "q118_minhash_calibration" -> q118Sql,
     "q55_dedup_clusters" -> q55Sql,
+    "q268_soft_dedup" -> q268Sql,
     "q84_incremental_dedup" -> q84Sql,
     "q85_decontaminate" -> q85Sql,
     "q37_dedup_exact" -> q37Sql,
