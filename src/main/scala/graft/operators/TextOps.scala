@@ -1760,7 +1760,96 @@ object TextOps {
       |FROM sp CROSS JOIN tot
       |WHERE rk <= 10 ORDER BY r""".stripMargin
 
+  /** q269: RAKE keyword extraction (Rose et al. 2010) — the classic
+    * unsupervised keyphrase pass for corpus exploration: candidate
+    * phrases are the maximal runs of non-stopword tokens (the
+    * gaps-and-islands pattern: island id = position − row_number over
+    * the surviving tokens, one window per doc), each word scores
+    * degree/frequency over the candidate set (degree = Σ length of the
+    * phrases containing it, frequency = its occurrence count — the
+    * ratio favors words that live in long phrases), and a phrase scores
+    * the sum of its member word scores. Scores fold as exact integer
+    * micro-units ((deg·10⁶) div freq), so the ranking is
+    * engine-identical; output is the top 25 distinct phrases (≤ 4
+    * words, the standard RAKE de-noise cap) with occurrence counts.
+    * Scale shape: one narrow posexplode, two windows partitioned by
+    * doc (bounded by doc length), a vocab-bounded word aggregate
+    * broadcast back onto phrase members, and a TakeOrdered cut.
+    */
+  def q269RakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.api.Text.EnglishStopwords
+    val t = table(spark, dir, "documents")
+      .select($"doc_id", posexplode(toks()).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "" && !$"tok".isin(stop: _*))
+      .withColumn("island", $"pos" -
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
+    // collect_list has no intra-group order guarantee; build the phrase
+    // from the ordered (pos, tok) struct list
+    val ph = t.groupBy($"doc_id", $"island")
+      .agg(array_sort(collect_list(struct($"pos", $"tok"))).as("mem"))
+      .select($"doc_id", $"island",
+        concat_ws(" ", expr("transform(mem, m -> m.tok)")).as("phrase"),
+        size($"mem").cast("long").as("len"))
+      .filter($"len" <= 4)
+      .localCheckpoint() // feeds word stats AND phrase scoring
+    val words = ph
+      .select(explode(expr("split(phrase, ' ')")).as("w"), $"len")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .withColumn("wscore", expr("(deg * 1000000) div freq"))
+    ph.select($"phrase", explode(expr("split(phrase, ' ')")).as("w"))
+      .join(words.select($"w", $"wscore"), "w")
+      .groupBy($"phrase")
+      .agg(count(lit(1)).as("n_words_x_occ"), sum($"wscore").as("sc_x_occ"))
+      // the phrase score is per OCCURRENCE-independent: divide the
+      // summed member scores by the occurrence count (exact integers)
+      .join(ph.groupBy($"phrase").agg(count(lit(1)).as("n_occ")), "phrase")
+      .select($"phrase", $"n_occ",
+        expr("sc_x_occ div n_occ").as("score_micros"))
+      .orderBy($"score_micros".desc, $"phrase")
+      .limit(25)
+  }
+
+  val q269Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, pos, tok,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+      |      AS island
+      |  FROM t0
+      |  WHERE tok <> '' AND tok NOT IN
+      |    ('the', 'a', 'of', 'and', 'to', 'in', 'is')),
+      |ph AS (
+      |  SELECT doc_id, island,
+      |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM t GROUP BY doc_id, island
+      |  HAVING COUNT(*) <= 4),
+      |words AS (
+      |  SELECT w, COUNT(*) AS freq, SUM(len) AS deg,
+      |    (SUM(len) * 1000000) // COUNT(*) AS wscore
+      |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph)
+      |  GROUP BY w),
+      |scored AS (
+      |  SELECT m.phrase, COUNT(*) AS n_words_x_occ,
+      |    SUM(words.wscore) AS sc_x_occ
+      |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      |        FROM ph) m
+      |  JOIN words ON words.w = m.w
+      |  GROUP BY m.phrase),
+      |occ AS (SELECT phrase, COUNT(*) AS n_occ FROM ph GROUP BY phrase)
+      |SELECT s.phrase, CAST(o.n_occ AS BIGINT) AS n_occ,
+      |  CAST(s.sc_x_occ // o.n_occ AS BIGINT) AS score_micros
+      |FROM scored s JOIN occ o USING (phrase)
+      |ORDER BY score_micros DESC, phrase LIMIT 25""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q269_rake_keywords" -> (q269RakeKeywords _),
     "q249_good_turing" -> (q249GoodTuring _),
     "q233_kneser_ney" -> (q233KneserNey _),
     "q215_hapax_rate" -> (q215HapaxRate _),
@@ -1877,6 +1966,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q269_rake_keywords" -> q269Sql,
     "q249_good_turing" -> q249Sql,
     "q233_kneser_ney" -> q233Sql,
     "q215_hapax_rate" -> q215Sql,
