@@ -3300,7 +3300,109 @@ object EventOps {
       |    AS mde_at_current
       |FROM g ORDER BY event_type, mde_abs""".stripMargin
 
+  /** q270: sequential A/B monitoring with O'Brien–Fleming boundaries —
+    * the interim-analysis card that completes the experimentation
+    * family (design: q267; readout: q213; adjustment: q266): five
+    * equally-spaced weekly looks over the event timeline, cumulative
+    * enrollment (a user enters at their first event) and conversion
+    * (first purchase) per look, the pooled two-proportion z at each
+    * look, and the OBF group-sequential boundary the look must cross
+    * to stop early (the published 5-look α=0.05 two-sided constants as
+    * shared literals). Under the null — variants are the deterministic
+    * Knuth-hash split — no look should cross, and the card reads
+    * exactly that. Shape: ONE per-user aggregate (first event day,
+    * first purchase day), a 5-row constant explode, and conditional
+    * counts per look; the event scan is read once.
+    */
+  def q270SequentialMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = pmod($"user_id".cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    val u = pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+      lo * 2654435761L, lit(4294967296L)).cast("double") / 4294967296.0
+    val perUser = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"),
+        $"event_type")
+      .groupBy($"user_id")
+      .agg(min($"day").as("first_day"),
+        min(when($"event_type" === "purchase", $"day")).as("first_purchase"))
+      .withColumn("is_a", u < 0.5)
+    // five weekly look days + their OBF z-boundaries (Lan-DeMets OBF
+    // spending, 5 equally-spaced looks, two-sided alpha = 0.05)
+    val looks = Seq((19728L, 4.8769), (19734L, 3.3569), (19740L, 2.6803),
+      (19746L, 2.2898), (19752L, 2.0310)).toDF("look_day", "obf_bound")
+    val m = perUser.crossJoin(broadcast(looks))
+      .groupBy($"look_day", $"obf_bound")
+      .agg(
+        sum(when($"is_a" && $"first_day" <= $"look_day", 1L)
+          .otherwise(0L)).as("na"),
+        sum(when(!$"is_a" && $"first_day" <= $"look_day", 1L)
+          .otherwise(0L)).as("nb"),
+        sum(when($"is_a" && $"first_purchase" <= $"look_day" &&
+          $"first_purchase" - $"first_day" <= 1L, 1L)
+          .otherwise(0L)).as("xa"),
+        sum(when(!$"is_a" && $"first_purchase" <= $"look_day" &&
+          $"first_purchase" - $"first_day" <= 1L, 1L)
+          .otherwise(0L)).as("xb"))
+    val na = $"na".cast("double"); val nb = $"nb".cast("double")
+    val xa = $"xa".cast("double"); val xb = $"xb".cast("double")
+    val p = (xa + xb) / (na + nb)
+    val v = p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)
+    val z = when(v > 0.0, (xa / na - xb / nb) / sqrt(v))
+    m.select($"look_day", $"na".as("n_a"), $"nb".as("n_b"),
+        $"xa".as("conv_a"), $"xb".as("conv_b"),
+        round(z, 4).as("z_stat"), $"obf_bound",
+        (abs(z) > $"obf_bound").as("crossed"))
+      .orderBy($"look_day")
+  }
+
+  val q270Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts) // 86400000000) AS first_day,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(ts) // 86400000000 END) AS first_purchase,
+      |    (CAST((((((user_id % 4294967296) // 65536)
+      |          * 2654435761) % 65536) * 65536
+      |        + ((user_id % 4294967296) % 65536) * 2654435761)
+      |          % 4294967296 AS DOUBLE) / 4294967296.0) < 0.5 AS is_a
+      |  FROM events GROUP BY user_id),
+      |lk AS (SELECT * FROM (VALUES (19728, 4.8769), (19734, 3.3569),
+      |  (19740, 2.6803), (19746, 2.2898), (19752, 2.0310))
+      |  l(look_day, obf_bound)),
+      |m AS (
+      |  SELECT look_day, obf_bound,
+      |    SUM(CASE WHEN is_a AND first_day <= look_day
+      |      THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN NOT is_a AND first_day <= look_day
+      |      THEN 1 ELSE 0 END) AS nb,
+      |    SUM(CASE WHEN is_a AND first_purchase <= look_day
+      |      AND first_purchase - first_day <= 1 THEN 1 ELSE 0 END) AS xa,
+      |    SUM(CASE WHEN NOT is_a AND first_purchase <= look_day
+      |      AND first_purchase - first_day <= 1 THEN 1 ELSE 0 END) AS xb
+      |  FROM pu CROSS JOIN lk GROUP BY 1, 2),
+      |z AS (
+      |  SELECT *,
+      |    CASE WHEN (CAST(xa + xb AS DOUBLE) / (na + nb))
+      |        * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |        * (1.0 / na + 1.0 / nb) > 0
+      |      THEN (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+      |        / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+      |          * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+      |          * (1.0 / na + 1.0 / nb))
+      |      END AS zv
+      |  FROM m)
+      |SELECT CAST(look_day AS BIGINT) AS look_day,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(xa AS BIGINT) AS conv_a, CAST(xb AS BIGINT) AS conv_b,
+      |  ROUND(zv, 4) AS z_stat,
+      |  CAST(obf_bound AS DOUBLE) AS obf_bound,
+      |  (abs(zv) > obf_bound) AS crossed
+      |FROM z ORDER BY look_day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q270_sequential_monitor" -> (q270SequentialMonitor _),
     "q267_power_planner" -> (q267PowerPlanner _),
     "q266_cuped_card" -> (q266CupedCard _),
     "q252_activity_heatmap" -> (q252ActivityHeatmap _),
@@ -3366,6 +3468,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q270_sequential_monitor" -> q270Sql,
     "q267_power_planner" -> q267Sql,
     "q266_cuped_card" -> q266Sql,
     "q252_activity_heatmap" -> q252Sql,
