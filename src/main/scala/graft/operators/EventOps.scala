@@ -3401,7 +3401,114 @@ object EventOps {
       |  (abs(zv) > obf_bound) AS crossed
       |FROM z ORDER BY look_day""".stripMargin
 
+  /** q271: difference-in-differences — the quasi-experimental estimator
+    * for when assignment isn't randomized (a feature shipped to one
+    * group at a known date): per-user daily event counts in the pre
+    * (Jan 1-15) and post (Jan 16+) periods, "treated" = the
+    * deterministic Knuth-hash half, DiD = (post_t − pre_t) −
+    * (post_c − pre_c) over per-user means, with the standard error from
+    * the per-user delta variances (Welch-style, exact integer moments)
+    * and the parallel-trends diagnostic the estimator lives or dies by:
+    * the pre-period week-over-week slope gap between groups (computed
+    * from the same single user aggregate — weeks 1 vs 2 of the pre
+    * period). On the synthetic data treatment does nothing, so the
+    * card correctly reads DiD ≈ 0 with |t| small and near-parallel
+    * trends. One event pass → per-user integer counts; everything
+    * after is a two-row aggregate.
+    */
+  def q271DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = pmod($"user_id".cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    val u = pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+      lo * 2654435761L, lit(4294967296L)).cast("double") / 4294967296.0
+    val perUser = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"day" < 19738L, 1L).otherwise(0L)).as("pre"),
+        sum(when($"day" >= 19738L, 1L).otherwise(0L)).as("post"),
+        sum(when($"day" < 19730L, 1L).otherwise(0L)).as("wk1"),
+        sum(when($"day" >= 19730L && $"day" < 19738L, 1L).otherwise(0L))
+          .as("wk2"))
+      .withColumn("treated", u < 0.5)
+      .withColumn("delta", $"post" - $"pre")
+    val g = perUser.groupBy($"treated")
+      .agg(count(lit(1)).as("n"),
+        sum($"pre").as("sp"), sum($"post").as("sq"),
+        sum($"delta").as("sd"), sum($"delta" * $"delta").as("sdd"),
+        sum($"wk2" - $"wk1").as("strend"))
+    val nD = $"n".cast("double")
+    val meanD = $"sd".cast("double") / nD
+    val varD = ($"sdd".cast("double") - $"sd".cast("double") *
+      $"sd".cast("double") / nD) / (nD - 1.0)
+    val side = g.select($"treated", $"n",
+      round($"sp".cast("double") / nD, 6).as("mean_pre"),
+      round($"sq".cast("double") / nD, 6).as("mean_post"),
+      meanD.as("mean_delta"), (varD / nD).as("var_mean_delta"),
+      round($"strend".cast("double") / nD, 6).as("pre_trend"))
+    val t = side.filter($"treated")
+      .select($"n".as("n_t"), $"mean_pre".as("pre_t"),
+        $"mean_post".as("post_t"), $"mean_delta".as("d_t"),
+        $"var_mean_delta".as("v_t"), $"pre_trend".as("tr_t"))
+    val c = side.filter(!$"treated")
+      .select($"n".as("n_c"), $"mean_pre".as("pre_c"),
+        $"mean_post".as("post_c"), $"mean_delta".as("d_c"),
+        $"var_mean_delta".as("v_c"), $"pre_trend".as("tr_c"))
+    t.crossJoin(c)
+      .select($"n_t", $"n_c", $"pre_t", $"post_t", $"pre_c", $"post_c",
+        round($"d_t" - $"d_c", 6).as("did"),
+        round(($"d_t" - $"d_c") / sqrt($"v_t" + $"v_c"), 4).as("t_stat"),
+        round($"tr_t" - $"tr_c", 6).as("pretrend_gap"))
+  }
+
+  val q271Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+      |      THEN 1 ELSE 0 END) AS pre,
+      |    SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+      |      THEN 1 ELSE 0 END) AS post,
+      |    SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19730
+      |      THEN 1 ELSE 0 END) AS wk1,
+      |    SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19730
+      |      AND epoch_us(ts) // 86400000000 < 19738
+      |      THEN 1 ELSE 0 END) AS wk2,
+      |    (CAST((((((user_id % 4294967296) // 65536)
+      |          * 2654435761) % 65536) * 65536
+      |        + ((user_id % 4294967296) % 65536) * 2654435761)
+      |          % 4294967296 AS DOUBLE) / 4294967296.0) < 0.5 AS treated
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT treated, COUNT(*) AS n,
+      |    SUM(pre) AS sp, SUM(post) AS sq,
+      |    SUM(post - pre) AS sd,
+      |    SUM((post - pre) * (post - pre)) AS sdd,
+      |    SUM(wk2 - wk1) AS strend
+      |  FROM pu GROUP BY 1),
+      |s AS (
+      |  SELECT treated, n,
+      |    ROUND(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pre,
+      |    ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_post,
+      |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_delta,
+      |    ((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+      |      / CAST(n AS DOUBLE) AS var_mean_delta,
+      |    ROUND(CAST(strend AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pre_trend
+      |  FROM g)
+      |SELECT t.n AS n_t, c.n AS n_c,
+      |  t.mean_pre AS pre_t, t.mean_post AS post_t,
+      |  c.mean_pre AS pre_c, c.mean_post AS post_c,
+      |  ROUND(t.mean_delta - c.mean_delta, 6) AS did,
+      |  ROUND((t.mean_delta - c.mean_delta)
+      |    / sqrt(t.var_mean_delta + c.var_mean_delta), 4) AS t_stat,
+      |  ROUND(t.pre_trend - c.pre_trend, 6) AS pretrend_gap
+      |FROM (SELECT * FROM s WHERE treated) t
+      |CROSS JOIN (SELECT * FROM s WHERE NOT treated) c""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q271_diff_in_diff" -> (q271DiffInDiff _),
     "q270_sequential_monitor" -> (q270SequentialMonitor _),
     "q267_power_planner" -> (q267PowerPlanner _),
     "q266_cuped_card" -> (q266CupedCard _),
@@ -3468,6 +3575,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q271_diff_in_diff" -> q271Sql,
     "q270_sequential_monitor" -> q270Sql,
     "q267_power_planner" -> q267Sql,
     "q266_cuped_card" -> q266Sql,
