@@ -3507,7 +3507,110 @@ object EventOps {
       |FROM (SELECT * FROM s WHERE treated) t
       |CROSS JOIN (SELECT * FROM s WHERE NOT treated) c""".stripMargin
 
+  /** q272: regression discontinuity — the third quasi-experimental
+    * design (randomized: q213/q270; parallel-trends: q271): a sharp
+    * cutoff on a running variable (the customer's integer Knuth-hash
+    * value, cutoff at 2³¹) assigns "treatment", and the effect is the
+    * jump between the two local linear fits at the cutoff, estimated
+    * within a ±10% bandwidth. The running variable and the outcome
+    * (customer's total order value in cents) are exact integers, the
+    * OLS moments fold as DECIMAL(38,0) (Σxy alone would overflow a
+    * long), and the slope/intercept algebra is the same textual formula
+    * on both engines — so the two fits and the jump are IEEE-identical.
+    * The hash is independent of spend, so the card correctly reads a
+    * jump ≈ 0 relative to the spend level. One customer-level aggregate
+    * of the orders join, then two bandwidth-filtered moment folds.
+    */
+  def q272RegressionDiscontinuity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val x0 = pmod($"c_custkey".cast("long"), lit(4294967296L))
+    val lo = pmod(x0, lit(65536L))
+    val hi = ((x0 - lo) / lit(65536L)).cast("long")
+    val r = pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+      lo * 2654435761L, lit(4294967296L))
+    val spend = table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100.0).cast("long")).as("cents"))
+    val cust = rawTable(spark, dir, "customer")
+      .select($"c_custkey")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", coalesce($"cents", lit(0L)).as("y"),
+        (r - lit(2147483648L)).as("x")) // centered running variable
+      .filter(abs($"x") <= lit(429496729L)) // +-10% bandwidth
+      .withColumn("side", $"x" >= 0L)
+    val m = cust.groupBy($"side")
+      .agg(count(lit(1)).as("n"), sum(d38($"x")).as("sx"),
+        sum(d38($"y")).as("sy"), sum(d38($"x") * d38($"y")).as("sxy"),
+        sum(d38($"x") * d38($"x")).as("sxx"))
+    val nD = $"n".cast("double")
+    val sx = $"sx".cast("double"); val sy = $"sy".cast("double")
+    val sxy = $"sxy".cast("double"); val sxx = $"sxx".cast("double")
+    val beta = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    val alpha = (sy - beta * sx) / nD
+    val fits = m.select($"side", $"n",
+      (alpha / 100.0).as("alpha_usd"), (beta * 1e7).as("slope_e7"))
+    val l = fits.filter(!$"side")
+      .select($"n".as("n_left"), $"alpha_usd".as("fit_left"),
+        $"slope_e7".as("slope_left"))
+    val rr = fits.filter($"side")
+      .select($"n".as("n_right"), $"alpha_usd".as("fit_right"),
+        $"slope_e7".as("slope_right"))
+    l.crossJoin(rr)
+      .select($"n_left", $"n_right",
+        round($"fit_left", 4).as("fit_left"),
+        round($"fit_right", 4).as("fit_right"),
+        round($"fit_right" - $"fit_left", 4).as("rd_jump"),
+        round($"slope_left", 6).as("slope_left_e7"),
+        round($"slope_right", 6).as("slope_right_e7"))
+  }
+
+  val q272Sql: String =
+    """WITH sp AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |cu AS (
+      |  SELECT c_custkey, COALESCE(sp.cents, 0) AS y,
+      |    (CAST((((((c_custkey % 4294967296) // 65536)
+      |        * 2654435761) % 65536) * 65536
+      |      + ((c_custkey % 4294967296) % 65536) * 2654435761)
+      |        % 4294967296 AS BIGINT)) - 2147483648 AS x
+      |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+      |b AS (SELECT *, x >= 0 AS side FROM cu WHERE abs(x) <= 429496729),
+      |m AS (
+      |  SELECT side, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      |  FROM b GROUP BY 1),
+      |f AS (
+      |  SELECT side, n,
+      |    ((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0
+      |      AS alpha_usd,
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e7
+      |      AS slope_e7
+      |  FROM m)
+      |SELECT l.n AS n_left, r.n AS n_right,
+      |  ROUND(l.alpha_usd, 4) AS fit_left,
+      |  ROUND(r.alpha_usd, 4) AS fit_right,
+      |  ROUND(r.alpha_usd - l.alpha_usd, 4) AS rd_jump,
+      |  ROUND(l.slope_e7, 6) AS slope_left_e7,
+      |  ROUND(r.slope_e7, 6) AS slope_right_e7
+      |FROM (SELECT * FROM f WHERE NOT side) l
+      |CROSS JOIN (SELECT * FROM f WHERE side) r""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q272_regression_discontinuity" -> (q272RegressionDiscontinuity _),
     "q271_diff_in_diff" -> (q271DiffInDiff _),
     "q270_sequential_monitor" -> (q270SequentialMonitor _),
     "q267_power_planner" -> (q267PowerPlanner _),
@@ -3575,6 +3678,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q272_regression_discontinuity" -> q272Sql,
     "q271_diff_in_diff" -> q271Sql,
     "q270_sequential_monitor" -> q270Sql,
     "q267_power_planner" -> q267Sql,
