@@ -1848,7 +1848,145 @@ object TextOps {
       |FROM scored s JOIN occ o USING (phrase)
       |ORDER BY score_micros DESC, phrase LIMIT 25""".stripMargin
 
+  /** q273: weak-supervision labeling-function diagnostics (the
+    * Snorkel-style card): five keep/drop/abstain rules over cheap
+    * document statistics — length, stopword ratio, lexical diversity,
+    * mean token shape, top-token repetition share — vote per document,
+    * and the card reports the exact diagnostics a label model is tuned
+    * by: per-rule coverage (non-abstain share), keep polarity, overlap
+    * (votes alongside ≥1 other rule), conflict (another rule voted the
+    * opposite), and agreement with the majority label. Every statistic
+    * is an integer-count ratio, so the card is engine-exact; thresholds
+    * sit at the corpus's quartile structure so all three outcomes are
+    * populated. Shape: ONE narrow per-doc projection (plus a bounded
+    * per-doc top-token aggregate), a 5-row stack, and a 5-group
+    * aggregate — nothing scales beyond the token explode.
+    */
+  def q273LabelModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        graft.api.Text.tokenCount($"text").as("nt"),
+        graft.api.Text.uniqueTokenCount($"text").as("nu"),
+        graft.api.Text.stopwordCount($"text").as("ns"),
+        length($"text").cast("long").as("nc"))
+    val topTok = table(spark, dir, "documents")
+      .select($"doc_id", explode(toks()).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("topc"))
+    val d = base.join(topTok, "doc_id")
+      .withColumn("sr", $"ns".cast("double") / $"nt")
+      .withColumn("ur", $"nu".cast("double") / $"nt")
+      .withColumn("cr", $"nc".cast("double") / $"nt")
+      .withColumn("tr", $"topc".cast("double") / $"nt")
+      .withColumn("r1", when($"nt" >= 60L, 1).when($"nt" < 30L, -1).otherwise(0))
+      .withColumn("r2", when($"sr" >= 0.03 && $"sr" <= 0.10, 1)
+        .when($"sr" === 0.0 || $"sr" > 0.15, -1).otherwise(0))
+      .withColumn("r3", when($"ur" >= 0.55, 1).when($"ur" < 0.35, -1).otherwise(0))
+      .withColumn("r4", when($"cr" >= 5.3 && $"cr" <= 5.8, 1)
+        .when($"cr" < 4.8 || $"cr" > 6.5, -1).otherwise(0))
+      .withColumn("r5", when($"tr" <= 0.08, 1).when($"tr" > 0.15, -1).otherwise(0))
+      .withColumn("n_pos",
+        expr("IF(r1=1,1,0)+IF(r2=1,1,0)+IF(r3=1,1,0)+IF(r4=1,1,0)+IF(r5=1,1,0)"))
+      .withColumn("n_neg",
+        expr("IF(r1=-1,1,0)+IF(r2=-1,1,0)+IF(r3=-1,1,0)+IF(r4=-1,1,0)+IF(r5=-1,1,0)"))
+      .withColumn("maj", signum($"n_pos" - $"n_neg").cast("int"))
+    d.select($"doc_id", $"n_pos", $"n_neg", $"maj",
+        expr("stack(5, 'r1_length', r1, 'r2_stopword', r2, " +
+          "'r3_lexdiv', r3, 'r4_tokshape', r4, 'r5_repetition', r5)")
+          .as(Seq("rule", "vote")))
+      .groupBy($"rule")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"vote" =!= 0, 1L).otherwise(0L)).as("n_voting"),
+        sum(when($"vote" === 1, 1L).otherwise(0L)).as("n_keep"),
+        sum(when($"vote" =!= 0 &&
+          ($"n_pos" + $"n_neg" - abs($"vote")) >= 1, 1L).otherwise(0L))
+          .as("n_overlap"),
+        sum(when(($"vote" === 1 && $"n_neg" > 0) ||
+          ($"vote" === -1 && $"n_pos" > 0), 1L).otherwise(0L))
+          .as("n_conflict"),
+        sum(when($"vote" =!= 0 && $"maj" =!= 0 && $"vote" === $"maj", 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select($"rule",
+        round($"n_voting".cast("double") / $"n_docs", 6).as("coverage"),
+        round($"n_keep".cast("double") / $"n_voting", 6).as("keep_share"),
+        round($"n_overlap".cast("double") / $"n_voting", 6).as("overlap"),
+        round($"n_conflict".cast("double") / $"n_voting", 6).as("conflict"),
+        round($"n_agree".cast("double") / $"n_voting", 6).as("maj_agreement"))
+      .orderBy($"rule")
+  }
+
+  val q273Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN
+      |      ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) AS ns,
+      |    CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents),
+      |tt AS (
+      |  SELECT doc_id, MAX(c) AS topc FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |    WHERE tok <> '' GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |d AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN nt >= 60 THEN 1 WHEN nt < 30 THEN -1 ELSE 0 END AS r1,
+      |    CASE WHEN CAST(ns AS DOUBLE)/nt >= 0.03
+      |        AND CAST(ns AS DOUBLE)/nt <= 0.10 THEN 1
+      |      WHEN CAST(ns AS DOUBLE)/nt = 0.0
+      |        OR CAST(ns AS DOUBLE)/nt > 0.15 THEN -1 ELSE 0 END AS r2,
+      |    CASE WHEN CAST(nu AS DOUBLE)/nt >= 0.55 THEN 1
+      |      WHEN CAST(nu AS DOUBLE)/nt < 0.35 THEN -1 ELSE 0 END AS r3,
+      |    CASE WHEN CAST(nc AS DOUBLE)/nt >= 5.3
+      |        AND CAST(nc AS DOUBLE)/nt <= 5.8 THEN 1
+      |      WHEN CAST(nc AS DOUBLE)/nt < 4.8
+      |        OR CAST(nc AS DOUBLE)/nt > 6.5 THEN -1 ELSE 0 END AS r4,
+      |    CASE WHEN CAST(topc AS DOUBLE)/nt <= 0.08 THEN 1
+      |      WHEN CAST(topc AS DOUBLE)/nt > 0.15 THEN -1 ELSE 0 END AS r5
+      |  FROM base b JOIN tt USING (doc_id)),
+      |v AS (
+      |  SELECT *,
+      |    (CASE WHEN r1=1 THEN 1 ELSE 0 END + CASE WHEN r2=1 THEN 1 ELSE 0 END
+      |     + CASE WHEN r3=1 THEN 1 ELSE 0 END + CASE WHEN r4=1 THEN 1 ELSE 0 END
+      |     + CASE WHEN r5=1 THEN 1 ELSE 0 END) AS n_pos,
+      |    (CASE WHEN r1=-1 THEN 1 ELSE 0 END + CASE WHEN r2=-1 THEN 1 ELSE 0 END
+      |     + CASE WHEN r3=-1 THEN 1 ELSE 0 END + CASE WHEN r4=-1 THEN 1 ELSE 0 END
+      |     + CASE WHEN r5=-1 THEN 1 ELSE 0 END) AS n_neg
+      |  FROM d),
+      |s AS (
+      |  SELECT 'r1_length' AS rule, r1 AS vote, n_pos, n_neg,
+      |    sign(n_pos - n_neg) AS maj FROM v
+      |  UNION ALL SELECT 'r2_stopword', r2, n_pos, n_neg,
+      |    sign(n_pos - n_neg) FROM v
+      |  UNION ALL SELECT 'r3_lexdiv', r3, n_pos, n_neg,
+      |    sign(n_pos - n_neg) FROM v
+      |  UNION ALL SELECT 'r4_tokshape', r4, n_pos, n_neg,
+      |    sign(n_pos - n_neg) FROM v
+      |  UNION ALL SELECT 'r5_repetition', r5, n_pos, n_neg,
+      |    sign(n_pos - n_neg) FROM v)
+      |SELECT rule,
+      |  ROUND(CAST(SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS coverage,
+      |  ROUND(CAST(SUM(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS keep_share,
+      |  ROUND(CAST(SUM(CASE WHEN vote <> 0
+      |      AND (n_pos + n_neg - abs(vote)) >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS overlap,
+      |  ROUND(CAST(SUM(CASE WHEN (vote = 1 AND n_neg > 0)
+      |      OR (vote = -1 AND n_pos > 0) THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS conflict,
+      |  ROUND(CAST(SUM(CASE WHEN vote <> 0 AND maj <> 0 AND vote = maj
+      |      THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS maj_agreement
+      |FROM s GROUP BY rule ORDER BY rule""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q273_label_model" -> (q273LabelModel _),
     "q269_rake_keywords" -> (q269RakeKeywords _),
     "q249_good_turing" -> (q249GoodTuring _),
     "q233_kneser_ney" -> (q233KneserNey _),
@@ -1966,6 +2104,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q273_label_model" -> q273Sql,
     "q269_rake_keywords" -> q269Sql,
     "q249_good_turing" -> q249Sql,
     "q233_kneser_ney" -> q233Sql,
