@@ -734,6 +734,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q270: sequential monitor reads events ONCE — looks are a constant frame") {
+    val p = planOf(graft.operators.EventOps.q270SequentialMonitor(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 1,
+      s"one event scan only; the five looks must come from a LocalRelation:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q272: RD moments fold as exact decimals below a two-row fit — no window, no sort of customers") {
+    val p = planOf(graft.operators.EventOps.q272RegressionDiscontinuity(spark, sf))
+    assert(!p.contains("Window"), "OLS must be moment folds, never a window")
+    assert("(?m)^\\(\\d+\\) Sort".r.findAllIn(p).size <= 1,
+      "no customer-level sort (the single output row needs none)")
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
