@@ -1985,7 +1985,58 @@ object TextOps {
       |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS maj_agreement
       |FROM s GROUP BY rule ORDER BY rule""".stripMargin
 
+  /** q274: compute-optimal token budget (the Chinchilla allocation,
+    * Hoffmann et al. 2022) — the planning card that turns corpus stats
+    * into the question every pretraining run starts with: for compute
+    * budgets C ∈ {1e20, 1e21, 1e22} FLOPs, the compute-optimal
+    * parameter count N* = √(C/(6·20)) and token count D* = 20·N*
+    * (C ≈ 6·N·D with the ~20 tokens-per-parameter optimum), compared
+    * against THIS corpus's token supply — raw whitespace tokens and a
+    * ×100-scaled projection (the sf-to-production extrapolation, stated
+    * in the column name, not smuggled) — yielding epochs-needed and an
+    * over/under verdict per budget. Everything folds from one exact
+    * token-count aggregate; the allocator itself is a 3-row constant
+    * frame of closed-form arithmetic shared textually with the oracle.
+    */
+  def q274TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supply = table(spark, dir, "documents")
+      .agg(sum(graft.api.Text.tokenCount($"text")).as("corpus_tokens"))
+    val budgets = Seq(1e20, 1e21, 1e22).toDF("flops")
+    budgets.crossJoin(broadcast(supply))
+      .withColumn("n_opt", sqrt($"flops" / lit(120.0)))
+      .withColumn("d_opt", lit(20.0) * $"n_opt")
+      .withColumn("proj_tokens", $"corpus_tokens".cast("double") * 100.0)
+      .select($"flops", round($"n_opt", 0).as("n_opt_params"),
+        round($"d_opt", 0).as("d_opt_tokens"),
+        $"corpus_tokens", round($"proj_tokens", 0).as("proj_tokens_x100"),
+        round($"d_opt" / $"proj_tokens", 4).as("epochs_needed_x100"),
+        ($"d_opt" <= $"proj_tokens").as("enough_at_x100"))
+      .orderBy($"flops")
+  }
+
+  val q274Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS corpus_tokens
+      |  FROM documents),
+      |b AS (SELECT CAST(f AS DOUBLE) AS flops
+      |  FROM (VALUES (1e20), (1e21), (1e22)) v(f)),
+      |g AS (
+      |  SELECT flops, corpus_tokens,
+      |    sqrt(flops / 120.0) AS n_opt,
+      |    20.0 * sqrt(flops / 120.0) AS d_opt,
+      |    CAST(corpus_tokens AS DOUBLE) * 100.0 AS proj_tokens
+      |  FROM b CROSS JOIN s)
+      |SELECT flops, ROUND(n_opt, 0) AS n_opt_params,
+      |  ROUND(d_opt, 0) AS d_opt_tokens, corpus_tokens,
+      |  ROUND(proj_tokens, 0) AS proj_tokens_x100,
+      |  ROUND(d_opt / proj_tokens, 4) AS epochs_needed_x100,
+      |  (d_opt <= proj_tokens) AS enough_at_x100
+      |FROM g ORDER BY flops""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q274_token_budget" -> (q274TokenBudget _),
     "q273_label_model" -> (q273LabelModel _),
     "q269_rake_keywords" -> (q269RakeKeywords _),
     "q249_good_turing" -> (q249GoodTuring _),
@@ -2104,6 +2155,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q274_token_budget" -> q274Sql,
     "q273_label_model" -> q273Sql,
     "q269_rake_keywords" -> q269Sql,
     "q249_good_turing" -> q249Sql,
