@@ -3609,7 +3609,307 @@ object EventOps {
       |FROM (SELECT * FROM f WHERE NOT side) l
       |CROSS JOIN (SELECT * FROM f WHERE side) r""".stripMargin
 
+  /** Deterministic Knuth multiplicative-hash uniform in [0,1) — the
+    * suite's variant-split convention (identical SQL text ships in each
+    * oracle; overflow-free 16-bit-limb mulmod, see graft.api.Sampling).
+    */
+  private def knuthUniform(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = pmod(id.cast("long"), lit(4294967296L))
+    val lo = pmod(x, lit(65536L))
+    val hi = ((x - lo) / lit(65536L)).cast("long")
+    pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+      lo * 2654435761L, lit(4294967296L)).cast("double") / 4294967296.0
+  }
+
+  /** The q266/q270/q271 Knuth split as SQL text (DuckDB dialect). */
+  private val knuthUniformSql: String =
+    """(CAST((((((user_id % 4294967296) // 65536)
+      |          * 2654435761) % 65536) * 65536
+      |        + ((user_id % 4294967296) % 65536) * 2654435761)
+      |          % 4294967296 AS DOUBLE) / 4294967296.0)""".stripMargin
+
+  /** q275: sample-ratio-mismatch audit — the FIRST check every
+    * experimentation platform runs before reading any metric: if the
+    * realized A/B split of enrolled users deviates from the designed
+    * 50/50, the assignment or logging pipeline is broken and every
+    * downstream readout (q213/q266/q270) is invalid. Users enroll at
+    * their first event; per weekly enrollment cohort the card reports
+    * arm counts, the realized A-share, the 1-dof chi-squared
+    * goodness-of-fit statistic (na−nb)²/(na+nb), and the standard
+    * p<0.001 SRM alarm (χ² > 10.828). Under the deterministic Knuth
+    * split no cohort should alarm, and the card reads exactly that.
+    * Shape: one per-user min aggregate of the event scan, then a
+    * per-week count — nothing downstream scales with events.
+    */
+  def q275SrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .groupBy($"user_id").agg(min($"day").as("first_day"))
+      .withColumn("is_a", knuthUniform($"user_id") < 0.5)
+    val byWeek = perUser
+      .withColumn("week", expr("first_day div 7"))
+      .groupBy($"week")
+      .agg(sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"))
+    val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    byWeek.select($"week", $"n_a", $"n_b",
+      round(na / (na + nb), 6).as("ratio_a"),
+      round(chi2, 4).as("chi2"),
+      (chi2 > 10.828).as("srm_flag"))
+      .orderBy($"week")
+  }
+
+  val q275Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day,
+      |    $knuthUniformSql < 0.5 AS is_a
+      |  FROM events GROUP BY user_id),
+      |w AS (
+      |  SELECT first_day // 7 AS week,
+      |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+      |  FROM pu GROUP BY 1)
+      |SELECT week, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS ratio_a,
+      |  ROUND(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 4)
+      |    AS chi2,
+      |  CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 10.828
+      |    AS srm_flag
+      |FROM w ORDER BY week""".stripMargin
+
+  /** q276: instrumental-variable (Wald / binary-instrument 2SLS) LATE —
+    * the encouragement-design estimator for when the TREATMENT can't be
+    * randomized but an ENCOURAGEMENT can (Angrist–Imbens–Rubin): the
+    * Knuth split plays the randomized instrument Z, uptake is
+    * deliberately Z-dependent (encouraged users adopt at ≥60 events,
+    * everyone adopts at ≥80 — per-user event counts are scale-invariant
+    * in this data, so the compliance fraction is stable across SFs),
+    * and the outcome is the user's total event value in exact cents.
+    * Reported: per-arm uptake, the first stage (compliance share — must
+    * be far from 0 for the estimator to exist; its two-proportion z is
+    * the weak-instrument check), the intent-to-treat effect on the
+    * outcome, and LATE = ITT / first-stage. Every moment folds from
+    * integer sums; the algebra is the same textual formula on both
+    * engines. One per-user aggregate, one global fold, one output row.
+    */
+  def q276IvWald(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100.0).cast("long")).as("cents"))
+      .withColumn("z", (knuthUniform($"user_id") < 0.5).cast("long"))
+      .withColumn("d",
+        when(($"z" === 1L && $"n" >= 60L) || $"n" >= 80L, 1L).otherwise(0L))
+    val m = perUser.agg(
+      sum($"z").as("n1"), sum(lit(1L) - $"z").as("n0"),
+      sum(when($"z" === 1L, $"d").otherwise(0L)).as("d1"),
+      sum(when($"z" === 0L, $"d").otherwise(0L)).as("d0"),
+      sum(when($"z" === 1L, $"cents").otherwise(0L)).as("y1"),
+      sum(when($"z" === 0L, $"cents").otherwise(0L)).as("y0"))
+    val n1 = $"n1".cast("double"); val n0 = $"n0".cast("double")
+    val d1 = $"d1".cast("double"); val d0 = $"d0".cast("double")
+    val fs = d1 / n1 - d0 / n0
+    val itt = ($"y1".cast("double") / n1 - $"y0".cast("double") / n0) / 100.0
+    val p = (d1 + d0) / (n1 + n0)
+    val v = p * (lit(1.0) - p) * (lit(1.0) / n1 + lit(1.0) / n0)
+    m.select($"n1".as("n_enc"), $"n0".as("n_ctl"),
+      round(d1 / n1, 6).as("uptake_enc"),
+      round(d0 / n0, 6).as("uptake_ctl"),
+      round(fs, 6).as("first_stage"),
+      round(when(v > 0.0, fs / sqrt(v)), 4).as("fs_z"),
+      round(itt, 4).as("itt_usd"),
+      round(when(abs(fs) > 1e-12, itt / fs), 4).as("late_usd"))
+  }
+
+  val q276Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS cents,
+      |    CASE WHEN $knuthUniformSql < 0.5 THEN 1 ELSE 0 END AS z
+      |  FROM events GROUP BY user_id),
+      |pd AS (
+      |  SELECT *, CASE WHEN (z = 1 AND n >= 60) OR n >= 80
+      |    THEN 1 ELSE 0 END AS d FROM pu),
+      |m AS (
+      |  SELECT SUM(z) AS n1, SUM(1 - z) AS n0,
+      |    SUM(CASE WHEN z = 1 THEN d ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN z = 0 THEN d ELSE 0 END) AS d0,
+      |    SUM(CASE WHEN z = 1 THEN cents ELSE 0 END) AS y1,
+      |    SUM(CASE WHEN z = 0 THEN cents ELSE 0 END) AS y0
+      |  FROM pd),
+      |f AS (
+      |  SELECT CAST(n1 AS BIGINT) AS n_enc, CAST(n0 AS BIGINT) AS n_ctl,
+      |    CAST(d1 AS DOUBLE) / n1 AS u1, CAST(d0 AS DOUBLE) / n0 AS u0,
+      |    CAST(d1 AS DOUBLE) / n1 - CAST(d0 AS DOUBLE) / n0 AS fs,
+      |    (CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0) / 100.0
+      |      AS itt,
+      |    (CAST(d1 + d0 AS DOUBLE) / (n1 + n0))
+      |      * (1.0 - CAST(d1 + d0 AS DOUBLE) / (n1 + n0))
+      |      * (1.0 / n1 + 1.0 / n0) AS v
+      |  FROM m)
+      |SELECT n_enc, n_ctl, ROUND(u1, 6) AS uptake_enc,
+      |  ROUND(u0, 6) AS uptake_ctl, ROUND(fs, 6) AS first_stage,
+      |  ROUND(CASE WHEN v > 0 THEN fs / sqrt(v) END, 4) AS fs_z,
+      |  ROUND(itt, 4) AS itt_usd,
+      |  ROUND(CASE WHEN abs(fs) > 1e-12 THEN itt / fs END, 4) AS late_usd
+      |FROM f""".stripMargin
+
+  /** q277: propensity-score stratification — the OBSERVATIONAL
+    * counterpart of the randomized readouts: "treatment" is organic
+    * (heavy error-emitters, ≥15 error events — q267's heavy-usage
+    * convention), the outcome is purchase spend in exact cents, and
+    * total activity is the obvious confounder (more events ⇒ more error
+    * events AND mechanically more spend). Stratifying into activity
+    * quintile strata (boundaries from the scale-safe quantile engine,
+    * assignment a pure threshold projection — never a global ntile,
+    * whose empty-PARTITION BY sort would funnel every user through one
+    * task) and weighting the within-stratum treated−control gaps by
+    * stratum size removes the through-activity confounding; the card
+    * reports the per-stratum gaps plus the naive and stratified ATEs
+    * side by side — the BIAS the adjustment removed is the point of the
+    * card. One per-user aggregate (checkpointed: it feeds both the
+    * boundary search and the stratum fold), a 5-row fold, window sums
+    * over 5 rows.
+    */
+  def q277PropensityStrat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pu = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"),
+        sum(when($"event_type" === "purchase",
+          round($"value" * 100.0).cast("long")).otherwise(0L)).as("cents"))
+      .localCheckpoint()
+    val cuts = Extended.exactQuantilesMulti(pu, None,
+      Seq("n" -> Seq(0.2, 0.4, 0.6, 0.8))).values.head
+    val perUser = pu
+      .withColumn("treated", $"n_err" >= 15L)
+      .withColumn("stratum",
+        (lit(1L) + Seq(0.2, 0.4, 0.6, 0.8).map(p =>
+          when($"n" > lit(cuts(("n", p))), 1L).otherwise(0L))
+          .reduce(_ + _)).cast("long"))
+    val s = perUser.groupBy($"stratum")
+      .agg(sum(when($"treated", 1L).otherwise(0L)).as("n_t"),
+        sum(when(!$"treated", 1L).otherwise(0L)).as("n_c"),
+        sum(when($"treated", $"cents").otherwise(0L)).as("y_t"),
+        sum(when(!$"treated", $"cents").otherwise(0L)).as("y_c"))
+      .filter($"n_t" > 0L && $"n_c" > 0L)
+    val mt = $"y_t".cast("double") / $"n_t".cast("double") / 100.0
+    val mc = $"y_c".cast("double") / $"n_c".cast("double") / 100.0
+    val diff = mt - mc
+    val all = Window.partitionBy()
+    val w = ($"n_t" + $"n_c").cast("double")
+    s.select($"stratum", $"n_t", $"n_c",
+      round(mt, 4).as("mean_t_usd"), round(mc, 4).as("mean_c_usd"),
+      round(diff, 4).as("gap_usd"),
+      round(sum(diff * w).over(all) / sum(w).over(all), 4).as("strat_ate"),
+      round(sum($"y_t").over(all).cast("double") /
+          sum($"n_t").over(all).cast("double") / 100.0 -
+        sum($"y_c").over(all).cast("double") /
+          sum($"n_c").over(all).cast("double") / 100.0, 4).as("naive_ate"))
+      .orderBy($"stratum")
+  }
+
+  val q277Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS cents
+      |  FROM events GROUP BY user_id),
+      |th AS (
+      |  SELECT quantile_cont(n, [0.2, 0.4, 0.6, 0.8]) AS t FROM pu),
+      |ps AS (
+      |  SELECT pu.*, n_err >= 15 AS treated,
+      |    CAST(1 + (CASE WHEN n > t[1] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n > t[2] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n > t[3] THEN 1 ELSE 0 END)
+      |      + (CASE WHEN n > t[4] THEN 1 ELSE 0 END) AS BIGINT) AS stratum
+      |  FROM pu CROSS JOIN th),
+      |s AS (
+      |  SELECT stratum,
+      |    SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS n_t,
+      |    SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS n_c,
+      |    SUM(CASE WHEN treated THEN cents ELSE 0 END) AS y_t,
+      |    SUM(CASE WHEN treated THEN 0 ELSE cents END) AS y_c
+      |  FROM ps GROUP BY 1
+      |  HAVING SUM(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+      |    AND SUM(CASE WHEN treated THEN 0 ELSE 1 END) > 0),
+      |g AS (
+      |  SELECT stratum, n_t, n_c,
+      |    CAST(y_t AS DOUBLE) / n_t / 100.0 AS mt,
+      |    CAST(y_c AS DOUBLE) / n_c / 100.0 AS mc,
+      |    CAST(n_t + n_c AS DOUBLE) AS w, y_t, y_c
+      |  FROM s)
+      |SELECT stratum, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+      |  ROUND(mt, 4) AS mean_t_usd, ROUND(mc, 4) AS mean_c_usd,
+      |  ROUND(mt - mc, 4) AS gap_usd,
+      |  ROUND(SUM((mt - mc) * w) OVER () / SUM(w) OVER (), 4) AS strat_ate,
+      |  ROUND(CAST(SUM(y_t) OVER () AS DOUBLE)
+      |      / CAST(SUM(n_t) OVER () AS DOUBLE) / 100.0
+      |    - CAST(SUM(y_c) OVER () AS DOUBLE)
+      |      / CAST(SUM(n_c) OVER () AS DOUBLE) / 100.0, 4) AS naive_ate
+      |FROM g ORDER BY stratum""".stripMargin
+
+  /** q278: quantile treatment effects — the distributional readout a
+    * mean-only A/B card hides: an intervention that moves the p90 while
+    * leaving the median alone (or vice versa) reads as the same average
+    * lift. Per Knuth-split arm, exact type-7 quantiles of per-user
+    * total spend at p ∈ {.1,.25,.5,.75,.9} via the suite's scale-safe
+    * quantile engine ([[Extended.exactQuantilesMulti]]: sketch-bracket →
+    * bounded exact polish, O(1) aggregation state — never a
+    * full-multiset percentile or a per-arm sort), and the per-quantile
+    * A−B gap. Under the null split every gap reads ≈ 0. One per-user
+    * aggregate feeds the quantile engine's few narrow passes.
+    */
+  def q278QuantileEffects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val perUser = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 100.0).cast("long")).as("cents"))
+      .select(when(knuthUniform($"user_id") < 0.5, "A").otherwise("B")
+        .as("variant"), ($"cents".cast("double") / 100.0).as("y"))
+    val qs = Extended.exactQuantilesMulti(perUser, Some("variant"),
+      Seq("y" -> ps))
+    ps.map { p =>
+      (p, qs("A")(("y", p)), qs("B")(("y", p)))
+    }.toDF("quantile", "raw_a", "raw_b")
+      .select($"quantile",
+        round($"raw_a", 4).as("y_a_usd"),
+        round($"raw_b", 4).as("y_b_usd"),
+        round($"raw_a" - $"raw_b", 4).as("qte_usd"))
+      .orderBy($"quantile")
+  }
+
+  val q278Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+      |      AS y,
+      |    CASE WHEN $knuthUniformSql < 0.5 THEN 'A' ELSE 'B' END AS variant
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS quantile,
+      |    unnest(quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9])) AS ya
+      |  FROM pu WHERE variant = 'A'),
+      |b AS (
+      |  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS quantile,
+      |    unnest(quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9])) AS yb
+      |  FROM pu WHERE variant = 'B')
+      |SELECT CAST(a.quantile AS DOUBLE) AS quantile,
+      |  ROUND(ya, 4) AS y_a_usd, ROUND(yb, 4) AS y_b_usd,
+      |  ROUND(ya - yb, 4) AS qte_usd
+      |FROM a JOIN b USING (quantile) ORDER BY quantile""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q278_quantile_effects" -> (q278QuantileEffects _),
+    "q277_propensity_strat" -> (q277PropensityStrat _),
+    "q276_iv_wald" -> (q276IvWald _),
+    "q275_srm_check" -> (q275SrmCheck _),
     "q272_regression_discontinuity" -> (q272RegressionDiscontinuity _),
     "q271_diff_in_diff" -> (q271DiffInDiff _),
     "q270_sequential_monitor" -> (q270SequentialMonitor _),
@@ -3678,6 +3978,10 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q278_quantile_effects" -> q278Sql,
+    "q277_propensity_strat" -> q277Sql,
+    "q276_iv_wald" -> q276Sql,
+    "q275_srm_check" -> q275Sql,
     "q272_regression_discontinuity" -> q272Sql,
     "q271_diff_in_diff" -> q271Sql,
     "q270_sequential_monitor" -> q270Sql,
