@@ -385,6 +385,35 @@ object Graph {
     out.orderBy(col("iteration"))
   }
 
+  /** Adamic–Adar link prediction over a bipartite MEMBERSHIP frame
+    * (entity, item): score(a,b) = Σ over shared items of 1/ln(deg item),
+    * the classic "rare shared neighbors count more" co-membership
+    * signal. The per-item weight is snapped to an integer 1e-6 grid
+    * (`round(1e6/ln(deg))` as a long) BEFORE the pair fold, so the pair
+    * score is an exact integer sum — summation-order independent, hence
+    * hash-stable across engines and partitionings. Scale guards: items
+    * above `maxItemDegree` are dropped before the self-join (a hot item
+    * contributes deg² candidate pairs but ~0 weight each — the same
+    * hot-bucket cap as the LSH path), and the join is bucketed on the
+    * item key, never all-pairs. Output: id_a < id_b, n_shared,
+    * score_e6 (long), score (double, 1e-6 grid).
+    */
+  def adamicAdar(membership: DataFrame, idCol: String, itemCol: String,
+      maxItemDegree: Int = 1000): DataFrame = {
+    val m = membership
+      .select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    val deg = m.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxItemDegree)
+      .withColumn("w_e6", round(lit(1e6) / log(col("deg"))).cast("long"))
+    val mw = m.join(deg, "item")
+    mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
+      .join(mw.select(col("item"), col("id").as("id_b")), Seq("item"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
+      .withColumn("score", col("score_e6").cast("double") / 1e6)
+  }
+
   /** Newman modularity of a NODE PARTITION (`labels`: one label per
     * node id) over an undirected edge list: Q = [4m·Σ_c m_c − Σ_c d_c²]
     * / (4m²) — all integers until one division, community folds bounded

@@ -3905,7 +3905,81 @@ object EventOps {
       |  ROUND(ya - yb, 4) AS qte_usd
       |FROM a JOIN b USING (quantile) ORDER BY quantile""".stripMargin
 
+  /** q282: snapshot diff / change-data-feed — the lakehouse "what
+    * changed between table versions?" readout (Delta CDF, Iceberg
+    * changelog) over the CDC state the replicator maintains: the
+    * last-writer-wins state per (user, event_type) — the checkpoint
+    * granularity of q25 — reconstructed at snapshot time T1 (day 19750)
+    * and at T2 (head), every state key classified as inserted (born
+    * after T1), updated (state rows differ), or unchanged (no write
+    * after T1), with counts and value churn per class. In this data
+    * every key predates the cutoff so `inserted` is legitimately
+    * absent; it appears the moment a key is born between snapshots.
+    * Both snapshots fold out of ONE per-key aggregate pass (conditional
+    * max_by on the zero-padded (ts, event_id) total order — the engine
+    * never scans events twice, and no row-level snapshot is
+    * materialized to diff).
+    */
+  def q282SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"))
+    val cutoff = 19750L * 86400000000000L // T1 in epoch nanos
+    val perKey = events(spark, dir)
+      .withColumn("cents", round($"value" * 100.0).cast("long"))
+      .groupBy($"user_id", $"event_type")
+      .agg(
+        max_by($"cents", when($"ts" < cutoff, key)).as("c1"),
+        max_by($"cents", key).as("c2"),
+        sum(when($"ts" < cutoff, 1L).otherwise(0L)).as("n_pre"),
+        sum(when($"ts" >= cutoff, 1L).otherwise(0L)).as("n_post"))
+    val cls = perKey.withColumn("change_class",
+      when($"n_pre" === 0L, "inserted")
+        .when($"n_post" === 0L, "unchanged")
+        .otherwise("updated"))
+    cls.groupBy($"change_class")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L)))
+          .as("churn_cents"))
+      .select($"change_class", $"n_keys",
+        round($"churn_cents".cast("double") / 100.0, 2).as("value_churn_usd"),
+        round($"n_keys".cast("double") /
+          sum($"n_keys").over(Window.partitionBy()), 6).as("key_share"))
+      .orderBy($"change_class")
+  }
+
+  val q282Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, event_type,
+      |    MAX_BY(CAST(round(value * 100.0) AS BIGINT),
+      |      CASE WHEN epoch_us(ts) < 19750 * 86400000000
+      |        THEN printf('%020d', epoch_us(ts)) || printf('%020d', event_id)
+      |      END) AS c1,
+      |    MAX_BY(CAST(round(value * 100.0) AS BIGINT),
+      |      printf('%020d', epoch_us(ts)) || printf('%020d', event_id))
+      |      AS c2,
+      |    SUM(CASE WHEN epoch_us(ts) < 19750 * 86400000000
+      |      THEN 1 ELSE 0 END) AS n_pre,
+      |    SUM(CASE WHEN epoch_us(ts) >= 19750 * 86400000000
+      |      THEN 1 ELSE 0 END) AS n_post
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, CASE WHEN n_pre = 0 THEN 'inserted'
+      |    WHEN n_post = 0 THEN 'unchanged'
+      |    ELSE 'updated' END AS change_class
+      |  FROM pu),
+      |g AS (
+      |  SELECT change_class, COUNT(*) AS n_keys,
+      |    SUM(COALESCE(c2, 0) - COALESCE(c1, 0)) AS churn
+      |  FROM c GROUP BY 1)
+      |SELECT change_class, CAST(n_keys AS BIGINT) AS n_keys,
+      |  ROUND(CAST(churn AS DOUBLE) / 100.0, 2) AS value_churn_usd,
+      |  ROUND(CAST(n_keys AS DOUBLE) / SUM(n_keys) OVER (), 6)
+      |    AS key_share
+      |FROM g ORDER BY change_class""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q282_snapshot_diff" -> (q282SnapshotDiff _),
     "q278_quantile_effects" -> (q278QuantileEffects _),
     "q277_propensity_strat" -> (q277PropensityStrat _),
     "q276_iv_wald" -> (q276IvWald _),
@@ -3978,6 +4052,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q282_snapshot_diff" -> q282Sql,
     "q278_quantile_effects" -> q278Sql,
     "q277_propensity_strat" -> q277Sql,
     "q276_iv_wald" -> q276Sql,

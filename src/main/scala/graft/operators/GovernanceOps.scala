@@ -215,13 +215,99 @@ object GovernanceOps {
       |  END AS released_n
       |FROM u ORDER BY c_nationkey""".stripMargin
 
+  /** q281: t-closeness audit — the escalation past q221/q222: a QI
+    * group can be large (k-anonymous) AND diverse (l-diverse) yet still
+    * leak if its SENSITIVE-value distribution differs sharply from the
+    * table's ("this nation+segment skews rich"). For the ordered
+    * sensitive attribute (account balance in 2k buckets), t is the
+    * 1-D earth-mover's distance between the group's distribution and
+    * the global one: mean |cumulative-share gap| over the ordered
+    * buckets, normalized by (m−1). Every share folds from integer
+    * counts; the cumulative sums run over the bounded (QI × bucket)
+    * aggregate, never over rows. The card reports each QI group's t,
+    * its population, and whether it breaches the t=0.2 release policy.
+    */
+  def q281TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = table(spark, dir, "customer")
+      .select($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"),
+        floor($"c_acctbal" / 2000.0).cast("long").as("bucket"))
+    // bounded aggregate: |nations × segments × ~12 buckets|
+    val cells = base.groupBy($"nation", $"segment", $"bucket")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val buckets = cells.select($"bucket").distinct()
+    val global = cells.groupBy($"bucket").agg(sum($"n").as("ng"))
+      .crossJoin(broadcast(cells.agg(sum($"n").as("tot"))))
+      .select($"bucket", ($"ng".cast("double") / $"tot".cast("double"))
+        .as("p_global"))
+    val groups = cells.groupBy($"nation", $"segment")
+      .agg(sum($"n").as("k"))
+    // dense (group × bucket) grid so cumulative shares line up even
+    // where a group has no mass in a bucket
+    val grid = groups.crossJoin(broadcast(buckets))
+      .join(cells, Seq("nation", "segment", "bucket"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+      .join(broadcast(global), Seq("bucket"))
+    val w = Window.partitionBy($"nation", $"segment").orderBy($"bucket")
+    val nBuckets = Window.partitionBy($"nation", $"segment")
+    val cum = grid
+      .withColumn("cum_q",
+        sum($"n".cast("double") / $"k".cast("double")).over(w))
+      .withColumn("cum_p", sum($"p_global").over(w))
+      .withColumn("m", count(lit(1)).over(nBuckets))
+    cum.groupBy($"nation", $"segment")
+      .agg(max($"k").as("k"),
+        (sum(abs($"cum_q" - $"cum_p")) / (max($"m") - lit(1.0))).as("t"))
+      .select($"nation", $"segment", $"k", round($"t", 6).as("t"),
+        ($"t" > 0.2).as("breach"))
+      .orderBy($"nation", $"segment")
+  }
+
+  val q281Sql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bucket
+      |  FROM customer),
+      |cells AS (
+      |  SELECT nation, segment, bucket, COUNT(*) AS n
+      |  FROM base GROUP BY 1, 2, 3),
+      |buckets AS (SELECT DISTINCT bucket FROM cells),
+      |gdist AS (
+      |  SELECT bucket, CAST(SUM(n) AS DOUBLE)
+      |      / (SELECT SUM(n) FROM cells) AS p_global
+      |  FROM cells GROUP BY 1),
+      |groups AS (
+      |  SELECT nation, segment, SUM(n) AS k FROM cells GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.nation, g.segment, b.bucket, g.k,
+      |    COALESCE(c.n, 0) AS n, gl.p_global
+      |  FROM groups g CROSS JOIN buckets b
+      |  LEFT JOIN cells c ON c.nation = g.nation AND c.segment = g.segment
+      |    AND c.bucket = b.bucket
+      |  JOIN gdist gl ON gl.bucket = b.bucket),
+      |cum AS (
+      |  SELECT nation, segment, k,
+      |    SUM(CAST(n AS DOUBLE) / k)
+      |      OVER (PARTITION BY nation, segment ORDER BY bucket) AS cum_q,
+      |    SUM(p_global)
+      |      OVER (PARTITION BY nation, segment ORDER BY bucket) AS cum_p,
+      |    COUNT(*) OVER (PARTITION BY nation, segment) AS m
+      |  FROM grid)
+      |SELECT nation, segment, CAST(MAX(k) AS BIGINT) AS k,
+      |  ROUND(SUM(ABS(cum_q - cum_p)) / (MAX(m) - 1.0), 6) AS t,
+      |  SUM(ABS(cum_q - cum_p)) / (MAX(m) - 1.0) > 0.2 AS breach
+      |FROM cum GROUP BY nation, segment
+      |ORDER BY nation, segment""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q281_t_closeness" -> (q281TCloseness _),
     "q240_dp_release" -> (q240DpRelease _),
     "q221_k_anonymity" -> (q221KAnonymity _),
     "q222_l_diversity" -> (q222LDiversity _),
     "q223_generalization_ladder" -> (q223GeneralizationLadder _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q281_t_closeness" -> q281Sql,
     "q240_dp_release" -> q240Sql,
     "q221_k_anonymity" -> q221Sql,
     "q222_l_diversity" -> q222Sql,

@@ -1877,7 +1877,124 @@ object Relational {
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
       |    AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
 
+  /** q279: market-basket association rules — the classic co-occurrence
+    * mining card (Agrawal–Srikant support/confidence/lift) over orders
+    * as baskets and part brands as items: which brand pulls which other
+    * brand into the same order, beyond what their independent
+    * popularity predicts? Every statistic folds from exact integer
+    * counts, so confidence and lift are bit-identical across engines;
+    * the top-15 cut orders by the EXACT rational lift via integer cross
+    * products (sup_ab·N·1e6 ÷ sup_a·sup_b as a long on a 1e-6 grid —
+    * never a rounded double at the cut boundary), ties broken on the
+    * brand pair. Scale shape: the part dim broadcasts into the lineitem
+    * scan, baskets dedup on (order, brand) with ≤25 brands per order,
+    * and the pair self-join is keyed on the order — per-order fan-out
+    * is bounded by the 25-brand vocabulary, never all-pairs global.
+    */
+  def q279AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("oid"), $"p_brand".as("item"))
+      .distinct()
+      .localCheckpoint() // one basket build feeds supports and pairs
+    val n = baskets.agg(countDistinct($"oid").as("n_baskets"))
+    val sup = baskets.groupBy($"item").agg(count(lit(1)).as("sup"))
+    val pairs = baskets.select($"oid", $"item".as("item_a"))
+      .join(baskets.select($"oid", $"item".as("item_b")), Seq("oid"))
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("sup_ab"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    pairs
+      .join(broadcast(sup.select($"item".as("item_a"), $"sup".as("sup_a"))),
+        Seq("item_a"))
+      .join(broadcast(sup.select($"item".as("item_b"), $"sup".as("sup_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("num",
+        $"sup_ab".cast(dec) * $"n_baskets".cast(dec) * lit(1000000L))
+      .withColumn("den", $"sup_a".cast(dec) * $"sup_b".cast(dec))
+      // exact floor division: subtract the remainder first so the
+      // decimal divide is integral (no round-at-scale vs floor skew)
+      .withColumn("lift_e6",
+        (($"num" - pmod($"num", $"den")) / $"den").cast("long"))
+      .orderBy($"lift_e6".desc, $"item_a", $"item_b")
+      .limit(15)
+      .select($"item_a", $"item_b", $"sup_ab", $"sup_a", $"sup_b",
+        $"n_baskets",
+        round($"sup_ab".cast("double") / $"sup_a".cast("double"), 6)
+          .as("confidence"),
+        ($"lift_e6".cast("double") / 1e6).as("lift"))
+  }
+
+  val q279Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT oid) AS n_baskets FROM b),
+      |s AS (SELECT item, COUNT(*) AS sup FROM b GROUP BY 1),
+      |p AS (
+      |  SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS sup_ab
+      |  FROM b a JOIN b c ON c.oid = a.oid AND c.item > a.item
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT item_a, item_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+      |    n_baskets,
+      |    CAST(CAST(sup_ab AS HUGEINT) * n_baskets * 1000000
+      |      // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_e6
+      |  FROM p JOIN s sa ON sa.item = item_a JOIN s sb ON sb.item = item_b
+      |  CROSS JOIN n)
+      |SELECT item_a, item_b, CAST(sup_ab AS BIGINT) AS sup_ab,
+      |  CAST(sup_a AS BIGINT) AS sup_a, CAST(sup_b AS BIGINT) AS sup_b,
+      |  CAST(n_baskets AS BIGINT) AS n_baskets,
+      |  ROUND(CAST(sup_ab AS DOUBLE) / sup_a, 6) AS confidence,
+      |  CAST(lift_e6 AS DOUBLE) / 1e6 AS lift
+      |FROM j ORDER BY lift_e6 DESC, item_a, item_b LIMIT 15""".stripMargin
+
+  /** q280: Adamic–Adar link prediction over the supplier–part
+    * co-membership graph ([[graft.api.Graph.adamicAdar]]): two suppliers
+    * that stock many RARE parts in common are closer substitutes than
+    * two sharing only commodity parts — the inverse-log-degree weight is
+    * the standard "rare shared neighbors count more" correction. The
+    * per-part weight snaps to an integer 1e-6 grid before the pair
+    * fold, so scores are exact longs (summation-order independent) and
+    * the top-15 cut orders by the exact integer, ties on the pair.
+    * Scale shape: membership dedups on (part, supplier), hot parts are
+    * degree-capped before the self-join, and the join is keyed on the
+    * part — the same bucketed-candidate discipline as the LSH path.
+    */
+  def q280AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mem = table(spark, dir, "lineitem")
+      .select($"l_suppkey".as("supp"), $"l_partkey".as("part"))
+    graft.api.Graph.adamicAdar(mem, "supp", "part")
+      .orderBy($"score_e6".desc, $"id_a", $"id_b")
+      .limit(15)
+      .select($"id_a".as("supp_a"), $"id_b".as("supp_b"), $"n_shared",
+        $"score".as("aa_score"))
+  }
+
+  val q280Sql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT part, CAST(round(1e6 / ln(COUNT(*))) AS BIGINT) AS w_e6
+      |  FROM m GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 1000),
+      |p AS (
+      |  SELECT a.supp AS supp_a, c.supp AS supp_b, COUNT(*) AS n_shared,
+      |    SUM(w_e6) AS score_e6
+      |  FROM m a JOIN m c ON c.part = a.part AND c.supp > a.supp
+      |  JOIN d ON d.part = a.part
+      |  GROUP BY 1, 2)
+      |SELECT supp_a, supp_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(score_e6 AS DOUBLE) / 1e6 AS aa_score
+      |FROM p ORDER BY score_e6 DESC, supp_a, supp_b LIMIT 15""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q280_adamic_adar" -> (q280AdamicAdar _),
+    "q279_assoc_rules" -> (q279AssocRules _),
     "q253_shipping_priority" -> (q253ShippingPriority _),
     "q254_order_priority" -> (q254OrderPriority _),
     "q255_forecast_revenue" -> (q255ForecastRevenue _),
@@ -1937,6 +2054,8 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q280_adamic_adar" -> q280Sql,
+    "q279_assoc_rules" -> q279Sql,
     "q253_shipping_priority" -> q253Sql,
     "q254_order_priority" -> q254Sql,
     "q255_forecast_revenue" -> q255Sql,
