@@ -332,7 +332,90 @@ object SamplingOps {
       |  ROUND(priority, 6) AS priority
       |FROM ranked WHERE sample_rank <= 8 ORDER BY source, sample_rank""".stripMargin
 
+  /** q284: importance-weight health (effective sample size) — the
+    * diagnostic that decides whether q129's DSIR weights are USABLE:
+    * resampling by weights w is statistically worth n_eff =
+    * (Σw)²/Σw² draws, and a per-source n_eff/n near 0 means one
+    * document dominates the source's mass (the weights would produce
+    * near-duplicates, not coverage). Weights exponentiate from the
+    * integer micro-nat log-ratios SHIFTED by the per-source max (an
+    * exact integer), so every exp argument is ≤0 — no overflow at any
+    * corpus size — and both engines compute identical doubles. The
+    * card reports per source: n_docs, ESS, the ESS ratio, and the
+    * largest single-document weight share. The DSIR frame is
+    * checkpointed once; the max-shift and the moment fold are two
+    * bounded aggregates over it.
+    */
+  def q284EssCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.api.Sampling.dsirWeights(
+        table(spark, dir, "documents"), "doc_id", "text", $"lang" === "en")
+      .join(table(spark, dir, "documents").select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .localCheckpoint() // the feature explode runs once
+    val mx = w.groupBy($"source").agg(max($"w_micros").as("mx"))
+    val e = w.join(mx, Seq("source"))
+      .withColumn("wn", exp(($"w_micros" - $"mx").cast("double") / 1e6))
+    e.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"wn").as("sw"),
+        sum($"wn" * $"wn").as("sww"), max($"wn").as("wmax"))
+      .select($"source", $"n_docs",
+        round($"sw" * $"sw" / $"sww", 4).as("ess"),
+        round($"sw" * $"sw" / $"sww" / $"n_docs".cast("double"), 6)
+          .as("ess_ratio"),
+        round($"wmax" / $"sw", 6).as("top_weight_share"))
+      .orderBy($"source")
+  }
+
+  val q284Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, is_target, unnest(list_concat(
+      |    list_filter(toks, t -> t <> ''),
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      |  FROM d),
+      |fb AS (SELECT doc_id, is_target, substr(md5(feat), 1, 3) AS bucket FROM f),
+      |b AS (
+      |  SELECT bucket, COUNT(*) AS r_b,
+      |    SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_b
+      |  FROM fb GROUP BY bucket),
+      |tot AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM b),
+      |lr AS (
+      |  SELECT bucket,
+      |    CAST(FLOOR(LN(((t_b + 1.0) * (r_tot + 4096.0)) /
+      |      ((r_b + 1.0) * (t_tot + 4096.0))) * 1000000.0) AS BIGINT) AS lr_micros
+      |  FROM b, tot),
+      |db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM fb GROUP BY doc_id, bucket),
+      |wdoc AS (
+      |  SELECT db.doc_id, CAST(SUM(db.n * lr.lr_micros) AS BIGINT) AS w_micros
+      |  FROM db JOIN lr USING (bucket) GROUP BY db.doc_id),
+      |ws AS (
+      |  SELECT w_micros, source FROM wdoc
+      |  JOIN (SELECT doc_id, source FROM documents) USING (doc_id)),
+      |sh AS (
+      |  SELECT source, w_micros,
+      |    MAX(w_micros) OVER (PARTITION BY source) AS mx
+      |  FROM ws),
+      |e AS (
+      |  SELECT source,
+      |    exp(CAST(w_micros - mx AS DOUBLE) / 1e6) AS wn
+      |  FROM sh),
+      |g AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(wn) AS sw,
+      |    SUM(wn * wn) AS sww, MAX(wn) AS wmax
+      |  FROM e GROUP BY 1)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  ROUND(sw * sw / sww, 4) AS ess,
+      |  ROUND(sw * sw / sww / n_docs, 6) AS ess_ratio,
+      |  ROUND(wmax / sw, 6) AS top_weight_share
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q284_ess_card" -> (q284EssCard _),
     "q154_weighted_sample" -> (q154WeightedSample _),
     "q145_source_quota" -> (q145SourceQuota _),
     "q129_dsir_weights" -> (q129DsirWeights _),
@@ -344,6 +427,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q284_ess_card" -> q284Sql,
     "q154_weighted_sample" -> q154Sql,
     "q145_source_quota" -> q145Sql,
     "q129_dsir_weights" -> q129Sql,

@@ -1862,7 +1862,12 @@ object TextOps {
     * per-doc top-token aggregate), a 5-row stack, and a 5-group
     * aggregate — nothing scales beyond the token explode.
     */
-  def q273LabelModel(spark: SparkSession, dir: String): DataFrame = {
+  /** The q273 per-document labeling-function vote frame: doc_id, the
+    * five rule votes r1..r5 ∈ {-1, 0, +1}, positive/negative tallies,
+    * and the majority label. Shared by the q273 diagnostics and the
+    * q283 inter-annotator agreement card.
+    */
+  private def ruleVoteFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = table(spark, dir, "documents")
       .select($"doc_id", $"text",
@@ -1892,7 +1897,13 @@ object TextOps {
       .withColumn("n_neg",
         expr("IF(r1=-1,1,0)+IF(r2=-1,1,0)+IF(r3=-1,1,0)+IF(r4=-1,1,0)+IF(r5=-1,1,0)"))
       .withColumn("maj", signum($"n_pos" - $"n_neg").cast("int"))
-    d.select($"doc_id", $"n_pos", $"n_neg", $"maj",
+    d
+  }
+
+  def q273LabelModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ruleVoteFrame(spark, dir)
+      .select($"doc_id", $"n_pos", $"n_neg", $"maj",
         expr("stack(5, 'r1_length', r1, 'r2_stopword', r2, " +
           "'r3_lexdiv', r3, 'r4_tokshape', r4, 'r5_repetition', r5)")
           .as(Seq("rule", "vote")))
@@ -1985,6 +1996,78 @@ object TextOps {
       |    / SUM(CASE WHEN vote <> 0 THEN 1 ELSE 0 END), 6) AS maj_agreement
       |FROM s GROUP BY rule ORDER BY rule""".stripMargin
 
+  /** q283: inter-annotator agreement — pairwise Cohen's kappa between
+    * the five q273 labeling functions, restricted per pair to the
+    * documents BOTH label (non-abstain): raw agreement alone flatters a
+    * pair that mostly votes the majority class, so kappa discounts the
+    * agreement expected from the two annotators' marginal keep-rates —
+    * the standard screen for redundant (κ→1) vs complementary (κ≈0) vs
+    * systematically opposed (κ<0) labelers before fitting any label
+    * model. All inputs are exact integer counts over the shared
+    * [[ruleVoteFrame]]; the pair join is keyed on doc_id with ≤5 votes
+    * per document, so the fan-out is bounded at 10 pairs per doc.
+    */
+  def q283AnnotatorKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = ruleVoteFrame(spark, dir)
+      .select($"doc_id",
+        expr("stack(5, 'r1_length', r1, 'r2_stopword', r2, " +
+          "'r3_lexdiv', r3, 'r4_tokshape', r4, 'r5_repetition', r5)")
+          .as(Seq("rule", "vote")))
+      .filter($"vote" =!= 0)
+    val g = v.toDF("doc_id", "rule_a", "vote_a")
+      .join(v.toDF("doc_id", "rule_b", "vote_b"), Seq("doc_id"))
+      .filter($"rule_a" < $"rule_b")
+      .groupBy($"rule_a", $"rule_b")
+      .agg(count(lit(1)).as("n_both"),
+        sum(when($"vote_a" === $"vote_b", 1L).otherwise(0L)).as("n_agree"),
+        sum(when($"vote_a" === 1, 1L).otherwise(0L)).as("a_pos"),
+        sum(when($"vote_b" === 1, 1L).otherwise(0L)).as("b_pos"))
+    val n = $"n_both".cast("double")
+    val po = $"n_agree".cast("double") / n
+    val pa = $"a_pos".cast("double") / n
+    val pb = $"b_pos".cast("double") / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    g.select($"rule_a", $"rule_b", $"n_both",
+      round(po, 6).as("p_observed"),
+      round(pe, 6).as("p_expected"),
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+      .orderBy($"rule_a", $"rule_b")
+  }
+
+  val q283Sql: String = {
+    // the q273 vote-frame CTEs, verbatim, up to the per-doc rule votes
+    val voteCtes = q273Sql.substring(0, q273Sql.indexOf(",\n|v AS (".replace("|", "")))
+    s"""$voteCtes,
+      |s AS (
+      |  SELECT doc_id, 'r1_length' AS rule, r1 AS vote FROM d WHERE r1 <> 0
+      |  UNION ALL SELECT doc_id, 'r2_stopword', r2 FROM d WHERE r2 <> 0
+      |  UNION ALL SELECT doc_id, 'r3_lexdiv', r3 FROM d WHERE r3 <> 0
+      |  UNION ALL SELECT doc_id, 'r4_tokshape', r4 FROM d WHERE r4 <> 0
+      |  UNION ALL SELECT doc_id, 'r5_repetition', r5 FROM d WHERE r5 <> 0),
+      |p AS (
+      |  SELECT a.rule AS rule_a, b.rule AS rule_b, a.vote AS va, b.vote AS vb
+      |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.rule > a.rule),
+      |g AS (
+      |  SELECT rule_a, rule_b, COUNT(*) AS n_both,
+      |    SUM(CASE WHEN va = vb THEN 1 ELSE 0 END) AS n_agree,
+      |    SUM(CASE WHEN va = 1 THEN 1 ELSE 0 END) AS a_pos,
+      |    SUM(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS b_pos
+      |  FROM p GROUP BY 1, 2),
+      |k AS (
+      |  SELECT rule_a, rule_b, n_both,
+      |    CAST(n_agree AS DOUBLE) / n_both AS po,
+      |    (CAST(a_pos AS DOUBLE) / n_both) * (CAST(b_pos AS DOUBLE) / n_both)
+      |      + (1.0 - CAST(a_pos AS DOUBLE) / n_both)
+      |        * (1.0 - CAST(b_pos AS DOUBLE) / n_both) AS pe
+      |  FROM g)
+      |SELECT rule_a, rule_b, CAST(n_both AS BIGINT) AS n_both,
+      |  ROUND(po, 6) AS p_observed, ROUND(pe, 6) AS p_expected,
+      |  ROUND(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6)
+      |    AS kappa
+      |FROM k ORDER BY rule_a, rule_b""".stripMargin
+  }
+
   /** q274: compute-optimal token budget (the Chinchilla allocation,
     * Hoffmann et al. 2022) — the planning card that turns corpus stats
     * into the question every pretraining run starts with: for compute
@@ -2037,6 +2120,7 @@ object TextOps {
 
   val queries: Seq[(String, Q)] = Seq(
     "q274_token_budget" -> (q274TokenBudget _),
+    "q283_annotator_kappa" -> (q283AnnotatorKappa _),
     "q273_label_model" -> (q273LabelModel _),
     "q269_rake_keywords" -> (q269RakeKeywords _),
     "q249_good_turing" -> (q249GoodTuring _),
@@ -2156,6 +2240,7 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q274_token_budget" -> q274Sql,
+    "q283_annotator_kappa" -> q283Sql,
     "q273_label_model" -> q273Sql,
     "q269_rake_keywords" -> q269Sql,
     "q249_good_turing" -> q249Sql,
