@@ -84,6 +84,30 @@ class ModelsGraphSpec extends SparkSpec {
     }
   }
 
+  test("adamicAdar: exact inverse-log-degree scores; degree cap drops hot items") {
+    import spark.implicits._
+    // items: i1 shared by {a,b} (deg 2), i2 shared by {a,b,c} (deg 3),
+    // i3 only {c} (deg 1 — never pairs), hot shared by everyone
+    val m = Seq(
+      ("a", "i1"), ("b", "i1"),
+      ("a", "i2"), ("b", "i2"), ("c", "i2"),
+      ("c", "i3"),
+      ("a", "hot"), ("b", "hot"), ("c", "hot"), ("d", "hot"),
+      ("a", "i2") // duplicate membership must not double-count
+    ).toDF("id", "item")
+    val got = Graph.adamicAdar(m, "id", "item", maxItemDegree = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val w2 = math.round(1e6 / math.log(2.0))
+    val w3 = math.round(1e6 / math.log(3.0))
+    // hot (deg 4 > cap) contributes nothing; (a,b) share i1+i2, others i2
+    assert(got(("a", "b")) === ((2L, w2 + w3)))
+    assert(got(("a", "c")) === ((1L, w3)))
+    assert(got(("b", "c")) === ((1L, w3)))
+    assert(!got.contains(("a", "d")), "cap must drop the hot item's pairs")
+    assert(got.size === 3)
+  }
+
   test("pcaTopComponent: returns the dominant eigenpair of a known matrix") {
     // eigvalues 3 and 1, top eigvec (1,1)/√2
     val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))

@@ -748,6 +748,35 @@ class PlanSpec extends SparkSpec {
       "no customer-level sort (the single output row needs none)")
   }
 
+  test("q279: baskets build once; supports broadcast back; pair join keyed on the order") {
+    val p = planOf(graft.operators.Relational.q279AssocRules(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "the item-pair join must stay keyed on the order id")
+    // the two support lookups and the basket total ride broadcasts
+    assert("(?m)^\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"support joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-15 by lift must be a heap cut, not a global sort")
+  }
+
+  test("q280: Adamic-Adar is a degree-capped keyed self-join, never all-pairs") {
+    val p = planOf(graft.operators.Relational.q280AdamicAdar(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the co-membership join must stay keyed on the part")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-15 by score must be a heap cut, not a global sort")
+  }
+
+  test("q277/q278: causal cards never plan a percentile aggregate or a global window sort") {
+    for (df <- Seq(graft.operators.EventOps.q277PropensityStrat(spark, sf),
+        graft.operators.EventOps.q278QuantileEffects(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.toLowerCase.contains("percentile("),
+        "quantiles must come from the bounded-state engine")
+      assert(!p.contains("ntile("), "no single-partition ntile sort")
+    }
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
