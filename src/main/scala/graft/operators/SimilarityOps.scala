@@ -1491,7 +1491,216 @@ object SimilarityOps {
        |ORDER BY g.probe_id, pool""".stripMargin
   }
 
+  /** q285: MMR diversified retrieval (maximal marginal relevance,
+    * Carbonell–Goldstein 1998) — the post-retrieval re-ranker that
+    * trades relevance against redundancy: after the top-20 cosine
+    * candidates per probe, greedily pick 5 results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) with λ=0.7, so two
+    * near-duplicate neighbors never both make the short list. Scores
+    * live on an exact integer grid (rel and pair sims snapped to 1e-6,
+    * λ applied as 7x−3y over longs), so every greedy argmax — the
+    * fragile part of MMR — picks the same candidate on both engines,
+    * ties to the lowest id. Scale shape: candidate generation is the
+    * only corpus-sized work (the q42 kNN path); the greedy loop unrolls
+    * into 4 keyed argmax windows over the bounded (probes × 20) frame
+    * with its (probes × 20 × 19) pair sims — no collect, no global
+    * sort, constants independent of corpus size.
+    */
+  def q285MmrDiversified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb(spark, dir)
+    val cand = graft.api.Similarity.cosineKnn(corpus,
+        corpus.filter($"vec_id" < 5), "vec_id", "embedding", k = 20)
+      .select($"probe_id", $"cand_id",
+        round($"sim" * 1e6).cast("long").as("rel_e6"))
+      .localCheckpoint() // the corpus-sized kNN runs once
+    val ce = cand.join(
+      corpus.select($"vec_id".as("cand_id"), $"embedding"), Seq("cand_id"))
+    val pairs = ce.select($"probe_id", $"cand_id".as("a"), $"embedding".as("ea"))
+      .join(ce.select($"probe_id", $"cand_id".as("b"), $"embedding".as("eb")),
+        Seq("probe_id"))
+      .filter($"a" =!= $"b")
+      .select($"probe_id", $"a", $"b",
+        round(expr(cos("ea", "eb")) * 1e6).cast("long").as("s_e6"))
+      .localCheckpoint()
+    var sel = cand
+      .withColumn("rn", row_number().over(Window.partitionBy($"probe_id")
+        .orderBy($"rel_e6".desc, $"cand_id")))
+      .filter($"rn" === 1)
+      .select($"probe_id", $"cand_id",
+        (lit(7L) * $"rel_e6").as("mmr_x10_e6"), lit(1).as("pick"))
+    for (i <- 2 to 5) {
+      val pen = pairs
+        .join(sel.select($"probe_id", $"cand_id".as("b")), Seq("probe_id", "b"))
+        .groupBy($"probe_id", $"a").agg(max($"s_e6").as("pen_e6"))
+        .withColumnRenamed("a", "cand_id")
+      val next = cand
+        .join(sel.select($"probe_id", $"cand_id"),
+          Seq("probe_id", "cand_id"), "left_anti")
+        .join(pen, Seq("probe_id", "cand_id"), "left")
+        .withColumn("mmr_x10_e6",
+          lit(7L) * $"rel_e6" - lit(3L) * coalesce($"pen_e6", lit(0L)))
+        .withColumn("rn", row_number().over(Window.partitionBy($"probe_id")
+          .orderBy($"mmr_x10_e6".desc, $"cand_id")))
+        .filter($"rn" === 1)
+        .select($"probe_id", $"cand_id", $"mmr_x10_e6", lit(i).as("pick"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.join(cand, Seq("probe_id", "cand_id"))
+      .select($"probe_id", $"pick", $"cand_id",
+        ($"rel_e6".cast("double") / 1e6).as("relevance"),
+        ($"mmr_x10_e6".cast("double") / 1e7).as("mmr_score"))
+      .orderBy($"probe_id", $"pick")
+  }
+
+  val q285Sql: String = {
+    val base = s"""WITH cand AS (
+       |  SELECT probe_id, cand_id, CAST(round(sim * 1e6) AS BIGINT) AS rel_e6
+       |  FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ${cosSql("p.embedding", "c.embedding")} AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id)
+       |        AS rn
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id < 5
+       |      AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
+       |  WHERE rn <= 20),
+       |pr AS (
+       |  SELECT a.probe_id, a.cand_id AS a, b.cand_id AS b,
+       |    CAST(round(${cosSql("ea.embedding", "eb.embedding")} * 1e6)
+       |      AS BIGINT) AS s_e6
+       |  FROM cand a JOIN cand b ON b.probe_id = a.probe_id
+       |    AND b.cand_id <> a.cand_id
+       |  JOIN embeddings ea ON ea.vec_id = a.cand_id
+       |  JOIN embeddings eb ON eb.vec_id = b.cand_id),
+       |sel1 AS (
+       |  SELECT probe_id, cand_id, 7 * rel_e6 AS mmr, 1 AS pick FROM (
+       |    SELECT probe_id, cand_id, rel_e6, ROW_NUMBER() OVER (
+       |      PARTITION BY probe_id ORDER BY rel_e6 DESC, cand_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to 5).map { i =>
+      s""",
+       |pen$i AS (
+       |  SELECT pr.probe_id, pr.a AS cand_id, MAX(pr.s_e6) AS pen_e6
+       |  FROM pr JOIN sel${i - 1} s ON s.probe_id = pr.probe_id
+       |    AND s.cand_id = pr.b
+       |  GROUP BY 1, 2),
+       |r$i AS (
+       |  SELECT c.probe_id, c.cand_id,
+       |    7 * c.rel_e6 - 3 * COALESCE(pen_e6, 0) AS mmr,
+       |    ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |      ORDER BY 7 * c.rel_e6 - 3 * COALESCE(pen_e6, 0) DESC, c.cand_id)
+       |      AS rn
+       |  FROM cand c LEFT JOIN pen$i USING (probe_id, cand_id)
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+       |    WHERE s.probe_id = c.probe_id AND s.cand_id = c.cand_id)),
+       |sel$i AS (
+       |  SELECT * FROM sel${i - 1} UNION ALL
+       |  SELECT probe_id, cand_id, mmr, $i FROM r$i WHERE rn = 1)""".stripMargin
+    }.mkString
+    base + steps + """
+       |SELECT s.probe_id, s.pick, s.cand_id,
+       |  CAST(rel_e6 AS DOUBLE) / 1e6 AS relevance,
+       |  CAST(mmr AS DOUBLE) / 1e7 AS mmr_score
+       |FROM sel5 s JOIN cand USING (probe_id, cand_id)
+       |ORDER BY probe_id, pick""".stripMargin
+  }
+
+  /** q286: nDCG@10 of the IVF approximate ranking against the exact
+    * brute-force ranking — the position-aware complement of q149's
+    * recall card: recall says WHETHER the true neighbors surface; nDCG
+    * says whether they surface IN ORDER (a hit demoted from rank 1 to
+    * rank 10 keeps recall, loses log-discounted gain). Exact top-10
+    * ranks define graded gains (11−rank); each IVF result's
+    * gain/log2(rank+1) term snaps to an integer 1e-9 grid BEFORE the
+    * per-probe fold (ln(r+1)/ln 2 over ≤10 bounded ranks, identical
+    * libm calls both engines), so DCG and ideal-DCG are exact longs and
+    * the quotient is engine-identical. Scale shape: the exact arm is
+    * the q42 kNN path, the approximate arm the q43 cell-pruned search;
+    * the eval join is keyed on (probe, candidate) over two ≤10-row-per-
+    * probe frames.
+    */
+  def q286NdcgCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = emb(spark, dir)
+    val isProbe = $"vec_id" >= 100 && $"vec_id" < 110
+    val exact = graft.api.Similarity.cosineKnn(corpus,
+        corpus.filter(isProbe), "vec_id", "embedding", k = 10)
+      .select($"probe_id", $"cand_id", $"rn".as("exact_rank"))
+      .localCheckpoint() // feeds both the eval join and the ideal DCG
+    val assigned = graft.api.Similarity.ivfAssign(corpus,
+      corpus.filter($"vec_id" < 16), "vec_id", "embedding")
+    val approx = graft.api.Similarity.ivfKnn(assigned, isProbe,
+        "vec_id", "embedding", k = 10)
+      .select($"probe_id", $"cand_id", $"rn".as("approx_rank"))
+    def termE9(gain: org.apache.spark.sql.Column,
+        rank: org.apache.spark.sql.Column) =
+      round(lit(1e9) * gain.cast("double") /
+        (log(rank.cast("double") + 1.0) / log(lit(2.0)))).cast("long")
+    val d = approx.join(exact, Seq("probe_id", "cand_id"), "left")
+      .withColumn("gain", coalesce(lit(11L) - $"exact_rank", lit(0L)))
+      .groupBy($"probe_id")
+      .agg(sum(termE9($"gain", $"approx_rank")).as("dcg_e9"),
+        sum(when($"gain" > 0L, 1L).otherwise(0L)).as("n_hits"))
+    val i = exact.groupBy($"probe_id")
+      .agg(sum(termE9(lit(11L) - $"exact_rank", $"exact_rank"))
+        .as("idcg_e9"))
+    d.join(i, Seq("probe_id"))
+      .select($"probe_id", $"n_hits",
+        round($"dcg_e9".cast("double") / $"idcg_e9".cast("double"), 6)
+          .as("ndcg10"))
+      .orderBy($"probe_id")
+  }
+
+  val q286Sql: String =
+    s"""WITH $assignSql,
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, cluster
+       |  FROM assign WHERE vec_id >= 100 AND vec_id < 110),
+       |ex AS (
+       |  SELECT probe_id, cand_id, rn FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id)
+       |        AS rn
+       |    FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id >= 100 AND p.vec_id < 110
+       |      AND ${posNormSql("p.embedding")} AND ${posNormSql("c.embedding")})
+       |  WHERE rn <= 10),
+       |ap AS (
+       |  SELECT probe_id, cand_id, rn FROM (
+       |    SELECT p.probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.p_emb", "c.embedding")} DESC, c.vec_id) AS rn
+       |    FROM probes p JOIN assign c ON c.cluster = p.cluster
+       |      AND c.vec_id <> p.probe_id)
+       |  WHERE rn <= 10),
+       |t AS (
+       |  SELECT ap.probe_id, ap.rn AS arank,
+       |    COALESCE(11 - ex.rn, 0) AS gain
+       |  FROM ap LEFT JOIN ex ON ex.probe_id = ap.probe_id
+       |    AND ex.cand_id = ap.cand_id),
+       |d AS (
+       |  SELECT probe_id,
+       |    SUM(CAST(round(1e9 * gain / (ln(arank + 1.0) / ln(2.0)))
+       |      AS BIGINT)) AS dcg_e9,
+       |    SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS n_hits
+       |  FROM t GROUP BY 1),
+       |i AS (
+       |  SELECT probe_id,
+       |    SUM(CAST(round(1e9 * (11 - rn) / (ln(rn + 1.0) / ln(2.0)))
+       |      AS BIGINT)) AS idcg_e9
+       |  FROM ex GROUP BY 1)
+       |SELECT probe_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  ROUND(CAST(dcg_e9 AS DOUBLE) / idcg_e9, 6) AS ndcg10
+       |FROM d JOIN i USING (probe_id) ORDER BY probe_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q286_ndcg_card" -> (q286NdcgCard _),
+    "q285_mmr_diversified" -> (q285MmrDiversified _),
     "q263_jl_distortion" -> (q263JlDistortion _),
     "q264_jl_search_recall" -> (q264JlSearchRecall _),
     "q246_silhouette_card" -> (q246SilhouetteCard _),
@@ -1523,6 +1732,8 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q286_ndcg_card" -> q286Sql,
+    "q285_mmr_diversified" -> q285Sql,
     "q263_jl_distortion" -> q263Sql,
     "q264_jl_search_recall" -> q264Sql,
     "q246_silhouette_card" -> q246Sql,
