@@ -397,21 +397,38 @@ object Graph {
     * hot-bucket cap as the LSH path), and the join is bucketed on the
     * item key, never all-pairs. Output: id_a < id_b, n_shared,
     * score_e6 (long), score (double, 1e-6 grid).
+    *
+    * `packIds = true` (requires non-negative integral ids < 2²²) folds
+    * the pair key into ONE long before the aggregation — the pair fold
+    * is the wide stage (per-item deg² rows into |pairs| groups, where
+    * map-side partial aggregation barely reduces), so halving the
+    * grouping-key width measurably cuts its shuffle.
     */
   def adamicAdar(membership: DataFrame, idCol: String, itemCol: String,
-      maxItemDegree: Int = 1000): DataFrame = {
+      maxItemDegree: Int = 1000, packIds: Boolean = false): DataFrame = {
     val m = membership
       .select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
     val deg = m.groupBy(col("item")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= maxItemDegree)
       .withColumn("w_e6", round(lit(1e6) / log(col("deg"))).cast("long"))
-    val mw = m.join(deg, "item")
-    mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
+    // both sides of the self-join read ONE materialization of the
+    // weighted membership — never two dedup+degree recomputations
+    val mw = m.join(deg, "item").localCheckpoint()
+    val joined = mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
       .join(mw.select(col("item"), col("id").as("id_b")), Seq("item"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
-      .withColumn("score", col("score_e6").cast("double") / 1e6)
+    val agg =
+      if (packIds) joined
+        .select((col("id_a").cast("long") * 4194304L +
+          col("id_b").cast("long")).as("pk"), col("w_e6"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
+        .select((col("pk") / 4194304L).cast("long").as("id_a"),
+          pmod(col("pk"), lit(4194304L)).as("id_b"),
+          col("n_shared"), col("score_e6"))
+      else joined.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
+    agg.withColumn("score", col("score_e6").cast("double") / 1e6)
   }
 
   /** Newman modularity of a NODE PARTITION (`labels`: one label per

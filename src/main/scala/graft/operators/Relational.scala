@@ -1960,15 +1960,22 @@ object Relational {
     * per-part weight snaps to an integer 1e-6 grid before the pair
     * fold, so scores are exact longs (summation-order independent) and
     * the top-15 cut orders by the exact integer, ties on the pair.
-    * Scale shape: membership dedups on (part, supplier), hot parts are
-    * degree-capped before the self-join, and the join is keyed on the
-    * part — the same bucketed-candidate discipline as the LSH path.
+    * Scoped to RECENT co-supply (shipped 1997+): substitutability is a
+    * current-sourcing question, and the recency window also bounds the
+    * per-part degree — pair fan-out is deg², so the window is the
+    * card's principal scale dial. Scale shape: membership dedups on
+    * (part, supplier), hot parts are degree-capped before the
+    * self-join, the join is keyed on the part (the same
+    * bucketed-candidate discipline as the LSH path), and the pair fold
+    * groups on ONE packed long (TPC-H suppkeys stay < 2²² through
+    * sf100) — the wide stage's shuffle key at half width.
     */
   def q280AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mem = table(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= ldt("1997-01-01T00:00:00"))
       .select($"l_suppkey".as("supp"), $"l_partkey".as("part"))
-    graft.api.Graph.adamicAdar(mem, "supp", "part")
+    graft.api.Graph.adamicAdar(mem, "supp", "part", packIds = true)
       .orderBy($"score_e6".desc, $"id_a", $"id_b")
       .limit(15)
       .select($"id_a".as("supp_a"), $"id_b".as("supp_b"), $"n_shared",
@@ -1978,7 +1985,8 @@ object Relational {
   val q280Sql: String =
     """WITH m AS (
       |  SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
-      |  FROM lineitem),
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'),
       |d AS (
       |  SELECT part, CAST(round(1e6 / ln(COUNT(*))) AS BIGINT) AS w_e6
       |  FROM m GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 1000),

@@ -106,6 +106,17 @@ class ModelsGraphSpec extends SparkSpec {
     assert(got(("b", "c")) === ((1L, w3)))
     assert(!got.contains(("a", "d")), "cap must drop the hot item's pairs")
     assert(got.size === 3)
+    // the packed-key fold is a pure shuffle-width optimization: same rows
+    val ids = Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L)
+    val mNum = m.select(
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(ids), $"id").as("id"),
+      $"item")
+    val packed = Graph.adamicAdar(mNum, "id", "item", maxItemDegree = 3,
+        packIds = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(packed === got.map { case ((a, b), v) => ((ids(a), ids(b)), v) })
   }
 
   test("pcaTopComponent: returns the dominant eigenpair of a known matrix") {
