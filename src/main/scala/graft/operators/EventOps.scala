@@ -3978,7 +3978,156 @@ object EventOps {
       |    AS key_share
       |FROM g ORDER BY change_class""".stripMargin
 
+  /** q287: Markov-chain attribution (removal effects, Anderl et al.
+    * 2014) — the principled alternative to q248's first/last-touch
+    * heuristics: user journeys (events up to the first purchase) become
+    * a first-order Markov chain over channel states with START and the
+    * absorbing CONV/NULL; a channel's credit is its REMOVAL EFFECT —
+    * how much conversion reachability disappears when every transition
+    * into that channel is redirected to NULL — normalized into
+    * attribution shares. Reachability is the absorbed CONV mass after 8
+    * walk steps (absorbing self-loops carry converted mass forward;
+    * on journeys this shallow the truncation is exact to ~1e-6). The
+    * ONLY data-sized work is one per-user window pass extracting
+    * transitions; the walk itself is 8 joins over the (variants ×
+    * states) frame — ≤40 rows — computed RELATIONALLY on both engines
+    * (no driver linear algebra), every summand a non-negative product,
+    * so any fold order agrees far below the 1e-6 display rounding.
+    */
+  def q287MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"))
+    val ev = events(spark, dir)
+      .select($"user_id", $"event_type".as("t"), key.as("k"))
+    val fp = ev.filter($"t" === "purchase")
+      .groupBy($"user_id").agg(min($"k").as("fpk"))
+    val kept = ev.join(fp, Seq("user_id"), "left")
+      .filter($"fpk".isNull || $"k" <= $"fpk")
+    val w = Window.partitionBy($"user_id").orderBy($"k")
+    val seq0 = kept
+      .withColumn("nxt", lead($"t", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val mapTo = (c: org.apache.spark.sql.Column) =>
+      when(c === "purchase", "CONV").when(c.isNull, "NULL").otherwise(c)
+    val steps = seq0.filter($"t" =!= "purchase")
+      .select($"t".as("from_s"), mapTo($"nxt").as("to_s"))
+    val starts = seq0.filter($"rn" === 1)
+      .select(lit("START").as("from_s"), mapTo($"t").as("to_s"))
+    val counts = steps.unionByName(starts)
+      .groupBy($"from_s", $"to_s").agg(count(lit(1)).as("n"))
+    val trans = counts
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_s")))
+      .select($"from_s", $"to_s", $"p")
+      .localCheckpoint() // one event pass; everything below is ~40 rows
+    val channels = trans.select($"from_s".as("ch"))
+      .filter($"ch" =!= "START").distinct()
+    val variants = channels.select($"ch".as("variant"))
+      .unionByName(Seq("none").toDF("variant"))
+      .localCheckpoint() // sever the shared lineage with trans (self-join)
+    // removal redirects every transition INTO the removed channel to NULL
+    val transV = variants.crossJoin(trans)
+      .select($"variant", $"from_s",
+        when($"to_s" === $"variant", "NULL").otherwise($"to_s").as("to_s"),
+        $"p")
+      .unionByName(variants.crossJoin(
+        Seq(("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0))
+          .toDF("from_s", "to_s", "p")))
+      .localCheckpoint()
+    var v = variants.select($"variant", lit("START").as("state"),
+      lit(1.0).as("prob"))
+    for (_ <- 1 to 8) {
+      // fresh aliases each round: the walk re-joins the same transition
+      // frame, and new exprIds keep the self-join unambiguous
+      val t = transV.select($"variant".as("tv"), $"from_s".as("tf"),
+        $"to_s".as("tt"), $"p".as("tp"))
+      v = v.join(t, $"variant" === $"tv" && $"state" === $"tf")
+        .groupBy($"variant", $"tt")
+        .agg(sum($"prob" * $"tp").as("prob"))
+        .withColumnRenamed("tt", "state")
+    }
+    val conv = v.filter($"state" === "CONV")
+      .select($"variant", $"prob".as("conv"))
+    val base = conv.filter($"variant" === "none")
+      .select($"conv".as("conv_full"))
+    val eff = conv.filter($"variant" =!= "none").crossJoin(broadcast(base))
+      .withColumn("removal_effect", lit(1.0) - $"conv" / $"conv_full")
+    eff
+      .withColumn("attribution_share", $"removal_effect" /
+        sum($"removal_effect").over(Window.partitionBy()))
+      .select($"variant".as("channel"),
+        round($"conv_full", 6).as("conv_full"),
+        round($"conv", 6).as("conv_removed"),
+        round($"removal_effect", 6).as("removal_effect"),
+        round($"attribution_share", 6).as("attribution_share"))
+      .orderBy($"channel")
+  }
+
+  val q287Sql: String = {
+    val step = (i: Int) => s""",
+      |v$i AS (
+      |  SELECT v.variant, t.to_s AS state, SUM(v.prob * t.p) AS prob
+      |  FROM v${i - 1} v JOIN tv t ON t.variant = v.variant
+      |    AND t.from_s = v.state
+      |  GROUP BY 1, 2)""".stripMargin
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS t,
+      |    printf('%020d', epoch_us(ts)) || printf('%020d', event_id) AS k
+      |  FROM events),
+      |fp AS (
+      |  SELECT user_id, MIN(k) AS fpk FROM ev
+      |  WHERE t = 'purchase' GROUP BY 1),
+      |kept AS (
+      |  SELECT ev.* FROM ev LEFT JOIN fp USING (user_id)
+      |  WHERE fpk IS NULL OR k <= fpk),
+      |sq AS (
+      |  SELECT user_id, t,
+      |    LEAD(t) OVER (PARTITION BY user_id ORDER BY k) AS nxt,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY k) AS rn
+      |  FROM kept),
+      |counts AS (
+      |  SELECT from_s, to_s, COUNT(*) AS n FROM (
+      |    SELECT t AS from_s,
+      |      CASE WHEN nxt = 'purchase' THEN 'CONV'
+      |        WHEN nxt IS NULL THEN 'NULL' ELSE nxt END AS to_s
+      |    FROM sq WHERE t <> 'purchase'
+      |    UNION ALL
+      |    SELECT 'START',
+      |      CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END
+      |    FROM sq WHERE rn = 1)
+      |  GROUP BY 1, 2),
+      |trans AS (
+      |  SELECT from_s, to_s,
+      |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_s) AS p
+      |  FROM counts),
+      |variants AS (
+      |  SELECT DISTINCT from_s AS variant FROM trans WHERE from_s <> 'START'
+      |  UNION ALL SELECT 'none'),
+      |tv AS (
+      |  SELECT variant, from_s,
+      |    CASE WHEN to_s = variant THEN 'NULL' ELSE to_s END AS to_s, p
+      |  FROM variants CROSS JOIN trans
+      |  UNION ALL
+      |  SELECT variant, s, s, 1.0
+      |  FROM variants CROSS JOIN (VALUES ('CONV'), ('NULL')) a(s)),
+      |v0 AS (SELECT variant, 'START' AS state, 1.0 AS prob FROM variants)"""
+      .stripMargin +
+      (1 to 8).map(step).mkString + """
+      |SELECT c.variant AS channel,
+      |  ROUND(b.prob, 6) AS conv_full,
+      |  ROUND(c.prob, 6) AS conv_removed,
+      |  ROUND(1.0 - c.prob / b.prob, 6) AS removal_effect,
+      |  ROUND((1.0 - c.prob / b.prob) / SUM(1.0 - c.prob / b.prob) OVER (), 6)
+      |    AS attribution_share
+      |FROM (SELECT * FROM v8 WHERE state = 'CONV' AND variant <> 'none') c
+      |CROSS JOIN (SELECT prob FROM v8
+      |  WHERE state = 'CONV' AND variant = 'none') b
+      |ORDER BY channel""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q287_markov_attribution" -> (q287MarkovAttribution _),
     "q282_snapshot_diff" -> (q282SnapshotDiff _),
     "q278_quantile_effects" -> (q278QuantileEffects _),
     "q277_propensity_strat" -> (q277PropensityStrat _),
@@ -4052,6 +4201,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q287_markov_attribution" -> q287Sql,
     "q282_snapshot_diff" -> q282Sql,
     "q278_quantile_effects" -> q278Sql,
     "q277_propensity_strat" -> q277Sql,

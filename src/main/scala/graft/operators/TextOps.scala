@@ -2068,6 +2068,104 @@ object TextOps {
       |FROM k ORDER BY rule_a, rule_b""".stripMargin
   }
 
+  /** q288: Heaps-law scaling fit — the learning-curve extrapolation
+    * that pairs with q108 (the raw growth curve) and q274 (the budget
+    * card): vocabulary grows as V(N) ≈ K·N^β, so a log-log OLS over the
+    * cumulative (tokens, vocab) checkpoints yields the exponent, the
+    * fit quality, and — the actionable part — the PREDICTED vocabulary
+    * at 10× and 100× the current corpus, i.e. how much novelty more
+    * data still buys before the curve flattens. The vocabulary is
+    * BIGRAM types (q108's growth curve — the synthetic corpus's unigram
+    * vocabulary saturates inside the first bucket, which would fit a
+    * flat line). Both cumulative series are exact integer window sums
+    * over the ~10-row bucket frame; the OLS moments and the exp/ln
+    * extrapolation are the same textual formula on both engines,
+    * displayed at rounding orders of magnitude above any fold-order
+    * drift. One narrow token-count projection + one bigram explode.
+    */
+  def q288HeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.ShingleFunctions.register(spark)
+    val d = table(spark, dir, "documents")
+    val bt = d.groupBy(expr("doc_id div 50").as("bucket"))
+      .agg(sum(graft.api.Text.tokenCount($"text")).as("toks_b"))
+    val bv = d
+      .select($"doc_id",
+        explode(graft.functions.ShingleFunctions.textShingles($"text", 2))
+          .as("bigram"))
+      .groupBy($"bigram").agg(min($"doc_id").as("fd"))
+      .groupBy(expr("fd div 50").as("bucket"))
+      .agg(count(lit(1)).as("new_v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pts = bt.join(bv, Seq("bucket"), "left")
+      .select($"bucket", $"toks_b", coalesce($"new_v", lit(0L)).as("new_v"))
+      .select(sum($"toks_b").over(w).as("cn"), sum($"new_v").over(w).as("cv"))
+      .select(log($"cn".cast("double")).as("x"),
+        log($"cv".cast("double")).as("y"), $"cn")
+    val m = pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"),
+      max($"cn").as("ntot"))
+    val nD = $"n".cast("double")
+    val beta = (nD * $"sxy" - $"sx" * $"sy") / (nD * $"sxx" - $"sx" * $"sx")
+    val lnk = ($"sy" - beta * $"sx") / nD
+    val r2 = (nD * $"sxy" - $"sx" * $"sy") * (nD * $"sxy" - $"sx" * $"sy") /
+      ((nD * $"sxx" - $"sx" * $"sx") * (nD * $"syy" - $"sy" * $"sy"))
+    def vAt(mult: Double) =
+      exp(lnk + beta * log(lit(mult) * $"ntot".cast("double")))
+    m.select($"n".as("n_points"), $"ntot".as("corpus_tokens"),
+      round(beta, 6).as("beta"),
+      round(exp(lnk), 4).as("k"),
+      round(r2, 6).as("r2"),
+      round(vAt(10.0), 2).as("vocab_at_10x"),
+      round(vAt(100.0), 2).as("vocab_at_100x"))
+  }
+
+  val q288Sql: String =
+    """WITH bt AS (
+      |  SELECT doc_id // 50 AS bucket,
+      |    SUM(len(string_split(text, ' '))) AS toks_b
+      |  FROM documents GROUP BY 1),
+      |bv AS (
+      |  SELECT fd // 50 AS bucket, COUNT(*) AS new_v FROM (
+      |    SELECT bigram, MIN(doc_id) AS fd FROM (
+      |      SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents)
+      |      WHERE len(toks) >= 2)
+      |    GROUP BY bigram)
+      |  GROUP BY 1),
+      |pts AS (
+      |  SELECT
+      |    SUM(toks_b) OVER (ORDER BY bt.bucket) AS cn,
+      |    SUM(COALESCE(new_v, 0)) OVER (ORDER BY bt.bucket) AS cv
+      |  FROM bt LEFT JOIN bv USING (bucket)),
+      |l AS (
+      |  SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, cn
+      |  FROM pts),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+      |    MAX(cn) AS ntot
+      |  FROM l),
+      |f AS (
+      |  SELECT n, ntot,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+      |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS lnk,
+      |    (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  CAST(ntot AS BIGINT) AS corpus_tokens,
+      |  ROUND(beta, 6) AS beta, ROUND(exp(lnk), 4) AS k,
+      |  ROUND(r2, 6) AS r2,
+      |  ROUND(exp(lnk + beta * ln(10.0 * ntot)), 2) AS vocab_at_10x,
+      |  ROUND(exp(lnk + beta * ln(100.0 * ntot)), 2) AS vocab_at_100x
+      |FROM f""".stripMargin
+
   /** q274: compute-optimal token budget (the Chinchilla allocation,
     * Hoffmann et al. 2022) — the planning card that turns corpus stats
     * into the question every pretraining run starts with: for compute
@@ -2120,6 +2218,7 @@ object TextOps {
 
   val queries: Seq[(String, Q)] = Seq(
     "q274_token_budget" -> (q274TokenBudget _),
+    "q288_heaps_fit" -> (q288HeapsFit _),
     "q283_annotator_kappa" -> (q283AnnotatorKappa _),
     "q273_label_model" -> (q273LabelModel _),
     "q269_rake_keywords" -> (q269RakeKeywords _),
@@ -2240,6 +2339,7 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q274_token_budget" -> q274Sql,
+    "q288_heaps_fit" -> q288Sql,
     "q283_annotator_kappa" -> q283Sql,
     "q273_label_model" -> q273Sql,
     "q269_rake_keywords" -> q269Sql,
