@@ -1348,7 +1348,83 @@ object Extended {
       |    AS rows_per_partition
       |FROM u ORDER BY table_name""".stripMargin
 
+  /** q289: zone-map effectiveness — the data-layout decision card that
+    * q245 (how many files) leads into: WHICH sort/cluster key makes
+    * per-file min/max statistics prune shipdate predicates? For each
+    * candidate layout key (shipdate itself, orderkey, partkey) the
+    * lineitem rows are laid into 64 equi-width zones of that key (the
+    * file boundaries a range-write would produce — integer zone
+    * arithmetic, exact on both engines), each zone keeps min/max of the
+    * predicate column, and the expected scan fraction for a uniform
+    * random point predicate is Σ rows_z·span_z / (rows·range) — the
+    * fraction of data a zone-map scan reads. Clustered-by-shipdate
+    * reads ~1/64; an uncorrelated key reads ~everything; the speedup
+    * column is the verdict. One stacked pass (3 layouts × rows), a
+    * 3-row bounds broadcast, 192-row zone folds; the rows·span products
+    * fold as DECIMAL(38,0) (span is epoch-micros-sized — a long
+    * would overflow at real row counts).
+    */
+  def q289ZonemapCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = table(spark, dir, "lineitem")
+      .select(unix_micros($"l_shipdate".cast("timestamp")).as("q"),
+        expr("stack(3, 'shipdate', unix_micros(CAST(l_shipdate AS timestamp)), " +
+          "'orderkey', l_orderkey, 'partkey', l_partkey)")
+          .as(Seq("layout", "k")))
+    val bounds = rows.groupBy($"layout")
+      .agg(min($"k").as("k_min"), max($"k").as("k_max"),
+        min($"q").as("q_min"), max($"q").as("q_max"))
+    val zones = rows.join(broadcast(bounds), Seq("layout"))
+      .withColumn("zone",
+        expr("((k - k_min) * 64) div (k_max - k_min + 1)"))
+      .groupBy($"layout", $"zone")
+      .agg(count(lit(1)).as("n"), min($"q").as("z_min"), max($"q").as("z_max"))
+    zones.join(broadcast(bounds.select($"layout",
+        ($"q_max" - $"q_min").as("q_range"))), Seq("layout"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_zones"), sum($"n").as("n_rows"),
+        sum($"n".cast(dec) * ($"z_max" - $"z_min").cast(dec)).as("mass"),
+        max($"q_range").as("q_range"))
+      .select($"layout", $"n_zones", $"n_rows",
+        round($"mass".cast("double") /
+          ($"n_rows".cast("double") * $"q_range".cast("double")), 6)
+          .as("scan_fraction"),
+        round(($"n_rows".cast("double") * $"q_range".cast("double")) /
+          $"mass".cast("double"), 2).as("skip_speedup"))
+      .orderBy($"layout")
+  }
+
+  val q289Sql: String =
+    """WITH r AS (
+      |  SELECT epoch_us(l_shipdate) AS q, layout, k FROM (
+      |    SELECT l_shipdate,
+      |      unnest(['shipdate', 'orderkey', 'partkey']) AS layout,
+      |      unnest([epoch_us(l_shipdate), l_orderkey, l_partkey]) AS k
+      |    FROM lineitem)),
+      |b AS (
+      |  SELECT layout, MIN(k) AS k_min, MAX(k) AS k_max,
+      |    MIN(q) AS q_min, MAX(q) AS q_max
+      |  FROM r GROUP BY 1),
+      |z AS (
+      |  SELECT r.layout, ((k - k_min) * 64) // (k_max - k_min + 1) AS zone,
+      |    COUNT(*) AS n, MIN(q) AS z_min, MAX(q) AS z_max
+      |  FROM r JOIN b USING (layout) GROUP BY 1, 2),
+      |g AS (
+      |  SELECT z.layout, COUNT(*) AS n_zones, SUM(n) AS n_rows,
+      |    SUM(CAST(n AS HUGEINT) * (z_max - z_min)) AS mass,
+      |    MAX(q_max - q_min) AS q_range
+      |  FROM z JOIN b USING (layout) GROUP BY 1)
+      |SELECT layout, CAST(n_zones AS BIGINT) AS n_zones,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  ROUND(CAST(mass AS DOUBLE)
+      |    / (CAST(n_rows AS DOUBLE) * q_range), 6) AS scan_fraction,
+      |  ROUND((CAST(n_rows AS DOUBLE) * q_range)
+      |    / CAST(mass AS DOUBLE), 2) AS skip_speedup
+      |FROM g ORDER BY layout""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q289_zonemap_card" -> (q289ZonemapCard _),
     "q245_storage_planner" -> (q245StoragePlanner _),
     "q194_column_profile" -> (q194ColumnProfile _),
     "q159_ols_regression" -> (q159OlsRegression _),
@@ -1376,6 +1452,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q289_zonemap_card" -> q289Sql,
     "q245_storage_planner" -> q245Sql,
     "q194_column_profile" -> q194Sql,
     "q159_ols_regression" -> q159Sql,
