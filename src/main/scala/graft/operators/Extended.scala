@@ -1423,7 +1423,109 @@ object Extended {
       |    / CAST(mass AS DOUBLE), 2) AS skip_speedup
       |FROM g ORDER BY layout""".stripMargin
 
+  /** q290: join-cardinality estimation audit — the optimizer-diagnostics
+    * card: how far off would a planner's equi-join size estimate be on a
+    * SKEWED key, and how much of the error do most-common-value (MCV)
+    * statistics recover? Purchase and view events join on a
+    * deliberately skewed derived key (floor(√value): density grows
+    * linearly across ~10 buckets). Three rows: the UNIFORM estimate
+    * |A|·|B|/max(ndv) (what a planner without histograms assumes), the
+    * MCV-corrected estimate (exact products over the top-5 values from
+    * both sides + uniform remainder — the Postgres eqjoinsel shape),
+    * and the ACTUAL Σ cA(k)·cB(k), each with its q-error. Everything is
+    * exact integer counts until the final q-error division; the MCV
+    * cut is a rank-5 window on the ≤|key-domain| count frames. One
+    * event pass, two bounded aggregates.
+    */
+  def q290JoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keyed = events(spark, dir)
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_type", floor(sqrt($"value")).cast("long").as("k"))
+    val counts = keyed.groupBy($"event_type", $"k")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    def side(t: String) = counts.filter($"event_type" === t)
+      .select($"k", $"c",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"c".desc, $"k")).as("rk"))
+    val a = side("purchase"); val b = side("view")
+    val joined = a.select($"k", $"c".as("ca"), $"rk".as("rka"))
+      .join(b.select($"k", $"c".as("cb"), $"rk".as("rkb")), Seq("k"), "full")
+    val m = joined.agg(
+      sum(coalesce($"ca", lit(0L)).cast(dec) *
+        coalesce($"cb", lit(0L)).cast(dec)).as("actual"),
+      sum(when($"rka" <= 5 && $"rkb" <= 5,
+        $"ca".cast(dec) * $"cb".cast(dec)).otherwise(lit(0).cast(dec)))
+        .as("mcv_exact"),
+      sum(coalesce($"ca", lit(0L))).as("tot_a"),
+      sum(coalesce($"cb", lit(0L))).as("tot_b"),
+      sum(when($"rka" <= 5, $"ca").otherwise(0L)).as("mcv_a"),
+      sum(when($"rkb" <= 5, $"cb").otherwise(0L)).as("mcv_b"),
+      count($"ca").as("ndv_a"), count($"cb").as("ndv_b"))
+    val estU = $"tot_a".cast("double") * $"tot_b".cast("double") /
+      greatest($"ndv_a", $"ndv_b").cast("double")
+    val restNdv = greatest($"ndv_a" - 5, $"ndv_b" - 5, lit(1L)).cast("double")
+    val estM = $"mcv_exact".cast("double") +
+      ($"tot_a" - $"mcv_a").cast("double") *
+        ($"tot_b" - $"mcv_b").cast("double") / restNdv
+    val act = $"actual".cast("double")
+    def qerr(est: Column) =
+      round(greatest(est / act, act / est), 4)
+    val wide = m.select(act.as("actual"), estU.as("u"), estM.as("mc"))
+    wide.select(
+        expr("stack(3, 'actual', actual, 'mcv', mc, 'uniform', u)")
+          .as(Seq("estimator", "est_raw")),
+        $"actual")
+      .select($"estimator", round($"est_raw", 2).as("est_rows"),
+        qerr($"est_raw").as("q_error"))
+      .orderBy($"estimator")
+  }
+
+  val q290Sql: String =
+    """WITH keyed AS (
+      |  SELECT event_type, CAST(FLOOR(sqrt(value)) AS BIGINT) AS k
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |counts AS (
+      |  SELECT event_type, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2),
+      |a AS (
+      |  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk
+      |  FROM counts WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rk
+      |  FROM counts WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT a.k AS ka, b.k AS kb, a.c AS ca, b.c AS cb,
+      |    a.rk AS rka, b.rk AS rkb
+      |  FROM a FULL JOIN b ON b.k = a.k),
+      |m AS (
+      |  SELECT
+      |    SUM(CAST(COALESCE(ca, 0) AS HUGEINT) * COALESCE(cb, 0)) AS actual,
+      |    SUM(CASE WHEN rka <= 5 AND rkb <= 5
+      |      THEN CAST(ca AS HUGEINT) * cb ELSE 0 END) AS mcv_exact,
+      |    SUM(COALESCE(ca, 0)) AS tot_a, SUM(COALESCE(cb, 0)) AS tot_b,
+      |    SUM(CASE WHEN rka <= 5 THEN ca ELSE 0 END) AS mcv_a,
+      |    SUM(CASE WHEN rkb <= 5 THEN cb ELSE 0 END) AS mcv_b,
+      |    COUNT(ca) AS ndv_a, COUNT(cb) AS ndv_b
+      |  FROM j),
+      |w AS (
+      |  SELECT CAST(actual AS DOUBLE) AS actual,
+      |    CAST(tot_a AS DOUBLE) * tot_b
+      |      / GREATEST(ndv_a, ndv_b) AS u,
+      |    CAST(mcv_exact AS DOUBLE)
+      |      + CAST(tot_a - mcv_a AS DOUBLE) * (tot_b - mcv_b)
+      |        / GREATEST(ndv_a - 5, ndv_b - 5, 1) AS mc
+      |  FROM m),
+      |s AS (
+      |  SELECT 'actual' AS estimator, actual AS est_raw, actual FROM w
+      |  UNION ALL SELECT 'mcv', mc, actual FROM w
+      |  UNION ALL SELECT 'uniform', u, actual FROM w)
+      |SELECT estimator, ROUND(est_raw, 2) AS est_rows,
+      |  ROUND(GREATEST(est_raw / actual, actual / est_raw), 4) AS q_error
+      |FROM s ORDER BY estimator""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q290_join_estimate" -> (q290JoinEstimate _),
     "q289_zonemap_card" -> (q289ZonemapCard _),
     "q245_storage_planner" -> (q245StoragePlanner _),
     "q194_column_profile" -> (q194ColumnProfile _),
@@ -1452,6 +1554,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q290_join_estimate" -> q290Sql,
     "q289_zonemap_card" -> q289Sql,
     "q245_storage_planner" -> q245Sql,
     "q194_column_profile" -> q194Sql,
