@@ -3643,22 +3643,30 @@ object EventOps {
     */
   def q275SrmCheck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val perUser = events(spark, dir)
-      .select($"user_id", expr("ts div 86400000000000").as("day"))
-      .groupBy($"user_id").agg(min($"day").as("first_day"))
-      .withColumn("is_a", knuthUniform($"user_id") < 0.5)
+    srmFromFirstDays(
+      events(spark, dir)
+        .select($"user_id", expr("ts div 86400000000000").as("day"))
+        .groupBy($"user_id").agg(min($"day").as("first_day")))
+  }
+
+  /** The q275 readout over a (user_id, first_day) enrollment frame —
+    * shared with the live monitor ([[graft.streaming.StreamOps]]
+    * srmReport), so stream == batch is an identity, not a convention.
+    */
+  def srmFromFirstDays(perUser: DataFrame): DataFrame = {
     val byWeek = perUser
+      .withColumn("is_a", knuthUniform(col("user_id")) < 0.5)
       .withColumn("week", expr("first_day div 7"))
-      .groupBy($"week")
-      .agg(sum(when($"is_a", 1L).otherwise(0L)).as("n_a"),
-        sum(when(!$"is_a", 1L).otherwise(0L)).as("n_b"))
-    val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+      .groupBy(col("week"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val chi2 = (na - nb) * (na - nb) / (na + nb)
-    byWeek.select($"week", $"n_a", $"n_b",
+    byWeek.select(col("week"), col("n_a"), col("n_b"),
       round(na / (na + nb), 6).as("ratio_a"),
       round(chi2, 4).as("chi2"),
       (chi2 > 10.828).as("srm_flag"))
-      .orderBy($"week")
+      .orderBy(col("week"))
   }
 
   val q275Sql: String =

@@ -280,6 +280,35 @@ object StreamOps {
         keyCol, dayCol, batchId)
     }
 
+  /** Live sample-ratio-mismatch monitor, ingest side — the streaming
+    * twin of the q275 SRM audit, the alarm every experimentation
+    * platform wants DURING the ramp, not after: each micro-batch
+    * appends its per-user min first-day candidates (the same mergeable
+    * first-seen table as [[growthIngestStream]], replay-idempotent), so
+    * enrollment dedup across batches is a MIN merge, never user-level
+    * operator state. State: |users| × |batches| rows — never the
+    * events. Returns the configured writer; the caller sets
+    * checkpoint/trigger options and `.start()`.
+    */
+  def srmIngestStream(events: DataFrame, path: String, userCol: String,
+      dayCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.api.Stats.appendFirstSeenIdempotent(batch.toDF(), path,
+        userCol, dayCol, batchId)
+    }
+
+  /** Read side of the live SRM monitor: MIN-merge the first-seen
+    * candidates back to true per-user enrollment days and run the SAME
+    * [[graft.operators.EventOps.srmFromFirstDays]] readout as the batch
+    * q275 card — stream == batch is the min-merge identity. Reads only
+    * the candidate table.
+    */
+  def srmReport(spark: SparkSession, path: String): DataFrame =
+    graft.operators.EventOps.srmFromFirstDays(
+      spark.read.parquet(path)
+        .groupBy(col("k").as("user_id"))
+        .agg(min(col("first_day")).as("first_day")))
+
   /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
     * for discrete columns: each micro-batch appends its per-category
     * counts (replay-idempotent) against a frozen

@@ -1141,6 +1141,44 @@ class StreamOpsSpec extends SparkSpec {
       "replayed batchId must not append")
   }
 
+  test("srmIngestStream: min-merged enrollment reproduces the batch SRM card; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("srm-stream").toString
+    val path = s"$base/first_seen"
+
+    // user 1 reappears in batch 2 with an EARLIER day (out-of-order
+    // delivery) — its enrollment week must move back, not double-count
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.srmIngestStream(mem.toDF()
+      .select($"k".cast("long").as("user_id"), $"v".cast("long").as("day")),
+      path, "user_id", "day").start()
+    mem.addData(KV("1", 9.0), KV("2", 8.0), KV("3", 15.0))
+    q.processAllAvailable()
+    mem.addData(KV("1", 2.0), KV("4", 16.0), KV("2", 20.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = StreamOps.srmReport(spark, path).collect()
+    // batch twin over the union of all delivered events
+    val batch = graft.operators.EventOps.srmFromFirstDays(
+      Seq((1L, 9L), (2L, 8L), (3L, 15L), (1L, 2L), (4L, 16L), (2L, 20L))
+        .toDF("user_id", "day")
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.min($"day").as("first_day")))
+      .collect()
+    assert(got.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // weeks present: user1→day2→week0, user2→day8→week1, user3/4→week2
+    assert(got.map(_.getAs[Long]("week")).toSet === Set(0L, 1L, 2L))
+    assert(got.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum === 4L)
+
+    val before = spark.read.parquet(path).count()
+    graft.api.Stats.appendFirstSeenIdempotent(
+      Seq((9L, 1L)).toDF("user_id", "day"), path, "user_id", "day",
+      batchId = 0L)
+    assert(spark.read.parquet(path).count() === before,
+      "replayed batchId must not append")
+  }
+
   test("psiIngestStream: frozen-edge bin counts merge across batches; report matches brute force; replay appends once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("psi-stream").toString
