@@ -4128,7 +4128,97 @@ object EventOps {
       |ORDER BY channel""".stripMargin
   }
 
+  /** q291: point-in-time training-set assembly — the feature-store
+    * correctness pattern under every supervised pipeline: each label
+    * event (a purchase, labeled by its value) is joined to features
+    * computed STRICTLY BEFORE it — 7-day click/view counts and the last
+    * feature-event type — via one value-ranged window whose frame ends
+    * at `-1 ms` (the point-in-time cut), never a self-join of events to
+    * events. The leakage guard re-derives the newest feature timestamp
+    * per example and counts violations of feature_ts < label_ts — the
+    * assembled card proves 0, and any refactor that breaks the frame
+    * bound shows up as a nonzero row, not a silent model-quality drop.
+    * One window pass over the event scan, then a channel-bounded fold.
+    */
+  def q291TrainingAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val isFeature = $"event_type" =!= "purchase"
+    val key = concat(lpad($"ts_ms".cast("string"), 13, "0"),
+      lpad($"event_id".cast("string"), 12, "0"), $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
+      .rangeBetween(-7L * 24 * 3600 * 1000, -1L)
+    val enriched = events(spark, dir)
+      .select($"event_type", $"value", $"ts_ms",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w)
+          .as("clicks_7d"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).over(w)
+          .as("views_7d"),
+        max(when(isFeature, key)).over(w).as("last_key"))
+    val examples = enriched.filter($"event_type" === "purchase")
+      .select(
+        coalesce(substring($"last_key", 26, 100), lit("cold_start"))
+          .as("last_feature_type"),
+        $"clicks_7d", $"views_7d",
+        round($"value" * 100.0).cast("long").as("label_cents"),
+        when($"last_key".isNotNull &&
+          substring($"last_key", 1, 13).cast("long") >= $"ts_ms", 1L)
+          .otherwise(0L).as("leak"))
+    examples.groupBy($"last_feature_type")
+      .agg(count(lit(1)).as("n_examples"),
+        sum($"clicks_7d").as("sum_clicks"),
+        sum($"views_7d").as("sum_views"),
+        sum($"label_cents").as("sum_cents"),
+        sum($"leak").as("leakage_violations"))
+      .select($"last_feature_type", $"n_examples",
+        round($"sum_clicks".cast("double") / $"n_examples", 4)
+          .as("avg_clicks_7d"),
+        round($"sum_views".cast("double") / $"n_examples", 4)
+          .as("avg_views_7d"),
+        round($"sum_cents".cast("double") / $"n_examples" / 100.0, 4)
+          .as("avg_label_usd"),
+        $"leakage_violations")
+      .orderBy($"last_feature_type")
+  }
+
+  val q291Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |k AS (
+      |  SELECT *,
+      |    lpad(CAST(ts_ms AS VARCHAR), 13, '0')
+      |      || lpad(CAST(event_id AS VARCHAR), 12, '0') || event_type AS key
+      |  FROM e),
+      |t AS (
+      |  SELECT event_type, value, ts_ms,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+      |      AS clicks_7d,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+      |      AS views_7d,
+      |    MAX(CASE WHEN event_type <> 'purchase' THEN key END) OVER w
+      |      AS last_key
+      |  FROM k
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+      |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)),
+      |ex AS (
+      |  SELECT COALESCE(substring(last_key, 26), 'cold_start')
+      |      AS last_feature_type,
+      |    clicks_7d, views_7d,
+      |    CAST(round(value * 100.0) AS BIGINT) AS label_cents,
+      |    CASE WHEN last_key IS NOT NULL
+      |      AND CAST(substring(last_key, 1, 13) AS BIGINT) >= ts_ms
+      |      THEN 1 ELSE 0 END AS leak
+      |  FROM t WHERE event_type = 'purchase')
+      |SELECT last_feature_type, CAST(COUNT(*) AS BIGINT) AS n_examples,
+      |  ROUND(CAST(SUM(clicks_7d) AS DOUBLE) / COUNT(*), 4) AS avg_clicks_7d,
+      |  ROUND(CAST(SUM(views_7d) AS DOUBLE) / COUNT(*), 4) AS avg_views_7d,
+      |  ROUND(CAST(SUM(label_cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+      |    AS avg_label_usd,
+      |  CAST(SUM(leak) AS BIGINT) AS leakage_violations
+      |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q291_training_assembly" -> (q291TrainingAssembly _),
     "q287_markov_attribution" -> (q287MarkovAttribution _),
     "q282_snapshot_diff" -> (q282SnapshotDiff _),
     "q278_quantile_effects" -> (q278QuantileEffects _),
@@ -4203,6 +4293,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q291_training_assembly" -> q291Sql,
     "q287_markov_attribution" -> q287Sql,
     "q282_snapshot_diff" -> q282Sql,
     "q278_quantile_effects" -> q278Sql,

@@ -2000,7 +2000,98 @@ object Relational {
       |  CAST(score_e6 AS DOUBLE) / 1e6 AS aa_score
       |FROM p ORDER BY score_e6 DESC, supp_a, supp_b LIMIT 15""".stripMargin
 
+  /** q292: deterministic negative sampling — the contrastive-pair
+    * builder recommender and embedding training both need: for every
+    * observed (customer, part) positive, K=3 candidate negatives drawn
+    * by the suite's Knuth hash over the (customer, part, draw) triple
+    * mapped into the part domain — reproducible on any engine, no RNG
+    * state — then audited against the positives with a keyed join (a
+    * drawn "negative" the customer actually bought is a COLLISION and
+    * must be rejected). The card reports, per draw index, the collision
+    * count/rate against the analytic expectation (customer degree /
+    * |parts|) and the surviving negative count — the knobs that decide
+    * whether K draws suffice after rejection. Everything is integer
+    * hashing and exact counts; the audit join is keyed on (customer,
+    * part), never a cross of candidates × positives.
+    */
+  def q292NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val positives = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+      .distinct()
+      .localCheckpoint() // feeds draws AND the collision audit
+    val nParts = rawTable(spark, dir, "part").count()
+    // integer Knuth hash of the (cust, part, draw) triple -> part domain
+    def knuthLong(k: org.apache.spark.sql.Column) = {
+      val x = pmod(k, lit(4294967296L))
+      val lo = pmod(x, lit(65536L))
+      val hi = ((x - lo) / lit(65536L)).cast("long")
+      pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
+        lo * 2654435761L, lit(4294967296L))
+    }
+    val draws = positives
+      .crossJoin(Seq(1L, 2L, 3L).toDF("draw"))
+      .withColumn("neg_part", lit(1L) +
+        pmod(knuthLong($"cust" * 1000003L + $"part" * 31L + $"draw"),
+          lit(nParts)))
+    val audited = draws
+      .join(positives.select($"cust", $"part".as("neg_part"),
+        lit(1L).as("hit")), Seq("cust", "neg_part"), "left")
+    val deg = positives.groupBy($"cust").agg(count(lit(1)).as("d"))
+      .agg(sum($"d").as("sum_d"), count(lit(1)).as("n_cust"))
+    audited.groupBy($"draw")
+      .agg(count(lit(1)).as("n_drawn"),
+        sum(coalesce($"hit", lit(0L))).as("n_collisions"),
+        countDistinct(when($"hit".isNull, $"neg_part")).as("n_neg_parts"))
+      .crossJoin(broadcast(deg))
+      .select($"draw", $"n_drawn", $"n_collisions",
+        round($"n_collisions".cast("double") / $"n_drawn", 6)
+          .as("collision_rate"),
+        round($"sum_d".cast("double") / $"n_cust" / lit(nParts.toDouble), 6)
+          .as("expected_rate"),
+        ($"n_drawn" - $"n_collisions").as("n_clean_negatives"),
+        $"n_neg_parts")
+      .orderBy($"draw")
+  }
+
+  val q292Sql: String =
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |np AS (SELECT COUNT(*) AS n_parts FROM part),
+      |draws AS (
+      |  SELECT cust, part, d.draw,
+      |    1 + (CAST(((((x // 65536) * 2654435761) % 65536) * 65536
+      |        + (x % 65536) * 2654435761) % 4294967296 AS BIGINT)
+      |      % n_parts) AS neg_part
+      |  FROM (SELECT cust, part, draw,
+      |      ((cust * 1000003 + part * 31 + draw) % 4294967296
+      |        + 4294967296) % 4294967296 AS x
+      |    FROM pos CROSS JOIN (VALUES (1), (2), (3)) d(draw)) d
+      |  CROSS JOIN np),
+      |aud AS (
+      |  SELECT d.draw, d.neg_part,
+      |    CASE WHEN p.part IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM draws d LEFT JOIN pos p
+      |    ON p.cust = d.cust AND p.part = d.neg_part),
+      |deg AS (
+      |  SELECT SUM(d) AS sum_d, COUNT(*) AS n_cust
+      |  FROM (SELECT cust, COUNT(*) AS d FROM pos GROUP BY 1))
+      |SELECT CAST(draw AS BIGINT) AS draw,
+      |  CAST(COUNT(*) AS BIGINT) AS n_drawn,
+      |  CAST(SUM(hit) AS BIGINT) AS n_collisions,
+      |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS collision_rate,
+      |  ROUND(CAST(sum_d AS DOUBLE) / n_cust
+      |    / (SELECT n_parts FROM np), 6) AS expected_rate,
+      |  CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_clean_negatives,
+      |  CAST(COUNT(DISTINCT CASE WHEN hit = 0 THEN neg_part END) AS BIGINT)
+      |    AS n_neg_parts
+      |FROM aud CROSS JOIN deg
+      |GROUP BY draw, sum_d, n_cust ORDER BY draw""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q292_negative_sampling" -> (q292NegativeSampling _),
     "q280_adamic_adar" -> (q280AdamicAdar _),
     "q279_assoc_rules" -> (q279AssocRules _),
     "q253_shipping_priority" -> (q253ShippingPriority _),
@@ -2062,6 +2153,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q292_negative_sampling" -> q292Sql,
     "q280_adamic_adar" -> q280Sql,
     "q279_assoc_rules" -> q279Sql,
     "q253_shipping_priority" -> q253Sql,

@@ -414,7 +414,98 @@ object SamplingOps {
       |  ROUND(wmax / sw, 6) AS top_weight_share
       |FROM g ORDER BY source""".stripMargin
 
+  /** q293: quality-greedy mixture under a token budget — the allocation
+    * card that closes the loop from q96 (temperature weights) and q274
+    * (how many tokens the model needs): given a budget of 40% of the
+    * corpus, fill it greedily from the highest-quality sources (the q35
+    * per-doc score averaged per source), taking the boundary source
+    * fractionally — the classic knapsack-with-divisible-items optimum.
+    * Sources rank by their ROUNDED quality (ties to the source name),
+    * so the greedy order is engine-stable; allocations are exact longs
+    * (the budget is an integer floor, each take a min/greatest over
+    * longs); the realized-vs-corpus quality delta is the card's
+    * verdict. One doc-level aggregate to ≤|sources| rows, then window
+    * cumsums over that bounded frame.
+    */
+  def q293BudgetedMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSource = table(spark, dir, "documents")
+      .select($"source", graft.api.Text.tokenCount($"text").as("nt"),
+        graft.api.Text.qualityScore($"text").as("q"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("tokens"), count(lit(1)).as("n_docs"),
+        round(avg($"q"), 6).as("avg_quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"avg_quality".desc, $"source")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy($"avg_quality".desc, $"source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = perSource
+      .withColumn("rank", row_number().over(w))
+      .withColumn("budget",
+        floor(sum($"tokens").over(all) * 0.4).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum($"tokens").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least($"tokens", $"budget" - $"cum_before")))
+    ranked
+      .withColumn("realized_quality", round(
+        sum($"alloc_tokens".cast("double") * $"avg_quality").over(all) /
+          sum($"alloc_tokens").over(all), 6))
+      .withColumn("corpus_quality", round(
+        sum($"tokens".cast("double") * $"avg_quality").over(all) /
+          sum($"tokens").over(all), 6))
+      .select($"rank", $"source", $"n_docs", $"tokens", $"avg_quality",
+        $"alloc_tokens",
+        round($"alloc_tokens".cast("double") / $"budget", 6)
+          .as("alloc_share"),
+        $"realized_quality", $"corpus_quality")
+      .orderBy($"rank")
+  }
+
+  val q293Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+      |        * 0.5
+      |      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) * 0.3
+      |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) * 0.2 AS q
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, SUM(nt) AS tokens, COUNT(*) AS n_docs,
+      |    ROUND(AVG(q), 6) AS avg_quality
+      |  FROM d GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY avg_quality DESC, source) AS rank,
+      |    CAST(FLOOR(SUM(tokens) OVER () * 0.4) AS BIGINT) AS budget,
+      |    COALESCE(SUM(tokens) OVER (ORDER BY avg_quality DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM s),
+      |a AS (
+      |  SELECT *,
+      |    GREATEST(0, LEAST(tokens, budget - cum_before)) AS alloc_tokens
+      |  FROM r)
+      |SELECT CAST(rank AS BIGINT) AS rank, source,
+      |  CAST(n_docs AS BIGINT) AS n_docs, CAST(tokens AS BIGINT) AS tokens,
+      |  avg_quality, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+      |  ROUND(CAST(alloc_tokens AS DOUBLE) / budget, 6) AS alloc_share,
+      |  ROUND(SUM(CAST(alloc_tokens AS DOUBLE) * avg_quality) OVER ()
+      |    / SUM(alloc_tokens) OVER (), 6) AS realized_quality,
+      |  ROUND(SUM(CAST(tokens AS DOUBLE) * avg_quality) OVER ()
+      |    / SUM(tokens) OVER (), 6) AS corpus_quality
+      |FROM a ORDER BY rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q293_budgeted_mixture" -> (q293BudgetedMixture _),
     "q284_ess_card" -> (q284EssCard _),
     "q154_weighted_sample" -> (q154WeightedSample _),
     "q145_source_quota" -> (q145SourceQuota _),
@@ -427,6 +518,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q293_budgeted_mixture" -> q293Sql,
     "q284_ess_card" -> q284Sql,
     "q154_weighted_sample" -> q154Sql,
     "q145_source_quota" -> q145Sql,
