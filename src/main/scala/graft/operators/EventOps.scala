@@ -4217,7 +4217,92 @@ object EventOps {
       |  CAST(SUM(leak) AS BIGINT) AS leakage_violations
       |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q295: anomaly slice attribution — the drill-down that follows a
+    * q211-style volume alarm: WHICH slice caused the spike? The flagged
+    * day is the one whose total deviates most from the all-days mean
+    * (ties to the earlier day); every (event_type × value-band) slice
+    * is then scored by its EXCESS over its own other-days baseline, and
+    * excesses are normalized into contribution shares — the "the spike
+    * is 40% error events in the high-value band" readout an on-call
+    * pages through. All counts are exact integers; baselines are
+    * single-division rationals; one grouped pass to the ≤(days ×
+    * slices) frame, a window argmax over days, and a slice-bounded
+    * fold. Top-10 slices by absolute excess.
+    */
+  def q295AnomalySlices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"), $"event_type",
+        when($"value" >= 50.0, "high").otherwise("low").as("band"))
+      .groupBy($"day", $"event_type", $"band")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded: days x types x 2 bands
+    val days = cells.groupBy($"day").agg(sum($"n").as("day_total"))
+    val nDays = days.agg(count(lit(1)).as("n_days"),
+      sum($"day_total").as("grand"))
+    val flagged = days.crossJoin(broadcast(nDays))
+      .withColumn("dev", abs($"day_total".cast("double") -
+        ($"grand" - $"day_total").cast("double") / ($"n_days" - 1.0)))
+      .orderBy($"dev".desc, $"day").limit(1)
+      .select($"day".as("flag_day"), $"day_total", $"n_days")
+    val slices = cells.groupBy($"event_type", $"band")
+      .agg(sum($"n").as("slice_total")).localCheckpoint()
+    val dayCells = cells.join(broadcast(flagged), $"day" === $"flag_day")
+    val scored = slices
+      .join(dayCells.select($"event_type", $"band", $"n".as("day_n"),
+        $"flag_day", $"n_days"), Seq("event_type", "band"), "left")
+      .na.fill(0L, Seq("day_n"))
+      .withColumn("baseline", ($"slice_total" - $"day_n").cast("double") /
+        (max($"n_days").over(Window.partitionBy()) - lit(1.0)))
+      .withColumn("excess", $"day_n".cast("double") - $"baseline")
+    scored
+      .withColumn("share", $"excess" /
+        sum(abs($"excess")).over(Window.partitionBy()))
+      .select(max($"flag_day").over(Window.partitionBy()).as("flag_day"),
+        $"event_type", $"band", $"day_n",
+        round($"baseline", 4).as("baseline"),
+        round($"excess", 4).as("excess"),
+        round($"share", 6).as("contribution_share"))
+      .orderBy(abs($"excess").desc, $"event_type", $"band")
+      .limit(10)
+  }
+
+  val q295Sql: String =
+    """WITH cells AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |    CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS band,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |days AS (SELECT day, SUM(n) AS day_total FROM cells GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_days, SUM(day_total) AS grand FROM days),
+      |flag AS (
+      |  SELECT day AS flag_day, n_days FROM days CROSS JOIN nd
+      |  ORDER BY abs(CAST(day_total AS DOUBLE)
+      |    - CAST(grand - day_total AS DOUBLE) / (n_days - 1.0)) DESC, day
+      |  LIMIT 1),
+      |sl AS (
+      |  SELECT event_type, band, SUM(n) AS slice_total
+      |  FROM cells GROUP BY 1, 2),
+      |dc AS (
+      |  SELECT c.event_type, c.band, c.n AS day_n, f.flag_day, f.n_days
+      |  FROM cells c JOIN flag f ON c.day = f.flag_day),
+      |sc AS (
+      |  SELECT sl.event_type, sl.band,
+      |    COALESCE(dc.day_n, 0) AS day_n,
+      |    CAST(sl.slice_total - COALESCE(dc.day_n, 0) AS DOUBLE)
+      |      / (MAX(COALESCE(dc.n_days, 0)) OVER () - 1.0) AS baseline,
+      |    COALESCE(dc.day_n, 0)
+      |      - CAST(sl.slice_total - COALESCE(dc.day_n, 0) AS DOUBLE)
+      |        / (MAX(COALESCE(dc.n_days, 0)) OVER () - 1.0) AS excess,
+      |    MAX(COALESCE(dc.flag_day, 0)) OVER () AS flag_day
+      |  FROM sl LEFT JOIN dc USING (event_type, band))
+      |SELECT flag_day, event_type, band, CAST(day_n AS BIGINT) AS day_n,
+      |  ROUND(baseline, 4) AS baseline, ROUND(excess, 4) AS excess,
+      |  ROUND(excess / SUM(abs(excess)) OVER (), 6) AS contribution_share
+      |FROM sc ORDER BY abs(excess) DESC, event_type, band LIMIT 10""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q295_anomaly_slices" -> (q295AnomalySlices _),
     "q291_training_assembly" -> (q291TrainingAssembly _),
     "q287_markov_attribution" -> (q287MarkovAttribution _),
     "q282_snapshot_diff" -> (q282SnapshotDiff _),
@@ -4293,6 +4378,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q295_anomaly_slices" -> q295Sql,
     "q291_training_assembly" -> q291Sql,
     "q287_markov_attribution" -> q287Sql,
     "q282_snapshot_diff" -> q282Sql,

@@ -2090,7 +2090,117 @@ object Relational {
       |FROM aud CROSS JOIN deg
       |GROUP BY draw, sum_d, n_cust ORDER BY draw""".stripMargin
 
+  /** q294: offline recommender evaluation under a temporal split — the
+    * card that turns q279's association mining into a measured model:
+    * co-occurrence counts from orders BEFORE 1999 build a "customers
+    * who bought X also bought" map (argmax complement per brand, ties
+    * to the brand name), and orders AFTER the cutoff score it — a
+    * prediction per (test basket, brand) counts as a hit when the
+    * recommended complement really is in the basket. The popularity
+    * baseline (always recommend the train-period top brand) is
+    * evaluated on the SAME opportunities, so the lift column isolates
+    * what co-occurrence learning adds over "recommend the bestseller".
+    * Temporal split — never random — because that is the only honest
+    * protocol for a deployed recommender. Counts are exact integers;
+    * the pair build is the q279 order-keyed shape; the rec map and the
+    * baseline broadcast back into the test scan.
+    */
+  def q294RecoEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = ldt("1999-01-01T00:00:00")
+    val baskets = table(spark, dir, "orders")
+      .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(table(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"o_orderkey".as("oid"), $"p_brand".as("item"),
+        ($"o_orderdate" < cutoff).as("is_train"))
+      .distinct()
+      .localCheckpoint() // feeds pair build, popularity, and scoring
+    val train = baskets.filter($"is_train")
+    val pairs = train.select($"oid", $"item".as("a"))
+      .join(train.select($"oid", $"item".as("b")), Seq("oid"))
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+    val rec = pairs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"a")
+          .orderBy($"sup".desc, $"b")))
+      .filter($"rn" === 1).select($"a", $"b".as("rec_b"))
+    val pop = train.groupBy($"item").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"item").limit(1)
+      .select($"item".as("pop_b"))
+    val test = baskets.filter(!$"is_train")
+    val scored = test.select($"oid", $"item".as("a"))
+      .join(broadcast(rec), Seq("a"))
+      .crossJoin(broadcast(pop))
+      .join(test.select($"oid", $"item".as("rec_b"), lit(1L).as("hit")),
+        Seq("oid", "rec_b"), "left")
+      .join(test.select($"oid", $"item".as("pop_b"), lit(1L).as("pop_in")),
+        Seq("oid", "pop_b"), "left")
+    val m = scored.agg(
+      countDistinct($"oid").as("n_test_baskets"),
+      count(lit(1)).as("n_preds"),
+      sum(coalesce($"hit", lit(0L))).as("n_hits"),
+      sum(when($"pop_b" =!= $"a", coalesce($"pop_in", lit(0L)))
+        .otherwise(0L)).as("n_pop_hits"),
+      countDistinct($"rec_b").as("n_rec_targets"))
+      .crossJoin(broadcast(
+        train.agg(countDistinct($"item").as("n_train_items"))))
+    m.select($"n_test_baskets", $"n_preds", $"n_hits",
+      round($"n_hits".cast("double") / $"n_preds", 6).as("hit_rate"),
+      round($"n_pop_hits".cast("double") / $"n_preds", 6).as("pop_hit_rate"),
+      round($"n_hits".cast("double") / $"n_pop_hits", 4).as("lift_vs_pop"),
+      round($"n_rec_targets".cast("double") / $"n_train_items", 6)
+        .as("rec_coverage"))
+  }
+
+  val q294Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT o_orderkey AS oid, p_brand AS item,
+      |    o_orderdate < TIMESTAMP '1999-01-01 00:00:00' AS is_train
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |tr AS (SELECT oid, item FROM b WHERE is_train),
+      |te AS (SELECT oid, item FROM b WHERE NOT is_train),
+      |p AS (
+      |  SELECT x.item AS a, y.item AS bb, COUNT(*) AS sup
+      |  FROM tr x JOIN tr y ON y.oid = x.oid AND y.item <> x.item
+      |  GROUP BY 1, 2),
+      |rec AS (
+      |  SELECT a, bb AS rec_b FROM (
+      |    SELECT a, bb, ROW_NUMBER() OVER (PARTITION BY a
+      |      ORDER BY sup DESC, bb) AS rn FROM p)
+      |  WHERE rn = 1),
+      |pop AS (
+      |  SELECT item AS pop_b FROM tr GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, item LIMIT 1),
+      |sc AS (
+      |  SELECT t.oid, t.item AS a, rec.rec_b, pop.pop_b,
+      |    CASE WHEN h.item IS NULL THEN 0 ELSE 1 END AS hit,
+      |    CASE WHEN pp.item IS NULL THEN 0 ELSE 1 END AS pop_in
+      |  FROM te t JOIN rec ON rec.a = t.item
+      |  CROSS JOIN pop
+      |  LEFT JOIN te h ON h.oid = t.oid AND h.item = rec.rec_b
+      |  LEFT JOIN te pp ON pp.oid = t.oid AND pp.item = pop.pop_b),
+      |m AS (
+      |  SELECT COUNT(DISTINCT oid) AS n_test_baskets,
+      |    COUNT(*) AS n_preds, SUM(hit) AS n_hits,
+      |    SUM(CASE WHEN pop_b <> a THEN pop_in ELSE 0 END) AS n_pop_hits,
+      |    COUNT(DISTINCT rec_b) AS n_rec_targets
+      |  FROM sc),
+      |ti AS (SELECT COUNT(DISTINCT item) AS n_train_items FROM tr)
+      |SELECT CAST(n_test_baskets AS BIGINT) AS n_test_baskets,
+      |  CAST(n_preds AS BIGINT) AS n_preds,
+      |  CAST(n_hits AS BIGINT) AS n_hits,
+      |  ROUND(CAST(n_hits AS DOUBLE) / n_preds, 6) AS hit_rate,
+      |  ROUND(CAST(n_pop_hits AS DOUBLE) / n_preds, 6) AS pop_hit_rate,
+      |  ROUND(CAST(n_hits AS DOUBLE) / n_pop_hits, 4) AS lift_vs_pop,
+      |  ROUND(CAST(n_rec_targets AS DOUBLE) / n_train_items, 6)
+      |    AS rec_coverage
+      |FROM m CROSS JOIN ti""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q294_reco_eval" -> (q294RecoEval _),
     "q292_negative_sampling" -> (q292NegativeSampling _),
     "q280_adamic_adar" -> (q280AdamicAdar _),
     "q279_assoc_rules" -> (q279AssocRules _),
@@ -2153,6 +2263,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q294_reco_eval" -> q294Sql,
     "q292_negative_sampling" -> q292Sql,
     "q280_adamic_adar" -> q280Sql,
     "q279_assoc_rules" -> q279Sql,
