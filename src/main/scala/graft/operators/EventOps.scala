@@ -3933,27 +3933,36 @@ object EventOps {
     val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
       lpad($"event_id".cast("string"), 20, "0"))
     val cutoff = 19750L * 86400000000000L // T1 in epoch nanos
-    val perKey = events(spark, dir)
+    snapshotDiffCard(events(spark, dir)
       .withColumn("cents", round($"value" * 100.0).cast("long"))
       .groupBy($"user_id", $"event_type")
       .agg(
         max_by($"cents", when($"ts" < cutoff, key)).as("c1"),
         max_by($"cents", key).as("c2"),
         sum(when($"ts" < cutoff, 1L).otherwise(0L)).as("n_pre"),
-        sum(when($"ts" >= cutoff, 1L).otherwise(0L)).as("n_post"))
+        sum(when($"ts" >= cutoff, 1L).otherwise(0L)).as("n_post")))
+  }
+
+  /** The q282 classification fold over a per-key CDC state frame
+    * (c1/c2 snapshot cents, pre/post write counts) — shared with the
+    * live monitor ([[graft.streaming.StreamOps]] cdcDiffReport), so
+    * stream == batch is an identity, not a convention.
+    */
+  def snapshotDiffCard(perKey: DataFrame): DataFrame = {
     val cls = perKey.withColumn("change_class",
-      when($"n_pre" === 0L, "inserted")
-        .when($"n_post" === 0L, "unchanged")
+      when(col("n_pre") === 0L, "inserted")
+        .when(col("n_post") === 0L, "unchanged")
         .otherwise("updated"))
-    cls.groupBy($"change_class")
+    cls.groupBy(col("change_class"))
       .agg(count(lit(1)).as("n_keys"),
-        sum(coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L)))
+        sum(coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
           .as("churn_cents"))
-      .select($"change_class", $"n_keys",
-        round($"churn_cents".cast("double") / 100.0, 2).as("value_churn_usd"),
-        round($"n_keys".cast("double") /
-          sum($"n_keys").over(Window.partitionBy()), 6).as("key_share"))
-      .orderBy($"change_class")
+      .select(col("change_class"), col("n_keys"),
+        round(col("churn_cents").cast("double") / 100.0, 2)
+          .as("value_churn_usd"),
+        round(col("n_keys").cast("double") /
+          sum(col("n_keys")).over(Window.partitionBy()), 6).as("key_share"))
+      .orderBy(col("change_class"))
   }
 
   val q282Sql: String =

@@ -309,6 +309,69 @@ object StreamOps {
         .groupBy(col("k").as("user_id"))
         .agg(min(col("first_day")).as("first_day")))
 
+  /** Live snapshot-diff monitor, ingest side — the streaming twin of
+    * the q282 change-data-feed card: each micro-batch appends its
+    * per-(user, event_type) CDC state CANDIDATES — last-writer cents at
+    * the T1 cut and at head (each tagged with its zero-padded ordering
+    * key, so candidates are argmax-mergeable) plus pre/post write
+    * counts (sum-mergeable) — replay-idempotent via the batch_id tag.
+    * The classification never needs the events again: state grows with
+    * |keys| × |batches|. `t1Nanos` is the snapshot cut in epoch nanos;
+    * rows need user_id, event_type, ts (epoch-nanos long), event_id,
+    * value.
+    */
+  def cdcDiffIngestStream(events: DataFrame, path: String,
+      t1Nanos: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      cdcDiffIngestBatch(batch.toDF(), batchId, path, t1Nanos)
+    }
+
+  /** One [[cdcDiffIngestStream]] micro-batch append — public so the
+    * replay-idempotence spec can drive it directly.
+    */
+  def cdcDiffIngestBatch(batch: DataFrame, batchId: Long, path: String,
+      t1Nanos: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      val key = concat(
+        lpad(expr("ts div 1000").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 20, "0"))
+      batch
+        .withColumn("cents", round(col("value") * 100.0).cast("long"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max(when(col("ts") < t1Nanos, key)).as("k1"),
+          max_by(col("cents"), when(col("ts") < t1Nanos, key)).as("c1"),
+          max(key).as("k2"),
+          max_by(col("cents"), key).as("c2"),
+          sum(when(col("ts") < t1Nanos, 1L).otherwise(0L)).as("n_pre"),
+          sum(when(col("ts") >= t1Nanos, 1L).otherwise(0L)).as("n_post"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Read side of the live snapshot diff: argmax-merge the per-batch
+    * state candidates (last writer wins by the ordering key, counts
+    * add) and run the SAME
+    * [[graft.operators.EventOps.snapshotDiffCard]] fold as the batch
+    * q282 — stream == batch is the argmax-merge identity. Reads only
+    * the state table.
+    */
+  def cdcDiffReport(spark: SparkSession, path: String): DataFrame =
+    graft.operators.EventOps.snapshotDiffCard(
+      spark.read.parquet(path)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("c1"), col("k1")).as("c1"),
+          max_by(col("c2"), col("k2")).as("c2"),
+          sum(col("n_pre")).as("n_pre"),
+          sum(col("n_post")).as("n_post")))
+
   /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
     * for discrete columns: each micro-batch appends its per-category
     * counts (replay-idempotent) against a frozen

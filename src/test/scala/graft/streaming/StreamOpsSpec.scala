@@ -12,6 +12,8 @@ case class EmbRow(id: Long, emb: Array[Float])
 
 /** Keyed value row for the drift-monitor tests (top-level for encoders). */
 case class KV(k: String, v: Double)
+case class CdcEv(user_id: Long, event_type: String, ts: Long,
+    event_id: Long, value: Double)
 
 /** Behavioral tests of the streaming window/watermark/dedup operators
   * with MemoryStream, forcing micro-batch boundaries so the watermark
@@ -1175,6 +1177,58 @@ class StreamOpsSpec extends SparkSpec {
     graft.api.Stats.appendFirstSeenIdempotent(
       Seq((9L, 1L)).toDF("user_id", "day"), path, "user_id", "day",
       batchId = 0L)
+    assert(spark.read.parquet(path).count() === before,
+      "replayed batchId must not append")
+  }
+
+  test("cdcDiffIngestStream: argmax-merged state reproduces the batch snapshot diff; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc-diff").toString
+    val path = s"$base/state"
+    val t1 = 5_000_000_000L // epoch-nanos cut
+
+    import org.apache.spark.sql.functions.{concat, expr, lpad, max_by, round, sum, when}
+    // key (1,'a'): pre write then post write  -> updated
+    // key (1,'b'): pre writes only            -> unchanged
+    // key (2,'a'): born after T1              -> inserted
+    // the LATER batch delivers an OLDER pre event for (1,'a') — the
+    // argmax merge must keep the newer pre-cut candidate
+    val b1 = Seq(CdcEv(1L, "a", 3_000_000_000L, 10L, 1.00),
+      CdcEv(1L, "b", 2_000_000_000L, 11L, 2.00),
+      CdcEv(2L, "a", 7_000_000_000L, 12L, 5.00))
+    val b2 = Seq(CdcEv(1L, "a", 6_000_000_000L, 13L, 9.00),
+      CdcEv(1L, "a", 1_000_000_000L, 14L, 7.00),
+      CdcEv(1L, "b", 4_000_000_000L, 15L, 3.00))
+    StreamOps.cdcDiffIngestBatch(b1.toDF(), 0L, path, t1)
+    StreamOps.cdcDiffIngestBatch(b2.toDF(), 1L, path, t1)
+
+    val got = StreamOps.cdcDiffReport(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // (1,'a'): c1 = 1.00 (ts 3e9 beats the late 1e9), c2 = 9.00 -> +8.00
+    // (1,'b'): c1 = c2 = 3.00, no post writes -> unchanged, churn 0
+    // (2,'a'): inserted, churn +5.00
+    assert(got === Map(
+      "inserted" -> (1L, 5.00),
+      "unchanged" -> (1L, 0.00),
+      "updated" -> (1L, 8.00)))
+
+    // identity against the batch fold over the union of all events
+    val all = (b1 ++ b2).toDF()
+    val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"))
+    val batchCard = graft.operators.EventOps.snapshotDiffCard(
+      all.withColumn("cents", round($"value" * 100.0).cast("long"))
+        .groupBy($"user_id", $"event_type")
+        .agg(max_by($"cents", when($"ts" < t1, key)).as("c1"),
+          max_by($"cents", key).as("c2"),
+          sum(when($"ts" < t1, 1L).otherwise(0L)).as("n_pre"),
+          sum(when($"ts" >= t1, 1L).otherwise(0L)).as("n_post")))
+      .collect().map(_.toSeq).toSeq
+    assert(StreamOps.cdcDiffReport(spark, path).collect()
+      .map(_.toSeq).toSeq === batchCard)
+
+    val before = spark.read.parquet(path).count()
+    StreamOps.cdcDiffIngestBatch(b1.toDF(), 0L, path, t1)
     assert(spark.read.parquet(path).count() === before,
       "replayed batchId must not append")
   }
