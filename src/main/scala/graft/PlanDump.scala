@@ -123,7 +123,19 @@ object PlanDump {
     "q263_jl_distortion" ->
       "JL audit: broadcast pair grid, 17 codegen dot folds per pair, corpus never shuffles",
     "q265_conformal_interval" ->
-      "split-conformal: Knuth-hash splits, broadcast per-group model + quantile, narrow coverage flags")
+      "split-conformal: Knuth-hash splits, broadcast per-group model + quantile, narrow coverage flags",
+    "q280_adamic_adar" ->
+      "Adamic-Adar: degree-capped part-keyed self-join, packed single-long pair fold, heap top-15",
+    "q285_mmr_diversified" ->
+      "MMR re-rank: corpus-sized kNN once, greedy unrolled into keyed argmax windows over bounded frames",
+    "q289_zonemap_card" ->
+      "zone-map audit: stacked 3-layout pass, broadcast bounds, integer zone arithmetic, decimal mass folds",
+    "q291_training_assembly" ->
+      "point-in-time features: one value-ranged window (frame ends at -1 ms), channel-bounded fold",
+    "q292_negative_sampling" ->
+      "negative sampling: checkpointed positives feed draws AND the keyed collision audit, no cartesian",
+    "q294_reco_eval" ->
+      "reco eval: order-keyed pair build, broadcast rec map + baseline into the test scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

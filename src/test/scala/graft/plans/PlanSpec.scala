@@ -777,6 +777,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q291: point-in-time features ride ONE user-keyed window — no event self-join, no global sort") {
+    val p = planOf(graft.operators.EventOps.q291TrainingAssembly(spark, sf))
+    assert("(?m)^\\(\\d+\\) Window\\b".r.findAllIn(p).size === 1,
+      s"one value-ranged window carries all features:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 1,
+      "events must be scanned once")
+  }
+
+  test("q292/q294: candidate audits are keyed joins, never a cross of candidates x positives") {
+    for (df <- Seq(graft.operators.Relational.q292NegativeSampling(spark, sf),
+        graft.operators.Relational.q294RecoEval(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"),
+        s"candidate audit must stay keyed:\n${p.take(2000)}")
+    }
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
