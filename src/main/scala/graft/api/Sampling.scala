@@ -147,6 +147,17 @@ object Sampling {
     * corpus at all.
     */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetFraction: Double): DataFrame =
+    mixtureSampleScored(df, groupCol, idCol, alpha, targetFraction)
+      .filter(col("u") < col("keep_prob"))
+
+  /** The unfiltered twin of [[mixtureSample]]: EVERY row with its
+    * (keep_prob, u) — the frame a delivery audit needs, because the
+    * realized-vs-design comparison must see the rows the sampler
+    * dropped. Same plan shape (broadcast prob row per source, narrow
+    * per-row hash).
+    */
+  def mixtureSampleScored(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, targetFraction: Double): DataFrame = {
     val probs = normWeights(df, groupCol, alpha)
       .select(col(groupCol),
@@ -155,7 +166,6 @@ object Sampling {
           .as("keep_prob"))
     df.join(broadcast(probs), groupCol)
       .withColumn("u", knuthU(col(idCol)))
-      .filter(col("u") < col("keep_prob"))
   }
 
   /** Deterministic training-order shuffle for one epoch: every row gets

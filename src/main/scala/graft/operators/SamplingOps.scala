@@ -504,7 +504,82 @@ object SamplingOps {
       |    / SUM(tokens) OVER (), 6) AS corpus_quality
       |FROM a ORDER BY rank""".stripMargin
 
+  /** q296: mixture-delivery audit — did the sampler DELIVER the design?
+    * The q100 hash-thresholded subsample realizes the q96 temperature
+    * mixture only in expectation; this card compares the realized draw
+    * counts per source against the design expectation (keep_prob ·
+    * n_docs) with Pearson residuals and the chi-squared
+    * goodness-of-fit total — the release gate between "we designed a
+    * mixture" and "the training set actually has it". A |residual| > 3
+    * row means the hash draw landed improbably far from design (or the
+    * design changed under the sampler). All counts are exact; the
+    * expectation reuses the EXACT q100 keep-prob formula, so the audit
+    * and the sampler cannot drift apart. One doc pass, |sources| rows.
+    */
+  def q296MixtureDelivery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = graft.api.Sampling.mixtureSampleScored(
+        table(spark, dir, "documents").select($"doc_id", $"source"),
+        "source", "doc_id", alpha = 0.5, targetFraction = 0.25)
+    val bySource = sampled.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"u" < $"keep_prob", 1L).otherwise(0L)).as("n_drawn"),
+        max($"keep_prob").as("keep_prob"))
+      .withColumn("expected", $"keep_prob" * $"n_docs".cast("double"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    bySource
+      .withColumn("resid", ($"n_drawn".cast("double") - $"expected") /
+        sqrt($"expected" * (lit(1.0) - $"keep_prob")))
+      .select($"source", $"n_docs", $"n_drawn",
+        round($"expected", 4).as("expected"),
+        round($"resid", 4).as("pearson_resid"),
+        round(sum($"resid" * $"resid").over(all), 4).as("chi2_total"),
+        (abs($"resid") > 3.0).as("off_design"))
+      .orderBy($"source")
+  }
+
+  val q296Sql: String =
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_g, sqrt(COUNT(*)) AS w_raw
+      |  FROM documents GROUP BY source),
+      |p AS (
+      |  SELECT source, n_g,
+      |    least(1.0, (0.25 * CAST(SUM(n_g) OVER (ORDER BY source
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |          AS DOUBLE))
+      |      * (w_raw / SUM(w_raw) OVER (ORDER BY source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |      / n_g) AS keep_prob
+      |  FROM g),
+      |d AS (
+      |  SELECT doc_id, source,
+      |    CAST(((((x // 65536) * 2654435761) % 65536) * 65536
+      |          + (x % 65536) * 2654435761) % 4294967296 AS DOUBLE)
+      |      / 4294967296 AS u
+      |  FROM (SELECT doc_id, source,
+      |          ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
+      |        FROM documents)),
+      |s AS (
+      |  SELECT d.source, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN u < keep_prob THEN 1 ELSE 0 END) AS n_drawn,
+      |    MAX(keep_prob) AS keep_prob
+      |  FROM d JOIN p USING (source) GROUP BY 1),
+      |r AS (
+      |  SELECT source, n_docs, n_drawn,
+      |    keep_prob * n_docs AS expected,
+      |    (CAST(n_drawn AS DOUBLE) - keep_prob * n_docs)
+      |      / sqrt(keep_prob * n_docs * (1.0 - keep_prob)) AS resid
+      |  FROM s)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_drawn AS BIGINT) AS n_drawn,
+      |  ROUND(expected, 4) AS expected,
+      |  ROUND(resid, 4) AS pearson_resid,
+      |  ROUND(SUM(resid * resid) OVER (), 4) AS chi2_total,
+      |  abs(resid) > 3.0 AS off_design
+      |FROM r ORDER BY source""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q296_mixture_delivery" -> (q296MixtureDelivery _),
     "q293_budgeted_mixture" -> (q293BudgetedMixture _),
     "q284_ess_card" -> (q284EssCard _),
     "q154_weighted_sample" -> (q154WeightedSample _),
@@ -518,6 +593,7 @@ object SamplingOps {
     "q100_mixture_sample" -> (q100MixtureSample _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q296_mixture_delivery" -> q296Sql,
     "q293_budgeted_mixture" -> q293Sql,
     "q284_ess_card" -> q284Sql,
     "q154_weighted_sample" -> q154Sql,
