@@ -2166,6 +2166,125 @@ object TextOps {
       |  ROUND(exp(lnk + beta * ln(100.0 * ntot)), 2) AS vocab_at_100x
       |FROM f""".stripMargin
 
+  /** q297: curation-filter disparity audit — the responsible-AI check
+    * on the q35 quality gate: a threshold tuned on the majority
+    * language can silently erase a minority one, so the card reports,
+    * per language, the keep rate at quality ≥ 0.62, the ratio to the
+    * corpus-wide keep rate, and the four-fifths flag (the 80% disparate
+    * -impact rule applied to data curation) plus the language's share
+    * of the corpus BEFORE and AFTER the gate. All counts are exact
+    * integers over one document pass; the quality formula is the same
+    * fixed-order double expression as q35/q145, so the gate decisions
+    * are bit-identical across engines.
+    */
+  def q297FilterDisparity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = table(spark, dir, "documents")
+      .select($"lang",
+        (graft.api.Text.qualityScore($"text") >= 0.62).as("kept"))
+    val byLang = scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val keepRate = $"n_kept".cast("double") / $"n_docs".cast("double")
+    val globalRate = sum($"n_kept").over(all).cast("double") /
+      sum($"n_docs").over(all).cast("double")
+    byLang.select($"lang", $"n_docs", $"n_kept",
+      round(keepRate, 6).as("keep_rate"),
+      round(keepRate / globalRate, 4).as("rate_ratio"),
+      (keepRate / globalRate < 0.8).as("four_fifths_flag"),
+      round($"n_docs".cast("double") / sum($"n_docs").over(all), 6)
+        .as("share_before"),
+      round($"n_kept".cast("double") / sum($"n_kept").over(all), 6)
+        .as("share_after"))
+      .orderBy($"lang")
+  }
+
+  val q297Sql: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    (LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+      |        * 0.5
+      |      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) * 0.3
+      |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |        / len(string_split(text, ' '))) * 0.2) >= 0.62 AS kept
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+      |  FROM s GROUP BY 1)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+      |  ROUND((CAST(n_kept AS DOUBLE) / n_docs)
+      |    / (CAST(SUM(n_kept) OVER () AS DOUBLE) / SUM(n_docs) OVER ()), 4)
+      |    AS rate_ratio,
+      |  (CAST(n_kept AS DOUBLE) / n_docs)
+      |    / (CAST(SUM(n_kept) OVER () AS DOUBLE) / SUM(n_docs) OVER ()) < 0.8
+      |    AS four_fifths_flag,
+      |  ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+      |    AS share_before,
+      |  ROUND(CAST(n_kept AS DOUBLE) / SUM(n_kept) OVER (), 6)
+      |    AS share_after
+      |FROM g ORDER BY lang""".stripMargin
+
+  /** q298: tokenizer fertility by language — the multilingual budgeting
+    * input q274 needs: the SAME text costs different token counts per
+    * language, so per language the card reports subword-per-word
+    * fertility (the q53 BPE-ish regex tokenizer over whitespace words),
+    * characters per subword, and the language's share of words vs its
+    * share of SUBWORDS — the number that actually bills against a
+    * context window. Exact integer counts, one narrow pass, |langs|
+    * rows.
+    */
+  def q298TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    val perDoc = table(spark, dir, "documents")
+      .select($"lang",
+        size(split($"text", " ")).cast("long").as("words"),
+        expr(s"size(regexp_extract_all(text, '$pat', 0))").cast("long")
+          .as("subwords"),
+        length($"text").cast("long").as("chars"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"words").as("words"),
+        sum($"subwords").as("subwords"), sum($"chars").as("chars"))
+      .select($"lang", $"n_docs", $"words", $"subwords",
+        round($"subwords".cast("double") / $"words", 4).as("fertility"),
+        round($"chars".cast("double") / $"subwords", 4)
+          .as("chars_per_subword"),
+        round($"words".cast("double") / sum($"words").over(all), 6)
+          .as("word_share"),
+        round($"subwords".cast("double") / sum($"subwords").over(all), 6)
+          .as("subword_share"))
+      .orderBy($"lang")
+  }
+
+  val q298Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS subwords,
+      |    CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, COUNT(*) AS n_docs, SUM(words) AS words,
+      |    SUM(subwords) AS subwords, SUM(chars) AS chars
+      |  FROM d GROUP BY 1)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(words AS BIGINT) AS words,
+      |  CAST(subwords AS BIGINT) AS subwords,
+      |  ROUND(CAST(subwords AS DOUBLE) / words, 4) AS fertility,
+      |  ROUND(CAST(chars AS DOUBLE) / subwords, 4) AS chars_per_subword,
+      |  ROUND(CAST(words AS DOUBLE) / SUM(words) OVER (), 6) AS word_share,
+      |  ROUND(CAST(subwords AS DOUBLE) / SUM(subwords) OVER (), 6)
+      |    AS subword_share
+      |FROM g ORDER BY lang""".stripMargin
+
   /** q274: compute-optimal token budget (the Chinchilla allocation,
     * Hoffmann et al. 2022) — the planning card that turns corpus stats
     * into the question every pretraining run starts with: for compute
@@ -2218,6 +2337,8 @@ object TextOps {
 
   val queries: Seq[(String, Q)] = Seq(
     "q274_token_budget" -> (q274TokenBudget _),
+    "q297_filter_disparity" -> (q297FilterDisparity _),
+    "q298_tokenizer_fertility" -> (q298TokenizerFertility _),
     "q288_heaps_fit" -> (q288HeapsFit _),
     "q283_annotator_kappa" -> (q283AnnotatorKappa _),
     "q273_label_model" -> (q273LabelModel _),
@@ -2339,6 +2460,8 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q274_token_budget" -> q274Sql,
+    "q297_filter_disparity" -> q297Sql,
+    "q298_tokenizer_fertility" -> q298Sql,
     "q288_heaps_fit" -> q288Sql,
     "q283_annotator_kappa" -> q283Sql,
     "q273_label_model" -> q273Sql,
