@@ -4310,7 +4310,58 @@ object EventOps {
       |  ROUND(excess / SUM(abs(excess)) OVER (), 6) AS contribution_share
       |FROM sc ORDER BY abs(excess) DESC, event_type, band LIMIT 10""".stripMargin
 
+  /** q300: multi-window SLO burn-rate alert — the SRE companion to the
+    * replicator's lag card (q119): with an error-share SLO of 25%, the
+    * burn rate is consumed-budget per unit time, and the standard
+    * Google-SRE alert fires only when a FAST window (1 h) and a SLOW
+    * window (6 h) both burn hot — the fast window gives response time,
+    * the slow one kills flapping. Per hour: error/total counts, both
+    * window burn rates (the 6 h window is a range frame over the
+    * hour-grain aggregate — never a re-scan), and the page flag at
+    * burn > 1.2×; the card surfaces the top-15 hottest hours. All
+    * counts are exact integers; burns are single divisions. One event
+    * scan to the ≤|hours| frame.
+    */
+  def q300SloBurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slo = 0.25
+    val hourly = events(spark, dir)
+      .groupBy(expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"))
+    val w6 = Window.orderBy($"hour").rangeBetween(-5L, 0L)
+    val burn1 = $"n_err".cast("double") / $"n_total".cast("double") / slo
+    val burn6 = sum($"n_err").over(w6).cast("double") /
+      sum($"n_total").over(w6).cast("double") / slo
+    hourly
+      .select($"hour", $"n_total", $"n_err",
+        round(burn1, 4).as("burn_1h"),
+        round(burn6, 4).as("burn_6h"),
+        (burn1 > 1.2 && burn6 > 1.2).as("page"))
+      .orderBy($"burn_1h".desc, $"hour")
+      .limit(15)
+  }
+
+  val q300Sql: String =
+    """WITH h AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n_total,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT hour, n_total, n_err,
+      |    CAST(n_err AS DOUBLE) / n_total / 0.25 AS burn1,
+      |    (CAST(SUM(n_err) OVER w AS DOUBLE)
+      |      / SUM(n_total) OVER w) / 0.25 AS burn6
+      |  FROM h
+      |  WINDOW w AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+      |SELECT hour, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_err AS BIGINT) AS n_err,
+      |  ROUND(burn1, 4) AS burn_1h, ROUND(burn6, 4) AS burn_6h,
+      |  burn1 > 1.2 AND burn6 > 1.2 AS page
+      |FROM b ORDER BY burn1 DESC, hour LIMIT 15""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q300_slo_burn" -> (q300SloBurn _),
     "q295_anomaly_slices" -> (q295AnomalySlices _),
     "q291_training_assembly" -> (q291TrainingAssembly _),
     "q287_markov_attribution" -> (q287MarkovAttribution _),
@@ -4387,6 +4438,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q300_slo_burn" -> q300Sql,
     "q295_anomaly_slices" -> q295Sql,
     "q291_training_assembly" -> q291Sql,
     "q287_markov_attribution" -> q287Sql,

@@ -1698,7 +1698,85 @@ object SimilarityOps {
        |  ROUND(CAST(dcg_e9 AS DOUBLE) / idcg_e9, 6) AS ndcg10
        |FROM d JOIN i USING (probe_id) ORDER BY probe_id""".stripMargin
 
+  /** q299: label-margin mislabel screen — the label-quality audit that
+    * follows q246's "are labels separable at all": EVERY vector's
+    * cosine to its own label centroid minus its best other-label
+    * centroid; a negative margin means the embedding sits closer to a
+    * different class — the standard nearest-centroid candidate list a
+    * labeling team re-reviews. Centroid coordinates snap to the 1e-6
+    * grid (per-dim rounded averages → identical doubles both engines,
+    * assembled in dim order), so every `vector_dot` fold is
+    * bit-identical; per-vector margins snap to DECIMAL(24,6) before the
+    * per-label fold. Scale shape: the |labels| centroid rows broadcast
+    * into ONE corpus scan — the corpus never shuffles; everything after
+    * the scan is |labels|-bounded.
+    */
+  def q299LabelMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val e = emb(spark, dir)
+    val cent = e
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"v".cast("double")), 6).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"c"))).as("a"))
+      .select($"label".as("clabel"), expr("transform(a, x -> x.c)").as("ce"))
+      .localCheckpoint() // |labels| rows
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("sim", expr(cos("embedding", "ce")))
+      .groupBy($"vec_id", $"label")
+      .agg(max(when($"clabel" === $"label", $"sim")).as("own"),
+        max(when($"clabel" =!= $"label", $"sim")).as("other"))
+      .withColumn("m6", round($"own" - $"other", 6)
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+    scored.groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when($"m6" < 0, 1L).otherwise(0L)).as("n_negative"),
+        sum($"m6").as("sum_m6"))
+      .select($"label", $"n_vectors", $"n_negative",
+        round($"n_negative".cast("double") / $"n_vectors", 6)
+          .as("suspect_share"),
+        round($"sum_m6".cast("double") / $"n_vectors", 6).as("avg_margin"))
+      .orderBy($"label")
+  }
+
+  val q299Sql: String = {
+    val cosCe = s"list_dot_product(CAST(embedding AS DOUBLE[]), ce)" +
+      s" / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      s"CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(ce, ce)))"
+    s"""WITH cd AS (
+       |  SELECT label, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+       |  FROM (SELECT label, unnest(embedding) AS v,
+       |          unnest(range(len(embedding))) AS dim
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS clabel, list(c ORDER BY dim) AS ce
+       |  FROM cd GROUP BY 1),
+       |sc AS (
+       |  SELECT vec_id, label,
+       |    MAX(CASE WHEN clabel = label THEN sim END) AS own,
+       |    MAX(CASE WHEN clabel <> label THEN sim END) AS other
+       |  FROM (
+       |    SELECT vec_id, label, clabel, $cosCe AS sim
+       |    FROM embeddings CROSS JOIN cent)
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT label,
+       |    CAST(ROUND(own - other, 6) AS DECIMAL(24,6)) AS m6
+       |  FROM sc)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN m6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_negative,
+       |  ROUND(CAST(SUM(CASE WHEN m6 < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS suspect_share,
+       |  ROUND(CAST(SUM(m6) AS DOUBLE) / COUNT(*), 6) AS avg_margin
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q299_label_margin" -> (q299LabelMargin _),
     "q286_ndcg_card" -> (q286NdcgCard _),
     "q285_mmr_diversified" -> (q285MmrDiversified _),
     "q263_jl_distortion" -> (q263JlDistortion _),
@@ -1732,6 +1810,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q299_label_margin" -> q299Sql,
     "q286_ndcg_card" -> q286Sql,
     "q285_mmr_diversified" -> q285Sql,
     "q263_jl_distortion" -> q263Sql,
