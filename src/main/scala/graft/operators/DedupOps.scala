@@ -1726,7 +1726,114 @@ object DedupOps {
       |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
       |FROM t GROUP BY 1 ORDER BY dup_tier""".stripMargin
 
+  /** q301: transitive-chaining audit — the dedup-quality question q55's
+    * connected components quietly raise: transitive closure merges A–B
+    * and B–C into one cluster even when A and C are NOT near-dups, so a
+    * keep-one-per-cluster policy can drop documents that never matched
+    * anything kept. Per cluster-size bucket, the card measures every
+    * within-cluster pair's DIRECT exact Jaccard and reports how many
+    * sit below the τ=0.5 admission threshold (the chained pairs), the
+    * chaining share, and the worst direct similarity — the evidence for
+    * choosing components vs stricter clique-like policies. Shape: the
+    * q55 machinery builds clusters; member pairs are cluster-keyed
+    * (bounded by Σ size², never corpus²); one shingle pass over the
+    * member subset feeds the broadcast-intersect verify.
+    */
+  def q301ChainingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val verified = graft.api.Dedup.lshCandidatePairs(d, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    val comps = graft.api.Dedup.clusterComponents(verified)
+      .filter($"cluster_size" >= 2)
+      .select($"id", $"cluster", $"cluster_size")
+      .localCheckpoint() // tiny member frame; lineage is the LSH pipeline
+    val mp = comps
+      .select($"cluster", $"cluster_size", $"id".as("id_a"))
+      .join(comps.select($"cluster".as("c2"), $"id".as("id_b")),
+        $"cluster" === $"c2" && $"id_a" < $"id_b")
+      .select($"cluster", $"cluster_size", $"id_a", $"id_b")
+    val shingled = graft.api.Dedup.shingleSets(
+      d.join(comps.select($"id".as("doc_id")), Seq("doc_id"), "left_semi"),
+      "doc_id", "text")
+    val jac = graft.api.Dedup.exactJaccardOn(
+      mp.select($"id_a", $"id_b"), shingled, "doc_id", "id_a", "id_b")
+    mp.join(jac.select($"id_a", $"id_b", $"jaccard"),
+        Seq("id_a", "id_b"), "left")
+      .withColumn("j", coalesce($"jaccard", lit(0.0)))
+      .groupBy(least($"cluster_size", lit(5L)).as("size_bucket"))
+      .agg(countDistinct($"cluster").as("n_clusters"),
+        count(lit(1)).as("n_pairs"),
+        sum(when($"j" < 0.5, 1L).otherwise(0L)).as("n_chained"),
+        round(min($"j"), 6).as("min_direct_jaccard"))
+      .select($"size_bucket", $"n_clusters", $"n_pairs", $"n_chained",
+        round($"n_chained".cast("double") / $"n_pairs", 6)
+          .as("chaining_share"),
+        $"min_direct_jaccard")
+      .orderBy($"size_bucket")
+  }
+
+  val q301Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |csz AS (SELECT cluster, COUNT(*) AS cs FROM members GROUP BY 1),
+       |mm AS (
+       |  SELECT m.doc_id, m.cluster, csz.cs FROM members m
+       |  JOIN csz USING (cluster) WHERE cs >= 2),
+       |mp AS (
+       |  SELECT a.cluster, a.cs, a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mm a JOIN mm b ON b.cluster = a.cluster
+       |    AND b.doc_id > a.doc_id),
+       |pint AS (
+       |  SELECT m.id_a, m.id_b, COUNT(*) AS n_inter
+       |  FROM mp m
+       |  JOIN sh sa ON sa.doc_id = m.id_a
+       |  JOIN sh sb ON sb.doc_id = m.id_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |jj AS (
+       |  SELECT mp.cluster, mp.cs, mp.id_a, mp.id_b,
+       |    CAST(COALESCE(pint.n_inter, 0) AS DOUBLE)
+       |      / (za.n_sh + zb.n_sh - COALESCE(pint.n_inter, 0)) AS j
+       |  FROM mp LEFT JOIN pint USING (id_a, id_b)
+       |  JOIN sizes za ON za.doc_id = mp.id_a
+       |  JOIN sizes zb ON zb.doc_id = mp.id_b)
+       |SELECT CAST(LEAST(cs, 5) AS BIGINT) AS size_bucket,
+       |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN j < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_chained,
+       |  ROUND(CAST(SUM(CASE WHEN j < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS chaining_share,
+       |  ROUND(MIN(j), 6) AS min_direct_jaccard
+       |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q301_chaining_audit" -> (q301ChainingAudit _),
     "q251_dup_quality_card" -> (q251DupQualityCard _),
     "q247_source_modularity" -> (q247SourceModularity _),
     "q239_jw_linkage" -> (q239JwLinkage _),
@@ -1759,6 +1866,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q301_chaining_audit" -> q301Sql,
     "q251_dup_quality_card" -> q251Sql,
     "q247_source_modularity" -> q247Sql,
     "q239_jw_linkage" -> q239Sql,
