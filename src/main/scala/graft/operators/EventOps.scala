@@ -4360,7 +4360,104 @@ object EventOps {
       |  burn1 > 1.2 AND burn6 > 1.2 AS page
       |FROM b ORDER BY burn1 DESC, hour LIMIT 15""".stripMargin
 
+  /** q302: feed-freshness monitor — the staleness readout a replication
+    * consumer pages on: per stream (event type), the last event seen,
+    * the stream's own mean inter-arrival gap (exact integer micros over
+    * count−1 gaps — max−min over a count, no window walk), and the
+    * overdue ratio = silence-at-head / mean-gap. A feed whose silence
+    * exceeds 20 mean gaps is flagged stale — scaled to the feed's OWN
+    * cadence, so a slow-but-regular stream doesn't false-page and a
+    * fast stream pages quickly. One grouped pass; head = max ts over
+    * the same aggregate.
+    */
+  def q302FreshnessMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perType = events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (max(expr("ts div 1000"))).as("last_us"),
+        (min(expr("ts div 1000"))).as("first_us"))
+    val head = Window.partitionBy()
+    val meanGap = ($"last_us" - $"first_us").cast("double") /
+      ($"n_events" - lit(1)).cast("double")
+    val silence = (max($"last_us").over(head) - $"last_us").cast("double")
+    perType.select($"event_type", $"n_events",
+        $"last_us", round(meanGap, 4).as("mean_gap_us"),
+        round(silence / meanGap, 4).as("overdue_ratio"),
+        (silence / meanGap > 20.0).as("stale"))
+      .orderBy($"event_type")
+  }
+
+  val q302Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) AS last_us, MIN(epoch_us(ts)) AS first_us
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(last_us AS BIGINT) AS last_us,
+      |  ROUND(CAST(last_us - first_us AS DOUBLE) / (n_events - 1), 4)
+      |    AS mean_gap_us,
+      |  ROUND(CAST(MAX(last_us) OVER () - last_us AS DOUBLE)
+      |    / (CAST(last_us - first_us AS DOUBLE) / (n_events - 1)), 4)
+      |    AS overdue_ratio,
+      |  CAST(MAX(last_us) OVER () - last_us AS DOUBLE)
+      |    / (CAST(last_us - first_us AS DOUBLE) / (n_events - 1)) > 20.0
+      |    AS stale
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** q303: payload-conformance audit — the schema-on-read contract
+    * check for the replicator's JSON `props` (the op-5 extraction's
+    * failure modes, counted instead of crashed): per stream, how many
+    * payloads parse as a JSON object, carry the required `k`, cast to
+    * BIGINT, and land in the contract range [0, 100) — each gate
+    * counted independently AND as a strict funnel, so the card shows
+    * WHERE conformance is lost. On this data every gate passes — the
+    * zero rows are the regression tripwire for upstream schema drift.
+    * One conditional-count pass, |streams| rows.
+    */
+  def q303JsonConformance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = get_json_object($"props", "$.k")
+    val kLong = k.cast("long")
+    val parses = $"props".isNotNull && k.isNotNull
+    events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(parses, 1L).otherwise(0L)).as("n_has_k"),
+        sum(when(parses && kLong.isNotNull, 1L).otherwise(0L))
+          .as("n_numeric"),
+        sum(when(parses && kLong.isNotNull &&
+          kLong >= 0L && kLong < 100L, 1L).otherwise(0L)).as("n_in_range"))
+      .select($"event_type", $"n_events", $"n_has_k", $"n_numeric",
+        $"n_in_range",
+        round($"n_in_range".cast("double") / $"n_events", 6)
+          .as("conformance"),
+        ($"n_in_range" < $"n_events").as("contract_broken"))
+      .orderBy($"event_type")
+  }
+
+  val q303Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    json_extract_string(props, '$.k') AS k,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kl
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_has_k,
+      |  CAST(SUM(CASE WHEN kl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_numeric,
+      |  CAST(SUM(CASE WHEN kl >= 0 AND kl < 100 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_in_range,
+      |  ROUND(CAST(SUM(CASE WHEN kl >= 0 AND kl < 100 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS conformance,
+      |  SUM(CASE WHEN kl >= 0 AND kl < 100 THEN 1 ELSE 0 END) < COUNT(*)
+      |    AS contract_broken
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q303_json_conformance" -> (q303JsonConformance _),
+    "q302_freshness_monitor" -> (q302FreshnessMonitor _),
     "q300_slo_burn" -> (q300SloBurn _),
     "q295_anomaly_slices" -> (q295AnomalySlices _),
     "q291_training_assembly" -> (q291TrainingAssembly _),
@@ -4438,6 +4535,8 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q303_json_conformance" -> q303Sql,
+    "q302_freshness_monitor" -> q302Sql,
     "q300_slo_burn" -> q300Sql,
     "q295_anomaly_slices" -> q295Sql,
     "q291_training_assembly" -> q291Sql,
