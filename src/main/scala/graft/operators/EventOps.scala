@@ -4042,7 +4042,31 @@ object EventOps {
       .select($"from_s", $"to_s", $"p")
       .collect() // bounded by (channels+3)^2 — the channel vocabulary
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-      .sortBy(t => (t._1, t._2)) // fixed fold order
+    val (full, effects) = markovRemovalEffects(trans)
+    val totalEffect = effects.map { case (_, f, r) => 1.0 - r / f }.sum
+    effects
+      .toDF("channel", "conv_full_raw", "conv_removed_raw")
+      .select($"channel",
+        round($"conv_full_raw", 6).as("conv_full"),
+        round($"conv_removed_raw", 6).as("conv_removed"),
+        round(lit(1.0) - $"conv_removed_raw" / $"conv_full_raw", 6)
+          .as("removal_effect"),
+        round((lit(1.0) - $"conv_removed_raw" / $"conv_full_raw") /
+          lit(totalEffect), 6).as("attribution_share"))
+      .orderBy($"channel")
+  }
+
+  /** The q287 absorption walk over a collected transition frame
+    * (from, to, p): 8 steps from START with absorbing CONV/NULL
+    * self-loops, in a fixed (from, to)-sorted fold order. Returns the
+    * full-chain conversion probability and, per channel (every
+    * non-START from-state, sorted), the conversion probability with
+    * that channel removed (transitions into it redirected to NULL).
+    * Driver-bounded; unit-tested on crafted chains in AnalyticsSpec.
+    */
+  def markovRemovalEffects(transIn: Seq[(String, String, Double)])
+      : (Double, Seq[(String, Double, Double)]) = {
+    val trans = transIn.sortBy(t => (t._1, t._2)) // fixed fold order
     val channels = trans.map(_._1).filter(_ != "START").distinct.sorted
     def convProb(removed: Option[String]): Double = {
       // removal redirects every transition INTO the removed channel to NULL
@@ -4061,18 +4085,7 @@ object EventOps {
       v.getOrElse("CONV", 0.0)
     }
     val full = convProb(None)
-    val effects = channels.map(c => (c, full, convProb(Some(c))))
-    val totalEffect = effects.map { case (_, f, r) => 1.0 - r / f }.sum
-    effects.toSeq
-      .toDF("channel", "conv_full_raw", "conv_removed_raw")
-      .select($"channel",
-        round($"conv_full_raw", 6).as("conv_full"),
-        round($"conv_removed_raw", 6).as("conv_removed"),
-        round(lit(1.0) - $"conv_removed_raw" / $"conv_full_raw", 6)
-          .as("removal_effect"),
-        round((lit(1.0) - $"conv_removed_raw" / $"conv_full_raw") /
-          lit(totalEffect), 6).as("attribution_share"))
-      .orderBy($"channel")
+    (full, channels.map(c => (c, full, convProb(Some(c)))))
   }
 
   val q287Sql: String = {

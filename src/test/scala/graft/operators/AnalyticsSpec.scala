@@ -1542,4 +1542,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(p == 0 || d >= 2)
     }
   }
+
+  test("q287 walk: crafted chains yield known removal effects") {
+    // START -> A (0.5) -> CONV; START -> B (0.5) -> NULL.
+    // Removing A kills all conversion (effect 1); removing B changes nothing.
+    val t1 = Seq(
+      ("START", "A", 0.5), ("START", "B", 0.5),
+      ("A", "CONV", 1.0), ("B", "NULL", 1.0))
+    val (full1, eff1) = EventOps.markovRemovalEffects(t1)
+    assert(math.abs(full1 - 0.5) < 1e-12)
+    val m1 = eff1.map(e => e._1 -> e._3).toMap
+    assert(math.abs(m1("A") - 0.0) < 1e-12, "removing A zeroes conversion")
+    assert(math.abs(m1("B") - 0.5) < 1e-12, "removing B changes nothing")
+
+    // A self-loop chain: START -> A; A -> A (0.5) | CONV (0.5).
+    // 8-step truncation: conv = 1 - 0.5^8.
+    val t2 = Seq(("START", "A", 1.0), ("A", "A", 0.5), ("A", "CONV", 0.5))
+    val (full2, eff2) = EventOps.markovRemovalEffects(t2)
+    assert(math.abs(full2 - (1.0 - math.pow(0.5, 7))) < 1e-12,
+      s"7 post-entry steps of the geometric chain, got $full2")
+    // removing A redirects START's mass to NULL immediately
+    assert(math.abs(eff2.head._3 - 0.0) < 1e-12)
+  }
 }
