@@ -4468,7 +4468,240 @@ object EventOps {
       |    AS contract_broken
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q304: group-sequential SPRT — Wald's sequential probability ratio
+    * test as the always-valid alternative to q270's fixed-look OBF
+    * boundaries: the cumulative log-likelihood ratio of H1 (front-door
+    * rate 0.22) vs H0 (0.18) over users in ENROLLMENT order, walked at
+    * day granularity (per-day conversion counts fold the LLR exactly —
+    * the walk frame is ≤|days| rows, never a per-user sort), against
+    * the α=β=0.05 bounds ±ln(19). Reported per day: cumulative users,
+    * the LLR, the running extremes, and the test state
+    * (accept_h0/reject_h0/continue). The true rate sits between the
+    * hypotheses, so the walk correctly never crosses. LLR increments
+    * snap to an integer 1e-9 grid per day before the cumulative sum —
+    * engine-identical walks.
+    */
+  def q304Sprt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lnPos = math.log(0.22 / 0.18)
+    val lnNeg = math.log(0.78 / 0.82)
+    val bound = math.log(19.0) // (1-beta)/alpha at alpha=beta=0.05
+    val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"))
+    val perUser = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(expr("ts div 86400000000000")).as("first_day"),
+        min_by($"event_type", key).as("first_type"))
+      .withColumn("x", when($"first_type" === "view", 1L).otherwise(0L))
+    val daily = perUser.groupBy($"first_day".as("day"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("conv"))
+      .withColumn("llr_e9",
+        round(($"conv".cast("double") * lnPos +
+          ($"n" - $"conv").cast("double") * lnNeg) * 1e9).cast("long"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .select($"day", sum($"n").over(w).as("n_cum"),
+        sum($"llr_e9").over(w).as("cum_e9"))
+    cum
+      .select($"day", $"n_cum",
+        ($"cum_e9".cast("double") / 1e9).as("llr"),
+        (max($"cum_e9").over(w).cast("double") / 1e9).as("llr_max"),
+        (min($"cum_e9").over(w).cast("double") / 1e9).as("llr_min"))
+      .select($"day", $"n_cum", round($"llr", 4).as("llr"),
+        round($"llr_max", 4).as("llr_max"),
+        round($"llr_min", 4).as("llr_min"),
+        when($"llr_max" > bound, "reject_h0")
+          .when($"llr_min" < -bound, "accept_h0")
+          .otherwise("continue").as("state"))
+      .orderBy($"day")
+  }
+
+  val q304Sql: String = {
+    val lnPos = math.log(0.22 / 0.18)
+    val lnNeg = math.log(0.78 / 0.82)
+    val bound = math.log(19.0)
+    s"""WITH pu AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day,
+      |    CASE WHEN MIN_BY(event_type,
+      |        printf('%020d', epoch_us(ts)) || printf('%020d', event_id))
+      |      = 'view' THEN 1 ELSE 0 END AS x
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT first_day AS day, COUNT(*) AS n, SUM(x) AS conv
+      |  FROM pu GROUP BY 1),
+      |l AS (
+      |  SELECT day, n, conv,
+      |    CAST(round((conv * $lnPos + (n - conv) * $lnNeg) * 1e9)
+      |      AS BIGINT) AS llr_e9
+      |  FROM d),
+      |c0 AS (
+      |  SELECT day,
+      |    SUM(n) OVER w AS n_cum,
+      |    SUM(llr_e9) OVER w AS cum_e9
+      |  FROM l
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT day, n_cum,
+      |    CAST(cum_e9 AS DOUBLE) / 1e9 AS llr,
+      |    CAST(MAX(cum_e9) OVER w AS DOUBLE) / 1e9 AS llr_max,
+      |    CAST(MIN(cum_e9) OVER w AS DOUBLE) / 1e9 AS llr_min
+      |  FROM c0
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(n_cum AS BIGINT) AS n_cum, ROUND(llr, 4) AS llr,
+      |  ROUND(llr_max, 4) AS llr_max, ROUND(llr_min, 4) AS llr_min,
+      |  CASE WHEN llr_max > $bound THEN 'reject_h0'
+      |    WHEN llr_min < ${-bound} THEN 'accept_h0'
+      |    ELSE 'continue' END AS state
+      |FROM c ORDER BY day""".stripMargin
+  }
+
+  /** q305: Western Electric control chart — the SPC rule set q183's
+    * EWMA complements: daily error-count z-scores against the
+    * all-days center line (population moments from exact integer
+    * counts), with the four classic run rules — R1: |z|>3; R2: two of
+    * three consecutive beyond 2σ on the same side; R3: four of five
+    * beyond 1σ on the same side; R4: eight consecutive on the same
+    * side. Rules 2–4 are windowed counts over the ≤|days| daily frame
+    * (never a re-scan); the card reports every day with its z and rule
+    * flags — on this stationary stream the honest reading is an
+    * occasional R1-free, rule-quiet chart.
+    */
+  def q305ControlChart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_type" === "error")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    val stats = daily
+      .withColumn("mu", sum($"n").over(all).cast("double") /
+        count(lit(1)).over(all))
+      .withColumn("sigma", sqrt(
+        sum($"n" * $"n").over(all).cast("double") /
+          count(lit(1)).over(all) - $"mu" * $"mu"))
+      .withColumn("z", ($"n".cast("double") - $"mu") / $"sigma")
+      .withColumn("side", signum($"z"))
+    val w3 = Window.orderBy($"day").rowsBetween(-2, 0)
+    val w5 = Window.orderBy($"day").rowsBetween(-4, 0)
+    val w8 = Window.orderBy($"day").rowsBetween(-7, 0)
+    stats
+      .withColumn("r1", abs($"z") > 3.0)
+      .withColumn("r2",
+        sum(when($"z" > 2.0, 1).otherwise(0)).over(w3) >= 2 ||
+        sum(when($"z" < -2.0, 1).otherwise(0)).over(w3) >= 2)
+      .withColumn("r3",
+        sum(when($"z" > 1.0, 1).otherwise(0)).over(w5) >= 4 ||
+        sum(when($"z" < -1.0, 1).otherwise(0)).over(w5) >= 4)
+      .withColumn("r4",
+        sum(when($"side" > 0, 1).otherwise(0)).over(w8) >= 8 ||
+        sum(when($"side" < 0, 1).otherwise(0)).over(w8) >= 8)
+      .select($"day", $"n", round($"z", 4).as("z"),
+        $"r1", $"r2", $"r3", $"r4",
+        ($"r1" || $"r2" || $"r3" || $"r4").as("out_of_control"))
+      .orderBy($"day")
+  }
+
+  val q305Sql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |s AS (
+      |  SELECT day, n,
+      |    (CAST(n AS DOUBLE) - CAST(SUM(n) OVER () AS DOUBLE)
+      |      / COUNT(*) OVER ())
+      |    / sqrt(CAST(SUM(n * n) OVER () AS DOUBLE) / COUNT(*) OVER ()
+      |      - (CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER ())
+      |        * (CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER ())) AS z
+      |  FROM d),
+      |r AS (
+      |  SELECT day, n, z,
+      |    abs(z) > 3.0 AS r1,
+      |    (SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |        >= 2
+      |      OR SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |        >= 2) AS r2,
+      |    (SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |        >= 4
+      |      OR SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |        >= 4) AS r3,
+      |    (SUM(CASE WHEN sign(z) > 0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |        >= 8
+      |      OR SUM(CASE WHEN sign(z) < 0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |        >= 8) AS r4
+      |  FROM s)
+      |SELECT day, CAST(n AS BIGINT) AS n, ROUND(z, 4) AS z,
+      |  r1, r2, r3, r4, (r1 OR r2 OR r3 OR r4) AS out_of_control
+      |FROM r ORDER BY day""".stripMargin
+
+  /** q306: process-capability card (Cp/Cpk) — the SPC summary that asks
+    * not "is the process in control" (q305) but "does it FIT the spec":
+    * per event type, the value distribution against the [0, 100] spec
+    * band — Cp = spec width / 6σ (potential capability), Cpk =
+    * nearest-limit margin / 3σ (realized, penalizing off-center), and
+    * the observed out-of-spec share. Moments fold from exact integer
+    * cents; a uniform[0,100] stream correctly reads Cp ≈ 0.58
+    * (6σ ≈ 173 cents-wide for a 100-wide spec) — "in control but not
+    * capable", the distinction the two cards exist to separate. One
+    * grouped pass, |types| rows.
+    */
+  def q306Capability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = events(spark, dir)
+      .withColumn("cents", round($"value" * 100.0).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"cents" * $"cents").as("ss"),
+        sum(when($"cents" < 0L || $"cents" > 10000L, 1L).otherwise(0L))
+          .as("n_oos"))
+    val nD = $"n".cast("double")
+    val mu = $"s".cast("double") / nD
+    val sigma = sqrt($"ss".cast("double") / nD - mu * mu)
+    m.select($"event_type", $"n",
+        round(mu / 100.0, 4).as("mean_usd"),
+        round(sigma / 100.0, 4).as("sigma_usd"),
+        round(lit(10000.0) / (lit(6.0) * sigma), 4).as("cp"),
+        round(least(lit(10000.0) - mu, mu) / (lit(3.0) * sigma), 4)
+          .as("cpk"),
+        round($"n_oos".cast("double") / nD, 6).as("oos_share"))
+      .orderBy($"event_type")
+  }
+
+  val q306Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS s,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)
+      |      * CAST(round(value * 100.0) AS BIGINT)) AS ss,
+      |    SUM(CASE WHEN round(value * 100.0) < 0
+      |      OR round(value * 100.0) > 10000 THEN 1 ELSE 0 END) AS n_oos
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT event_type, n, n_oos,
+      |    CAST(s AS DOUBLE) / n AS mu,
+      |    sqrt(CAST(ss AS DOUBLE) / n
+      |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sigma
+      |  FROM m)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(mu / 100.0, 4) AS mean_usd,
+      |  ROUND(sigma / 100.0, 4) AS sigma_usd,
+      |  ROUND(10000.0 / (6.0 * sigma), 4) AS cp,
+      |  ROUND(LEAST(10000.0 - mu, mu) / (3.0 * sigma), 4) AS cpk,
+      |  ROUND(CAST(n_oos AS DOUBLE) / n, 6) AS oos_share
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q306_capability" -> (q306Capability _),
+    "q305_control_chart" -> (q305ControlChart _),
+    "q304_sprt" -> (q304Sprt _),
     "q303_json_conformance" -> (q303JsonConformance _),
     "q302_freshness_monitor" -> (q302FreshnessMonitor _),
     "q300_slo_burn" -> (q300SloBurn _),
@@ -4548,6 +4781,9 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q306_capability" -> q306Sql,
+    "q305_control_chart" -> q305Sql,
+    "q304_sprt" -> q304Sql,
     "q303_json_conformance" -> q303Sql,
     "q302_freshness_monitor" -> q302Sql,
     "q300_slo_burn" -> q300Sql,

@@ -2199,7 +2199,76 @@ object Relational {
       |    AS rec_coverage
       |FROM m CROSS JOIN ti""".stripMargin
 
+  /** q307: price-elasticity estimation — the revenue-management card: a
+    * log-log OLS of ln(quantity) on ln(1 − discount) per retail-price
+    * band estimates how strongly discounting moves volume at each price
+    * tier. Per-row log terms snap to an integer 1e-9 grid and the OLS
+    * moments fold as DECIMAL(38,0) (Σxy on the grid overflows a long at
+    * real row counts), so slope and R² are engine-identical. On this
+    * synthetic data quantity is independent of discount, and the card
+    * correctly reads elasticity ≈ 0 with R² ≈ 0 in every band — the
+    * null it should find. One broadcast part join, one grouped fold.
+    */
+  def q307PriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val banded = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")
+        .select($"p_partkey", $"p_retailprice")),
+        $"l_partkey" === $"p_partkey")
+      .select(
+        when($"p_retailprice" < 933.0, "1_low")
+          .when($"p_retailprice" < 966.0, "2_mid")
+          .otherwise("3_high").as("price_band"),
+        round(log(lit(1.0) - $"l_discount") * 1e9).cast("long").as("x"),
+        round(log($"l_quantity") * 1e9).cast("long").as("y"))
+    val m = banded.groupBy($"price_band")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x".cast(dec)) * $"y").as("sxy"),
+        sum(($"x".cast(dec)) * $"x").as("sxx"),
+        sum(($"y".cast(dec)) * $"y").as("syy"))
+    val nD = $"n".cast("double")
+    val sx = $"sx".cast("double"); val sy = $"sy".cast("double")
+    val sxy = $"sxy".cast("double"); val sxx = $"sxx".cast("double")
+    val syy = $"syy".cast("double")
+    val cov = nD * sxy - sx * sy
+    val vx = nD * sxx - sx * sx
+    val vy = nD * syy - sy * sy
+    m.select($"price_band", $"n",
+        round(cov / vx, 4).as("elasticity"),
+        round(cov * cov / (vx * vy), 6).as("r2"))
+      .orderBy($"price_band")
+  }
+
+  val q307Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN p_retailprice < 933.0 THEN '1_low'
+      |      WHEN p_retailprice < 966.0 THEN '2_mid'
+      |      ELSE '3_high' END AS price_band,
+      |    CAST(round(ln(1.0 - l_discount) * 1e9) AS BIGINT) AS x,
+      |    CAST(round(ln(l_quantity) * 1e9) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (
+      |  SELECT price_band, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM b GROUP BY 1)
+      |SELECT price_band, CAST(n AS BIGINT) AS n,
+      |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+      |    4) AS elasticity,
+      |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+      |    6) AS r2
+      |FROM m ORDER BY price_band""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q307_price_elasticity" -> (q307PriceElasticity _),
     "q294_reco_eval" -> (q294RecoEval _),
     "q292_negative_sampling" -> (q292NegativeSampling _),
     "q280_adamic_adar" -> (q280AdamicAdar _),
@@ -2263,6 +2332,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q307_price_elasticity" -> q307Sql,
     "q294_reco_eval" -> q294Sql,
     "q292_negative_sampling" -> q292Sql,
     "q280_adamic_adar" -> q280Sql,
