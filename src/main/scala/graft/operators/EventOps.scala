@@ -4698,7 +4698,68 @@ object EventOps {
       |  ROUND(CAST(n_oos AS DOUBLE) / n, 6) AS oos_share
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** q308: cohort LTV curve — q153's retention counts upgraded to the
+    * number finance actually discounts: per enrollment cohort (first-
+    * event week) and age (weeks since enrollment), the CUMULATIVE
+    * purchase revenue per cohort member. Revenue folds as exact cents,
+    * cohort sizes as exact counts; the cumulative sum runs over the
+    * bounded (cohorts × ages) frame, keyed per cohort — the curve that
+    * says whether later cohorts monetize faster, and when a cohort's
+    * curve flattens (payback horizon). One event pass + one per-user
+    * enrollment aggregate joined back by broadcast.
+    */
+  def q308LtvCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enroll = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(min(expr("ts div 604800000000000")).as("cohort_week"))
+      .localCheckpoint() // |users| rows; feeds sizes and the age join
+    val sizes = enroll.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts div 604800000000000").as("week"),
+        round($"value" * 100.0).cast("long").as("cents"))
+      .join(enroll, Seq("user_id"))
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("age_week"))
+      .agg(sum($"cents").as("cents"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"age_week")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(broadcast(sizes), Seq("cohort_week"))
+      .select($"cohort_week", $"age_week", $"cohort_users",
+        sum($"cents").over(w).as("cum_cents"))
+      .select($"cohort_week", $"age_week", $"cohort_users",
+        round($"cum_cents".cast("double") / $"cohort_users" / 100.0, 4)
+          .as("cum_ltv_usd"))
+      .orderBy($"cohort_week", $"age_week")
+  }
+
+  val q308Sql: String =
+    """WITH en AS (
+      |  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |sz AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_users FROM en GROUP BY 1),
+      |rev AS (
+      |  SELECT en.cohort_week,
+      |    (epoch_us(ts) // 604800000000) - en.cohort_week AS age_week,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS cents
+      |  FROM events JOIN en USING (user_id)
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT cohort_week, age_week, cohort_users,
+      |    SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM rev JOIN sz USING (cohort_week))
+      |SELECT cohort_week, age_week, CAST(cohort_users AS BIGINT)
+      |    AS cohort_users,
+      |  ROUND(CAST(cum_cents AS DOUBLE) / cohort_users / 100.0, 4)
+      |    AS cum_ltv_usd
+      |FROM c ORDER BY cohort_week, age_week""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q308_ltv_curve" -> (q308LtvCurve _),
     "q306_capability" -> (q306Capability _),
     "q305_control_chart" -> (q305ControlChart _),
     "q304_sprt" -> (q304Sprt _),
@@ -4781,6 +4842,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q308_ltv_curve" -> q308Sql,
     "q306_capability" -> q306Sql,
     "q305_control_chart" -> q305Sql,
     "q304_sprt" -> q304Sql,

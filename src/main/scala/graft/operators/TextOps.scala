@@ -2285,6 +2285,72 @@ object TextOps {
       |    AS subword_share
       |FROM g ORDER BY lang""".stripMargin
 
+  /** q309: quantile-bin calibration table — the cross-source score
+    * normalization a mixed-corpus curation threshold needs: the SAME
+    * quality cut keeps 80% of one source and 30% of another purely
+    * because their score DISTRIBUTIONS differ, so scores are compared
+    * rank-wise instead. Per (source, within-source decile — ntile over
+    * the (quality, doc_id) total order inside each source partition,
+    * deterministic on both engines), the mean raw score and the
+    * REFERENCE source's same-decile mean, and the shift between them —
+    * the lookup table a quantile-normalizing pipeline applies. Quality
+    * snaps to DECIMAL(24,6) before the per-bin fold, so bin means are
+    * exact. Per-source windows are keyed (a mega-source bounds one
+    * partition, never the corpus).
+    */
+  def q309QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val scored = table(spark, dir, "documents")
+      .select($"source", $"doc_id",
+        round(graft.api.Text.qualityScore($"text"), 6).cast(dec).as("q"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"q", $"doc_id")).cast("long"))
+    val bins = scored.groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+      .localCheckpoint() // |sources| x 10 rows
+    val ref = bins.filter($"source" === "src0")
+      .select($"decile", ($"sq".cast("double") / $"n").as("ref_mean"))
+    bins.join(broadcast(ref), Seq("decile"))
+      .select($"source", $"decile", $"n",
+        round($"sq".cast("double") / $"n", 6).as("mean_raw"),
+        round($"ref_mean", 6).as("mean_ref"),
+        round($"ref_mean" - $"sq".cast("double") / $"n", 6).as("shift"))
+      .orderBy($"source", $"decile")
+  }
+
+  val q309Sql: String =
+    """WITH s AS (
+      |  SELECT source, doc_id,
+      |    CAST(ROUND(
+      |      LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0, 1.0)
+      |          * 0.5
+      |        + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |          / len(string_split(text, ' '))) * 0.3
+      |        + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |          / len(string_split(text, ' '))) * 0.2, 6)
+      |      AS DECIMAL(24,6)) AS q
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, q,
+      |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id)
+      |      AS BIGINT) AS decile
+      |  FROM s),
+      |b AS (
+      |  SELECT source, decile, COUNT(*) AS n, SUM(q) AS sq
+      |  FROM d GROUP BY 1, 2),
+      |r AS (
+      |  SELECT decile, CAST(sq AS DOUBLE) / n AS ref_mean
+      |  FROM b WHERE source = 'src0')
+      |SELECT b.source, b.decile, CAST(b.n AS BIGINT) AS n,
+      |  ROUND(CAST(b.sq AS DOUBLE) / b.n, 6) AS mean_raw,
+      |  ROUND(r.ref_mean, 6) AS mean_ref,
+      |  ROUND(r.ref_mean - CAST(b.sq AS DOUBLE) / b.n, 6) AS shift
+      |FROM b JOIN r USING (decile)
+      |ORDER BY b.source, b.decile""".stripMargin
+
   /** q274: compute-optimal token budget (the Chinchilla allocation,
     * Hoffmann et al. 2022) — the planning card that turns corpus stats
     * into the question every pretraining run starts with: for compute
@@ -2337,6 +2403,7 @@ object TextOps {
 
   val queries: Seq[(String, Q)] = Seq(
     "q274_token_budget" -> (q274TokenBudget _),
+    "q309_quantile_norm" -> (q309QuantileNorm _),
     "q297_filter_disparity" -> (q297FilterDisparity _),
     "q298_tokenizer_fertility" -> (q298TokenizerFertility _),
     "q288_heaps_fit" -> (q288HeapsFit _),
@@ -2460,6 +2527,7 @@ object TextOps {
 
   val oracles: Seq[(String, String)] = Seq(
     "q274_token_budget" -> q274Sql,
+    "q309_quantile_norm" -> q309Sql,
     "q297_filter_disparity" -> q297Sql,
     "q298_tokenizer_fertility" -> q298Sql,
     "q288_heaps_fit" -> q288Sql,
