@@ -795,6 +795,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q301: member pairs are cluster-keyed; the verify join never crosses candidates") {
+    val p = planOf(graft.operators.DedupOps.q301ChainingAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must stay keyed on the cluster id")
+  }
+
+  test("q308/q309: cohort and calibration windows stay keyed (no empty-PARTITION BY data window)") {
+    for ((df, key) <- Seq(
+        graft.operators.EventOps.q308LtvCurve(spark, sf) -> "cohort_week",
+        graft.operators.TextOps.q309QuantileNorm(spark, sf) -> "source")) {
+      val p = planOf(df)
+      // every Window node over data must carry a partition spec; the only
+      // unkeyed windows allowed are over bounded aggregate frames
+      assert(p.contains(key), s"window must key on $key:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
