@@ -4758,7 +4758,78 @@ object EventOps {
       |    AS cum_ltv_usd
       |FROM c ORDER BY cohort_week, age_week""".stripMargin
 
+  /** q310: watermark-sizing advisor — the DECISION card q243's
+    * lateness histogram leads into: `withWatermark` trades state (a
+    * longer allowance holds more open windows) against data loss (a
+    * shorter one drops late rows), so per stream the card reports the
+    * exact p99 / p99.9 / max of the commit-order lateness distribution
+    * (the q243 running-max definition, quantiles through the
+    * bounded-state quantile engine — never a percentile aggregate), the
+    * drop share a p99-sized allowance would still incur, and the
+    * recommended allowance (p99.9 rounded UP to the next minute — the
+    * operational grid a config takes). One window pass over the event
+    * scan feeds the quantile search and the drop counts.
+    */
+  def q310WatermarkAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events(spark, dir)
+      .select($"event_type", $"event_id", $"ts_ms")
+      .withColumn("late_ms",
+        (max($"ts_ms").over(w) - $"ts_ms").cast("double"))
+      .localCheckpoint() // one window pass feeds quantiles AND drop counts
+    val qs = Extended.exactQuantilesMulti(late, Some("event_type"),
+      Seq("late_ms" -> Seq(0.99, 0.999)))
+    val qDf = qs.toSeq.map { case (g, m) =>
+      (g.asInstanceOf[String], m(("late_ms", 0.99)), m(("late_ms", 0.999)))
+    }.toDF("event_type", "p99_ms", "p999_ms")
+    late.join(broadcast(qDf), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), max($"late_ms").as("max_late"),
+        max($"p99_ms").as("p99"), max($"p999_ms").as("p999"),
+        sum(when($"late_ms" > $"p99_ms", 1L).otherwise(0L))
+          .as("n_drop_p99"))
+      .select($"event_type", $"n_events",
+        round($"p99", 1).as("p99_ms"),
+        round($"p999", 1).as("p999_ms"),
+        $"max_late".cast("long").as("max_late_ms"),
+        round($"n_drop_p99".cast("double") / $"n_events", 6)
+          .as("drop_share_at_p99"),
+        (ceil($"p999" / 60000.0).cast("long") * 60000L)
+          .as("recommended_allowance_ms"))
+      .orderBy($"event_type")
+  }
+
+  val q310Sql: String =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    CAST(MAX(epoch_ms(ts)) OVER (PARTITION BY event_type
+      |        ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - epoch_ms(ts) AS DOUBLE) AS late_ms
+      |  FROM events),
+      |q AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    quantile_cont(late_ms, 0.99) AS p99,
+      |    quantile_cont(late_ms, 0.999) AS p999,
+      |    MAX(late_ms) AS max_late
+      |  FROM l GROUP BY 1),
+      |d AS (
+      |  SELECT l.event_type,
+      |    SUM(CASE WHEN late_ms > p99 THEN 1 ELSE 0 END) AS n_drop
+      |  FROM l JOIN q USING (event_type) GROUP BY 1)
+      |SELECT q.event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  ROUND(p99, 1) AS p99_ms, ROUND(p999, 1) AS p999_ms,
+      |  CAST(max_late AS BIGINT) AS max_late_ms,
+      |  ROUND(CAST(n_drop AS DOUBLE) / n_events, 6) AS drop_share_at_p99,
+      |  CAST(CEIL(p999 / 60000.0) AS BIGINT) * 60000
+      |    AS recommended_allowance_ms
+      |FROM q JOIN d ON d.event_type = q.event_type
+      |ORDER BY q.event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q310_watermark_advisor" -> (q310WatermarkAdvisor _),
     "q308_ltv_curve" -> (q308LtvCurve _),
     "q306_capability" -> (q306Capability _),
     "q305_control_chart" -> (q305ControlChart _),
@@ -4842,6 +4913,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q310_watermark_advisor" -> q310Sql,
     "q308_ltv_curve" -> q308Sql,
     "q306_capability" -> q306Sql,
     "q305_control_chart" -> q305Sql,

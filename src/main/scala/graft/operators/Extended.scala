@@ -1524,7 +1524,85 @@ object Extended {
       |  ROUND(GREATEST(est_raw / actual, actual / est_raw), 4) AS q_error
       |FROM s ORDER BY estimator""".stripMargin
 
+  /** q311: dataset fingerprint — a manifest-less content identity for
+    * every input table: per table, the row count and an
+    * ORDER-INDEPENDENT content hash (per-row canonical string → md5 →
+    * the first 8 hex digits decoded by positional `instr` arithmetic —
+    * no hex-cast builtin needed on either engine — summed as
+    * DECIMAL(38,0), then folded to a signed long). Any row added,
+    * dropped, or mutated moves the fingerprint; partitioning, file
+    * order, and shuffle layout cannot — exactly the property a
+    * reproducibility check ("is this the corpus the model saw?") and a
+    * replication audit ("do both regions hold the same data?") need.
+    * One narrow hashing pass per table; the fold is a single aggregate.
+    */
+  def q311DatasetFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def hex32(h: Column): Column = (1 to 8).map { i =>
+      (expr(s"instr('0123456789abcdef', substring(h, $i, 1))").cast("long")
+        - 1L) * lit(1L << (4 * (8 - i)))
+    }.reduce(_ + _)
+    def card(name: String, df: DataFrame, repr: Column): DataFrame =
+      df.select(md5(repr).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(hex32($"h").cast(dec)).as("s"))
+        .select(lit(name).as("table_name"), $"n_rows",
+          pmod($"s", lit(4611686018427387904L).cast(dec)).cast("long")
+            .as("fingerprint"))
+    val ev = card("events", events(spark, dir),
+      concat_ws("|", $"event_id", expr("ts div 1000"), $"user_id",
+        $"event_type", round($"value" * 100.0).cast("long"), $"props"))
+    val doc = card("documents", table(spark, dir, "documents"),
+      concat_ws("|", $"doc_id", $"lang", $"source", md5($"text")))
+    val li = card("lineitem", table(spark, dir, "lineitem"),
+      concat_ws("|", $"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_linenumber", round($"l_quantity" * 100.0).cast("long"),
+        round($"l_extendedprice" * 100.0).cast("long")))
+    val ord = card("orders", table(spark, dir, "orders"),
+      concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        round($"o_totalprice" * 100.0).cast("long")))
+    ev.unionByName(doc).unionByName(li).unionByName(ord)
+      .orderBy($"table_name")
+  }
+
+  val q311Sql: String = {
+    def hex32(col: String): String = (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substring($col, $i, 1)) - 1) " +
+        s"* ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+    def card(name: String, repr: String, from: String): String =
+      s"""SELECT '$name' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CAST(${hex32("md5(" + repr + ")")} AS HUGEINT))
+         |    % 4611686018427387904 AS BIGINT) AS fingerprint
+         |FROM $from""".stripMargin
+    Seq(
+      card("events",
+        "CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR)" +
+          " || '|' || CAST(user_id AS VARCHAR) || '|' || event_type" +
+          " || '|' || CAST(CAST(round(value * 100.0) AS BIGINT) AS VARCHAR)" +
+          " || '|' || props",
+        "events"),
+      card("documents",
+        "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source" +
+          " || '|' || md5(text)",
+        "documents"),
+      card("lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)" +
+          " || '|' || CAST(l_suppkey AS VARCHAR)" +
+          " || '|' || CAST(l_linenumber AS VARCHAR)" +
+          " || '|' || CAST(CAST(round(l_quantity * 100.0) AS BIGINT) AS VARCHAR)" +
+          " || '|' || CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) AS VARCHAR)",
+        "lineitem"),
+      card("orders",
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+          " || '|' || o_orderstatus" +
+          " || '|' || CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR)",
+        "orders"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q311_dataset_fingerprint" -> (q311DatasetFingerprint _),
     "q290_join_estimate" -> (q290JoinEstimate _),
     "q289_zonemap_card" -> (q289ZonemapCard _),
     "q245_storage_planner" -> (q245StoragePlanner _),
@@ -1554,6 +1632,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q311_dataset_fingerprint" -> q311Sql,
     "q290_join_estimate" -> q290Sql,
     "q289_zonemap_card" -> q289Sql,
     "q245_storage_planner" -> q245Sql,
