@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -4828,7 +4828,347 @@ object EventOps {
       |FROM q JOIN d ON d.event_type = q.event_type
       |ORDER BY q.event_type""".stripMargin
 
+  /** The q266 Knuth draw keyed by event_id (DuckDB dialect) — the
+    * transport lottery of q312.
+    */
+  private val knuthEventSql: String =
+    """(CAST((((((event_id % 4294967296) // 65536)
+      |          * 2654435761) % 65536) * 65536
+      |        + ((event_id % 4294967296) % 65536) * 2654435761)
+      |          % 4294967296 AS DOUBLE) / 4294967296.0)""".stripMargin
+
+  /** First 8 hex digits of an md5 column (named `colName` in the frame)
+    * decoded to a long via positional `instr` arithmetic — the q311
+    * fingerprint idiom, shared by q312/q313.
+    */
+  private def hex32(colName: String): Column = (1 to 8).map { i =>
+    (expr(s"instr('0123456789abcdef', substring($colName, $i, 1))")
+      .cast("long") - 1L) * lit(1L << (4 * (8 - i)))
+  }.reduce(_ + _)
+
+  private def hex32Sql(col: String): String = (1 to 8).map { i =>
+    s"(instr('0123456789abcdef', substring($col, $i, 1)) - 1) " +
+      s"* ${1L << (4 * (8 - i))}"
+  }.mkString("(", " + ", ")")
+
+  /** q312: source↔replica reconciliation — the question the reference
+    * replicator exists to make answerable ("did every record arrive in
+    * the target region, exactly once, unmutated?") as a per-(stream, day)
+    * ledger. The replica is the source put through a DETERMINISTIC faulty
+    * transport (Knuth draw on event_id: 0.4% lost, 0.2% delivered twice,
+    * 0.2% delivered with a mutated payload), and the card reconciles the
+    * two sides from OBSERVABLES only: record counts plus an
+    * order-independent content checksum (per-row canonical string → md5 →
+    * hex32 → DECIMAL(38,0) sum, the q311 fingerprint fold — multiplicity
+    * rides as an integer factor, so the replica side never materializes
+    * its duplicate rows). delta ≠ 0 ⇒ under/over-delivery; delta = 0 with
+    * a checksum mismatch ⇒ silent corruption (or a loss+duplicate wash) —
+    * the case count-only monitoring can NEVER see. Ground-truth fault
+    * counts ride along so the verdict column is auditable. One events
+    * scan, one hash aggregate of |streams × days| rows; both checksums
+    * fold commutatively, so the same card runs unchanged as a streaming
+    * merge at 100 TB.
+    */
+  def q312Reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def h(cents: Column): Column =
+      md5(concat_ws("|", $"event_id", expr("ts div 1000"), $"user_id",
+        $"event_type", cents))
+    val base = events(spark, dir)
+      .withColumn("u", knuthUniform($"event_id"))
+      .withColumn("cents", round($"value" * 100.0).cast("long"))
+      .withColumn("m", when($"u" < 0.004, 0L).when($"u" < 0.006, 2L)
+        .otherwise(1L))
+      .withColumn("cents_d",
+        when($"u" >= 0.006 && $"u" < 0.008, $"cents" + 100L)
+          .otherwise($"cents"))
+      .withColumn("h_src", h($"cents"))
+      .withColumn("h_dst", h($"cents_d"))
+    val led = base
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_src"), sum($"m").as("n_dst"),
+        sum(hex32("h_src").cast(dec)).as("s_src"),
+        sum($"m".cast(dec) * hex32("h_dst").cast(dec)).as("s_dst"),
+        sum(when($"u" < 0.004, 1L).otherwise(0L)).as("n_lost"),
+        sum(when($"u" >= 0.004 && $"u" < 0.006, 1L).otherwise(0L))
+          .as("n_dup"),
+        sum(when($"u" >= 0.006 && $"u" < 0.008, 1L).otherwise(0L))
+          .as("n_corrupt"))
+    led.select($"event_type", $"day", $"n_src", $"n_dst",
+        ($"n_dst" - $"n_src").as("delta"),
+        ($"n_src" === $"n_dst" && $"s_src" === $"s_dst")
+          .as("checksum_match"),
+        when($"n_dst" < $"n_src", "under_delivered")
+          .when($"n_dst" > $"n_src", "over_delivered")
+          .when($"s_src" =!= $"s_dst", "content_mismatch")
+          .otherwise("ok").as("status"),
+        $"n_lost", $"n_dup", $"n_corrupt")
+      .orderBy($"event_type", $"day")
+  }
+
+  val q312Sql: String = {
+    val sig = (cents: String) => hex32Sql(
+      "md5(CAST(event_id AS VARCHAR) || '|' " +
+        "|| CAST(epoch_us(ts) AS VARCHAR) || '|' " +
+        "|| CAST(user_id AS VARCHAR) || '|' || event_type || '|' " +
+        s"|| CAST($cents AS VARCHAR))")
+    s"""WITH b AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    $knuthEventSql AS u,
+       |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+       |    event_id, ts, user_id
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type, day, u,
+       |    CASE WHEN u < 0.004 THEN 0 WHEN u < 0.006 THEN 2 ELSE 1 END
+       |      AS m,
+       |    ${sig("cents")} AS sig_src,
+       |    ${sig("CASE WHEN u >= 0.006 AND u < 0.008 " +
+           "THEN cents + 100 ELSE cents END")} AS sig_dst
+       |  FROM b),
+       |l AS (
+       |  SELECT event_type, day, COUNT(*) AS n_src,
+       |    SUM(m) AS n_dst,
+       |    SUM(CAST(sig_src AS HUGEINT)) AS s_src,
+       |    SUM(m * CAST(sig_dst AS HUGEINT)) AS s_dst,
+       |    SUM(CASE WHEN u < 0.004 THEN 1 ELSE 0 END) AS n_lost,
+       |    SUM(CASE WHEN u >= 0.004 AND u < 0.006 THEN 1 ELSE 0 END)
+       |      AS n_dup,
+       |    SUM(CASE WHEN u >= 0.006 AND u < 0.008 THEN 1 ELSE 0 END)
+       |      AS n_corrupt
+       |  FROM c GROUP BY 1, 2)
+       |SELECT event_type, day, CAST(n_src AS BIGINT) AS n_src,
+       |  CAST(n_dst AS BIGINT) AS n_dst,
+       |  CAST(n_dst - n_src AS BIGINT) AS delta,
+       |  (n_src = n_dst AND s_src = s_dst) AS checksum_match,
+       |  CASE WHEN n_dst < n_src THEN 'under_delivered'
+       |    WHEN n_dst > n_src THEN 'over_delivered'
+       |    WHEN s_src <> s_dst THEN 'content_mismatch'
+       |    ELSE 'ok' END AS status,
+       |  CAST(n_lost AS BIGINT) AS n_lost,
+       |  CAST(n_dup AS BIGINT) AS n_dup,
+       |  CAST(n_corrupt AS BIGINT) AS n_corrupt
+       |FROM l ORDER BY event_type, day""".stripMargin
+  }
+
+  /** q313: shard-split advisor — the resharding decision a Kinesis-style
+    * operator faces when a stream runs hot: given per-partition-key load
+    * (records per user_id), plan a split of the key-hash space into 4
+    * child shards with EQUAL LOAD rather than equal hash width. Keys map
+    * to a 32-bit hash position (md5 → hex32 — stable across engines and
+    * runs, the property a reshard plan must have); the exclusive
+    * cumulative load share along the hash axis assigns each key its child
+    * shard (an integer-arithmetic floor, no float boundary ambiguity);
+    * the card reports each child's hash range, key count, load, and
+    * load share × 4 ("spread", 1.0 = perfectly balanced) — on a skewed
+    * stream the even-WIDTH split this replaces would read spread ≫ 1 on
+    * its hot shard. Shape: one per-(stream, key) count, one window
+    * cumsum over it, one 4-row-per-stream rollup; the per-key frame is
+    * the only shuffle and is exactly the aggregation a throughput
+    * monitor already maintains.
+    */
+  def q313ShardSplitAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perKey = events(spark, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("load"))
+      .withColumn("h", md5($"user_id".cast("string")))
+      .withColumn("hkey", hex32("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"hkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"event_type")
+    val assigned = perKey
+      .withColumn("cum", sum($"load").over(w))
+      .withColumn("total", sum($"load").over(tot))
+      .withColumn("shard",
+        least(expr("(cum - load) * 4 div total"), lit(3L)))
+    assigned.groupBy($"event_type", $"shard")
+      .agg(min($"hkey").as("hash_lo"), max($"hkey").as("hash_hi"),
+        count(lit(1)).as("n_keys"), sum($"load").as("n_records"),
+        max($"total").as("total"))
+      .select($"event_type", $"shard", $"hash_lo", $"hash_hi", $"n_keys",
+        $"n_records",
+        round($"n_records".cast("double") * 4.0 / $"total", 4)
+          .as("spread"))
+      .orderBy($"event_type", $"shard")
+  }
+
+  val q313Sql: String =
+    s"""WITH k AS (
+       |  SELECT event_type, user_id, COUNT(*) AS load,
+       |    ${hex32Sql("md5(CAST(user_id AS VARCHAR))")} AS hkey
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT event_type, hkey, load,
+       |    SUM(load) OVER (PARTITION BY event_type ORDER BY hkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(load) OVER (PARTITION BY event_type) AS total
+       |  FROM k),
+       |s AS (
+       |  SELECT event_type,
+       |    LEAST(((cum - load) * 4) // total, 3) AS shard,
+       |    hkey, load, total
+       |  FROM a)
+       |SELECT event_type, CAST(shard AS BIGINT) AS shard,
+       |  CAST(MIN(hkey) AS BIGINT) AS hash_lo,
+       |  CAST(MAX(hkey) AS BIGINT) AS hash_hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(load) AS BIGINT) AS n_records,
+       |  ROUND(CAST(SUM(load) AS DOUBLE) * 4.0 / MAX(total), 4) AS spread
+       |FROM s GROUP BY 1, 2 ORDER BY event_type, shard""".stripMargin
+
+  /** q314: one-way ANOVA — does mean `value` differ across event types?
+    * The k-sample extension of [[q170WelchTtest]]'s two: F = between-group
+    * mean square / within-group mean square, η² = SSB/SST. Values fold as
+    * exact integer cents (n, Σ, Σ² per group — one grouped pass, k rows),
+    * the grand moments roll up from the group frame, and every division
+    * happens once in the final closed form — bit-identical across engines
+    * and partitionings. On this uniform-by-design stream the honest
+    * readout is F ≈ 1, η² ≈ 0: the card exists to say "no effect" with a
+    * number. Scale shape: one map-side-combined aggregate of the event
+    * scan; everything after is a k-row fold.
+    */
+  def q314Anova(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = events(spark, dir)
+      .withColumn("vc", round($"value" * 100.0).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("s"),
+        sum($"vc" * $"vc").as("ss"))
+    val m = g.agg(count(lit(1)).as("k"), sum($"n").as("nt"),
+      sum($"s").as("st"), sum($"ss").as("sst"),
+      // Σ over groups of (Σvc)²/n — the between-groups raw term. Each
+      // group's division is one double op on exact integers, snapped to
+      // the 1e-6 grid and summed as DECIMAL so the k-term fold is
+      // order-insensitive (the suite's float-fold convention).
+      sum(round($"s".cast("double") * $"s".cast("double") / $"n", 6)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double").as("sb"))
+    val ssb = ($"sb" - $"st".cast("double") * $"st".cast("double") / $"nt")
+    val ssw = ($"sst".cast("double") - $"sb")
+    val sstot = ($"sst".cast("double") -
+      $"st".cast("double") * $"st".cast("double") / $"nt")
+    m.select($"k".as("k_groups"), $"nt".as("n_total"),
+        round(ssb / 10000.0, 4).as("ss_between"),
+        round(ssw / 10000.0, 4).as("ss_within"),
+        round((ssb / ($"k" - 1).cast("double")) /
+          (ssw / ($"nt" - $"k").cast("double")), 6).as("f_stat"),
+        round(ssb / sstot, 6).as("eta_sq"))
+  }
+
+  val q314Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)) AS s,
+      |    SUM(CAST(round(value * 100.0) AS BIGINT)
+      |      * CAST(round(value * 100.0) AS BIGINT)) AS ss
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*) AS k, SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst,
+      |    CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+      |      AS DECIMAL(38, 6))) AS DOUBLE) AS sb
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total,
+      |  ROUND((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+      |    / 10000.0, 4) AS ss_between,
+      |  ROUND((CAST(sst AS DOUBLE) - sb) / 10000.0, 4) AS ss_within,
+      |  ROUND(((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+      |      / CAST(k - 1 AS DOUBLE))
+      |    / ((CAST(sst AS DOUBLE) - sb) / CAST(nt - k AS DOUBLE)), 6)
+      |    AS f_stat,
+      |  ROUND((sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+      |    / (CAST(sst AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt), 6) AS eta_sq
+      |FROM m""".stripMargin
+
+  /** q315: Kruskal–Wallis H — [[q314Anova]] without the normality
+    * assumption and [[q181MannWhitney]] beyond two samples: do the k
+    * event-type `value` distributions share a location? The corpus
+    * collapses to per-(value) total counts for the GLOBAL rank walk
+    * (|distinct values| rows, the q163/q181 recipe) and per-(type, value)
+    * counts for the per-group rank sums; ties ride as doubled-integer
+    * average ranks and the tie correction Σ(t³−t)/(N³−N) accumulates in
+    * decimal — H and its tie-corrected form are closed-form doubles over
+    * exact integers. Per-type rows report n and mean rank; the H columns
+    * repeat on each row (q182's layout). Shape: two hash aggregates, a
+    * window over the distinct-value frame, one value-keyed join back.
+    */
+  def q315KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    def dec(c: Column) = c.cast(DecimalType(28, 0))
+    val byTypeVal = events(spark, dir)
+      .groupBy($"event_type", $"value").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the global rank frame AND the join back
+    val byVal = byTypeVal.groupBy($"value").agg(sum($"c").as("ct"))
+    val w = Window.orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("r2", lit(2L) * (sum($"ct").over(w) - $"ct") + $"ct" + 1L)
+    val perType = byTypeVal.join(ranked, "value")
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n"), sum(dec($"c") * dec($"r2")).as("rs2"))
+    val ties = ranked.agg(sum($"ct").as("nt"),
+      sum(dec($"ct") * dec($"ct") * dec($"ct") - dec($"ct")).as("tie3"))
+    val joined = perType.crossJoin(broadcast(ties))
+    val nD = $"n".cast("double"); val ntD = $"nt".cast("double")
+    // H = 12/(N(N+1)) Σ R_i²/n_i − 3(N+1), with R_i = rs2/2; the k-term
+    // float fold rides the 1e-6 decimal grid (order-insensitive).
+    val hRaw = lit(12.0) / (ntD * (ntD + 1.0)) *
+      sum(round($"rs2".cast("double") * $"rs2".cast("double") / 4.0 / nD, 6)
+        .cast(DecimalType(38, 6)))
+        .over(Window.partitionBy()).cast("double") - lit(3.0) * (ntD + 1.0)
+    val corr = lit(1.0) -
+      $"tie3".cast("double") / (ntD * ntD * ntD - ntD)
+    joined
+      .withColumn("h_stat", round(hRaw, 6))
+      .withColumn("h_tie_corrected", round(hRaw / corr, 6))
+      .select($"event_type", $"n",
+        round($"rs2".cast("double") / 2.0 / nD, 4).as("mean_rank"),
+        $"h_stat", $"h_tie_corrected")
+      .orderBy($"event_type")
+  }
+
+  val q315Sql: String =
+    """WITH tv AS (
+      |  SELECT event_type, value, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |v AS (
+      |  SELECT value, SUM(c) AS ct FROM tv GROUP BY 1),
+      |ranked AS (
+      |  SELECT value, ct,
+      |    2 * (SUM(ct) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+      |      + ct + 1 AS r2
+      |  FROM v),
+      |pt AS (
+      |  SELECT event_type, SUM(c) AS n,
+      |    SUM(CAST(c AS HUGEINT) * r2) AS rs2
+      |  FROM tv JOIN ranked USING (value) GROUP BY 1),
+      |t AS (
+      |  SELECT SUM(ct) AS nt,
+      |    SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3
+      |  FROM ranked),
+      |h AS (
+      |  SELECT event_type, n, rs2, nt, tie3,
+      |    12.0 / (CAST(nt AS DOUBLE) * (nt + 1))
+      |      * CAST(SUM(CAST(ROUND(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+      |          / 4.0 / n, 6) AS DECIMAL(38, 6))) OVER () AS DOUBLE)
+      |      - 3.0 * (CAST(nt AS DOUBLE) + 1.0) AS h_raw
+      |  FROM pt CROSS JOIN t)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(rs2 AS DOUBLE) / 2.0 / n, 4) AS mean_rank,
+      |  ROUND(h_raw, 6) AS h_stat,
+      |  ROUND(h_raw / (1.0 - CAST(tie3 AS DOUBLE)
+      |    / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6) AS h_tie_corrected
+      |FROM h ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q312_reconciliation" -> (q312Reconciliation _),
+    "q313_shard_split_advisor" -> (q313ShardSplitAdvisor _),
+    "q314_anova" -> (q314Anova _),
+    "q315_kruskal_wallis" -> (q315KruskalWallis _),
     "q310_watermark_advisor" -> (q310WatermarkAdvisor _),
     "q308_ltv_curve" -> (q308LtvCurve _),
     "q306_capability" -> (q306Capability _),
@@ -4913,6 +5253,10 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q312_reconciliation" -> q312Sql,
+    "q313_shard_split_advisor" -> q313Sql,
+    "q314_anova" -> q314Sql,
+    "q315_kruskal_wallis" -> q315Sql,
     "q310_watermark_advisor" -> q310Sql,
     "q308_ltv_curve" -> q308Sql,
     "q306_capability" -> q306Sql,

@@ -2401,7 +2401,108 @@ object TextOps {
       |  (d_opt <= proj_tokens) AS enough_at_x100
       |FROM g ORDER BY flops""".stripMargin
 
+  /** q316: Spearman vs Pearson correlation — is document length (chars)
+    * monotonically, and how linearly, related to token count? Pearson
+    * folds from exact integer moments (both variables are integers — n,
+    * Σx, Σy, Σx², Σy², Σxy as DECIMAL, one closed form at the end).
+    * Spearman is Pearson over AVERAGE RANKS: each variable collapses to
+    * its distinct-value count frame, the doubled-integer rank walk (the
+    * q181 recipe — 2·avg-rank is always integral) runs over |distinct|
+    * rows, ranks join back by value, and the rank moments fold as exact
+    * integers too — the whole card is deterministic with zero float
+    * folds. ρ ≈ r says the relation is linear; ρ ≫ r flags outliers or
+    * curvature that a length-based quality filter would mishandle.
+    * Shape: one tokenize pass, two tiny distinct-value rank frames
+    * broadcast back, one moments aggregate.
+    */
+  def q316SpearmanLength(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val base = table(spark, dir, "documents")
+      .select($"doc_id", $"n_chars".as("x"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))")
+          .cast("long").as("y"))
+      .localCheckpoint() // feeds both rank frames and the moments fold
+    def ranks(colName: String): DataFrame = {
+      val w = Window.orderBy(col(colName))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(colName)).agg(count(lit(1)).as("c"))
+        .withColumn(s"r2_$colName",
+          lit(2L) * (sum($"c").over(w) - $"c") + $"c" + 1L)
+        .drop("c")
+    }
+    val withRanks = base
+      .join(broadcast(ranks("x")), "x")
+      .join(broadcast(ranks("y")), "y")
+    val m = withRanks.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(dec($"x") * dec($"x")).as("sxx"),
+      sum(dec($"y") * dec($"y")).as("syy"),
+      sum(dec($"x") * dec($"y")).as("sxy"),
+      sum($"r2_x").as("srx"), sum($"r2_y").as("sry"),
+      sum(dec($"r2_x") * dec($"r2_x")).as("srxx"),
+      sum(dec($"r2_y") * dec($"r2_y")).as("sryy"),
+      sum(dec($"r2_x") * dec($"r2_y")).as("srxy"))
+    type C = org.apache.spark.sql.Column
+    def pearson(n: C, sx: C, sy: C, sxx: C, syy: C, sxy: C): C = {
+      val nD = n.cast("double")
+      (nD * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        (sqrt(nD * sxx.cast("double") -
+          sx.cast("double") * sx.cast("double")) *
+         sqrt(nD * syy.cast("double") -
+          sy.cast("double") * sy.cast("double")))
+    }
+    m.select($"n",
+      round(pearson($"n", $"sx", $"sy", $"sxx", $"syy", $"sxy"), 6)
+        .as("pearson_r"),
+      round(pearson($"n", $"srx", $"sry", $"srxx", $"sryy", $"srxy"), 6)
+        .as("spearman_rho"))
+  }
+
+  val q316Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars AS x,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS y
+      |  FROM documents),
+      |rx AS (
+      |  SELECT x, 2 * (SUM(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |      + c + 1 AS r2_x
+      |  FROM (SELECT x, COUNT(*) AS c FROM base GROUP BY 1)),
+      |ry AS (
+      |  SELECT y, 2 * (SUM(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+      |      + c + 1 AS r2_y
+      |  FROM (SELECT y, COUNT(*) AS c FROM base GROUP BY 1)),
+      |j AS (
+      |  SELECT base.x, base.y, r2_x, r2_y
+      |  FROM base JOIN rx USING (x) JOIN ry USING (y)),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(r2_x) AS srx, SUM(r2_y) AS sry,
+      |    SUM(CAST(r2_x AS HUGEINT) * r2_x) AS srxx,
+      |    SUM(CAST(r2_y AS HUGEINT) * r2_y) AS sryy,
+      |    SUM(CAST(r2_x AS HUGEINT) * r2_y) AS srxy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |    AS pearson_r,
+      |  ROUND((CAST(n AS DOUBLE) * srxy - CAST(srx AS DOUBLE) * sry)
+      |    / (sqrt(CAST(n AS DOUBLE) * srxx - CAST(srx AS DOUBLE) * srx)
+      |      * sqrt(CAST(n AS DOUBLE) * sryy - CAST(sry AS DOUBLE) * sry)), 6)
+      |    AS spearman_rho
+      |FROM m""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q316_spearman_length" -> (q316SpearmanLength _),
     "q274_token_budget" -> (q274TokenBudget _),
     "q309_quantile_norm" -> (q309QuantileNorm _),
     "q297_filter_disparity" -> (q297FilterDisparity _),
@@ -2526,6 +2627,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q316_spearman_length" -> q316Sql,
     "q274_token_budget" -> q274Sql,
     "q309_quantile_norm" -> q309Sql,
     "q297_filter_disparity" -> q297Sql,

@@ -813,6 +813,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q312/q313: reconciliation and shard planner stay one-pass and keyed") {
+    val p12 = planOf(graft.operators.EventOps.q312Reconciliation(spark, sf))
+    // both sides of the ledger fold from ONE events scan — the replica is
+    // an integer multiplicity factor, never a materialized second frame
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p12).size === 1,
+      "reconciliation must scan events exactly once")
+    assert(!p12.contains("Union"), "the duplicate sliver must not be a union")
+    val p13 = planOf(graft.operators.EventOps.q313ShardSplitAdvisor(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p13).size === 1)
+    assert(p13.contains("event_type"), "cumsum window must key per stream")
+    assert(!p13.contains("CartesianProduct"))
+  }
+
+  test("q314/q315/q316: rank tests fold from integer moments — no percentile, broadcast-only joins") {
+    val p14 = planOf(graft.operators.EventOps.q314Anova(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p14).size === 1,
+      "ANOVA is one grouped pass of the event scan")
+    assert(!p14.toLowerCase.contains("percentile("))
+    val p15 = planOf(graft.operators.EventOps.q315KruskalWallis(spark, sf))
+    assert(!p15.contains("SortMergeJoin"),
+      "rank join-back and the 1-row ties frame must broadcast")
+    assert(!p15.toLowerCase.contains("percentile("))
+    val p16 = planOf(graft.operators.TextOps.q316SpearmanLength(spark, sf))
+    assert(!p16.contains("SortMergeJoin"),
+      "distinct-value rank frames must broadcast back onto the doc frame")
+    assert(!p16.contains("CartesianProduct"))
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
