@@ -1601,7 +1601,123 @@ object Extended {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** q317: Z-order layout card — the TWO-predicate extension of
+    * [[q289ZonemapCard]]: a single-key sort makes min/max file stats
+    * prune ITS key and nothing else, while a Z-order (Morton) interleave
+    * of (partkey, suppkey) buys useful pruning on BOTH. Rows are laid
+    * into 4096-row "files" under three layouts (sort by partkey, by
+    * suppkey, by the 32-bit interleave of the two 16-bit keys — pure
+    * shift/and integer arithmetic, identical on both engines); each
+    * file keeps min/max of both keys, and the expected scan fraction of
+    * a uniform point predicate per key is Σ n_f·span_f / (rows·range) —
+    * integer products folded as DECIMAL, one division at the end. The
+    * honest verdict: partkey-sort reads ~1/n_files on partkey and ~all
+    * on suppkey; Z-order reads a few percent on EACH — the reason
+    * multi-dimensional clustering exists. The layout windows are keyed
+    * per layout (the simulated write path's own sort).
+    */
+  def q317ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    // 32-bit Morton interleave of the two 16-bit (wrapped) keys; the
+    // same expression text drives both engines modulo shift syntax.
+    def morton(shift: (String, Int) => String): String =
+      (0 until 16).flatMap { i =>
+        Seq(s"(${shift("pm", i)} & 1) * ${1L << (2 * i + 1)}",
+          s"(${shift("sm", i)} & 1) * ${1L << (2 * i)}")
+      }.mkString(" + ")
+    val keyBounds = table(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+        min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+      .localCheckpoint() // 1 row; feeds normalization AND the range fold
+    // Each key NORMALIZES to the full 16-bit range before interleaving —
+    // with raw keys a narrow dimension contributes no high bits and the
+    // curve degenerates to a sort on the wide one.
+    val rows = table(spark, dir, "lineitem")
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("ln"))
+      .crossJoin(broadcast(keyBounds.drop("n_rows")))
+      .withColumn("pm", expr("((p - p_min) * 65536) div (p_max - p_min + 1)"))
+      .withColumn("sm", expr("((s - s_min) * 65536) div (s_max - s_min + 1)"))
+      .withColumn("z", expr(morton((c, i) => s"shiftright($c, $i)")))
+      .select($"p", $"s", $"ok", $"ln",
+        expr("stack(3, 'partkey', p, 'suppkey', s, 'zorder', z)")
+          .as(Seq("layout", "k")))
+    val w = Window.partitionBy($"layout").orderBy($"k", $"ok", $"ln")
+    val files = rows
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fid", expr("rn div 4096"))
+      .groupBy($"layout", $"fid")
+      .agg(count(lit(1)).as("n"), min($"p").as("pmin"), max($"p").as("pmax"),
+        min($"s").as("smin"), max($"s").as("smax"))
+    val bounds = keyBounds.select($"n_rows",
+      ($"p_max" - $"p_min").as("p_range"),
+      ($"s_max" - $"s_min").as("s_range"))
+    files.crossJoin(broadcast(bounds))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n".cast(dec) * ($"pmax" - $"pmin").cast(dec)).as("p_mass"),
+        sum($"n".cast(dec) * ($"smax" - $"smin").cast(dec)).as("s_mass"),
+        max($"n_rows").as("n_rows"), max($"p_range").as("p_range"),
+        max($"s_range").as("s_range"))
+      .select($"layout", $"n_files",
+        round($"p_mass".cast("double") /
+          ($"n_rows".cast("double") * $"p_range"), 6)
+          .as("part_scan_fraction"),
+        round($"s_mass".cast("double") /
+          ($"n_rows".cast("double") * $"s_range"), 6)
+          .as("supp_scan_fraction"))
+      .orderBy($"layout")
+  }
+
+  val q317Sql: String = {
+    def morton(c: String): String = (0 until 16).flatMap { i =>
+      Seq(s"((pm >> $i) & 1) * ${1L << (2 * i + 1)}",
+        s"((sm >> $i) & 1) * ${1L << (2 * i)}")
+    }.mkString(" + ")
+    s"""WITH kb AS (
+       |  SELECT MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+       |    MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_partkey AS p, l_suppkey AS s, l_orderkey AS ok,
+       |    l_linenumber AS ln,
+       |    ((l_partkey - p_min) * 65536) // (p_max - p_min + 1) AS pm,
+       |    ((l_suppkey - s_min) * 65536) // (s_max - s_min + 1) AS sm
+       |  FROM lineitem CROSS JOIN kb),
+       |rz AS (SELECT p, s, ok, ln, ${morton("z")} AS z FROM r),
+       |st AS (
+       |  SELECT 'partkey' AS layout, p AS k, p, s, ok, ln FROM rz
+       |  UNION ALL SELECT 'suppkey', s, p, s, ok, ln FROM rz
+       |  UNION ALL SELECT 'zorder', z, p, s, ok, ln FROM rz),
+       |w AS (
+       |  SELECT layout, p, s,
+       |    (ROW_NUMBER() OVER (PARTITION BY layout ORDER BY k, ok, ln) - 1)
+       |      // 4096 AS fid
+       |  FROM st),
+       |f AS (
+       |  SELECT layout, fid, COUNT(*) AS n,
+       |    MIN(p) AS pmin, MAX(p) AS pmax,
+       |    MIN(s) AS smin, MAX(s) AS smax
+       |  FROM w GROUP BY 1, 2),
+       |b AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |    MAX(l_partkey) - MIN(l_partkey) AS p_range,
+       |    MAX(l_suppkey) - MIN(l_suppkey) AS s_range
+       |  FROM lineitem)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  ROUND(CAST(SUM(CAST(n AS HUGEINT) * (pmax - pmin)) AS DOUBLE)
+       |    / (CAST(MAX(n_rows) AS DOUBLE) * MAX(p_range)), 6)
+       |    AS part_scan_fraction,
+       |  ROUND(CAST(SUM(CAST(n AS HUGEINT) * (smax - smin)) AS DOUBLE)
+       |    / (CAST(MAX(n_rows) AS DOUBLE) * MAX(s_range)), 6)
+       |    AS supp_scan_fraction
+       |FROM f CROSS JOIN b GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q317_zorder_layout" -> (q317ZorderLayout _),
     "q311_dataset_fingerprint" -> (q311DatasetFingerprint _),
     "q290_join_estimate" -> (q290JoinEstimate _),
     "q289_zonemap_card" -> (q289ZonemapCard _),
@@ -1632,6 +1748,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q317_zorder_layout" -> q317Sql,
     "q311_dataset_fingerprint" -> q311Sql,
     "q290_join_estimate" -> q290Sql,
     "q289_zonemap_card" -> q289Sql,

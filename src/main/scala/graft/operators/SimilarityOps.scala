@@ -1775,7 +1775,120 @@ object SimilarityOps {
        |FROM m GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** q318: top principal component by power iteration — the spectral
+    * upgrade of [[q196EmbedCovariance]]: the 64×64 covariance (upper
+    * triangle from one vec_id-co-partitioned self-join of the exploded
+    * embedding frame — the `table()` spread key means NO extra shuffle —
+    * entries rounded to the 1e-6 grid, q196's determinism contract)
+    * collapses to a BOUNDED 2 080-row frame, so the 12-step power
+    * iteration folds on the driver (the quantile-engine precedent: a
+    * driver loop over a bounded frame beats 12 micro-shuffle rounds of
+    * scheduler latency). Every mat-vec term and every norm term snaps to
+    * the 1e-12 grid and sums as exact integers (half-away-from-zero, the
+    * engines' shared round), so λ₁ (the final ‖Cv‖), the explained-
+    * variance share λ₁/trace, and the loadings are bit-identical to the
+    * oracle's 12 unrolled SQL iterations. Sign fixed by the dominant
+    * loading; card = top-5 |loading| dims. At 100 TB only the covariance
+    * pass touches data — the iteration cost is dim², independent of rows.
+    */
+  def q318PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64; val steps = 12
+    val e = table(spark, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+      .select($"vec_id", $"i", $"x".cast("double").as("x"))
+    val cov = e.as("a").join(e.as("b"),
+        $"a.vec_id" === $"b.vec_id" && $"a.i" <= $"b.i")
+      .groupBy($"a.i".as("i"), $"b.i".as("j"))
+      .agg(count(lit(1)).as("n"), sum($"a.x").as("si"),
+        sum($"b.x").as("sj"), sum($"a.x" * $"b.x").as("sij"))
+      .select($"i", $"j",
+        round($"sij" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6).as("c"))
+      .collect()
+    val m = Array.ofDim[Double](dim, dim)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    // exact integer fold on the 1e-12 grid; round half-away-from-zero
+    // (DuckDB ROUND; Math.round is half-up and differs on negative ties)
+    def grid(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e12 + 0.5).toLong
+      else math.ceil(x * 1e12 - 0.5).toLong
+    var v = Array.fill(dim)(0.125)
+    var lambda = 0.0
+    for (_ <- 0 until steps) {
+      val w = Array.tabulate(dim) { i =>
+        (0 until dim).map(j => grid(m(i)(j) * v(j))).sum / 1e12
+      }
+      lambda = math.sqrt(w.map(x => grid(x * x)).sum / 1e12)
+      v = w.map(_ / lambda)
+    }
+    val trace = (0 until dim).map(i => math.round(m(i)(i) * 1e6)).sum / 1e6
+    val kStar = (0 until dim).minBy(i => (-math.abs(v(i)), i))
+    val sign = if (v(kStar) < 0) -1.0 else 1.0
+    val ranked = (0 until dim).map(i => (i.toLong, sign * v(i)))
+      .sortBy { case (i, x) => (-math.abs(x), i) }.take(5)
+    ranked.zipWithIndex.map { case ((i, x), r) =>
+      (r + 1L, i, BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+        BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(lambda / trace)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rank", "dim", "loading", "lambda1", "explained_share")
+      .orderBy($"rank")
+  }
+
+  val q318Sql: String = {
+    // every CTE MATERIALIZED: DuckDB inlines CTEs by default, and each
+    // v_k references w_k twice — inlining would expand the chain 2^12×
+    val iters = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT c.i, SUM(CAST(ROUND(c.c * v.v * 1e12) AS HUGEINT))
+         |    / 1e12 AS w
+         |  FROM cm c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |n$k AS MATERIALIZED (
+         |  SELECT sqrt(SUM(CAST(ROUND(w * w * 1e12) AS HUGEINT)) / 1e12)
+         |    AS nm FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, w / (SELECT nm FROM n$k) AS v FROM w$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS i, CAST(x AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    ROUND(SUM(a.x * b.x) / COUNT(*)
+       |      - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)), 6) AS c
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |cm AS MATERIALIZED (
+       |  SELECT i, j, c FROM cov
+       |  UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
+       |tr AS (
+       |  SELECT SUM(CAST(ROUND(c * 1e6) AS BIGINT)) / 1e6 AS trace
+       |  FROM cov WHERE i = j),
+       |v0 AS (SELECT unnest(range(64)) AS i, 0.125 AS v),
+       |$iters,
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT v FROM v12 ORDER BY abs(v) DESC, i
+       |    LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS s)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(v) DESC, i) AS BIGINT)
+       |    AS rank,
+       |  CAST(i AS BIGINT) AS dim, ROUND(s * v, 6) AS loading,
+       |  ROUND((SELECT nm FROM n12), 6) AS lambda1,
+       |  ROUND((SELECT nm FROM n12) / (SELECT trace FROM tr), 6)
+       |    AS explained_share
+       |FROM v12 CROSS JOIN sgn
+       |ORDER BY abs(v) DESC, i LIMIT 5""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q318_pca_power" -> (q318PcaPower _),
     "q299_label_margin" -> (q299LabelMargin _),
     "q286_ndcg_card" -> (q286NdcgCard _),
     "q285_mmr_diversified" -> (q285MmrDiversified _),
@@ -1810,6 +1923,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q318_pca_power" -> q318Sql,
     "q299_label_margin" -> q299Sql,
     "q286_ndcg_card" -> q286Sql,
     "q285_mmr_diversified" -> q285Sql,

@@ -395,4 +395,20 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(chars <= lens(id), s"doc $id: $chars > doc length ${lens(id)}")
     }
   }
+
+  test("q318: power-iteration card is a valid unit spectral estimate") {
+    val rows = SimilarityOps.q318PcaPower(spark, sf).collect()
+    assert(rows.length === 5)
+    val loads = rows.map(_.getAs[Double]("loading"))
+    // ranked by |loading| descending; dominant loading sign-fixed positive
+    assert(loads.head > 0)
+    val mags = loads.map(math.abs)
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // |loading| <= 1 for a unit vector; lambda1 positive and bounded by
+    // the trace (explained share in (0, 1])
+    assert(mags.forall(_ <= 1.0 + 1e-9))
+    val l1 = rows.head.getAs[Double]("lambda1")
+    val ex = rows.head.getAs[Double]("explained_share")
+    assert(l1 > 0 && ex > 0 && ex <= 1.0)
+  }
 }

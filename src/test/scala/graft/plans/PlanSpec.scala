@@ -841,6 +841,15 @@ class PlanSpec extends SparkSpec {
     assert(!p16.contains("CartesianProduct"))
   }
 
+  test("q317: layout simulation windows stay keyed per layout; bounds broadcast") {
+    val p = planOf(graft.operators.Extended.q317ZorderLayout(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "key bounds must ride a broadcast, not a cartesian")
+    assert(p.contains("layout"), "file windows must partition per layout")
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2,
+      "one layout pass + one bounds pass")
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
