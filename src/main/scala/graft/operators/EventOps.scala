@@ -4869,43 +4869,56 @@ object EventOps {
     * fold commutatively, so the same card runs unchanged as a streaming
     * merge at 100 TB.
     */
-  def q312Reconciliation(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q312Reconciliation(spark: SparkSession, dir: String): DataFrame =
+    reconcileVerdict(reconcilePartials(events(spark, dir)))
+
+  /** Per-(stream, day) reconciliation PARTIALS from raw event rows
+    * (event_id, ts nanos, user_id, event_type, value): both ledger
+    * sides of the deterministic faulty transport as 7 SUM-mergeable
+    * columns — what makes the q312 card a live streaming monitor (each
+    * micro-batch appends its partials; the report is a re-sum).
+    */
+  def reconcilePartials(evts: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def h(cents: Column): Column =
-      md5(concat_ws("|", $"event_id", expr("ts div 1000"), $"user_id",
-        $"event_type", cents))
-    val base = events(spark, dir)
-      .withColumn("u", knuthUniform($"event_id"))
-      .withColumn("cents", round($"value" * 100.0).cast("long"))
-      .withColumn("m", when($"u" < 0.004, 0L).when($"u" < 0.006, 2L)
-        .otherwise(1L))
+      md5(concat_ws("|", col("event_id"), expr("ts div 1000"),
+        col("user_id"), col("event_type"), cents))
+    evts
+      .withColumn("u", knuthUniform(col("event_id")))
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .withColumn("m", when(col("u") < 0.004, 0L)
+        .when(col("u") < 0.006, 2L).otherwise(1L))
       .withColumn("cents_d",
-        when($"u" >= 0.006 && $"u" < 0.008, $"cents" + 100L)
-          .otherwise($"cents"))
-      .withColumn("h_src", h($"cents"))
-      .withColumn("h_dst", h($"cents_d"))
-    val led = base
-      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
-      .agg(count(lit(1)).as("n_src"), sum($"m").as("n_dst"),
+        when(col("u") >= 0.006 && col("u") < 0.008, col("cents") + 100L)
+          .otherwise(col("cents")))
+      .withColumn("h_src", h(col("cents")))
+      .withColumn("h_dst", h(col("cents_d")))
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_src"), sum(col("m")).as("n_dst"),
         sum(hex32("h_src").cast(dec)).as("s_src"),
-        sum($"m".cast(dec) * hex32("h_dst").cast(dec)).as("s_dst"),
-        sum(when($"u" < 0.004, 1L).otherwise(0L)).as("n_lost"),
-        sum(when($"u" >= 0.004 && $"u" < 0.006, 1L).otherwise(0L))
+        sum(col("m").cast(dec) * hex32("h_dst").cast(dec)).as("s_dst"),
+        sum(when(col("u") < 0.004, 1L).otherwise(0L)).as("n_lost"),
+        sum(when(col("u") >= 0.004 && col("u") < 0.006, 1L).otherwise(0L))
           .as("n_dup"),
-        sum(when($"u" >= 0.006 && $"u" < 0.008, 1L).otherwise(0L))
+        sum(when(col("u") >= 0.006 && col("u") < 0.008, 1L).otherwise(0L))
           .as("n_corrupt"))
-    led.select($"event_type", $"day", $"n_src", $"n_dst",
-        ($"n_dst" - $"n_src").as("delta"),
-        ($"n_src" === $"n_dst" && $"s_src" === $"s_dst")
-          .as("checksum_match"),
-        when($"n_dst" < $"n_src", "under_delivered")
-          .when($"n_dst" > $"n_src", "over_delivered")
-          .when($"s_src" =!= $"s_dst", "content_mismatch")
-          .otherwise("ok").as("status"),
-        $"n_lost", $"n_dup", $"n_corrupt")
-      .orderBy($"event_type", $"day")
   }
+
+  /** Verdict columns over a (merged) [[reconcilePartials]] frame —
+    * shared by the batch q312 card and the streaming report, so
+    * stream == batch is the sum-merge identity.
+    */
+  def reconcileVerdict(led: DataFrame): DataFrame =
+    led.select(col("event_type"), col("day"), col("n_src"), col("n_dst"),
+        (col("n_dst") - col("n_src")).as("delta"),
+        (col("n_src") === col("n_dst") && col("s_src") === col("s_dst"))
+          .as("checksum_match"),
+        when(col("n_dst") < col("n_src"), "under_delivered")
+          .when(col("n_dst") > col("n_src"), "over_delivered")
+          .when(col("s_src") =!= col("s_dst"), "content_mismatch")
+          .otherwise("ok").as("status"),
+        col("n_lost"), col("n_dup"), col("n_corrupt"))
+      .orderBy(col("event_type"), col("day"))
 
   val q312Sql: String = {
     val sig = (cents: String) => hex32Sql(
@@ -5164,7 +5177,73 @@ object EventOps {
       |    / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6) AS h_tie_corrected
       |FROM h ORDER BY event_type""".stripMargin
 
+  /** q321: per-partition-key ordering audit — the Kinesis contract the
+    * reference replicator SILENTLY relies on (order is guaranteed per
+    * partitionKey, not per stream): within each (stream, user) the
+    * sequence order (event_id) should be time-monotone, and this card
+    * counts where it is not. Per stream: keys, adjacent-pair inversions
+    * (ts < previous ts in sequence order), the share of keys affected,
+    * the inversion rate over adjacent pairs, and the worst backward jump
+    * in ms — the number that says whether a consumer may reorder within
+    * a key window or must tolerate regressions. One (type, user)-keyed
+    * lag window over the event scan, then two grouped folds; all
+    * integer counting. Complements q243 (stream-level commit-order
+    * lateness) at the granularity the ordering guarantee actually holds.
+    */
+  def q321OrderingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"event_id")
+    val perKey = events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id", $"ts_ms")
+      .withColumn("prev", lag($"ts_ms", 1).over(w))
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"prev" > $"ts_ms", 1L).otherwise(0L)).as("invs"),
+        max(when($"prev" > $"ts_ms", $"prev" - $"ts_ms").otherwise(0L))
+          .as("max_back"))
+    perKey.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_keys"), sum($"n").as("n_events"),
+        sum(when($"invs" > 0L, 1L).otherwise(0L)).as("keys_with_inversions"),
+        sum($"invs").as("n_inversions"),
+        max($"max_back").as("max_backward_ms"))
+      .select($"event_type", $"n_keys", $"n_events",
+        $"keys_with_inversions", $"n_inversions",
+        round($"n_inversions".cast("double") /
+          ($"n_events" - $"n_keys"), 6).as("inversion_rate"),
+        round($"keys_with_inversions".cast("double") / $"n_keys", 6)
+          .as("key_violation_share"),
+        $"max_backward_ms")
+      .orderBy($"event_type")
+  }
+
+  val q321Sql: String =
+    """WITH l AS (
+      |  SELECT event_type, user_id,
+      |    LAG(epoch_ms(ts)) OVER (PARTITION BY event_type, user_id
+      |      ORDER BY event_id) AS prev,
+      |    epoch_ms(ts) AS ts_ms
+      |  FROM events),
+      |k AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n,
+      |    SUM(CASE WHEN prev > ts_ms THEN 1 ELSE 0 END) AS invs,
+      |    MAX(CASE WHEN prev > ts_ms THEN prev - ts_ms ELSE 0 END)
+      |      AS max_back
+      |  FROM l GROUP BY 1, 2)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN invs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS keys_with_inversions,
+      |  CAST(SUM(invs) AS BIGINT) AS n_inversions,
+      |  ROUND(CAST(SUM(invs) AS DOUBLE) / (SUM(n) - COUNT(*)), 6)
+      |    AS inversion_rate,
+      |  ROUND(CAST(SUM(CASE WHEN invs > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS key_violation_share,
+      |  CAST(MAX(max_back) AS BIGINT) AS max_backward_ms
+      |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q321_ordering_audit" -> (q321OrderingAudit _),
     "q312_reconciliation" -> (q312Reconciliation _),
     "q313_shard_split_advisor" -> (q313ShardSplitAdvisor _),
     "q314_anova" -> (q314Anova _),
@@ -5253,6 +5332,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q321_ordering_audit" -> q321Sql,
     "q312_reconciliation" -> q312Sql,
     "q313_shard_split_advisor" -> q313Sql,
     "q314_anova" -> q314Sql,

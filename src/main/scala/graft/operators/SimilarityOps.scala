@@ -1887,7 +1887,148 @@ object SimilarityOps {
        |ORDER BY abs(v) DESC, i LIMIT 5""".stripMargin
   }
 
+  /** q319: kNN-graph topology audit — the embedding-space health check
+    * the recall cards (q264) don't see: on a deterministic 10% sample
+    * (the population an audit job would draw at 100 TB), build the
+    * k=5 mutual-kNN graph and report reciprocity (share of directed
+    * edges whose reverse edge also exists — low reciprocity predicts
+    * poor ANN recall), the max in-degree and hub count (in-degree ≥ 2k:
+    * hubness is THE known curse-of-dimensionality failure mode), and
+    * orphans (never anyone's neighbor). Edges come from the same
+    * broadcast-probe kNN kernel as q42 (ties to lowest cand_id), the
+    * checkpointed edge list feeds the reverse self-join AND the
+    * in-degree fold, and every metric is integer counting — no float
+    * leaves the sim ranking. One row.
+    */
+  def q319KnnGraphAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = emb(spark, dir).filter($"vec_id" % 10 === 0)
+      .filter(expr(s"${hofDot("embedding", "embedding")} > 0"))
+    val edges = graft.api.Similarity
+      .cosineKnn(s, s, "vec_id", "embedding", k = 5)
+      .select($"probe_id", $"cand_id")
+      .localCheckpoint() // feeds the reverse join and the in-degree fold
+    val nNodes = s.count()
+    val mutual = edges.as("e").join(edges.as("r"),
+      $"e.probe_id" === $"r.cand_id" && $"e.cand_id" === $"r.probe_id")
+      .count()
+    val indeg = edges.groupBy($"cand_id").agg(count(lit(1)).as("d"))
+    val m = indeg.agg(count(lit(1)).as("n_cited"), max($"d").as("max_d"),
+        sum(when($"d" >= 10, 1L).otherwise(0L)).as("n_hubs"))
+      .collect()(0)
+    val nEdges = edges.count()
+    Seq((nNodes, nEdges,
+        BigDecimal(mutual.toDouble / nEdges)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        m.getAs[Long]("max_d"), m.getAs[Long]("n_hubs"),
+        nNodes - m.getAs[Long]("n_cited")))
+      .toDF("n_nodes", "n_edges", "mutual_share", "max_indegree",
+        "n_hubs", "n_orphans")
+  }
+
+  val q319Sql: String =
+    s"""WITH s AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 10 = 0 AND ${posNormSql("embedding")}),
+       |edges AS MATERIALIZED (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rn
+       |    FROM s p JOIN s c ON c.vec_id <> p.vec_id)
+       |  WHERE rn <= 5),
+       |mu AS (
+       |  SELECT COUNT(*) AS m FROM edges e JOIN edges r
+       |    ON e.probe_id = r.cand_id AND e.cand_id = r.probe_id),
+       |deg AS (
+       |  SELECT COUNT(*) AS n_cited, MAX(d) AS max_d,
+       |    SUM(CASE WHEN d >= 10 THEN 1 ELSE 0 END) AS n_hubs
+       |  FROM (SELECT cand_id, COUNT(*) AS d FROM edges GROUP BY 1)),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM s) AS n_nodes,
+       |    (SELECT COUNT(*) FROM edges) AS n_edges)
+       |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_edges AS BIGINT) AS n_edges,
+       |  ROUND(CAST(m AS DOUBLE) / n_edges, 6) AS mutual_share,
+       |  CAST(max_d AS BIGINT) AS max_indegree,
+       |  CAST(n_hubs AS BIGINT) AS n_hubs,
+       |  CAST(n_nodes - n_cited AS BIGINT) AS n_orphans
+       |FROM tot CROSS JOIN mu CROSS JOIN deg""".stripMargin
+
+  /** q320: mutual-information feature ranking — which embedding
+    * dimensions carry label signal? Each dimension binarizes at 0
+    * (sign bit), and per dim the card computes I(sign(x_d); label) in
+    * nats from the exact (dim, bit, label) contingency counts: one
+    * posexplode pass with map-side combine to a BOUNDED 64×2×|labels|
+    * frame, marginals as windows OVER that frame (never the rows), each
+    * MI term's log of exact-integer ratios snapped to the 1e-12 decimal
+    * grid before the ≤2|labels|-term fold — bit-identical across
+    * engines. Top-10 dims by MI. The pruning decision this feeds:
+    * near-zero MI everywhere says the labels are not linearly readable
+    * from single coordinates (the honest readout on near-isotropic
+    * embeddings, q318's companion fact).
+    */
+  def q320MiFeatureRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = emb(spark, dir)
+      .select($"label".cast("long").as("l"),
+        posexplode($"embedding").as(Seq("i", "x")))
+      .select($"l", $"i".cast("long").as("i"),
+        ($"x" > 0f).cast("long").as("b"))
+      .groupBy($"i", $"b", $"l").agg(count(lit(1)).as("n"))
+    val wi = Window.partitionBy($"i")
+    val term = ($"n".cast("double") / $"nt") *
+      log(($"n".cast("double") * $"nt") / ($"nb" * $"nl"))
+    val mi = c
+      .withColumn("nt", sum($"n").over(wi).cast("double"))
+      .withColumn("nb", sum($"n").over(Window.partitionBy($"i", $"b"))
+        .cast("double"))
+      .withColumn("nl", sum($"n").over(Window.partitionBy($"i", $"l"))
+        .cast("double"))
+      .groupBy($"i")
+      .agg(sum(round(term, 12)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double").as("mi"))
+    val w = Window.orderBy($"mi".desc, $"i")
+    mi.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"rank", $"i".as("dim"), round($"mi", 6).as("mi_nats"))
+      .orderBy($"rank")
+  }
+
+  val q320Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS l, i - 1 AS i,
+      |    CASE WHEN x > 0 THEN 1 ELSE 0 END AS b
+      |  FROM (SELECT label, unnest(embedding) AS x,
+      |          generate_subscripts(embedding, 1) AS i
+      |        FROM embeddings)),
+      |c AS (
+      |  SELECT i, b, l, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT i, b, l, n,
+      |    CAST(SUM(n) OVER (PARTITION BY i) AS DOUBLE) AS nt,
+      |    CAST(SUM(n) OVER (PARTITION BY i, b) AS DOUBLE) AS nb,
+      |    CAST(SUM(n) OVER (PARTITION BY i, l) AS DOUBLE) AS nl
+      |  FROM c),
+      |mi AS (
+      |  SELECT i,
+      |    CAST(SUM(CAST(ROUND((CAST(n AS DOUBLE) / nt)
+      |      * ln((CAST(n AS DOUBLE) * nt) / (nb * nl)), 12)
+      |      AS DECIMAL(38, 12))) AS DOUBLE) AS mi
+      |  FROM m GROUP BY i),
+      |r AS (
+      |  SELECT i, mi,
+      |    ROW_NUMBER() OVER (ORDER BY mi DESC, i) AS rank
+      |  FROM mi)
+      |SELECT CAST(rank AS BIGINT) AS rank, CAST(i AS BIGINT) AS dim,
+      |  ROUND(mi, 6) AS mi_nats
+      |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q320_mi_feature_rank" -> (q320MiFeatureRank _),
+    "q319_knn_graph_audit" -> (q319KnnGraphAudit _),
     "q318_pca_power" -> (q318PcaPower _),
     "q299_label_margin" -> (q299LabelMargin _),
     "q286_ndcg_card" -> (q286NdcgCard _),
@@ -1923,6 +2064,8 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q320_mi_feature_rank" -> q320Sql,
+    "q319_knn_graph_audit" -> q319Sql,
     "q318_pca_power" -> q318Sql,
     "q299_label_margin" -> q299Sql,
     "q286_ndcg_card" -> q286Sql,

@@ -372,6 +372,55 @@ object StreamOps {
           sum(col("n_pre")).as("n_pre"),
           sum(col("n_post")).as("n_post")))
 
+  /** Live source↔replica reconciliation monitor, ingest side — the
+    * streaming twin of the q312 ledger: each micro-batch appends its
+    * per-(stream, day) [[graft.operators.EventOps.reconcilePartials]]
+    * (counts and DECIMAL content checksums — all SUM-mergeable), tagged
+    * and replay-idempotent via batch_id. The verdict never re-reads
+    * events: state grows with |streams × days| × |batches|, and the
+    * commutative checksum means arrival ORDER cannot change the report —
+    * the property a cross-region monitor needs under out-of-order
+    * delivery. Rows need event_id, ts (epoch-nanos long), user_id,
+    * event_type, value.
+    */
+  def reconcileIngestStream(events: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      reconcileIngestBatch(batch.toDF(), batchId, path)
+    }
+
+  /** One [[reconcileIngestStream]] micro-batch append — public so the
+    * replay-idempotence spec can drive it directly.
+    */
+  def reconcileIngestBatch(batch: DataFrame, batchId: Long,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      graft.operators.EventOps.reconcilePartials(batch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Read side of the live reconciliation monitor: SUM-merge the
+    * per-batch partials and run the SAME
+    * [[graft.operators.EventOps.reconcileVerdict]] as the batch q312 —
+    * stream == batch is the sum-merge identity. Reads only the partials
+    * table.
+    */
+  def reconcileReport(spark: SparkSession, path: String): DataFrame =
+    graft.operators.EventOps.reconcileVerdict(
+      spark.read.parquet(path)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_src")).as("n_src"), sum(col("n_dst")).as("n_dst"),
+          sum(col("s_src")).as("s_src"), sum(col("s_dst")).as("s_dst"),
+          sum(col("n_lost")).as("n_lost"), sum(col("n_dup")).as("n_dup"),
+          sum(col("n_corrupt")).as("n_corrupt")))
+
   /** Live categorical drift monitor — [[psiIngestStream]]'s counterpart
     * for discrete columns: each micro-batch appends its per-category
     * counts (replay-idempotent) against a frozen

@@ -411,4 +411,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val ex = rows.head.getAs[Double]("explained_share")
     assert(l1 > 0 && ex > 0 && ex <= 1.0)
   }
+
+  test("q319: kNN-graph audit invariants (regular out-degree, bounded shares)") {
+    val r = SimilarityOps.q319KnnGraphAudit(spark, sf).collect()(0)
+    val (nodes, edges) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    assert(nodes > 5, "sample must be non-trivial")
+    assert(edges === nodes * 5, "every node has exactly k=5 out-edges")
+    val ms = r.getAs[Double]("mutual_share")
+    assert(ms >= 0.0 && ms <= 1.0)
+    assert(r.getAs[Long]("max_indegree") >= 1L)
+    val orphans = r.getAs[Long]("n_orphans")
+    assert(orphans >= 0L && orphans < nodes)
+  }
 }

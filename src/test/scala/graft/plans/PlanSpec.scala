@@ -850,6 +850,16 @@ class PlanSpec extends SparkSpec {
       "one layout pass + one bounds pass")
   }
 
+  test("q320/q321: feature-rank and ordering audits stay one-pass with keyed windows") {
+    val p20 = planOf(graft.operators.SimilarityOps.q320MiFeatureRank(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p20).size === 1,
+      "MI ranking reads embeddings once; marginals are windows over the bounded counts frame")
+    assert(!p20.contains("CartesianProduct"))
+    val p21 = planOf(graft.operators.EventOps.q321OrderingAudit(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p21).size === 1)
+    assert(p21.contains("user_id"), "lag window must key per (stream, user)")
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
