@@ -5242,7 +5242,328 @@ object EventOps {
       |  CAST(MAX(max_back) AS BIGINT) AS max_backward_ms
       |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q322: growth accounting — the daily active-user ledger every
+    * product/ops review reads: each (user, day) active cell is NEW
+    * (first day ever), RETAINED (also active yesterday) or RESURRECTED
+    * (active before, but not yesterday); a user active on day d who is
+    * not active on d+1 CHURNS into d+1 (only while d+1 is inside the
+    * observed calendar — the right-edge day never accuses anyone).
+    * Per day: actives, the three inflow classes, churn, and the quick
+    * ratio (new+resurrected)/churned — the single number that says
+    * whether growth outruns decay. ONE events scan: the distinct
+    * (user, day) pass and user-keyed window (prev/next active day +
+    * first day) fold straight into a single calendar-bounded per-day
+    * frame (churn-out rides along as a column), which is
+    * localCheckpoint'd so the max-day broadcast, the churn-shift and
+    * the final outer join all reuse it instead of re-scanning events;
+    * all integer counting, identical at any partitioning.
+    */
+  def q322GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = events(spark, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val wAll = Window.partitionBy($"user_id")
+    val perDay = a
+      .withColumn("prev", lag($"day", 1).over(w))
+      .withColumn("nxt", lead($"day", 1).over(w))
+      .withColumn("fd", min($"day").over(wAll))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"day" === $"fd", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"prev" === $"day" - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"day" =!= $"fd" && $"prev" < $"day" - 1, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when($"nxt".isNull || $"nxt" > $"day" + 1, 1L).otherwise(0L))
+          .as("churn_out"))
+      .localCheckpoint() // calendar-bounded; every reuse below is free
+    val mx = perDay.agg(max($"day").as("maxday"))
+    val ch = perDay.crossJoin(broadcast(mx))
+      .filter($"churn_out" > 0L && $"day" + 1 <= $"maxday")
+      .select(($"day" + 1).as("day"), $"churn_out".as("n_churned"))
+    perDay
+      .select($"day", $"n_active", $"n_new", $"n_retained", $"n_resurrected")
+      .join(ch, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_active", lit(0L)).as("n_active"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        when($"n_churned" > 0L,
+          round(($"n_new" + $"n_resurrected").cast("double") / $"n_churned", 6)))
+      .orderBy($"day")
+  }
+
+  val q322Sql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |w AS (
+      |  SELECT user_id, day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt,
+      |    MIN(day) OVER (PARTITION BY user_id) AS fd
+      |  FROM a),
+      |mx AS (SELECT MAX(day) AS maxday FROM a),
+      |act AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN day <> fd AND prev < day - 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM w GROUP BY 1),
+      |ch AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM w CROSS JOIN mx
+      |  WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= maxday
+      |  GROUP BY 1)
+      |SELECT COALESCE(act.day, ch.day) AS day,
+      |  COALESCE(n_active, 0) AS n_active, COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned,
+      |  CASE WHEN COALESCE(n_churned, 0) > 0 THEN
+      |    ROUND(CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0) AS DOUBLE)
+      |      / n_churned, 6) END AS quick_ratio
+      |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+      |ORDER BY day""".stripMargin
+
+  /** q323: exact Shapley channel attribution (Shapley 1953 applied to
+    * the conversion set function; the axiomatic answer next to q287's
+    * Markov removal effects and q152's last-touch heuristic). Each
+    * converting user contributes their set of channels touched STRICTLY
+    * BEFORE first purchase; the coalition value v(S) is the number of
+    * conversions whose touch set fits inside S, and a channel's credit
+    * is its exact Shapley value over the 2^|channels| coalitions —
+    * bounded by the channel VOCABULARY (≤2^4 here), never by event
+    * volume. The only data-sized work is one events scan into the
+    * per-user first-purchase frame and the distinct touch pass; the
+    * coalition fold runs on the collected ≤2^n-row mask-count frame
+    * (the q287 driver-bounded-frame discipline). Every Shapley term is
+    * an exact small-rational weight × an integer marginal, snapped to
+    * the 1e-12 grid before a fixed-order decimal fold — bit-identical
+    * to the oracle's DECIMAL(38,12) sum.
+    */
+  def q323ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = concat(lpad(expr("ts div 1000").cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"))
+    val ev = events(spark, dir)
+      .select($"user_id", $"event_type".as("t"), key.as("k"))
+    val channels = ev.filter($"t" =!= "purchase")
+      .select($"t").distinct().collect().map(_.getString(0)).sorted
+    val n = channels.length
+    val rank = channels.zipWithIndex.toMap
+    val bitOf = channels.foldRight(lit(0L)) { case (c, acc) =>
+      when($"t" === c, lit(1L << rank(c))).otherwise(acc)
+    }
+    val fp = ev.filter($"t" === "purchase")
+      .groupBy($"user_id").agg(min($"k").as("fpk"))
+    val touched = ev.join(fp, Seq("user_id"))
+      .filter($"t" =!= "purchase" && $"k" < $"fpk")
+      .select($"user_id", $"t").distinct()
+      .select($"user_id", bitOf.as("bit"))
+      .groupBy($"user_id").agg(sum($"bit").as("mask"))
+    val counts = fp.select($"user_id")
+      .join(touched, Seq("user_id"), "left")
+      .select(coalesce($"mask", lit(0L)).as("mask"))
+      .groupBy($"mask").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val phis = shapleyFromMaskCounts(counts, n)
+    val rows = channels.map { c =>
+      val r = rank(c)
+      val touchedConv = counts.collect { case (m, cc) if ((m >> r) & 1L) == 1L => cc }.sum
+      (c, touchedConv, phis(r))
+    }
+    def v(s: Long): Long =
+      counts.collect { case (m, c) if (m | s) == s => c }.sum
+    val denom = (v((1L << n) - 1) - v(0L)).toDouble
+    rows.toSeq.toDF("channel", "n_conv_touched", "phi_raw")
+      .select($"channel", $"n_conv_touched",
+        round($"phi_raw", 6).as("shapley_conversions"),
+        round($"phi_raw" / lit(denom), 6).as("attribution_share"))
+      .orderBy($"channel")
+  }
+
+  /** The q323 exact-Shapley fold over a collected (mask, count) frame:
+    * v(S) = Σ counts over masks ⊆ S, φ_r = Σ_{S∌r} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪{r}) − v(S)), each term snapped to the 1e-12 grid and folded
+    * in ascending-S decimal order (the oracle's DECIMAL(38,12) sum).
+    * Returns φ by channel rank. Driver-bounded (2^n coalitions, n =
+    * channel vocabulary); unit-tested on crafted coalitions
+    * (efficiency/symmetry/dummy axioms) in AnalyticsSpec.
+    */
+  def shapleyFromMaskCounts(counts: Seq[(Long, Long)], n: Int): Seq[Double] = {
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    def v(s: Long): Long =
+      counts.collect { case (m, c) if (m | s) == s => c }.sum
+    (0 until n).map { r =>
+      var phi = BigDecimal(0)
+      for (s <- 0L until (1L << n) if ((s >> r) & 1L) == 0L) {
+        val ssz = java.lang.Long.bitCount(s)
+        val w = (fact(ssz) * fact(n - 1 - ssz)).toDouble / fact(n).toDouble
+        val term = w * (v(s | (1L << r)) - v(s)).toDouble
+        phi += BigDecimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      phi.toDouble
+    }
+  }
+
+  val q323Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type AS t,
+      |    printf('%020d', epoch_us(ts)) || printf('%020d', event_id) AS k
+      |  FROM events),
+      |ch AS (
+      |  SELECT t AS channel, ROW_NUMBER() OVER (ORDER BY t) - 1 AS r
+      |  FROM (SELECT DISTINCT t FROM ev WHERE t <> 'purchase')),
+      |nn AS (SELECT CAST(COUNT(*) AS INTEGER) AS n FROM ch),
+      |fp AS (
+      |  SELECT user_id, MIN(k) AS fpk FROM ev WHERE t = 'purchase'
+      |  GROUP BY 1),
+      |tc AS (
+      |  SELECT DISTINCT e.user_id, e.t FROM ev e JOIN fp USING (user_id)
+      |  WHERE e.t <> 'purchase' AND e.k < fp.fpk),
+      |mk AS (
+      |  SELECT f.user_id,
+      |    COALESCE(SUM(CAST(1 AS BIGINT) << ch.r), 0) AS mask
+      |  FROM fp f LEFT JOIN tc ON tc.user_id = f.user_id
+      |  LEFT JOIN ch ON ch.channel = tc.t
+      |  GROUP BY 1),
+      |cc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM mk GROUP BY 1),
+      |co AS (
+      |  SELECT CAST(UNNEST(range(0, CAST(1 AS BIGINT) << (SELECT n FROM nn))) AS BIGINT) AS s),
+      |v AS (
+      |  SELECT co.s, COALESCE(SUM(cc.c), 0) AS v
+      |  FROM co LEFT JOIN cc ON (cc.mask | co.s) = co.s GROUP BY 1),
+      |terms AS (
+      |  SELECT ch.channel,
+      |    CAST(ROUND(
+      |      (CAST(factorial(bit_count(co.s)) *
+      |            factorial(nn.n - 1 - bit_count(co.s)) AS DOUBLE)
+      |        / CAST(factorial(nn.n) AS DOUBLE))
+      |      * CAST(v1.v - v0.v AS DOUBLE), 12) AS DECIMAL(38, 12)) AS term
+      |  FROM ch CROSS JOIN co CROSS JOIN nn
+      |  JOIN v v0 ON v0.s = co.s
+      |  JOIN v v1 ON v1.s = (co.s | (CAST(1 AS BIGINT) << ch.r))
+      |  WHERE (co.s >> ch.r) % 2 = 0),
+      |phi AS (
+      |  SELECT channel, CAST(SUM(term) AS DOUBLE) AS phi
+      |  FROM terms GROUP BY 1),
+      |tch AS (
+      |  SELECT ch.channel,
+      |    CAST(COALESCE(SUM(CASE WHEN (cc.mask >> ch.r) % 2 = 1 THEN cc.c
+      |      ELSE 0 END), 0) AS BIGINT) AS n_conv_touched
+      |  FROM ch LEFT JOIN cc ON TRUE GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST((SELECT v FROM v WHERE s =
+      |      (CAST(1 AS BIGINT) << (SELECT n FROM nn)) - 1)
+      |    - (SELECT v FROM v WHERE s = 0) AS DOUBLE) AS denom)
+      |SELECT p.channel, t.n_conv_touched,
+      |  ROUND(p.phi, 6) AS shapley_conversions,
+      |  ROUND(p.phi / tot.denom, 6) AS attribution_share
+      |FROM phi p JOIN tch t USING (channel) CROSS JOIN tot
+      |ORDER BY p.channel""".stripMargin
+
+  /** q325: Holt linear-trend exponential smoothing (α=0.3, β=0.1) over
+    * the daily purchase-revenue series — the first-line ops forecast
+    * next to q174's changepoint and q172's autocorrelation: per day the
+    * smoothed level, trend, the one-step-ahead forecast the day was
+    * predicted at, and its residual; then a 7-day-ahead projection off
+    * the final state. The recursion is inherently sequential, so it
+    * runs as a driver fold over the CALENDAR-BOUNDED daily frame (≤
+    * |days| rows regardless of event volume — the q287 discipline); the
+    * only data-sized work is one grouped cents fold. Both engines
+    * evaluate the identical IEEE double recursion in the identical
+    * order (the oracle is a recursive CTE), so results agree bit-exactly
+    * before the 1e-6 display rounding.
+    */
+  def q325HoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("cents"))
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (alpha, beta) = (0.3, 0.1)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+    if (daily.nonEmpty) {
+      var level = daily(0)._2.toDouble
+      var trend = if (daily.length >= 2)
+        daily(1)._2.toDouble - daily(0)._2.toDouble else 0.0
+      out += ((daily(0)._1, Some(daily(0)._2), Some(level), Some(trend),
+        None, None))
+      for (i <- 1 until daily.length) {
+        val y = daily(i)._2.toDouble
+        val f = level + trend
+        val newLevel = alpha * y + (1.0 - alpha) * (level + trend)
+        val newTrend = beta * (newLevel - level) + (1.0 - beta) * trend
+        level = newLevel; trend = newTrend
+        out += ((daily(i)._1, Some(daily(i)._2), Some(level), Some(trend),
+          Some(f), Some(y - f)))
+      }
+      val lastDay = daily.last._1
+      for (h <- 1 to 7)
+        out += ((lastDay + h, None, None, None,
+          Some(level + h.toDouble * trend), None))
+    }
+    out.toSeq.toDF("day", "cents", "level", "trend", "forecast", "resid")
+      .select($"day", $"cents", round($"level", 6).as("level"),
+        round($"trend", 6).as("trend"),
+        round($"forecast", 6).as("forecast"),
+        round($"resid", 6).as("resid"))
+      .orderBy($"day")
+  }
+
+  val q325Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |d AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, cents,
+      |    CAST(cents AS DOUBLE) AS y
+      |  FROM daily),
+      |r AS (
+      |  SELECT 1 AS i,
+      |    (SELECT day FROM d WHERE i = 1) AS day,
+      |    (SELECT cents FROM d WHERE i = 1) AS cents,
+      |    (SELECT y FROM d WHERE i = 1) AS level,
+      |    COALESCE((SELECT y FROM d WHERE i = 2)
+      |      - (SELECT y FROM d WHERE i = 1), 0.0) AS trend,
+      |    CAST(NULL AS DOUBLE) AS forecast,
+      |    CAST(NULL AS DOUBLE) AS resid
+      |  UNION ALL
+      |  SELECT d.i, d.day, d.cents,
+      |    0.3 * d.y + 0.7 * (r.level + r.trend) AS level,
+      |    0.1 * ((0.3 * d.y + 0.7 * (r.level + r.trend)) - r.level)
+      |      + 0.9 * r.trend AS trend,
+      |    r.level + r.trend AS forecast,
+      |    d.y - (r.level + r.trend) AS resid
+      |  FROM r JOIN d ON d.i = r.i + 1),
+      |last AS (SELECT * FROM r WHERE i = (SELECT MAX(i) FROM r)),
+      |fut AS (
+      |  SELECT last.day + h AS day, CAST(NULL AS BIGINT) AS cents,
+      |    CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+      |    last.level + CAST(h AS DOUBLE) * last.trend AS forecast,
+      |    CAST(NULL AS DOUBLE) AS resid
+      |  FROM (SELECT UNNEST(range(1, 8)) AS h) CROSS JOIN last)
+      |SELECT day, cents, ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+      |  ROUND(forecast, 6) AS forecast, ROUND(resid, 6) AS resid
+      |FROM (SELECT day, cents, level, trend, forecast, resid FROM r
+      |      UNION ALL SELECT * FROM fut)
+      |ORDER BY day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q322_growth_accounting" -> (q322GrowthAccounting _),
+    "q323_shapley_attribution" -> (q323ShapleyAttribution _),
+    "q325_holt_forecast" -> (q325HoltForecast _),
     "q321_ordering_audit" -> (q321OrderingAudit _),
     "q312_reconciliation" -> (q312Reconciliation _),
     "q313_shard_split_advisor" -> (q313ShardSplitAdvisor _),
@@ -5332,6 +5653,9 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q322_growth_accounting" -> q322Sql,
+    "q323_shapley_attribution" -> q323Sql,
+    "q325_holt_forecast" -> q325Sql,
     "q321_ordering_audit" -> q321Sql,
     "q312_reconciliation" -> q312Sql,
     "q313_shard_split_advisor" -> q313Sql,

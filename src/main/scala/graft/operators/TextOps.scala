@@ -2501,7 +2501,94 @@ object TextOps {
       |    AS spearman_rho
       |FROM m""".stripMargin
 
+  /** q324: isotonic calibration of the q35 quality score against the
+    * "is English" outcome, by the pool-adjacent-violators CLOSED FORM
+    * iso_i = max_{j≤i} min_{k≥i} mean(y over bins j..k) (Ayer et al.
+    * 1955) — the monotone regression that turns a raw score into a
+    * usable P(en | score) lookup, next to q309's quantile normalizer.
+    * Scores land on a 50-bin grid (floor(quality·50), clamped), so the
+    * whole fit is relational over the BOUNDED bin frame: one documents
+    * scan to (bin, n, pos), prefix sums by one ordered window over ≤50
+    * rows, interval means m(j,k) as exact integer ratios from the
+    * prefix frame, and the max-min as two grouped folds over the
+    * j≤i≤k triples (≤50³/6 rows — coalition-scale, not data-scale).
+    * Every mean is a single double division of exact integers, min/max
+    * never mix floats — bit-identical across engines; round(6) is
+    * display only. Output per occupied bin: raw rate vs isotonic rate
+    * (provably nondecreasing — spec-locked).
+    */
+  def q324IsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = table(spark, dir, "documents")
+      .select(($"lang" === "en").cast("long").as("y"),
+        least(floor(graft.api.Text.qualityScore($"text") * 50.0)
+          .cast("long"), lit(49L)).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+      .localCheckpoint() // ≤50 bins; the self-joins below reuse it
+    val wc = org.apache.spark.sql.expressions.Window.orderBy($"bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = b
+      .withColumn("cc", sum($"n").over(wc))
+      .withColumn("cs", sum($"pos").over(wc))
+    val iv = cum.as("j").join(cum.as("k"), $"j.bin" <= $"k.bin")
+      .select($"j.bin".as("jb"), $"k.bin".as("kb"),
+        (($"k.cs" - ($"j.cs" - $"j.pos")).cast("double") /
+          ($"k.cc" - ($"j.cc" - $"j.n"))).as("m"))
+    val t = iv.join(b.select($"bin").as("i"),
+        $"jb" <= $"i.bin" && $"kb" >= $"i.bin")
+      .groupBy($"i.bin".as("bin"), $"jb")
+      .agg(min($"m").as("mn"))
+      .groupBy($"bin").agg(max($"mn").as("iso"))
+    b.join(t, Seq("bin"))
+      .select($"bin", $"n", $"pos",
+        round($"pos".cast("double") / $"n", 6).as("raw_rate"),
+        round($"iso", 6).as("iso_rate"))
+      .orderBy($"bin")
+  }
+
+  val q324Sql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    LEAST(CAST(FLOOR((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.5
+      |      + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.3
+      |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.2) * 50.0)
+      |      AS BIGINT), 49) AS bin
+      |  FROM (
+      |    SELECT lang,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+      |    FROM documents)),
+      |b AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, n, pos,
+      |    SUM(n) OVER (ORDER BY bin) AS cc,
+      |    SUM(pos) OVER (ORDER BY bin) AS cs
+      |  FROM b),
+      |iv AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST(k.cs - (j.cs - j.pos) AS DOUBLE)
+      |      / (k.cc - (j.cc - j.n)) AS m
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+      |t AS (
+      |  SELECT bin, MAX(mn) AS iso FROM (
+      |    SELECT i.bin, iv.jb, MIN(iv.m) AS mn
+      |    FROM iv JOIN b i ON iv.jb <= i.bin AND iv.kb >= i.bin
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.bin, b.n, b.pos,
+      |  ROUND(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+      |  ROUND(t.iso, 6) AS iso_rate
+      |FROM b JOIN t USING (bin) ORDER BY b.bin""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q324_isotonic_calibration" -> (q324IsotonicCalibration _),
     "q316_spearman_length" -> (q316SpearmanLength _),
     "q274_token_budget" -> (q274TokenBudget _),
     "q309_quantile_norm" -> (q309QuantileNorm _),
@@ -2627,6 +2714,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q324_isotonic_calibration" -> q324Sql,
     "q316_spearman_length" -> q316Sql,
     "q274_token_budget" -> q274Sql,
     "q309_quantile_norm" -> q309Sql,

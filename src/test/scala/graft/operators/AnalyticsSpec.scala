@@ -1564,4 +1564,63 @@ class AnalyticsSpec extends SparkSpec {
     // removing A redirects START's mass to NULL immediately
     assert(math.abs(eff2.head._3 - 0.0) < 1e-12)
   }
+
+  test("q323 fold: Shapley axioms on crafted coalitions (efficiency, symmetry, dummy)") {
+    // 3 channels; masks: {A}=4 conv, {B}=4 conv, {A,B}=2, {C-only}=0 via
+    // mask {C}=3 conversions that C alone explains, and 1 untouched conv.
+    val counts = Seq((0L, 1L), (1L, 4L), (2L, 4L), (3L, 2L), (4L, 3L))
+    val phi = EventOps.shapleyFromMaskCounts(counts, 3)
+    val vFull = 1L + 4 + 4 + 2 + 3
+    val vEmpty = 1L
+    // efficiency: shares sum to v(N) - v(empty)
+    assert(math.abs(phi.sum - (vFull - vEmpty)) < 1e-9)
+    // symmetry: A and B are interchangeable by construction
+    assert(math.abs(phi(0) - phi(1)) < 1e-12)
+    // C's credit is exactly its solo conversions (dummy-style separability)
+    assert(math.abs(phi(2) - 3.0) < 1e-9)
+    // a channel touched by nothing is a dummy with zero credit
+    val phi2 = EventOps.shapleyFromMaskCounts(Seq((0L, 5L), (1L, 7L)), 2)
+    assert(math.abs(phi2(1) - 0.0) < 1e-12)
+    assert(math.abs(phi2(0) - 7.0) < 1e-9)
+  }
+
+  test("q322: growth-accounting identity active_d = active_prev + new + resurrected - churned") {
+    val rows = EventOps.q322GrowthAccounting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") === r.getAs[Long]("n_active"),
+        s"inflow classes partition actives on day ${r.getAs[Long]("day")}")
+    }
+    rows.sliding(2).foreach {
+      case Array(p, c) if c.getAs[Long]("day") == p.getAs[Long]("day") + 1 =>
+        assert(p.getAs[Long]("n_active") - c.getAs[Long]("n_churned") +
+          c.getAs[Long]("n_new") + c.getAs[Long]("n_resurrected") ===
+          c.getAs[Long]("n_active"),
+          s"growth-accounting identity on day ${c.getAs[Long]("day")}")
+      case _ => ()
+    }
+  }
+
+  test("q325: Holt fit reconstructs residuals; 7 future rows carry only a forecast") {
+    val rows = EventOps.q325HoltForecast(spark, sf).collect()
+    val (fit, fut) = rows.partition(r => !r.isNullAt(r.fieldIndex("cents")))
+    assert(fut.length === 7, "exactly 7 projection rows")
+    fut.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("forecast")) &&
+        r.isNullAt(r.fieldIndex("level")) && r.isNullAt(r.fieldIndex("resid")))
+    }
+    fit.filter(r => !r.isNullAt(r.fieldIndex("forecast"))).foreach { r =>
+      val resid = r.getAs[Long]("cents").toDouble -
+        r.getAs[Double]("forecast")
+      assert(math.abs(r.getAs[Double]("resid") - BigDecimal(resid)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+    // projection is linear in h off the final state
+    val f = fut.sortBy(_.getAs[Long]("day")).map(_.getAs[Double]("forecast"))
+    val step = f(1) - f(0)
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs((b - a) - step) < 1e-5, "constant-trend projection")
+    }
+  }
 }

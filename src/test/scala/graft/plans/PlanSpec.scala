@@ -860,6 +860,19 @@ class PlanSpec extends SparkSpec {
     assert(p21.contains("user_id"), "lag window must key per (stream, user)")
   }
 
+  test("q322/q324: bounded derived frames are checkpointed — ONE base-table scan each") {
+    val p22 = planOf(graft.operators.EventOps.q322GrowthAccounting(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p22).size === 0 &&
+      p22.contains("ExistingRDD"),
+      "growth accounting folds events once into a checkpointed per-day frame; " +
+        "the churn shift and outer join reuse it")
+    val p24 = planOf(graft.operators.TextOps.q324IsotonicCalibration(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p24).size === 0 &&
+      p24.contains("ExistingRDD"),
+      "isotonic fit reads documents once; the j/k/i self-joins reuse the " +
+        "checkpointed 50-bin frame")
+  }
+
   test("q262: disjunctive triple rides ONE broadcast join; brand IN pushed to the part scan") {
     val p = planOf(graft.operators.Relational.q262DiscountedRevenue(spark, sf))
     assert(p.contains("In(p_brand"),
