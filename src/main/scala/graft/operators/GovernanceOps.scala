@@ -299,7 +299,123 @@ object GovernanceOps {
       |FROM cum GROUP BY nation, segment
       |ORDER BY nation, segment""".stripMargin
 
+  /** q338: candidate-key / functional-dependency audit over lineitem —
+    * the schema-contract check a pipeline runs before trusting a
+    * "primary key" for dedup or joins: for each candidate column set,
+    * distinct combinations vs rows (a key iff equal), and for each
+    * FD candidate A→B whether |distinct A| = |distinct (A,B)|. Each
+    * probe is ONE distinct-aggregate (hash agg, map-side partials);
+    * results union into a fixed audit table. Complements q194's
+    * single-column profile with COMPOSITE semantics — the audit that
+    * catches "orderkey alone is not the grain, (orderkey, linenumber)
+    * is".
+    */
+  def q338KeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem").localCheckpoint()
+    val n = li.count()
+    def keyProbe(name: String, cols: Seq[String]): DataFrame = {
+      li.select(cols.map(col): _*).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(name).as("candidate"), lit("key").as("kind"),
+          lit(n).as("n_rows"), $"n_distinct",
+          (lit(n) - $"n_distinct").as("n_violations"),
+          ($"n_distinct" === n).as("holds"))
+    }
+    def fdProbe(name: String, det: Seq[String], dep: String): DataFrame = {
+      val a = li.select(det.map(col): _*).distinct()
+        .agg(count(lit(1)).as("na"))
+      val ab = li.select((det :+ dep).map(col): _*).distinct()
+        .agg(count(lit(1)).as("nab"))
+      a.crossJoin(ab)
+        .select(lit(name).as("candidate"), lit("fd").as("kind"),
+          $"na".as("n_rows"), $"nab".as("n_distinct"),
+          ($"nab" - $"na").as("n_violations"),
+          ($"nab" === $"na").as("holds"))
+    }
+    keyProbe("l_orderkey", Seq("l_orderkey"))
+      .unionByName(keyProbe("l_orderkey,l_linenumber",
+        Seq("l_orderkey", "l_linenumber")))
+      .unionByName(keyProbe("l_orderkey,l_partkey",
+        Seq("l_orderkey", "l_partkey")))
+      .unionByName(keyProbe("l_partkey,l_suppkey",
+        Seq("l_partkey", "l_suppkey")))
+      .unionByName(fdProbe("l_orderkey->l_returnflag",
+        Seq("l_orderkey"), "l_returnflag"))
+      .unionByName(fdProbe("l_orderkey,l_linenumber->l_shipdate",
+        Seq("l_orderkey", "l_linenumber"), "l_shipdate"))
+      .orderBy($"candidate")
+  }
+
+  val q338Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_orderkey' AS candidate, 'key' AS kind, n_rows,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+      |      AS n_distinct,
+      |    n_rows - (SELECT COUNT(*) FROM
+      |      (SELECT DISTINCT l_orderkey FROM lineitem)) AS n_violations,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+      |      = n_rows AS holds
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 'l_orderkey,l_linenumber', 'key', n_rows,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |      FROM lineitem)),
+      |    n_rows - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+      |      l_linenumber FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |      FROM lineitem)) = n_rows
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 'l_orderkey,l_partkey', 'key', n_rows,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_partkey
+      |      FROM lineitem)),
+      |    n_rows - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+      |      l_partkey FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_partkey
+      |      FROM lineitem)) = n_rows
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 'l_partkey,l_suppkey', 'key', n_rows,
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+      |      FROM lineitem)),
+      |    n_rows - (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey,
+      |      l_suppkey FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+      |      FROM lineitem)) = n_rows
+      |  FROM n
+      |  UNION ALL
+      |  SELECT 'l_orderkey->l_returnflag', 'fd',
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_returnflag
+      |      FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_returnflag
+      |      FROM lineitem))
+      |      - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey
+      |        FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_returnflag
+      |      FROM lineitem))
+      |      = (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey
+      |        FROM lineitem))
+      |  UNION ALL
+      |  SELECT 'l_orderkey,l_linenumber->l_shipdate', 'fd',
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+      |      FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber,
+      |      l_shipdate FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber,
+      |      l_shipdate FROM lineitem))
+      |      - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+      |        l_linenumber FROM lineitem)),
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber,
+      |      l_shipdate FROM lineitem))
+      |      = (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey,
+      |        l_linenumber FROM lineitem))
+      |) ORDER BY candidate""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q338_key_audit" -> (q338KeyAudit _),
     "q281_t_closeness" -> (q281TCloseness _),
     "q240_dp_release" -> (q240DpRelease _),
     "q221_k_anonymity" -> (q221KAnonymity _),
@@ -307,6 +423,7 @@ object GovernanceOps {
     "q223_generalization_ladder" -> (q223GeneralizationLadder _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q338_key_audit" -> q338Sql,
     "q281_t_closeness" -> q281Sql,
     "q240_dp_release" -> q240Sql,
     "q221_k_anonymity" -> q221Sql,

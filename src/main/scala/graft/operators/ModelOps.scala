@@ -266,13 +266,109 @@ object ModelOps {
       |FROM tr JOIN q ON tr.grp = q.grp JOIN ev ON tr.grp = ev.grp
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q335: Murphy decomposition of the Brier score over decile bins —
+    * Brier = reliability − resolution + uncertainty (+ within-bin
+    * forecast variance, reported as the residual): REL says how far the
+    * binned probabilities lie from realized rates, RES how much the
+    * bins separate the base rate, UNC the irreducible ȳ(1−ȳ). The
+    * algebra runs on per-bin EXACT sums only — n_k(p̄_k−ȳ_k)² =
+    * (Σp−Σy)²/n_k and n_k(ȳ_k−ȳ)² = (N·Σy_k − Y·n_k)²/(n_k·N²) with
+    * the squares in decimal — each bin's term takes ONE
+    * correctly-rounded double division, is snapped to the 1e-12 grid,
+    * and the 10-bin fold is a decimal sum. One scan, a 10-row frame.
+    */
+  def q335BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bins = scored(spark, dir)
+      .groupBy(least(floor($"p" * 10).cast("long"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum($"p".cast(DecimalType(24, 6))).as("sp"),
+        sum($"y").as("sy"),
+        sum((($"p" - $"y") * ($"p" - $"y")).cast(DecimalType(32, 12)))
+          .as("sq"))
+    val tot = bins.agg(sum($"n").as("nn"), sum($"sy").as("yy"),
+      sum($"sq").as("sqall"))
+    // each term is pre-divided by N so its magnitude stays ≤ 1 — a
+    // 1e-12 round() below 1 is inside double precision on both engines
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(
+        $"n", $"sq",
+        // (Σp − Σy)² / (n_k·N), snapped to 1e-12
+        round((($"sp" - $"sy").cast(DecimalType(19, 6)) *
+          ($"sp" - $"sy").cast(DecimalType(19, 6))).cast("double") /
+          ($"n" * $"nn").cast("double"), 12)
+          .cast(DecimalType(38, 12)).as("rel_t"),
+        // (N·Σy_k − Y·n_k)² / (n_k·N³), snapped to 1e-12
+        round((($"sy" * $"nn" - $"yy" * $"n").cast(DecimalType(19, 0)) *
+          ($"sy" * $"nn" - $"yy" * $"n").cast(DecimalType(19, 0)))
+          .cast("double") / ($"n".cast("double") * $"nn".cast("double") *
+            $"nn".cast("double") * $"nn".cast("double")), 12)
+          .cast(DecimalType(38, 12)).as("res_t"),
+        $"nn", $"yy")
+    terms.groupBy($"nn", $"yy")
+      .agg(sum($"sq").as("sqall"), sum($"rel_t").as("rel"),
+        sum($"res_t").as("res"))
+      .select(
+        $"nn".as("n"),
+        round($"sqall".cast("double") / $"nn", 6).as("brier"),
+        round($"rel".cast("double"), 6).as("reliability"),
+        round($"res".cast("double"), 6).as("resolution"),
+        round(($"yy" * ($"nn" - $"yy")).cast("double") /
+          ($"nn" * $"nn").cast("double"), 6).as("uncertainty"),
+        round($"sqall".cast("double") / $"nn" -
+          ($"rel".cast("double") - $"res".cast("double") +
+            ($"yy" * ($"nn" - $"yy")).cast("double") /
+              ($"nn" * $"nn").cast("double")), 6).as("within_bin_var"))
+  }
+
+  val q335Sql: String =
+    s"""WITH s AS ($scoredSql),
+      |bins AS (
+      |  SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(p AS DECIMAL(24,6))) AS sp,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST((p - y) * (p - y) AS DECIMAL(32,12))) AS sq
+      |  FROM s GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(sy) AS BIGINT) AS yy,
+      |    SUM(sq) AS sqall
+      |  FROM bins),
+      |terms AS (
+      |  SELECT n, sq, nn, yy,
+      |    CAST(ROUND(CAST(CAST(sp - sy AS DECIMAL(19,6))
+      |        * CAST(sp - sy AS DECIMAL(19,6)) AS DOUBLE)
+      |      / CAST(n * nn AS DOUBLE), 12) AS DECIMAL(38,12)) AS rel_t,
+      |    CAST(ROUND(CAST(CAST(sy * nn - yy * n AS DECIMAL(19,0))
+      |        * CAST(sy * nn - yy * n AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        * CAST(nn AS DOUBLE)), 12) AS DECIMAL(38,12)) AS res_t
+      |  FROM bins CROSS JOIN tot),
+      |f AS (
+      |  SELECT nn, yy, SUM(sq) AS sqall, SUM(rel_t) AS rel,
+      |    SUM(res_t) AS res
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT nn AS n,
+      |  ROUND(CAST(sqall AS DOUBLE) / nn, 6) AS brier,
+      |  ROUND(CAST(rel AS DOUBLE), 6) AS reliability,
+      |  ROUND(CAST(res AS DOUBLE), 6) AS resolution,
+      |  ROUND(CAST(yy * (nn - yy) AS DOUBLE)
+      |    / CAST(nn * nn AS DOUBLE), 6) AS uncertainty,
+      |  ROUND(CAST(sqall AS DOUBLE) / nn
+      |    - (CAST(rel AS DOUBLE) - CAST(res AS DOUBLE)
+      |      + CAST(yy * (nn - yy) AS DOUBLE) / CAST(nn * nn AS DOUBLE)), 6)
+      |    AS within_bin_var
+      |FROM f""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q335_brier_decomposition" -> (q335BrierDecomposition _),
     "q224_auc_card" -> (q224AucCard _),
     "q225_calibration_card" -> (q225CalibrationCard _),
     "q226_threshold_sweep" -> (q226ThresholdSweep _),
     "q265_conformal_interval" -> (q265ConformalInterval _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q335_brier_decomposition" -> q335Sql,
     "q224_auc_card" -> q224Sql,
     "q225_calibration_card" -> q225Sql,
     "q226_threshold_sweep" -> q226Sql,

@@ -2267,7 +2267,606 @@ object Relational {
       |    6) AS r2
       |FROM m ORDER BY price_band""".stripMargin
 
+  /** q326: skyline (Pareto-frontier) query over parts, minimizing
+    * (p_retailprice, p_size) jointly — the classic multi-objective
+    * shortlist ("no other part is both cheaper and smaller"). The
+    * dominance test never self-joins the table: it collapses to the
+    * (price → min size) frame first (|distinct prices| rows — the only
+    * frame the single-partition window ever sorts), marks a price level
+    * as on the frontier iff its min size beats the running min over all
+    * STRICTLY cheaper levels (a ROWS frame is exact here because each
+    * price appears once after the collapse), and joins the surviving
+    * (price, size) combos back to recover part identities. Equal
+    * (price, size) twins are all on the skyline — neither dominates.
+    */
+  def q326SkylineParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pm = table(spark, dir, "part")
+      .groupBy($"p_retailprice").agg(min($"p_size").as("msize"))
+    val w = Window.orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pm.withColumn("best", min($"msize").over(w))
+      .filter($"best".isNull || $"best" > $"msize")
+      .select($"p_retailprice", $"msize".as("p_size"))
+    table(spark, dir, "part")
+      .join(broadcast(sky), Seq("p_retailprice", "p_size"))
+      .select($"p_partkey", $"p_name", round($"p_retailprice", 2)
+        .as("p_retailprice"), $"p_size".cast("long").as("p_size"))
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
+  val q326Sql: String =
+    """WITH pm AS (
+      |  SELECT p_retailprice, MIN(p_size) AS msize FROM part GROUP BY 1),
+      |w AS (
+      |  SELECT p_retailprice, msize,
+      |    MIN(msize) OVER (ORDER BY p_retailprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+      |  FROM pm),
+      |sky AS (
+      |  SELECT p_retailprice, msize FROM w
+      |  WHERE best IS NULL OR best > msize)
+      |SELECT p_partkey, p_name, ROUND(p.p_retailprice, 2) AS p_retailprice,
+      |  CAST(p.p_size AS BIGINT) AS p_size
+      |FROM part p JOIN sky s
+      |  ON p.p_retailprice = s.p_retailprice AND p.p_size = s.msize
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
+  /** q327: Lorenz curve + Gini coefficient of supplier revenue — the
+    * inequality card next to q208's customer deciles: suppliers ranked
+    * ASCENDING by exact-decimal revenue (ties by suppkey, so the decile
+    * assignment is engine-identical), bottom-share deciles with
+    * cumulative revenue share, and the discrete Gini
+    * (2·Σ rank·rev − (n+1)·Σ rev) / (n·Σ rev) computed entirely in
+    * decimal/integer sums — ONE double division at the end. The heavy
+    * work is one lineitem hash agg; the window sorts the |suppliers|
+    * frame only (same scale caveat and remedy as q208).
+    */
+  def q327LorenzGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = table(spark, dir, "lineitem")
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+        .cast(DecimalType(24, 6))).as("rev"))
+    val w = Window.orderBy($"rev", $"l_suppkey")
+    val ranked = rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint() // |suppliers| rows; gini + lorenz both reuse it
+    // the rank-weighted and plain revenue sums stay exact decimal; the
+    // Gini combination runs in DOUBLE on those exact inputs (identical
+    // scalars + fixed-order scalar ops = engine-identical result)
+    val g = ranked.agg(count(lit(1)).as("n"),
+      sum($"rev").cast("double").as("s"),
+      sum($"rnk" * $"rev").cast("double").as("s1"))
+      .select(round((lit(2.0) * $"s1" - ($"n" + 1).cast("double") * $"s") /
+        ($"n".cast("double") * $"s"), 6).as("gini"), $"n".as("n_total"))
+    ranked.crossJoin(broadcast(g))
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_total") + 1)
+      .groupBy($"decile", $"gini")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"rev").as("drev"))
+      .withColumn("cum_share", round(
+        sum($"drev").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / sum($"drev").over(Window.partitionBy())
+          .cast("double"), 6))
+      .select($"decile", $"n_suppliers",
+        round($"drev".cast("double"), 2).as("decile_revenue"),
+        $"cum_share", $"gini")
+      .orderBy($"decile")
+  }
+
+  val q327Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT CAST(rev AS DECIMAL(24,6)) AS rev,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rev, l_suppkey)
+      |    AS BIGINT) AS rnk
+      |  FROM rev),
+      |g AS (
+      |  SELECT COUNT(*) AS n_total, CAST(SUM(rev) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(rnk AS DECIMAL(10,0)) * rev) AS DOUBLE) AS s1
+      |  FROM ranked),
+      |dec AS (
+      |  SELECT CAST((rnk - 1) * 10 // n_total AS BIGINT) + 1 AS decile,
+      |    ROUND((2.0 * s1 - (n_total + 1) * s) / (n_total * s), 6) AS gini,
+      |    rev
+      |  FROM ranked CROSS JOIN g),
+      |byd AS (
+      |  SELECT decile, gini, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |    SUM(rev) AS drev
+      |  FROM dec GROUP BY 1, 2)
+      |SELECT decile, n_suppliers, ROUND(CAST(drev AS DOUBLE), 2)
+      |    AS decile_revenue,
+      |  ROUND(CAST(SUM(drev) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(drev) OVER () AS DOUBLE), 6) AS cum_share,
+      |  gini
+      |FROM byd ORDER BY decile""".stripMargin
+
+  /** q328: market-concentration card — per part type: the
+    * Herfindahl–Hirschman index of brand revenue shares, the leading
+    * brand, and its share. HHI = Σ brand_rev² / type_rev² with BOTH
+    * sums in exact decimal (brand revenues are decimal, their squares
+    * fold exactly) — one double division per type at the end, so the
+    * index is summation-order independent. Leader pick is a
+    * deterministic argmax (revenue desc, brand desc). Two hash aggs
+    * over the lineitem⋈part broadcast join; the per-(type, brand)
+    * frame is vocabulary-sized, never data-sized.
+    */
+  def q328HhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = rawTable(spark, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_type")
+    val byBrand = table(spark, dir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type", $"p_brand")
+      .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+        .cast(DecimalType(24, 6))).as("brev"))
+    // squares in (19,6)×(19,6) → exact (38,12); wider inputs would trip
+    // the precision cap and silently round the 1e-8-grid products
+    byBrand
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_brands"),
+        sum($"brev").as("trev"),
+        sum($"brev".cast(DecimalType(19, 6)) * $"brev".cast(DecimalType(19, 6)))
+          .as("s2"),
+        max(struct($"brev", $"p_brand")).as("top"))
+      .select($"p_type", $"n_brands",
+        round($"trev".cast("double"), 2).as("type_revenue"),
+        $"top.p_brand".as("top_brand"),
+        round($"top.brev".cast("double") / $"trev".cast("double"), 6)
+          .as("top_share"),
+        round($"s2".cast("double") /
+          ($"trev".cast("double") * $"trev".cast("double")), 6).as("hhi"))
+      .orderBy($"p_type")
+  }
+
+  val q328Sql: String =
+    """WITH bb AS (
+      |  SELECT p_type, p_brand,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6)))
+      |      AS brev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT p_type, p_brand, brev,
+      |    ROW_NUMBER() OVER (PARTITION BY p_type
+      |      ORDER BY brev DESC, p_brand DESC) AS rn
+      |  FROM bb),
+      |agg AS (
+      |  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_brands,
+      |    SUM(brev) AS trev,
+      |    SUM(CAST(brev AS DECIMAL(19,6)) * CAST(brev AS DECIMAL(19,6)))
+      |      AS s2
+      |  FROM bb GROUP BY 1)
+      |SELECT a.p_type, n_brands, ROUND(CAST(trev AS DOUBLE), 2)
+      |    AS type_revenue,
+      |  r.p_brand AS top_brand,
+      |  ROUND(CAST(r.brev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS top_share,
+      |  ROUND(CAST(s2 AS DOUBLE)
+      |    / (CAST(trev AS DOUBLE) * CAST(trev AS DOUBLE)), 6) AS hhi
+      |FROM agg a JOIN r ON a.p_type = r.p_type AND r.rn = 1
+      |ORDER BY a.p_type""".stripMargin
+
+  /** q329: ABC inventory classification — parts ranked by exact-decimal
+    * revenue DESC (ties by partkey), classified A while the cumulative
+    * share is ≤ 80%, B while ≤ 95%, C after. The threshold compare is
+    * CROSS-MULTIPLIED integer decimal (cum·100 ≤ total·80), never a
+    * float ratio, so the class boundary lands on the same part in both
+    * engines. One lineitem hash agg into a |parts| frame; the running
+    * sum sorts that frame only (q208's scale caveat applies — swap for
+    * exact-quantile revenue edges past ~10⁷ parts).
+    */
+  def q329AbcClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = table(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - $"l_discount".cast(DecimalType(18, 2))))
+        .cast(DecimalType(24, 6))).as("rev"))
+    val cum = rev
+      .withColumn("cum", sum($"rev").over(Window.orderBy($"rev".desc, $"l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(rev.agg(sum($"rev").as("total"))))
+      // cross-multiplied compare narrowed to (30,6) so the ×100 stays
+      // inside decimal precision on both engines
+      .withColumn("cum", $"cum".cast(DecimalType(30, 6)))
+      .withColumn("total", $"total".cast(DecimalType(30, 6)))
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C"))
+    cum.groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"rev").as("crev"))
+      .withColumn("revenue_share", round($"crev".cast("double") /
+        sum($"crev").over(Window.partitionBy()).cast("double"), 6))
+      .select($"abc_class", $"n_parts",
+        round($"crev".cast("double"), 2).as("class_revenue"),
+        $"revenue_share")
+      .orderBy($"abc_class")
+  }
+
+  val q329Sql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6)))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(rev) OVER () AS total
+      |  FROM rev),
+      |cls AS (
+      |  SELECT rev,
+      |    CASE WHEN CAST(cum AS DECIMAL(30,6)) * 100
+      |        <= CAST(total AS DECIMAL(30,6)) * 80 THEN 'A'
+      |      WHEN CAST(cum AS DECIMAL(30,6)) * 100
+      |        <= CAST(total AS DECIMAL(30,6)) * 95 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |  FROM cum),
+      |g AS (
+      |  SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    SUM(rev) AS crev
+      |  FROM cls GROUP BY 1)
+      |SELECT abc_class, n_parts, ROUND(CAST(crev AS DOUBLE), 2)
+      |    AS class_revenue,
+      |  ROUND(CAST(crev AS DOUBLE) / CAST(SUM(crev) OVER () AS DOUBLE), 6)
+      |    AS revenue_share
+      |FROM g ORDER BY abc_class""".stripMargin
+
+  /** q330: RFM segmentation — per customer: recency (days from their
+    * last order to the corpus's last order date), frequency (order
+    * count), monetary (exact-decimal total spend); each scored 1–5 by
+    * deterministic rank buckets (score = 5 − ((rank−1)·5) div n over
+    * (metric, custkey) order, best first — engine-identical, unlike
+    * NTILE-free float quantile cuts), then the segment grid (r, f, m) →
+    * customer count + average spend. One orders hash agg; three
+    * |customers|-frame rank windows (scale caveat as q208: swap ranks
+    * for exact-quantile edges past ~10⁷ customers).
+    */
+  def q330RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast("date")).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).as("money"))
+    val mx = per.agg(max($"lastd").as("gmax"))
+    val scored = per.crossJoin(broadcast(mx))
+      .withColumn("recency", datediff($"gmax", $"lastd").cast("long"))
+      .withColumn("rr",
+        row_number().over(Window.orderBy($"recency", $"o_custkey")).cast("long"))
+      .withColumn("fr",
+        row_number().over(Window.orderBy($"freq".desc, $"o_custkey")).cast("long"))
+      .withColumn("mr",
+        row_number().over(Window.orderBy($"money".desc, $"o_custkey")).cast("long"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+      .select(
+        expr("5 - ((rr - 1) * 5) div n").as("r_score"),
+        expr("5 - ((fr - 1) * 5) div n").as("f_score"),
+        expr("5 - ((mr - 1) * 5) div n").as("m_score"),
+        $"money")
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"money").cast("double") / count(lit(1)), 6).as("avg_spend"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val q330Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS lastd,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(lastd) AS gmax, COUNT(*) AS n FROM per),
+      |ranked AS (
+      |  SELECT money,
+      |    CAST(date_diff('day', lastd, gmax) AS BIGINT) AS recency,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY date_diff('day', lastd, gmax),
+      |      o_custkey) AS BIGINT) AS rr,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey)
+      |      AS BIGINT) AS fr,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY money DESC, o_custkey)
+      |      AS BIGINT) AS mr,
+      |    n
+      |  FROM per CROSS JOIN mx)
+      |SELECT 5 - (rr - 1) * 5 // n AS r_score,
+      |  5 - (fr - 1) * 5 // n AS f_score,
+      |  5 - (mr - 1) * 5 // n AS m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  ROUND(CAST(SUM(money) AS DOUBLE) / COUNT(*), 6) AS avg_spend
+      |FROM ranked GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+
+  /** q336: Theil-T inequality decomposition of customer spend by nation
+    * — T = (1/n)Σ(x/μ)ln(x/μ) split EXACTLY into between-nation
+    * (Σ (n_g/n)(μ_g/μ)ln(μ_g/μ)) and within-nation (Σ s_g·T_g) parts:
+    * the additive-decomposable inequality index (Gini isn't), i.e.
+    * "how much of the spend concentration is WHICH nations vs
+    * dispersion INSIDE nations". Per-row terms are doubles from exact
+    * decimal sums (identical scalars, fixed op order) snapped to the
+    * 1e-9 grid; every cross-row fold is decimal. One orders agg, one
+    * broadcast nation join; the only post-agg frames are |customers|
+    * (hash-agg'd by nation) and |nations|.
+    */
+  def q336TheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("x"))
+      .join(table(spark, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(rawTable(spark, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"x")
+      .localCheckpoint() // reused by the global, per-nation and term passes
+    val glob = cust.agg(sum($"x").as("s"), count(lit(1)).as("n"))
+    val byNat = cust.groupBy($"n_name")
+      .agg(sum($"x").as("sg"), count(lit(1)).as("ng"))
+      .localCheckpoint()
+    // within-nation terms: (x/μ_g)·ln(x/μ_g) snapped to 1e-9, folded in
+    // decimal per nation; total terms likewise against the global mean
+    val terms = cust.join(broadcast(byNat), Seq("n_name"))
+      .crossJoin(broadcast(glob))
+      .select($"n_name",
+        round(($"x".cast("double") / ($"sg".cast("double") / $"ng")) *
+          log($"x".cast("double") / ($"sg".cast("double") / $"ng")), 9)
+          .cast(DecimalType(38, 9)).as("tg"),
+        round(($"x".cast("double") / ($"s".cast("double") / $"n")) *
+          log($"x".cast("double") / ($"s".cast("double") / $"n")), 9)
+          .cast(DecimalType(38, 9)).as("tt"))
+    val natAgg = terms.groupBy($"n_name")
+      .agg(sum($"tg").as("stg"), sum($"tt").as("stt"))
+      .join(broadcast(byNat), Seq("n_name"))
+      .crossJoin(broadcast(glob))
+    // between term per nation: (n_g/n)·(μ_g/μ)·ln(μ_g/μ), 1e-12 grid
+    val withBetween = natAgg
+      .withColumn("mu_ratio",
+        ($"sg".cast("double") / $"ng") / ($"s".cast("double") / $"n"))
+      .withColumn("bt",
+        round(($"ng".cast("double") / $"n") * $"mu_ratio" * log($"mu_ratio"), 12)
+          .cast(DecimalType(38, 12)))
+    val consts = withBetween
+      .agg(sum($"bt").as("between_sum"), sum($"stt").as("t_all"))
+      .crossJoin(broadcast(glob))
+      .select(round($"t_all".cast("double") / $"n", 6).as("theil_total"),
+        round($"between_sum".cast("double"), 6).as("theil_between"))
+    withBetween.crossJoin(broadcast(consts))
+      .select($"n_name", $"ng".as("n_cust"),
+        round($"sg".cast("double") / $"s".cast("double"), 6).as("income_share"),
+        round($"stg".cast("double") / $"ng", 6).as("theil_within"),
+        round($"mu_ratio", 6).as("mean_ratio"),
+        $"theil_total", $"theil_between")
+      .orderBy($"n_name")
+  }
+
+  val q336Sql: String =
+    """WITH cust AS (
+      |  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, o_custkey),
+      |gtot AS (SELECT SUM(x) AS s, COUNT(*) AS n FROM cust),
+      |bynat AS (
+      |  SELECT n_name, SUM(x) AS sg, COUNT(*) AS ng FROM cust GROUP BY 1),
+      |terms AS (
+      |  SELECT c.n_name,
+      |    CAST(ROUND((CAST(x AS DOUBLE) / (CAST(sg AS DOUBLE) / ng))
+      |      * ln(CAST(x AS DOUBLE) / (CAST(sg AS DOUBLE) / ng)), 9)
+      |      AS DECIMAL(38,9)) AS tg,
+      |    CAST(ROUND((CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+      |      * ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n)), 9)
+      |      AS DECIMAL(38,9)) AS tt
+      |  FROM cust c JOIN bynat USING (n_name) CROSS JOIN gtot),
+      |natagg AS (
+      |  SELECT n_name, SUM(tg) AS stg, SUM(tt) AS stt
+      |  FROM terms GROUP BY 1),
+      |wb AS (
+      |  SELECT n_name, stg, stt, sg, ng, s, n,
+      |    (CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n) AS mu_ratio,
+      |    CAST(ROUND((CAST(ng AS DOUBLE) / n)
+      |      * ((CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n))
+      |      * ln((CAST(sg AS DOUBLE) / ng) / (CAST(s AS DOUBLE) / n)), 12)
+      |      AS DECIMAL(38,12)) AS bt
+      |  FROM natagg JOIN bynat USING (n_name) CROSS JOIN gtot),
+      |consts AS (
+      |  SELECT ROUND(CAST(SUM(stt) AS DOUBLE) / MIN(n), 6) AS theil_total,
+      |    ROUND(CAST(SUM(bt) AS DOUBLE), 6) AS theil_between
+      |  FROM wb)
+      |SELECT n_name, CAST(ng AS BIGINT) AS n_cust,
+      |  ROUND(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE), 6) AS income_share,
+      |  ROUND(CAST(stg AS DOUBLE) / ng, 6) AS theil_within,
+      |  ROUND(mu_ratio, 6) AS mean_ratio,
+      |  theil_total, theil_between
+      |FROM wb CROSS JOIN consts ORDER BY n_name""".stripMargin
+
+  /** q337: empirical-Bayes shrinkage of per-brand return rates
+    * (beta-binomial, method-of-moments prior) — small brands' raw rates
+    * are noise; the EB posterior (r+α)/(n+α+β) pulls them toward the
+    * cross-brand prior with strength κ=α+β estimated from the
+    * BETWEEN-BRAND moment equations m(1−m)/v − 1. Rates snap to the
+    * 1e-12 integer grid before the moments (exact integer sums across
+    * brands), the prior solve is fixed-order double scalars, and the
+    * shrink weight n/(n+κ) shows exactly how much each brand kept of
+    * its own signal. Falls back to the raw rate when the between-brand
+    * variance can't support a prior (v ≤ 0 or κ ≤ 0).
+    */
+  def q337EbReturnRates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = table(spark, dir, "lineitem")
+      .join(broadcast(rawTable(spark, dir, "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r"))
+      .withColumn("x_e12", expr("(r * 1000000000000) div n"))
+      .localCheckpoint() // |brands| rows
+    val prior = per.agg(count(lit(1)).as("k"), sum($"x_e12").as("sx"),
+      sum($"x_e12".cast(DecimalType(19, 0)) * $"x_e12".cast(DecimalType(19, 0)))
+        .as("sxx"))
+      .select(
+        ($"sx".cast("double") / $"k" / 1e12).as("m"),
+        (($"k" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+          $"sx".cast(DecimalType(19, 0))).cast("double") /
+          ($"k".cast("double") * $"k".cast("double")) / 1e24).as("v"))
+      .select($"m", $"v",
+        when($"v" > 0, $"m" * (lit(1.0) - $"m") / $"v" - 1.0).as("kappa"))
+    per.crossJoin(broadcast(prior))
+      .select($"p_brand", $"n".as("n_items"), $"r".as("n_returned"),
+        round($"r".cast("double") / $"n", 6).as("rate_raw"),
+        when($"kappa" > 0,
+          round(($"r".cast("double") + $"m" * $"kappa") /
+            ($"n".cast("double") + $"kappa"), 6))
+          .otherwise(round($"r".cast("double") / $"n", 6)).as("rate_shrunk"),
+        when($"kappa" > 0,
+          round($"n".cast("double") / ($"n".cast("double") + $"kappa"), 6))
+          .otherwise(1.0).as("self_weight"))
+      .orderBy($"p_brand")
+  }
+
+  val q337Sql: String =
+    """WITH per AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |pe AS (SELECT p_brand, n, r, (r * 1000000000000) // n AS x_e12
+      |  FROM per),
+      |prior0 AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(x_e12) AS BIGINT) AS sx,
+      |    SUM(CAST(x_e12 AS DECIMAL(19,0)) * CAST(x_e12 AS DECIMAL(19,0)))
+      |      AS sxx
+      |  FROM pe),
+      |prior1 AS (
+      |  SELECT CAST(sx AS DOUBLE) / k / 1e12 AS m,
+      |    CAST(k * sxx - CAST(sx AS DECIMAL(19,0))
+      |        * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) / 1e24 AS v
+      |  FROM prior0),
+      |prior AS (
+      |  SELECT m, v,
+      |    CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 END AS kappa
+      |  FROM prior1)
+      |SELECT p_brand, n AS n_items, r AS n_returned,
+      |  ROUND(CAST(r AS DOUBLE) / n, 6) AS rate_raw,
+      |  CASE WHEN kappa > 0 THEN
+      |    ROUND((CAST(r AS DOUBLE) + m * kappa) / (CAST(n AS DOUBLE) + kappa), 6)
+      |  ELSE ROUND(CAST(r AS DOUBLE) / n, 6) END AS rate_shrunk,
+      |  CASE WHEN kappa > 0 THEN
+      |    ROUND(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + kappa), 6)
+      |  ELSE 1.0 END AS self_weight
+      |FROM pe CROSS JOIN prior ORDER BY p_brand""".stripMargin
+
+  /** q339: chained price index between the corpus's first and last ship
+    * year — Laspeyres (base-year basket), Paasche (current basket) and
+    * Fisher (geometric mean): "how much did the same goods get more
+    * expensive", the deflator every revenue trend needs before claiming
+    * growth. Per (part, year): exact-decimal quantity and value sums;
+    * unit values v/q are one correctly-rounded double division each;
+    * the cross-part basket folds snap each price×quantity product to
+    * the 1e-6 grid and sum in decimal. Restricted to parts traded in
+    * BOTH years (the index is undefined off the common basket). The
+    * years come from the data (min/max ship year), so the card follows
+    * the corpus.
+    */
+  def q339PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+      .select($"l_partkey", year($"l_shipdate").as("yr"),
+        $"l_quantity", $"l_extendedprice")
+    val yrs = li.agg(min($"yr").as("y0"), max($"yr").as("y1"))
+    val py = li.crossJoin(broadcast(yrs))
+      .filter($"yr" === $"y0" || $"yr" === $"y1")
+      .groupBy($"l_partkey", $"yr")
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("q"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2))).as("v"))
+      .withColumn("uv", $"v".cast("double") / $"q".cast("double"))
+    val base = py.crossJoin(broadcast(yrs)).filter($"yr" === $"y0")
+      .select($"l_partkey", $"q".as("q0"), $"uv".as("p0"))
+    val cur = py.crossJoin(broadcast(yrs)).filter($"yr" === $"y1")
+      .select($"l_partkey", $"q".as("q1"), $"uv".as("p1"))
+    base.join(cur, Seq("l_partkey"))
+      .agg(count(lit(1)).as("n_common_parts"),
+        sum(round($"p1" * $"q0".cast("double"), 6).cast(DecimalType(38, 6)))
+          .as("l_num"),
+        sum(round($"p0" * $"q0".cast("double"), 6).cast(DecimalType(38, 6)))
+          .as("l_den"),
+        sum(round($"p1" * $"q1".cast("double"), 6).cast(DecimalType(38, 6)))
+          .as("p_num"),
+        sum(round($"p0" * $"q1".cast("double"), 6).cast(DecimalType(38, 6)))
+          .as("p_den"))
+      .crossJoin(broadcast(yrs))
+      .select($"y0".cast("long").as("year0"), $"y1".cast("long").as("year1"),
+        $"n_common_parts",
+        round($"l_num".cast("double") / $"l_den".cast("double"), 6)
+          .as("laspeyres"),
+        round($"p_num".cast("double") / $"p_den".cast("double"), 6)
+          .as("paasche"),
+        round(sqrt(($"l_num".cast("double") / $"l_den".cast("double")) *
+          ($"p_num".cast("double") / $"p_den".cast("double"))), 6).as("fisher"))
+  }
+
+  val q339Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, year(l_shipdate) AS yr, l_quantity,
+      |    l_extendedprice
+      |  FROM lineitem),
+      |yrs AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM li),
+      |py AS (
+      |  SELECT l_partkey, yr,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      |  FROM li CROSS JOIN yrs WHERE yr = y0 OR yr = y1
+      |  GROUP BY 1, 2),
+      |uv AS (SELECT l_partkey, yr, q,
+      |    CAST(v AS DOUBLE) / CAST(q AS DOUBLE) AS uv FROM py),
+      |base AS (
+      |  SELECT l_partkey, q AS q0, uv AS p0
+      |  FROM uv CROSS JOIN yrs WHERE yr = y0),
+      |cur AS (
+      |  SELECT l_partkey, q AS q1, uv AS p1
+      |  FROM uv CROSS JOIN yrs WHERE yr = y1),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+      |    SUM(CAST(ROUND(p1 * CAST(q0 AS DOUBLE), 6) AS DECIMAL(38,6)))
+      |      AS l_num,
+      |    SUM(CAST(ROUND(p0 * CAST(q0 AS DOUBLE), 6) AS DECIMAL(38,6)))
+      |      AS l_den,
+      |    SUM(CAST(ROUND(p1 * CAST(q1 AS DOUBLE), 6) AS DECIMAL(38,6)))
+      |      AS p_num,
+      |    SUM(CAST(ROUND(p0 * CAST(q1 AS DOUBLE), 6) AS DECIMAL(38,6)))
+      |      AS p_den
+      |  FROM base JOIN cur USING (l_partkey))
+      |SELECT CAST(y0 AS BIGINT) AS year0, CAST(y1 AS BIGINT) AS year1,
+      |  n_common_parts,
+      |  ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) AS laspeyres,
+      |  ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) AS paasche,
+      |  ROUND(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+      |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher
+      |FROM f CROSS JOIN yrs""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q336_theil_index" -> (q336TheilIndex _),
+    "q337_eb_return_rates" -> (q337EbReturnRates _),
+    "q339_price_index" -> (q339PriceIndex _),
+    "q326_skyline_parts" -> (q326SkylineParts _),
+    "q327_lorenz_gini" -> (q327LorenzGini _),
+    "q328_hhi_concentration" -> (q328HhiConcentration _),
+    "q329_abc_classes" -> (q329AbcClasses _),
+    "q330_rfm_segments" -> (q330RfmSegments _),
     "q307_price_elasticity" -> (q307PriceElasticity _),
     "q294_reco_eval" -> (q294RecoEval _),
     "q292_negative_sampling" -> (q292NegativeSampling _),
@@ -2332,6 +2931,14 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q336_theil_index" -> q336Sql,
+    "q337_eb_return_rates" -> q337Sql,
+    "q339_price_index" -> q339Sql,
+    "q326_skyline_parts" -> q326Sql,
+    "q327_lorenz_gini" -> q327Sql,
+    "q328_hhi_concentration" -> q328Sql,
+    "q329_abc_classes" -> q329Sql,
+    "q330_rfm_segments" -> q330Sql,
     "q307_price_elasticity" -> q307Sql,
     "q294_reco_eval" -> q294Sql,
     "q292_negative_sampling" -> q292Sql,

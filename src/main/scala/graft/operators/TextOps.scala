@@ -3,6 +3,7 @@ package graft.operators
 import graft.Util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
   * surface (language ID, quality scoring, token counting, fingerprinting).
@@ -2587,7 +2588,229 @@ object TextOps {
       |  ROUND(t.iso, 6) AS iso_rate
       |FROM b JOIN t USING (bin) ORDER BY b.bin""".stripMargin
 
+  /** q331: Simpson diversity of the token distribution per source —
+    * D = Σ n_t(n_t−1) / (N(N−1)), the probability two tokens drawn
+    * without replacement are the same type (the concentration twin of
+    * q161's Gini): a source whose tokens pool into few types reads
+    * high. All integer sums (n_t ≤ N ≤ 10⁹ keeps Σn_t² inside a long
+    * until ~10¹⁸ tokens — decimal-widen past that); ONE double division
+    * per source at the end, plus the effective type count 1/D. Two hash
+    * aggs over the exploded frame, Zipf skew absorbed map-side.
+    */
+  def q331SimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"source", explode(toks()).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum($"c" * ($"c" - 1)).as("s2"))
+      .select($"source", $"n_tokens", $"vocab",
+        round($"s2".cast("double") /
+          ($"n_tokens".cast("double") * ($"n_tokens" - 1).cast("double")), 9)
+          .as("simpson"),
+        round(($"n_tokens".cast("double") * ($"n_tokens" - 1).cast("double"))
+          / $"s2".cast("double"), 4).as("effective_types"))
+      .orderBy($"source")
+  }
+
+  val q331Sql: String =
+    """WITH tf AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |  ROUND(CAST(s2 AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)), 9)
+      |    AS simpson,
+      |  ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)
+      |    / CAST(s2 AS DOUBLE), 4) AS effective_types
+      |FROM g ORDER BY source""".stripMargin
+
+  /** q332: Yule's characteristic K per language —
+    * K = 10⁴·(Σ n_t² − N)/N², the classic author-invariant vocabulary
+    * richness constant (insensitive to text length, unlike raw TTR):
+    * the repetitiveness dial a curation pipeline reads per language
+    * before mixing. Pure integer moments of the frequency spectrum, one
+    * double division per language.
+    */
+  def q332YuleK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select($"lang", explode(toks()).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum($"c" * $"c").as("m2"))
+      .select($"lang", $"n_tokens", $"vocab",
+        round(lit(10000.0) * ($"m2" - $"n_tokens").cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")), 6)
+          .as("yule_k"))
+      .orderBy($"lang")
+  }
+
+  val q332Sql: String =
+    """WITH tf AS (
+      |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |g AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(c * c) AS BIGINT) AS m2
+      |  FROM tf GROUP BY 1)
+      |SELECT lang, n_tokens, vocab,
+      |  ROUND(10000.0 * CAST(m2 - n_tokens AS DOUBLE)
+      |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+      |    AS yule_k
+      |FROM g ORDER BY lang""".stripMargin
+
+  /** q333: moving-average type-token ratio (MATTR, Covington's
+    * windowed TTR) per language — raw TTR collapses as texts grow, so
+    * the comparable form scores fixed 20-token segments and averages:
+    * per doc, tokens are segmented by RAW split position (seg = pos
+    * div 20, only segments fully inside the doc), each segment's TTR =
+    * distinct/count over its non-empty tokens, snapped to the 1e-9
+    * integer grid (V·10⁹ div N) so the cross-segment average is an
+    * exact integer sum — summation-order independent. One
+    * posexplode + two hash aggs; segments are per-doc-local so the
+    * heavy agg keys on (doc, seg) with no skew.
+    */
+  def q333Mattr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = table(spark, dir, "documents")
+      .select($"doc_id", $"lang", size(toks()).as("len"),
+        posexplode(toks()).as(Seq("pos", "token")))
+      .filter($"token" =!= "" && $"pos" < expr("(len div 20) * 20"))
+      .select($"doc_id", $"lang", expr("pos div 20").as("seg"), $"token")
+    seg.groupBy($"doc_id", $"lang", $"seg")
+      .agg(countDistinct($"token").as("v"), count(lit(1)).as("n"))
+      .select($"lang", expr("(v * 1000000000) div n").as("ttr_e9"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_segments"),
+        round(sum($"ttr_e9").cast("double") / (count(lit(1)) * 1e9), 6)
+          .as("mattr"))
+      .orderBy($"lang")
+  }
+
+  val q333Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, len(l) AS len,
+      |    unnest(l) AS token, unnest(range(0, len(l))) AS pos
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+      |        FROM documents)),
+      |seg AS (
+      |  SELECT doc_id, lang, pos // 20 AS seg, token
+      |  FROM tok WHERE token <> '' AND pos < (len // 20) * 20),
+      |ttr AS (
+      |  SELECT lang, (COUNT(DISTINCT token) * 1000000000) // COUNT(*)
+      |    AS ttr_e9
+      |  FROM seg GROUP BY doc_id, lang, seg)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  ROUND(CAST(SUM(ttr_e9) AS DOUBLE) / (COUNT(*) * 1e9), 6) AS mattr
+      |FROM ttr GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q334: Burrows' Delta stylometry between sources — the standard
+    * authorship-attribution distance: z-score each source's relative
+    * frequency of the corpus's top-20 tokens (mean/sd across sources),
+    * Delta(a,b) = mean |z_a − z_b|. Surfaces which sources share a
+    * register and which stick out — the pair table a mixture designer
+    * reads before collapsing "different" sources into one bucket.
+    * Relative frequencies snap to the 1e-12 integer grid BEFORE the
+    * cross-source moments (exact integer mean/variance), z-scores are
+    * then fixed-order double scalars rounded to 1e-9 and the 20-token
+    * fold runs in decimal — every cross-row sum exact. All frames after
+    * the one token hash-agg are vocabulary×sources sized (20×20 here).
+    * Top-15 closest pairs reported.
+    */
+  def q334BurrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = table(spark, dir, "documents")
+      .select($"source", explode(toks()).as("token"))
+      .filter($"token" =!= "")
+      .localCheckpoint() // one tokenization feeds top-k, totals, and counts
+    val top = tf.groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(20).select($"token")
+    val totals = tf.groupBy($"source").agg(count(lit(1)).as("nt"))
+    val rf = tf.join(broadcast(top), Seq("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      .join(totals, Seq("source"))
+      .select($"source", $"token",
+        expr("(c * 1000000000000) div nt").as("rf_e12"))
+    // rf_e12 ≤ 10¹², so squares need decimal (long² would overflow ANSI)
+    val stats = rf.groupBy($"token")
+      .agg(count(lit(1)).as("s"), sum($"rf_e12").as("sx"),
+        sum($"rf_e12".cast(DecimalType(19, 0)) *
+          $"rf_e12".cast(DecimalType(19, 0))).as("sxx"))
+      .select($"token", $"s", $"sx", $"sxx")
+    val z = rf.join(broadcast(stats), Seq("token"))
+      .withColumn("varnum", $"s" * $"sxx" -
+        $"sx".cast(DecimalType(19, 0)) * $"sx".cast(DecimalType(19, 0)))
+      .select($"source", $"token",
+        when($"varnum" > 0,
+          round(($"rf_e12".cast("double") - $"sx".cast("double") / $"s") /
+            sqrt($"varnum".cast("double") /
+              ($"s".cast("double") * $"s".cast("double"))), 9))
+          .otherwise(0.0).as("z"))
+    val za = z.select($"source".as("source_a"), $"token", $"z".as("za"))
+    val zb = z.select($"source".as("source_b"), $"token", $"z".as("zb"))
+    za.join(zb, Seq("token")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(round(sum(abs($"za" - $"zb").cast(DecimalType(38, 9)))
+        .cast("double") / count(lit(1)), 6).as("delta"))
+      .orderBy($"delta", $"source_a", $"source_b")
+      .limit(15)
+  }
+
+  val q334Sql: String =
+    """WITH tf AS (
+      |  SELECT source, token
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> ''),
+      |top AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS n FROM tf GROUP BY 1
+      |    ORDER BY n DESC, token LIMIT 20)),
+      |totals AS (SELECT source, COUNT(*) AS nt FROM tf GROUP BY 1),
+      |rf AS (
+      |  SELECT t.source, t.token,
+      |    (COUNT(*) * 1000000000000) // MIN(nt) AS rf_e12
+      |  FROM tf t JOIN top USING (token) JOIN totals USING (source)
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT token, COUNT(*) AS s,
+      |    CAST(SUM(rf_e12) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(rf_e12 AS HUGEINT) * rf_e12) AS HUGEINT) AS sxx
+      |  FROM rf GROUP BY 1),
+      |z AS (
+      |  SELECT source, rf.token,
+      |    CASE WHEN s * sxx - CAST(sx AS HUGEINT) * sx > 0 THEN
+      |      ROUND((CAST(rf_e12 AS DOUBLE) - CAST(sx AS DOUBLE) / s)
+      |        / sqrt(CAST(s * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |          / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 9)
+      |    ELSE 0.0 END AS z
+      |  FROM rf JOIN stats ON rf.token = stats.token)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  ROUND(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS delta
+      |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY delta, source_a, source_b LIMIT 15""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q331_simpson_diversity" -> (q331SimpsonDiversity _),
+    "q332_yule_k" -> (q332YuleK _),
+    "q333_mattr" -> (q333Mattr _),
+    "q334_burrows_delta" -> (q334BurrowsDelta _),
     "q324_isotonic_calibration" -> (q324IsotonicCalibration _),
     "q316_spearman_length" -> (q316SpearmanLength _),
     "q274_token_budget" -> (q274TokenBudget _),
@@ -2714,6 +2937,10 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q331_simpson_diversity" -> q331Sql,
+    "q332_yule_k" -> q332Sql,
+    "q333_mattr" -> q333Sql,
+    "q334_burrows_delta" -> q334Sql,
     "q324_isotonic_calibration" -> q324Sql,
     "q316_spearman_length" -> q316Sql,
     "q274_token_budget" -> q274Sql,
