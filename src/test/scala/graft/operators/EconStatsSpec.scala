@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Brute-force recomputation and invariant checks for the economics /
+  * concentration cards (q326–q330, q339), the inference cards
+  * (q336 Theil, q337 EB shrinkage, q335 Brier decomposition) and the
+  * vocabulary-richness family (q331–q334).
+  */
+class EconStatsSpec extends SparkSpec {
+
+  test("q326: skyline matches the O(n²) dominance definition") {
+    import spark.implicits._
+    val parts = graft.Util.rawTable(spark, sf, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz <= sz && (qr < pr || qz < sz)
+      }
+    }.map(_._1).toSet
+    val got = Relational.q326SkylineParts(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got === want)
+  }
+
+  test("q327: Gini matches the brute-force rank formula; Lorenz is monotone to 1") {
+    import spark.implicits._
+    val rev = graft.Util.rawTable(spark, sf, "lineitem")
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(2) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(2)).setScale(2))))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val ranked = rev.sortBy { case (k, v) => (v, k) }.zipWithIndex
+      .map { case ((_, v), i) => (i + 1L, v) }
+    val n = ranked.size
+    val s = ranked.map(_._2).sum
+    val s1 = ranked.map { case (r, v) => BigDecimal(r) * v }.sum
+    val gini = (2.0 * s1.toDouble - (n + 1) * s.toDouble) / (n * s.toDouble)
+    val rows = Relational.q327LorenzGini(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5)
+    }
+    val shares = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+  }
+
+  test("q329: ABC classes partition all parts and respect the 80/95 cut order") {
+    val rows = Relational.q329AbcClasses(spark, sf).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Double]("revenue_share"))).toMap
+    val nParts = graft.Util.rawTable(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum === nParts)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-5)
+    // A carries at least as much revenue per class as B, which beats C
+    if (rows.contains("A") && rows.contains("B"))
+      assert(rows("A")._2 >= rows("B")._2)
+  }
+
+  test("q335: Brier decomposition is internally consistent and matches brute force") {
+    import spark.implicits._
+    val r = ModelOps.q335BrierDecomposition(spark, sf).collect().head
+    val scored = graft.Util.rawTable(spark, sf, "lineitem")
+      .select($"l_discount", $"l_quantity", $"l_returnflag").collect()
+      .map { row =>
+        val z = row.getDouble(0) * 10 + row.getDouble(1) / 10.0
+        val p = BigDecimal(z / (z + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val y = if (row.getString(2) == "R") 1.0 else 0.0
+        (p, y)
+      }
+    val brier = scored.map { case (p, y) => (p - y) * (p - y) }.sum / scored.length
+    assert(math.abs(r.getAs[Double]("brier") - brier) < 1e-5)
+    val identity = r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+      r.getAs[Double]("uncertainty") + r.getAs[Double]("within_bin_var")
+    assert(math.abs(r.getAs[Double]("brier") - identity) < 1e-5)
+    assert(r.getAs[Double]("reliability") >= 0)
+    assert(r.getAs[Double]("resolution") >= 0)
+    assert(r.getAs[Double]("uncertainty") >= 0 &&
+      r.getAs[Double]("uncertainty") <= 0.25)
+  }
+
+  test("q336: Theil total decomposes into between + share-weighted within") {
+    val rows = Relational.q336TheilIndex(spark, sf).collect()
+    val total = rows.head.getAs[Double]("theil_total")
+    val between = rows.head.getAs[Double]("theil_between")
+    val within = rows.map(r =>
+      r.getAs[Double]("income_share") * r.getAs[Double]("theil_within")).sum
+    assert(total >= 0 && between >= 0)
+    assert(math.abs(total - (between + within)) < 1e-3,
+      s"decomposition gap: $total vs ${between + within}")
+  }
+
+  test("q337: EB shrinkage pulls toward the prior mean, weights grow with n") {
+    val rows = Relational.q337EbReturnRates(spark, sf).collect()
+    // prior mean = unweighted mean of the raw rates (MoM construction)
+    val m = rows.map(_.getAs[Double]("rate_raw")).sum / rows.length
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("rate_raw")
+      val shr = r.getAs[Double]("rate_shrunk")
+      val w = r.getAs[Double]("self_weight")
+      assert(w > 0 && w <= 1)
+      // shrunk lies between raw and the prior mean (within rounding)
+      assert(shr >= math.min(raw, m) - 1e-4 && shr <= math.max(raw, m) + 1e-4)
+    }
+    val byN = rows.sortBy(_.getAs[Long]("n_items"))
+    assert(byN.last.getAs[Double]("self_weight") >=
+      byN.head.getAs[Double]("self_weight"))
+  }
+
+  test("q331-q333: richness stats respect their analytic bounds") {
+    val simpson = TextOps.q331SimpsonDiversity(spark, sf).collect()
+    simpson.foreach { r =>
+      val d = r.getAs[Double]("simpson")
+      assert(d > 0 && d < 1)
+      assert(r.getAs[Double]("effective_types") >= 1)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    val yule = TextOps.q332YuleK(spark, sf).collect()
+    yule.foreach(r => assert(r.getAs[Double]("yule_k") >= 0))
+    val mattr = TextOps.q333Mattr(spark, sf).collect()
+    mattr.foreach { r =>
+      val m = r.getAs[Double]("mattr")
+      assert(m > 0 && m <= 1)
+      assert(r.getAs[Long]("n_segments") > 0)
+    }
+  }
+
+  test("q334: Burrows Delta is a nonnegative distance over source pairs") {
+    val rows = TextOps.q334BurrowsDelta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("delta") >= 0)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("q339: price index is positive and Fisher is the geometric mean") {
+    val r = Relational.q339PriceIndex(spark, sf).collect().head
+    val l = r.getAs[Double]("laspeyres")
+    val p = r.getAs[Double]("paasche")
+    val f = r.getAs[Double]("fisher")
+    assert(l > 0 && p > 0)
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-5)
+    assert(r.getAs[Long]("n_common_parts") > 0)
+  }
+
+  test("q338: key audit agrees with direct distinct counts") {
+    import spark.implicits._
+    val li = graft.Util.rawTable(spark, sf, "lineitem")
+    val n = li.count()
+    val pairKey = li.select($"l_orderkey", $"l_linenumber").distinct().count()
+    val rows = GovernanceOps.q338KeyAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(rows("l_orderkey,l_linenumber").getAs[Long]("n_distinct") === pairKey)
+    assert(rows("l_orderkey,l_linenumber").getAs[Boolean]("holds") === (pairKey == n))
+    // the FD (orderkey,linenumber)->shipdate must hold iff the pair is
+    // at least as fine as the grain carrying shipdate
+    val fd = rows("l_orderkey,l_linenumber->l_shipdate")
+    assert(fd.getAs[Boolean]("holds") ===
+      (fd.getAs[Long]("n_distinct") == fd.getAs[Long]("n_rows")))
+  }
+}

@@ -882,4 +882,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Union"), "never a union-of-three-scans rewrite")
   }
+
+  test("q326/q328: skyline frontier broadcasts; HHI dims broadcast — no fact self-join") {
+    val p26 = planOf(graft.operators.Relational.q326SkylineParts(spark, sf))
+    assert(p26.contains("BroadcastHashJoin"),
+      "the (price, min size) frontier frame must broadcast back onto part")
+    assert(!p26.contains("CartesianProduct") &&
+      !p26.contains("BroadcastNestedLoopJoin"),
+      "dominance must come from the collapsed frame, never an all-pairs join")
+    val p28 = planOf(graft.operators.Relational.q328HhiConcentration(spark, sf))
+    assert(p28.contains("BroadcastHashJoin"), "part dim join must broadcast")
+  }
+
+  test("q334: one tokenization pass — pair folds reuse the checkpointed token frame") {
+    val p = planOf(graft.operators.TextOps.q334BurrowsDelta(spark, sf))
+    assert(!p.contains("Generate"),
+      "top-k, totals and counts must all read the checkpointed exploded " +
+        "frame, never re-explode documents")
+    assert(p.contains("ExistingRDD"))
+  }
+
+  test("q337/q339: brand/part dims broadcast; no percentile or cartesian shapes") {
+    val p37 = planOf(graft.operators.Relational.q337EbReturnRates(spark, sf))
+    // the brand join + agg live BEFORE the eager checkpoint; the final
+    // plan must be just the |brands| frame × the one-row prior
+    assert(p37.contains("ExistingRDD"),
+      "per-brand frame must be checkpointed (computed once for prior + output)")
+    assert(!p37.contains("CartesianProduct"))
+    assert(!p37.contains("Scan parquet"),
+      "no re-scan of lineitem/part after the checkpoint")
+    val p39 = planOf(graft.operators.Relational.q339PriceIndex(spark, sf))
+    assert(!p39.contains("CartesianProduct"))
+    assert(p39.contains("SortMergeJoin") || p39.contains("ShuffledHashJoin") ||
+      p39.contains("BroadcastHashJoin"),
+      "base/current baskets must equi-join on partkey")
+  }
 }
