@@ -277,15 +277,65 @@ object ModelOps {
     * correctly-rounded double division, is snapped to the 1e-12 grid,
     * and the 10-bin fold is a decimal sum. One scan, a 10-row frame.
     */
-  def q335BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bins = scored(spark, dir)
-      .groupBy(least(floor($"p" * 10).cast("long"), lit(9L)).as("bin"))
+  def q335BrierDecomposition(spark: SparkSession, dir: String): DataFrame =
+    brierFromBins(calibrationBins(scored(spark, dir)))
+
+  /** Decile-bin sufficient statistics of a (p, y) frame — the mergeable
+    * state both the batch q335 and the live
+    * [[graft.streaming.StreamOps.calibrationIngestStream]] twin reduce
+    * to: (bin, n, Σp, Σy, Σ(p−y)²), all exact counts/decimals, so bins
+    * from different micro-batches merge by plain summation.
+    */
+  def calibrationBins(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(least(floor(col("p") * 10).cast("long"), lit(9L)).as("bin"))
       .agg(count(lit(1)).as("n"),
-        sum($"p".cast(DecimalType(24, 6))).as("sp"),
-        sum($"y").as("sy"),
-        sum((($"p" - $"y") * ($"p" - $"y")).cast(DecimalType(32, 12)))
-          .as("sq"))
+        sum(col("p").cast(DecimalType(24, 6))).as("sp"),
+        sum(col("y")).as("sy"),
+        sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast(DecimalType(32, 12))).as("sq"))
+
+  /** One live-calibration micro-batch append (replay-idempotent via the
+    * batch_id tag): reduces the batch to its decile-bin sufficient
+    * statistics and appends them — state grows with bins × batches,
+    * never rows. Public so the replay spec can drive it directly.
+    */
+  def appendCalibrationBatchIdempotent(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      calibrationBins(batch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Read side of the live calibration monitor: sum-merge the per-batch
+    * bin statistics and run the SAME Murphy decomposition as the batch
+    * q335 — stream == batch is the additivity of the sufficient
+    * statistics. Reads only the bins table.
+    */
+  def brierReport(spark: SparkSession, path: String): DataFrame =
+    brierFromBins(spark.read.parquet(path)
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("sp")).as("sp"),
+        sum(col("sy")).as("sy"), sum(col("sq")).as("sq"))
+      .select(col("bin"), col("n"),
+        col("sp").cast(DecimalType(24, 6)).as("sp"), col("sy"),
+        col("sq").cast(DecimalType(32, 12)).as("sq")))
+
+  /** The Murphy decomposition from bin sufficient statistics (shared by
+    * q335 and the live twin; see q335's doc for the exact-arithmetic
+    * contract).
+    */
+  def brierFromBins(bins0: DataFrame): DataFrame = {
+    val spark = bins0.sparkSession
+    import spark.implicits._
+    val bins = bins0
     val tot = bins.agg(sum($"n").as("nn"), sum($"sy").as("yy"),
       sum($"sq").as("sqall"))
     // each term is pre-divided by N so its magnitude stays ≤ 1 — a

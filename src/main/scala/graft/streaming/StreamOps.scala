@@ -290,6 +290,25 @@ object StreamOps {
     * events. Returns the configured writer; the caller sets
     * checkpoint/trigger options and `.start()`.
     */
+  /** Live probability-calibration monitor — the streaming twin of the
+    * q335 Brier/Murphy decomposition: each micro-batch reduces its
+    * (p, y) rows to decile-bin sufficient statistics (n, Σp, Σy,
+    * Σ(p−y)² — exact counts/decimals, sum-mergeable) and appends them
+    * replay-idempotently; [[graft.operators.ModelOps.brierReport]]
+    * sum-merges the bins and runs the SAME decomposition as the batch
+    * card, so stream == batch on identical data whatever the
+    * micro-batch boundaries. State: 10 bins × batches rows — never the
+    * scored events. Rows need `p` (double) and `y` (0/1 long) columns.
+    * Returns the configured writer; the caller sets checkpoint/trigger
+    * options and `.start()`.
+    */
+  def calibrationIngestStream(values: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.operators.ModelOps.appendCalibrationBatchIdempotent(
+        batch.toDF(), path, batchId)
+    }
+
   def srmIngestStream(events: DataFrame, path: String, userCol: String,
       dayCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -1143,6 +1143,49 @@ class StreamOpsSpec extends SparkSpec {
       "replayed batchId must not append")
   }
 
+  test("calibrationIngestStream: sum-merged bins reproduce the batch Brier decomposition; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("calib-stream").toString
+    val path = s"$base/bins"
+
+    // p on the 1e-6 grid, y in {0,1}; batches cut mid-bin so the merge
+    // has to reconstruct bin sums across batch boundaries
+    val b1 = Seq(KV("1", 0.12), KV("0", 0.17), KV("1", 0.88), KV("0", 0.35))
+    val b2 = Seq(KV("1", 0.91), KV("0", 0.13), KV("1", 0.42), KV("1", 0.95),
+      KV("0", 0.88))
+    def asPy(df: org.apache.spark.sql.DataFrame) =
+      df.select($"v".as("p"), $"k".cast("long").as("y"))
+
+    val mem = MemoryStream[KV](spark)
+    val q = StreamOps.calibrationIngestStream(asPy(mem.toDF()), path).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.ModelOps.brierReport(spark, path).collect()
+    val batch = graft.operators.ModelOps.brierFromBins(
+      graft.operators.ModelOps.calibrationBins(asPy((b1 ++ b2).toDF())))
+      .collect()
+    assert(got.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    val r = got.head
+    assert(r.getAs[Long]("n") === 9L)
+    // decomposition identity holds on the merged state too
+    // each reported term is display-rounded to 6 decimals, so the
+    // identity holds to a few 1e-6, not machine precision
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution") +
+        r.getAs[Double]("uncertainty") + r.getAs[Double]("within_bin_var")))
+      < 5e-6)
+
+    val before = spark.read.parquet(path).count()
+    graft.operators.ModelOps.appendCalibrationBatchIdempotent(
+      asPy(Seq(KV("1", 0.5)).toDF()), path, batchId = 0L)
+    assert(spark.read.parquet(path).count() === before,
+      "replayed batchId must not append")
+  }
+
   test("srmIngestStream: min-merged enrollment reproduces the batch SRM card; replay appends once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("srm-stream").toString
