@@ -1832,7 +1832,96 @@ object DedupOps {
        |  ROUND(MIN(j), 6) AS min_direct_jaccard
        |FROM jj GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q340: language mixing matrix + Newman categorical assortativity of
+    * the exact near-dup graph — does duplication stay INSIDE a language
+    * (template reuse, mirrors) or cross languages (translations,
+    * boilerplate)? Each τ=0.8 Jaccard edge is labeled by its endpoints'
+    * languages; the card reports the per-pair edge counts and the
+    * assortativity coefficient r = (D·2·intra − Σ stubs²) /
+    * (D² − Σ stubs²) over directed stub counts D = 2m — ALL integer
+    * sums, one double division. The matrix is |langs|² ≤ 25 rows; the
+    * only data-sized work is the same prefix-filtered pair join the
+    * other graph cards use (never all-pairs).
+    */
+  def q340LangAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = docs(spark, dir).select($"doc_id", $"lang")
+    val pairs = graft.api.Dedup.ppJoinPairs(docs(spark, dir), "doc_id", "text", 0.8)
+      .join(lang.select($"doc_id".as("id_a"), $"lang".as("la")), Seq("id_a"))
+      .join(lang.select($"doc_id".as("id_b"), $"lang".as("lb")), Seq("id_b"))
+      .select(least($"la", $"lb").as("lang_a"),
+        greatest($"la", $"lb").as("lang_b"))
+      .localCheckpoint() // labeled edge list; matrix + moments reuse it
+    val matrix = pairs.groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_edges"))
+    val m = pairs.agg(count(lit(1)).as("m"),
+      sum(when($"lang_a" === $"lang_b", 1L).otherwise(0L)).as("intra"))
+    val stubs = pairs.select($"lang_a".as("l"))
+      .unionAll(pairs.select($"lang_b".as("l")))
+      .groupBy($"l").agg(count(lit(1)).as("st"))
+      .agg(sum($"st" * $"st").as("s2"))
+    val r = m.crossJoin(stubs)
+      .select($"m", $"intra",
+        when(($"m" * 2) * ($"m" * 2) - $"s2" =!= 0,
+          round((($"m" * 2) * ($"intra" * 2) - $"s2").cast("double") /
+            ((($"m" * 2) * ($"m" * 2)) - $"s2").cast("double"), 6))
+          .as("assortativity"))
+    matrix.crossJoin(broadcast(r))
+      .select($"lang_a", $"lang_b", $"n_edges",
+        round($"n_edges".cast("double") / $"m", 6).as("edge_share"),
+        ($"lang_a" === $"lang_b").as("is_intra"), $"assortativity")
+      .orderBy($"lang_a", $"lang_b")
+  }
+
+  val q340Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, COUNT(*) AS sz FROM t GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM t a JOIN t b ON b.tok = a.tok AND b.doc_id > a.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |  FROM i
+      |  JOIN s sa ON sa.doc_id = id_a
+      |  JOIN s sb ON sb.doc_id = id_b),
+      |q AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.8),
+      |e AS (
+      |  SELECT LEAST(da.lang, db.lang) AS lang_a,
+      |    GREATEST(da.lang, db.lang) AS lang_b
+      |  FROM q
+      |  JOIN documents da ON da.doc_id = q.id_a
+      |  JOIN documents db ON db.doc_id = q.id_b),
+      |mt AS (
+      |  SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_edges
+      |  FROM e GROUP BY 1, 2),
+      |mm AS (
+      |  SELECT COUNT(*) AS m,
+      |    SUM(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END) AS intra
+      |  FROM e),
+      |st AS (
+      |  SELECT SUM(st * st) AS s2 FROM (
+      |    SELECT l, CAST(COUNT(*) AS BIGINT) AS st FROM (
+      |      SELECT lang_a AS l FROM e UNION ALL SELECT lang_b FROM e)
+      |    GROUP BY l)),
+      |r AS (
+      |  SELECT m, intra,
+      |    CASE WHEN (m * 2) * (m * 2) - s2 <> 0 THEN
+      |      ROUND(CAST((m * 2) * (intra * 2) - s2 AS DOUBLE)
+      |        / CAST((m * 2) * (m * 2) - s2 AS DOUBLE), 6)
+      |    END AS assortativity
+      |  FROM mm CROSS JOIN st)
+      |SELECT lang_a, lang_b, n_edges,
+      |  ROUND(CAST(n_edges AS DOUBLE) / m, 6) AS edge_share,
+      |  lang_a = lang_b AS is_intra, assortativity
+      |FROM mt CROSS JOIN r ORDER BY lang_a, lang_b""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q340_lang_assortativity" -> (q340LangAssortativity _),
     "q301_chaining_audit" -> (q301ChainingAudit _),
     "q251_dup_quality_card" -> (q251DupQualityCard _),
     "q247_source_modularity" -> (q247SourceModularity _),
@@ -1866,6 +1955,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q340_lang_assortativity" -> q340Sql,
     "q301_chaining_audit" -> q301Sql,
     "q251_dup_quality_card" -> q251Sql,
     "q247_source_modularity" -> q247Sql,

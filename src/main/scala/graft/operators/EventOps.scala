@@ -5560,7 +5560,81 @@ object EventOps {
       |      UNION ALL SELECT * FROM fut)
       |ORDER BY day""".stripMargin
 
+  /** q341: extreme-value (Gumbel) fit over daily block maxima of the
+    * event value, per event type — the capacity-planning card: method-
+    * of-moments location/scale (β = s·√6/π, μ = x̄ − γβ) and the
+    * 7/30/90-day return levels μ − β·ln(−ln(1−1/T)), i.e. "the largest
+    * value a week/month/quarter should be expected to produce". Daily
+    * maxima are exact cent integers (one round per row), the moments
+    * are integer/decimal sums over the |days|×|types| frame, and the
+    * fit is fixed-order double scalars — engine-identical. One events
+    * scan, one (type, day) hash agg, one |types| fold.
+    */
+  def q341GumbelExtremes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"),
+        round($"value" * 100).cast("long").as("v_e2"))
+      .groupBy($"event_type", $"day").agg(max($"v_e2").as("mx"))
+    val gamma = 0.5772156649015329
+    def rl(t: Double) = -math.log(-math.log(1.0 - 1.0 / t))
+    val fit = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"mx").as("sx"),
+        sum($"mx".cast(DecimalType(19, 0)) * $"mx".cast(DecimalType(19, 0)))
+          .as("sxx"))
+      .filter($"n" > 1)
+      .select($"event_type", $"n".as("n_days"),
+        ($"sx".cast("double") / $"n" / 100.0).as("mean_max"),
+        (sqrt(($"n" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+          $"sx".cast(DecimalType(19, 0))).cast("double") /
+          ($"n".cast("double") * ($"n" - 1).cast("double"))) / 100.0).as("sd"))
+    fit
+      .withColumn("beta", $"sd" * math.sqrt(6.0) / math.Pi)
+      .withColumn("mu", $"mean_max" - lit(gamma) * $"beta")
+      .select($"event_type", $"n_days",
+        round($"mean_max", 6).as("mean_daily_max"),
+        round($"mu", 6).as("mu"), round($"beta", 6).as("beta"),
+        round($"mu" + $"beta" * rl(7.0), 6).as("rl_7d"),
+        round($"mu" + $"beta" * rl(30.0), 6).as("rl_30d"),
+        round($"mu" + $"beta" * rl(90.0), 6).as("rl_90d"))
+      .orderBy($"event_type")
+  }
+
+  val q341Sql: String = {
+    val gamma = "0.5772156649015329"
+    def rl(t: String) = s"(-ln(-ln(1.0 - 1.0 / $t)))"
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    MAX(CAST(round(value * 100) AS BIGINT)) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(mx) AS BIGINT) AS sx,
+      |    SUM(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS sxx
+      |  FROM daily GROUP BY 1),
+      |fit AS (
+      |  SELECT event_type, n AS n_days,
+      |    CAST(sx AS DOUBLE) / n / 100.0 AS mean_max,
+      |    sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(19,0))
+      |        * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0 AS sd
+      |  FROM mo WHERE n > 1),
+      |g AS (
+      |  SELECT event_type, n_days, mean_max,
+      |    sd * sqrt(6.0) / pi() AS beta,
+      |    mean_max - $gamma * (sd * sqrt(6.0) / pi()) AS mu
+      |  FROM fit)
+      |SELECT event_type, n_days, ROUND(mean_max, 6) AS mean_daily_max,
+      |  ROUND(mu, 6) AS mu, ROUND(beta, 6) AS beta,
+      |  ROUND(mu + beta * ${rl("7.0")}, 6) AS rl_7d,
+      |  ROUND(mu + beta * ${rl("30.0")}, 6) AS rl_30d,
+      |  ROUND(mu + beta * ${rl("90.0")}, 6) AS rl_90d
+      |FROM g ORDER BY event_type""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q341_gumbel_extremes" -> (q341GumbelExtremes _),
     "q322_growth_accounting" -> (q322GrowthAccounting _),
     "q323_shapley_attribution" -> (q323ShapleyAttribution _),
     "q325_holt_forecast" -> (q325HoltForecast _),
@@ -5653,6 +5727,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q341_gumbel_extremes" -> q341Sql,
     "q322_growth_accounting" -> q322Sql,
     "q323_shapley_attribution" -> q323Sql,
     "q325_holt_forecast" -> q325Sql,

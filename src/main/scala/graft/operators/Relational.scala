@@ -2858,7 +2858,80 @@ object Relational {
       |    * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher
       |FROM f CROSS JOIN yrs""".stripMargin
 
+  /** q342: customer-value migration matrix — q330's monetary score
+    * recomputed independently in the FIRST and SECOND half of the order
+    * history (calendar split at the midpoint date), then the (t0, t1)
+    * transition counts over customers active in both halves: the
+    * segment-churn card ("are my 5s staying 5s"). Scores are the same
+    * deterministic rank buckets as q330 (ties by custkey), each period
+    * ranked among ITS OWN active customers, so the matrix is a pure
+    * function of the data. Two hash aggs + two |customers| rank
+    * windows + one equi-join on custkey.
+    */
+  def q342RfmMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = table(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderdate".cast("date").as("d"),
+        $"o_totalprice")
+    val span = o.agg(min($"d").as("mind"), max($"d").as("maxd"))
+    val per = o.crossJoin(broadcast(span))
+      .withColumn("period",
+        when($"d" < date_add($"mind", expr("CAST(datediff(maxd, mind) div 2 AS INT)")), 0L)
+          .otherwise(1L))
+      .groupBy($"o_custkey", $"period")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("money"))
+    val w = Window.partitionBy($"period")
+      .orderBy($"money".desc, $"o_custkey")
+    val scored = per
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy($"period")))
+      .select($"o_custkey", $"period",
+        expr("5 - ((rnk - 1) * 5) div np").as("m_score"))
+    val t0 = scored.filter($"period" === 0L)
+      .select($"o_custkey", $"m_score".as("m_score_t0"))
+    val t1 = scored.filter($"period" === 1L)
+      .select($"o_custkey", $"m_score".as("m_score_t1"))
+    t0.join(t1, Seq("o_custkey"))
+      .groupBy($"m_score_t0", $"m_score_t1")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("share", round($"n_customers".cast("double") /
+        sum($"n_customers").over(Window.partitionBy()), 6))
+      .orderBy($"m_score_t0", $"m_score_t1")
+  }
+
+  val q342Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      |  FROM orders),
+      |span AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM o),
+      |per AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN d < mind + (date_diff('day', mind, maxd) // 2)
+      |      * INTERVAL 1 DAY THEN 0 ELSE 1 END AS period,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+      |  FROM o CROSS JOIN span
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT o_custkey, period,
+      |    5 - (CAST(ROW_NUMBER() OVER (PARTITION BY period
+      |        ORDER BY money DESC, o_custkey) AS BIGINT) - 1) * 5
+      |      // COUNT(*) OVER (PARTITION BY period) AS m_score
+      |  FROM per),
+      |j AS (
+      |  SELECT a.m_score AS m_score_t0, b.m_score AS m_score_t1
+      |  FROM scored a JOIN scored b
+      |    ON a.o_custkey = b.o_custkey AND a.period = 0 AND b.period = 1),
+      |g AS (
+      |  SELECT m_score_t0, m_score_t1, CAST(COUNT(*) AS BIGINT)
+      |    AS n_customers
+      |  FROM j GROUP BY 1, 2)
+      |SELECT m_score_t0, m_score_t1, n_customers,
+      |  ROUND(CAST(n_customers AS DOUBLE) / SUM(n_customers) OVER (), 6)
+      |    AS share
+      |FROM g ORDER BY m_score_t0, m_score_t1""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q342_rfm_migration" -> (q342RfmMigration _),
     "q336_theil_index" -> (q336TheilIndex _),
     "q337_eb_return_rates" -> (q337EbReturnRates _),
     "q339_price_index" -> (q339PriceIndex _),
@@ -2931,6 +3004,7 @@ object Relational {
     "q63_string_shaping" -> (q63StringShaping _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q342_rfm_migration" -> q342Sql,
     "q336_theil_index" -> q336Sql,
     "q337_eb_return_rates" -> q337Sql,
     "q339_price_index" -> q339Sql,
