@@ -4,6 +4,7 @@ import graft.Util._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream operators — batch twins of the reference's replicator
   * semantics, computed over the `events` table (which plays the Kinesis
@@ -5633,7 +5634,227 @@ object EventOps {
       |FROM g ORDER BY event_type""".stripMargin
   }
 
+  /** q343: Hill tail-index estimator per event type — the heavy-tail
+    * companion to q341's Gumbel card: over the k=30 largest values,
+    * hill = mean ln(x_i / x_(k+1)) and the tail index α = 1/hill
+    * ("how Pareto is the value distribution"; α ≤ 2 means infinite
+    * variance — sampling/aggregation strategies must know). The only
+    * data-sized work is a per-type top-(k+1) (WindowGroupLimit prunes
+    * partial top-k before the shuffle); the ln terms snap to the 1e-9
+    * grid and fold in decimal, ties broken by event_id so the cut is
+    * engine-identical.
+    */
+  def q343HillTail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 30
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".desc, $"event_id")
+    val top = events(spark, dir)
+      .filter($"value" > 0)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k + 1)
+      .localCheckpoint() // (k+1)·|types| rows; threshold + fold reuse it
+    val thr = top.filter($"rn" === k + 1)
+      .select($"event_type", $"value".as("x_thr"))
+    top.filter($"rn" <= k)
+      .join(broadcast(thr), Seq("event_type"))
+      .select($"event_type", $"x_thr",
+        round(log($"value" / $"x_thr"), 9).cast(DecimalType(38, 9)).as("t"))
+      .groupBy($"event_type", $"x_thr")
+      .agg(count(lit(1)).as("n_top"), sum($"t").as("st"))
+      .select($"event_type", lit(k.toLong).as("k"),
+        round($"x_thr", 2).as("x_threshold"),
+        round($"st".cast("double") / $"n_top", 6).as("hill"),
+        round($"n_top".cast("double") / $"st".cast("double"), 6).as("alpha"))
+      .orderBy($"event_type")
+  }
+
+  val q343Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS rn
+      |  FROM events WHERE value > 0),
+      |thr AS (
+      |  SELECT event_type, value AS x_thr FROM ranked WHERE rn = 31),
+      |t AS (
+      |  SELECT r.event_type, x_thr,
+      |    CAST(ROUND(ln(value / x_thr), 9) AS DECIMAL(38,9)) AS t
+      |  FROM ranked r JOIN thr USING (event_type) WHERE rn <= 30),
+      |g AS (
+      |  SELECT event_type, x_thr, CAST(COUNT(*) AS BIGINT) AS n_top,
+      |    SUM(t) AS st
+      |  FROM t GROUP BY 1, 2)
+      |SELECT event_type, CAST(30 AS BIGINT) AS k,
+      |  ROUND(x_thr, 2) AS x_threshold,
+      |  ROUND(CAST(st AS DOUBLE) / n_top, 6) AS hill,
+      |  ROUND(CAST(n_top AS DOUBLE) / CAST(st AS DOUBLE), 6) AS alpha
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** q344: weekly spectral power per event type — the single-frequency
+    * DFT bin at 1/7 cycles/day over the daily count series:
+    * power = (Σc_t·cos(2πt/7))² + (Σc_t·sin(2πt/7))² against the total
+    * centered variance, i.e. "how much of the volume variation IS the
+    * weekly cycle" (the quantitative twin of q189's weekday profile and
+    * q231's fixed-period decomposition). Each c_t·sin/cos term is one
+    * double product snapped to 1e-6 and folded in decimal — engine-
+    * identical to far below the snap grid; day indices are
+    * calendar-anchored (t = day − min day). One events scan into the
+    * |types|×|days| frame.
+    */
+  def q344WeeklySpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types|×|days|; anchor + folds reuse it
+    val t0 = daily.agg(min($"day").as("d0"))
+    val w = 2.0 * math.Pi / 7.0
+    val terms = daily.crossJoin(broadcast(t0))
+      .select($"event_type", $"c", (($"day" - $"d0") % 7).as("t7"))
+      .select($"event_type", $"c",
+        round($"c" * cos($"t7" * w), 6).cast(DecimalType(38, 6)).as("ct"),
+        round($"c" * sin($"t7" * w), 6).cast(DecimalType(38, 6)).as("st"))
+    val g = terms.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("sc"),
+        sum($"c".cast(DecimalType(19, 0)) * $"c".cast(DecimalType(19, 0)))
+          .as("sc2"),
+        sum($"ct").as("sct"), sum($"st").as("sst"))
+    g.select($"event_type", $"n_days",
+      round(($"sct".cast("double") * $"sct".cast("double") +
+        $"sst".cast("double") * $"sst".cast("double")) /
+        ($"n_days".cast("double") * $"n_days".cast("double")), 6)
+        .as("weekly_power"),
+      round(($"n_days" * $"sc2" - $"sc".cast(DecimalType(19, 0)) *
+        $"sc".cast(DecimalType(19, 0))).cast("double") /
+        ($"n_days".cast("double") * $"n_days".cast("double")), 6)
+        .as("variance"),
+      round((($"sct".cast("double") * $"sct".cast("double") +
+        $"sst".cast("double") * $"sst".cast("double")) /
+        ($"n_days".cast("double") * $"n_days".cast("double"))) /
+        greatest(($"n_days" * $"sc2" - $"sc".cast(DecimalType(19, 0)) *
+          $"sc".cast(DecimalType(19, 0))).cast("double") /
+          ($"n_days".cast("double") * $"n_days".cast("double")), lit(1e-12)),
+        6).as("weekly_share"))
+      .orderBy($"event_type")
+  }
+
+  val q344Sql: String = {
+    val w = "(2 * pi() / 7.0)"
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |terms AS (
+      |  SELECT event_type, c,
+      |    CAST(ROUND(c * cos(((day - d0) % 7) * $w), 6) AS DECIMAL(38,6))
+      |      AS ct,
+      |    CAST(ROUND(c * sin(((day - d0) % 7) * $w), 6) AS DECIMAL(38,6))
+      |      AS st
+      |  FROM daily CROSS JOIN t0),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sc2,
+      |    SUM(ct) AS sct, SUM(st) AS sst
+      |  FROM terms GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  ROUND((CAST(sct AS DOUBLE) * CAST(sct AS DOUBLE)
+      |    + CAST(sst AS DOUBLE) * CAST(sst AS DOUBLE))
+      |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)), 6)
+      |    AS weekly_power,
+      |  ROUND(CAST(n_days * sc2 - CAST(sc AS DECIMAL(19,0))
+      |      * CAST(sc AS DECIMAL(19,0)) AS DOUBLE)
+      |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)), 6)
+      |    AS variance,
+      |  ROUND(((CAST(sct AS DOUBLE) * CAST(sct AS DOUBLE)
+      |    + CAST(sst AS DOUBLE) * CAST(sst AS DOUBLE))
+      |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))
+      |    / GREATEST(CAST(n_days * sc2 - CAST(sc AS DECIMAL(19,0))
+      |        * CAST(sc AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)), 1e-12), 6)
+      |    AS weekly_share
+      |FROM g ORDER BY event_type""".stripMargin
+  }
+
+  /** q345: distribution-shape card — skewness and excess kurtosis of
+    * the event value per type from raw integer moments (cent-exact
+    * values, Σx..Σx⁴ in decimal): the "is this value column remotely
+    * normal" pre-check for every z-score/control-chart downstream
+    * (q305's limits assume symmetric tails; this card says when that
+    * assumption is broken). Central moments via the standard raw-moment
+    * identities in fixed-order double arithmetic — engine-identical
+    * given identical sums.
+    */
+  def q345MomentShape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d0 = DecimalType(19, 0)
+    val v = events(spark, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("x"))
+    val g = v.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("s1"),
+        sum($"x".cast(d0) * $"x".cast(d0)).as("s2"),
+        sum($"x".cast(d0) * $"x".cast(d0) * $"x".cast(d0)).as("s3"),
+        sum($"x".cast(d0) * $"x".cast(d0) * $"x".cast(d0) * $"x".cast(d0))
+          .as("s4"))
+    g.select($"event_type", $"n",
+        ($"s1".cast("double") / $"n").as("m1"),
+        ($"s2".cast("double") / $"n").as("r2"),
+        ($"s3".cast("double") / $"n").as("r3"),
+        ($"s4".cast("double") / $"n").as("r4"))
+      .select($"event_type", $"n",
+        ($"r2" - $"m1" * $"m1").as("m2"),
+        ($"r3" - lit(3.0) * $"m1" * $"r2" + lit(2.0) * $"m1" * $"m1" * $"m1")
+          .as("m3"),
+        ($"r4" - lit(4.0) * $"m1" * $"r3" + lit(6.0) * $"m1" * $"m1" * $"r2" -
+          lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1").as("m4"),
+        $"m1")
+      .select($"event_type", $"n",
+        round($"m1" / 100.0, 6).as("mean_value"),
+        round(sqrt($"m2") / 100.0, 6).as("sd_value"),
+        round($"m3" / pow($"m2", 1.5), 6).as("skewness"),
+        round($"m4" / ($"m2" * $"m2") - 3.0, 6).as("excess_kurtosis"))
+      .orderBy($"event_type")
+  }
+
+  val q345Sql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s1,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s2,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+      |      * CAST(x AS DECIMAL(19,0))) AS s3,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+      |      * CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s4
+      |  FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS r2,
+      |    CAST(s3 AS DOUBLE) / n AS r3, CAST(s4 AS DOUBLE) / n AS r4
+      |  FROM g),
+      |c AS (
+      |  SELECT event_type, n, m1,
+      |    (r2 - m1 * m1) AS m2,
+      |    (r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1) AS m3,
+      |    (r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+      |      - 3.0 * m1 * m1 * m1 * m1) AS m4
+      |  FROM r)
+      |SELECT event_type, n, ROUND(m1 / 100.0, 6) AS mean_value,
+      |  ROUND(sqrt(m2) / 100.0, 6) AS sd_value,
+      |  ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+      |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+      |FROM c ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q343_hill_tail" -> (q343HillTail _),
+    "q344_weekly_spectrum" -> (q344WeeklySpectrum _),
+    "q345_moment_shape" -> (q345MomentShape _),
     "q341_gumbel_extremes" -> (q341GumbelExtremes _),
     "q322_growth_accounting" -> (q322GrowthAccounting _),
     "q323_shapley_attribution" -> (q323ShapleyAttribution _),
@@ -5727,6 +5948,9 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q343_hill_tail" -> q343Sql,
+    "q344_weekly_spectrum" -> q344Sql,
+    "q345_moment_shape" -> q345Sql,
     "q341_gumbel_extremes" -> q341Sql,
     "q322_growth_accounting" -> q322Sql,
     "q323_shapley_attribution" -> q323Sql,
