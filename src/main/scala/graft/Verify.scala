@@ -28,15 +28,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-        spark.sharedState.cacheManager.clearCache()
-      }
+    // Queries run in small PARALLEL batches: each dump is dominated by
+    // fixed job-submission/coalesce latency (~1-2 s), so a serial loop
+    // over 300+ queries costs ~10 min of pure latency. Concurrent
+    // actions on one SparkSession are supported; results are per-query
+    // directories so parallelism cannot mix outputs, and the shared
+    // cache is cleared BETWEEN batches (clearing mid-flight would only
+    // force recomputes, but between-batch keeps memory bounded AND
+    // deterministic). Serial fallback via SPARK_GRAFT_VERIFY_THREADS=1.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+      .max(1)
+    val todo = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
+    todo.grouped(threads).foreach { group =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(group.size)
+      try {
+        group.map { case (name, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              catch { case e: Throwable =>
+                System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

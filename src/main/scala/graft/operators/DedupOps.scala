@@ -1920,7 +1920,80 @@ object DedupOps {
       |  lang_a = lang_b AS is_intra, assortativity
       |FROM mt CROSS JOIN r ORDER BY lang_a, lang_b""".stripMargin
 
+  /** q346: duplicate-cluster size distribution — the percolation health
+    * card over q55's connected components: clusters histogrammed by
+    * size, each size's document mass, plus the giant-component share
+    * (largest cluster / clustered docs). A fat tail or a giant
+    * component is the "τ too loose / transitive chaining" alarm in ONE
+    * number — the distributional companion to q301's pairwise chaining
+    * audit. Reuses the exact q55 machinery (LSH candidates → Jaccard
+    * verify → union-find components); the histogram is a two-level hash
+    * agg over the |clustered docs| membership frame.
+    */
+  def q346ClusterSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.api.Dedup.lshCandidatePairs(docs(spark, dir), "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b")
+    val members = graft.api.Dedup.clusterComponents(pairs)
+      .select($"cluster", $"cluster_size")
+    val hist = members.groupBy($"cluster_size")
+      .agg(countDistinct($"cluster").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+    val tot = hist.agg(sum($"n_docs").as("total_docs"),
+      max($"cluster_size").as("max_size"))
+    hist.crossJoin(broadcast(tot))
+      .select($"cluster_size", $"n_clusters", $"n_docs",
+        round($"n_docs".cast("double") / $"total_docs", 6).as("doc_share"),
+        round($"max_size".cast("double") / $"total_docs", 6)
+          .as("giant_share"))
+      .orderBy($"cluster_size")
+  }
+
+  val q346Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |nodes AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+       |edges2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |  UNION SELECT doc_id, doc_id FROM nodes),
+       |reach AS (
+       |  SELECT a, b FROM edges2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+       |members AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+       |csz AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM members GROUP BY cluster),
+       |hist AS (
+       |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |  FROM csz GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(n_docs) AS total_docs, MAX(cluster_size) AS max_size
+       |  FROM hist)
+       |SELECT cluster_size, n_clusters, n_docs,
+       |  ROUND(CAST(n_docs AS DOUBLE) / total_docs, 6) AS doc_share,
+       |  ROUND(CAST(max_size AS DOUBLE) / total_docs, 6) AS giant_share
+       |FROM hist CROSS JOIN tot ORDER BY cluster_size""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q346_cluster_size_dist" -> (q346ClusterSizeDist _),
     "q340_lang_assortativity" -> (q340LangAssortativity _),
     "q301_chaining_audit" -> (q301ChainingAudit _),
     "q251_dup_quality_card" -> (q251DupQualityCard _),
@@ -1955,6 +2028,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q346_cluster_size_dist" -> q346Sql,
     "q340_lang_assortativity" -> q340Sql,
     "q301_chaining_audit" -> q301Sql,
     "q251_dup_quality_card" -> q251Sql,

@@ -5851,7 +5851,78 @@ object EventOps {
       |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
       |FROM c ORDER BY event_type""".stripMargin
 
+  /** q347: engagement decay half-life per event type — activity counts
+    * by DAYS-SINCE-FIRST-SEEN (per-user day offset, capped at 30), an
+    * exponential fit ln(count) ~ offset via integer-moment least
+    * squares, and the implied half-life −ln2/slope: "how fast does a
+    * new user's activity decay", the single constant retention
+    * planning wants (the curve-level companion to q153's cohort
+    * retention and q218's churn half-life, which fits PER-USER gaps —
+    * this fits the population offset curve). Per-row work is one
+    * user-keyed min-day window; the fit runs on the ≤31-offset frame
+    * with 1e-9-grid log terms — engine-identical.
+    */
+  def q347EngagementDecay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    val byOffset = events(spark, dir)
+      .select($"event_type", $"user_id",
+        expr("ts div 86400000000000").as("day"))
+      .withColumn("f", min($"day").over(w))
+      .filter($"day" - $"f" <= 30)
+      .groupBy($"event_type", ($"day" - $"f").as("o"))
+      .agg(count(lit(1)).as("c"))
+    val terms = byOffset
+      .select($"event_type", $"o",
+        round(log($"c".cast("double")) * 1e9).cast("long").as("y"))
+    terms.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"o").as("sx"),
+        sum($"y").as("sy"), sum($"o" * $"y").as("sxy"),
+        sum($"o" * $"o").as("sxx"))
+      .filter($"n" > 2)
+      .select($"event_type", $"n".as("n_offsets"),
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (($"n" * $"sxx" - $"sx" * $"sx").cast("double") * 1e9))
+          .as("slope"))
+      .select($"event_type", $"n_offsets",
+        round($"slope", 6).as("decay_per_day"),
+        when($"slope" < 0, round(lit(-math.log(2.0)) / $"slope", 6))
+          .as("half_life_days"))
+      .orderBy($"event_type")
+  }
+
+  val q347Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type, day - MIN(day) OVER (PARTITION BY user_id) AS o
+      |  FROM e),
+      |c AS (
+      |  SELECT event_type, o, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM f WHERE o <= 30 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, o,
+      |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+      |  FROM c),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(o) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(o * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(o * o) AS BIGINT) AS sxx
+      |  FROM t GROUP BY 1),
+      |s AS (
+      |  SELECT event_type, n AS n_offsets,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (CAST(n * sxx - sx * sx AS DOUBLE) * 1e9) AS slope
+      |  FROM m WHERE n > 2)
+      |SELECT event_type, n_offsets, ROUND(slope, 6) AS decay_per_day,
+      |  CASE WHEN slope < 0 THEN ROUND(-ln(2.0) / slope, 6) END
+      |    AS half_life_days
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q347_engagement_decay" -> (q347EngagementDecay _),
     "q343_hill_tail" -> (q343HillTail _),
     "q344_weekly_spectrum" -> (q344WeeklySpectrum _),
     "q345_moment_shape" -> (q345MomentShape _),
@@ -5948,6 +6019,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q347_engagement_decay" -> q347Sql,
     "q343_hill_tail" -> q343Sql,
     "q344_weekly_spectrum" -> q344Sql,
     "q345_moment_shape" -> q345Sql,
