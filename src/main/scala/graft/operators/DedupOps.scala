@@ -1992,7 +1992,107 @@ object DedupOps {
        |  ROUND(CAST(max_size AS DOUBLE) / total_docs, 6) AS giant_share
        |FROM hist CROSS JOIN tot ORDER BY cluster_size""".stripMargin
 
+  /** q348: transitive contamination reach — benchmark leakage does not
+    * stop at the directly-contaminated documents: a near-duplicate OF a
+    * leaked doc carries the same benchmark content in paraphrase. This
+    * card seeds at q85's direct leaks (contamination_frac ≥ 0.5) and
+    * walks TWO BFS rounds through the τ=0.5 near-dup graph restricted
+    * to corpus-corpus edges, reporting per round the newly reached
+    * docs and the cumulative corpus share — the "decontamination must
+    * also drop the neighbors" evidence. Fixed round count keeps the
+    * result a pure function of the data (oracle-replayable); each round
+    * is one semi/anti-join pair over the |edges| frame.
+    */
+  def q348ContaminationReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = docs(spark, dir)
+    val corpus = all.filter($"doc_id" % 25 =!= 0)
+    val seeds = graft.api.Dedup.decontaminationStats(
+        corpus, all.filter($"doc_id" % 25 === 0), "doc_id", "text")
+      .filter($"contamination_frac" >= 0.5)
+      .select($"doc_id").localCheckpoint()
+    val pairs = graft.api.Dedup.lshCandidatePairs(all, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .filter($"id_a" % 25 =!= 0 && $"id_b" % 25 =!= 0)
+      .select($"id_a", $"id_b")
+    val und = pairs.unionAll(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .toDF("src", "dst").localCheckpoint()
+    def neighborsOf(frontier: DataFrame): DataFrame =
+      und.join(frontier.withColumnRenamed("doc_id", "src"), Seq("src"),
+        "left_semi").select($"dst".as("doc_id")).distinct()
+    val r1 = neighborsOf(seeds)
+      .join(seeds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val r2 = neighborsOf(r1)
+      .join(seeds, Seq("doc_id"), "left_anti")
+      .join(r1, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nCorpus = corpus.count()
+    val counts = Seq(
+      (0L, seeds.count()), (1L, r1.count()), (2L, r2.count()))
+    val cum = counts.scanLeft(0L)(_ + _._2).tail
+    import spark.implicits._
+    counts.zip(cum).map { case ((round, n), c) =>
+      (round, n, c, BigDecimal(c.toDouble / nCorpus)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("round", "n_docs", "cum_docs", "cum_share")
+      .orderBy($"round")
+  }
+
+  val q348Sql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0),
+       |corp AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY doc_id),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_contaminated
+       |  FROM corp c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id),
+       |seeds AS (
+       |  SELECT h.doc_id FROM hits h JOIN sizes s USING (doc_id)
+       |  WHERE h.n_contaminated / s.n_sh >= 0.5),
+       |mh AS ($minhashesSql),
+       |$bandsCandsSql,
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |asz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN asz za ON za.doc_id = i.doc_a
+       |  JOIN asz zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5
+       |    AND i.doc_a % 25 <> 0 AND i.doc_b % 25 <> 0),
+       |und AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r1 AS (
+       |  SELECT DISTINCT dst AS doc_id FROM und
+       |  WHERE src IN (SELECT doc_id FROM seeds)
+       |    AND dst NOT IN (SELECT doc_id FROM seeds)),
+       |r2 AS (
+       |  SELECT DISTINCT dst AS doc_id FROM und
+       |  WHERE src IN (SELECT doc_id FROM r1)
+       |    AND dst NOT IN (SELECT doc_id FROM seeds)
+       |    AND dst NOT IN (SELECT doc_id FROM r1)),
+       |nc AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+       |  WHERE doc_id % 25 <> 0),
+       |rounds AS (
+       |  SELECT 0 AS round, (SELECT COUNT(*) FROM seeds) AS n_docs
+       |  UNION ALL SELECT 1, (SELECT COUNT(*) FROM r1)
+       |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM r2))
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_docs) OVER (ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_docs,
+       |  ROUND(CAST(SUM(n_docs) OVER (ORDER BY round
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / nc.n, 6) AS cum_share
+       |FROM rounds CROSS JOIN nc ORDER BY round""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q348_contamination_reach" -> (q348ContaminationReach _),
     "q346_cluster_size_dist" -> (q346ClusterSizeDist _),
     "q340_lang_assortativity" -> (q340LangAssortativity _),
     "q301_chaining_audit" -> (q301ChainingAudit _),
@@ -2028,6 +2128,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q348_contamination_reach" -> q348Sql,
     "q346_cluster_size_dist" -> q346Sql,
     "q340_lang_assortativity" -> q340Sql,
     "q301_chaining_audit" -> q301Sql,

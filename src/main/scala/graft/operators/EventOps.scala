@@ -5921,7 +5921,131 @@ object EventOps {
       |    AS half_life_days
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** q349: Hurst exponent via rescaled-range (R/S) analysis of the
+    * daily event-volume series — long-range dependence in one number:
+    * H ≈ 0.5 is memoryless, H > 0.5 means busy days cluster (capacity
+    * planning can't assume i.i.d. bursts; q179's dispersion sees
+    * overdispersion, this sees its PERSISTENCE). Calendar blocks of
+    * 3/5/10 days (full blocks only); within a block the cumulative
+    * deviation range is EXACT INTEGERS (dev_i = B·cum_i − i·Σc — the
+    * mean is never materialized as a float), S from integer moments,
+    * per-block R/S snapped to 1e-9 and averaged in decimal; H is the
+    * 3-point log-log slope. One events scan into the |days| frame;
+    * everything after is block-bounded.
+    */
+  def q349HurstRs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |days| rows; all three block sizes reuse it
+    val d0 = daily.agg(min($"day").as("d0"))
+    def rsForSize(b: Int): DataFrame = {
+      val w = Window.partitionBy($"blk").orderBy($"t")
+      val wAll = Window.partitionBy($"blk")
+      val dev = daily.crossJoin(broadcast(d0))
+        .select(expr(s"(day - d0) div $b").as("blk"),
+          ($"day" - $"d0").as("t"), $"c")
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"c").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sx", sum($"c").over(wAll))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .filter($"m" === b) // full calendar blocks only
+        // dev_i = B·cum_i − i·Σc: the cumulative deviation from the
+        // block mean, scaled by B so it stays an exact integer
+        .withColumn("dev", lit(b.toLong) * $"cum" - $"i" * $"sx")
+      dev.groupBy($"blk")
+        .agg(max($"dev").as("dmax"), min($"dev").as("dmin"),
+          max($"sx").as("sx"),
+          sum($"c".cast(DecimalType(19, 0)) * $"c".cast(DecimalType(19, 0)))
+            .as("sxx"))
+        .select($"blk",
+          // R/S = (dmax−dmin) / sqrt(B·Σc² − (Σc)²), snapped to 1e-9
+          round(($"dmax" - $"dmin").cast("double") /
+            sqrt((lit(b.toLong) * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+              $"sx".cast(DecimalType(19, 0))).cast("double")), 9)
+            .cast(DecimalType(38, 9)).as("rs"))
+        .filter($"rs".isNotNull)
+        .agg(count(lit(1)).as("n_blocks"), sum($"rs").as("srs"))
+        .select(lit(b.toLong).as("block_size"), $"n_blocks",
+          ($"srs".cast("double") / $"n_blocks").as("avg_rs"))
+    }
+    val per = rsForSize(3).unionByName(rsForSize(5)).unionByName(rsForSize(10))
+      .localCheckpoint() // 3 rows
+    val fit = per
+      .select(round(log($"block_size".cast("double")) * 1e9).cast("long")
+          .as("x"),
+        round(log($"avg_rs") * 1e9).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"y".cast(DecimalType(19, 0)))
+          .as("sxy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"x".cast(DecimalType(19, 0)))
+          .as("sxx"))
+      .select(round(($"n" * $"sxy" - $"sx".cast(DecimalType(19, 0)) *
+        $"sy".cast(DecimalType(19, 0))).cast("double") /
+        ($"n" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+          $"sx".cast(DecimalType(19, 0))).cast("double"), 6).as("hurst"))
+    per.crossJoin(broadcast(fit))
+      .select($"block_size", $"n_blocks", round($"avg_rs", 6).as("avg_rs"),
+        $"hurst")
+      .orderBy($"block_size")
+  }
+
+  val q349Sql: String = {
+    def sizeCte(b: Int) =
+      s"""rs$b AS (
+        |  SELECT CAST($b AS BIGINT) AS block_size,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(rs) AS DOUBLE) / COUNT(*) AS avg_rs
+        |  FROM (
+        |    SELECT blk,
+        |      CAST(ROUND(CAST(MAX(dev) - MIN(dev) AS DOUBLE)
+        |        / sqrt(CAST($b * SUM(cc) - CAST(MAX(sx) AS HUGEINT)
+        |          * MAX(sx) AS DOUBLE)), 9) AS DECIMAL(38,9)) AS rs
+        |    FROM (
+        |      SELECT blk, c, CAST(c AS HUGEINT) * c AS cc, i, sx, m,
+        |        $b * cum - i * sx AS dev
+        |      FROM (
+        |        SELECT blk, t, c,
+        |          CAST(ROW_NUMBER() OVER (PARTITION BY blk ORDER BY t)
+        |            AS BIGINT) AS i,
+        |          SUM(c) OVER (PARTITION BY blk ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          SUM(c) OVER (PARTITION BY blk) AS sx,
+        |          COUNT(*) OVER (PARTITION BY blk) AS m
+        |        FROM (SELECT (day - d0) // $b AS blk, day - d0 AS t, c
+        |              FROM daily CROSS JOIN t0)))
+        |    WHERE m = $b GROUP BY blk)
+        |  WHERE rs IS NOT NULL)""".stripMargin
+    s"""WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |t0 AS (SELECT MIN(day) AS d0 FROM daily),
+      |${sizeCte(3)},
+      |${sizeCte(5)},
+      |${sizeCte(10)},
+      |per AS (
+      |  SELECT * FROM rs3 UNION ALL SELECT * FROM rs5
+      |  UNION ALL SELECT * FROM rs10),
+      |t AS (
+      |  SELECT CAST(round(ln(CAST(block_size AS DOUBLE)) * 1e9) AS BIGINT)
+      |      AS x,
+      |    CAST(round(ln(avg_rs) * 1e9) AS BIGINT) AS y
+      |  FROM per),
+      |fit AS (
+      |  SELECT ROUND(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE)
+      |    / CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE), 6) AS hurst
+      |  FROM t)
+      |SELECT block_size, n_blocks, ROUND(avg_rs, 6) AS avg_rs, hurst
+      |FROM per CROSS JOIN fit ORDER BY block_size""".stripMargin
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q349_hurst_rs" -> (q349HurstRs _),
     "q347_engagement_decay" -> (q347EngagementDecay _),
     "q343_hill_tail" -> (q343HillTail _),
     "q344_weekly_spectrum" -> (q344WeeklySpectrum _),
@@ -6019,6 +6143,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q349_hurst_rs" -> q349Sql,
     "q347_engagement_decay" -> q347Sql,
     "q343_hill_tail" -> q343Sql,
     "q344_weekly_spectrum" -> q344Sql,
