@@ -149,6 +149,64 @@ class EconStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_common_parts") > 0)
   }
 
+  test("q340-q342: mixing matrix, Gumbel and migration invariants") {
+    val mix = DedupOps.q340LangAssortativity(spark, sf).collect()
+    if (mix.nonEmpty) {
+      assert(math.abs(mix.map(_.getAs[Double]("edge_share")).sum - 1.0) < 1e-4)
+      val r = mix.head.getAs[java.lang.Double]("assortativity")
+      if (r != null) assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+    val gum = EventOps.q341GumbelExtremes(spark, sf).collect()
+    gum.foreach { g =>
+      assert(g.getAs[Double]("beta") >= 0)
+      assert(g.getAs[Double]("rl_7d") <= g.getAs[Double]("rl_30d") + 1e-9)
+      assert(g.getAs[Double]("rl_30d") <= g.getAs[Double]("rl_90d") + 1e-9)
+    }
+    val mig = Relational.q342RfmMigration(spark, sf).collect()
+    assert(math.abs(mig.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    mig.foreach { m =>
+      assert(m.getAs[Long]("m_score_t0") >= 1 && m.getAs[Long]("m_score_t0") <= 5)
+      assert(m.getAs[Long]("m_score_t1") >= 1 && m.getAs[Long]("m_score_t1") <= 5)
+    }
+  }
+
+  test("q343-q345: tail, spectrum and shape invariants") {
+    EventOps.q343HillTail(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("hill") > 0)
+      assert(r.getAs[Double]("alpha") > 0)
+    }
+    EventOps.q344WeeklySpectrum(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("weekly_power") >= 0)
+      assert(r.getAs[Double]("variance") >= 0)
+      assert(r.getAs[Double]("weekly_share") >= 0)
+    }
+    EventOps.q345MomentShape(spark, sf).collect().foreach { r =>
+      val sk = r.getAs[Double]("skewness")
+      val ek = r.getAs[Double]("excess_kurtosis")
+      // Pearson's inequality: kurtosis ≥ 1 + skew² ⇒ excess ≥ skew² − 2
+      assert(ek >= sk * sk - 2.0 - 1e-6)
+      assert(r.getAs[Double]("sd_value") >= 0)
+    }
+  }
+
+  test("q347-q349: decay, contamination reach and Hurst invariants") {
+    EventOps.q347EngagementDecay(spark, sf).collect().foreach { r =>
+      val hl = r.getAs[java.lang.Double]("half_life_days")
+      if (hl != null) assert(hl > 0)
+    }
+    val reach = DedupOps.q348ContaminationReach(spark, sf).collect()
+    assert(reach.map(_.getAs[Long]("round")).toSet === Set(0L, 1L, 2L))
+    val cums = reach.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("cum_docs"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    reach.foreach(r => assert(r.getAs[Double]("cum_share") <= 1.0 + 1e-9))
+    val hurst = EventOps.q349HurstRs(spark, sf).collect()
+    assert(hurst.map(_.getAs[Long]("block_size")).toSet === Set(3L, 5L, 10L))
+    hurst.foreach { h =>
+      assert(h.getAs[Long]("n_blocks") > 0)
+      assert(h.getAs[Double]("avg_rs") > 0)
+    }
+  }
+
   test("q338: key audit agrees with direct distinct counts") {
     import spark.implicits._
     val li = graft.Util.rawTable(spark, sf, "lineitem")

@@ -883,6 +883,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), "never a union-of-three-scans rewrite")
   }
 
+  test("q343/q347: top-k prunes partially; decay window stays user-keyed") {
+    val p43 = planOf(graft.operators.EventOps.q343HillTail(spark, sf))
+    assert(p43.contains("ExistingRDD"),
+      "the (k+1)·|types| top frame must be checkpointed and reused by " +
+        "threshold + fold")
+    val p47 = planOf(graft.operators.EventOps.q347EngagementDecay(spark, sf))
+    assert(p47.contains("user_id"),
+      "first-seen window must be keyed per user (never a global sort)")
+    assert(!p47.contains("CartesianProduct"))
+  }
+
+  test("q344/q349: daily frames checkpointed — spectral/Hurst folds never rescan events") {
+    val p44 = planOf(graft.operators.EventOps.q344WeeklySpectrum(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p44).size === 0 &&
+      p44.contains("ExistingRDD"))
+    val p49 = planOf(graft.operators.EventOps.q349HurstRs(spark, sf))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p49).size === 0 &&
+      p49.contains("ExistingRDD"),
+      "all three block sizes must reuse the checkpointed |days| frame")
+  }
+
   test("q326/q328: skyline frontier broadcasts; HHI dims broadcast — no fact self-join") {
     val p26 = planOf(graft.operators.Relational.q326SkylineParts(spark, sf))
     assert(p26.contains("BroadcastHashJoin"),
