@@ -1716,7 +1716,77 @@ object Extended {
        |FROM f CROSS JOIN b GROUP BY layout ORDER BY layout""".stripMargin
   }
 
+  /** q350: Kendall τ-b rank correlation between discount and quantity —
+    * the tie-robust dependence audit next to Pearson (q64) and Spearman
+    * (q316): concordant/discordant PAIR COUNTS computed on the
+    * contingency GRID, never on row pairs — cells are bounded by the
+    * value domains (11 discounts × 50 quantities), so the inequality
+    * self-join costs |cells|², independent of row count, and every
+    * count is an exact integer (C, D, tie corrections, n(n−1)/2). One
+    * lineitem scan into the grid; τ-b and Goodman–Kruskal γ take one
+    * double division each.
+    */
+  def q350KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = table(spark, dir, "lineitem")
+      .select(round($"l_discount" * 100).cast("long").as("x"),
+        $"l_quantity".cast("long").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |domains|-bounded grid; C/D/ties reuse it
+    val b = cells.select($"x".as("bx"), $"y".as("by"), $"c".as("bc"))
+    val conc = cells.join(broadcast(b), $"bx" > $"x" && $"by" > $"y")
+      .agg(coalesce(sum($"c" * $"bc"), lit(0L)).as("concordant"))
+    val disc = cells.join(broadcast(b), $"bx" > $"x" && $"by" < $"y")
+      .agg(coalesce(sum($"c" * $"bc"), lit(0L)).as("discordant"))
+    val ties = cells.agg(
+      sum($"c").as("n"), count(lit(1)).as("n_cells"))
+    val tx = cells.groupBy($"x").agg(sum($"c").as("cx"))
+      .agg(sum(expr("(cx * (cx - 1)) div 2")).as("tx"))
+    val ty = cells.groupBy($"y").agg(sum($"c").as("cy"))
+      .agg(sum(expr("(cy * (cy - 1)) div 2")).as("ty"))
+    ties.crossJoin(conc).crossJoin(disc).crossJoin(tx).crossJoin(ty)
+      .select($"n", $"n_cells", $"concordant", $"discordant",
+        round(($"concordant" - $"discordant").cast("double") /
+          sqrt((expr("(n * (n - 1)) div 2") - $"tx").cast("double") *
+            (expr("(n * (n - 1)) div 2") - $"ty").cast("double")), 6)
+          .as("tau_b"),
+        round(($"concordant" - $"discordant").cast("double") /
+          ($"concordant" + $"discordant").cast("double"), 6).as("gamma"))
+  }
+
+  val q350Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |conc AS (
+      |  SELECT COALESCE(SUM(a.c * b.c), 0) AS concordant
+      |  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+      |disc AS (
+      |  SELECT COALESCE(SUM(a.c * b.c), 0) AS discordant
+      |  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+      |ties AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells
+      |  FROM cells),
+      |tx AS (
+      |  SELECT CAST(SUM((cx * (cx - 1)) // 2) AS BIGINT) AS tx FROM (
+      |    SELECT SUM(c) AS cx FROM cells GROUP BY x)),
+      |ty AS (
+      |  SELECT CAST(SUM((cy * (cy - 1)) // 2) AS BIGINT) AS ty FROM (
+      |    SELECT SUM(c) AS cy FROM cells GROUP BY y))
+      |SELECT n, n_cells, CAST(concordant AS BIGINT) AS concordant,
+      |  CAST(discordant AS BIGINT) AS discordant,
+      |  ROUND(CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST((n * (n - 1)) // 2 - tx AS DOUBLE)
+      |      * CAST((n * (n - 1)) // 2 - ty AS DOUBLE)), 6) AS tau_b,
+      |  ROUND(CAST(concordant - discordant AS DOUBLE)
+      |    / CAST(concordant + discordant AS DOUBLE), 6) AS gamma
+      |FROM ties CROSS JOIN conc CROSS JOIN disc CROSS JOIN tx CROSS JOIN ty"""
+      .stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q350_kendall_tau" -> (q350KendallTau _),
     "q317_zorder_layout" -> (q317ZorderLayout _),
     "q311_dataset_fingerprint" -> (q311DatasetFingerprint _),
     "q290_join_estimate" -> (q290JoinEstimate _),
@@ -1748,6 +1818,7 @@ object Extended {
     "q80_try_cast" -> (q80TryCast _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q350_kendall_tau" -> q350Sql,
     "q317_zorder_layout" -> q317Sql,
     "q311_dataset_fingerprint" -> q311Sql,
     "q290_join_estimate" -> q290Sql,
