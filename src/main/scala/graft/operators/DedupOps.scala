@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` — the dedup surface of a
@@ -2025,15 +2026,23 @@ object DedupOps {
     val r2 = neighborsOf(r1)
       .join(seeds, Seq("doc_id"), "left_anti")
       .join(r1, Seq("doc_id"), "left_anti").localCheckpoint()
-    val nCorpus = corpus.count()
-    val counts = Seq(
-      (0L, seeds.count()), (1L, r1.count()), (2L, r2.count()))
-    val cum = counts.scanLeft(0L)(_ + _._2).tail
-    import spark.implicits._
-    counts.zip(cum).map { case ((round, n), c) =>
-      (round, n, c, BigDecimal(c.toDouble / nCorpus)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("round", "n_docs", "cum_docs", "cum_share")
+    // one tagged union counts all three rounds in a single job (instead
+    // of three driver count() actions), one more for the corpus size
+    val counts = seeds.select(lit(0L).as("round"))
+      .unionAll(r1.select(lit(1L).as("round")))
+      .unionAll(r2.select(lit(2L).as("round")))
+      .groupBy($"round").agg(count(lit(1)).as("n_docs"))
+    val rounds = Seq(0L, 1L, 2L).toDF("round")
+      .join(counts, Seq("round"), "left")
+      .select($"round", coalesce($"n_docs", lit(0L)).as("n_docs"))
+    val nc = corpus.agg(count(lit(1)).as("n_corpus"))
+    rounds
+      .withColumn("cum_docs", sum($"n_docs").over(
+        Window.orderBy($"round")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nc))
+      .select($"round", $"n_docs", $"cum_docs",
+        round($"cum_docs".cast("double") / $"n_corpus", 6).as("cum_share"))
       .orderBy($"round")
   }
 
