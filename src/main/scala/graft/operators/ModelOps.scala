@@ -410,7 +410,70 @@ object ModelOps {
       |    AS within_bin_var
       |FROM f""".stripMargin
 
+  /** q353: cumulative-gains / decile-lift table for the q224 scorer —
+    * the ranking-utilization readout between AUC (q224, one number) and
+    * the threshold sweep (q226, operating points): "screening the
+    * top-d·10% of rows by score captures what share of all positives,
+    * at what lift over random". Ties make row-level NTILE engine-
+    * ambiguous, so deciles cut on the SCORE GRID: per distinct score,
+    * cumulative rows/positives (descending score), and each decile
+    * reports the first grid row whose coverage crosses d/10 — exact
+    * integer threshold compares, identical cuts on both engines. One
+    * scan into the grid, one window, a 10-row readout.
+    */
+  def q353GainsChart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = scored(spark, dir).groupBy($"p")
+      .agg(count(lit(1)).as("n"), sum($"y").as("npos"))
+    val w = Window.orderBy($"p".desc)
+    val cum = g
+      .withColumn("cum_n", sum($"n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_pos", sum($"npos").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(g.agg(sum($"n").as("nn"), sum($"npos").as("pp"))))
+      .localCheckpoint() // |score grid| rows
+    val deciles = spark.range(1, 11).toDF("decile")
+    deciles.join(cum, $"cum_n" * 10 >= $"decile" * $"nn")
+      .groupBy($"decile").agg(min($"cum_n").as("cut_n"))
+      .join(cum, $"cut_n" === $"cum_n")
+      .select($"decile", $"cum_n".as("n_screened"), $"cum_pos".as("pos_captured"),
+        round($"cum_n".cast("double") / $"nn", 6).as("coverage"),
+        round($"cum_pos".cast("double") / $"pp", 6).as("gain"),
+        round(($"cum_pos".cast("double") / $"pp") /
+          ($"cum_n".cast("double") / $"nn"), 6).as("lift"))
+      .orderBy($"decile")
+  }
+
+  val q353Sql: String =
+    s"""WITH s AS ($scoredSql),
+      |g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS npos FROM s GROUP BY p),
+      |cum AS (
+      |  SELECT p,
+      |    SUM(n) OVER (ORDER BY p DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |    SUM(npos) OVER (ORDER BY p DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+      |  FROM g),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |  CAST(SUM(npos) AS BIGINT) AS pp FROM g),
+      |cuts AS (
+      |  SELECT d.decile, MIN(cum_n) AS cut_n
+      |  FROM (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile) d
+      |  JOIN cum CROSS JOIN tot ON cum_n * 10 >= d.decile * nn
+      |  GROUP BY 1)
+      |SELECT decile, CAST(cum_n AS BIGINT) AS n_screened,
+      |  CAST(cum_pos AS BIGINT) AS pos_captured,
+      |  ROUND(CAST(cum_n AS DOUBLE) / nn, 6) AS coverage,
+      |  ROUND(CAST(cum_pos AS DOUBLE) / pp, 6) AS gain,
+      |  ROUND((CAST(cum_pos AS DOUBLE) / pp)
+      |    / (CAST(cum_n AS DOUBLE) / nn), 6) AS lift
+      |FROM cuts JOIN cum ON cut_n = cum_n CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q353_gains_chart" -> (q353GainsChart _),
     "q335_brier_decomposition" -> (q335BrierDecomposition _),
     "q224_auc_card" -> (q224AucCard _),
     "q225_calibration_card" -> (q225CalibrationCard _),
@@ -418,6 +481,7 @@ object ModelOps {
     "q265_conformal_interval" -> (q265ConformalInterval _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q353_gains_chart" -> q353Sql,
     "q335_brier_decomposition" -> q335Sql,
     "q224_auc_card" -> q224Sql,
     "q225_calibration_card" -> q225Sql,

@@ -2026,7 +2026,60 @@ object SimilarityOps {
       |  ROUND(mi, 6) AS mi_nats
       |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** q351: reciprocal nearest-neighbor alignment between two embedding
+    * populations (label 0 vs label 1) — the mutual-1NN pairs that
+    * cross-lingual / cross-modal alignment pipelines trust: a is
+    * matched to b iff b is a's best cosine in B AND a is b's best in A
+    * (mutual best-match kills the hubness asymmetry a one-way 1NN
+    * carries). Both directions reuse the broadcast-probe exact kNN
+    * (k=1); the reciprocal filter is an equi-join of two |side|-row
+    * frames. Scale path: swap each direction for the IVF-probed search
+    * — the reciprocity join is unchanged.
+    */
+  def q351ReciprocalAlign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val a = e.filter($"label" === 0)
+    val b = e.filter($"label" === 1)
+    val ab = graft.api.Similarity.cosineKnn(b, a, "vec_id", "embedding", 1)
+      .select($"probe_id".as("id_a"), $"cand_id".as("id_b"), $"sim")
+    val ba = graft.api.Similarity.cosineKnn(a, b, "vec_id", "embedding", 1)
+      .select($"probe_id".as("rid_b"), $"cand_id".as("rid_a"))
+    ab.join(ba, $"id_a" === $"rid_a" && $"id_b" === $"rid_b")
+      .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+      .orderBy($"id_a")
+  }
+
+  val q351Sql: String =
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE label = 0 AND ${posNormSql("embedding")}),
+       |b AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE label = 1 AND ${posNormSql("embedding")}),
+       |ab AS (
+       |  SELECT id_a, id_b, sim FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      ${cosSql("a.embedding", "b.embedding")} AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+       |          b.vec_id) AS rn
+       |    FROM a JOIN b ON true)
+       |  WHERE rn = 1),
+       |ba AS (
+       |  SELECT rid_a, rid_b FROM (
+       |    SELECT b.vec_id AS rid_b, a.vec_id AS rid_a,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cosSql("b.embedding", "a.embedding")} DESC,
+       |          a.vec_id) AS rn
+       |    FROM b JOIN a ON true)
+       |  WHERE rn = 1)
+       |SELECT id_a, id_b, ROUND(sim, 6) AS sim
+       |FROM ab JOIN ba ON id_a = rid_a AND id_b = rid_b
+       |ORDER BY id_a""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q351_reciprocal_align" -> (q351ReciprocalAlign _),
     "q320_mi_feature_rank" -> (q320MiFeatureRank _),
     "q319_knn_graph_audit" -> (q319KnnGraphAudit _),
     "q318_pca_power" -> (q318PcaPower _),
@@ -2064,6 +2117,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q351_reciprocal_align" -> q351Sql,
     "q320_mi_feature_rank" -> q320Sql,
     "q319_knn_graph_audit" -> q319Sql,
     "q318_pca_power" -> q318Sql,
