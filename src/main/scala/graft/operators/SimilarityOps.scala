@@ -2078,7 +2078,104 @@ object SimilarityOps {
        |FROM ab JOIN ba ON id_a = rid_a AND id_b = rid_b
        |ORDER BY id_a""".stripMargin
 
+  /** q352: Davies–Bouldin clustering-validity index over the labeled
+    * embeddings — the centroid-based partner to q246's silhouette
+    * (silhouette prices point-level cohesion, DB prices CLUSTER-level
+    * separation: worst-case (s_i+s_j)/d_ij per cluster, lower better) at
+    * a fraction of the cost: one explode for per-(label, dim) moments,
+    * one rejoin for per-row distances, then all folds are
+    * |labels|-bounded. Determinism: components snap to the 1e-6 integer
+    * grid BEFORE any sum (so centroid moments are exact integers),
+    * per-row distances snap to 1e-9 and fold in decimal, and the final
+    * max/mean run over ≤|labels| identical doubles.
+    */
+  def q352DaviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val pts = table(spark, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"label", $"dim",
+        round($"v".cast("double") * 1e6).cast("long").as("v_e6"))
+      .localCheckpoint() // moments + per-row distances reuse one explode
+    val cent = pts.groupBy($"label", $"dim")
+      .agg(sum($"v_e6").as("sx"), count(lit(1)).as("n"))
+      .select($"label", $"dim", ($"sx".cast("double") / $"n").as("ce"))
+      .localCheckpoint() // |labels|×|dims| rows
+    val scatter = pts.join(cent, Seq("label", "dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(round(($"v_e6" - $"ce") * ($"v_e6" - $"ce") / 1e12, 9)
+        .cast(dec9)).as("d2"))
+      .select($"label", round(sqrt($"d2".cast("double")), 9).cast(dec9).as("d"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        (sum($"d").cast("double") / count(lit(1))).as("s"))
+    val sOf = scatter.select($"label", $"n", $"s").localCheckpoint()
+    val cd = cent.select($"label".as("li"), $"dim", $"ce".as("ci"))
+      .join(cent.select($"label".as("lj"), $"dim", $"ce".as("cj")), Seq("dim"))
+      .filter($"li" =!= $"lj")
+      .groupBy($"li", $"lj")
+      .agg(sum(round(($"ci" - $"cj") * ($"ci" - $"cj") / 1e12, 9)
+        .cast(dec9)).as("cd2"))
+      .select($"li", $"lj", sqrt($"cd2".cast("double")).as("dij"))
+    val ratios = cd
+      .join(sOf.select($"label".as("li"), $"s".as("si")), Seq("li"))
+      .join(sOf.select($"label".as("lj"), $"s".as("sj")), Seq("lj"))
+      .groupBy($"li")
+      .agg(round(max(($"si" + $"sj") / $"dij"), 9).as("db_i"))
+    val dbAll = ratios
+      .agg((sum($"db_i".cast(dec9)).cast("double") / count(lit(1))).as("dbv"))
+      .select(round($"dbv", 6).as("db_index"))
+    ratios.join(sOf, $"li" === $"label")
+      .crossJoin(broadcast(dbAll))
+      .select($"label", $"n", round($"s", 6).as("scatter"),
+        round($"db_i", 6).as("worst_ratio"), $"db_index")
+      .orderBy($"label")
+  }
+
+  val q352Sql: String =
+    """WITH pts AS (
+      |  SELECT vec_id, label, dim,
+      |    CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS v_e6
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |          unnest(range(len(embedding))) AS dim
+      |        FROM embeddings)),
+      |cent AS (
+      |  SELECT label, dim, CAST(SUM(v_e6) AS DOUBLE) / COUNT(*) AS ce
+      |  FROM pts GROUP BY 1, 2),
+      |rowd AS (
+      |  SELECT vec_id, p.label,
+      |    CAST(ROUND(sqrt(CAST(SUM(CAST(ROUND((v_e6 - ce) * (v_e6 - ce)
+      |      / 1e12, 9) AS DECIMAL(38,9))) AS DOUBLE)), 9) AS DECIMAL(38,9))
+      |      AS d
+      |  FROM pts p JOIN cent c ON p.label = c.label AND p.dim = c.dim
+      |  GROUP BY 1, 2),
+      |sca AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(d) AS DOUBLE) / COUNT(*) AS s
+      |  FROM rowd GROUP BY 1),
+      |cd AS (
+      |  SELECT a.label AS li, b.label AS lj,
+      |    sqrt(CAST(SUM(CAST(ROUND((a.ce - b.ce) * (a.ce - b.ce)
+      |      / 1e12, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS dij
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY 1, 2),
+      |ratios AS (
+      |  SELECT li, ROUND(MAX((si.s + sj.s) / dij), 9) AS db_i
+      |  FROM cd
+      |  JOIN sca si ON si.label = cd.li
+      |  JOIN sca sj ON sj.label = cd.lj
+      |  GROUP BY 1),
+      |dball AS (
+      |  SELECT ROUND(CAST(SUM(CAST(db_i AS DECIMAL(38,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS db_index
+      |  FROM ratios)
+      |SELECT s.label, s.n, ROUND(s.s, 6) AS scatter,
+      |  ROUND(db_i, 6) AS worst_ratio, db_index
+      |FROM ratios r JOIN sca s ON r.li = s.label CROSS JOIN dball
+      |ORDER BY s.label""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q352_davies_bouldin" -> (q352DaviesBouldin _),
     "q351_reciprocal_align" -> (q351ReciprocalAlign _),
     "q320_mi_feature_rank" -> (q320MiFeatureRank _),
     "q319_knn_graph_audit" -> (q319KnnGraphAudit _),
@@ -2117,6 +2214,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q352_davies_bouldin" -> q352Sql,
     "q351_reciprocal_align" -> q351Sql,
     "q320_mi_feature_rank" -> q320Sql,
     "q319_knn_graph_audit" -> q319Sql,
