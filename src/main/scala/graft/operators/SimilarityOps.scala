@@ -2174,7 +2174,82 @@ object SimilarityOps {
       |FROM ratios r JOIN sca s ON r.li = s.label CROSS JOIN dball
       |ORDER BY s.label""".stripMargin
 
+  /** q355: per-label embedding outliers by standardized (diagonal-
+    * Mahalanobis) distance — for each label: per-dim mean/variance from
+    * 1e-6-grid integer moments, every vector's z² = Σ_d ((v−μ_d)/σ_d)²
+    * (per-dim terms snapped to 1e-9, decimal fold), top-3 outliers
+    * reported with their z. The vector-level mislabel/corruption screen
+    * next to q158's scalar MAD outliers and q299's label-margin: a
+    * point far from ITS OWN label's cloud in standardized units is a
+    * labeling or ingestion suspect. One explode, moment join, per-label
+    * top-k window.
+    */
+  def q355EmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val pts = table(spark, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"vec_id", $"label", $"dim",
+        round($"v".cast("double") * 1e6).cast("long").as("x"))
+      .localCheckpoint()
+    val mom = pts.groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x".cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          $"x".cast(org.apache.spark.sql.types.DecimalType(19, 0))).as("sxx"))
+      .select($"label", $"dim",
+        ($"sx".cast("double") / $"n").as("mu"),
+        (($"n" * $"sxx" - $"sx".cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          $"sx".cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+          .cast("double") /
+          ($"n".cast("double") * $"n".cast("double"))).as("varr"))
+    val z2 = pts.join(mom, Seq("label", "dim"))
+      .filter($"varr" > 0)
+      .groupBy($"vec_id", $"label")
+      .agg(sum(round(($"x" - $"mu") * ($"x" - $"mu") / $"varr", 9)
+        .cast(dec9)).as("z2"))
+    val w = Window.partitionBy($"label")
+      .orderBy($"z2".desc, $"vec_id")
+    z2.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"label", $"rn", $"vec_id",
+        round(sqrt($"z2".cast("double")), 6).as("z"))
+      .orderBy($"label", $"rn")
+  }
+
+  val q355Sql: String =
+    """WITH pts AS (
+      |  SELECT vec_id, label, dim,
+      |    CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS x
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |          unnest(range(len(embedding))) AS dim
+      |        FROM embeddings)),
+      |mom AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+      |    CAST(COUNT(*) * SUM(CAST(x AS DECIMAL(19,0))
+      |        * CAST(x AS DECIMAL(19,0)))
+      |      - CAST(SUM(x) AS DECIMAL(19,0)) * CAST(SUM(x) AS DECIMAL(19,0))
+      |      AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) AS varr
+      |  FROM pts GROUP BY 1, 2),
+      |z2 AS (
+      |  SELECT vec_id, p.label,
+      |    SUM(CAST(ROUND((x - mu) * (x - mu) / varr, 9) AS DECIMAL(38,9)))
+      |      AS z2
+      |  FROM pts p JOIN mom m ON p.label = m.label AND p.dim = m.dim
+      |  WHERE varr > 0
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT label, vec_id, z2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY z2 DESC, vec_id) AS BIGINT) AS rn
+      |  FROM z2)
+      |SELECT label, rn, vec_id,
+      |  ROUND(sqrt(CAST(z2 AS DOUBLE)), 6) AS z
+      |FROM ranked WHERE rn <= 3 ORDER BY label, rn""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q355_embed_outliers" -> (q355EmbedOutliers _),
     "q352_davies_bouldin" -> (q352DaviesBouldin _),
     "q351_reciprocal_align" -> (q351ReciprocalAlign _),
     "q320_mi_feature_rank" -> (q320MiFeatureRank _),
@@ -2214,6 +2289,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q355_embed_outliers" -> q355Sql,
     "q352_davies_bouldin" -> q352Sql,
     "q351_reciprocal_align" -> q351Sql,
     "q320_mi_feature_rank" -> q320Sql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Util._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
@@ -2806,7 +2807,79 @@ object TextOps {
       |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY delta, source_a, source_b LIMIT 15""".stripMargin
 
+  /** q354: pairwise 1-D Wasserstein (earth-mover's) distance between
+    * sources' document-length distributions — the corpus-drift matrix:
+    * which sources have materially different length profiles (and so
+    * need different chunking/packing policies; q33 sees the means, this
+    * sees the whole shape). Lengths bucket to a 50-char grid; for each
+    * source pair W1 = 50·Σ_buckets |cumshareA − cumshareB|, computed as
+    * CROSS-MULTIPLIED integers |cumA·nB − cumB·nA| so every fold is
+    * exact until one division. The grid is (sources × buckets)-bounded:
+    * sources cross-join the full bucket range so cumulative counts
+    * carry across empty buckets. Top-15 most distant pairs.
+    */
+  def q354WassersteinSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, dir, "documents")
+      .select($"source", expr("n_chars div 50").as("b"))
+    val counts = docs.groupBy($"source", $"b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val buckets = counts.select(max($"b").as("maxb"))
+      .select(explode(sequence(lit(0L), $"maxb")).as("b"))
+    val srcs = counts.select($"source").distinct()
+    val grid = srcs.crossJoin(broadcast(buckets))
+      .join(counts, Seq("source", "b"), "left")
+      .select($"source", $"b", coalesce($"c", lit(0L)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"b")
+    val cums = grid
+      .withColumn("cum", sum($"c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(counts.groupBy($"source").agg(sum($"c").as("n")), Seq("source"))
+      .select($"source", $"b", $"cum", $"n")
+      .localCheckpoint() // |sources|×|buckets| rows
+    val a = cums.select($"source".as("source_a"), $"b", $"cum".as("ca"),
+      $"n".as("na"))
+    val bb = cums.select($"source".as("source_b"), $"b", $"cum".as("cb"),
+      $"n".as("nb"))
+    a.join(bb, Seq("b")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b", $"na", $"nb")
+      .agg(sum(abs($"ca" * $"nb" - $"cb" * $"na")).as("sgap"))
+      .select($"source_a", $"source_b",
+        round(lit(50.0) * $"sgap".cast("double") /
+          ($"na".cast("double") * $"nb".cast("double")), 6).as("w1_chars"))
+      .orderBy($"w1_chars".desc, $"source_a", $"source_b")
+      .limit(15)
+  }
+
+  val q354Sql: String =
+    """WITH counts AS (
+      |  SELECT source, n_chars // 50 AS b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT unnest(range(0, (SELECT MAX(b) FROM counts) + 1)) AS b),
+      |srcs AS (SELECT DISTINCT source FROM counts),
+      |grid AS (
+      |  SELECT s.source, bk.b, COALESCE(c.c, 0) AS c
+      |  FROM srcs s CROSS JOIN buckets bk
+      |  LEFT JOIN counts c ON c.source = s.source AND c.b = bk.b),
+      |cums AS (
+      |  SELECT g.source, g.b,
+      |    SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    t.n
+      |  FROM grid g
+      |  JOIN (SELECT source, SUM(c) AS n FROM counts GROUP BY 1) t
+      |    ON t.source = g.source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  ROUND(50.0 * CAST(SUM(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+      |    / (CAST(MIN(a.n) AS DOUBLE) * CAST(MIN(b.n) AS DOUBLE)), 6)
+      |    AS w1_chars
+      |FROM cums a JOIN cums b ON a.b = b.b AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY w1_chars DESC, source_a, source_b LIMIT 15""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q354_wasserstein_sources" -> (q354WassersteinSources _),
     "q331_simpson_diversity" -> (q331SimpsonDiversity _),
     "q332_yule_k" -> (q332YuleK _),
     "q333_mattr" -> (q333Mattr _),
@@ -2937,6 +3010,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q354_wasserstein_sources" -> q354Sql,
     "q331_simpson_diversity" -> q331Sql,
     "q332_yule_k" -> q332Sql,
     "q333_mattr" -> q333Sql,
