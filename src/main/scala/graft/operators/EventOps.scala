@@ -5573,11 +5573,51 @@ object EventOps {
     */
   def q341GumbelExtremes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    val daily = events(spark, dir)
+    gumbelFit(events(spark, dir)
       .select($"event_type", expr("ts div 86400000000000").as("day"),
         round($"value" * 100).cast("long").as("v_e2"))
-      .groupBy($"event_type", $"day").agg(max($"v_e2").as("mx"))
+      .groupBy($"event_type", $"day").agg(max($"v_e2").as("mx")))
+  }
+
+  /** One live-extremes micro-batch append (replay-idempotent via the
+    * batch_id tag): reduces the batch to per-(type, day) MAX candidates
+    * — max is the mergeable statistic, so out-of-order and cross-batch
+    * re-deliveries of a day just merge. Rows need event_type, day,
+    * v_e2. Public so the replay spec can drive it directly.
+    */
+  def appendDailyMaxIdempotent(batch: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyAppended = fs.exists(p) &&
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    if (!alreadyAppended) {
+      batch.groupBy(col("event_type"), col("day"))
+        .agg(max(col("v_e2")).as("mx"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Read side of the live extremes monitor: MAX-merge the per-batch
+    * daily-max candidates and run the SAME Gumbel fit as the batch
+    * q341 — stream == batch is the idempotence of max. Reads only the
+    * candidates table.
+    */
+  def gumbelReport(spark: SparkSession, path: String): DataFrame =
+    gumbelFit(spark.read.parquet(path)
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("mx")).as("mx")))
+
+  /** The Gumbel method-of-moments fit + return levels from a
+    * (event_type, day, mx) daily-maxima frame (shared by q341 and the
+    * live twin; see q341's doc for the exact-arithmetic contract).
+    */
+  def gumbelFit(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val gamma = 0.5772156649015329
     def rl(t: Double) = -math.log(-math.log(1.0 - 1.0 / t))
     val fit = daily.groupBy($"event_type")

@@ -302,6 +302,23 @@ object StreamOps {
     * Returns the configured writer; the caller sets checkpoint/trigger
     * options and `.start()`.
     */
+  /** Live extreme-value monitor — the streaming twin of the q341
+    * Gumbel/return-level card: each micro-batch reduces to per-
+    * (type, day) MAX candidates (max-mergeable, so replays and
+    * out-of-order days just merge) appended replay-idempotently;
+    * [[graft.operators.EventOps.gumbelReport]] max-merges and runs the
+    * identical fit, so stream == batch on any micro-batch cut. State:
+    * |types|×|days|×|batches| rows — never the events. Rows need
+    * event_type, day, v_e2. Returns the configured writer; the caller
+    * sets checkpoint/trigger options and `.start()`.
+    */
+  def extremesIngestStream(values: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      graft.operators.EventOps.appendDailyMaxIdempotent(
+        batch.toDF(), path, batchId)
+    }
+
   def calibrationIngestStream(values: DataFrame,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

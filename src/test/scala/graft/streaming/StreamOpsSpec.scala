@@ -1143,6 +1143,53 @@ class StreamOpsSpec extends SparkSpec {
       "replayed batchId must not append")
   }
 
+  test("extremesIngestStream: max-merged daily maxima reproduce the batch Gumbel fit; replay appends once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("extremes").toString
+    val path = s"$base/daily_max"
+
+    // day 10 is delivered across BOTH batches with the larger max
+    // arriving late — the merge must keep 900, not the first-seen 500
+    val b1 = Seq(("view", 10L, 500L), ("view", 11L, 300L),
+      ("buy", 10L, 100L), ("view", 12L, 250L))
+    val b2 = Seq(("view", 10L, 900L), ("buy", 11L, 150L),
+      ("view", 13L, 400L), ("buy", 12L, 120L))
+    case class Ev(event_type: String, day: Long, v_e2: Long)
+
+    val mem = MemoryStream[KV](spark)
+    // smuggle (type, day, v) through KV: k = "type:day", v = value
+    import org.apache.spark.sql.functions.{split => fsplit}
+    def asEv(df: org.apache.spark.sql.DataFrame) =
+      df.select(fsplit($"k", ":").getItem(0).as("event_type"),
+        fsplit($"k", ":").getItem(1).cast("long").as("day"),
+        $"v".cast("long").as("v_e2"))
+    val q = StreamOps.extremesIngestStream(asEv(mem.toDF()), path).start()
+    mem.addData(b1.map(e => KV(s"${e._1}:${e._2}", e._3.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData(b2.map(e => KV(s"${e._1}:${e._2}", e._3.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.EventOps.gumbelReport(spark, path).collect()
+    val batch = graft.operators.EventOps.gumbelFit(
+      (b1 ++ b2).toDF("event_type", "day", "v_e2")
+        .groupBy($"event_type", $"day")
+        .agg(org.apache.spark.sql.functions.max($"v_e2").as("mx")))
+      .collect()
+    assert(got.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    val view = got.find(_.getString(0) == "view").get
+    assert(view.getAs[Long]("n_days") === 4L)
+    // return levels widen with horizon
+    assert(view.getAs[Double]("rl_7d") <= view.getAs[Double]("rl_90d"))
+
+    val before = spark.read.parquet(path).count()
+    graft.operators.EventOps.appendDailyMaxIdempotent(
+      Seq(("view", 10L, 9999L)).toDF("event_type", "day", "v_e2"), path,
+      batchId = 0L)
+    assert(spark.read.parquet(path).count() === before,
+      "replayed batchId must not append")
+  }
+
   test("calibrationIngestStream: sum-merged bins reproduce the batch Brier decomposition; replay appends once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("calib-stream").toString
