@@ -6084,7 +6084,98 @@ object EventOps {
       |FROM per CROSS JOIN fit ORDER BY block_size""".stripMargin
   }
 
+  /** q357: Mann–Kendall trend test + Sen's slope over daily purchase
+    * revenue — the nonparametric "is this series actually trending"
+    * verdict (monotonic-rank evidence, immune to the outliers that
+    * bend q255's least-squares line; Sen's slope is the robust
+    * cents/day estimate). S and the tie-corrected variance are exact
+    * integers; the pairwise frame is |days|²-bounded (calendar-sized,
+    * never event-sized); Sen's slope is the LOWER median by
+    * (slope, day_i, day_j) order so both engines cut the same pair.
+    */
+  def q357MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("y"))
+      .localCheckpoint() // |days| rows
+    val a = daily.select($"day".as("di"), $"y".as("yi"))
+    val b = daily.select($"day".as("dj"), $"y".as("yj"))
+    val pairs = a.join(b, $"di" < $"dj")
+      .select($"di", $"dj", $"yi", $"yj",
+        signum(($"yj" - $"yi").cast("double")).cast("long").as("sgn"),
+        (($"yj" - $"yi").cast("double") / ($"dj" - $"di").cast("double"))
+          .as("slope"))
+      .localCheckpoint() // |days|²/2 rows
+    val sAgg = pairs.agg(sum($"sgn").as("s"), count(lit(1)).as("np"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tcorr"))
+    val sen = pairs
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"slope", $"di", $"dj")))
+      .crossJoin(broadcast(sAgg.select($"np")))
+      .filter($"rn" === expr("(np + 1) div 2"))
+      .select($"slope".as("sen_slope"))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(sen))
+      .select($"n".as("n_days"), $"s".as("s_stat"),
+        ((expr("n * (n - 1) * (2 * n + 5)") - $"tcorr").cast("double") / 18.0)
+          .as("var_s"), $"sen_slope")
+      .select($"n_days", $"s_stat", round($"var_s", 6).as("var_s"),
+        round(when($"s_stat" > 0, ($"s_stat" - 1).cast("double") / sqrt($"var_s"))
+          .when($"s_stat" < 0, ($"s_stat" + 1).cast("double") / sqrt($"var_s"))
+          .otherwise(0.0), 6).as("z"),
+        round($"sen_slope" / 100.0, 6).as("sen_slope_per_day"))
+      .withColumn("trend",
+        when($"z" > 1.959964, "increasing")
+          .when($"z" < -1.959964, "decreasing").otherwise("none"))
+  }
+
+  val q357Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.day AS di, b.day AS dj,
+      |    CAST(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+      |      ELSE 0 END AS BIGINT) AS sgn,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |sagg AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+      |  CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      |ties AS (
+      |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |    AS tcorr
+      |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)),
+      |sen AS (
+      |  SELECT slope AS sen_slope FROM (
+      |    SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, di, dj) AS rn
+      |    FROM pairs) CROSS JOIN sagg
+      |  WHERE rn = (np + 1) // 2),
+      |v AS (
+      |  SELECT n, s,
+      |    CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0 AS var_s,
+      |    sen_slope
+      |  FROM sagg CROSS JOIN nn CROSS JOIN ties CROSS JOIN sen),
+      |o AS (
+      |  SELECT n AS n_days, s AS s_stat, ROUND(var_s, 6) AS var_s,
+      |    ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+      |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+      |      ELSE 0.0 END, 6) AS z,
+      |    ROUND(sen_slope / 100.0, 6) AS sen_slope_per_day
+      |  FROM v)
+      |SELECT n_days, s_stat, var_s, z, sen_slope_per_day,
+      |  CASE WHEN z > 1.959964 THEN 'increasing'
+      |    WHEN z < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend
+      |FROM o""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q357_mann_kendall" -> (q357MannKendall _),
     "q349_hurst_rs" -> (q349HurstRs _),
     "q347_engagement_decay" -> (q347EngagementDecay _),
     "q343_hill_tail" -> (q343HillTail _),
@@ -6183,6 +6274,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q357_mann_kendall" -> q357Sql,
     "q349_hurst_rs" -> q349Sql,
     "q347_engagement_decay" -> q347Sql,
     "q343_hill_tail" -> q343Sql,
