@@ -6174,7 +6174,117 @@ object EventOps {
       |    WHEN z < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend
       |FROM o""".stripMargin
 
+  /** q356: Holt–Winters additive seasonal smoothing (α=0.3, β=0.05,
+    * γ=0.2, period 7) over daily purchase revenue + a 7-day projection
+    * — the seasonal completion of the forecasting arc (q203 seasonal
+    * naive, q231 decomposition, q255 OLS, q325 Holt): level + trend +
+    * a rotating 7-slot seasonal state, initialized from the first two
+    * weeks (level = week-1 mean, trend = week-over-week mean shift / 7,
+    * seasonals = week-1 residuals). Like q325, the sequential recursion
+    * is a DRIVER fold over the calendar-bounded daily frame (the data-
+    * sized work is the one hash agg) and the oracle replays the
+    * IDENTICAL IEEE arithmetic as a recursive CTE carrying the 7
+    * seasonal slots as rotating columns — bit-exact before display
+    * rounding. Series shorter than 14 days yield the empty frame.
+    */
+  def q356HoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("cents"))
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (alpha, beta, gamma) = (0.3, 0.05, 0.2)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Option[Double], Option[Double])]
+    if (daily.length >= 14) {
+      val y = daily.map(_._2.toDouble)
+      var level = y.slice(0, 7).sum / 7.0
+      var trend = (y.slice(7, 14).sum / 7.0 - y.slice(0, 7).sum / 7.0) / 7.0
+      val sv = scala.collection.mutable.ArrayBuffer.tabulate(7)(i =>
+        y(i) - y.slice(0, 7).sum / 7.0)
+      for (t <- 7 until daily.length) {
+        val sOld = sv(0) // the seasonal slot from 7 steps back
+        val f = level + trend + sOld
+        // literal complements (0.7/0.95/0.8), NOT computed (1.0 − α):
+        // 1−0.05 and the literal 0.95 can differ by 1 ulp, and the
+        // oracle CTE uses the literals
+        val levelNew = alpha * (y(t) - sOld) + 0.7 * (level + trend)
+        val trendNew = beta * (levelNew - level) + 0.95 * trend
+        val sNew = gamma * (y(t) - levelNew) + 0.8 * sOld
+        level = levelNew; trend = trendNew
+        sv.remove(0); sv += sNew
+        out += ((daily(t)._1, Some(daily(t)._2), Some(f), Some(y(t) - f)))
+      }
+      val lastDay = daily.last._1
+      for (h <- 1 to 7)
+        out += ((lastDay + h, None,
+          Some(level + h.toDouble * trend + sv(h - 1)), None))
+    }
+    out.toSeq.toDF("day", "cents", "forecast", "resid")
+      .select($"day", $"cents", round($"forecast", 6).as("forecast"),
+        round($"resid", 6).as("resid"))
+      .orderBy($"day")
+  }
+
+  val q356Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |d AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, cents,
+      |    CAST(cents AS DOUBLE) AS y
+      |  FROM daily),
+      |nn AS (SELECT COUNT(*) AS n FROM d),
+      |w1 AS (SELECT SUM(y) / 7.0 AS m1 FROM d WHERE i <= 7),
+      |w2 AS (SELECT SUM(y) / 7.0 AS m2 FROM d WHERE i > 7 AND i <= 14),
+      |r AS (
+      |  SELECT 7 AS i,
+      |    CAST(NULL AS BIGINT) AS day, CAST(NULL AS BIGINT) AS cents,
+      |    m1 AS level, (m2 - m1) / 7.0 AS trend,
+      |    (SELECT y FROM d WHERE i = 1) - m1 AS sa,
+      |    (SELECT y FROM d WHERE i = 2) - m1 AS sb,
+      |    (SELECT y FROM d WHERE i = 3) - m1 AS sc,
+      |    (SELECT y FROM d WHERE i = 4) - m1 AS sd,
+      |    (SELECT y FROM d WHERE i = 5) - m1 AS se,
+      |    (SELECT y FROM d WHERE i = 6) - m1 AS sf,
+      |    (SELECT y FROM d WHERE i = 7) - m1 AS sg,
+      |    CAST(NULL AS DOUBLE) AS forecast, CAST(NULL AS DOUBLE) AS resid
+      |  FROM w1 CROSS JOIN w2 CROSS JOIN nn WHERE n >= 14
+      |  UNION ALL
+      |  SELECT d.i, d.day, d.cents,
+      |    0.3 * (d.y - r.sa) + 0.7 * (r.level + r.trend) AS level,
+      |    0.05 * ((0.3 * (d.y - r.sa) + 0.7 * (r.level + r.trend))
+      |      - r.level) + 0.95 * r.trend AS trend,
+      |    r.sb, r.sc, r.sd, r.se, r.sf, r.sg,
+      |    0.2 * (d.y - (0.3 * (d.y - r.sa) + 0.7 * (r.level + r.trend)))
+      |      + 0.8 * r.sa AS sg,
+      |    r.level + r.trend + r.sa AS forecast,
+      |    d.y - (r.level + r.trend + r.sa) AS resid
+      |  FROM r JOIN d ON d.i = r.i + 1),
+      |hist AS (
+      |  SELECT day, cents, ROUND(forecast, 6) AS forecast,
+      |    ROUND(resid, 6) AS resid
+      |  FROM r WHERE day IS NOT NULL),
+      |fin AS (
+      |  SELECT r.* FROM r CROSS JOIN nn WHERE r.i = n),
+      |fc AS (
+      |  SELECT (SELECT MAX(day) FROM daily) + CAST(h AS BIGINT) AS day,
+      |    CAST(NULL AS BIGINT) AS cents,
+      |    ROUND(level + h * trend + CASE h
+      |      WHEN 1 THEN sa WHEN 2 THEN sb WHEN 3 THEN sc WHEN 4 THEN sd
+      |      WHEN 5 THEN se WHEN 6 THEN sf ELSE sg END, 6) AS forecast,
+      |    CAST(NULL AS DOUBLE) AS resid
+      |  FROM fin CROSS JOIN
+      |    (SELECT CAST(unnest(range(1, 8)) AS DOUBLE) AS h))
+      |SELECT day, cents, forecast, resid FROM hist
+      |UNION ALL SELECT day, cents, forecast, resid FROM fc
+      |ORDER BY day""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q356_holt_winters" -> (q356HoltWinters _),
     "q357_mann_kendall" -> (q357MannKendall _),
     "q349_hurst_rs" -> (q349HurstRs _),
     "q347_engagement_decay" -> (q347EngagementDecay _),
@@ -6274,6 +6384,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q356_holt_winters" -> q356Sql,
     "q357_mann_kendall" -> q357Sql,
     "q349_hurst_rs" -> q349Sql,
     "q347_engagement_decay" -> q347Sql,
