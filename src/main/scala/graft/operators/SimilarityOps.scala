@@ -2248,7 +2248,108 @@ object SimilarityOps {
       |  ROUND(sqrt(CAST(z2 AS DOUBLE)), 6) AS z
       |FROM ranked WHERE rn <= 3 ORDER BY label, rn""".stripMargin
 
+  /** q358: rank-biased overlap (RBO@20, p=0.9) between the full-dim
+    * cosine ranking and the 16-dim truncated ranking — the
+    * rank-SENSITIVE companion to q149's set recall: recall@k treats a
+    * demotion from rank 1 to rank 5 as free, RBO charges it by the
+    * top-weighted (1−p)·Σ p^{d−1}·|A_d∩B_d|/d prefix sum ("how safe is
+    * serving the cheaper truncated index REALLY"). Depth-overlap counts
+    * are exact integers on the (probes × 20)-bounded join; the
+    * geometric weights are fixed-order doubles snapped to 1e-9 before
+    * the decimal fold. Per-probe RBO plus the fleet mean.
+    */
+  def q358RboAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val corpus = emb(spark, dir)
+    val probes = corpus.filter($"vec_id" < 5)
+    def top20(c: DataFrame, p: DataFrame): DataFrame =
+      graft.api.Similarity.cosineKnn(c, p, "vec_id", "embedding", 20)
+        .select($"probe_id", $"rn", $"cand_id")
+    val full = top20(corpus, probes).localCheckpoint()
+    val trunc = top20(
+      corpus.select($"vec_id", slice($"embedding", 1, 16).as("embedding")),
+      probes.select($"vec_id", slice($"embedding", 1, 16).as("embedding")))
+      .select($"probe_id", $"rn".as("rb"), $"cand_id")
+    val common = full.select($"probe_id", $"rn".as("ra"), $"cand_id")
+      .join(trunc, Seq("probe_id", "cand_id"))
+      .select($"probe_id", greatest($"ra", $"rb").as("dmin"))
+    val depths = spark.range(1, 21).toDF("d")
+    val xd = probes.select($"vec_id".as("probe_id"))
+      .crossJoin(broadcast(depths))
+      .join(common, Seq("probe_id"), "left")
+      .groupBy($"probe_id", $"d")
+      .agg(sum(when($"dmin" <= $"d", 1L).otherwise(0L)).as("x"))
+    val perProbe = xd
+      .select($"probe_id", $"d", $"x",
+        round(lit(0.1) * pow(lit(0.9), $"d" - 1) * $"x" / $"d", 9)
+          .cast(dec9).as("term"))
+      .groupBy($"probe_id")
+      .agg(sum($"term").as("rbo_d"),
+        max(when($"d" === 20, $"x")).as("overlap20"))
+      .select($"probe_id", $"overlap20",
+        round($"rbo_d".cast("double"), 6).as("rbo"))
+      .localCheckpoint()
+    val mean = perProbe
+      .agg(round(sum($"rbo".cast(dec9)).cast("double") / count(lit(1)), 6)
+        .as("mean_rbo"))
+    perProbe.crossJoin(broadcast(mean))
+      .select($"probe_id", $"overlap20", $"rbo", $"mean_rbo")
+      .orderBy($"probe_id")
+  }
+
+  val q358Sql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${posNormSql("embedding")}),
+       |p AS (SELECT vec_id, embedding FROM c WHERE vec_id < 5),
+       |full_r AS (
+       |  SELECT probe_id, rn AS ra, cand_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC,
+       |          c.vec_id) AS rn
+       |    FROM p JOIN c ON c.vec_id <> p.vec_id)
+       |  WHERE rn <= 20),
+       |ct AS (
+       |  SELECT vec_id, list_slice(embedding, 1, 16) AS embedding FROM c
+       |  WHERE ${posNormSql("list_slice(embedding, 1, 16)")}),
+       |pt AS (SELECT vec_id, embedding FROM ct WHERE vec_id < 5),
+       |tr AS (
+       |  SELECT probe_id, rn AS rb, cand_id FROM (
+       |    SELECT pt.vec_id AS probe_id, ct.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY pt.vec_id
+       |        ORDER BY ${cosSql("pt.embedding", "ct.embedding")} DESC,
+       |          ct.vec_id) AS rn
+       |    FROM pt JOIN ct ON ct.vec_id <> pt.vec_id)
+       |  WHERE rn <= 20),
+       |common AS (
+       |  SELECT f.probe_id, GREATEST(ra, rb) AS dmin
+       |  FROM full_r f JOIN tr t
+       |    ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id),
+       |xd AS (
+       |  SELECT pr.probe_id, d.d,
+       |    CAST(SUM(CASE WHEN dmin <= d.d THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x
+       |  FROM (SELECT vec_id AS probe_id FROM p) pr
+       |  CROSS JOIN (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d) d
+       |  LEFT JOIN common ON common.probe_id = pr.probe_id
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT probe_id,
+       |    MAX(CASE WHEN d = 20 THEN x END) AS overlap20,
+       |    ROUND(CAST(SUM(CAST(ROUND(0.1 * power(0.9, d - 1) * x / d, 9)
+       |      AS DECIMAL(38,9))) AS DOUBLE), 6) AS rbo
+       |  FROM xd GROUP BY 1),
+       |m AS (
+       |  SELECT ROUND(CAST(SUM(CAST(rbo AS DECIMAL(38,9))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_rbo
+       |  FROM per)
+       |SELECT probe_id, overlap20, rbo, mean_rbo
+       |FROM per CROSS JOIN m ORDER BY probe_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q358_rbo_agreement" -> (q358RboAgreement _),
     "q355_embed_outliers" -> (q355EmbedOutliers _),
     "q352_davies_bouldin" -> (q352DaviesBouldin _),
     "q351_reciprocal_align" -> (q351ReciprocalAlign _),
@@ -2289,6 +2390,7 @@ object SimilarityOps {
     "q126_pq_encode" -> (q126PqEncode _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q358_rbo_agreement" -> q358Sql,
     "q355_embed_outliers" -> q355Sql,
     "q352_davies_bouldin" -> q352Sql,
     "q351_reciprocal_align" -> q351Sql,
