@@ -6283,7 +6283,89 @@ object EventOps {
       |UNION ALL SELECT day, cents, forecast, resid FROM fc
       |ORDER BY day""".stripMargin
 
+  /** q359: forecast-accuracy scoreboard — seasonal-naive (lag-7),
+    * Holt (q325) and Holt–Winters (q356) scored on their COMMON
+    * in-sample days over the same daily purchase-cents series: MAE,
+    * RMSE, MAPE and the τ=0.9 pinball loss (the quantile-service
+    * metric — under-forecasting capacity is 9× worse than over). The
+    * model-selection readout that closes the forecasting arc: one
+    * table says which smoother earns its complexity. Residuals come
+    * from the member cards (1e-6-grid doubles), every cross-day fold
+    * is decimal/integer, and the member recursions are replayed
+    * identically by the oracle's nested CTEs.
+    */
+  def q359ForecastScoreboard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val holt = q325HoltForecast(spark, dir)
+      .filter($"resid".isNotNull).select($"day", $"resid".as("e_holt"))
+    val hw = q356HoltWinters(spark, dir)
+      .filter($"resid".isNotNull).select($"day", $"resid".as("e_hw"))
+    val daily = events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100.0).cast("long")).as("cents"))
+    val naive = daily.as("t")
+      .join(daily.select($"day" + 7, $"cents").toDF("day", "p"), Seq("day"))
+      .select($"day", $"cents", ($"cents" - $"p").cast("double").as("e_naive"))
+    val joined = naive.join(holt, Seq("day")).join(hw, Seq("day"))
+      .selectExpr("day", "cents", """stack(3,
+        'seasonal_naive', e_naive,
+        'holt',           e_holt,
+        'holt_winters',   e_hw) AS (method, e)""")
+    joined.groupBy($"method")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"e").cast(DecimalType(38, 6))).as("sae"),
+        sum($"e".cast(DecimalType(19, 6)) * $"e".cast(DecimalType(19, 6)))
+          .as("sse"),
+        sum(round(abs($"e") / $"cents", 9).cast(DecimalType(38, 9)))
+          .as("sape"),
+        sum(round(greatest($"e" * 0.9, $"e" * -0.1), 6)
+          .cast(DecimalType(38, 6))).as("spin"))
+      .select($"method", $"n_days",
+        round($"sae".cast("double") / $"n_days" / 100.0, 4).as("mae"),
+        round(sqrt($"sse".cast("double") / $"n_days") / 100.0, 4).as("rmse"),
+        round($"sape".cast("double") / $"n_days", 6).as("mape"),
+        round($"spin".cast("double") / $"n_days" / 100.0, 4).as("pinball90"))
+      .orderBy($"method")
+  }
+
+  val q359Sql: String =
+    s"""WITH holt AS (
+      |  SELECT day, resid AS e_holt FROM (${q325Sql.replace("\n", "\n  ")})
+      |  WHERE resid IS NOT NULL),
+      |hw AS (
+      |  SELECT day, resid AS e_hw FROM (${q356Sql.replace("\n", "\n  ")})
+      |  WHERE resid IS NOT NULL),
+      |daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |naive AS (
+      |  SELECT t.day, t.cents,
+      |    CAST(t.cents - p.cents AS DOUBLE) AS e_naive
+      |  FROM daily t JOIN daily p ON p.day = t.day - 7),
+      |joined AS (
+      |  SELECT n.day, n.cents, m.method, m.e
+      |  FROM naive n JOIN holt ON holt.day = n.day
+      |  JOIN hw ON hw.day = n.day
+      |  CROSS JOIN LATERAL (
+      |    SELECT 'seasonal_naive' AS method, e_naive AS e
+      |    UNION ALL SELECT 'holt', e_holt
+      |    UNION ALL SELECT 'holt_winters', e_hw) m)
+      |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(CAST(SUM(CAST(ABS(e) AS DECIMAL(38,6))) AS DOUBLE)
+      |    / COUNT(*) / 100.0, 4) AS mae,
+      |  ROUND(sqrt(CAST(SUM(CAST(e AS DECIMAL(19,6))
+      |      * CAST(e AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / 100.0, 4)
+      |    AS rmse,
+      |  ROUND(CAST(SUM(CAST(ROUND(ABS(e) / cents, 9) AS DECIMAL(38,9)))
+      |    AS DOUBLE) / COUNT(*), 6) AS mape,
+      |  ROUND(CAST(SUM(CAST(ROUND(GREATEST(e * 0.9, e * -0.1), 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) / 100.0, 4) AS pinball90
+      |FROM joined GROUP BY method ORDER BY method""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q359_forecast_scoreboard" -> (q359ForecastScoreboard _),
     "q356_holt_winters" -> (q356HoltWinters _),
     "q357_mann_kendall" -> (q357MannKendall _),
     "q349_hurst_rs" -> (q349HurstRs _),
@@ -6384,6 +6466,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q359_forecast_scoreboard" -> q359Sql,
     "q356_holt_winters" -> q356Sql,
     "q357_mann_kendall" -> q357Sql,
     "q349_hurst_rs" -> q349Sql,
