@@ -2878,7 +2878,75 @@ object TextOps {
       |GROUP BY 1, 2
       |ORDER BY w1_chars DESC, source_a, source_b LIMIT 15""".stripMargin
 
+  /** q360: Neyman allocation advisor — the survey-sampling design card
+    * behind q93's stratified sampler: for a fixed annotation/eval
+    * budget (1000 docs) estimating mean doc length, the optimal
+    * per-language allocation n_h ∝ N_h·S_h (big AND variable strata
+    * earn more samples) next to proportional allocation, plus the
+    * variance ratio (Σ W_h S_h)² / Σ W_h S_h² — how much precision
+    * Neyman buys (≤ 1, the design-effect argument for bothering).
+    * Per-stratum sd from exact integer moments; the share folds snap
+    * W_h·S_h terms to 1e-9 and sum in decimal. One scan into the
+    * |langs| frame.
+    */
+  def q360NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec9 = DecimalType(38, 9)
+    val mom = table(spark, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("nh"), sum($"n_chars").as("sx"),
+        sum($"n_chars".cast(DecimalType(19, 0)) *
+          $"n_chars".cast(DecimalType(19, 0))).as("sxx"))
+      .select($"lang", $"nh",
+        sqrt(($"nh" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+          $"sx".cast(DecimalType(19, 0))).cast("double") /
+          ($"nh".cast("double") * $"nh".cast("double"))).as("sd"))
+      .localCheckpoint() // |langs| rows
+    val tot = mom.agg(sum($"nh").as("n"),
+      sum(round($"nh" * $"sd", 9).cast(dec9)).as("sns"),
+      sum(round($"nh" * $"sd" * $"sd", 9).cast(dec9)).as("sns2"))
+    mom.crossJoin(broadcast(tot))
+      .select($"lang", $"nh".as("n_docs"), round($"sd", 4).as("sd_chars"),
+        round(($"nh" * $"sd") / $"sns".cast("double"), 6).as("share_neyman"),
+        round($"nh".cast("double") / $"n", 6).as("share_proportional"),
+        round(lit(1000.0) * ($"nh" * $"sd") / $"sns".cast("double"), 0)
+          .cast("long").as("n_neyman_1000"),
+        round(lit(1000.0) * $"nh" / $"n", 0).cast("long").as("n_prop_1000"),
+        round(($"sns".cast("double") / $"n") * ($"sns".cast("double") / $"n") /
+          ($"sns2".cast("double") / $"n"), 6).as("neyman_efficiency"))
+      .orderBy($"lang")
+  }
+
+  val q360Sql: String =
+    """WITH mom AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nh,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |    SUM(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0)))
+      |      AS sxx
+      |  FROM documents GROUP BY 1),
+      |sd AS (
+      |  SELECT lang, nh,
+      |    sqrt(CAST(nh * sxx - CAST(sx AS DECIMAL(19,0))
+      |        * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+      |      / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS sd
+      |  FROM mom),
+      |tot AS (
+      |  SELECT CAST(SUM(nh) AS BIGINT) AS n,
+      |    SUM(CAST(ROUND(nh * sd, 9) AS DECIMAL(38,9))) AS sns,
+      |    SUM(CAST(ROUND(nh * sd * sd, 9) AS DECIMAL(38,9))) AS sns2
+      |  FROM sd)
+      |SELECT lang, nh AS n_docs, ROUND(sd, 4) AS sd_chars,
+      |  ROUND((nh * sd) / CAST(sns AS DOUBLE), 6) AS share_neyman,
+      |  ROUND(CAST(nh AS DOUBLE) / n, 6) AS share_proportional,
+      |  CAST(ROUND(1000.0 * (nh * sd) / CAST(sns AS DOUBLE), 0) AS BIGINT)
+      |    AS n_neyman_1000,
+      |  CAST(ROUND(1000.0 * nh / n, 0) AS BIGINT) AS n_prop_1000,
+      |  ROUND((CAST(sns AS DOUBLE) / n) * (CAST(sns AS DOUBLE) / n)
+      |    / (CAST(sns2 AS DOUBLE) / n), 6) AS neyman_efficiency
+      |FROM sd CROSS JOIN tot ORDER BY lang""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q360_neyman_allocation" -> (q360NeymanAllocation _),
     "q354_wasserstein_sources" -> (q354WassersteinSources _),
     "q331_simpson_diversity" -> (q331SimpsonDiversity _),
     "q332_yule_k" -> (q332YuleK _),
@@ -3010,6 +3078,7 @@ object TextOps {
       |GROUP BY bigram ORDER BY n_docs_with DESC, bigram LIMIT 25""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q360_neyman_allocation" -> q360Sql,
     "q354_wasserstein_sources" -> q354Sql,
     "q331_simpson_diversity" -> q331Sql,
     "q332_yule_k" -> q332Sql,
