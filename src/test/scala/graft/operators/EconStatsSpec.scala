@@ -207,6 +207,52 @@ class EconStatsSpec extends SparkSpec {
     }
   }
 
+  test("q350-q360: dependence, validity, alignment and design invariants") {
+    val tau = Extended.q350KendallTau(spark, sf).collect().head
+    assert(math.abs(tau.getAs[Double]("tau_b")) <= 1.0 + 1e-9)
+    assert(math.abs(tau.getAs[Double]("gamma")) <= 1.0 + 1e-9)
+    assert(tau.getAs[Long]("concordant") >= 0 &&
+      tau.getAs[Long]("discordant") >= 0)
+
+    val db = SimilarityOps.q352DaviesBouldin(spark, sf).collect()
+    assert(db.nonEmpty)
+    db.foreach { r =>
+      assert(r.getAs[Double]("scatter") >= 0)
+      assert(r.getAs[Double]("worst_ratio") >= 0)
+      assert(r.getAs[Double]("db_index") > 0)
+    }
+
+    val rec = SimilarityOps.q351ReciprocalAlign(spark, sf).collect()
+    // mutual best-match is one-to-one: no id repeats on either side
+    assert(rec.map(_.getAs[Long]("id_a")).distinct.length === rec.length)
+    assert(rec.map(_.getAs[Long]("id_b")).distinct.length === rec.length)
+
+    val rbo = SimilarityOps.q358RboAgreement(spark, sf).collect()
+    rbo.foreach { r =>
+      val v = r.getAs[Double]("rbo")
+      assert(v >= 0 && v <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("overlap20") >= 0 &&
+        r.getAs[Long]("overlap20") <= 20)
+    }
+
+    val ney = TextOps.q360NeymanAllocation(spark, sf).collect()
+    assert(math.abs(ney.map(_.getAs[Double]("share_neyman")).sum - 1.0) < 1e-4)
+    val eff = ney.head.getAs[Double]("neyman_efficiency")
+    // Cauchy-Schwarz: (ΣWS)² ≤ ΣWS² (the whole point of the card)
+    assert(eff > 0 && eff <= 1.0 + 1e-9)
+
+    val mk = EventOps.q357MannKendall(spark, sf).collect().head
+    assert(mk.getAs[Double]("var_s") > 0)
+
+    val sb = EventOps.q359ForecastScoreboard(spark, sf).collect()
+    assert(sb.map(_.getAs[String]("method")).toSet ===
+      Set("seasonal_naive", "holt", "holt_winters"))
+    sb.foreach { r =>
+      assert(r.getAs[Double]("rmse") >= r.getAs[Double]("mae") - 1e-9,
+        "RMSE dominates MAE for any residual set")
+    }
+  }
+
   test("q338: key audit agrees with direct distinct counts") {
     import spark.implicits._
     val li = graft.Util.rawTable(spark, sf, "lineitem")
