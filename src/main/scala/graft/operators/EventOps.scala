@@ -6364,7 +6364,76 @@ object EventOps {
       |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) / 100.0, 4) AS pinball90
       |FROM joined GROUP BY method ORDER BY method""".stripMargin
 
+  /** q361: Wald–Wolfowitz runs test on daily event volume — is the
+    * above/below-mean sequence RANDOM, or do high days clump (the
+    * binary-sequence cousin of q349's Hurst and q172's autocorrelation:
+    * runs sees regime stickiness those miss when magnitudes wash out)?
+    * The above/below flag is a CROSS-MULTIPLIED exact compare
+    * (c·n > Σc — the mean is never a float), runs count via one lag
+    * window over the |days| frame, and E[R]/Var[R] are the closed-form
+    * integer expressions with one sqrt at the end.
+    */
+  def q361RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"c").as("sx"))
+    val flagged = daily.crossJoin(broadcast(tot))
+      .select($"day", when($"c" * $"n" > $"sx", 1L).otherwise(0L).as("b"))
+    val w = Window.orderBy($"day")
+    val runs = flagged
+      .withColumn("prev", lag($"b", 1).over(w))
+      .agg(sum(when($"prev".isNull || $"b" =!= $"prev", 1L).otherwise(0L))
+        .as("runs"),
+        sum($"b").as("n1"), sum(lit(1L) - $"b").as("n2"))
+    runs
+      .select($"runs", $"n1".as("n_above"), $"n2".as("n_below"),
+        (lit(2.0) * $"n1" * $"n2" / ($"n1" + $"n2") + 1.0).as("expected"),
+        ((lit(2.0) * $"n1" * $"n2" *
+          (lit(2.0) * $"n1" * $"n2" - ($"n1" + $"n2"))) /
+          (($"n1" + $"n2").cast("double") * ($"n1" + $"n2").cast("double") *
+            ($"n1" + $"n2" - 1).cast("double"))).as("varr"))
+      .select(($"n_above" + $"n_below").as("n_days"), $"n_above", $"n_below",
+        $"runs", round($"expected", 6).as("expected_runs"),
+        round(when($"varr" > 0,
+          ($"runs".cast("double") - $"expected") / sqrt($"varr"))
+          .otherwise(0.0), 6).as("z"))
+  }
+
+  val q361Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c) AS BIGINT) AS sx FROM daily),
+      |flagged AS (
+      |  SELECT day, CASE WHEN c * n > sx THEN 1 ELSE 0 END AS b
+      |  FROM daily CROSS JOIN tot),
+      |r AS (
+      |  SELECT CAST(SUM(CASE WHEN prev IS NULL OR b <> prev THEN 1
+      |      ELSE 0 END) AS BIGINT) AS runs,
+      |    CAST(SUM(b) AS BIGINT) AS n1,
+      |    CAST(SUM(1 - b) AS BIGINT) AS n2
+      |  FROM (SELECT b, LAG(b) OVER (ORDER BY day) AS prev FROM flagged)),
+      |e AS (
+      |  SELECT runs, n1, n2,
+      |    2.0 * n1 * n2 / (n1 + n2) + 1.0 AS expected,
+      |    (2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)))
+      |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |        * CAST(n1 + n2 - 1 AS DOUBLE)) AS varr
+      |  FROM r)
+      |SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, runs,
+      |  ROUND(expected, 6) AS expected_runs,
+      |  ROUND(CASE WHEN varr > 0
+      |    THEN (CAST(runs AS DOUBLE) - expected) / sqrt(varr)
+      |    ELSE 0.0 END, 6) AS z
+      |FROM e""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q361_runs_test" -> (q361RunsTest _),
     "q359_forecast_scoreboard" -> (q359ForecastScoreboard _),
     "q356_holt_winters" -> (q356HoltWinters _),
     "q357_mann_kendall" -> (q357MannKendall _),
@@ -6466,6 +6535,7 @@ object EventOps {
     "q119_repl_lag_pcts" -> (q119ReplLagPercentiles _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q361_runs_test" -> q361Sql,
     "q359_forecast_scoreboard" -> q359Sql,
     "q356_holt_winters" -> q356Sql,
     "q357_mann_kendall" -> q357Sql,
