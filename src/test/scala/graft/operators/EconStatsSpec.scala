@@ -253,6 +253,20 @@ class EconStatsSpec extends SparkSpec {
     }
   }
 
+  test("q356/q361: Holt-Winters residual coverage and runs-test bounds") {
+    val hw = EventOps.q356HoltWinters(spark, sf).collect()
+    val resids = hw.filter(!_.isNullAt(hw.head.fieldIndex("resid")))
+    val horizon = hw.filter(_.isNullAt(hw.head.fieldIndex("cents")))
+    assert(horizon.length === 7, "always a 7-day projection")
+    assert(resids.nonEmpty, "in-sample residuals from day 8 onward")
+    val rt = EventOps.q361RunsTest(spark, sf).collect().head
+    val n = rt.getAs[Long]("n_days")
+    assert(rt.getAs[Long]("n_above") + rt.getAs[Long]("n_below") === n)
+    val runs = rt.getAs[Long]("runs")
+    assert(runs >= 1 && runs <= n)
+    assert(rt.getAs[Double]("expected_runs") >= 1.0)
+  }
+
   test("q338: key audit agrees with direct distinct counts") {
     import spark.implicits._
     val li = graft.Util.rawTable(spark, sf, "lineitem")
