@@ -78,6 +78,23 @@ object Util {
   /** Exact sum of a derived value on a 1e-6 grid (e.g. price*(1-disc)). */
   def dsum6(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast("double")
 
+  /** Replay guard for batch_id-tagged idempotent append state: true iff
+    * `path` already holds a COMMITTED row for `batchId`. A path that
+    * exists but holds no readable parquet data (the debris of a write
+    * that died before its first commit) reads as "not applied" instead
+    * of throwing — the bare `spark.read.parquet` would otherwise fail
+    * on every retry and permanently wedge the foreachBatch stream that
+    * owns the state.
+    */
+  def batchAlreadyApplied(spark: SparkSession, path: String,
+      batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && scala.util.Try(
+      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    ).getOrElse(false)
+  }
+
   /** TIMESTAMP_NTZ literal (the testdata date columns are NTZ). */
   def ldt(s: String): Column = lit(java.time.LocalDateTime.parse(s))
 }

@@ -28,33 +28,59 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Queries run in small PARALLEL batches: each dump is dominated by
-    // fixed job-submission/coalesce latency (~1-2 s), so a serial loop
-    // over 300+ queries costs ~10 min of pure latency. Concurrent
-    // actions on one SparkSession are supported; results are per-query
-    // directories so parallelism cannot mix outputs, and the shared
-    // cache is cleared BETWEEN batches (clearing mid-flight would only
-    // force recomputes, but between-batch keeps memory bounded AND
-    // deterministic). Serial fallback via SPARK_GRAFT_VERIFY_THREADS=1.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
-      .max(1)
+    // Queries run through ONE long-lived work-queue pool: each dump is
+    // dominated by fixed job-submission/coalesce latency (~1-2 s), so a
+    // serial loop over 300+ queries costs ~10 min of pure latency, and
+    // the earlier pool-per-batch design let one slow query idle the rest
+    // of its batch at every barrier. Concurrent actions on one
+    // SparkSession are supported; results are per-query directories so
+    // parallelism cannot mix outputs, and the shared cache is cleared
+    // every `threads` completions to keep memory bounded (clearing
+    // mid-flight only forces recomputes, never wrong results). Serial
+    // fallback via SPARK_GRAFT_VERIFY_THREADS=1; a non-numeric value
+    // falls back to the default instead of crashing before any dump.
+    val threads = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").trim.toInt)
+      .getOrElse(4).max(1)
     val todo = SparkEntry.queries.toSeq.filter(kv => keep(kv._1))
-    todo.grouped(threads).foreach { group =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(group.size)
-      try {
-        group.map { case (name, fn) =>
-          pool.submit(new Runnable {
-            def run(): Unit =
-              try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name")
-              catch { case e: Throwable =>
-                System.err.println(s"[verify] $name failed: ${e.getMessage}")
-              }
-          })
-        }.foreach(_.get())
-      } finally pool.shutdown()
-      spark.sharedState.cacheManager.clearCache()
+    // Host-health stamps around the dump (the Bench sentinel discipline,
+    // VERDICT r9 #8): a busy-phase dump can silently eat the driver's
+    // window; the pre/post seconds in the log are the quiet/busy evidence.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("CAST(xxhash64(id) AS DOUBLE) AS h")
+        .agg(org.apache.spark.sql.functions.sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    sentinelOnce() // codegen/JIT warmup of the sentinel kernel itself
+    val sentinelPre = Seq(sentinelOnce(), sentinelOnce()).min
+    System.err.println(f"[verify] sentinel_pre_sec=$sentinelPre%.3f cpus=$cpus " +
+      f"(quiet reference ~${0.12 * 32.0 / cpus.toInt}%.3f at this cpu count; " +
+      """>2.5x = degraded host phase)""")
+    val t0Dump = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      todo.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+            if (done.incrementAndGet() % threads.max(2) == 0)
+              spark.sharedState.cacheManager.clearCache()
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    spark.sharedState.cacheManager.clearCache()
+    val dumpSec = (System.nanoTime() - t0Dump) / 1e9
+    val sentinelPost = Seq(sentinelOnce(), sentinelOnce()).min
+    System.err.println(f"[verify] dump_sec=$dumpSec%.1f " +
+      f"sentinel_post_sec=$sentinelPost%.3f n_queries=${todo.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

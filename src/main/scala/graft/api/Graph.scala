@@ -103,22 +103,32 @@ object Graph {
     * Returns (id, community).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive: $checkpointEvery")
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
     var labels = und.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("lbl"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val adopted = und
         .join(labels.hint("shuffle_hash"), und("dst") === labels("id"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
         .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
-      labels = adopted
+      // Library contract: `iterations` is caller-chosen, and each round
+      // composes lazily on the previous — without a periodic cut a
+      // 50-round call plans a 50-deep tree with quadratic analyzer cost.
+      // Materializing every k rounds keeps planning O(k)-deep at the
+      // cost of one |nodes|-row materialization per cut; the final
+      // round stays lazy so a caller's downstream projection fuses.
+      labels =
+        if (i % checkpointEvery == 0 && i < iterations) adopted.localCheckpoint()
+        else adopted
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

@@ -61,10 +61,7 @@ object Stats {
       keyCols: Seq[String], valueCol: String, distinctCol: String,
       batchId: Long, lgK: Int = 12): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended)
       appendBatchStats(batch, path, keyCols, valueCol, distinctCol, batchId, lgK)
   }
@@ -149,10 +146,7 @@ object Stats {
       keyCol: String, batchId: Long, depth: Int = 4,
       width: Int = 2048): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended)
       cmsBuild(batch, keyCol, depth, width)
         .withColumn("batch_id", lit(batchId))
@@ -216,10 +210,7 @@ object Stats {
       binsPath: String, keyCol: String, valueCol: String, batchId: Long,
       bins: Int = 10): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(binsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(binsPath).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, binsPath, batchId)
     if (!alreadyAppended) {
       val edges = spark.read.parquet(refPath)
         .select(col(keyCol), col("lo"), col("hi")).distinct()
@@ -322,10 +313,7 @@ object Stats {
   def appendCatBatchIdempotent(batch: DataFrame, countsPath: String,
       keyCol: String, catCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(countsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, countsPath, batchId)
     if (!alreadyAppended)
       batch.groupBy(col(keyCol), col(catCol).as("cat"))
         .agg(count(lit(1)).as("cur_n"))
@@ -380,10 +368,7 @@ object Stats {
   def appendDailyCountsIdempotent(batch: DataFrame, countsPath: String,
       keyCol: String, dayCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(countsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, countsPath, batchId)
     if (!alreadyAppended) {
       batch.groupBy(col(keyCol).as("k"), col(dayCol).cast("long").as("day"))
         .agg(count(lit(1)).as("c"))
@@ -423,10 +408,7 @@ object Stats {
   def appendFirstSeenIdempotent(batch: DataFrame, path: String,
       keyCol: String, dayCol: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended) {
       batch.groupBy(col(keyCol).as("k"))
         .agg(min(col(dayCol).cast("long")).as("first_day"))

@@ -5588,10 +5588,7 @@ object EventOps {
   def appendDailyMaxIdempotent(batch: DataFrame, path: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended) {
       batch.groupBy(col("event_type"), col("day"))
         .agg(max(col("v_e2")).as("mx"))
@@ -6013,7 +6010,13 @@ object EventOps {
     }
     val per = rsForSize(3).unionByName(rsForSize(5)).unionByName(rsForSize(10))
       .localCheckpoint() // 3 rows
+    // A block size with zero surviving full blocks yields a NULL avg_rs
+    // row; count(*) would still include it in the fit's n/Σx while the
+    // null y silently drops from Σy/Σxy, skewing the slope on short
+    // series — so degenerate sizes are excluded BEFORE the moments, and
+    // a fit with fewer than 2 surviving points reports NULL hurst.
     val fit = per
+      .filter($"avg_rs".isNotNull && $"n_blocks" > 0)
       .select(round(log($"block_size".cast("double")) * 1e9).cast("long")
           .as("x"),
         round(log($"avg_rs") * 1e9).cast("long").as("y"))
@@ -6022,10 +6025,11 @@ object EventOps {
           .as("sxy"),
         sum($"x".cast(DecimalType(19, 0)) * $"x".cast(DecimalType(19, 0)))
           .as("sxx"))
-      .select(round(($"n" * $"sxy" - $"sx".cast(DecimalType(19, 0)) *
-        $"sy".cast(DecimalType(19, 0))).cast("double") /
-        ($"n" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
-          $"sx".cast(DecimalType(19, 0))).cast("double"), 6).as("hurst"))
+      .select(when($"n" >= 2,
+        round(($"n" * $"sxy" - $"sx".cast(DecimalType(19, 0)) *
+          $"sy".cast(DecimalType(19, 0))).cast("double") /
+          ($"n" * $"sxx" - $"sx".cast(DecimalType(19, 0)) *
+            $"sx".cast(DecimalType(19, 0))).cast("double"), 6)).as("hurst"))
     per.crossJoin(broadcast(fit))
       .select($"block_size", $"n_blocks", round($"avg_rs", 6).as("avg_rs"),
         $"hurst")
@@ -6073,12 +6077,13 @@ object EventOps {
       |  SELECT CAST(round(ln(CAST(block_size AS DOUBLE)) * 1e9) AS BIGINT)
       |      AS x,
       |    CAST(round(ln(avg_rs) * 1e9) AS BIGINT) AS y
-      |  FROM per),
+      |  FROM per WHERE avg_rs IS NOT NULL AND n_blocks > 0),
       |fit AS (
-      |  SELECT ROUND(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
+      |  SELECT CASE WHEN COUNT(*) >= 2 THEN
+      |    ROUND(CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * y)
       |      - CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE)
       |    / CAST(COUNT(*) * SUM(CAST(x AS HUGEINT) * x)
-      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE), 6) AS hurst
+      |      - CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE), 6) END AS hurst
       |  FROM t)
       |SELECT block_size, n_blocks, ROUND(avg_rs, 6) AS avg_rs, hurst
       |FROM per CROSS JOIN fit ORDER BY block_size""".stripMargin
@@ -6312,19 +6317,25 @@ object EventOps {
         'seasonal_naive', e_naive,
         'holt',           e_holt,
         'holt_winters',   e_hw) AS (method, e)""")
+    // MAPE is only defined where the actual is nonzero: a zero-cent day
+    // would yield Infinity → NULL after the decimal cast and silently
+    // vanish from the numerator while still counting in n_days. Guard
+    // explicitly: such days are excluded from BOTH the APE sum and its
+    // denominator (mape is NULL if no day qualifies).
     joined.groupBy($"method")
       .agg(count(lit(1)).as("n_days"),
         sum(abs($"e").cast(DecimalType(38, 6))).as("sae"),
         sum($"e".cast(DecimalType(19, 6)) * $"e".cast(DecimalType(19, 6)))
           .as("sse"),
-        sum(round(abs($"e") / $"cents", 9).cast(DecimalType(38, 9)))
-          .as("sape"),
+        sum(when($"cents" > 0, round(abs($"e") / $"cents", 9))
+          .cast(DecimalType(38, 9))).as("sape"),
+        sum(when($"cents" > 0, 1L).otherwise(0L)).as("n_mape"),
         sum(round(greatest($"e" * 0.9, $"e" * -0.1), 6)
           .cast(DecimalType(38, 6))).as("spin"))
       .select($"method", $"n_days",
         round($"sae".cast("double") / $"n_days" / 100.0, 4).as("mae"),
         round(sqrt($"sse".cast("double") / $"n_days") / 100.0, 4).as("rmse"),
-        round($"sape".cast("double") / $"n_days", 6).as("mape"),
+        round($"sape".cast("double") / $"n_mape", 6).as("mape"),
         round($"spin".cast("double") / $"n_days" / 100.0, 4).as("pinball90"))
       .orderBy($"method")
   }
@@ -6358,8 +6369,10 @@ object EventOps {
       |  ROUND(sqrt(CAST(SUM(CAST(e AS DECIMAL(19,6))
       |      * CAST(e AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*)) / 100.0, 4)
       |    AS rmse,
-      |  ROUND(CAST(SUM(CAST(ROUND(ABS(e) / cents, 9) AS DECIMAL(38,9)))
-      |    AS DOUBLE) / COUNT(*), 6) AS mape,
+      |  ROUND(CAST(SUM(CASE WHEN cents > 0
+      |      THEN CAST(ROUND(ABS(e) / cents, 9) AS DECIMAL(38,9)) END)
+      |    AS DOUBLE) / SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END), 6)
+      |    AS mape,
       |  ROUND(CAST(SUM(CAST(ROUND(GREATEST(e * 0.9, e * -0.1), 6)
       |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) / 100.0, 4) AS pinball90
       |FROM joined GROUP BY method ORDER BY method""".stripMargin

@@ -303,10 +303,7 @@ object ModelOps {
   def appendCalibrationBatchIdempotent(batch: DataFrame, path: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended) {
       calibrationBins(batch)
         .withColumn("batch_id", lit(batchId))

@@ -280,28 +280,6 @@ object StreamOps {
         keyCol, dayCol, batchId)
     }
 
-  /** Live sample-ratio-mismatch monitor, ingest side — the streaming
-    * twin of the q275 SRM audit, the alarm every experimentation
-    * platform wants DURING the ramp, not after: each micro-batch
-    * appends its per-user min first-day candidates (the same mergeable
-    * first-seen table as [[growthIngestStream]], replay-idempotent), so
-    * enrollment dedup across batches is a MIN merge, never user-level
-    * operator state. State: |users| × |batches| rows — never the
-    * events. Returns the configured writer; the caller sets
-    * checkpoint/trigger options and `.start()`.
-    */
-  /** Live probability-calibration monitor — the streaming twin of the
-    * q335 Brier/Murphy decomposition: each micro-batch reduces its
-    * (p, y) rows to decile-bin sufficient statistics (n, Σp, Σy,
-    * Σ(p−y)² — exact counts/decimals, sum-mergeable) and appends them
-    * replay-idempotently; [[graft.operators.ModelOps.brierReport]]
-    * sum-merges the bins and runs the SAME decomposition as the batch
-    * card, so stream == batch on identical data whatever the
-    * micro-batch boundaries. State: 10 bins × batches rows — never the
-    * scored events. Rows need `p` (double) and `y` (0/1 long) columns.
-    * Returns the configured writer; the caller sets checkpoint/trigger
-    * options and `.start()`.
-    */
   /** Live extreme-value monitor — the streaming twin of the q341
     * Gumbel/return-level card: each micro-batch reduces to per-
     * (type, day) MAX candidates (max-mergeable, so replays and
@@ -319,6 +297,18 @@ object StreamOps {
         batch.toDF(), path, batchId)
     }
 
+  /** Live probability-calibration monitor — the streaming twin of the
+    * q335 Brier/Murphy decomposition: each micro-batch reduces its
+    * (p, y) rows to decile-bin sufficient statistics (n, Σp, Σy,
+    * Σ(p−y)² — exact counts/decimals, sum-mergeable) and appends them
+    * replay-idempotently; [[graft.operators.ModelOps.brierReport]]
+    * sum-merges the bins and runs the SAME decomposition as the batch
+    * card, so stream == batch on identical data whatever the
+    * micro-batch boundaries. State: 10 bins × batches rows — never the
+    * scored events. Rows need `p` (double) and `y` (0/1 long) columns.
+    * Returns the configured writer; the caller sets checkpoint/trigger
+    * options and `.start()`.
+    */
   def calibrationIngestStream(values: DataFrame,
       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     values.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -326,6 +316,16 @@ object StreamOps {
         batch.toDF(), path, batchId)
     }
 
+  /** Live sample-ratio-mismatch monitor, ingest side — the streaming
+    * twin of the q275 SRM audit, the alarm every experimentation
+    * platform wants DURING the ramp, not after: each micro-batch
+    * appends its per-user min first-day candidates (the same mergeable
+    * first-seen table as [[growthIngestStream]], replay-idempotent), so
+    * enrollment dedup across batches is a MIN merge, never user-level
+    * operator state. State: |users| × |batches| rows — never the
+    * events. Returns the configured writer; the caller sets
+    * checkpoint/trigger options and `.start()`.
+    */
   def srmIngestStream(events: DataFrame, path: String, userCol: String,
       dayCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -368,10 +368,7 @@ object StreamOps {
   def cdcDiffIngestBatch(batch: DataFrame, batchId: Long, path: String,
       t1Nanos: Long): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended) {
       val key = concat(
         lpad(expr("ts div 1000").cast("string"), 20, "0"),
@@ -431,10 +428,7 @@ object StreamOps {
   def reconcileIngestBatch(batch: DataFrame, batchId: Long,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended) {
       graft.operators.EventOps.reconcilePartials(batch)
         .withColumn("batch_id", lit(batchId))
@@ -495,10 +489,7 @@ object StreamOps {
   def kAnonymityIngestBatch(batch: DataFrame, batchId: Long,
       countsPath: String, qiCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(countsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(countsPath).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, countsPath, batchId)
     if (!alreadyAppended)
       batch.groupBy(qiCols.map(col): _*)
         .agg(count(lit(1)).as("cur_n"))
@@ -546,10 +537,7 @@ object StreamOps {
   def stratifiedSampleIngestBatch(batch: DataFrame, batchId: Long,
       path: String, strataCol: String, idCol: String, k: Int): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended)
       graft.api.Sampling.stratifiedSample(batch, strataCol, idCol, k)
         .drop("sample_rank")
@@ -596,10 +584,7 @@ object StreamOps {
   def conformalIngestBatch(batch: DataFrame, batchId: Long, path: String,
       groupCol: String, idCol: String, residualCol: String, k: Int): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val alreadyAppended = fs.exists(p) &&
-      !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
+    val alreadyAppended = graft.Util.batchAlreadyApplied(spark, path, batchId)
     if (!alreadyAppended)
       graft.api.Sampling.stratifiedSample(
           batch.select(col(groupCol), col(idCol), col(residualCol)),
