@@ -84,15 +84,25 @@ object Util {
     * that died before its first commit) reads as "not applied" instead
     * of throwing — the bare `spark.read.parquet` would otherwise fail
     * on every retry and permanently wedge the foreachBatch stream that
-    * owns the state.
+    * owns the state. ONLY that schema-inference/empty-dir
+    * AnalysisException is swallowed: any other read failure (transient
+    * IO, a corrupt file alongside committed data) rethrows and fails
+    * the batch, because answering "not applied" there would re-append
+    * rows that may already be committed and double-count every
+    * sum-merged table downstream.
     */
   def batchAlreadyApplied(spark: SparkSession, path: String,
       batchId: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && scala.util.Try(
+    fs.exists(p) && (try {
       !spark.read.parquet(path).filter(col("batch_id") === batchId).isEmpty
-    ).getOrElse(false)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            (e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getErrorClass.contains("PATH_NOT_FOUND")) => false
+    })
   }
 
   /** TIMESTAMP_NTZ literal (the testdata date columns are NTZ). */

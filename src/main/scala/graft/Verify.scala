@@ -53,11 +53,17 @@ object Verify {
         .agg(org.apache.spark.sql.functions.sum("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    sentinelOnce() // codegen/JIT warmup of the sentinel kernel itself
-    val sentinelPre = Seq(sentinelOnce(), sentinelOnce()).min
-    System.err.println(f"[verify] sentinel_pre_sec=$sentinelPre%.3f cpus=$cpus " +
-      f"(quiet reference ~${0.12 * 32.0 / cpus.toInt}%.3f at this cpu count; " +
-      """>2.5x = degraded host phase)""")
+    // Host-health evidence matters on the driver's full run, not on a
+    // single-query local iteration — skip the ~5 s of fixed sentinel
+    // cost when a query subset was requested.
+    val runSentinel = only.isEmpty
+    if (runSentinel) {
+      sentinelOnce() // codegen/JIT warmup of the sentinel kernel itself
+      val sentinelPre = Seq(sentinelOnce(), sentinelOnce()).min
+      System.err.println(f"[verify] sentinel_pre_sec=$sentinelPre%.3f cpus=$cpus " +
+        f"(quiet reference ~${0.12 * 32.0 / cpus.toInt}%.3f at this cpu count; " +
+        """>2.5x = degraded host phase)""")
+    }
     val t0Dump = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -70,17 +76,26 @@ object Verify {
             catch { case e: Throwable =>
               System.err.println(s"[verify] $name failed: ${e.getMessage}")
             }
+            // Try: a cache-clear hiccup must read like a per-query
+            // failure, not propagate through Future.get() and abort the
+            // remaining dumps + the oracle_sql.json write.
             if (done.incrementAndGet() % threads.max(2) == 0)
-              spark.sharedState.cacheManager.clearCache()
+              scala.util.Try(spark.sharedState.cacheManager.clearCache())
+                .failed.foreach(e => System.err.println(
+                  s"[verify] clearCache failed (ignored): ${e.getMessage}"))
           }
         })
       }.foreach(_.get())
     } finally pool.shutdown()
     spark.sharedState.cacheManager.clearCache()
     val dumpSec = (System.nanoTime() - t0Dump) / 1e9
-    val sentinelPost = Seq(sentinelOnce(), sentinelOnce()).min
-    System.err.println(f"[verify] dump_sec=$dumpSec%.1f " +
-      f"sentinel_post_sec=$sentinelPost%.3f n_queries=${todo.size}")
+    if (runSentinel) {
+      val sentinelPost = Seq(sentinelOnce(), sentinelOnce()).min
+      System.err.println(f"[verify] dump_sec=$dumpSec%.1f " +
+        f"sentinel_post_sec=$sentinelPost%.3f n_queries=${todo.size}")
+    } else {
+      System.err.println(f"[verify] dump_sec=$dumpSec%.1f n_queries=${todo.size}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
