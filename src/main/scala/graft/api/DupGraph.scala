@@ -1,0 +1,156 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-duplicate graph — the verified edge list of a corpus,
+  * derived ONCE and stored, so every downstream graph analytics pass
+  * (components, PageRank, label propagation, onion peeling, modularity,
+  * assortativity, triangle counts, contamination reach, …) reads a
+  * parquet table instead of re-running the pairwise similarity pipeline.
+  *
+  * At 100 TB the candidate-generation + verify pass is by far the
+  * dominant cost of any dup-graph question — orders of magnitude more
+  * than any edge-linear graph algorithm that follows — and an analytics
+  * session asks MANY graph questions of the same corpus snapshot. This
+  * artifact is the boundary that makes that economical: pay the pairwise
+  * pass once per corpus snapshot, then every card is a scan of an edge
+  * table that is orders of magnitude smaller than the corpus (near-dup
+  * pairs only).
+  *
+  * Layout under `path`:
+  *   - `edges/` — (id_a, id_b, n_inter, jaccard), id_a < id_b, one row
+  *     per verified pair with exact Jaccard ≥ the build `tau`;
+  *     hash-distributed by id_a and SORTED by (id_a, id_b) within files
+  *     so per-id probes prune row groups via min/max stats.
+  *   - `degrees/` — (id, degree) at the build threshold (the
+  *     undirected degree; each edge contributes to both endpoints),
+  *     derived from the WRITTEN edge files, never from a re-derivation.
+  *   - `meta/` — 1 row: method ("lsh" | "ppjoin"), tau (the admission
+  *     floor — edges below it are NOT stored), shingle_n, n_edges,
+  *     n_nodes. Reads fail loudly on a missing/corrupt meta (the debris
+  *     of a crashed build) instead of serving a partial edge list.
+  *
+  * Stored `jaccard` is the same exact-integer-division double both
+  * derivation paths compute, so `readEdges(path, minJaccard = τ')` for
+  * any τ' ≥ tau returns BIT-IDENTICAL pairs to re-deriving at τ'
+  * directly (both [[Dedup.lshCandidatePairs]]-verify and
+  * [[Dedup.ppJoinPairs]] are exact joins above their threshold) — one
+  * artifact built at the loosest threshold a session needs serves every
+  * stricter question. Parity is pinned by the ApiSpec
+  * artifact==derivation tests and graded end-to-end by the q362 build
+  * card's DuckDB oracle.
+  *
+  * Writes follow the aside-rename protocol of the IVF and MinHash-band
+  * indexes ([[Similarity.compactIvfCells]], [[TextIndex.compactMinhashBands]]):
+  * the artifact is assembled in a `__building` sibling (meta written
+  * LAST) and swapped in with two renames, so `path` only ever holds a
+  * complete artifact or the previous one — never a mix.
+  */
+object DupGraph {
+
+  /** The artifact's identity row. */
+  final case class Meta(method: String, tau: Double, shingleN: Int,
+      nEdges: Long, nNodes: Long)
+
+  /** Derive the verified edge list and persist it at `path` (replacing
+    * any existing artifact there, crash-safely). `method`:
+    *   - "lsh"    — MinHash-LSH candidates verified to exact shingle
+    *                Jaccard ≥ tau ([[Dedup.lshCandidatePairs]]); subject
+    *                to the hot-bucket cap, like every LSH consumer.
+    *   - "ppjoin" — exact set-similarity self-join over distinct token
+    *                sets at tau ([[Dedup.ppJoinPairs]]); no recall caveat.
+    * The derivation runs inside a [[Dedup.cacheScope]], so its cached
+    * intermediates release when the build completes.
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+      tau: Double, method: String = "lsh", shingleN: Int = 4,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Meta = {
+    require(method == "lsh" || method == "ppjoin",
+      s"unknown dup-graph method: $method (want lsh | ppjoin)")
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val building = new org.apache.hadoop.fs.Path(s"${path}__building")
+    fs.delete(building, true) // leftovers of a crashed build
+    val meta = Dedup.cacheScope {
+      val edges = (method match {
+        case "lsh" =>
+          Dedup.lshCandidatePairs(docs, idCol, textCol, shingleN, maxBucketSize)
+            .filter(col("jaccard") >= tau)
+        case "ppjoin" => Dedup.ppJoinPairs(docs, idCol, textCol, tau)
+      }).select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      edges
+        .repartition(col("id_a"))
+        .sortWithinPartitions(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(s"$building/edges")
+      // degrees + counts from the WRITTEN files — the artifact audits
+      // itself, a derivation/write divergence cannot hide in meta
+      val written = spark.read.parquet(s"$building/edges")
+      val deg = written.select(col("id_a").as("id"))
+        .unionAll(written.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      deg.repartition(col("id")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").parquet(s"$building/degrees")
+      val counts = spark.read.parquet(s"$building/degrees")
+        .agg(coalesce(sum(col("degree")), lit(0L)).as("deg2"),
+          count(lit(1)).as("n_nodes")).head()
+      Meta(method, tau, shingleN, counts.getAs[Long]("deg2") / 2L,
+        counts.getAs[Long]("n_nodes"))
+    }
+    import spark.implicits._
+    Seq((meta.method, meta.tau, meta.shingleN, meta.nEdges, meta.nNodes))
+      .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$building/meta")
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    fs.delete(old, true)
+    if (fs.exists(dest)) require(fs.rename(dest, old),
+      s"writeDupGraph: cannot move existing $dest aside")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(building, dest),
+      s"writeDupGraph: cannot move build into $dest")
+    fs.delete(old, true)
+    meta
+  }
+
+  /** The stored identity row; fails loudly on a missing/ambiguous meta. */
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.length == 1, s"dup-graph meta corrupt at $path/meta")
+    val r = rows.head
+    Meta(r.getAs[String]("method"), r.getAs[Double]("tau"),
+      r.getAs[Int]("shingle_n"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_nodes"))
+  }
+
+  /** Stored verified edges with exact Jaccard ≥ `minJaccard`:
+    * (id_a, id_b, n_inter, jaccard), id_a < id_b. `minJaccard` must be
+    * at or above the build threshold — below it the artifact has no
+    * edges to serve and a silent partial answer would be wrong.
+    */
+  def readEdges(spark: SparkSession, path: String,
+      minJaccard: Double = 0.0): DataFrame = {
+    val m = readMeta(spark, path)
+    require(minJaccard >= m.tau - 1e-12,
+      f"dup-graph at $path stores edges at tau=${m.tau}%.3f; " +
+        f"cannot serve minJaccard=$minJaccard%.3f below it")
+    spark.read.parquet(s"$path/edges").filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Node degrees: the stored table when `minJaccard` is the build
+    * threshold, else one count-aggregate over the filtered edges (the
+    * edge table is near-dup pairs only — ≪ corpus — so the recount is a
+    * narrow scan, not a pipeline re-run).
+    */
+  def readDegrees(spark: SparkSession, path: String,
+      minJaccard: Double = 0.0): DataFrame = {
+    val m = readMeta(spark, path)
+    if (minJaccard <= m.tau) spark.read.parquet(s"$path/degrees")
+    else {
+      val e = readEdges(spark, path, minJaccard)
+      e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    }
+  }
+}

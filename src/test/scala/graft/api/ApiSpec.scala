@@ -1666,4 +1666,69 @@ class ApiSpec extends SparkSpec {
     assert(graft.api.TextIndex.searchMinhashIndex(spark, dir, probes,
       "doc_id", "text", minEstJaccard = 1.0).count() > 0)
   }
+
+  test("DupGraph: artifact equals derivation for both methods; stricter reads filter the stored jaccard") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id".as("k"), $"text".as("body"))
+    def pairKey(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a".cast("long"), $"id_b".cast("long"), $"n_inter",
+        round($"jaccard", 12)).as[(Long, Long, Long, Double)].collect().toSet
+
+    // LSH artifact at tau 0.0 == every verified candidate
+    val lshDir = tmpDir("dupgraph_lsh") + "/g"
+    val lshMeta = DupGraph.write(docs, "k", "body", lshDir, 0.0, "lsh")
+    val lshDirect = Dedup.lshCandidatePairs(docs, "k", "body")
+    assert(pairKey(DupGraph.readEdges(spark, lshDir)) === pairKey(lshDirect))
+    assert(lshMeta.nEdges === lshDirect.count())
+    // stricter read == re-derivation at the stricter tau
+    assert(pairKey(DupGraph.readEdges(spark, lshDir, 0.5)) ===
+      pairKey(lshDirect.filter($"jaccard" >= 0.5)))
+
+    // PPJoin artifact at 0.8; a 0.95 read == ppJoinPairs(0.95)
+    val ppDir = tmpDir("dupgraph_pp") + "/g"
+    DupGraph.write(docs, "k", "body", ppDir, 0.8, "ppjoin")
+    assert(pairKey(DupGraph.readEdges(spark, ppDir, 0.8)) ===
+      pairKey(Dedup.ppJoinPairs(docs, "k", "body", 0.8)))
+    assert(pairKey(DupGraph.readEdges(spark, ppDir, 0.95)) ===
+      pairKey(Dedup.ppJoinPairs(docs, "k", "body", 0.95)))
+
+    // degrees table: matches a recount over the stored edges
+    val e = DupGraph.readEdges(spark, lshDir)
+    val want = e.select($"id_a".as("id")).unionAll(e.select($"id_b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+      .as[(Long, Long)].collect().toSet
+    assert(DupGraph.readDegrees(spark, lshDir)
+      .as[(Long, Long)].collect().toSet === want)
+
+    // reading below the stored admission floor must fail loudly, not
+    // silently serve a partial graph
+    val err = intercept[IllegalArgumentException] {
+      DupGraph.readEdges(spark, ppDir, 0.5)
+    }
+    assert(err.getMessage.contains("tau"))
+
+    // meta audit: node count is the distinct endpoint count
+    val m = DupGraph.readMeta(spark, lshDir)
+    assert(m.nNodes === e.select($"id_a").unionAll(e.select($"id_b"))
+      .distinct().count())
+    assert(m.method === "lsh" && m.shingleN === 4)
+  }
+
+  test("DupGraph: rewrite at the same path swaps atomically and serves the new corpus") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id".as("k"), $"text".as("body"))
+    val dir = tmpDir("dupgraph_swap") + "/g"
+    DupGraph.write(docs.filter($"k" % 2 === 0), "k", "body", dir, 0.0, "lsh")
+    val oldEdges = DupGraph.readEdges(spark, dir).count()
+    // overwrite with the full corpus: same path, new content
+    val meta2 = DupGraph.write(docs, "k", "body", dir, 0.0, "lsh")
+    assert(DupGraph.readEdges(spark, dir).count() === meta2.nEdges)
+    assert(meta2.nEdges >= oldEdges)
+    // no __building / __old debris after a clean swap
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith("__building") || f.getName.endsWith("__old")))
+  }
 }

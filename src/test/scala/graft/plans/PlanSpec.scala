@@ -795,6 +795,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph cards read the persisted dup-graph artifact, not a re-derivation") {
+    // The 100 TB contract of round 11's migration: a graph analytics
+    // card's submitted plan starts at the artifact's edge parquet —
+    // no shingle/token explode (Generate) and no minhash/banding
+    // re-derivation may appear downstream of the stored edges. q177
+    // (label-prop) and q234 (onion peel) cover the ppjoin and lsh
+    // artifacts; q180 (threshold fan) covers an untrimmed tau-0 read.
+    for ((name, df) <- Seq(
+        "q177" -> graft.operators.DedupOps.q177LabelPropCommunities(spark, sf),
+        "q234" -> graft.operators.DedupOps.q234OnionLayers(spark, sf),
+        "q180" -> graft.operators.DedupOps.q180DedupThresholdCurve(spark, sf))) {
+      val p = planOf(df)
+      // q177's labelPropagation localCheckpoints the artifact read, so
+      // its submitted plan starts at the materialized edges (ExistingRDD)
+      // — either way the artifact path or its checkpoint is the leaf
+      assert(p.contains("graft_dupgraph_") || p.contains("ExistingRDD"),
+        s"$name must scan the persisted dup-graph artifact:\n${p.take(2000)}")
+      assert(!p.contains("textShingles") && !p.contains("minhash"),
+        s"$name must not re-derive signatures downstream of the artifact:\n${p.take(2000)}")
+    }
+  }
+
   test("q301: member pairs are cluster-keyed; the verify join never crosses candidates") {
     val p = planOf(graft.operators.DedupOps.q301ChainingAudit(spark, sf))
     assert(!p.contains("CartesianProduct"),
