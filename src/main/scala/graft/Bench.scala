@@ -150,7 +150,45 @@ object Bench {
     // across rounds, not value. Clamped below at 1: a quieter-than-
     // reference moment must not inflate the estimate.
     val normalized = total / math.max(1.0, sentinelRatio)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"failures":$failedJson,"queries":$qs,"query_sentinels":$qsent,"sf":"$sfDir"}"""
+    // Per-query regression gate against the PREVIOUS recorded full-suite
+    // artifact: each query's sentinel-normalized time (value / its own
+    // micro-ratio — the matched-moment comparison) vs the same field in
+    // the last BENCH_SELF.json. >2x slower AND >0.5 s absolute flags a
+    // regression; the absolute floor keeps sub-second queries' fixed
+    // scheduling jitter out of the list. Cross-run host-phase noise is
+    // already divided out by the per-sample sentinels, so survivors are
+    // plan changes, not weather.
+    def parseMap(json: String, field: String): Map[String, Double] =
+      (s""""$field":\\{([^}]*)\\}""".r.findFirstMatchIn(json) match {
+        case Some(m) => s""""([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        case None => Map.empty[String, Double]
+      })
+    val regressions: Seq[(String, Double, Double)] =
+      if (args.nonEmpty) Nil // subset probes have no comparable artifact
+      else scala.util.Try {
+        val prev = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_SELF.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // cross-SF comparisons are meaningless — only diff same-SF runs
+        require(prev.contains(s""""sf":"$sfDir""""))
+        val prevQ = parseMap(prev, "queries")
+        val prevS = parseMap(prev, "query_sentinels")
+        results.flatMap { case (name, (v, r)) =>
+          (prevQ.get(name), prevS.get(name)) match {
+            case (Some(pv), ps) if pv >= 0 && v >= 0 =>
+              val prevN = pv / math.max(1.0, ps.getOrElse(1.0))
+              val nowN = v / math.max(1.0, r)
+              if (nowN > 2.0 * prevN && nowN - prevN > 0.5)
+                Some((name, prevN, nowN))
+              else None
+            case _ => None
+          }
+        }
+      }.getOrElse(Nil)
+    val regJson = regressions.sortBy(-_._3).map { case (n, p, c) =>
+      f"""{"q":"$n","prev":$p%.3f,"now":$c%.3f}""" }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"failures":$failedJson,"regressions":$regJson,"queries":$qs,"query_sentinels":$qsent,"sf":"$sfDir"}"""
     println(line)
     // The driver captures sbt's stdout TAIL, which has truncated the head
     // of this single long line two rounds running (BENCH_r0{4,5}.json:
@@ -168,7 +206,7 @@ object Bench {
     // a tail capture that parses its final line gets the graded fields
     // (total/normalized/degraded/failures) even when the full line is
     // head-truncated; the per-query map lives in BENCH_SELF.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"n_queries":${order.size},"failures":$failedJson,"queries_file":"BENCH_SELF.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"n_queries":${order.size},"failures":$failedJson,"regressions":$regJson,"queries_file":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1776,11 +1776,13 @@ object SimilarityOps {
   }
 
   /** q318: top principal component by power iteration — the spectral
-    * upgrade of [[q196EmbedCovariance]]: the 64×64 covariance (upper
-    * triangle from one vec_id-co-partitioned self-join of the exploded
-    * embedding frame — the `table()` spread key means NO extra shuffle —
-    * entries rounded to the 1e-6 grid, q196's determinism contract)
-    * collapses to a BOUNDED 2 080-row frame, so the 12-step power
+    * upgrade of [[q196EmbedCovariance]], and since round 11 it computes
+    * the 64×64 covariance the SAME way q196 does: one narrow scan with
+    * `element_at` projections folding all d(d+1)/2 = 2 080 co-moments
+    * (plus 64 means and the count) in a single map-side-combinable
+    * aggregate — no row explode, no self-join, no rows × d² shuffle.
+    * Entries round to the 1e-6 grid (q196's determinism contract) and
+    * collapse to a BOUNDED 2 080-row frame, so the 12-step power
     * iteration folds on the driver (the quantile-engine precedent: a
     * driver loop over a bounded frame beats 12 micro-shuffle rounds of
     * scheduler latency). Every mat-vec term and every norm term snaps to
@@ -1789,22 +1791,36 @@ object SimilarityOps {
     * variance share λ₁/trace, and the loadings are bit-identical to the
     * oracle's 12 unrolled SQL iterations. Sign fixed by the dominant
     * loading; card = top-5 |loading| dims. At 100 TB only the covariance
-    * pass touches data — the iteration cost is dim², independent of rows.
+    * pass touches data — one scan, aggregation state dim² and
+    * row-count-independent; the iteration cost is dim² on the driver.
     */
+  /** q318's distributed stage alone — the (i, j, c) upper-triangle
+    * covariance on the 1e-6 grid from ONE embeddings scan (exposed so
+    * PlanSpec can lock the join-free shape; the card collects this
+    * bounded frame and iterates on the driver).
+    */
+  private[graft] def q318CovarianceFrame(spark: SparkSession, dir: String,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val proj = table(spark, dir, "embeddings")
+      .select((0 until dim).map(i =>
+        element_at($"embedding", i + 1).cast("double").as(s"x$i")): _*)
+    val pairAggs =
+      (for { i <- 0 until dim; j <- i until dim }
+        yield sum(col(s"x$i") * col(s"x$j")).as(s"s_${i}_$j")) ++
+        (0 until dim).map(i => sum(col(s"x$i")).as(s"m_$i")) :+
+        count(lit(1)).as("n")
+    val entries = (for { i <- 0 until dim; j <- i until dim } yield
+      s"CAST($i AS INT), CAST($j AS INT), " +
+        s"ROUND(s_${i}_$j / n - (m_$i / n) * (m_$j / n), 6)").mkString(", ")
+    proj.agg(pairAggs.head, pairAggs.tail: _*)
+      .selectExpr(s"stack(${dim * (dim + 1) / 2}, $entries) as (i, j, c)")
+  }
+
   def q318PcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = 64; val steps = 12
-    val e = table(spark, dir, "embeddings")
-      .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
-      .select($"vec_id", $"i", $"x".cast("double").as("x"))
-    val cov = e.as("a").join(e.as("b"),
-        $"a.vec_id" === $"b.vec_id" && $"a.i" <= $"b.i")
-      .groupBy($"a.i".as("i"), $"b.i".as("j"))
-      .agg(count(lit(1)).as("n"), sum($"a.x").as("si"),
-        sum($"b.x").as("sj"), sum($"a.x" * $"b.x").as("sij"))
-      .select($"i", $"j",
-        round($"sij" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6).as("c"))
-      .collect()
+    val cov = q318CovarianceFrame(spark, dir, dim).collect()
     val m = Array.ofDim[Double](dim, dim)
     cov.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))

@@ -817,6 +817,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q196/q318: covariance folds in ONE scan — no explode, no self-join, no rows × d² shuffle") {
+    for ((name, df) <- Seq(
+        "q196" -> graft.operators.SimilarityOps.q196EmbedCovariance(spark, sf),
+        // the card itself collects and iterates on the driver; its
+        // distributed stage is the exposed covariance frame
+        "q318" -> graft.operators.SimilarityOps.q318CovarianceFrame(spark, sf))) {
+      val p = planOf(df)
+      assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
+        s"$name must read embeddings exactly once:\n${p.take(1500)}")
+      // A Generate is only legal ABOVE the aggregate (the stack unpivot
+      // of the one-row moment result); in formatted output parents print
+      // first, so a data-exploding Generate would appear after the
+      // aggregates, next to the scan.
+      val gen = p.indexOf("Generate")
+      assert(gen < 0 || gen < p.indexOf("HashAggregate"),
+        s"$name must not explode the embedding array below the aggregate:\n${p.take(1500)}")
+      assert(!p.toLowerCase.contains("sortmergejoin") &&
+        !p.contains("ShuffledHashJoin"),
+        s"$name must not self-join the exploded frame:\n${p.take(1500)}")
+    }
+  }
+
   test("q301: member pairs are cluster-keyed; the verify join never crosses candidates") {
     val p = planOf(graft.operators.DedupOps.q301ChainingAudit(spark, sf))
     assert(!p.contains("CartesianProduct"),
