@@ -65,7 +65,8 @@ object DupGraph {
     */
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
       tau: Double, method: String = "lsh", shingleN: Int = 4,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): Meta = {
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      storeDocs: Boolean = false): Meta = {
     require(method == "lsh" || method == "ppjoin",
       s"unknown dup-graph method: $method (want lsh | ppjoin)")
     val spark = docs.sparkSession
@@ -79,11 +80,19 @@ object DupGraph {
           Dedup.lshCandidatePairs(docs, idCol, textCol, shingleN, maxBucketSize)
             .filter(col("jaccard") >= tau)
         case "ppjoin" => Dedup.ppJoinPairs(docs, idCol, textCol, tau)
-      }).select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      }).select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"),
+        // base-build rows carry batch_id -1; the incremental ingest
+        // ([[ingestBatch]]) tags its appends with the real micro-batch
+        // id, which is what makes replayed appends detectable
+        lit(-1L).as("batch_id"))
       edges
         .repartition(col("id_a"))
         .sortWithinPartitions(col("id_a"), col("id_b"))
         .write.mode("overwrite").parquet(s"$building/edges")
+      if (storeDocs)
+        docs.select(col(idCol).as("id"), col(textCol).as("text"),
+            lit(-1L).as("batch_id"))
+          .write.mode("overwrite").parquet(s"$building/docs")
       // degrees + counts from the WRITTEN files — the artifact audits
       // itself, a derivation/write divergence cannot hide in meta
       val written = spark.read.parquet(s"$building/edges")
@@ -136,6 +145,7 @@ object DupGraph {
       f"dup-graph at $path stores edges at tau=${m.tau}%.3f; " +
         f"cannot serve minJaccard=$minJaccard%.3f below it")
     spark.read.parquet(s"$path/edges").filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
   /** Node degrees: the stored table when `minJaccard` is the build
@@ -152,5 +162,120 @@ object DupGraph {
       e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     }
+  }
+
+  /** One REPLAY-SAFE micro-batch of incremental graph maintenance over
+    * an artifact built with `storeDocs = true` (LSH method only — the
+    * banding index is what makes new-vs-corpus candidate generation an
+    * equi-join; a PPJoin graph has no incremental shortcut): derive the
+    * batch's new edges (batch×batch from one LSH pass over the batch,
+    * plus batch×corpus via [[Dedup.lshCandidatePairsAgainst]] — the
+    * corpus-so-far text lives in the artifact's `docs/` store), filter
+    * to the artifact's admission tau, and append both the edges and the
+    * batch's docs batch_id-idempotently: each append is skipped when
+    * `edges/` / `docs/` already holds a COMMITTED row for this batchId
+    * (the [[graft.Util.batchAlreadyApplied]] discipline), so a replayed
+    * batch re-derives the identical edge set against the identical
+    * corpus-so-far and appends nothing twice.
+    *
+    * Equivalence contract: after batches B1..Bn the edge set equals the
+    * batch build over the union corpus, because "a shares a band bucket
+    * with b" is a pairwise property — each pair is examined exactly once,
+    * when its later member arrives. The one divergence is the hot-bucket
+    * cap, which the incremental path applies per arrival snapshot rather
+    * than over the final corpus (a bucket can cross the cap mid-stream);
+    * at the default cap that affects only degenerate template buckets,
+    * and the parity spec pins the uncapped agreement.
+    *
+    * `degrees/` and `meta/` are NOT maintained per batch — call
+    * [[refreshStats]] after an ingest session (at 100 TB a per-batch
+    * full-degree rewrite would dominate the ingest; the recount is one
+    * aggregate over the edge table, priced when it is needed).
+    *
+    * @return the batch's newly admitted edges (id_a, id_b, n_inter,
+    *         jaccard) — what a monitoring sink wants to see
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, path: String,
+      idCol: String, textCol: String,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, path)
+    require(m.method == "lsh",
+      s"incremental dup-graph maintenance needs an lsh artifact; $path is ${m.method}")
+    val docsPath = s"$path/docs"
+    require(new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(docsPath)),
+      s"dup-graph at $path has no docs store; build it with storeDocs = true")
+    val newDocs = batch.select(col(idCol), col(textCol)).localCheckpoint()
+    val edges = Dedup.cacheScope {
+      // corpus-so-far, defensively excluding the batch's own ids (a
+      // replay can observe its docs already appended when the batch
+      // produced no edges — pairing the batch against itself through
+      // the corpus would double the batch-internal pairs)
+      val corpus = spark.read.parquet(docsPath)
+        .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .select(col("id").as(idCol), col("text").as(textCol))
+      val nn = Dedup.lshCandidatePairs(newDocs, idCol, textCol, m.shingleN,
+          maxBucketSize)
+        .filter(col("jaccard") >= m.tau)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      val no = Dedup.lshCandidatePairsAgainst(newDocs, corpus, idCol, textCol,
+          m.shingleN, maxBucketSize)
+        .filter(col("jaccard") >= m.tau)
+        .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+          greatest(col("new_id"), col("corpus_id")).as("id_b"),
+          col("n_inter"), col("jaccard"))
+      nn.unionAll(no).withColumn("batch_id", lit(batchId)).localCheckpoint()
+    }
+    if (!graft.Util.batchAlreadyApplied(spark, s"$path/edges", batchId) &&
+        !edges.isEmpty)
+      edges.write.mode("append").parquet(s"$path/edges")
+    if (!graft.Util.batchAlreadyApplied(spark, docsPath, batchId))
+      newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(docsPath)
+    edges.select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** Recompute `degrees/` and `meta/` from the CURRENT edge table (the
+    * post-ingest refresh): each lands via the same build-aside + rename
+    * swap as [[write]], so concurrent readers see the old stats or the
+    * new ones, never a partial rewrite.
+    */
+  def refreshStats(spark: SparkSession, path: String): Meta = {
+    val m = readMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(sub: String)(writeTo: String => Unit): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__building")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(tmp, true); fs.delete(old, true)
+      writeTo(tmp.toString)
+      if (fs.exists(dest)) require(fs.rename(dest, old),
+        s"refreshStats: cannot move $dest aside")
+      require(fs.rename(tmp, dest), s"refreshStats: cannot swap in $dest")
+      fs.delete(old, true)
+    }
+    val e = readEdges(spark, path, m.tau).localCheckpoint()
+    swapIn("degrees") { tmp =>
+      e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .repartition(col("id")).sortWithinPartitions(col("id"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val counts = spark.read.parquet(s"$path/degrees")
+      .agg(coalesce(sum(col("degree")), lit(0L)).as("deg2"),
+        count(lit(1)).as("n_nodes")).head()
+    val fresh = m.copy(nEdges = counts.getAs[Long]("deg2") / 2L,
+      nNodes = counts.getAs[Long]("n_nodes"))
+    import spark.implicits._
+    swapIn("meta") { tmp =>
+      Seq((fresh.method, fresh.tau, fresh.shingleN, fresh.nEdges, fresh.nNodes))
+        .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    fresh
   }
 }

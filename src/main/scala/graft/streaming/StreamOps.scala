@@ -1402,6 +1402,29 @@ object StreamOps {
           embCol, threshold), batchId)
     }
 
+  /** Continuous incremental maintenance of a persisted near-dup graph
+    * ([[graft.api.DupGraph]], built with `storeDocs = true`) — the
+    * live twin of the q362 batch build: every micro-batch of arriving
+    * documents is LSH-signed, paired batch×batch and batch×corpus-so-far
+    * (the artifact's own docs store — the graph IS the state, no state
+    * store), verified to exact Jaccard ≥ the artifact's tau, and the
+    * new edges + the batch's docs appended batch_id-idempotently
+    * ([[graft.api.DupGraph.ingestBatch]]'s replay contract). Graph
+    * analytics sessions keep reading the same artifact and see each
+    * batch's edges as soon as its append commits; run
+    * [[graft.api.DupGraph.refreshStats]] after an ingest session to
+    * bring `degrees/`/`meta/` up to date. `sink` receives
+    * (newEdges, batchId).
+    */
+  def dupGraphIngestStream(batches: DataFrame, graphPath: String,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.api.DupGraph.ingestBatch(batch.toDF(), batchId, graphPath,
+          idCol, textCol), batchId)
+    }
+
   /** Continuous DSIR admission gate — the quality counterpart of
     * [[semanticDedupIngestStream]]'s dedup gate: every micro-batch of
     * incoming documents is scored against a bucket table trained ONCE

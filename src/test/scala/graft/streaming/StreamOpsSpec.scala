@@ -371,6 +371,64 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ingest_log").count() === logBefore)
   }
 
+  test("dupGraphIngestStream: streamed edges equal the batch-built graph; replay appends once") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    // reference: one batch build over the full corpus
+    val batchDir = java.nio.file.Files.createTempDirectory("dg_batch").toString + "/g"
+    graft.api.DupGraph.write(docs, "doc_id", "text", batchDir, 0.5, "lsh")
+    def edgeSet(path: String) =
+      graft.api.DupGraph.readEdges(spark, path, 0.5)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    // streamed: base third at build time, two thirds arriving live
+    val streamDir = java.nio.file.Files.createTempDirectory("dg_stream").toString + "/g"
+    graft.api.DupGraph.write(docs.filter($"doc_id" % 3 === 0),
+      "doc_id", "text", streamDir, 0.5, "lsh", storeDocs = true)
+    def third(r: Long): Seq[Doc] = docs.filter($"doc_id" % 3 === r)
+      .as[(Long, String)].collect().toSeq.map { case (id, tx) => Doc(t(1), id, tx) }
+    val edgesByBatch = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.dupGraphIngestStream(mem.toDF(), streamDir,
+        "doc_id", "text") { (newEdges, batchId) =>
+      edgesByBatch.synchronized {
+        edgesByBatch(batchId) = newEdges.select($"id_a", $"id_b")
+          .as[(Long, Long)].collect().toSet
+      }
+    }.start()
+    mem.addData(third(1): _*)
+    q.processAllAvailable()
+    mem.addData(third(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // stream == batch: each pair examined exactly once, when its later
+    // member arrives
+    assert(edgeSet(streamDir) === edgeSet(batchDir))
+    assert((edgesByBatch(0L) ++ edgesByBatch(1L)).subsetOf(edgeSet(batchDir)))
+
+    // replay batch 1 via the public batch function: identical edge set
+    // re-derived, nothing appended twice
+    val before = spark.read.parquet(s"$streamDir/edges").count()
+    val replayed = graft.api.DupGraph.ingestBatch(
+      third(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      1L, streamDir, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(replayed === edgesByBatch(1L))
+    assert(spark.read.parquet(s"$streamDir/edges").count() === before,
+      "a replayed batchId must not append again")
+
+    // refreshStats brings degrees/meta to the batch build's truth
+    val fresh = graft.api.DupGraph.refreshStats(spark, streamDir)
+    val want = graft.api.DupGraph.readMeta(spark, batchDir)
+    assert(fresh.nEdges === want.nEdges && fresh.nNodes === want.nNodes)
+    assert(graft.api.DupGraph.readDegrees(spark, streamDir)
+      .as[(Long, Long)].collect().toSet ===
+      graft.api.DupGraph.readDegrees(spark, batchDir)
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
     import spark.implicits._
     val centroidDir = java.nio.file.Files.createTempDirectory("cents").toString + "/table"
