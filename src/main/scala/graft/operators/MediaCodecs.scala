@@ -1,13 +1,14 @@
 package graft.operators
 
-/** Pure-JVM codecs for the media container formats whose specs allow a
-  * dependency-free decode: uncompressed BMP (Windows DIB, 24/32-bit),
-  * PCM WAV (RIFF, 16-bit), and non-interlaced 8-bit truecolor PNG
-  * (zlib via `java.util.zip`, all five scanline filters). These upgrade
-  * the multimodal path from "labeled stub" to a real decode for two
-  * image formats and one audio format (VERDICT r6 #5); formats that
-  * need entropy codecs beyond DEFLATE (JPEG, MP3, H.264) stay behind
-  * [[MultimodalOps.stubDecode]] in this zero-egress container.
+/** Pure-JVM codecs for the media formats whose specs allow a
+  * dependency-free implementation: uncompressed BMP (Windows DIB,
+  * 24/32-bit), PCM WAV (RIFF, 16-bit), non-interlaced 8-bit truecolor
+  * PNG (zlib via `java.util.zip`, all five scanline filters), GIF87a
+  * LZW, and — since round 11 — baseline JPEG (ITU-T T.81 sequential
+  * DCT: canonical Huffman, dequant, IDCT, chroma upsampling; encoder at
+  * 4:4:4 with the Annex K tables). Formats that need entropy codecs
+  * beyond these (MP3, H.264) stay behind [[MultimodalOps.stubDecode]]
+  * in this zero-egress container.
   *
   * Everything here is byte-level header parsing + raw sample access —
   * deterministic, allocation-bounded by the payload, and safe to run
@@ -637,5 +638,583 @@ object MediaCodecs {
       if (outPos != w * h) return None
       Some(BmpImage(w, h, out.map(i => palette(i & (palette.length - 1)))))
     } catch { case _: Exception => None }
+  }
+
+  // ---- JPEG (baseline sequential DCT, ITU-T T.81) -----------------------
+  // Pure-JVM entropy codec — the round-11 upgrade that moves JPEG off the
+  // labeled stub: canonical Huffman over quantized zigzag DCT blocks.
+  // Decoder: SOF0 only (baseline), 1 or 3 components, sampling factors up
+  // to 2x2 (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restarts, FF00 stuffing;
+  // malformed input returns None like every other codec here. Encoder:
+  // 4:4:4 single interleaved scan with the Annex K example quant tables
+  // (IJG quality scaling) and the Annex K "typical" Huffman tables.
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ITU-T T.81 Annex K.1 example quantization tables (zigzag order here
+  // is NOT needed — these are natural row-major order)
+  private val QLumBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChromBase: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K.3 typical Huffman tables: (bits[1..16], symbols)
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val DcChromBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChromBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman DECODE structure per T.81 F.2.2.3: for each code
+    * length, the smallest/largest code and the index of its first symbol.
+    */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(in: JpegBitReader): Int = {
+      var code = in.readBit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | in.readBit(); l += 1
+      }
+      if (l > 16) throw new IllegalStateException("bad Huffman code")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** Scan-section bit reader: un-stuffs FF00, stops at markers. */
+  private final class JpegBitReader(data: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= data.length) throw new IllegalStateException("EOF in scan")
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val next = if (pos < data.length) data(pos) & 0xff else -1
+          if (next == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalStateException("marker in scan")
+          b = 0xff
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** T.81 F.12 EXTEND: map the n received bits to the signed value. */
+    def receiveExtend(n: Int): Int = {
+      if (n == 0) return 0
+      val v = receive(n)
+      if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+    }
+    def byteAlign(): Unit = bitCnt = 0
+  }
+
+  private def idct8x8(coef: Array[Double], out: Array[Int]): Unit = {
+    // separable 2-D inverse DCT, double precision (decoder agreement with
+    // other conformers is then limited by their IDCT approximations, not
+    // ours)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // rows: 1-D IDCT over u for each x
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          s += cu * coef(y * 8 + u) * CosTable(u * 8 + x)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) 0.70710678118654752 else 1.0
+          s += cv * tmp(v * 8 + x) * CosTable(v * 8 + yy)
+          v += 1
+        }
+        val px = math.round(s / 2.0 + 128.0).toInt
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Decode a baseline (SOF0) JPEG into an RGB raster. Grayscale and
+    * 3-component YCbCr, sampling factors ≤ 2, restart markers. None on
+    * progressive/arithmetic/malformed input.
+    */
+  def decodeJpeg(payload: Array[Byte]): Option[BmpImage] = try {
+    if (payload.length < 4 ||
+      (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    def u16be(off: Int): Int = ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+    val quant = Array.ofDim[Int](4, 64) // natural order
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var restartInterval = 0
+    var w = 0; var h = 0
+    // per component: id, hSamp, vSamp, quant id, dc tab, ac tab
+    var comps: Array[Array[Int]] = null
+    while (pos + 4 <= payload.length) {
+      if ((payload(pos) & 0xff) != 0xff) return None
+      val marker = payload(pos + 1) & 0xff
+      pos += 2
+      if (marker == 0xd9) return None // EOI before any scan
+      val len = u16be(pos)
+      val seg = pos + 2
+      val segEnd = pos + len
+      marker match {
+        case 0xdb => // DQT
+          var p = seg
+          while (p < segEnd) {
+            val pq = (payload(p) & 0xf0) >> 4
+            val tq = payload(p) & 0x0f
+            p += 1
+            var i = 0
+            while (i < 64) {
+              val v = if (pq == 0) payload(p) & 0xff
+                else { val x = u16be(p); x }
+              quant(tq)(ZigZag(i)) = v
+              p += (if (pq == 0) 1 else 2)
+              i += 1
+            }
+          }
+          pos = segEnd
+        case 0xc4 => // DHT
+          var p = seg
+          while (p < segEnd) {
+            val tc = (payload(p) & 0xf0) >> 4
+            val th = payload(p) & 0x0f
+            p += 1
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = payload(p + l - 1) & 0xff; total += bits(l); l += 1 }
+            p += 16
+            val vals = new Array[Int](total)
+            var i = 0
+            while (i < total) { vals(i) = payload(p + i) & 0xff; i += 1 }
+            p += total
+            val dec = new HuffDecoder(bits, vals)
+            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+          }
+          pos = segEnd
+        case 0xc0 => // SOF0 baseline
+          if ((payload(seg) & 0xff) != 8) return None // 8-bit precision only
+          h = u16be(seg + 1); w = u16be(seg + 3)
+          val nc = payload(seg + 5) & 0xff
+          if (nc != 1 && nc != 3) return None
+          comps = Array.tabulate(nc) { c =>
+            val o = seg + 6 + 3 * c
+            val id = payload(o) & 0xff
+            val hv = payload(o + 1) & 0xff
+            Array(id, (hv >> 4) & 0xf, hv & 0xf, payload(o + 2) & 0xff, 0, 0)
+          }
+          if (comps.exists(c => c(1) < 1 || c(1) > 2 || c(2) < 1 || c(2) > 2))
+            return None
+          pos = segEnd
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame
+        case 0xdd => // DRI
+          restartInterval = u16be(seg)
+          pos = segEnd
+        case 0xda => // SOS — entropy-coded data follows
+          if (comps == null || w == 0 || h == 0) return None
+          val ns = payload(seg) & 0xff
+          var p = seg + 1
+          var i = 0
+          while (i < ns) {
+            val cid = payload(p) & 0xff
+            val tabs = payload(p + 1) & 0xff
+            val c = comps.indexWhere(_(0) == cid)
+            if (c < 0) return None
+            comps(c)(4) = (tabs >> 4) & 0xf
+            comps(c)(5) = tabs & 0xf
+            p += 2; i += 1
+          }
+          pos = segEnd // skip Ss/Se/AhAl (baseline fixed)
+
+          val hMax = comps.map(_(1)).max
+          val vMax = comps.map(_(2)).max
+          val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          // component planes at full block resolution
+          val planeW = comps.map(c => mcusX * c(1) * 8)
+          val planes = comps.map(c => new Array[Int](mcusX * c(1) * 8 * mcusY * c(2) * 8))
+          val preds = new Array[Int](comps.length)
+          val in = new JpegBitReader(payload, pos)
+          val coef = new Array[Double](64)
+          val blk = new Array[Int](64)
+          var mcu = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                in.byteAlign()
+                // expect RSTn
+                if ((payload(in.pos) & 0xff) != 0xff ||
+                  ((payload(in.pos + 1) & 0xff) & 0xf8) != 0xd0)
+                  throw new IllegalStateException("missing restart marker")
+                in.pos += 2
+                java.util.Arrays.fill(preds, 0)
+              }
+              var c = 0
+              while (c < comps.length) {
+                val (hs, vs) = (comps(c)(1), comps(c)(2))
+                val qt = quant(comps(c)(3))
+                val dcT = dcTabs(comps(c)(4)); val acT = acTabs(comps(c)(5))
+                if (dcT == null || acT == null)
+                  throw new IllegalStateException("missing Huffman table")
+                var by = 0
+                while (by < vs) {
+                  var bx = 0
+                  while (bx < hs) {
+                    java.util.Arrays.fill(coef, 0.0)
+                    val s = dcT.decode(in)
+                    preds(c) += in.receiveExtend(s)
+                    coef(0) = preds(c).toDouble * qt(0)
+                    var k = 1
+                    var done = false
+                    while (k < 64 && !done) {
+                      val rs = acT.decode(in)
+                      val r = rs >> 4; val sz = rs & 0xf
+                      if (sz == 0) {
+                        if (r == 15) k += 16 else done = true
+                      } else {
+                        k += r
+                        if (k > 63) throw new IllegalStateException("AC overflow")
+                        coef(ZigZag(k)) = in.receiveExtend(sz).toDouble * qt(ZigZag(k))
+                        k += 1
+                      }
+                    }
+                    idct8x8(coef, blk)
+                    val ox = (mx * hs + bx) * 8
+                    val oy = (my * vs + by) * 8
+                    var yy = 0
+                    while (yy < 8) {
+                      var xx = 0
+                      while (xx < 8) {
+                        planes(c)((oy + yy) * planeW(c) + ox + xx) = blk(yy * 8 + xx)
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    bx += 1
+                  }
+                  by += 1
+                }
+                c += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+          // upsample + color convert
+          val px = new Array[Int](w * h)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              def sample(c: Int): Int = {
+                val sx = xx * comps(c)(1) / hMax
+                val sy = yy * comps(c)(2) / vMax
+                planes(c)(sy * planeW(c) + sx)
+              }
+              val rgb = if (comps.length == 1) {
+                val yv = sample(0)
+                (yv << 16) | (yv << 8) | yv
+              } else {
+                val yv = sample(0).toDouble
+                val cb = sample(1) - 128.0
+                val cr = sample(2) - 128.0
+                def cl(v: Double): Int = {
+                  val i = math.round(v).toInt
+                  if (i < 0) 0 else if (i > 255) 255 else i
+                }
+                (cl(yv + 1.402 * cr) << 16) |
+                  (cl(yv - 0.344136 * cb - 0.714136 * cr) << 8) |
+                  cl(yv + 1.772 * cb)
+              }
+              px(yy * w + xx) = rgb
+              xx += 1
+            }
+            yy += 1
+          }
+          return Some(BmpImage(w, h, px))
+        case _ => // APPn / COM / anything skippable
+          pos = segEnd
+      }
+    }
+    None
+  } catch { case _: Exception => None }
+
+  private def fdct8x8(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // rows
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * CosTable(u * 8 + x); x += 1 }
+        val cu = if (u == 0) 0.70710678118654752 else 1.0
+        tmp(y * 8 + u) = s * cu / 2.0
+        y += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) { // columns
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(y * 8 + u2) * CosTable(v * 8 + y); y += 1 }
+        val cv = if (v == 0) 0.70710678118654752 else 1.0
+        out(v * 8 + u2) = s * cv / 2.0
+        u2 += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Bit writer for the entropy-coded segment with FF00 stuffing. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, width: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00)
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (cnt > 0) { // pad with 1s per T.81
+      put(0x7f, 8 - cnt)
+    }
+  }
+
+  /** Encode a raster as a baseline 4:4:4 JPEG with the Annex K tables.
+    * `quality` 1–100, IJG scaling. Deterministic: same pixels → same
+    * bytes.
+    */
+  def encodeJpeg(img: BmpImage, quality: Int = 90): Array[Byte] = {
+    require(quality >= 1 && quality <= 100, s"quality out of range: $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    def scaled(base: Array[Int]): Array[Int] = base.map { t =>
+      val v = (t * scale + 50) / 100
+      if (v < 1) 1 else if (v > 255) 255 else v
+    }
+    val qLum = scaled(QLumBase)
+    val qChrom = scaled(QChromBase)
+    // canonical ENCODE tables: symbol -> (code, length)
+    def encTable(bits: Array[Int], vals: Array[Int]): Array[Int] = {
+      val t = new Array[Int](256) // (len << 16) | code
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l)) {
+          t(vals(k)) = (l << 16) | code
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1; l += 1
+      }
+      t
+    }
+    val dcLum = encTable(DcLumBits, DcLumVals)
+    val acLum = encTable(AcLumBits, AcLumVals)
+    val dcChrom = encTable(DcChromBits, DcChromVals)
+    val acChrom = encTable(AcChromBits, AcChromVals)
+    val out = new java.io.ByteArrayOutputStream()
+    def wb(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { wb(v >> 8); wb(v) }
+    def marker(m: Int): Unit = { wb(0xff); wb(m) }
+    marker(0xd8) // SOI
+    for ((tq, tab) <- Seq((0, qLum), (1, qChrom))) { // DQT
+      marker(0xdb); w16(2 + 1 + 64); wb(tq)
+      var i = 0
+      while (i < 64) { wb(tab(ZigZag(i))); i += 1 }
+    }
+    marker(0xc0) // SOF0: 3 components, 4:4:4
+    w16(8 + 3 * 3); wb(8); w16(img.height); w16(img.width); wb(3)
+    wb(1); wb(0x11); wb(0) // Y
+    wb(2); wb(0x11); wb(1) // Cb
+    wb(3); wb(0x11); wb(1) // Cr
+    for ((tc, th, bits, vals) <- Seq(
+        (0, 0, DcLumBits, DcLumVals), (1, 0, AcLumBits, AcLumVals),
+        (0, 1, DcChromBits, DcChromVals), (1, 1, AcChromBits, AcChromVals))) {
+      marker(0xc4) // DHT
+      w16(2 + 1 + 16 + vals.length); wb((tc << 4) | th)
+      var l = 1
+      while (l <= 16) { wb(bits(l)); l += 1 }
+      vals.foreach(wb)
+    }
+    marker(0xda) // SOS
+    w16(6 + 2 * 3); wb(3)
+    wb(1); wb(0x00); wb(2); wb(0x11); wb(3); wb(0x11)
+    wb(0); wb(63); wb(0) // Ss/Se/AhAl
+
+    val bw = new JpegBitWriter(out)
+    def magnitude(v: Int): Int = {
+      var m = math.abs(v); var n = 0
+      while (m > 0) { m >>= 1; n += 1 }
+      n
+    }
+    def putSym(tab: Array[Int], sym: Int): Unit =
+      bw.put(tab(sym) & 0xffff, tab(sym) >>> 16)
+    def putVal(v: Int, n: Int): Unit =
+      bw.put(if (v < 0) v + (1 << n) - 1 else v, n)
+    val blocksX = (img.width + 7) / 8
+    val blocksY = (img.height + 7) / 8
+    val preds = new Array[Int](3)
+    val samp = new Array[Double](64)
+    val freq = new Array[Double](64)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        var c = 0
+        while (c < 3) {
+          var i = 0
+          while (i < 64) {
+            val x = math.min(bx * 8 + (i % 8), img.width - 1)
+            val y = math.min(by * 8 + (i / 8), img.height - 1)
+            val p = img.pixels(y * img.width + x)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            samp(i) = (c match {
+              case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+              case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+              case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            }) - 128.0
+            i += 1
+          }
+          fdct8x8(samp, freq)
+          val qt = if (c == 0) qLum else qChrom
+          val dcT = if (c == 0) dcLum else dcChrom
+          val acT = if (c == 0) acLum else acChrom
+          val qz = new Array[Int](64) // zigzag-ordered quantized coefs
+          i = 0
+          while (i < 64) {
+            val nat = ZigZag(i)
+            qz(i) = math.round(freq(nat) / qt(nat)).toInt
+            i += 1
+          }
+          val diff = qz(0) - preds(c); preds(c) = qz(0)
+          val dn = magnitude(diff)
+          putSym(dcT, dn); putVal(diff, dn)
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            if (qz(k) == 0) run += 1
+            else {
+              while (run > 15) { putSym(acT, 0xf0); run -= 16 }
+              val n = magnitude(qz(k))
+              putSym(acT, (run << 4) | n); putVal(qz(k), n)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) putSym(acT, 0x00) // EOB
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
   }
 }

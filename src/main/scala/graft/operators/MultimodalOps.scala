@@ -51,6 +51,7 @@ object MultimodalOps {
     MediaCodecs.decodeBmp(payload).map(i => ("bmp", MediaCodecs.imageFeatures(i)))
       .orElse(MediaCodecs.decodePng(payload).map(i => ("png", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeGif(payload).map(i => ("gif", MediaCodecs.imageFeatures(i))))
+      .orElse(MediaCodecs.decodeJpeg(payload).map(i => ("jpeg", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeWav(payload).map(a => ("wav", MediaCodecs.audioFeatures(a))))
       .getOrElse(("stub", stubDecode(payload, dims)))
 
@@ -150,6 +151,7 @@ object MultimodalOps {
           }
           val payload =
             if (id % 6 == 5) { val (w, h, ix) = gifIndices(); MediaCodecs.encodeGif(w, h, ix) }
+            else if (id % 6 == 3) MediaCodecs.encodeJpeg(raster()) // half of the %3==0 class
             else (id % 3) match {
               case 0 => MediaCodecs.encodeBmp(raster())
               case 1 =>
@@ -164,6 +166,7 @@ object MultimodalOps {
             }
           val mime =
             if (id % 6 == 5) "image/gif"
+            else if (id % 6 == 3) "image/jpeg"
             else (id % 3) match {
               case 0 => "image/bmp"
               case 1 => "audio/wav"
@@ -191,6 +194,9 @@ object MultimodalOps {
             img.width.toLong * img.height, r.payload.length.toLong)
         }).orElse(MediaCodecs.decodeGif(r.payload).map { img =>
           (r.media_id, "gif", img.width.toLong, img.height.toLong, 0L, 0L,
+            img.width.toLong * img.height, r.payload.length.toLong)
+        }).orElse(MediaCodecs.decodeJpeg(r.payload).map { img =>
+          (r.media_id, "jpeg", img.width.toLong, img.height.toLong, 0L, 0L,
             img.width.toLong * img.height, r.payload.length.toLong)
         }).orElse(MediaCodecs.decodeWav(r.payload).map { a =>
           (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
@@ -296,16 +302,19 @@ object MultimodalOps {
     */
   def q120MediaRoundtrip(spark: SparkSession, dir: String): DataFrame =
     mediaMetadata(syntheticMedia(spark, dir))
-      // PNG payload length is content-defined (DEFLATE) — the oracle
-      // can't predict it, so the roundtrip grade pins the decoded
-      // geometry and masks the byte count with a sentinel
+      // PNG/JPEG payload lengths are content-defined (DEFLATE / entropy
+      // coding) — the oracle can't predict them, so the roundtrip grade
+      // pins the decoded geometry and masks the byte count with a
+      // sentinel
       .withColumn("payload_bytes",
-        when(col("format") === "png", lit(-1L)).otherwise(col("payload_bytes")))
+        when(col("format") === "png" || col("format") === "jpeg", lit(-1L))
+          .otherwise(col("payload_bytes")))
       .orderBy("media_id")
 
   val q120Sql: String =
     """SELECT doc_id AS media_id,
       |  CASE WHEN doc_id % 6 = 5 THEN 'gif'
+      |       WHEN doc_id % 6 = 3 THEN 'jpeg'
       |       WHEN doc_id % 3 = 0 THEN 'bmp'
       |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END AS format,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 4 + doc_id % 13 END AS BIGINT) AS width,
@@ -319,6 +328,7 @@ object MultimodalOps {
       |         -- GIF87a with literal-code LZW is byte-deterministic:
       |         -- 795 header/palette/framing + ceil(9*(w*h+2)/8) data
       |         795 + (9 * ((4 + doc_id % 13) * (3 + doc_id % 7) + 2) + 7) // 8
+      |       WHEN doc_id % 6 = 3 THEN -1
       |       WHEN doc_id % 3 = 0 THEN 54 + (3 + doc_id % 7) * ((((4 + doc_id % 13) * 3 + 3) // 4) * 4)
       |       WHEN doc_id % 3 = 1 THEN 44 + 2 * octet_length(encode(text))
       |       ELSE -1 END AS BIGINT) AS payload_bytes

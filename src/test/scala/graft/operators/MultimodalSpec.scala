@@ -177,7 +177,8 @@ class MultimodalSpec extends SparkSpec {
       Seq("media_id", "mime", "n_bytes", "decoder", "features"))
     val byDecoder = feats.groupBy("decoder").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byDecoder.keySet === Set("bmp", "wav", "png", "gif"), s"unexpected decoders: $byDecoder")
+    assert(byDecoder.keySet === Set("bmp", "wav", "png", "gif", "jpeg"),
+      s"unexpected decoders: $byDecoder")
     assert(!byDecoder.contains("stub"))
     // metadata from actual header parsing matches the generation rule
     val meta = MultimodalOps.mediaMetadata(media)
@@ -188,14 +189,16 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).getAs[Long]("sample_rate") === 8000L)
     assert(meta(2).getAs[String]("format") === "png")
     assert(meta(2).getAs[Long]("width") === 6L && meta(2).getAs[Long]("height") === 5L)
-    assert(meta(3).getAs[String]("format") === "bmp")
+    // id 3: %6==3 → the real-entropy-codec leg (baseline JPEG)
+    assert(meta(3).getAs[String]("format") === "jpeg")
     assert(meta(3).getAs[Long]("width") === 7L && meta(3).getAs[Long]("height") === 6L)
   }
 
   test("resizeImages: output payloads are valid BMPs at the target size") {
     val media = MultimodalOps.syntheticMedia(spark, sf)
     val resized = MultimodalOps.resizeImages(media, 4, 4)
-    val rows = resized.filter("media_id % 3 = 0").take(5)
+    // %6==0 keeps the BMP class (%6==3 is the JPEG leg, passed through)
+    val rows = resized.filter("media_id % 6 = 0").take(5)
     rows.foreach { r =>
       val img = MediaCodecs.decodeBmp(r.payload)
       assert(img.isDefined && img.get.width === 4 && img.get.height === 4)
@@ -313,5 +316,94 @@ class MultimodalSpec extends SparkSpec {
     val feats = MultimodalOps.decodeFeatures(
       MultimodalOps.syntheticMedia(spark, sf))
     assert(feats.filter($"decoder" === "gif").count() === rows.length.toLong)
+  }
+
+  /** A smooth test raster (gradients + a soft blob) — JPEG is a lossy
+    * transform codec, so error bounds are only meaningful on content
+    * without hard edges.
+    */
+  private def smoothRaster(w: Int, h: Int): MediaCodecs.BmpImage = {
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = (x * 255) / math.max(1, w - 1)
+      val g = (y * 255) / math.max(1, h - 1)
+      val dx = x - w / 2.0; val dy = y - h / 2.0
+      val b = (255.0 * math.exp(-(dx * dx + dy * dy) / (w * h / 4.0))).toInt
+      (r << 16) | (g << 8) | b
+    }
+    MediaCodecs.BmpImage(w, h, px)
+  }
+
+  private def maxAndMeanChannelErr(a: MediaCodecs.BmpImage,
+      b: MediaCodecs.BmpImage): (Int, Double) = {
+    assert(a.width === b.width && a.height === b.height)
+    var maxE = 0; var sum = 0L
+    for (i <- a.pixels.indices; shift <- Seq(16, 8, 0)) {
+      val e = math.abs(((a.pixels(i) >> shift) & 0xff) - ((b.pixels(i) >> shift) & 0xff))
+      maxE = math.max(maxE, e); sum += e
+    }
+    (maxE, sum.toDouble / (a.pixels.length * 3))
+  }
+
+  test("JPEG decoder: decodes a JDK-ImageIO-encoded baseline JPEG with bounded per-pixel error") {
+    // ImageIO's writer is an independent baseline encoder (4:2:0 chroma
+    // by default) — decoding its output tests the full marker walk,
+    // Huffman tables, dequant, IDCT, upsampling, and color convert
+    // against an implementation we did not write.
+    val img = smoothRaster(64, 48)
+    val bi = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) bi.setRGB(x, y, img.pixels(y * 64 + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), params)
+    writer.dispose()
+    val payload = bos.toByteArray
+
+    val mine = MediaCodecs.decodeJpeg(payload)
+    assert(mine.isDefined, "decoder must accept the ImageIO baseline JPEG")
+    assert(mine.get.width === 64 && mine.get.height === 48)
+    // reference decode: ImageIO reading its own bytes
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val refImg = MediaCodecs.BmpImage(64, 48,
+      Array.tabulate(64 * 48)(i => ref.getRGB(i % 64, i / 64) & 0xffffff))
+    val (maxE, meanE) = maxAndMeanChannelErr(mine.get, refImg)
+    // decoders of the SAME bitstream differ only by IDCT/upsampling
+    // rounding; chroma-subsampled edges allow a loose max, the mean must
+    // be tight
+    assert(meanE <= 2.0, s"mean channel error $meanE too high")
+    assert(maxE <= 40, s"max channel error $maxE too high")
+  }
+
+  test("JPEG codec: own encode → own decode round-trip is close; ImageIO cross-decodes our bytes") {
+    for ((w, h) <- Seq((8, 8), (13, 7), (64, 48), (33, 50))) {
+      val img = smoothRaster(w, h)
+      val payload = MediaCodecs.encodeJpeg(img, quality = 95)
+      val back = MediaCodecs.decodeJpeg(payload)
+      assert(back.isDefined, s"own round-trip failed at ${w}x$h")
+      assert(back.get.width === w && back.get.height === h)
+      val (maxE, meanE) = maxAndMeanChannelErr(img, back.get)
+      assert(meanE <= 3.0, s"mean error $meanE at ${w}x$h")
+      assert(maxE <= 32, s"max error $maxE at ${w}x$h")
+
+      // spec compliance: the JDK's reader must accept our bitstream and
+      // agree with our own decode
+      val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(io != null, s"ImageIO must accept our JPEG at ${w}x$h")
+      assert(io.getWidth === w && io.getHeight === h)
+      val ioImg = MediaCodecs.BmpImage(w, h,
+        Array.tabulate(w * h)(i => io.getRGB(i % w, i / w) & 0xffffff))
+      val (xMaxE, xMeanE) = maxAndMeanChannelErr(back.get, ioImg)
+      assert(xMeanE <= 1.5 && xMaxE <= 16,
+        s"our decode and ImageIO's disagree at ${w}x$h: mean=$xMeanE max=$xMaxE")
+    }
+    // malformed payloads degrade to None, never throw
+    assert(MediaCodecs.decodeJpeg("not a jpeg".getBytes).isEmpty)
+    assert(MediaCodecs.decodeJpeg(Array[Byte]()).isEmpty)
+    assert(MediaCodecs.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 }
