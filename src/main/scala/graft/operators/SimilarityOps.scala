@@ -1799,32 +1799,69 @@ object SimilarityOps {
     * PlanSpec can lock the join-free shape; the card collects this
     * bounded frame and iterates on the driver).
     */
-  private[graft] def q318CovarianceFrame(spark: SparkSession, dir: String,
-      dim: Int = 64): DataFrame = {
+  /** q318's distributed stage alone: per-partition moment partials —
+    * ONE narrow pass over the embeddings scan folding the d(d+1)/2
+    * co-moment sums, the d mean sums, and the row count into a primitive
+    * double array inside a JIT-tight loop, one output row per partition.
+    * (The first round-11 version expressed the same fold as a single
+    * SQL aggregate with 2 145 slots; that fell off whole-stage codegen
+    * — janino's per-method limits — into interpreted per-row expression
+    * evaluation, 14× slower than the posexplode self-join it replaced.
+    * A mapPartitions kernel is the shape that actually scales: no 64×
+    * row inflation, no join, no shuffle except ≤ one tiny row per
+    * partition, and per-row cost is a compiled multiply-add loop.)
+    * Exposed so PlanSpec can lock the scan-only shape.
+    */
+  private[graft] def q318MomentPartials(spark: SparkSession, dir: String,
+      dim: Int = 64): org.apache.spark.sql.Dataset[Array[Double]] = {
     import spark.implicits._
-    val proj = table(spark, dir, "embeddings")
-      .select((0 until dim).map(i =>
-        element_at($"embedding", i + 1).cast("double").as(s"x$i")): _*)
-    val pairAggs =
-      (for { i <- 0 until dim; j <- i until dim }
-        yield sum(col(s"x$i") * col(s"x$j")).as(s"s_${i}_$j")) ++
-        (0 until dim).map(i => sum(col(s"x$i")).as(s"m_$i")) :+
-        count(lit(1)).as("n")
-    val entries = (for { i <- 0 until dim; j <- i until dim } yield
-      s"CAST($i AS INT), CAST($j AS INT), " +
-        s"ROUND(s_${i}_$j / n - (m_$i / n) * (m_$j / n), 6)").mkString(", ")
-    proj.agg(pairAggs.head, pairAggs.tail: _*)
-      .selectExpr(s"stack(${dim * (dim + 1) / 2}, $entries) as (i, j, c)")
+    val nPairs = dim * (dim + 1) / 2
+    val nSlots = nPairs + dim + 1
+    table(spark, dir, "embeddings").select($"embedding")
+      .mapPartitions { rows =>
+        val s = new Array[Double](nSlots)
+        val x = new Array[Double](dim)
+        rows.foreach { r =>
+          val a = r.getSeq[Float](0)
+          var i = 0
+          while (i < dim) { x(i) = a(i).toDouble; i += 1 }
+          var p = 0
+          i = 0
+          while (i < dim) {
+            val xi = x(i)
+            var j = i
+            while (j < dim) { s(p) += xi * x(j); p += 1; j += 1 }
+            s(nPairs + i) += xi
+            i += 1
+          }
+          s(nSlots - 1) += 1.0
+        }
+        Iterator.single(s)
+      }
   }
 
   def q318PcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = 64; val steps = 12
-    val cov = q318CovarianceFrame(spark, dir, dim).collect()
+    val nPairs = dim * (dim + 1) / 2
+    val t = q318MomentPartials(spark, dir, dim).reduce { (a, b) =>
+      val out = new Array[Double](a.length)
+      var k = 0
+      while (k < a.length) { out(k) = a(k) + b(k); k += 1 }
+      out
+    }
+    val n = t(nPairs + dim)
+    // covariance entries on the 1e-6 grid, rounded half-away-from-zero
+    // exactly like Spark/DuckDB ROUND (BigDecimal HALF_UP = away from
+    // zero on ties)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val m = Array.ofDim[Double](dim, dim)
-    cov.foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    var p = 0
+    for { i <- 0 until dim; j <- i until dim } {
+      val c = round6(t(p) / n - (t(nPairs + i) / n) * (t(nPairs + j) / n))
       m(i)(j) = c; m(j)(i) = c
+      p += 1
     }
     // exact integer fold on the 1e-12 grid; round half-away-from-zero
     // (DuckDB ROUND; Math.round is half-up and differs on negative ties)

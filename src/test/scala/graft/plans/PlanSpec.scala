@@ -820,9 +820,9 @@ class PlanSpec extends SparkSpec {
   test("q196/q318: covariance folds in ONE scan — no explode, no self-join, no rows × d² shuffle") {
     for ((name, df) <- Seq(
         "q196" -> graft.operators.SimilarityOps.q196EmbedCovariance(spark, sf),
-        // the card itself collects and iterates on the driver; its
-        // distributed stage is the exposed covariance frame
-        "q318" -> graft.operators.SimilarityOps.q318CovarianceFrame(spark, sf))) {
+        // the card itself reduces and iterates on the driver; its
+        // distributed stage is the exposed per-partition moment kernel
+        "q318" -> graft.operators.SimilarityOps.q318MomentPartials(spark, sf).toDF())) {
       val p = planOf(df)
       assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1,
         s"$name must read embeddings exactly once:\n${p.take(1500)}")
