@@ -238,6 +238,51 @@ object DupGraph {
     edges.select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Maintenance policy for a continuously-ingested graph
+    * ([[ingestBatch]] leaves at least one new file per append under
+    * `edges/` and `docs/`, so an ingest loop degrades both into a
+    * small-files scan): when either table's parquet file count crosses
+    * `maxFiles`, rewrite it into id-distributed, sorted files via the
+    * same build-aside + rename swap as [[refreshStats]] (batch_id
+    * history survives — the replay guard keeps working across
+    * compactions), then refresh degrees/meta. The
+    * [[Similarity.maintainIvfIndex]] / [[TextIndex.maintainMinhashIndex]]
+    * pattern: call after every append batch, pay the rewrite only when
+    * it buys something. Returns true when a compaction ran.
+    */
+  def maintain(spark: SparkSession, path: String, maxFiles: Int = 32): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nParquet(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(p)) return 0
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    def swapIn(sub: String, sortCol: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__building")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(tmp, true); fs.delete(old, true)
+      spark.read.parquet(dest.toString)
+        .repartition(col(sortCol)).sortWithinPartitions(col(sortCol))
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(dest, old), s"maintain: cannot move $dest aside")
+      require(fs.rename(tmp, dest), s"maintain: cannot swap in $dest")
+      fs.delete(old, true)
+    }
+    val run = nParquet("edges") > maxFiles || nParquet("docs") > maxFiles
+    if (run) {
+      swapIn("edges", "id_a")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
+        swapIn("docs", "id")
+      refreshStats(spark, path)
+    }
+    run
+  }
+
   /** Recompute `degrees/` and `meta/` from the CURRENT edge table (the
     * post-ingest refresh): each lands via the same build-aside + rename
     * swap as [[write]], so concurrent readers see the old stats or the

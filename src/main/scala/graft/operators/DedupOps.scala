@@ -2210,7 +2210,58 @@ object DedupOps {
        |SELECT 'ppjoin', CAST(0.8 AS DOUBLE), 4, n_edges, n_nodes FROM pstats
        |ORDER BY method""".stripMargin
 
+  /** q363: near-dup degree distribution — the node-level companion of
+    * q346's cluster-size histogram: how many partners each clustered
+    * document has at τ = 0.5, histogrammed, with each degree's node
+    * share. The hub profile a curation team reads next to the cluster
+    * sizes: a heavy high-degree tail means template hubs (candidate
+    * canonical docs / candidate drops), a flat profile means pairwise
+    * drift. Served FROM THE ARTIFACT via [[graft.api.DupGraph.readDegrees]]'
+    * stricter-τ recount branch (stored degrees are at the build floor;
+    * τ = 0.5 recounts over the filtered edge table — one aggregate over
+    * near-dup pairs, never a pipeline re-run).
+    */
+  def q363DupDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deg = graft.api.DupGraph.readDegrees(spark,
+      DupGraphArtifacts.pathFor(spark, dir, "lsh"), 0.5)
+    val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum($"n_nodes").as("total"))
+    hist.crossJoin(broadcast(tot))
+      .select($"degree", $"n_nodes",
+        round($"n_nodes".cast("double") / $"total", 6).as("node_share"))
+      .orderBy($"degree")
+  }
+
+  val q363Sql: String =
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+       |mh AS MATERIALIZED ($minhashesSql),
+       |$bandsCandsSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE i.n_inter / (za.n_sh + zb.n_sh - i.n_inter) >= 0.5),
+       |e AS (SELECT doc_a AS id FROM pairs
+       |      UNION ALL SELECT doc_b FROM pairs),
+       |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+       |        FROM e GROUP BY id),
+       |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |         FROM deg GROUP BY degree),
+       |tot AS (SELECT SUM(n_nodes) AS total FROM hist)
+       |SELECT degree, n_nodes,
+       |  ROUND(CAST(n_nodes AS DOUBLE) / total, 6) AS node_share
+       |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q363_dup_degree_dist" -> (q363DupDegreeDist _),
     "q362_dupgraph_build" -> (q362DupGraphBuild _),
     "q348_contamination_reach" -> (q348ContaminationReach _),
     "q346_cluster_size_dist" -> (q346ClusterSizeDist _),
@@ -2248,6 +2299,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q363_dup_degree_dist" -> q363Sql,
     "q362_dupgraph_build" -> q362Sql,
     "q348_contamination_reach" -> q348Sql,
     "q346_cluster_size_dist" -> q346Sql,

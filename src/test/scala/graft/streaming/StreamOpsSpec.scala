@@ -427,6 +427,27 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet ===
       graft.api.DupGraph.readDegrees(spark, batchDir)
         .as[(Long, Long)].collect().toSet)
+
+    // maintenance: a fresh graph stands; append-debris past the
+    // threshold compacts with a bit-identical edge set and the batch_id
+    // history intact (the replay guard still skips batch 1)
+    assert(!graft.api.DupGraph.maintain(spark, batchDir, maxFiles = 64),
+      "a fresh build must not trigger compaction")
+    def nFiles(sub: String): Int =
+      new java.io.File(s"$streamDir/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val filesBefore = nFiles("edges")
+    assert(graft.api.DupGraph.maintain(spark, streamDir, maxFiles = 1),
+      "ingest debris past the threshold must compact")
+    assert(nFiles("edges") < filesBefore || filesBefore == 1)
+    assert(edgeSet(streamDir) === edgeSet(batchDir),
+      "compaction must not change the edge set")
+    val afterCompact = spark.read.parquet(s"$streamDir/edges").count()
+    graft.api.DupGraph.ingestBatch(
+      third(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      1L, streamDir, "doc_id", "text")
+    assert(spark.read.parquet(s"$streamDir/edges").count() === afterCompact,
+      "replay after compaction must still be detected")
   }
 
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
