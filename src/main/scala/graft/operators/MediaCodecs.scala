@@ -822,9 +822,14 @@ object MediaCodecs {
     }
   }
 
-  /** Decode a baseline (SOF0) JPEG into an RGB raster. Grayscale and
-    * 3-component YCbCr, sampling factors ≤ 2, restart markers. None on
-    * progressive/arithmetic/malformed input.
+  /** Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG into an
+    * RGB raster. Grayscale and 3-component YCbCr, sampling factors ≤ 2,
+    * restart markers, multi-scan coefficient accumulation (spectral
+    * selection + successive approximation per ITU-T T.81 G.2 — the
+    * EOB-run and AC-refinement correction-bit protocol follow the spec's
+    * flowcharts). Coefficients accumulate in zigzag space across scans;
+    * dequant + IDCT + upsample + color-convert run once at EOI. None on
+    * arithmetic-coded/hierarchical/malformed input.
     */
   def decodeJpeg(payload: Array[Byte]): Option[BmpImage] = try {
     if (payload.length < 4 ||
@@ -836,202 +841,400 @@ object MediaCodecs {
     val acTabs = new Array[HuffDecoder](4)
     var restartInterval = 0
     var w = 0; var h = 0
-    // per component: id, hSamp, vSamp, quant id, dc tab, ac tab
+    var progressive = false
+    // per component: id, hSamp, vSamp, quant id
     var comps: Array[Array[Int]] = null
-    while (pos + 4 <= payload.length) {
-      if ((payload(pos) & 0xff) != 0xff) return None
-      val marker = payload(pos + 1) & 0xff
-      pos += 2
-      if (marker == 0xd9) return None // EOI before any scan
-      val len = u16be(pos)
-      val seg = pos + 2
-      val segEnd = pos + len
-      marker match {
-        case 0xdb => // DQT
-          var p = seg
-          while (p < segEnd) {
-            val pq = (payload(p) & 0xf0) >> 4
-            val tq = payload(p) & 0x0f
-            p += 1
-            var i = 0
-            while (i < 64) {
-              val v = if (pq == 0) payload(p) & 0xff
-                else { val x = u16be(p); x }
-              quant(tq)(ZigZag(i)) = v
-              p += (if (pq == 0) 1 else 2)
-              i += 1
-            }
-          }
-          pos = segEnd
-        case 0xc4 => // DHT
-          var p = seg
-          while (p < segEnd) {
-            val tc = (payload(p) & 0xf0) >> 4
-            val th = payload(p) & 0x0f
-            p += 1
-            val bits = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) { bits(l) = payload(p + l - 1) & 0xff; total += bits(l); l += 1 }
-            p += 16
-            val vals = new Array[Int](total)
-            var i = 0
-            while (i < total) { vals(i) = payload(p + i) & 0xff; i += 1 }
-            p += total
-            val dec = new HuffDecoder(bits, vals)
-            if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
-          }
-          pos = segEnd
-        case 0xc0 => // SOF0 baseline
-          if ((payload(seg) & 0xff) != 8) return None // 8-bit precision only
-          h = u16be(seg + 1); w = u16be(seg + 3)
-          val nc = payload(seg + 5) & 0xff
-          if (nc != 1 && nc != 3) return None
-          comps = Array.tabulate(nc) { c =>
-            val o = seg + 6 + 3 * c
-            val id = payload(o) & 0xff
-            val hv = payload(o + 1) & 0xff
-            Array(id, (hv >> 4) & 0xf, hv & 0xf, payload(o + 2) & 0xff, 0, 0)
-          }
-          if (comps.exists(c => c(1) < 1 || c(1) > 2 || c(2) < 1 || c(2) > 2))
-            return None
-          pos = segEnd
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // non-baseline frame
-        case 0xdd => // DRI
-          restartInterval = u16be(seg)
-          pos = segEnd
-        case 0xda => // SOS — entropy-coded data follows
-          if (comps == null || w == 0 || h == 0) return None
-          val ns = payload(seg) & 0xff
-          var p = seg + 1
-          var i = 0
-          while (i < ns) {
-            val cid = payload(p) & 0xff
-            val tabs = payload(p + 1) & 0xff
-            val c = comps.indexWhere(_(0) == cid)
-            if (c < 0) return None
-            comps(c)(4) = (tabs >> 4) & 0xf
-            comps(c)(5) = tabs & 0xf
-            p += 2; i += 1
-          }
-          pos = segEnd // skip Ss/Se/AhAl (baseline fixed)
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // raw (un-dequantized) coefficients in ZIGZAG order, one padded
+    // block grid per component — scans accumulate into these
+    var coefs: Array[Array[Int]] = null
+    var blocksPerLine: Array[Int] = null
+    var sawScan = false
 
-          val hMax = comps.map(_(1)).max
-          val vMax = comps.map(_(2)).max
-          val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-          val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-          // component planes at full block resolution
-          val planeW = comps.map(c => mcusX * c(1) * 8)
-          val planes = comps.map(c => new Array[Int](mcusX * c(1) * 8 * mcusY * c(2) * 8))
-          val preds = new Array[Int](comps.length)
-          val in = new JpegBitReader(payload, pos)
-          val coef = new Array[Double](64)
-          val blk = new Array[Int](64)
-          var mcu = 0
-          var my = 0
-          while (my < mcusY) {
-            var mx = 0
-            while (mx < mcusX) {
-              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-                in.byteAlign()
-                // expect RSTn
-                if ((payload(in.pos) & 0xff) != 0xff ||
-                  ((payload(in.pos + 1) & 0xff) & 0xf8) != 0xd0)
-                  throw new IllegalStateException("missing restart marker")
-                in.pos += 2
-                java.util.Arrays.fill(preds, 0)
-              }
-              var c = 0
-              while (c < comps.length) {
-                val (hs, vs) = (comps(c)(1), comps(c)(2))
-                val qt = quant(comps(c)(3))
-                val dcT = dcTabs(comps(c)(4)); val acT = acTabs(comps(c)(5))
-                if (dcT == null || acT == null)
-                  throw new IllegalStateException("missing Huffman table")
-                var by = 0
-                while (by < vs) {
-                  var bx = 0
-                  while (bx < hs) {
-                    java.util.Arrays.fill(coef, 0.0)
-                    val s = dcT.decode(in)
-                    preds(c) += in.receiveExtend(s)
-                    coef(0) = preds(c).toDouble * qt(0)
-                    var k = 1
-                    var done = false
-                    while (k < 64 && !done) {
-                      val rs = acT.decode(in)
-                      val r = rs >> 4; val sz = rs & 0xf
-                      if (sz == 0) {
-                        if (r == 15) k += 16 else done = true
-                      } else {
-                        k += r
-                        if (k > 63) throw new IllegalStateException("AC overflow")
-                        coef(ZigZag(k)) = in.receiveExtend(sz).toDouble * qt(ZigZag(k))
-                        k += 1
-                      }
-                    }
-                    idct8x8(coef, blk)
-                    val ox = (mx * hs + bx) * 8
-                    val oy = (my * vs + by) * 8
-                    var yy = 0
-                    while (yy < 8) {
-                      var xx = 0
-                      while (xx < 8) {
-                        planes(c)((oy + yy) * planeW(c) + ox + xx) = blk(yy * 8 + xx)
-                        xx += 1
-                      }
-                      yy += 1
-                    }
-                    bx += 1
-                  }
-                  by += 1
-                }
-                c += 1
-              }
-              mcu += 1
-              mx += 1
-            }
-            my += 1
+    def parseSof(seg: Int): Boolean = {
+      if ((payload(seg) & 0xff) != 8) return false // 8-bit precision only
+      h = u16be(seg + 1); w = u16be(seg + 3)
+      val nc = payload(seg + 5) & 0xff
+      if ((nc != 1 && nc != 3) || w == 0 || h == 0) return false
+      comps = Array.tabulate(nc) { c =>
+        val o = seg + 6 + 3 * c
+        val hv = payload(o + 1) & 0xff
+        Array(payload(o) & 0xff, (hv >> 4) & 0xf, hv & 0xf, payload(o + 2) & 0xff)
+      }
+      if (comps.exists(c => c(1) < 1 || c(1) > 2 || c(2) < 1 || c(2) > 2))
+        return false
+      hMax = comps.map(_(1)).max; vMax = comps.map(_(2)).max
+      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      blocksPerLine = comps.map(c => mcusX * c(1))
+      coefs = comps.map(c => new Array[Int](mcusX * c(1) * mcusY * c(2) * 64))
+      true
+    }
+
+    /** One entropy-coded scan (T.81 G.2): updates the coefficient grids
+      * and returns the payload offset just past the scan's data.
+      */
+    def decodeScan(seg: Int, segEnd: Int): Int = {
+      val ns = payload(seg) & 0xff
+      val scanComp = new Array[Int](ns)
+      val dcSel = new Array[Int](ns)
+      val acSel = new Array[Int](ns)
+      var p = seg + 1
+      var i = 0
+      while (i < ns) {
+        val cid = payload(p) & 0xff
+        val c = comps.indexWhere(_(0) == cid)
+        require(c >= 0, "unknown component in scan")
+        scanComp(i) = c
+        dcSel(i) = (payload(p + 1) & 0xf0) >> 4
+        acSel(i) = payload(p + 1) & 0x0f
+        p += 2; i += 1
+      }
+      val ss = payload(p) & 0xff
+      val se = payload(p + 1) & 0xff
+      val ah = (payload(p + 2) & 0xf0) >> 4
+      val al = payload(p + 2) & 0x0f
+      require(ss <= se && se <= 63, "bad spectral band")
+      val in = new JpegBitReader(payload, segEnd)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var units = 0
+      def restartIfDue(): Unit =
+        if (restartInterval > 0 && units > 0 && units % restartInterval == 0) {
+          in.byteAlign()
+          require((payload(in.pos) & 0xff) == 0xff &&
+            ((payload(in.pos + 1) & 0xff) & 0xf8) == 0xd0, "missing restart")
+          in.pos += 2
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+      def dcTab(si: Int) = {
+        val t = dcTabs(dcSel(si)); require(t != null, "missing DC table"); t
+      }
+      def acTab(si: Int) = {
+        val t = acTabs(acSel(si)); require(t != null, "missing AC table"); t
+      }
+      // sequential full-band block (baseline / extended sequential)
+      def blockSeq(si: Int, cf: Array[Int], off: Int): Unit = {
+        val s = dcTab(si).decode(in)
+        preds(scanComp(si)) += in.receiveExtend(s)
+        cf(off) = preds(scanComp(si))
+        var k = 1
+        var open = true
+        while (k < 64 && open) {
+          val rs = acTab(si).decode(in)
+          val r = rs >> 4; val sz = rs & 0xf
+          if (sz == 0) { if (r == 15) k += 16 else open = false }
+          else {
+            k += r
+            require(k <= 63, "AC overflow")
+            cf(off + k) = in.receiveExtend(sz)
+            k += 1
           }
-          // upsample + color convert
-          val px = new Array[Int](w * h)
-          var yy = 0
-          while (yy < h) {
-            var xx = 0
-            while (xx < w) {
-              def sample(c: Int): Int = {
-                val sx = xx * comps(c)(1) / hMax
-                val sy = yy * comps(c)(2) / vMax
-                planes(c)(sy * planeW(c) + sx)
+        }
+      }
+      def dcFirst(si: Int, cf: Array[Int], off: Int): Unit = {
+        val s = dcTab(si).decode(in)
+        preds(scanComp(si)) += in.receiveExtend(s)
+        cf(off) = preds(scanComp(si)) << al
+      }
+      def dcRefine(cf: Array[Int], off: Int): Unit =
+        if (in.readBit() == 1) cf(off) |= (1 << al)
+      def acFirst(si: Int, cf: Array[Int], off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var open = true
+        while (k <= se && open) {
+          val rs = acTab(si).decode(in)
+          val r = rs >> 4; val sz = rs & 0xf
+          if (sz == 0) {
+            if (r == 15) k += 16
+            else { // EOBn: run of (1<<r)+bits blocks, this one included
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += in.receive(r)
+              open = false
+            }
+          } else {
+            k += r
+            require(k <= se, "AC overflow")
+            cf(off + k) = in.receiveExtend(sz) << al
+            k += 1
+          }
+        }
+      }
+      // T.81 G.2 / correction-bit protocol: nonzero history coefficients
+      // consume one refinement bit whenever the scan passes over them —
+      // including inside zero runs and inside EOB runs
+      def acRefine(si: Int, cf: Array[Int], off: Int): Unit = {
+        val p1 = 1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var open = true
+          while (k <= se && open) {
+            val rs = acTab(si).decode(in)
+            var r = rs >> 4; val sz = rs & 0xf
+            var newval = 0
+            if (sz != 0) {
+              require(sz == 1, "bad refinement size")
+              newval = if (in.readBit() == 1) p1 else -p1
+            } else if (r != 15) {
+              eobrun = (1 << r)
+              if (r > 0) eobrun += in.receive(r)
+              open = false // rest of band handled by the EOB logic below
+            }
+            if (open) {
+              var placed = false
+              while (k <= se && !placed) {
+                val cur = cf(off + k)
+                if (cur != 0) {
+                  if (in.readBit() == 1 && (cur & p1) == 0)
+                    cf(off + k) = if (cur >= 0) cur + p1 else cur - p1
+                  k += 1
+                } else if (r == 0) {
+                  // the target zero slot: place the new ±1 (or, for ZRL,
+                  // just step past the 16th zero) and resume the band
+                  if (newval != 0) cf(off + k) = newval
+                  k += 1
+                  placed = true
+                } else { r -= 1; k += 1 }
               }
-              val rgb = if (comps.length == 1) {
-                val yv = sample(0)
-                (yv << 16) | (yv << 8) | yv
-              } else {
-                val yv = sample(0).toDouble
-                val cb = sample(1) - 128.0
-                val cr = sample(2) - 128.0
-                def cl(v: Double): Int = {
-                  val i = math.round(v).toInt
-                  if (i < 0) 0 else if (i > 255) 255 else i
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val cur = cf(off + k)
+            if (cur != 0 && in.readBit() == 1 && (cur & p1) == 0)
+              cf(off + k) = if (cur >= 0) cur + p1 else cur - p1
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      def decodeUnit(si: Int, row: Int, colBlk: Int): Unit = {
+        val c = scanComp(si)
+        val off = (row * blocksPerLine(c) + colBlk) * 64
+        val cf = coefs(c)
+        if (!progressive) blockSeq(si, cf, off)
+        else if (ss == 0) { if (ah == 0) dcFirst(si, cf, off) else dcRefine(cf, off) }
+        else { if (ah == 0) acFirst(si, cf, off) else acRefine(si, cf, off) }
+      }
+      if (ns > 1) { // interleaved: MCU traversal (DC or sequential scans)
+        require(!progressive || ss == 0, "interleaved AC scan")
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            restartIfDue()
+            var si = 0
+            while (si < ns) {
+              val c = scanComp(si)
+              var by = 0
+              while (by < comps(c)(2)) {
+                var bx = 0
+                while (bx < comps(c)(1)) {
+                  decodeUnit(si, my * comps(c)(2) + by, mx * comps(c)(1) + bx)
+                  bx += 1
                 }
-                (cl(yv + 1.402 * cr) << 16) |
-                  (cl(yv - 0.344136 * cb - 0.714136 * cr) << 8) |
-                  cl(yv + 1.772 * cb)
+                by += 1
               }
-              px(yy * w + xx) = rgb
+              si += 1
+            }
+            units += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved: raster over the COMPONENT's own blocks
+        val c = scanComp(0)
+        val wB = ((w * comps(c)(1) + hMax - 1) / hMax + 7) / 8
+        val hB = ((h * comps(c)(2) + vMax - 1) / vMax + 7) / 8
+        var row = 0
+        while (row < hB) {
+          var colB = 0
+          while (colB < wB) {
+            restartIfDue()
+            decodeUnit(0, row, colB)
+            units += 1
+            colB += 1
+          }
+          row += 1
+        }
+      }
+      // skip trailing bits / stuffing / stray RSTs up to the next marker
+      var q = in.pos
+      while (q + 1 < payload.length && !((payload(q) & 0xff) == 0xff && {
+        val m = payload(q + 1) & 0xff
+        m != 0x00 && m != 0xff && !(m >= 0xd0 && m <= 0xd7)
+      })) q += 1
+      q
+    }
+
+    var done = false
+    while (!done && pos + 1 < payload.length) {
+      if ((payload(pos) & 0xff) != 0xff) return None
+      var mp = pos + 1
+      while ((payload(mp) & 0xff) == 0xff) mp += 1 // fill bytes
+      val marker = payload(mp) & 0xff
+      pos = mp + 1
+      marker match {
+        case 0xd9 => done = true // EOI
+        case 0x01 => () // TEM, standalone
+        case m if m >= 0xd0 && m <= 0xd7 => () // stray RST, standalone
+        case _ =>
+          val len = u16be(pos)
+          val seg = pos + 2
+          val segEnd = pos + len
+          marker match {
+            case 0xdb => // DQT
+              var p2 = seg
+              while (p2 < segEnd) {
+                val pq = (payload(p2) & 0xf0) >> 4
+                val tq = payload(p2) & 0x0f
+                p2 += 1
+                var i = 0
+                while (i < 64) {
+                  quant(tq)(ZigZag(i)) =
+                    if (pq == 0) payload(p2) & 0xff else u16be(p2)
+                  p2 += (if (pq == 0) 1 else 2)
+                  i += 1
+                }
+              }
+            case 0xc4 => // DHT
+              var p2 = seg
+              while (p2 < segEnd) {
+                val tc = (payload(p2) & 0xf0) >> 4
+                val th = payload(p2) & 0x0f
+                p2 += 1
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) { bits(l) = payload(p2 + l - 1) & 0xff; total += bits(l); l += 1 }
+                p2 += 16
+                val vals = new Array[Int](total)
+                var i = 0
+                while (i < total) { vals(i) = payload(p2 + i) & 0xff; i += 1 }
+                p2 += total
+                val dec = new HuffDecoder(bits, vals)
+                if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+              }
+            case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+              progressive = false
+              if (!parseSof(seg)) return None
+            case 0xc2 => // progressive Huffman
+              progressive = true
+              if (!parseSof(seg)) return None
+            case 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // lossless / arithmetic / differential frames
+            case 0xdd => restartInterval = u16be(seg)
+            case 0xda =>
+              if (comps == null) return None
+              pos = decodeScan(seg, segEnd)
+              sawScan = true
+            case _ => () // APPn / COM / DNL — skip
+          }
+          if (marker != 0xda) pos = segEnd
+      }
+    }
+    if (comps == null || !sawScan) return None
+
+    // ---- reconstruction: dequant + IDCT into full-resolution planes --
+    val planeW = comps.indices.map(c => blocksPerLine(c) * 8).toArray
+    val planes = comps.indices.map(c =>
+      new Array[Int](blocksPerLine(c) * 8 * mcusY * comps(c)(2) * 8)).toArray
+    val coefD = new Array[Double](64)
+    val blk = new Array[Int](64)
+    var c = 0
+    while (c < comps.length) {
+      val qt = quant(comps(c)(3))
+      val bPerLine = blocksPerLine(c)
+      val bPerCol = mcusY * comps(c)(2)
+      val cf = coefs(c)
+      var row = 0
+      while (row < bPerCol) {
+        var colB = 0
+        while (colB < bPerLine) {
+          val off = (row * bPerLine + colB) * 64
+          java.util.Arrays.fill(coefD, 0.0)
+          var k = 0
+          while (k < 64) {
+            if (cf(off + k) != 0)
+              coefD(ZigZag(k)) = cf(off + k).toDouble * qt(ZigZag(k))
+            k += 1
+          }
+          idct8x8(coefD, blk)
+          val ox = colB * 8; val oy = row * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(c)((oy + yy) * planeW(c) + ox + xx) = blk(yy * 8 + xx)
               xx += 1
             }
             yy += 1
           }
-          return Some(BmpImage(w, h, px))
-        case _ => // APPn / COM / anything skippable
-          pos = segEnd
+          colB += 1
+        }
+        row += 1
       }
+      c += 1
     }
-    None
+    // ---- upsample + color convert ------------------------------------
+    // centered (JPEG-sited) bilinear upsampling — the triangle filter
+    // libjpeg's fancy upsampler uses (3·near + far)/4 at 2×), clamped to
+    // the component's REAL extent so DC-padded edge blocks never bleed in
+    val compW = comps.indices.map(ci => (w * comps(ci)(1) + hMax - 1) / hMax).toArray
+    val compH = comps.indices.map(ci => (h * comps(ci)(2) + vMax - 1) / vMax).toArray
+    val px = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        def sample(ci: Int): Double = {
+          val fx = hMax / comps(ci)(1); val fy = vMax / comps(ci)(2)
+          if (fx == 1 && fy == 1) {
+            val sx = math.min(xx, compW(ci) - 1)
+            val sy = math.min(yy, compH(ci) - 1)
+            planes(ci)(sy * planeW(ci) + sx).toDouble
+          } else {
+            val u = (xx + 0.5) / fx - 0.5
+            val v = (yy + 0.5) / fy - 0.5
+            val x0 = math.max(0, math.min(compW(ci) - 1, math.floor(u).toInt))
+            val y0 = math.max(0, math.min(compH(ci) - 1, math.floor(v).toInt))
+            val x1 = math.min(compW(ci) - 1, x0 + 1)
+            val y1 = math.min(compH(ci) - 1, y0 + 1)
+            val fu = math.max(0.0, math.min(1.0, u - x0))
+            val fv = math.max(0.0, math.min(1.0, v - y0))
+            val p00 = planes(ci)(y0 * planeW(ci) + x0)
+            val p01 = planes(ci)(y0 * planeW(ci) + x1)
+            val p10 = planes(ci)(y1 * planeW(ci) + x0)
+            val p11 = planes(ci)(y1 * planeW(ci) + x1)
+            (p00 * (1 - fu) + p01 * fu) * (1 - fv) +
+              (p10 * (1 - fu) + p11 * fu) * fv
+          }
+        }
+        val rgb = if (comps.length == 1) {
+          val yv = math.round(sample(0)).toInt
+          (yv << 16) | (yv << 8) | yv
+        } else {
+          val yv = sample(0)
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def cl(v: Double): Int = {
+            val i2 = math.round(v).toInt
+            if (i2 < 0) 0 else if (i2 > 255) 255 else i2
+          }
+          (cl(yv + 1.402 * cr) << 16) |
+            (cl(yv - 0.344136 * cb - 0.714136 * cr) << 8) |
+            cl(yv + 1.772 * cb)
+        }
+        px(yy * w + xx) = rgb
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(BmpImage(w, h, px))
   } catch { case _: Exception => None }
 
   private def fdct8x8(in: Array[Double], out: Array[Double]): Unit = {
