@@ -174,9 +174,14 @@ object DupGraph {
     * to the artifact's admission tau, and append both the edges and the
     * batch's docs batch_id-idempotently: each append is skipped when
     * `edges/` / `docs/` already holds a COMMITTED row for this batchId
-    * (the [[graft.Util.batchAlreadyApplied]] discipline), so a replayed
-    * batch re-derives the identical edge set against the identical
-    * corpus-so-far and appends nothing twice.
+    * (the [[graft.Util.batchAlreadyApplied]] discipline). Document ids
+    * the store already holds are dropped up front — that makes
+    * CROSS-BATCH redelivery (an at-least-once source re-sending a doc
+    * under a new batchId) a no-op for both stores, and means a fully
+    * applied replay admits nothing new (a partially applied one — crash
+    * between the two appends — re-derives the identical edges against
+    * the identical corpus-so-far and the batch_id guards skip whatever
+    * already committed).
     *
     * Equivalence contract: after batches B1..Bn the edge set equals the
     * batch build over the union corpus, because "a shares a band bucket
@@ -207,7 +212,15 @@ object DupGraph {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(docsPath)),
       s"dup-graph at $path has no docs store; build it with storeDocs = true")
-    val newDocs = batch.select(col(idCol), col(textCol)).localCheckpoint()
+    // At-least-once sources can RE-DELIVER a document in a later batch
+    // (different batchId — outside the replay guard's reach). Drop ids
+    // the store already holds: an already-known doc must neither re-pair
+    // (its edges exist) nor duplicate in docs/ (a duplicate corpus row
+    // would fan out every future verify join against it).
+    val newDocs = batch.select(col(idCol), col(textCol))
+      .join(spark.read.parquet(docsPath).select(col("id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
     val edges = Dedup.cacheScope {
       // corpus-so-far, defensively excluding the batch's own ids (a
       // replay can observe its docs already appended when the batch
