@@ -69,7 +69,7 @@ object PlanDump {
     "q130_ppjoin_degrees" ->
       "adaptive set-similarity: bitmask distinct-set square on tiny vocabularies, PPJoin prefix filter otherwise",
     "q133_pagerank_dups" ->
-      "PageRank: checkpointed edge/degree frames, per-iteration dst-keyed agg, integer fixed-point ranks",
+      "PageRank: persisted dup-graph artifact scan, checkpointed edge/degree frames, per-iteration dst-keyed agg, integer fixed-point ranks",
     "q137_block_dedup" ->
       "C4-style block dedup: content-keyed first-occurrence window, ordered per-doc reassembly",
     "q138_containment_degrees" ->
@@ -77,7 +77,7 @@ object PlanDump {
     "q139_inverted_index" ->
       "inverted index: bounded top-k posting cap per partition, no ranked-window sort of hot tokens",
     "q140_leakage_split" ->
-      "leakage-safe split: cluster components over the edge list only, broadcast assignment join, md5 hash split",
+      "leakage-safe split: components over the persisted artifact's edge scan, broadcast assignment join, md5 hash split",
     "q144_cluster_reps" ->
       "canonical per cluster: component frame broadcasts into scored corpus, rank-1 WindowGroupLimit argmax",
     "q145_source_quota" ->
@@ -107,7 +107,11 @@ object PlanDump {
     "q224_auc_card" ->
       "rank-identity AUC: join-free — score-grid hash agg below one cumulative window",
     "q234_onion_layers" ->
-      "onion peel: LSH-verified edges, per-round shared degree agg + two semi-joins, checkpointed shrink",
+      "onion peel: persisted-artifact edges, per-round shared degree agg + two semi-joins, checkpointed shrink",
+    "q177_label_prop_communities" ->
+      "label propagation: persisted-artifact edge read (checkpointed), three synchronous argmax rounds over the tiny edge frame",
+    "q363_dup_degree_dist" ->
+      "degree distribution: artifact degree recount at stricter tau — one agg over stored near-dup pairs, no pipeline re-run",
     "q246_silhouette_card" ->
       "silhouette: broadcast md5-sampled probes, corpus never shuffles, decimal-exact distance folds",
     "q248_attribution_compare" ->
