@@ -2157,7 +2157,7 @@ object DedupOps {
     * files, not the derivation), and — because [[DupGraphArtifacts.rebuild]]
     * never serves the memo — this card is the suite's honestly-priced
     * pairwise pass: the one place the candidate+verify cost appears in
-    * the bench, with the 17 consumer cards amortizing it the way a
+    * the bench, with the 18 consumer cards amortizing it the way a
     * 100 TB analytics session would.
     */
   def q362DupGraphBuild(spark: SparkSession, dir: String): DataFrame = {

@@ -10,6 +10,7 @@ values (both in result order and sorted), reporting per-query PASS/FAIL.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -99,6 +100,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, spec in sorted(TOLERANCE.items()):
+        # subset dumps (local single-query iteration) legitimately omit
+        # the tolerance queries — skip, don't FAIL
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"SKIP {name}: not in this dump")
+            continue
         try:
             ok = check_tolerance(con, out_dir, name, spec)
         except Exception as e:
