@@ -856,6 +856,11 @@ object MediaCodecs {
       h = u16be(seg + 1); w = u16be(seg + 3)
       val nc = payload(seg + 5) & 0xff
       if ((nc != 1 && nc != 3) || w == 0 || h == 0) return false
+      // allocation guard: a corrupt SOF claiming 65535x65535 would ask
+      // for multi-GB coefficient grids and die with an uncatchable
+      // OutOfMemoryError instead of degrading to None — refuse frames
+      // beyond 2^26 px (8k x 8k; coef grids ~6 B/px at 4:2:0)
+      if (w.toLong * h > (1L << 26)) return false
       comps = Array.tabulate(nc) { c =>
         val o = seg + 6 + 3 * c
         val hv = payload(o + 1) & 0xff

@@ -442,4 +442,33 @@ class MultimodalSpec extends SparkSpec {
       assert(maxE <= 8, s"progressive max channel error $maxE at ${w}x$h")
     }
   }
+
+  test("JPEG decoder: fuzzed and truncated/mutated bitstreams return None, never throw") {
+    // a 100 TB corpus's binary column contains garbage; the decoder's
+    // contract is Option, not exceptions, on ANY input
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 200) {
+      val junk = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(junk)
+      MediaCodecs.decodeJpeg(junk) // must not throw (result irrelevant)
+    }
+    // random bytes behind a valid SOI marker
+    for (_ <- 1 to 200) {
+      val junk = new Array[Byte](2 + rnd.nextInt(400))
+      rnd.nextBytes(junk)
+      junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte
+      MediaCodecs.decodeJpeg(junk)
+    }
+    // truncations and single-byte mutations of a REAL baseline stream
+    val valid = MediaCodecs.encodeJpeg(smoothRaster(24, 17), quality = 80)
+    for (cut <- 1 until valid.length by 7)
+      MediaCodecs.decodeJpeg(valid.take(cut))
+    for (_ <- 1 to 300) {
+      val m = valid.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      MediaCodecs.decodeJpeg(m)
+    }
+    // and the pristine stream still decodes after all that
+    assert(MediaCodecs.decodeJpeg(valid).isDefined)
+  }
 }
