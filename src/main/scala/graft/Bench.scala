@@ -138,7 +138,8 @@ object Bench {
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsent = results.map { case (k, (_, r)) =>
-      s"\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+    }.mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in the per-query map but must
     // not subtract from the total; surface them explicitly instead
     val failed = results.collect { case (k, (v, _)) if v < 0 => k }.sorted
@@ -186,8 +187,12 @@ object Bench {
           }
         }
       }.getOrElse(Nil)
+    // Locale.ROOT: the f-interpolator honors the JVM default locale and
+    // would emit decimal COMMAS (invalid JSON) on e.g. a de_DE host
     val regJson = regressions.sortBy(-_._3).map { case (n, p, c) =>
-      f"""{"q":"$n","prev":$p%.3f,"now":$c%.3f}""" }.mkString("[", ",", "]")
+      String.format(java.util.Locale.ROOT,
+        """{"q":"%s","prev":%.3f,"now":%.3f}""", n, Double.box(p), Double.box(c))
+    }.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":$normalized,"degraded":$degraded,"sentinel_sec":[$sentinelPre,$sentinelPost],"sentinel_ref_sec":$sentinelRef,"sentinel_ratio":$sentinelRatio,"sentinel_ratio_all":$sentinelRatioAll,"cpus":$cpus,"failures":$failedJson,"regressions":$regJson,"queries":$qs,"query_sentinels":$qsent,"sf":"$sfDir"}"""
     println(line)
     // The driver captures sbt's stdout TAIL, which has truncated the head

@@ -148,15 +148,21 @@ object DupGraph {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
-  /** Node degrees: the stored table when `minJaccard` is the build
-    * threshold, else one count-aggregate over the filtered edges (the
-    * edge table is near-dup pairs only — ≪ corpus — so the recount is a
-    * narrow scan, not a pipeline re-run).
+  /** Node degrees: the stored table when `minJaccard` EQUALS the build
+    * threshold, a count-aggregate over the filtered edges for stricter
+    * thresholds (the edge table is near-dup pairs only — ≪ corpus — so
+    * the recount is a narrow scan, not a pipeline re-run), and a LOUD
+    * failure below the build floor — the stored degrees are computed at
+    * the floor and silently serving them for a looser question would be
+    * wrong (same contract as [[readEdges]]).
     */
   def readDegrees(spark: SparkSession, path: String,
       minJaccard: Double = 0.0): DataFrame = {
     val m = readMeta(spark, path)
-    if (minJaccard <= m.tau) spark.read.parquet(s"$path/degrees")
+    require(minJaccard >= m.tau - 1e-12,
+      f"dup-graph at $path stores edges at tau=${m.tau}%.3f; " +
+        f"cannot serve degrees at minJaccard=$minJaccard%.3f below it")
+    if (minJaccard <= m.tau + 1e-12) spark.read.parquet(s"$path/degrees")
     else {
       val e = readEdges(spark, path, minJaccard)
       e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
@@ -244,7 +250,11 @@ object DupGraph {
     if (!graft.Util.batchAlreadyApplied(spark, s"$path/edges", batchId) &&
         !edges.isEmpty)
       edges.write.mode("append").parquet(s"$path/edges")
-    if (!graft.Util.batchAlreadyApplied(spark, docsPath, batchId))
+    // empty-guarded like the edges append: a redelivery-only batch must
+    // not append zero-row files on every replay (its batch_id can never
+    // commit, so the guard alone would admit the debris forever)
+    if (!newDocs.isEmpty &&
+        !graft.Util.batchAlreadyApplied(spark, docsPath, batchId))
       newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
           lit(batchId).as("batch_id"))
         .write.mode("append").parquet(docsPath)
@@ -298,8 +308,11 @@ object DupGraph {
 
   /** Recompute `degrees/` and `meta/` from the CURRENT edge table (the
     * post-ingest refresh): each lands via the same build-aside + rename
-    * swap as [[write]], so concurrent readers see the old stats or the
-    * new ones, never a partial rewrite.
+    * swap as [[write]], so a reader never observes a PARTIAL rewrite —
+    * but the swap is two renames, not one atomic move, so a reader
+    * racing the exact swap window can observe a missing directory (the
+    * [[Similarity.compactIvfCells]] operational caveat: pause readers or
+    * retry-on-miss if that matters).
     */
   def refreshStats(spark: SparkSession, path: String): Meta = {
     val m = readMeta(spark, path)

@@ -51,13 +51,15 @@ object DedupOps {
   /** Per-(sf-dir, method) persisted dup-graph artifact shared by every
     * graph analytics card: built at most once per JVM via
     * [[graft.api.DupGraph.write]] under a fresh temp path, then each of
-    * the 11 graph cards (q55, q133, q141, q177, q232, q234, q247, q301,
-    * q340, q346, q348) reads the stored edge table instead of
-    * re-running the pairwise candidate+verify pipeline — the 100 TB
-    * discipline the artifact exists for: one pairwise pass per corpus
-    * snapshot, N edge-table-sized analytic reads. The LSH graph is
-    * built at τ = 0.5 and the PPJoin graph at τ = 0.8 (each the
-    * loosest threshold any card asks of that method); stricter cards
+    * the 18 consumer cards (q55, q127, q133, q140, q141, q144, q177,
+    * q180, q232, q234, q247, q251, q268, q301, q340, q346, q348, q363)
+    * reads the stored edge/degree tables instead of re-running the
+    * pairwise candidate+verify pipeline — the 100 TB discipline the
+    * artifact exists for: one pairwise pass per corpus snapshot, N
+    * edge-table-sized analytic reads. The LSH graph stores EVERY
+    * verified candidate (τ = 0.0, q39's exact frame — so q127's 0.25
+    * gate and q180's threshold fan read it too) and the PPJoin graph
+    * stores τ = 0.8 (the loosest any ppjoin card asks); stricter cards
     * filter the STORED exact jaccard, which is bit-identical to
     * re-deriving at their τ (both derivations are exact above their
     * threshold — [[graft.api.DupGraph]]).
@@ -66,13 +68,29 @@ object DedupOps {
     * worker pool races graph cards); [[rebuild]] — the q362 pricing
     * card — always derives from scratch into a NEW path and swaps the
     * pointer, so reader frames holding the previous path never observe
-    * a half-written directory.
+    * a half-written directory. Superseded paths are deleted at JVM
+    * exit (they cannot be deleted at swap time — concurrent readers
+    * may hold un-materialized frames on them).
     */
   private object DupGraphArtifacts {
     private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    // lsh stores EVERY verified candidate (tau 0.0 — q39's exact frame,
-    // so q127's 0.25 gate and q180's threshold fan read it too);
-    // ppjoin stores tau 0.8, the loosest any ppjoin card asks
+    private val abandoned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    locally {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        var p = abandoned.poll()
+        while (p != null) {
+          scala.util.Try {
+            val root = new java.io.File(p).getParentFile
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(root)
+          }
+          p = abandoned.poll()
+        }
+      }))
+    }
     val BuildTau = Map("lsh" -> 0.0, "ppjoin" -> 0.8)
     private def build(spark: SparkSession, dir: String, method: String): String = {
       val p = java.nio.file.Files.createTempDirectory("graft_dupgraph_")
@@ -88,7 +106,7 @@ object DedupOps {
       */
     def rebuild(spark: SparkSession, dir: String, method: String): graft.api.DupGraph.Meta = {
       val p = build(spark, dir, method)
-      paths.put(s"$dir|$method", p)
+      Option(paths.put(s"$dir|$method", p)).foreach(abandoned.add)
       graft.api.DupGraph.readMeta(spark, p)
     }
     def edges(spark: SparkSession, dir: String, method: String,

@@ -856,11 +856,8 @@ object MediaCodecs {
       h = u16be(seg + 1); w = u16be(seg + 3)
       val nc = payload(seg + 5) & 0xff
       if ((nc != 1 && nc != 3) || w == 0 || h == 0) return false
-      // allocation guard: a corrupt SOF claiming 65535x65535 would ask
-      // for multi-GB coefficient grids and die with an uncatchable
-      // OutOfMemoryError instead of degrading to None — refuse frames
-      // beyond 2^26 px (8k x 8k; coef grids ~6 B/px at 4:2:0)
-      if (w.toLong * h > (1L << 26)) return false
+      // allocation guard placeholder — the real check runs below, after
+      // sampling factors are known (footprint scales with them)
       comps = Array.tabulate(nc) { c =>
         val o = seg + 6 + 3 * c
         val hv = payload(o + 1) & 0xff
@@ -872,6 +869,15 @@ object MediaCodecs {
       mcusX = (w + 8 * hMax - 1) / (8 * hMax)
       mcusY = (h + 8 * vMax - 1) / (8 * vMax)
       blocksPerLine = comps.map(c => mcusX * c(1))
+      // allocation guard: a corrupt SOF claiming huge dimensions would
+      // ask for multi-GB coefficient grids and die with an uncatchable
+      // OutOfMemoryError instead of degrading to None. Bound the REAL
+      // footprint — coef grids + reconstruction planes (8 B per padded
+      // component sample) + the output raster (4 B/px) — at 512 MB.
+      val compSamples = comps.map(c =>
+        mcusX.toLong * c(1) * 8 * mcusY * c(2) * 8).sum
+      if (compSamples * 8L + w.toLong * h * 4L > 512L * 1024 * 1024)
+        return false
       coefs = comps.map(c => new Array[Int](mcusX * c(1) * mcusY * c(2) * 64))
       true
     }

@@ -1775,30 +1775,6 @@ object SimilarityOps {
        |FROM m GROUP BY label ORDER BY label""".stripMargin
   }
 
-  /** q318: top principal component by power iteration — the spectral
-    * upgrade of [[q196EmbedCovariance]], and since round 11 it computes
-    * the 64×64 covariance the SAME way q196 does: one narrow scan with
-    * `element_at` projections folding all d(d+1)/2 = 2 080 co-moments
-    * (plus 64 means and the count) in a single map-side-combinable
-    * aggregate — no row explode, no self-join, no rows × d² shuffle.
-    * Entries round to the 1e-6 grid (q196's determinism contract) and
-    * collapse to a BOUNDED 2 080-row frame, so the 12-step power
-    * iteration folds on the driver (the quantile-engine precedent: a
-    * driver loop over a bounded frame beats 12 micro-shuffle rounds of
-    * scheduler latency). Every mat-vec term and every norm term snaps to
-    * the 1e-12 grid and sums as exact integers (half-away-from-zero, the
-    * engines' shared round), so λ₁ (the final ‖Cv‖), the explained-
-    * variance share λ₁/trace, and the loadings are bit-identical to the
-    * oracle's 12 unrolled SQL iterations. Sign fixed by the dominant
-    * loading; card = top-5 |loading| dims. At 100 TB only the covariance
-    * pass touches data — one scan, aggregation state dim² and
-    * row-count-independent; the iteration cost is dim² on the driver.
-    */
-  /** q318's distributed stage alone — the (i, j, c) upper-triangle
-    * covariance on the 1e-6 grid from ONE embeddings scan (exposed so
-    * PlanSpec can lock the join-free shape; the card collects this
-    * bounded frame and iterates on the driver).
-    */
   /** q318's distributed stage alone: per-partition moment partials —
     * ONE narrow pass over the embeddings scan folding the d(d+1)/2
     * co-moment sums, the d mean sums, and the row count into a primitive
@@ -1840,6 +1816,21 @@ object SimilarityOps {
       }
   }
 
+  /** q318: top principal component by power iteration — the spectral
+    * upgrade of [[q196EmbedCovariance]]. The 64×64 covariance comes from
+    * [[q318MomentPartials]]' single narrow scan (co-moment/mean/count
+    * partials reduced across ≤ |partitions| rows), entries rounded to
+    * the 1e-6 grid with the same half-away-from-zero semantics as SQL
+    * ROUND, then the 12-step power iteration folds on the driver (the
+    * quantile-engine precedent: a driver loop over a bounded dim²
+    * matrix beats 12 micro-shuffle rounds of scheduler latency). Every
+    * mat-vec term and every norm term snaps to the 1e-12 grid and sums
+    * as exact integers, so λ₁ (the final ‖Cv‖), the explained-variance
+    * share λ₁/trace, and the loadings are bit-identical to the oracle's
+    * 12 unrolled SQL iterations. Sign fixed by the dominant loading;
+    * card = top-5 |loading| dims. At 100 TB only the moment scan
+    * touches data; its state is dim², row-count independent.
+    */
   def q318PcaPower(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dim = 64; val steps = 12

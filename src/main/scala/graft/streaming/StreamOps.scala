@@ -1411,7 +1411,10 @@ object StreamOps {
     * new edges + the batch's docs appended batch_id-idempotently
     * ([[graft.api.DupGraph.ingestBatch]]'s replay contract). Graph
     * analytics sessions keep reading the same artifact and see each
-    * batch's edges as soon as its append commits; run
+    * batch's edges as soon as its append commits (appends never move
+    * existing files; only [[graft.api.DupGraph.maintain]] /
+    * [[graft.api.DupGraph.refreshStats]] have the rename-swap
+    * race-window caveat); run
     * [[graft.api.DupGraph.refreshStats]] after an ingest session to
     * bring `degrees/`/`meta/` up to date. `sink` receives
     * (newEdges, batchId).

@@ -1702,11 +1702,20 @@ class ApiSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet === want)
 
     // reading below the stored admission floor must fail loudly, not
-    // silently serve a partial graph
+    // silently serve a partial graph (edges) or floor-level degrees
+    // masquerading as a looser answer (degrees)
     val err = intercept[IllegalArgumentException] {
       DupGraph.readEdges(spark, ppDir, 0.5)
     }
     assert(err.getMessage.contains("tau"))
+    intercept[IllegalArgumentException] {
+      DupGraph.readDegrees(spark, ppDir, 0.5)
+    }
+    // stricter-than-floor degrees recount from the filtered edges
+    val strict = DupGraph.readDegrees(spark, ppDir, 0.95)
+    val strictWant = DupGraph.readEdges(spark, ppDir, 0.95)
+    assert(strict.agg(sum($"degree")).as[Long].head() ===
+      2L * strictWant.count())
 
     // meta audit: node count is the distinct endpoint count
     val m = DupGraph.readMeta(spark, lshDir)

@@ -431,9 +431,9 @@ class StreamOpsSpec extends SparkSpec {
     val fresh = graft.api.DupGraph.refreshStats(spark, streamDir)
     val want = graft.api.DupGraph.readMeta(spark, batchDir)
     assert(fresh.nEdges === want.nEdges && fresh.nNodes === want.nNodes)
-    assert(graft.api.DupGraph.readDegrees(spark, streamDir)
+    assert(graft.api.DupGraph.readDegrees(spark, streamDir, 0.5)
       .as[(Long, Long)].collect().toSet ===
-      graft.api.DupGraph.readDegrees(spark, batchDir)
+      graft.api.DupGraph.readDegrees(spark, batchDir, 0.5)
         .as[(Long, Long)].collect().toSet)
 
     // maintenance: a fresh graph stands; append-debris past the
