@@ -161,7 +161,10 @@ object Bench {
     // plan changes, not weather.
     def parseMap(json: String, field: String): Map[String, Double] =
       (s""""$field":\\{([^}]*)\\}""".r.findFirstMatchIn(json) match {
-        case Some(m) => s""""([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+        // exponent part included: raw Double concatenation can print
+        // scientific notation (1.0E-4), which a bare -?[0-9.]+ would
+        // silently truncate to 1.0 and corrupt the regression baseline
+        case Some(m) => s""""([^"]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r.findAllMatchIn(m.group(1))
           .map(g => g.group(1) -> g.group(2).toDouble).toMap
         case None => Map.empty[String, Double]
       })

@@ -416,8 +416,17 @@ object Graph {
     */
   def adamicAdar(membership: DataFrame, idCol: String, itemCol: String,
       maxItemDegree: Int = 1000, packIds: Boolean = false): DataFrame = {
-    val m = membership
-      .select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    val rawIds = membership.select(col(idCol).as("id"), col(itemCol).as("item"))
+    val m = (if (packIds)
+      // fail-loud domain guard: an id >= 2^22 would silently corrupt the
+      // packed pair key (wrong pairs, no error). assert_true rides the
+      // existing narrow scan — no extra action, one comparison per row —
+      // and trips at the localCheckpoint materialization below.
+      rawIds.withColumn("id",
+        when(assert_true(col("id") >= 0 && col("id") < lit(4194304L),
+          lit(s"adamicAdar(packIds = true) requires 0 <= $idCol < 2^22; " +
+            "pass packIds = false for wider id domains")).isNull, col("id")))
+    else rawIds).distinct()
     val deg = m.groupBy(col("item")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= maxItemDegree)
       .withColumn("w_e6", round(lit(1e6) / log(col("deg"))).cast("long"))

@@ -77,18 +77,21 @@ object DedupOps {
     private val abandoned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     locally {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        var p = abandoned.poll()
-        while (p != null) {
-          scala.util.Try {
-            val root = new java.io.File(p).getParentFile
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(); ()
-            }
-            rm(root)
+        def rmTree(p: String): Unit = scala.util.Try {
+          val root = new java.io.File(p).getParentFile
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
           }
-          p = abandoned.poll()
+          rm(root)
         }
+        var p = abandoned.poll()
+        while (p != null) { rmTree(p); p = abandoned.poll() }
+        // the LIVE memoized artifacts leak too without this — each run
+        // otherwise strands full edge/docs trees under /tmp, and the LSH
+        // artifact stores every verified candidate, so the debris grows
+        // with SF and bench rounds
+        paths.values().forEach(rmTree(_))
       }))
     }
     val BuildTau = Map("lsh" -> 0.0, "ppjoin" -> 0.8)

@@ -1402,7 +1402,16 @@ object MediaCodecs {
           i = 0
           while (i < 64) {
             val nat = ZigZag(i)
-            qz(i) = math.round(freq(nat) / qt(nat)).toInt
+            // Clamp to the Annex K code space: AC symbols exist for size
+            // categories 1..10 (|v| <= 1023) only, and a DC clamped to
+            // +/-1023 keeps every diff within size 11 (|diff| <= 2046).
+            // At quality >= ~97 (quant entries hit 1) a high-contrast
+            // block can quantize past that and would otherwise emit a
+            // zero-length code — an undecodable stream. The predictor
+            // chain uses the CLAMPED value, so the decoder stays
+            // consistent (the clamp is just extra quantization loss).
+            val q = math.round(freq(nat) / qt(nat)).toInt
+            qz(i) = if (q > 1023) 1023 else if (q < -1023) -1023 else q
             i += 1
           }
           val diff = qz(0) - preds(c); preds(c) = qz(0)

@@ -119,6 +119,22 @@ class ModelsGraphSpec extends SparkSpec {
     assert(packed === got.map { case ((a, b), v) => ((ids(a), ids(b)), v) })
   }
 
+  test("adamicAdar packIds: an id outside [0, 2^22) fails loudly, never corrupts the key") {
+    import spark.implicits._
+    // 4194304 = 2^22 — one past the packable domain; silently packing it
+    // would alias into a WRONG (id_a, id_b) pair with no error
+    val m = Seq((1L, "i1"), (4194304L, "i1"), (2L, "i1")).toDF("id", "item")
+    val e = intercept[Exception] {
+      Graph.adamicAdar(m, "id", "item", packIds = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2^22")),
+      s"expected the packIds domain error, got: $e")
+    // the same frame is fine unpacked
+    assert(Graph.adamicAdar(m, "id", "item").count() === 3L)
+  }
+
   test("pcaTopComponent: returns the dominant eigenpair of a known matrix") {
     // eigvalues 3 and 1, top eigvec (1,1)/√2
     val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))

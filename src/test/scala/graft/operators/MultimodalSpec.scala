@@ -407,6 +407,26 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("JPEG codec: quality >= 97 high-contrast blocks stay decodable (Huffman size clamp)") {
+    // quant entries clamp to 1 at quality ~97+, so a max-contrast
+    // checkerboard quantizes AC magnitudes past size 10 — without the
+    // coefficient clamp the encoder emitted a zero-length code for the
+    // missing Annex K symbol and produced an undecodable stream
+    for (q <- Seq(97, 99, 100)) {
+      val w = 16; val h = 16
+      val img = MediaCodecs.BmpImage(w, h, Array.tabulate(w * h) { i =>
+        if ((i % w + i / w) % 2 == 0) 0xffffff else 0x000000
+      })
+      val payload = MediaCodecs.encodeJpeg(img, quality = q)
+      val back = MediaCodecs.decodeJpeg(payload)
+      assert(back.isDefined, s"own decode rejected quality=$q checkerboard")
+      assert(back.get.width === w && back.get.height === h)
+      val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(io != null, s"ImageIO must accept our quality=$q bitstream")
+      assert(io.getWidth === w && io.getHeight === h)
+    }
+  }
+
   test("JPEG decoder: PROGRESSIVE (SOF2) scans accumulate to the same image ImageIO decodes") {
     // ImageIO's writer emits real multi-scan progressive JPEGs (spectral
     // selection + successive approximation) — the EOB-run and
