@@ -288,6 +288,81 @@ object Dedup {
         (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Long-form LSH band table: (idCol, band, band_sig) — 2 rows per
+    * document with ≥ n tokens, one per band, with the band signature the
+    * bucketing stages join on. This is the PERSISTABLE form of the
+    * banding stage: store it once per corpus and new-vs-corpus candidate
+    * generation becomes an equi-join probe of the stored table
+    * ([[lshCandidatePairsAgainstIndex]]) instead of a corpus re-shingle
+    * ([[graft.api.DupGraph]] keeps one inside its artifact).
+    */
+  def bandsFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame =
+    minhashWide(shingleSets(docs, idCol, textCol, n), idCol).select(
+      col(idCol),
+      expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+
+  /** Incremental ingest dedup against a PERSISTED band index — the
+    * O(batch) replacement for [[lshCandidatePairsAgainst]] when the
+    * corpus banding is already stored: verified LSH candidate pairs
+    * between a new batch and a corpus whose [[bandsFrame]] rows
+    * (`corpusBands`: id, band, band_sig) are on disk and whose text is
+    * fetchable by id from `corpusDocs` (idCol, textCol).
+    *
+    * Per-batch cost shape: the batch is shingled/signed ONCE; the
+    * corpus side is one columnar scan of the slim band table equi-joined
+    * against the batch's ≤ 2·|batch| broadcast bucket keys (no corpus
+    * shuffle, no corpus re-shingle, no corpus re-hash), and only the
+    * matched candidates' text is fetched — a keyed semi-join into
+    * `corpusDocs` — for the exact-Jaccard verify. Hot-bucket cap
+    * semantics match [[lshCandidatePairsAgainst]]: corpus buckets above
+    * `maxBucketSize` postings are dropped with a logged count (the
+    * count over a touched bucket's stored postings IS its full-corpus
+    * count, so the two paths agree bucket for bucket). Pass
+    * `maxBucketSize = Int.MaxValue` to skip the cap's count action and
+    * stay fully lazy (plan-inspection callers).
+    *
+    * Output: (new_id, corpus_id, n_inter, jaccard), unordered; ids
+    * present on both sides never pair with themselves.
+    */
+  def lshCandidatePairsAgainstIndex(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusDocs: DataFrame, idCol: String, textCol: String, n: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val newBands = tracked(bandsFrame(newDocs, idCol, textCol, n)
+      .select(col(idCol).as("new_id"), col("band"), col("band_sig")))
+    val batchKeys = newBands.select(col("band"), col("band_sig")).distinct()
+    // the probe: stored postings in batch-touched buckets only — batch
+    // keys broadcast, the band table scanned columnar, never shuffled
+    val matched = tracked(corpusBands
+      .select(col("id").as("corpus_id"), col("band"), col("band_sig"))
+      .join(broadcast(batchKeys), Seq("band", "band_sig")))
+    val kept =
+      if (maxBucketSize == Int.MaxValue) matched
+      else {
+        val counts = tracked(matched.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("n_post")))
+        val dropped = counts.filter(col("n_post") > maxBucketSize).count()
+        if (dropped > 0)
+          log.warn(s"lshCandidatePairsAgainstIndex: dropped $dropped stored LSH " +
+            s"bucket(s) with more than $maxBucketSize postings")
+        matched.join(
+          broadcast(counts.filter(col("n_post") <= maxBucketSize)
+            .select(col("band"), col("band_sig"))),
+          Seq("band", "band_sig"))
+      }
+    val cands = tracked(newBands.join(kept, Seq("band", "band_sig"))
+      .select(col("new_id"), col("corpus_id"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .distinct())
+    // keyed text fetch: only matched candidate ids reach the shingle
+    // kernel (verifyExactJaccard semi-restricts again — idempotent)
+    val candCorpus = corpusDocs.join(
+      broadcast(cands.select(col("corpus_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    verifyExactJaccard(cands, newDocs, candCorpus, idCol, textCol, n,
+      "new_id", "corpus_id")
+  }
+
   /** Incremental ingest dedup: verified LSH candidate pairs BETWEEN a
     * new batch and an existing corpus — (new_id, corpus_id, n_inter,
     * jaccard), unordered. The production shape for "dedupe incoming
@@ -305,9 +380,8 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 4,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     def bandsOf(df: DataFrame, outCol: String): DataFrame =
-      minhashWide(shingleSets(df, idCol, textCol, n), idCol).select(
-        col(idCol).as(outCol),
-        expr("stack(2, 0L, concat_ws(',', m0, m1, m2, m3), 1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
+      bandsFrame(df, idCol, textCol, n)
+        .select(col(idCol).as(outCol), col("band"), col("band_sig"))
     val newBands = bandsOf(newDocs, "new_id")
     val corpusBands = tracked(bandsOf(corpus, "corpus_id"))
     val keepCorpus =

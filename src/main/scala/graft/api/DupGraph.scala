@@ -18,18 +18,40 @@ import org.apache.spark.sql.functions._
   * table that is orders of magnitude smaller than the corpus (near-dup
   * pairs only).
   *
-  * Layout under `path`:
+  * Layout under `path` — every subtable is a [[GenDir]] generation
+  * directory (`<sub>/gen-<n>/…` + commit markers), so compaction and
+  * stats refreshes swap in atomically with NO reader-visible missing
+  * window and one generation of read-stability for in-flight frames:
   *   - `edges/` — (id_a, id_b, n_inter, jaccard), id_a < id_b, one row
   *     per verified pair with exact Jaccard ≥ the build `tau`;
-  *     hash-distributed by id_a and SORTED by (id_a, id_b) within files
-  *     so per-id probes prune row groups via min/max stats.
+  *     DIRECTORY-PARTITIONED by `jbucket = floor(jaccard·10)` (clamped
+  *     to 9) so a stricter-τ read prunes whole partitions instead of
+  *     scanning the full candidate set, and within each bucket
+  *     hash-distributed by id_a and SORTED by (id_a, id_b) so per-id
+  *     probes prune row groups via min/max stats.
   *   - `degrees/` — (id, degree) at the build threshold (the
   *     undirected degree; each edge contributes to both endpoints),
   *     derived from the WRITTEN edge files, never from a re-derivation.
   *   - `meta/` — 1 row: method ("lsh" | "ppjoin"), tau (the admission
   *     floor — edges below it are NOT stored), shingle_n, n_edges,
-  *     n_nodes. Reads fail loudly on a missing/corrupt meta (the debris
-  *     of a crashed build) instead of serving a partial edge list.
+  *     n_nodes, plus the subtable schemas as DDL strings (reads apply
+  *     them explicitly, so an empty subtable — zero data files — still
+  *     reads as an empty frame instead of failing schema inference).
+  *     Reads fail loudly on a missing/corrupt meta (the debris of a
+  *     crashed build) instead of serving a partial edge list.
+  *   With `storeDocs = true` (the incremental-maintenance layout):
+  *   - `docs/` — (id, text, batch_id), id-distributed and SORTED so the
+  *     per-batch verify's keyed text fetch prunes row groups.
+  *   - `bands/` — the persisted LSH band index ([[Dedup.bandsFrame]]
+  *     rows + batch_id): (id, band, band_sig). THIS is what makes
+  *     [[ingestBatch]] O(batch): new-vs-corpus candidate generation is
+  *     an equi-join probe of this table — the corpus is never
+  *     re-shingled or re-minhashed per batch.
+  *   - `idbloom/` — Bloom-filter rows over `xxhash64(id)` of everything
+  *     in `docs/` (one row per append, merged by [[maintain]]). Gates
+  *     the known-id check: a batch whose ids all miss the filter skips
+  *     the docs anti-join entirely (no false negatives, so the gate is
+  *     exact; false positives just take the anti-join path).
   *
   * Stored `jaccard` is the same exact-integer-division double both
   * derivation paths compute, so `readEdges(path, minJaccard = τ')` for
@@ -37,21 +59,76 @@ import org.apache.spark.sql.functions._
   * directly (both [[Dedup.lshCandidatePairs]]-verify and
   * [[Dedup.ppJoinPairs]] are exact joins above their threshold) — one
   * artifact built at the loosest threshold a session needs serves every
-  * stricter question. Parity is pinned by the ApiSpec
-  * artifact==derivation tests and graded end-to-end by the q362 build
-  * card's DuckDB oracle.
+  * stricter question. The jbucket partition filter is derived from the
+  * same `floor(j·10)` the writer computed, and floor is monotone, so
+  * pruning can never drop a row the jaccard predicate would keep.
+  * Parity is pinned by the ApiSpec artifact==derivation tests and
+  * graded end-to-end by the q362 build card's DuckDB oracle.
   *
-  * Writes follow the aside-rename protocol of the IVF and MinHash-band
-  * indexes ([[Similarity.compactIvfCells]], [[TextIndex.compactMinhashBands]]):
-  * the artifact is assembled in a `__building` sibling (meta written
-  * LAST) and swapped in with two renames, so `path` only ever holds a
-  * complete artifact or the previous one — never a mix.
+  * Whole-artifact [[write]]s still assemble in a `__building` sibling
+  * (meta written LAST) and swap in with two renames; a crash inside
+  * that swap leaves the previous artifact at `${path}__old`, which
+  * [[readMeta]]'s error names so recovery is one documented rename.
+  * Everything that mutates a LIVE artifact ([[ingestBatch]] appends,
+  * [[maintain]]/[[refreshStats]] rewrites) goes through [[GenDir]] and
+  * has no such window.
+  *
+  * Single-writer contract: [[ingestBatch]] and [[maintain]] are
+  * designed to run from ONE ingest loop (the
+  * [[graft.streaming.StreamOps.dupGraphIngestStream]] pattern, which
+  * interleaves them safely). [[maintain]] additionally re-checks the
+  * source listing before committing each rewrite and aborts the swap if
+  * a concurrent append slipped in — a racing append is never silently
+  * dropped, the compaction just yields.
   */
 object DupGraph {
 
-  /** The artifact's identity row. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The artifact's identity row. The schema fields carry each
+    * subtable's DDL so reads never depend on schema inference (an empty
+    * subtable has no data files to infer from).
+    */
   final case class Meta(method: String, tau: Double, shingleN: Int,
-      nEdges: Long, nNodes: Long)
+      nEdges: Long, nNodes: Long,
+      edgesSchema: String = "", degreesSchema: String = "",
+      docsSchema: String = "", bandsSchema: String = "")
+
+  /** One Bloom row per append under `idbloom/`. All rows use the same
+    * (items, bits) constants, so [[maintain]] can merge them
+    * driver-side. Sized for ~1M ids per row at a low fp rate; a corpus
+    * far past that per append just raises the fp rate, which only costs
+    * extra anti-join work — never correctness (no false negatives).
+    */
+  private val BloomItems = 1L << 20
+  private val BloomBits = 1L << 23
+  private val IdBloomSchema = "bf BINARY, n_ids BIGINT, batch_id BIGINT"
+
+  /** floor(j·10) clamped to [0,9] — the edge partition key. Computed
+    * with the same floating-point ops on both the write side (Spark
+    * `floor(jaccard * 10)`) and the read side, and floor is monotone in
+    * j, so a read at floor(τ·10) can never prune a row with j ≥ τ.
+    */
+  private def jbucketCol: org.apache.spark.sql.Column =
+    least(floor(col("jaccard") * 10), lit(9L)).cast("int")
+
+  private def jbucketFloor(minJaccard: Double): Int =
+    math.max(0, math.min(9, math.floor(minJaccard * 10 - 1e-9).toInt))
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (bloom bytes, id count) of a frame's id column — null bytes when
+    * the frame is empty.
+    */
+  private def bloomRowOf(df: DataFrame, idCol: String): (Array[Byte], Long) = {
+    graft.functions.BloomFunctions.register(df.sparkSession)
+    val r = df.agg(
+      expr(s"bloom_filter_agg(xxhash64(`$idCol`), ${BloomItems}L, ${BloomBits}L)").as("bf"),
+      count(lit(1)).as("n")).head()
+    (r.getAs[Array[Byte]]("bf"), r.getAs[Long]("n"))
+  }
 
   /** Derive the verified edge list and persist it at `path` (replacing
     * any existing artifact there, crash-safely). `method`:
@@ -60,6 +137,9 @@ object DupGraph {
     *                to the hot-bucket cap, like every LSH consumer.
     *   - "ppjoin" — exact set-similarity self-join over distinct token
     *                sets at tau ([[Dedup.ppJoinPairs]]); no recall caveat.
+    * `storeDocs = true` additionally persists the corpus text, its LSH
+    * band index, and the id Bloom sidecar — the [[ingestBatch]]
+    * prerequisites (LSH method only).
     * The derivation runs inside a [[Dedup.cacheScope]], so its cached
     * intermediates release when the build completes.
     */
@@ -70,8 +150,7 @@ object DupGraph {
     require(method == "lsh" || method == "ppjoin",
       s"unknown dup-graph method: $method (want lsh | ppjoin)")
     val spark = docs.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     val building = new org.apache.hadoop.fs.Path(s"${path}__building")
     fs.delete(building, true) // leftovers of a crashed build
     val meta = Dedup.cacheScope {
@@ -85,32 +164,64 @@ object DupGraph {
         // ([[ingestBatch]]) tags its appends with the real micro-batch
         // id, which is what makes replayed appends detectable
         lit(-1L).as("batch_id"))
-      edges
-        .repartition(col("id_a"))
-        .sortWithinPartitions(col("id_a"), col("id_b"))
-        .write.mode("overwrite").parquet(s"$building/edges")
-      if (storeDocs)
-        docs.select(col(idCol).as("id"), col(textCol).as("text"),
+        .withColumn("jbucket", jbucketCol)
+      val edgesSchema = edges.schema.toDDL
+      GenDir.publish(spark, s"$building/edges") { g =>
+        edges
+          .repartition(col("jbucket"), col("id_a"))
+          .sortWithinPartitions(col("jbucket"), col("id_a"), col("id_b"))
+          .write.mode("overwrite").partitionBy("jbucket").parquet(g)
+      }()
+      var docsSchema = ""; var bandsSchema = ""
+      if (storeDocs) {
+        val d = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+          lit(-1L).as("batch_id"))
+        docsSchema = d.schema.toDDL
+        GenDir.publish(spark, s"$building/docs") { g =>
+          d.repartition(col("id")).sortWithinPartitions(col("id"))
+            .write.mode("overwrite").parquet(g)
+        }()
+        val bands = Dedup.bandsFrame(docs, idCol, textCol, shingleN)
+          .select(col(idCol).as("id"), col("band"), col("band_sig"),
             lit(-1L).as("batch_id"))
-          .write.mode("overwrite").parquet(s"$building/docs")
+        bandsSchema = bands.schema.toDDL
+        GenDir.publish(spark, s"$building/bands") { g =>
+          bands.repartition(col("band_sig"))
+            .sortWithinPartitions(col("band"), col("band_sig"))
+            .write.mode("overwrite").parquet(g)
+        }()
+        val (bf, nIds) = bloomRowOf(docs, idCol)
+        GenDir.publish(spark, s"$building/idbloom") { g =>
+          import spark.implicits._
+          (if (bf == null) Seq.empty[(Array[Byte], Long, Long)]
+           else Seq((bf, nIds, -1L)))
+            .toDF("bf", "n_ids", "batch_id")
+            .coalesce(1).write.mode("overwrite").parquet(g)
+        }()
+      }
       // degrees + counts from the WRITTEN files — the artifact audits
       // itself, a derivation/write divergence cannot hide in meta
-      val written = spark.read.parquet(s"$building/edges")
+      val written = spark.read.schema(edgesSchema)
+        .parquet(GenDir.currentOrFail(spark, s"$building/edges"))
       val deg = written.select(col("id_a").as("id"))
         .unionAll(written.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-      deg.repartition(col("id")).sortWithinPartitions(col("id"))
-        .write.mode("overwrite").parquet(s"$building/degrees")
-      val counts = spark.read.parquet(s"$building/degrees")
+      val degreesSchema = deg.schema.toDDL
+      GenDir.publish(spark, s"$building/degrees") { g =>
+        deg.repartition(col("id")).sortWithinPartitions(col("id"))
+          .write.mode("overwrite").parquet(g)
+      }()
+      val counts = spark.read.schema(degreesSchema)
+        .parquet(GenDir.currentOrFail(spark, s"$building/degrees"))
         .agg(coalesce(sum(col("degree")), lit(0L)).as("deg2"),
           count(lit(1)).as("n_nodes")).head()
       Meta(method, tau, shingleN, counts.getAs[Long]("deg2") / 2L,
-        counts.getAs[Long]("n_nodes"))
+        counts.getAs[Long]("n_nodes"),
+        edgesSchema, degreesSchema, docsSchema, bandsSchema)
     }
-    import spark.implicits._
-    Seq((meta.method, meta.tau, meta.shingleN, meta.nEdges, meta.nNodes))
-      .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes")
-      .coalesce(1).write.mode("overwrite").parquet(s"$building/meta")
+    GenDir.publish(spark, s"$building/meta") { g =>
+      writeMetaRow(spark, meta, g)
+    }()
     val dest = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(s"${path}__old")
     fs.delete(old, true)
@@ -123,20 +234,52 @@ object DupGraph {
     meta
   }
 
-  /** The stored identity row; fails loudly on a missing/ambiguous meta. */
+  private def writeMetaRow(spark: SparkSession, m: Meta, dir: String): Unit = {
+    import spark.implicits._
+    Seq((m.method, m.tau, m.shingleN, m.nEdges, m.nNodes,
+        m.edgesSchema, m.degreesSchema, m.docsSchema, m.bandsSchema))
+      .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes",
+        "edges_schema", "degrees_schema", "docs_schema", "bands_schema")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** The stored identity row; fails loudly on a missing/ambiguous meta,
+    * naming the `${path}__old` remnant when one exists (the debris of a
+    * [[write]] that crashed inside its final swap — recovery is one
+    * rename back).
+    */
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val rows = spark.read.parquet(s"$path/meta").collect()
-    require(rows.length == 1, s"dup-graph meta corrupt at $path/meta")
+    def recoveryHint: String =
+      if (fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"${path}__old")))
+        s"; the PREVIOUS artifact survives at ${path}__old (a write crashed " +
+          s"mid-swap) — restore it with: rename ${path}__old -> $path"
+      else ""
+    val rows =
+      try spark.read.parquet(GenDir.current(spark, s"$path/meta").getOrElse(
+        throw new IllegalStateException(
+          s"no dup-graph artifact at $path (meta has no committed generation)" +
+            recoveryHint))).collect()
+      catch {
+        case e: IllegalStateException => throw e
+        case e: Exception => throw new IllegalStateException(
+          s"dup-graph meta unreadable at $path/meta$recoveryHint", e)
+      }
+    require(rows.length == 1, s"dup-graph meta corrupt at $path/meta$recoveryHint")
     val r = rows.head
     Meta(r.getAs[String]("method"), r.getAs[Double]("tau"),
       r.getAs[Int]("shingle_n"), r.getAs[Long]("n_edges"),
-      r.getAs[Long]("n_nodes"))
+      r.getAs[Long]("n_nodes"),
+      r.getAs[String]("edges_schema"), r.getAs[String]("degrees_schema"),
+      r.getAs[String]("docs_schema"), r.getAs[String]("bands_schema"))
   }
 
   /** Stored verified edges with exact Jaccard ≥ `minJaccard`:
     * (id_a, id_b, n_inter, jaccard), id_a < id_b. `minJaccard` must be
     * at or above the build threshold — below it the artifact has no
-    * edges to serve and a silent partial answer would be wrong.
+    * edges to serve and a silent partial answer would be wrong. The
+    * `jbucket` partition predicate rides along with the row filter, so
+    * a stricter-τ read scans only the partitions that can hold
+    * qualifying rows.
     */
   def readEdges(spark: SparkSession, path: String,
       minJaccard: Double = 0.0): DataFrame = {
@@ -144,17 +287,20 @@ object DupGraph {
     require(minJaccard >= m.tau - 1e-12,
       f"dup-graph at $path stores edges at tau=${m.tau}%.3f; " +
         f"cannot serve minJaccard=$minJaccard%.3f below it")
-    spark.read.parquet(s"$path/edges").filter(col("jaccard") >= minJaccard)
+    spark.read.schema(m.edgesSchema)
+      .parquet(GenDir.currentOrFail(spark, s"$path/edges"))
+      .filter(col("jbucket") >= lit(jbucketFloor(minJaccard)) &&
+        col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
   /** Node degrees: the stored table when `minJaccard` EQUALS the build
     * threshold, a count-aggregate over the filtered edges for stricter
-    * thresholds (the edge table is near-dup pairs only — ≪ corpus — so
-    * the recount is a narrow scan, not a pipeline re-run), and a LOUD
-    * failure below the build floor — the stored degrees are computed at
-    * the floor and silently serving them for a looser question would be
-    * wrong (same contract as [[readEdges]]).
+    * thresholds (the edge table is near-dup pairs only — ≪ corpus — and
+    * the jbucket partition pruning narrows the recount's scan further),
+    * and a LOUD failure below the build floor — the stored degrees are
+    * computed at the floor and silently serving them for a looser
+    * question would be wrong (same contract as [[readEdges]]).
     */
   def readDegrees(spark: SparkSession, path: String,
       minJaccard: Double = 0.0): DataFrame = {
@@ -162,7 +308,9 @@ object DupGraph {
     require(minJaccard >= m.tau - 1e-12,
       f"dup-graph at $path stores edges at tau=${m.tau}%.3f; " +
         f"cannot serve degrees at minJaccard=$minJaccard%.3f below it")
-    if (minJaccard <= m.tau + 1e-12) spark.read.parquet(s"$path/degrees")
+    if (minJaccard <= m.tau + 1e-12)
+      spark.read.schema(m.degreesSchema)
+        .parquet(GenDir.currentOrFail(spark, s"$path/degrees"))
     else {
       val e = readEdges(spark, path, minJaccard)
       e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
@@ -173,21 +321,34 @@ object DupGraph {
   /** One REPLAY-SAFE micro-batch of incremental graph maintenance over
     * an artifact built with `storeDocs = true` (LSH method only — the
     * banding index is what makes new-vs-corpus candidate generation an
-    * equi-join; a PPJoin graph has no incremental shortcut): derive the
-    * batch's new edges (batch×batch from one LSH pass over the batch,
-    * plus batch×corpus via [[Dedup.lshCandidatePairsAgainst]] — the
-    * corpus-so-far text lives in the artifact's `docs/` store), filter
-    * to the artifact's admission tau, and append both the edges and the
-    * batch's docs batch_id-idempotently: each append is skipped when
-    * `edges/` / `docs/` already holds a COMMITTED row for this batchId
-    * (the [[graft.Util.batchAlreadyApplied]] discipline). Document ids
-    * the store already holds are dropped up front — that makes
-    * CROSS-BATCH redelivery (an at-least-once source re-sending a doc
-    * under a new batchId) a no-op for both stores, and means a fully
-    * applied replay admits nothing new (a partially applied one — crash
-    * between the two appends — re-derives the identical edges against
-    * the identical corpus-so-far and the batch_id guards skip whatever
-    * already committed).
+    * equi-join; a PPJoin graph has no incremental shortcut).
+    *
+    * O(batch), not O(corpus): the batch is shingled and signed ONCE;
+    * everything corpus-sized is served from the artifact —
+    *   - known-id check: the batch's ids probe the `idbloom/` sidecar
+    *     first; only Bloom HITS (true redeliveries plus a bounded fp
+    *     rate) take the anti-join against the docs store's id column,
+    *     and an all-miss batch never opens `docs/` at all;
+    *   - new-vs-corpus candidates: an equi-join probe of the persisted
+    *     `bands/` index ([[Dedup.lshCandidatePairsAgainstIndex]]) — the
+    *     corpus is NEVER re-shingled or re-minhashed;
+    *   - exact verify: only matched candidates' text is fetched from
+    *     `docs/`, a keyed semi-join into id-sorted files.
+    *
+    * The batch's new edges (batch×batch plus batch×corpus, filtered to
+    * the artifact's admission tau), its band rows, its id Bloom row and
+    * its docs are appended batch_id-idempotently, in that order: each
+    * append is skipped when the subtable already holds a COMMITTED row
+    * for this batchId (the [[graft.Util.batchAlreadyApplied]]
+    * discipline), and `docs/` lands LAST so a crash at any point leaves
+    * `bands/` and `idbloom/` supersets of `docs/` — the two invariants
+    * correctness rides on (a Bloom miss must PROVE novelty; a stored
+    * doc must be probe-able). Band rows whose doc append never
+    * committed ("phantoms") are harmless: the verify's keyed docs fetch
+    * drops their candidates, and the batch's replay re-derives the
+    * real edges. Document ids the store already holds are dropped up
+    * front, so CROSS-BATCH redelivery (an at-least-once source
+    * re-sending a doc under a new batchId) is a no-op for every store.
     *
     * Equivalence contract: after batches B1..Bn the edge set equals the
     * batch build over the union corpus, because "a shares a band bucket
@@ -213,140 +374,237 @@ object DupGraph {
     val m = readMeta(spark, path)
     require(m.method == "lsh",
       s"incremental dup-graph maintenance needs an lsh artifact; $path is ${m.method}")
-    val docsPath = s"$path/docs"
-    require(new org.apache.hadoop.fs.Path(docsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(docsPath)),
+    require(GenDir.current(spark, s"$path/docs").isDefined,
       s"dup-graph at $path has no docs store; build it with storeDocs = true")
-    // At-least-once sources can RE-DELIVER a document in a later batch
-    // (different batchId — outside the replay guard's reach). Drop ids
-    // the store already holds: an already-known doc must neither re-pair
-    // (its edges exist) nor duplicate in docs/ (a duplicate corpus row
-    // would fan out every future verify join against it).
-    val newDocs = batch.select(col(idCol), col(textCol))
-      .join(spark.read.parquet(docsPath).select(col("id").as(idCol)),
-        Seq(idCol), "left_anti")
+    val docsGen = GenDir.currentOrFail(spark, s"$path/docs")
+    val bandsGen = GenDir.currentOrFail(spark, s"$path/bands")
+    val bloomGen = GenDir.currentOrFail(spark, s"$path/idbloom")
+    val edgesGen = GenDir.currentOrFail(spark, s"$path/edges")
+    val newDocs = newDocsOf(batch, spark, m, idCol, textCol, docsGen, bloomGen)
       .localCheckpoint()
     val edges = Dedup.cacheScope {
-      // corpus-so-far, defensively excluding the batch's own ids (a
-      // replay can observe its docs already appended when the batch
-      // produced no edges — pairing the batch against itself through
-      // the corpus would double the batch-internal pairs)
-      val corpus = spark.read.parquet(docsPath)
-        .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_anti")
-        .select(col("id").as(idCol), col("text").as(textCol))
-      val nn = Dedup.lshCandidatePairs(newDocs, idCol, textCol, m.shingleN,
+      deriveBatchEdges(newDocs, spark, m, idCol, textCol, docsGen, bandsGen,
           maxBucketSize)
-        .filter(col("jaccard") >= m.tau)
-        .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
-      val no = Dedup.lshCandidatePairsAgainst(newDocs, corpus, idCol, textCol,
-          m.shingleN, maxBucketSize)
-        .filter(col("jaccard") >= m.tau)
-        .select(least(col("new_id"), col("corpus_id")).as("id_a"),
-          greatest(col("new_id"), col("corpus_id")).as("id_b"),
-          col("n_inter"), col("jaccard"))
-      nn.unionAll(no).withColumn("batch_id", lit(batchId)).localCheckpoint()
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("jbucket", jbucketCol)
+        .localCheckpoint()
     }
-    if (!graft.Util.batchAlreadyApplied(spark, s"$path/edges", batchId) &&
+    if (!graft.Util.batchAlreadyApplied(spark, edgesGen, batchId) &&
         !edges.isEmpty)
-      edges.write.mode("append").parquet(s"$path/edges")
+      edges.write.mode("append").partitionBy("jbucket").parquet(edgesGen)
     // empty-guarded like the edges append: a redelivery-only batch must
     // not append zero-row files on every replay (its batch_id can never
     // commit, so the guard alone would admit the debris forever)
-    if (!newDocs.isEmpty &&
-        !graft.Util.batchAlreadyApplied(spark, docsPath, batchId))
-      newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
-          lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(docsPath)
+    if (!newDocs.isEmpty) {
+      if (!graft.Util.batchAlreadyApplied(spark, bandsGen, batchId))
+        Dedup.bandsFrame(newDocs, idCol, textCol, m.shingleN)
+          .select(col(idCol).as("id"), col("band"), col("band_sig"),
+            lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(bandsGen)
+      if (!graft.Util.batchAlreadyApplied(spark, bloomGen, batchId)) {
+        val (bf, nIds) = bloomRowOf(newDocs, idCol)
+        if (bf != null) {
+          import spark.implicits._
+          Seq((bf, nIds, batchId)).toDF("bf", "n_ids", "batch_id")
+            .coalesce(1).write.mode("append").parquet(bloomGen)
+        }
+      }
+      if (!graft.Util.batchAlreadyApplied(spark, docsGen, batchId))
+        newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
+            lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(docsGen)
+    }
     edges.select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** The batch minus ids the store already holds. At-least-once sources
+    * can RE-DELIVER a document in a later batch (different batchId —
+    * outside the replay guard's reach); an already-known doc must
+    * neither re-pair (its edges exist) nor duplicate in `docs/` (a
+    * duplicate corpus row would fan out every future verify join
+    * against it). The Bloom sidecar gates the check: ids that MISS
+    * every stored filter are provably new (`idbloom/` is a superset of
+    * `docs/` by append order) and skip the anti-join; only hits open
+    * the docs store, and only its id column.
+    */
+  private def newDocsOf(batch: DataFrame, spark: SparkSession, m: Meta,
+      idCol: String, textCol: String, docsGen: String,
+      bloomGen: String): DataFrame = {
+    val batchRows = batch.select(col(idCol), col(textCol))
+    val blooms = spark.read.schema(IdBloomSchema).parquet(bloomGen)
+      .select(col("bf")).collect()
+      .map(_.getAs[Array[Byte]]("bf")).filter(_ != null)
+    val merged = blooms
+      .map(b => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduceOption { (a, b) => a.mergeInPlace(b); a }
+    def antiJoin(df: DataFrame): DataFrame =
+      df.join(spark.read.schema(m.docsSchema).parquet(docsGen)
+        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    merged match {
+      // no Bloom rows committed => docs/ is empty (idbloom is written
+      // before docs on every path); still anti-join defensively rather
+      // than assume — the empty store makes it free
+      case None => antiJoin(batchRows)
+      case Some(bf) =>
+        val bytes = { val o = new java.io.ByteArrayOutputStream()
+          bf.writeTo(o); o.toByteArray }
+        graft.functions.BloomFunctions.register(spark)
+        import spark.implicits._
+        val view = "__graft_dupg_bloom_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Seq(bytes).toDF("bf").createOrReplaceTempView(view)
+        // filter() analyzes eagerly — the subquery inlines the view's
+        // resolved one-row relation, so the view drops right away
+        try {
+          val probe = expr(
+            s"might_contain((SELECT bf FROM $view), xxhash64(`$idCol`))")
+          val definitelyNew = batchRows.filter(!probe)
+          val maybeKnown = batchRows.filter(probe)
+          if (maybeKnown.isEmpty) definitelyNew
+          else definitelyNew.unionByName(antiJoin(maybeKnown))
+        } finally spark.catalog.dropTempView(view)
+    }
+  }
+
+  /** The batch's candidate edges as a LAZY frame (no appends, no
+    * batch_id column): batch×batch from one LSH pass over the batch,
+    * plus batch×corpus via the persisted band index. Exposed
+    * (package-private) so the plan-shape spec can lock the O(batch)
+    * property: the plan must scan `bands/` and `docs/` as stored
+    * tables and run the shingle/minhash kernels over BATCH-derived
+    * frames only. Call inside a [[Dedup.cacheScope]].
+    */
+  private[graft] def deriveBatchEdges(newDocs: DataFrame, spark: SparkSession,
+      m: Meta, idCol: String, textCol: String, docsGen: String,
+      bandsGen: String, maxBucketSize: Int): DataFrame = {
+    val nn = Dedup.lshCandidatePairs(newDocs, idCol, textCol, m.shingleN,
+        maxBucketSize)
+      .filter(col("jaccard") >= m.tau)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+    val storedBands = spark.read.schema(m.bandsSchema).parquet(bandsGen)
+      .select(col("id"), col("band"), col("band_sig"))
+    val corpusDocs = spark.read.schema(m.docsSchema).parquet(docsGen)
+      .select(col("id").as(idCol), col("text").as(textCol))
+    val no = Dedup.lshCandidatePairsAgainstIndex(newDocs, storedBands,
+        corpusDocs, idCol, textCol, m.shingleN, maxBucketSize)
+      .filter(col("jaccard") >= m.tau)
+      .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+        greatest(col("new_id"), col("corpus_id")).as("id_b"),
+        col("n_inter"), col("jaccard"))
+    nn.unionAll(no)
   }
 
   /** Maintenance policy for a continuously-ingested graph
     * ([[ingestBatch]] leaves at least one new file per append under
-    * `edges/` and `docs/`, so an ingest loop degrades both into a
-    * small-files scan): when either table's parquet file count crosses
-    * `maxFiles`, rewrite it into id-distributed, sorted files via the
-    * same build-aside + rename swap as [[refreshStats]] (batch_id
-    * history survives — the replay guard keeps working across
-    * compactions), then refresh degrees/meta. The
-    * [[Similarity.maintainIvfIndex]] / [[TextIndex.maintainMinhashIndex]]
-    * pattern: call after every append batch, pay the rewrite only when
-    * it buys something. Returns true when a compaction ran.
+    * each subtable, so an ingest loop degrades them into small-files
+    * scans): when any subtable's parquet file count crosses `maxFiles`,
+    * rewrite ALL of them into distributed, sorted generations via
+    * [[GenDir.publish]] (batch_id history survives — the replay guard
+    * keeps working across compactions), merge the Bloom rows into one,
+    * then refresh degrees/meta. Readers are never interrupted: each
+    * rewrite commits as a new generation and the previous one stays
+    * readable through the swap (and one generation beyond). A rewrite
+    * that would race a concurrent append detects it via a
+    * before/after listing compare and ABORTS that swap with a warning
+    * instead of dropping the appended rows — though the supported
+    * pattern is to call this from the same single-threaded ingest loop
+    * as [[ingestBatch]]
+    * ([[graft.streaming.StreamOps.dupGraphIngestStream]] does).
+    * Returns true when a compaction ran (any subtable committed).
     */
   def maintain(spark: SparkSession, path: String, maxFiles: Int = 32): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def nParquet(sub: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (!fs.exists(p)) return 0
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
+    val m = readMeta(spark, path)
+    val hasDocs = GenDir.current(spark, s"$path/docs").isDefined
+    val subs = Seq("edges") ++ (if (hasDocs) Seq("docs", "bands", "idbloom") else Nil)
+    val run = subs.exists(s => GenDir.currentFiles(spark, s"$path/$s").size > maxFiles)
+    if (!run) return false
+    def compact(sub: String, schema: String, partitionCols: Seq[String])(
+        rewrite: DataFrame => DataFrame): Boolean = {
+      val dir = s"$path/$sub"
+      val before = GenDir.currentFiles(spark, dir)
+      val cur = GenDir.currentOrFail(spark, dir)
+      GenDir.publish(spark, dir) { g =>
+        val df = rewrite(spark.read.schema(schema).parquet(cur))
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(g)
+      } { () =>
+        val ok = GenDir.currentFiles(spark, dir) == before
+        if (!ok) log.warn(s"maintain: concurrent append under $dir during " +
+          "compaction — aborting this swap (the appended rows win; rerun maintain)")
+        ok
+      }
     }
-    def swapIn(sub: String, sortCol: String): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__building")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
-      val dest = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(tmp, true); fs.delete(old, true)
-      spark.read.parquet(dest.toString)
-        .repartition(col(sortCol)).sortWithinPartitions(col(sortCol))
-        .write.mode("overwrite").parquet(tmp.toString)
-      require(fs.rename(dest, old), s"maintain: cannot move $dest aside")
-      require(fs.rename(tmp, dest), s"maintain: cannot swap in $dest")
-      fs.delete(old, true)
+    var committed = compact("edges", m.edgesSchema, Seq("jbucket")) {
+      _.repartition(col("jbucket"), col("id_a"))
+        .sortWithinPartitions(col("jbucket"), col("id_a"), col("id_b"))
     }
-    val run = nParquet("edges") > maxFiles || nParquet("docs") > maxFiles
-    if (run) {
-      swapIn("edges", "id_a")
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
-        swapIn("docs", "id")
-      refreshStats(spark, path)
+    if (hasDocs) {
+      committed |= compact("docs", m.docsSchema, Nil) {
+        _.repartition(col("id")).sortWithinPartitions(col("id"))
+      }
+      committed |= compact("bands", m.bandsSchema, Nil) {
+        _.repartition(col("band_sig"))
+          .sortWithinPartitions(col("band"), col("band_sig"))
+      }
+      // Bloom rows MERGE (monotone — a union of supersets of docs/ ids
+      // stays a superset no matter what appends race this) rather than
+      // rebuild-from-docs, which could miss an id appended mid-rebuild.
+      // Merged under batch_id -1: replays of pre-compaction batches are
+      // already no-ops (their docs committed, so newDocs is empty).
+      val bloomDir = s"$path/idbloom"
+      val bloomBefore = GenDir.currentFiles(spark, bloomDir)
+      val bloomCur = GenDir.currentOrFail(spark, bloomDir)
+      val rows = spark.read.schema(IdBloomSchema).parquet(bloomCur)
+        .select(col("bf"), col("n_ids")).collect()
+      val merged = rows.map(_.getAs[Array[Byte]]("bf")).filter(_ != null)
+        .map(b => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)))
+        .reduceOption { (a, b) => a.mergeInPlace(b); a }
+      committed |= GenDir.publish(spark, bloomDir) { g =>
+        import spark.implicits._
+        (merged match {
+          case Some(bf) =>
+            val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o)
+            Seq((o.toByteArray, rows.map(_.getAs[Long]("n_ids")).sum, -1L))
+          case None => Seq.empty[(Array[Byte], Long, Long)]
+        }).toDF("bf", "n_ids", "batch_id")
+          .coalesce(1).write.mode("overwrite").parquet(g)
+      } { () =>
+        val ok = GenDir.currentFiles(spark, bloomDir) == bloomBefore
+        if (!ok) log.warn(s"maintain: concurrent append under $bloomDir during " +
+          "compaction — aborting this swap (rerun maintain)")
+        ok
+      }
     }
-    run
+    if (committed) refreshStats(spark, path)
+    committed
   }
 
   /** Recompute `degrees/` and `meta/` from the CURRENT edge table (the
-    * post-ingest refresh): each lands via the same build-aside + rename
-    * swap as [[write]], so a reader never observes a PARTIAL rewrite —
-    * but the swap is two renames, not one atomic move, so a reader
-    * racing the exact swap window can observe a missing directory (the
-    * [[Similarity.compactIvfCells]] operational caveat: pause readers or
-    * retry-on-miss if that matters).
+    * post-ingest refresh). Each lands as a new [[GenDir]] generation —
+    * one atomic marker per subtable, no reader-visible window, previous
+    * generation retained for in-flight readers.
     */
   def refreshStats(spark: SparkSession, path: String): Meta = {
     val m = readMeta(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swapIn(sub: String)(writeTo: String => Unit): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__building")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
-      val dest = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(tmp, true); fs.delete(old, true)
-      writeTo(tmp.toString)
-      if (fs.exists(dest)) require(fs.rename(dest, old),
-        s"refreshStats: cannot move $dest aside")
-      require(fs.rename(tmp, dest), s"refreshStats: cannot swap in $dest")
-      fs.delete(old, true)
-    }
     val e = readEdges(spark, path, m.tau).localCheckpoint()
-    swapIn("degrees") { tmp =>
+    GenDir.publish(spark, s"$path/degrees") { g =>
       e.select(col("id_a").as("id")).unionAll(e.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
         .repartition(col("id")).sortWithinPartitions(col("id"))
-        .write.mode("overwrite").parquet(tmp)
-    }
-    val counts = spark.read.parquet(s"$path/degrees")
+        .write.mode("overwrite").parquet(g)
+    }()
+    val counts = spark.read.schema(m.degreesSchema)
+      .parquet(GenDir.currentOrFail(spark, s"$path/degrees"))
       .agg(coalesce(sum(col("degree")), lit(0L)).as("deg2"),
         count(lit(1)).as("n_nodes")).head()
     val fresh = m.copy(nEdges = counts.getAs[Long]("deg2") / 2L,
       nNodes = counts.getAs[Long]("n_nodes"))
-    import spark.implicits._
-    swapIn("meta") { tmp =>
-      Seq((fresh.method, fresh.tau, fresh.shingleN, fresh.nEdges, fresh.nNodes))
-        .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
+    GenDir.publish(spark, s"$path/meta") { g =>
+      writeMetaRow(spark, fresh, g)
+    }()
     fresh
   }
 }

@@ -1411,21 +1411,33 @@ object StreamOps {
     * new edges + the batch's docs appended batch_id-idempotently
     * ([[graft.api.DupGraph.ingestBatch]]'s replay contract). Graph
     * analytics sessions keep reading the same artifact and see each
-    * batch's edges as soon as its append commits (appends never move
-    * existing files; only [[graft.api.DupGraph.maintain]] /
-    * [[graft.api.DupGraph.refreshStats]] have the rename-swap
-    * race-window caveat); run
-    * [[graft.api.DupGraph.refreshStats]] after an ingest session to
-    * bring `degrees/`/`meta/` up to date. `sink` receives
-    * (newEdges, batchId).
+    * batch's edges as soon as its append commits — compactions and
+    * stats refreshes land as [[graft.api.GenDir]] generations, so no
+    * reader ever observes a missing subtable.
+    *
+    * AUTO-MAINTENANCE: after every batch the loop runs
+    * [[graft.api.DupGraph.maintain]] with `maintainMaxFiles` — a cheap
+    * file-count listing that compacts every subtable AND refreshes
+    * `degrees/`/`meta/` only when append debris crossed the threshold —
+    * so a long ingest session can never degrade into a small-files scan
+    * without operator action. Running it inside the same foreachBatch
+    * loop as the appends is precisely the single-writer discipline the
+    * compaction's listing-compare assumes: maintenance can never race
+    * its own ingest. Pass `maintainMaxFiles = Int.MaxValue` to disable
+    * and manage maintenance externally. `sink` receives
+    * (newEdges, batchId) — materialized before any compaction runs.
     */
   def dupGraphIngestStream(batches: DataFrame, graphPath: String,
-      idCol: String, textCol: String)(
+      idCol: String, textCol: String, maintainMaxFiles: Int = 64)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(graft.api.DupGraph.ingestBatch(batch.toDF(), batchId, graphPath,
           idCol, textCol), batchId)
+        if (maintainMaxFiles != Int.MaxValue)
+          graft.api.DupGraph.maintain(batch.sparkSession, graphPath,
+            maintainMaxFiles)
+        ()
     }
 
   /** Continuous DSIR admission gate — the quality counterpart of

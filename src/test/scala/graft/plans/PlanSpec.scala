@@ -982,4 +982,102 @@ class PlanSpec extends SparkSpec {
       p39.contains("BroadcastHashJoin"),
       "base/current baskets must equi-join on partkey")
   }
+
+  /** One dup-graph artifact (storeDocs layout) shared by the dup-graph
+    * plan locks below — built once, tiny corpus.
+    */
+  private lazy val dupGraphDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dg_planspec").toString + "/g"
+    val docs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    graft.api.DupGraph.write(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      "text", dir, 0.0, "lsh", storeDocs = true)
+    dir
+  }
+
+  test("dup-graph readEdges/readDegrees: stricter-τ reads PRUNE jbucket partitions") {
+    val pe = planOf(graft.api.DupGraph.readEdges(spark, dupGraphDir, 0.5))
+    assert(pe.contains("PartitionFilters"), s"expected partition filters, plan:\n$pe")
+    assert("jbucket#\\d+\\) >= 4".r.findFirstIn(pe).isDefined ||
+      "jbucket#\\d+ >= 4".r.findFirstIn(pe).isDefined,
+      s"expected a jbucket >= 4 partition filter for τ=0.5, plan:\n$pe")
+    // the row predicate still rides to the scan for row-group stats
+    assert(pe.contains("GreaterThanOrEqual(jaccard,0.5)"),
+      s"jaccard filter must push to the parquet scan, plan:\n$pe")
+    // the stricter-τ degree RECOUNT reads only the pruned partitions too
+    val pd = planOf(graft.api.DupGraph.readDegrees(spark, dupGraphDir, 0.9))
+    assert(pd.contains("PartitionFilters") &&
+      ("jbucket#\\d+\\) >= 8".r.findFirstIn(pd).isDefined ||
+        "jbucket#\\d+ >= 8".r.findFirstIn(pd).isDefined),
+      s"degree recount must prune jbucket partitions, plan:\n$pd")
+  }
+
+  test("dup-graph ingestBatch: per-batch plan PROBES the stored band index — minhash never runs over the corpus store") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.QueryPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+
+    val m = graft.api.DupGraph.readMeta(spark, dupGraphDir)
+    val newDocs = graft.Util.rawTable(spark, sf, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" % 2 === 1)
+      .localCheckpoint()
+    val plan = graft.api.Dedup.cacheScope {
+      graft.api.DupGraph.deriveBatchEdges(newDocs, spark, m, "doc_id", "text",
+        graft.api.GenDir.currentOrFail(spark, s"$dupGraphDir/docs"),
+        graft.api.GenDir.currentOrFail(spark, s"$dupGraphDir/bands"),
+        Int.MaxValue).queryExecution.optimizedPlan
+    }
+
+    // heterogeneous walk: logical plan + the physical plans cached
+    // inside InMemoryRelations (tracked() intermediates)
+    def children(n: Any): Seq[Any] = n match {
+      case imr: InMemoryRelation => Seq(imr.cachedPlan)
+      case imts: InMemoryTableScanExec => Seq(imts.relation.cachedPlan)
+      // AQE/exchange wrappers hide their plans from `children`
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case p: QueryPlan[_] => p.children ++ p.subqueries
+      case _ => Nil
+    }
+    def selfPaths(n: Any): Seq[String] = n match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      case s: FileSourceScanExec => s.relation.location.rootPaths.map(_.toString)
+      case _ => Nil
+    }
+    def allPaths(n: Any): Seq[String] =
+      selfPaths(n) ++ children(n).flatMap(allPaths)
+    def hasMinhashExpr(n: Any): Boolean = n match {
+      case p: QueryPlan[_] => p.expressions.exists(_.exists(
+        _.prettyName == "minhash_sigs"))
+      case _ => false
+    }
+    def offenders(n: Any): Seq[String] = {
+      val here =
+        if (hasMinhashExpr(n) && allPaths(n).exists(_.contains("/docs/gen-")))
+          Seq(n.toString.linesIterator.take(3).mkString(" | "))
+        else Nil
+      here ++ children(n).flatMap(offenders)
+    }
+    def countMinhash(n: Any): Int =
+      (if (hasMinhashExpr(n)) 1 else 0) + children(n).map(countMinhash).sum
+
+    val paths = allPaths(plan)
+    assert(paths.exists(_.contains("/bands/gen-")),
+      s"the per-batch plan must scan the STORED band index; scans: $paths")
+    assert(countMinhash(plan) > 0,
+      "the batch side must be minhash-signed (sanity: the walker sees the kernel)")
+    assert(offenders(plan).isEmpty,
+      "minhash must never be computed over the corpus docs store — the " +
+        s"stored bands are the corpus signature; offenders:\n${offenders(plan).mkString("\n")}")
+  }
 }

@@ -412,7 +412,10 @@ class StreamOpsSpec extends SparkSpec {
     // stored, so the replay admits nothing new and appends nothing —
     // the same contract covers cross-batch redelivery (same docs under
     // a NEW batchId)
-    val before = spark.read.parquet(s"$streamDir/edges").count()
+    // subtables live in GenDir generations now — resolve like a reader
+    def subGen(s: String): String =
+      graft.api.GenDir.currentOrFail(spark, s"$streamDir/$s")
+    val before = spark.read.parquet(subGen("edges")).count()
     for (bid <- Seq(1L, 99L)) {
       val readmitted = graft.api.DupGraph.ingestBatch(
         third(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
@@ -420,9 +423,9 @@ class StreamOpsSpec extends SparkSpec {
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(readmitted.isEmpty,
         s"redelivered known docs (batchId $bid) must admit nothing new")
-      assert(spark.read.parquet(s"$streamDir/edges").count() === before,
+      assert(spark.read.parquet(subGen("edges")).count() === before,
         s"redelivery under batchId $bid must not append edges")
-      assert(spark.read.parquet(s"$streamDir/docs")
+      assert(spark.read.parquet(subGen("docs"))
         .groupBy($"id").count().filter($"count" > 1).isEmpty,
         "docs store must stay unique under redelivery")
     }
@@ -442,20 +445,73 @@ class StreamOpsSpec extends SparkSpec {
     assert(!graft.api.DupGraph.maintain(spark, batchDir, maxFiles = 64),
       "a fresh build must not trigger compaction")
     def nFiles(sub: String): Int =
-      new java.io.File(s"$streamDir/$sub").listFiles()
-        .count(_.getName.endsWith(".parquet"))
+      graft.api.GenDir.currentFiles(spark, s"$streamDir/$sub").size
     val filesBefore = nFiles("edges")
     assert(graft.api.DupGraph.maintain(spark, streamDir, maxFiles = 1),
       "ingest debris past the threshold must compact")
     assert(nFiles("edges") < filesBefore || filesBefore == 1)
     assert(edgeSet(streamDir) === edgeSet(batchDir),
       "compaction must not change the edge set")
-    val afterCompact = spark.read.parquet(s"$streamDir/edges").count()
+    // the Bloom sidecar merges to a single row under compaction
+    assert(nFiles("idbloom") === 1,
+      "idbloom must compact to one merged row")
+    val afterCompact = spark.read.parquet(subGen("edges")).count()
     graft.api.DupGraph.ingestBatch(
       third(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
       1L, streamDir, "doc_id", "text")
-    assert(spark.read.parquet(s"$streamDir/edges").count() === afterCompact,
+    assert(spark.read.parquet(subGen("edges")).count() === afterCompact,
       "replay after compaction must still be detected")
+  }
+
+  test("dupGraphIngestStream auto-maintenance: compaction + stats refresh fire MID-STREAM; replay stays idempotent") {
+    import spark.implicits._
+    val docs = graft.Util.rawTable(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("dg_auto").toString + "/g"
+    graft.api.DupGraph.write(docs.filter($"doc_id" % 4 === 0),
+      "doc_id", "text", dir, 0.5, "lsh", storeDocs = true)
+    def quarter(r: Long): Seq[Doc] = docs.filter($"doc_id" % 4 === r)
+      .as[(Long, String)].collect().toSeq.map { case (id, tx) => Doc(t(1), id, tx) }
+    // record the edges GENERATION seen after each batch: with
+    // maintainMaxFiles = 1 the in-loop maintenance must compact between
+    // batches, so the generation advances mid-stream
+    val genByBatch = scala.collection.mutable.Map.empty[Long, String]
+    val mem = MemoryStream[Doc](spark)
+    val q = StreamOps.dupGraphIngestStream(mem.toDF(), dir,
+        "doc_id", "text", maintainMaxFiles = 1) { (newEdges, batchId) =>
+      newEdges.count() // materialize the sink's view
+      ()
+    }.start()
+    for (r <- 1L to 3L) {
+      mem.addData(quarter(r): _*)
+      q.processAllAvailable()
+      genByBatch.synchronized {
+        genByBatch(r) = graft.api.GenDir.currentOrFail(spark, s"$dir/edges")
+      }
+    }
+    q.stop()
+    assert(genByBatch.values.toSet.size > 1,
+      s"auto-maintenance must compact between batches (generations seen: $genByBatch)")
+    // degrees/meta were refreshed by the in-loop maintain — NO explicit
+    // refreshStats call here
+    val m = graft.api.DupGraph.readMeta(spark, dir)
+    val liveEdges = graft.api.DupGraph.readEdges(spark, dir, 0.5).count()
+    assert(m.nEdges === liveEdges,
+      "meta must reflect the ingested edges without an operator refresh")
+    // parity with the batch build over the union corpus
+    val refDir = java.nio.file.Files.createTempDirectory("dg_auto_ref").toString + "/g"
+    graft.api.DupGraph.write(docs, "doc_id", "text", refDir, 0.5, "lsh")
+    def edgeSet(p: String) = graft.api.DupGraph.readEdges(spark, p, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(edgeSet(dir) === edgeSet(refDir))
+    // replay ACROSS the compaction boundary: batch_id history survived
+    // the rewrites, so a replayed batch appends nothing
+    val before = liveEdges
+    graft.api.DupGraph.ingestBatch(
+      quarter(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      1L, dir, "doc_id", "text")
+    assert(graft.api.DupGraph.readEdges(spark, dir, 0.5).count() === before,
+      "replay after auto-compaction must still be detected")
   }
 
   test("streamingKmeans refines a persistent centroid table across micro-batches") {
