@@ -6,9 +6,13 @@ package graft.operators
   * PNG (zlib via `java.util.zip`, all five scanline filters), GIF87a
   * LZW, and — since round 11 — baseline JPEG (ITU-T T.81 sequential
   * DCT: canonical Huffman, dequant, IDCT, chroma upsampling; encoder at
-  * 4:4:4 with the Annex K tables). Formats that need entropy codecs
-  * beyond these (MP3, H.264) stay behind [[MultimodalOps.stubDecode]]
-  * in this zero-egress container.
+  * 4:4:4 with the Annex K tables), plus — since round 12 — an MPEG
+  * audio (MP3) FRAME-HEADER walker (ISO/IEC 11172-3 / 13818-3: sync,
+  * version/layer, bitrate and sample-rate tables, channel mode, frame
+  * sizes → frame count, sample count, duration) so the dominant audio
+  * format reports real metadata. MP3 PCM decode (the Huffman/MDCT
+  * entropy path) and H.264 stay behind [[MultimodalOps.stubDecode]] in
+  * this zero-egress container — honestly labeled.
   *
   * Everything here is byte-level header parsing + raw sample access —
   * deterministic, allocation-bounded by the payload, and safe to run
@@ -1439,5 +1443,172 @@ object MediaCodecs {
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  // ---- MP3 (MPEG audio) frame-header walker ----------------------------
+  // ISO/IEC 11172-3 §2.4.1.3 (MPEG-1) and 13818-3 (MPEG-2/2.5 extension).
+  // Header-level only: frame boundaries, rates, channel mode, duration.
+  // The entropy-coded PCM path (Huffman + IMDCT) is NOT implemented —
+  // payload bytes are walked, never decoded.
+
+  /** One parsed frame header. `frameBytes` includes the 4 header bytes. */
+  final case class Mp3Frame(version: String, layer: Int, bitrateKbps: Int,
+      sampleRate: Int, channels: Int, frameBytes: Int, samplesPerFrame: Int)
+
+  /** Whole-stream metadata from walking every frame. Duration uses the
+    * per-frame sample counts, so VBR streams are timed exactly.
+    */
+  final case class Mp3Info(version: String, layer: Int, sampleRate: Int,
+      channels: Int, nFrames: Long, totalSamples: Long, durationMs: Long,
+      maxBitrateKbps: Int)
+
+  // bitrate tables in kbps, indexed 1..14 (0 = free format: rejected —
+  // the frame size is then unknowable from the header; 15 = invalid)
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  /** Parse one frame header at `off`; None unless every field is in its
+    * valid domain AND the whole frame fits inside the payload.
+    */
+  def parseMp3FrameHeader(b: Array[Byte], off: Int): Option[Mp3Frame] = {
+    if (off < 0 || off + 4 > b.length) return None
+    val h0 = b(off) & 0xff; val h1 = b(off + 1) & 0xff
+    val h2 = b(off + 2) & 0xff; val h3 = b(off + 3) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // 11-bit sync
+    val versionBits = (h1 >> 3) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layerBits = (h1 >> 1) & 0x3 // 0=reserved, 1=LIII, 2=LII, 3=LI
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    val padding = (h2 >> 1) & 0x1
+    val channelMode = (h3 >> 6) & 0x3
+    val emphasis = h3 & 0x3
+    if (versionBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+      srIdx == 3 || emphasis == 2) return None
+    val layer = 4 - layerBits // 1, 2, 3
+    val version = versionBits match {
+      case 3 => "mpeg1"; case 2 => "mpeg2"; case _ => "mpeg2.5"
+    }
+    val sampleRate = (versionBits match {
+      case 3 => SrV1; case 2 => SrV2; case _ => SrV25
+    })(srIdx)
+    val bitrateKbps = (if (versionBits == 3)
+      (layer match { case 1 => BrV1L1; case 2 => BrV1L2; case _ => BrV1L3 })
+    else
+      (if (layer == 1) BrV2L1 else BrV2L23))(brIdx)
+    val samplesPerFrame = layer match {
+      case 1 => 384
+      case 2 => 1152
+      case _ => if (versionBits == 3) 1152 else 576
+    }
+    // frame size from the spec: Layer I in 4-byte slots, II/III in bytes
+    val frameBytes = layer match {
+      case 1 => (12 * bitrateKbps * 1000 / sampleRate + padding) * 4
+      case _ =>
+        val coef = if (layer == 3 && versionBits != 3) 72 else 144
+        coef * bitrateKbps * 1000 / sampleRate + padding
+    }
+    if (frameBytes < 4 || off + frameBytes > b.length) return None
+    Some(Mp3Frame(version, layer, bitrateKbps, sampleRate,
+      if (channelMode == 3) 1 else 2, frameBytes, samplesPerFrame))
+  }
+
+  /** Byte offset of the audio frames: past an ID3v2 tag when one leads
+    * the payload (10-byte header, syncsafe 28-bit size), else 0.
+    */
+  private def skipId3v2(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+      (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 && (b(8) & 0x80) == 0 &&
+      (b(9) & 0x80) == 0)
+      10 + ((b(6) & 0x7f) << 21 | (b(7) & 0x7f) << 14 |
+        (b(8) & 0x7f) << 7 | (b(9) & 0x7f))
+    else 0
+
+  /** Walk every MPEG audio frame and report stream metadata, or None
+    * when the payload is not an MPEG audio stream. Acceptance is
+    * deliberately strict — the first frame must sit exactly at the
+    * start (after any ID3v2 tag), agree with its successor on
+    * version/layer/sample-rate, OR be the only frame and end exactly at
+    * the payload boundary — so random binary (or another codec's
+    * bitstream) cannot false-sniff as MP3. Walking stops cleanly at an
+    * ID3v1 trailer ("TAG", 128 bytes) or end of payload; a malformed
+    * header mid-stream rejects the payload (None), never throws.
+    */
+  def mp3Metadata(b: Array[Byte]): Option[Mp3Info] = {
+    val start = skipId3v2(b)
+    val end =
+      if (b.length - start >= 128 && b.length >= 128 &&
+        b(b.length - 128) == 'T' && b(b.length - 127) == 'A' &&
+        b(b.length - 126) == 'G') b.length - 128
+      else b.length
+    val first = parseMp3FrameHeader(b, start).getOrElse(return None)
+    // anti-false-positive gate: a consistent second frame, or a
+    // single-frame payload that ends exactly on the frame boundary
+    val afterFirst = start + first.frameBytes
+    if (afterFirst < end) {
+      val second = parseMp3FrameHeader(b, afterFirst).getOrElse(return None)
+      if (second.version != first.version || second.layer != first.layer ||
+        second.sampleRate != first.sampleRate) return None
+    } else if (afterFirst != end) return None
+    var off = start
+    var nFrames = 0L
+    var totalSamples = 0L
+    var maxBr = 0
+    while (off < end) {
+      parseMp3FrameHeader(b, off) match {
+        case Some(f) =>
+          if (f.version != first.version || f.layer != first.layer ||
+            f.sampleRate != first.sampleRate) return None
+          nFrames += 1
+          totalSamples += f.samplesPerFrame
+          if (f.bitrateKbps > maxBr) maxBr = f.bitrateKbps
+          off += f.frameBytes
+        case None => return None // truncated/corrupt mid-stream
+      }
+    }
+    Some(Mp3Info(first.version, first.layer, first.sampleRate,
+      first.channels, nFrames, totalSamples,
+      totalSamples * 1000L / first.sampleRate, maxBr))
+  }
+
+  /** Synthesize a structurally valid MPEG-1 Layer III stream: `nFrames`
+    * frames at the given rates, channel mode from `channels`, no
+    * padding, deterministic filler bytes (NOT decodable audio — the
+    * entropy payload is fake by design; [[mp3Metadata]] walks headers
+    * only). The zero-egress stand-in for real MP3 files, with frame
+    * sizes simple enough for a SQL oracle to predict
+    * (`frameBytes = 144000·kbps ÷ sampleRate`, floor division).
+    */
+  def encodeMp3Frames(sampleRate: Int, bitrateKbps: Int, channels: Int,
+      nFrames: Int): Array[Byte] = {
+    val srIdx = SrV1.indexOf(sampleRate)
+    val brIdx = BrV1L3.indexOf(bitrateKbps)
+    require(srIdx >= 0, s"not an MPEG-1 sample rate: $sampleRate")
+    require(brIdx >= 1, s"not an MPEG-1 Layer III bitrate: $bitrateKbps")
+    require(channels == 1 || channels == 2, s"channels must be 1|2: $channels")
+    require(nFrames >= 1, "nFrames must be positive")
+    val frameBytes = 144 * bitrateKbps * 1000 / sampleRate
+    val out = new Array[Byte](frameBytes * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameBytes
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      out(o + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // no padding
+      out(o + 3) = (if (channels == 1) 0xc0 else 0x00).toByte
+      var i = 4
+      while (i < frameBytes) {
+        // deterministic filler that can never contain a sync byte
+        out(o + i) = ((f * 31 + i * 7) % 0xfe).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
   }
 }

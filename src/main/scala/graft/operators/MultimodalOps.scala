@@ -53,6 +53,10 @@ object MultimodalOps {
       .orElse(MediaCodecs.decodeGif(payload).map(i => ("gif", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeJpeg(payload).map(i => ("jpeg", MediaCodecs.imageFeatures(i))))
       .orElse(MediaCodecs.decodeWav(payload).map(a => ("wav", MediaCodecs.audioFeatures(a))))
+      // header walk is real; the PCM entropy decode is not — the label
+      // says so, and the features stay the honest stub fold
+      .orElse(MediaCodecs.mp3Metadata(payload).map(_ =>
+        ("mp3_header_stub_pcm", stubDecode(payload, dims))))
       .getOrElse(("stub", stubDecode(payload, dims)))
 
   /** Decode a media Dataset into per-record feature vectors — narrow, no
@@ -201,6 +205,11 @@ object MultimodalOps {
         }).orElse(MediaCodecs.decodeWav(r.payload).map { a =>
           (r.media_id, "wav", 0L, 0L, a.sampleRate.toLong, a.channels.toLong,
             (a.samples.length / a.channels).toLong, r.payload.length.toLong)
+        }).orElse(MediaCodecs.mp3Metadata(r.payload).map { m3 =>
+          // n_units = frame count (the walker's native unit); real
+          // header metadata, even though PCM decode stays stubbed
+          (r.media_id, "mp3", 0L, 0L, m3.sampleRate.toLong, m3.channels.toLong,
+            m3.nFrames, r.payload.length.toLong)
         }).getOrElse(
           (r.media_id, "opaque", 0L, 0L, 0L, 0L, 0L, r.payload.length.toLong))
       }
@@ -334,11 +343,68 @@ object MultimodalOps {
       |       ELSE -1 END AS BIGINT) AS payload_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** q364: REAL MP3 header metadata — synthesize structurally valid
+    * MPEG-1 Layer III streams from `documents` (rates/channels/frame
+    * count deterministic functions of doc_id and text length,
+    * [[MediaCodecs.encodeMp3Frames]]), then recover EVERYTHING by
+    * walking the frame headers ([[MediaCodecs.mp3Metadata]]): version,
+    * layer, sample rate, channel mode, frame count, sample count,
+    * duration, bitrate. The oracle predicts each value independently
+    * from the generation rule — including the spec's frame-size
+    * formula (144000·kbps ÷ sampleRate, floor) — so any header
+    * encode/walk bug breaks the hash match. PCM entropy decode stays a
+    * labeled stub; this card grades the header path, which is what
+    * metadata queries over an audio corpus actually run.
+    */
+  def q364Mp3Metadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val srs = Array(44100, 48000, 32000)
+        val brs = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        it.map { case (id, text) =>
+          val nBytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val payload = MediaCodecs.encodeMp3Frames(
+            srs((id % 3).toInt), brs((id % 14).toInt),
+            1 + (id % 2).toInt, 1 + nBytes % 9)
+          val m3 = MediaCodecs.mp3Metadata(payload).getOrElse(
+            throw new IllegalStateException(
+              s"own MP3 stream failed to walk (doc $id)"))
+          (id, m3.version, m3.layer.toLong, m3.sampleRate.toLong,
+            m3.channels.toLong, m3.nFrames, m3.totalSamples, m3.durationMs,
+            m3.maxBitrateKbps.toLong, payload.length.toLong)
+        }
+      }.toDF("media_id", "version", "layer", "sample_rate", "channels",
+        "n_frames", "total_samples", "duration_ms", "bitrate_kbps",
+        "payload_bytes")
+      .orderBy($"media_id")
+  }
+
+  val q364Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+      |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)[
+      |      CAST(doc_id % 14 AS INT) + 1] AS kbps,
+      |    1 + doc_id % 2 AS channels,
+      |    1 + CAST(octet_length(encode(text)) AS BIGINT) % 9 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id AS media_id, 'mpeg1' AS version, CAST(3 AS BIGINT) AS layer,
+      |  CAST(sr AS BIGINT) AS sample_rate, CAST(channels AS BIGINT) AS channels,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_frames * 1152 AS BIGINT) AS total_samples,
+      |  CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+      |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+      |  CAST(n_frames * ((144000 * kbps) // sr) AS BIGINT) AS payload_bytes
+      |FROM p ORDER BY media_id""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q44_binary_meta" -> (q44BinaryMeta _),
-    "q120_media_roundtrip" -> (q120MediaRoundtrip _))
+    "q120_media_roundtrip" -> (q120MediaRoundtrip _),
+    "q364_mp3_metadata" -> (q364Mp3Metadata _))
 
   val oracles: Seq[(String, String)] = Seq(
     "q44_binary_meta" -> q44Sql,
-    "q120_media_roundtrip" -> q120Sql)
+    "q120_media_roundtrip" -> q120Sql,
+    "q364_mp3_metadata" -> q364Sql)
 }

@@ -407,6 +407,107 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("MP3 walker: synthesized frames round-trip every header field; ID3 tags skipped") {
+    for {
+      sr <- Seq(44100, 48000, 32000)
+      kbps <- Seq(32, 128, 320)
+      ch <- Seq(1, 2)
+      n <- Seq(1, 7)
+    } {
+      val payload = MediaCodecs.encodeMp3Frames(sr, kbps, ch, n)
+      val info = MediaCodecs.mp3Metadata(payload)
+      assert(info.isDefined, s"walk failed at sr=$sr kbps=$kbps ch=$ch n=$n")
+      val m = info.get
+      assert(m.version === "mpeg1" && m.layer === 3)
+      assert(m.sampleRate === sr && m.channels === ch)
+      assert(m.nFrames === n.toLong && m.totalSamples === n * 1152L)
+      assert(m.durationMs === n * 1152L * 1000L / sr)
+      assert(m.maxBitrateKbps === kbps)
+      // payload length follows the spec's frame-size formula exactly
+      assert(payload.length === n * (144000 * kbps / sr))
+    }
+
+    // ID3v2 prefix (syncsafe size) and ID3v1 trailer are skipped cleanly
+    val frames = MediaCodecs.encodeMp3Frames(44100, 128, 2, 3)
+    val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x41)
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ Array.fill[Byte](125)(0x20)
+    val tagged = id3v2 ++ frames ++ id3v1
+    val m = MediaCodecs.mp3Metadata(tagged)
+    assert(m.isDefined && m.get.nFrames === 3L && m.get.sampleRate === 44100,
+      "ID3v2 header and ID3v1 trailer must be skipped, frames walked")
+  }
+
+  test("MP3 walker: VBR streams time exactly; other layers/versions parse; corrupt input returns None") {
+    // VBR: frames at different bitrates — duration counts per-frame samples
+    val vbr = MediaCodecs.encodeMp3Frames(44100, 320, 2, 2) ++
+      MediaCodecs.encodeMp3Frames(44100, 64, 2, 3)
+    val mv = MediaCodecs.mp3Metadata(vbr)
+    assert(mv.isDefined && mv.get.nFrames === 5L &&
+      mv.get.totalSamples === 5 * 1152L && mv.get.maxBitrateKbps === 320)
+
+    // an MPEG-2 Layer III header parses with the halved frame coefficient
+    // (72·kbps·1000/sr) and 576 samples/frame: sr=22050 (idx 0), 64 kbps
+    // (V2 L2/L3 table idx 8) -> 0xFF 0xF3 0x80 0x00
+    val v2len = 72 * 64 * 1000 / 22050
+    val v2 = Array[Byte](0xff.toByte, 0xf3.toByte, 0x80.toByte, 0x00) ++
+      Array.fill[Byte](v2len - 4)(0x10)
+    val f2 = MediaCodecs.parseMp3FrameHeader(v2, 0)
+    assert(f2.isDefined && f2.get.version === "mpeg2" && f2.get.layer === 3 &&
+      f2.get.sampleRate === 22050 && f2.get.bitrateKbps === 64 &&
+      f2.get.samplesPerFrame === 576 && f2.get.frameBytes === v2len)
+
+    // Layer I frame sizing is in 4-byte slots: MPEG-1 L1 (layer bits 11),
+    // 32 kbps (idx 1), 44100 -> 0xFF 0xFF 0x10 0x00
+    val l1len = (12 * 32 * 1000 / 44100) * 4
+    val l1 = Array[Byte](0xff.toByte, 0xff.toByte, 0x10, 0x00) ++
+      Array.fill[Byte](l1len - 4)(0x22)
+    val f1 = MediaCodecs.parseMp3FrameHeader(l1, 0)
+    assert(f1.isDefined && f1.get.layer === 1 && f1.get.frameBytes === l1len &&
+      f1.get.samplesPerFrame === 384)
+
+    // rejection: random text, truncated frames, reserved fields, and
+    // single-frame payloads with trailing garbage all return None
+    assert(MediaCodecs.mp3Metadata("not an mpeg stream at all".getBytes).isEmpty)
+    assert(MediaCodecs.mp3Metadata(Array[Byte]()).isEmpty)
+    val good = MediaCodecs.encodeMp3Frames(44100, 128, 2, 2)
+    assert(MediaCodecs.mp3Metadata(good.dropRight(1)).isEmpty,
+      "a truncated final frame must reject the payload")
+    assert(MediaCodecs.mp3Metadata(good ++ Array[Byte](0x00)).isEmpty,
+      "trailing garbage after the last frame must reject the payload")
+    // free-format (bitrate idx 0) and reserved sample-rate are invalid
+    val free = good.clone(); free(2) = 0x00
+    assert(MediaCodecs.parseMp3FrameHeader(free, 0).isEmpty)
+    val badSr = good.clone(); badSr(2) = (badSr(2) | 0x0c).toByte
+    assert(MediaCodecs.parseMp3FrameHeader(badSr, 0).isEmpty)
+    // deterministic byte-flip fuzz: walk must never throw
+    for (seed <- 1 to 200) {
+      val mut = good.clone()
+      val pos = (seed * 37) % mut.length
+      mut(pos) = (mut(pos) ^ (seed * 11 + 1)).toByte
+      MediaCodecs.mp3Metadata(mut) // no exception = pass
+    }
+  }
+
+  test("mediaMetadata and decodeAny: MP3 payloads report real header metadata, honestly labeled") {
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, MediaCodecs.encodeMp3Frames(44100, 128, 2, 4),
+        "audio/mpeg", 0L),
+      MultimodalOps.MediaRecord(2L, MediaCodecs.encodeMp3Frames(32000, 64, 1, 2),
+        "audio/mpeg", 0L))
+    val meta = MultimodalOps.mediaMetadata(spark.createDataset(rows))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("format"), r.getAs[Long]("sample_rate"),
+          r.getAs[Long]("channels"), r.getAs[Long]("n_units")))).toMap
+    assert(meta(1L) === (("mp3", 44100L, 2L, 4L)))
+    assert(meta(2L) === (("mp3", 32000L, 1L, 2L)))
+    val (label, feats) = MultimodalOps.decodeAny(rows.head.payload)
+    assert(label === "mp3_header_stub_pcm",
+      "PCM decode is a stub and the label must say so")
+    assert(feats.length === 8)
+  }
+
   test("JPEG codec: quality >= 97 high-contrast blocks stay decodable (Huffman size clamp)") {
     // quant entries clamp to 1 at quality ~97+, so a max-contrast
     // checkerboard quantizes AC magnitudes past size 10 — without the
