@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def dot(a: String, b: String): String = s"vector_dot($a, $b)"
 
   /** Corpus with a precomputed L2 norm column (`norm`) — norms are
@@ -364,12 +366,26 @@ object Similarity {
   def semanticDedupAgainstIvfIndex(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = indexGen(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val assignedBatch = ivfAssign(batch, cents, idCol, embCol)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$g/cells")
       .select(col("cluster"), col(idCol), col(embCol), col("norm"))
     semanticDedupAgainst(assignedBatch, cells, idCol, embCol, threshold)
   }
+
+  /** The persisted index's CURRENT generation root. Every persisted
+    * IVF index is a [[GenDir]] at `path`: one generation directory
+    * holds all subtables (`cells/`, `centroids/`, `stats/`, and
+    * `codebooks/` for the PQ layout), so a rebuild or compaction swaps
+    * the WHOLE index atomically — readers resolve either the previous
+    * complete index or the new one, never a mix of old cells and new
+    * centroids, and never a missing directory. Appends land inside the
+    * current generation; the previous generation stays readable through
+    * one more publish for in-flight frames.
+    */
+  private def indexGen(spark: SparkSession, path: String): String =
+    GenDir.currentOrFail(spark, path)
 
   /** L2-normalize an embedding column to unit vectors (float components
     * promoted to double first): (idCol, norm, unit). After this, cosine
@@ -660,15 +676,18 @@ object Similarity {
         pmod(xxhash64(col(idCol)), lit(1000000L)) <
           lit((trainSampleFraction * 1000000L).toLong))
     val cb = pqTrainCodebooks(trainFrame, idCol, "resid", m, k, iters)
-    pqEncode(resid, cb, idCol, "resid", m)
-      .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // float-domain assignment coherence, same contract as the other two
-    // layouts — ivfDriftReport and maintainIvfIndex read it unchanged
-    cellStats(assigned, isBase = true)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    GenDir.publish(corpus.sparkSession, path) { g =>
+      pqEncode(resid, cb, idCol, "resid", m)
+        .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/cells")
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$g/centroids")
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$g/codebooks")
+      // float-domain assignment coherence, same contract as the other two
+      // layouts — ivfDriftReport and maintainIvfIndex read it unchanged
+      cellStats(assigned, isBase = true)
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/stats")
+    }()
+    ()
   }
 
   /** Append a batch to a [[writePqIvfIndex]] index WITHOUT retraining:
@@ -684,8 +703,9 @@ object Similarity {
       path: String): Unit = {
     val spark = batch.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val centsRaw = spark.read.parquet(s"$path/centroids")
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val g = indexGen(spark, path)
+    val centsRaw = spark.read.parquet(s"$g/centroids")
+    val cb = spark.read.parquet(s"$g/codebooks")
     val m = cb.agg(max(col("sub"))).head().getLong(0).toInt + 1
     val assigned = ivfAssignSim(batch,
       centsRaw.select(col("cluster").as(idCol), col("cent_emb").as(embCol)),
@@ -696,9 +716,9 @@ object Similarity {
           .as("resid"))
     pqEncode(resid, cb, idCol, "resid", m)
       .join(resid.select(col(idCol), col("cluster")), Seq(idCol))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cluster").parquet(s"$g/cells")
     cellStats(assigned, isBase = false)
-      .write.mode("append").parquet(s"$path/stats")
+      .write.mode("append").parquet(s"$g/stats")
   }
 
   /** ADC search over a [[writePqIvfIndex]] index: probes rank their
@@ -717,8 +737,9 @@ object Similarity {
   def searchPqIvfIndex(spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, embCol: String, kNbrs: Int, nprobe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val centsRaw = spark.read.parquet(s"$path/centroids")
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val g = indexGen(spark, path)
+    val centsRaw = spark.read.parquet(s"$g/centroids")
+    val cb = spark.read.parquet(s"$g/codebooks")
     val m = cb.agg(max(col("sub"))).head().getLong(0).toInt + 1
     val p = rankCells(
       withNorm(probes, embCol).select(col(idCol).as("probe_id"),
@@ -738,7 +759,7 @@ object Similarity {
       .join(cb, "sub")
       .select(col("probe_id"), col("cluster"), col("qc"), col("sub"), col("code"),
         expr(dot("subv", "cw")).as("w"))
-    val terms = spark.read.parquet(s"$path/cells")
+    val terms = spark.read.parquet(s"$g/cells")
       .select(col("cluster"), col(idCol).as("cand_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .withColumn("sub", col("sub").cast("long"))
@@ -918,12 +939,15 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String, path: String): Unit = {
     val assigned = ivfAssignSim(corpus, centroids, idCol, embCol)
-    assigned.drop("csim")
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
-    centroids.select(col(idCol), col(embCol))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cellStats(assigned, isBase = true)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    GenDir.publish(corpus.sparkSession, path) { g =>
+      assigned.drop("csim")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/cells")
+      centroids.select(col(idCol), col(embCol))
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/centroids")
+      cellStats(assigned, isBase = true)
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/stats")
+    }()
+    ()
   }
 
   /** Per-cell assignment-quality stats: (cluster, n, sum_sim, is_base).
@@ -951,15 +975,16 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, idCol: String, embCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = indexGen(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     // checkpoint: the assignment feeds both the cell append and the
     // stats append; batches are ingest-sized, so materializing once
     // beats re-running the argmax kernel
     val assigned = ivfAssignSim(batch, cents, idCol, embCol).localCheckpoint()
     assigned.drop("csim")
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cluster").parquet(s"$g/cells")
     cellStats(assigned, isBase = false)
-      .write.mode("append").parquet(s"$path/stats")
+      .write.mode("append").parquet(s"$g/stats")
   }
 
   /** Drift report for a maintained IVF index: per cell, the write-time
@@ -974,7 +999,7 @@ object Similarity {
     * |cells|-row stats table — never the index payload.
     */
   def ivfDriftReport(spark: SparkSession, path: String): DataFrame = {
-    spark.read.parquet(s"$path/stats")
+    spark.read.parquet(s"${indexGen(spark, path)}/stats")
       .groupBy(col("cluster"))
       .agg(
         sum(when(col("is_base"), col("n")).otherwise(0L)).as("n_base"),
@@ -1004,12 +1029,13 @@ object Similarity {
     */
   def searchIvfIndex(spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, embCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = indexGen(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val p = rankCells(
       withNorm(probes, embCol)
         .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"), col("norm").as("p_norm")),
       cents, idCol, embCol, nprobe)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$g/cells")
       .select(col("cluster"), col(idCol).as("cand_id"),
         col(embCol).as("c_emb"), col("norm").as("c_norm"))
     topKTail(cells.join(broadcast(p), "cluster")
@@ -1032,15 +1058,18 @@ object Similarity {
   def writeQuantizedIvfIndex(corpus: DataFrame, centroids: DataFrame,
       idCol: String, embCol: String, path: String): Unit = {
     val assigned = ivfAssignSim(corpus, centroids, idCol, embCol)
-    withQuant(assigned.drop("csim"), embCol)
-      .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/cells")
-    centroids.select(col(idCol), col(embCol))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // stats stay in the FLOAT domain (the assignment cosine) on both the
-    // base write and appends, so the drift comparison is domain-consistent
-    cellStats(assigned, isBase = true)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    GenDir.publish(corpus.sparkSession, path) { g =>
+      withQuant(assigned.drop("csim"), embCol)
+        .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$g/cells")
+      centroids.select(col(idCol), col(embCol))
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/centroids")
+      // stats stay in the FLOAT domain (the assignment cosine) on both the
+      // base write and appends, so the drift comparison is domain-consistent
+      cellStats(assigned, isBase = true)
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/stats")
+    }()
+    ()
   }
 
   /** [[appendToIvfIndex]] for a [[writeQuantizedIvfIndex]] index: the
@@ -1051,13 +1080,14 @@ object Similarity {
   def appendToQuantizedIvfIndex(batch: DataFrame, idCol: String,
       embCol: String, path: String): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = indexGen(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val assigned = ivfAssignSim(batch, cents, idCol, embCol).localCheckpoint()
     withQuant(assigned.drop("csim"), embCol)
       .select(col(idCol), col("cluster"), col("q_emb"), col("qnorm"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cluster").parquet(s"$g/cells")
     cellStats(assigned, isBase = false)
-      .write.mode("append").parquet(s"$path/stats")
+      .write.mode("append").parquet(s"$g/stats")
   }
 
   /** Compact a maintained IVF index's cell files. Every
@@ -1076,31 +1106,37 @@ object Similarity {
     * `centroids/` tables are untouched: base/appended row history (the
     * [[ivfDriftReport]] input) survives compaction.
     *
-    * The swap is rename-based (write to a sibling temp dir, rename the
-    * old cells dir away, rename the rewrite in): a crash mid-swap
-    * leaves either the old or the new directory under `cells/`, never a
-    * mix, and [[graft.streaming.StreamOps.ivfSearchStream]] — which
-    * re-resolves the path every micro-batch — picks the compacted
-    * layout up on its next batch with no restart. Searches racing the
-    * two renames on an eventually-consistent store can observe a
-    * missing directory for the window between them; pause searches or
-    * retry-on-miss if that matters operationally.
+    * The swap is a [[GenDir]] generation publish: the rewrite (plus the
+    * small centroids/codebooks/stats tables, copied forward so the
+    * whole index stays one consistent generation) lands complete and is
+    * committed with one atomic marker — readers, including
+    * [[graft.streaming.StreamOps.ivfSearchStream]] which re-resolves
+    * the generation every micro-batch, observe either the previous
+    * complete index or the compacted one, NEVER a missing directory,
+    * and the previous generation stays readable through one more
+    * publish for in-flight frames. An append that races the rewrite is
+    * detected by a listing compare immediately before the commit and
+    * ABORTS the compaction (the appended rows win; rerun after the
+    * batch) — though the supported pattern is to run compaction from
+    * the same single-threaded ingest loop as the appends.
     *
     * @return (files before, files after) for ingest-loop observability
     */
   def compactIvfCells(spark: SparkSession, path: String,
       targetRowsPerFile: Long = 1L << 22): (Long, Long) = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val fs = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
-      val it = fs.listFiles(p, true)
+    val gBefore = indexGen(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
       var n = 0L
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
-    val before = parquetFiles(cellsDir)
-    val cells = spark.read.parquet(cellsDir.toString)
+    val before = parquetFiles(s"$gBefore/cells")
+    val listingBefore = GenDir.currentFiles(spark, path)
+    val cells = spark.read.parquet(s"$gBefore/cells")
     val payloadCols = cells.columns.filter(_ != "cluster")
     // per-cell counts are |cells| rows — broadcast back onto the scan so
     // group assignment stays narrow
@@ -1113,14 +1149,22 @@ object Similarity {
           ceil(col("__n") / lit(targetRowsPerFile.toDouble)).cast("long"))))
       .repartition(col("cluster"), col("__fg"))
       .select(cells.columns.map(col): _*)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells__precompact")
-    fs.delete(tmp, true); fs.delete(old, true) // leftovers of a crashed run
-    rewritten.write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
-    require(fs.rename(cellsDir, old), s"compactIvfCells: cannot move $cellsDir aside")
-    require(fs.rename(tmp, cellsDir), s"compactIvfCells: cannot move rewrite into $cellsDir")
-    fs.delete(old, true)
-    (before, parquetFiles(cellsDir))
+    GenDir.publish(spark, path) { g =>
+      rewritten.write.mode("overwrite").partitionBy("cluster").parquet(s"$g/cells")
+      // carry the small sibling tables into the new generation — one
+      // generation IS the whole index, so a reader can never pair new
+      // cells with old centroids
+      for (sub <- Seq("centroids", "codebooks", "stats")
+          if fs.exists(new org.apache.hadoop.fs.Path(s"$gBefore/$sub")))
+        spark.read.parquet(s"$gBefore/$sub")
+          .coalesce(1).write.mode("overwrite").parquet(s"$g/$sub")
+    } { () =>
+      val ok = GenDir.currentFiles(spark, path) == listingBefore
+      if (!ok) log.warn(s"compactIvfCells: concurrent append under $path " +
+        "during compaction — aborting this swap (the appended rows win)")
+      ok
+    }
+    (before, parquetFiles(s"${indexGen(spark, path)}/cells"))
   }
 
   /** Drift-triggered retrain policy for a maintained IVF index: read
@@ -1140,10 +1184,11 @@ object Similarity {
     * appended): the quantized layout stores int8 codes, so a rebuild
     * cannot recover float embeddings from the index itself — the caller
     * owns the source of truth, the index is a derived artifact.
-    * Rebuild overwrites cells/centroids/stats; a search racing the
-    * overwrite sees files disappear (same operational caveat as
-    * [[compactIvfCells]], which a rebuild subsumes — appended small
-    * files die with the rewrite).
+    * The rebuild publishes a NEW [[GenDir]] generation (cells,
+    * centroids, stats — and for PQ, codebooks — together), so a search
+    * racing it resolves either the complete old index or the complete
+    * new one, never a mix or a missing directory; appended small files
+    * die with the rewrite, which subsumes [[compactIvfCells]].
     *
     * @return true iff the thresholds tripped and the index was rebuilt
     */
@@ -1167,7 +1212,7 @@ object Similarity {
       if (nApp + nBase > 0L) nApp.toDouble / (nApp + nBase) else 0.0
     val stale = meanDrift > driftThreshold || fracAppended > fracAppendedThreshold
     if (stale) {
-      val quantized = spark.read.parquet(s"$path/cells")
+      val quantized = spark.read.parquet(s"${indexGen(spark, path)}/cells")
         .schema.fieldNames.contains("q_emb")
       val cents = kmeansIterate(corpus, idCol, embCol, k, iters)
         .select(col("cluster").as(idCol), col("centroid").as(embCol))
@@ -1190,7 +1235,8 @@ object Similarity {
   def searchQuantizedIvfIndex(spark: SparkSession, path: String,
       probes: DataFrame, idCol: String, embCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val g = indexGen(spark, path)
+    val cents = spark.read.parquet(s"$g/centroids")
     val p = withQuant(
         rankCells(
           withNorm(probes, embCol)
@@ -1199,7 +1245,7 @@ object Similarity {
         "p_emb")
       .select(col("probe_id"), col("q_emb").as("p_q"),
         col("qnorm").as("p_qnorm"), col("cluster"))
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(s"$g/cells")
       .select(col("cluster"), col(idCol).as("cand_id"),
         col("q_emb").as("c_q"), col("qnorm").as("c_qnorm"))
     topKTail(cells.join(broadcast(p), "cluster")

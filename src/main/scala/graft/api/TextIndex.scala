@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * and sign the corpus ONCE, then serve near-dup candidate lookups
   * against the stored signatures without ever re-reading corpus text.
   *
-  * Layout under `path`:
+  * The index is a [[GenDir]] at `path` — one generation directory holds
+  * both subtables, compactions publish a new generation with one atomic
+  * marker (readers never observe a missing directory; the previous
+  * generation stays readable through one more publish). Inside a
+  * generation:
   *   - `bands/band=<b>/…parquet` — one row per (doc, band):
   *     (id, n_sh, sigs[8], band_sig), partition-pruned by band and
   *     SORTED by band_sig within files so a probe's `band_sig IN (…)`
@@ -28,7 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val Bands = 2
+
+  private def gen(spark: SparkSession, path: String): String =
+    GenDir.currentOrFail(spark, path)
 
   private def bandFrame(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
@@ -40,62 +49,73 @@ object TextIndex {
           "1L, concat_ws(',', m4, m5, m6, m7)) AS (band, band_sig)"))
   }
 
-  /** Build the index at `path` (overwrites). One shingle+minhash pass
-    * over the corpus; the only shuffle is the band repartition.
+  /** Build the index at `path` (a new generation — concurrent readers
+    * of a previous build keep resolving it until the new one commits).
+    * One shingle+minhash pass over the corpus; the only shuffle is the
+    * band repartition.
     */
   def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 4): Unit = {
     val spark = docs.sparkSession
-    bandFrame(docs, idCol, textCol, n)
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band_sig"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    import spark.implicits._
-    Seq((n, Dedup.NumSeeds, Bands)).toDF("shingle_n", "n_seeds", "n_bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    GenDir.publish(spark, path) { g =>
+      bandFrame(docs, idCol, textCol, n)
+        .repartition(col("band"))
+        .sortWithinPartitions(col("band_sig"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$g/bands")
+      import spark.implicits._
+      Seq((n, Dedup.NumSeeds, Bands)).toDF("shingle_n", "n_seeds", "n_bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    }()
+    ()
   }
 
   /** Append new documents under the existing band partitions — the
     * frozen-parameter incremental ingest path (shingle width comes from
     * the stored meta, so appended signatures are comparable with the
-    * base). No rewrite of existing files.
+    * base). New files inside the CURRENT generation; no rewrite of
+    * existing files.
     */
   def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
-    val n = readMeta(newDocs.sparkSession, path)
+    val spark = newDocs.sparkSession
+    val n = readMeta(spark, path)
     bandFrame(newDocs, idCol, textCol, n)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("append").partitionBy("band").parquet(s"${gen(spark, path)}/bands")
   }
 
   /** Rewrite each band partition's accumulated append files into
     * target-sized, band_sig-SORTED files — continuous
     * [[appendToMinhashIndex]] ingest otherwise grows one unsorted file
     * per append per band, degrading both file listing and the sorted
-    * row-group pruning [[searchMinhashIndex]] relies on. Same
-    * aside-rename protocol as the IVF compactor: the rewrite lands
-    * complete or not at all, and signatures are untouched (search
-    * results are bit-identical before/after).
+    * row-group pruning [[searchMinhashIndex]] relies on. The rewrite
+    * publishes a new [[GenDir]] generation (meta copied forward), so
+    * the swap is one atomic marker — no reader-visible window — and
+    * signatures are untouched (search results are bit-identical
+    * before/after). An append racing the rewrite is detected by a
+    * listing compare and ABORTS the swap (the appended rows win) —
+    * run compaction from the same single-threaded loop as the appends.
     */
   def compactMinhashBands(spark: SparkSession, path: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
     readMeta(spark, path) // layout check
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = spark.read.parquet(bandsDir.toString)
+    val g0 = gen(spark, path)
+    val listingBefore = GenDir.currentFiles(spark, path)
+    val rows = spark.read.parquet(s"$g0/bands")
     val nFiles = math.max(1L,
       math.ceil(rows.count().toDouble / targetRowsPerFile).toLong).toInt
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/bands_compact_tmp")
-    fs.delete(tmp, true)
-    rows.repartition(nFiles, col("band"))
-      .sortWithinPartitions(col("band_sig"))
-      .write.mode("overwrite").partitionBy("band").parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$path/bands_precompact")
-    fs.delete(old, true)
-    require(fs.rename(bandsDir, old),
-      s"compactMinhashBands: cannot move $bandsDir aside")
-    require(fs.rename(tmp, bandsDir),
-      s"compactMinhashBands: cannot move rewrite into $bandsDir")
-    fs.delete(old, true)
+    GenDir.publish(spark, path) { g =>
+      rows.repartition(nFiles, col("band"))
+        .sortWithinPartitions(col("band_sig"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$g/bands")
+      spark.read.parquet(s"$g0/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    } { () =>
+      val ok = GenDir.currentFiles(spark, path) == listingBefore
+      if (!ok) log.warn(s"compactMinhashBands: concurrent append under $path " +
+        "during compaction — aborting this swap (the appended rows win)")
+      ok
+    }
+    ()
   }
 
   /** Maintenance policy: compact when append debris crosses the
@@ -108,7 +128,7 @@ object TextIndex {
   def maintainMinhashIndex(spark: SparkSession, path: String,
       maxFilesPerBand: Int = 16,
       targetRowsPerFile: Long = 4000000L): Boolean = {
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val bandsDir = new org.apache.hadoop.fs.Path(s"${gen(spark, path)}/bands")
     val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(bandsDir, true)
     var n = 0
@@ -121,8 +141,8 @@ object TextIndex {
   }
 
   private def readMeta(spark: SparkSession, path: String): Int = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"minhash index meta corrupt at $path/meta")
+    val meta = spark.read.parquet(s"${gen(spark, path)}/meta").collect()
+    require(meta.length == 1, s"minhash index meta corrupt at $path")
     val m = meta.head
     require(m.getAs[Int]("n_seeds") == Dedup.NumSeeds &&
       m.getAs[Int]("n_bands") == Bands,
@@ -151,7 +171,7 @@ object TextIndex {
     // "probes broadcast, corpus never shuffles" shape
     val sigList = probeBands.select(col("band_sig")).distinct()
       .collect().map(_.getString(0))
-    val idx = spark.read.parquet(s"$path/bands")
+    val idx = spark.read.parquet(s"${gen(spark, path)}/bands")
       .filter(col("band_sig").isin(sigList.toSeq: _*))
     val agree = (0 until Dedup.NumSeeds)
       .map(s => when(col("sigs").getItem(s) === col("probe_sigs").getItem(s), 1)

@@ -610,7 +610,7 @@ class ApiSpec extends SparkSpec {
     Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", dir)
 
     // cells/ is physically partitioned by cluster id
-    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+    val cellDirs = new java.io.File(s"${graft.api.GenDir.currentOrFail(spark, dir)}/cells").listFiles()
       .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
     assert(cellDirs.nonEmpty && cellDirs.size <= 8)
 
@@ -751,9 +751,10 @@ class ApiSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select($"probe_id".cast("long"), $"rn", $"cand_id".cast("long"), $"sim")
         .as[(Long, Long, Long, Double)].collect().toSet
-    val statsBefore = spark.read.parquet(s"$dirF/stats")
+    def gF() = graft.api.GenDir.currentOrFail(spark, dirF)
+    val statsBefore = spark.read.parquet(s"${gF()}/stats")
       .as[(Long, Long, Double, Boolean)].collect().toSet
-    val centsBefore = spark.read.parquet(s"$dirF/centroids")
+    val centsBefore = spark.read.parquet(s"${gF()}/centroids")
       .select($"vec_id").as[Long].collect().toSet
     // nprobe = |cells|: every row participates, so parity is exhaustive
     val before = key(Similarity.searchIvfIndex(spark, dirF, probes,
@@ -764,10 +765,10 @@ class ApiSpec extends SparkSpec {
     val after = key(Similarity.searchIvfIndex(spark, dirF, probes,
       "vec_id", "embedding", k = 5, nprobe = 8))
     assert(after === before, "search must be bit-identical across compaction")
-    assert(spark.read.parquet(s"$dirF/stats")
+    assert(spark.read.parquet(s"${gF()}/stats")
       .as[(Long, Long, Double, Boolean)].collect().toSet === statsBefore,
       "compaction must not rewrite the stats table (drift history survives)")
-    assert(spark.read.parquet(s"$dirF/centroids")
+    assert(spark.read.parquet(s"${gF()}/centroids")
       .select($"vec_id").as[Long].collect().toSet === centsBefore)
 
     // quantized layout: same contract, payload-agnostic rewrite
@@ -785,7 +786,8 @@ class ApiSpec extends SparkSpec {
     assert(key(Similarity.searchQuantizedIvfIndex(spark, dirQ, probes,
       "vec_id", "embedding", k = 5, nprobe = 8)) === qBefore)
     // int8 payload schema survives the rewrite untouched
-    val qSchema = spark.read.parquet(s"$dirQ/cells").schema
+    val qSchema = spark.read.parquet(
+      s"${graft.api.GenDir.currentOrFail(spark, dirQ)}/cells").schema
     assert(qSchema.fieldNames.contains("q_emb") && qSchema.fieldNames.contains("qnorm"))
   }
 
@@ -813,7 +815,7 @@ class ApiSpec extends SparkSpec {
     assert(!Similarity.maintainIvfIndex(spark, calmCorpus, "vec_id", "embedding",
         dir, driftThreshold = 0.2, k = 3, iters = 2),
       "an in-distribution append must not trigger a rebuild")
-    assert(spark.read.parquet(s"$dir/stats").filter(!$"is_base").count() > 0,
+    assert(spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/stats").filter(!$"is_base").count() > 0,
       "a declined rebuild must leave the appended stats history in place")
 
     // off-manifold append: coherence collapses → weighted drift trips
@@ -828,14 +830,14 @@ class ApiSpec extends SparkSpec {
       "a drifted append history must trigger the rebuild")
     // the rebuild kept the quantized layout, retrained to k cells, and
     // reset the stats baseline (no appended rows remain)
-    val cellSchema = spark.read.parquet(s"$dir/cells").schema
+    val cellSchema = spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/cells").schema
     assert(cellSchema.fieldNames.contains("q_emb"),
       "rebuild must preserve the int8 layout")
     // k=4 seeds may collapse to fewer cells (an emptied seed cluster
     // drops out of the kmeansStep aggregate) — at least the 3 genuine
     // blob directions plus-or-minus the shifted mass must survive
-    assert(spark.read.parquet(s"$dir/centroids").count() >= 3)
-    assert(spark.read.parquet(s"$dir/stats").filter(!$"is_base").count() === 0,
+    assert(spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/centroids").count() >= 3)
+    assert(spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/stats").filter(!$"is_base").count() === 0,
       "rebuild must reset the drift baseline")
     // post-rebuild the shifted direction has its own coherent cell:
     // searching it at nprobe=1 must surface shifted members (the stale
@@ -859,7 +861,7 @@ class ApiSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("qivf_idx").toString
     Similarity.writeQuantizedIvfIndex(corpus, cents, "vec_id", "embedding", dir)
     // stored payloads are int8 codes + precomputed integer norms
-    val cellSchema = spark.read.parquet(s"$dir/cells").schema
+    val cellSchema = spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/cells").schema
     assert(cellSchema("q_emb").dataType.simpleString === "array<int>")
     assert(cellSchema.fieldNames.contains("qnorm"))
 
@@ -1154,7 +1156,7 @@ class ApiSpec extends SparkSpec {
     Similarity.writePqIvfIndex(blobs, cents, "vec_id", "embedding",
       m = 8, k = 16, iters = 3, path = dir)
     // the cell payload is ids + codes — no float vector survives
-    assert(spark.read.parquet(s"$dir/cells").columns.toSet ===
+    assert(spark.read.parquet(s"${graft.api.GenDir.currentOrFail(spark, dir)}/cells").columns.toSet ===
       Set("vec_id", "codes", "cluster"))
     val res = Similarity.searchPqIvfIndex(spark, dir,
       blobs.filter($"vec_id" < 3), "vec_id", "embedding", kNbrs = 10, nprobe = 1)
@@ -1631,7 +1633,8 @@ class ApiSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("n_agree"))).toSet
     def nFiles() = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
+      val p = new org.apache.hadoop.fs.Path(
+        s"${graft.api.GenDir.currentOrFail(spark, dir)}/bands")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)
       var n = 0

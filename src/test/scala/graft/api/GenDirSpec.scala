@@ -84,6 +84,52 @@ class GenDirSpec extends SparkSpec {
     assert(spark.read.parquet(cur).as[Long].collect().toSet === Set(2L))
   }
 
+  test("IVF index: searches hammering across append/compact/rebuild cycles never miss and never mix generations") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = corpus.filter($"vec_id" < 8)
+    val dir = tmpDir("ivf_hammer")
+    Similarity.writeIvfIndex(corpus.filter($"vec_id" % 2 === 0), cents,
+      "vec_id", "embedding", dir)
+    val probes = corpus.filter($"vec_id" >= 100 && $"vec_id" < 103)
+      .select($"vec_id", $"embedding").localCheckpoint()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 3).map { _ =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            // zero retry-on-miss, and a consistent generation every time
+            val n = Similarity.searchIvfIndex(spark, dir, probes,
+              "vec_id", "embedding", k = 3, nprobe = 2).count()
+            assert(n > 0)
+            Similarity.ivfDriftReport(spark, dir).count()
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      // single writer: append debris, compact, then a full REBUILD —
+      // the worst reader race the old rename-swap could lose
+      val odd = corpus.filter($"vec_id" % 2 === 1)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      odd.grouped(math.max(1, odd.size / 3)).foreach { b =>
+        Similarity.appendToIvfIndex(b.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dir)
+        Similarity.compactIvfCells(spark, dir)
+      }
+      Similarity.writeIvfIndex(corpus, cents, "vec_id", "embedding", dir)
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(120000))
+    }
+    assert(failures.isEmpty,
+      s"search hit an error mid-compaction/rebuild: ${Option(failures.peek()).map(_.toString)}")
+  }
+
   test("DupGraph: readers hammering a live artifact across maintain/refreshStats cycles never miss") {
     import spark.implicits._
     val docs = graft.Util.rawTable(spark, sf, "documents")

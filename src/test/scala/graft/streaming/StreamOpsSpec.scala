@@ -358,7 +358,8 @@ class StreamOpsSpec extends SparkSpec {
 
     // REPLAY batch 1 through the public batch function: same admitted
     // set, no second append (cells and ingest_log unchanged)
-    val cellsBefore = spark.read.parquet(s"$dir/cells").count()
+    def cellsGen() = graft.api.GenDir.currentOrFail(spark, dir)
+    val cellsBefore = spark.read.parquet(s"${cellsGen()}/cells").count()
     val logBefore = spark.read.parquet(s"$dir/ingest_log").count()
     val replayed = StreamOps.semanticDedupIngestBatch(
       Seq(EmbRow(9100L, mixA.map(_ * 1.001f)), EmbRow(9101L, mixB))
@@ -366,7 +367,7 @@ class StreamOpsSpec extends SparkSpec {
       1L, dir, "id", "emb", threshold = 0.9)
       .select($"id".cast("long")).as[Long].collect().toSet
     assert(replayed === Set(9101L), "replay must re-derive the same admissions")
-    assert(spark.read.parquet(s"$dir/cells").count() === cellsBefore,
+    assert(spark.read.parquet(s"${cellsGen()}/cells").count() === cellsBefore,
       "a replayed batchId must not append again")
     assert(spark.read.parquet(s"$dir/ingest_log").count() === logBefore)
   }
