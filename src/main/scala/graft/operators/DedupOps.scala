@@ -2281,7 +2281,129 @@ object DedupOps {
        |  ROUND(CAST(n_nodes AS DOUBLE) / total, 6) AS node_share
        |FROM hist CROSS JOIN tot ORDER BY degree""".stripMargin
 
+  /** q365: ingest-vs-rebuild advisory — the "when to rebuild vs ingest"
+    * pricing companion of q362: build the LSH artifact over 7/8 of the
+    * corpus (`storeDocs = true`), ingest the remaining 1/8 as ONE
+    * incremental batch ([[graft.api.DupGraph.ingestBatch]] — the
+    * stored-band-index probe path, never a corpus re-shingle), and
+    * report each path's structural cost drivers as DETERMINISTIC counts
+    * the DuckDB oracle reproduces independently:
+    *   - `docs_shingled` — documents the shingle/minhash kernel touches:
+    *     the whole corpus for a rebuild vs the batch PLUS the fetched
+    *     candidate corpus docs for the ingest (the artifact is built at
+    *     τ = 0, so every candidate pair verifies — the batch×corpus
+    *     edge endpoints ARE the fetched candidates);
+    *   - `edges_written` — all edges for a rebuild vs only the batch's
+    *     new edges for the ingest;
+    *   - `edges_total` — identical by the incremental==batch
+    *     equivalence contract, which this card grades END-TO-END
+    *     against the oracle's full self-join derivation.
+    * The ratio docs_shingled(ingest)/docs_shingled(rebuild) is the
+    * advisory: when batches stay small relative to the corpus, ingest;
+    * a rebuild only pays once enough batches have accumulated debris.
+    */
+  def q365IngestVsRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = docs(spark, dir)
+    val base = all.filter($"doc_id" % 8 =!= 0)
+    val batch = all.filter($"doc_id" % 8 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q365_").toString + "/g"
+    try {
+      graft.api.DupGraph.write(base, "doc_id", "text", tmp, 0.0, "lsh",
+        storeDocs = true)
+      val newEdges = graft.api.DupGraph.ingestBatch(batch, 0L, tmp,
+        "doc_id", "text").localCheckpoint()
+      val nNewEdges = newEdges.count()
+      // corpus endpoints of the batch's edges = the candidate docs whose
+      // text the keyed fetch actually read (τ = 0 keeps every candidate)
+      val fetched = newEdges.select($"id_a".as("id"))
+        .unionAll(newEdges.select($"id_b".as("id")))
+        .filter($"id" % 8 =!= 0).distinct().count()
+      val total = graft.api.DupGraph.refreshStats(spark, tmp).nEdges
+      val batchShingled = graft.api.Dedup.shingleSets(batch, "doc_id", "text")
+        .count()
+      val corpusShingled = graft.api.Dedup.shingleSets(all, "doc_id", "text")
+        .count()
+      Seq(
+        ("full_rebuild", corpusShingled, total, total),
+        ("ingest_batch", batchShingled + fetched, nNewEdges, total))
+        .toDF("path", "docs_shingled", "edges_written", "edges_total")
+        .orderBy($"path")
+    } finally {
+      scala.util.Try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp).getParentFile)
+      }
+      ()
+    }
+  }
+
+  /** The oracle mirrors the INCREMENTAL path's cap semantics exactly:
+    * batch-internal buckets cap on batch postings, batch×corpus buckets
+    * on the corpus-side postings of touched buckets — which equals the
+    * full-corpus count for those buckets, so at the default cap the
+    * union equals the all-at-once derivation (the equivalence contract
+    * this card grades end-to-end).
+    */
+  val q365Sql: String =
+    s"""WITH sh AS MATERIALIZED ($shinglesSql),
+       |mh AS MATERIALIZED ($minhashesSql),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, seed // $BandRows AS band,
+       |    string_agg(minhash, ',' ORDER BY seed) AS band_sig
+       |  FROM mh GROUP BY doc_id, seed // $BandRows),
+       |bbase AS (SELECT * FROM bands WHERE doc_id % 8 <> 0),
+       |bbatch AS (SELECT * FROM bands WHERE doc_id % 8 = 0),
+       |okbase AS (
+       |  SELECT band, band_sig FROM bbase GROUP BY band, band_sig
+       |  HAVING COUNT(*) <= ${graft.api.Dedup.DefaultMaxBucketSize}),
+       |okbatch AS (
+       |  SELECT band, band_sig FROM bbatch GROUP BY band, band_sig
+       |  HAVING COUNT(*) BETWEEN 2 AND ${graft.api.Dedup.DefaultMaxBucketSize}),
+       |cands_nn AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM okbatch o
+       |  JOIN bbatch a ON a.band = o.band AND a.band_sig = o.band_sig
+       |  JOIN bbatch b ON b.band = o.band AND b.band_sig = o.band_sig
+       |  WHERE a.doc_id < b.doc_id),
+       |cands_no AS (
+       |  SELECT DISTINCT LEAST(n.doc_id, c.doc_id) AS doc_a,
+       |    GREATEST(n.doc_id, c.doc_id) AS doc_b, c.doc_id AS corpus_id
+       |  FROM bbatch n
+       |  JOIN bbase c ON c.band = n.band AND c.band_sig = n.band_sig
+       |  JOIN okbase o ON o.band = n.band AND o.band_sig = n.band_sig),
+       |cands_base AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM (SELECT band, band_sig FROM bbase GROUP BY band, band_sig
+       |        HAVING COUNT(*) BETWEEN 2 AND ${graft.api.Dedup.DefaultMaxBucketSize}) o
+       |  JOIN bbase a ON a.band = o.band AND a.band_sig = o.band_sig
+       |  JOIN bbase b ON b.band = o.band AND b.band_sig = o.band_sig
+       |  WHERE a.doc_id < b.doc_id),
+       |batch_pairs AS (
+       |  SELECT doc_a, doc_b FROM cands_nn
+       |  UNION SELECT doc_a, doc_b FROM cands_no),
+       |counts AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM batch_pairs) AS n_new_edges,
+       |    (SELECT COUNT(*) FROM (SELECT doc_a, doc_b FROM cands_base
+       |       UNION SELECT doc_a, doc_b FROM batch_pairs)) AS n_total,
+       |    (SELECT COUNT(DISTINCT corpus_id) FROM cands_no) AS n_fetched,
+       |    (SELECT COUNT(DISTINCT doc_id) FROM sh WHERE doc_id % 8 = 0)
+       |      AS n_batch_sh,
+       |    (SELECT COUNT(DISTINCT doc_id) FROM sh) AS n_corpus_sh)
+       |SELECT 'full_rebuild' AS path,
+       |  CAST(n_corpus_sh AS BIGINT) AS docs_shingled,
+       |  CAST(n_total AS BIGINT) AS edges_written,
+       |  CAST(n_total AS BIGINT) AS edges_total FROM counts
+       |UNION ALL
+       |SELECT 'ingest_batch', CAST(n_batch_sh + n_fetched AS BIGINT),
+       |  CAST(n_new_edges AS BIGINT), CAST(n_total AS BIGINT) FROM counts
+       |ORDER BY path""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
+    "q365_ingest_vs_rebuild" -> (q365IngestVsRebuild _),
     "q363_dup_degree_dist" -> (q363DupDegreeDist _),
     "q362_dupgraph_build" -> (q362DupGraphBuild _),
     "q348_contamination_reach" -> (q348ContaminationReach _),
@@ -2320,6 +2442,7 @@ object DedupOps {
     "q127_hybrid_near_dup" -> (q127HybridNearDup _))
 
   val oracles: Seq[(String, String)] = Seq(
+    "q365_ingest_vs_rebuild" -> q365Sql,
     "q363_dup_degree_dist" -> q363Sql,
     "q362_dupgraph_build" -> q362Sql,
     "q348_contamination_reach" -> q348Sql,
