@@ -98,6 +98,14 @@ object Dedup {
     */
   def trackCache(df: DataFrame): DataFrame = tracked(df)
 
+  /** The scope installed on the calling thread, if any — for helpers
+    * that fan work onto worker threads and need those threads to
+    * register caches with the CALLER's scope (e.g. [[DupGraph.write]]'s
+    * parallel subtable builds).
+    */
+  private[api] def currentScope: Option[CacheScope] =
+    Option(scopeCaches.get())
+
   /** Run `body` with `scope` installed on THIS thread: intermediates the
     * dedup ops cache inside register with the (possibly shared) handle.
     * Does NOT close the scope — the owner does, once, when every thread

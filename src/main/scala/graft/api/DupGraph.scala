@@ -166,38 +166,62 @@ object DupGraph {
         lit(-1L).as("batch_id"))
         .withColumn("jbucket", jbucketCol)
       val edgesSchema = edges.schema.toDDL
-      GenDir.publish(spark, s"$building/edges") { g =>
-        edges
-          .repartition(col("jbucket"), col("id_a"))
-          .sortWithinPartitions(col("jbucket"), col("id_a"), col("id_b"))
-          .write.mode("overwrite").partitionBy("jbucket").parquet(g)
-      }()
+      // The subtable builds under __building are INDEPENDENT pipelines
+      // (edges from the pair derivation; docs/bands/idbloom from the
+      // corpus scan) made of many small sequential stages — submit them
+      // from a few driver threads so each pipeline's tasks back-fill the
+      // others' scheduler gaps (guide §2.6). Atomicity is untouched:
+      // everything lands inside __building and the artifact only becomes
+      // visible via the final swap, so internal write order never
+      // mattered for crash safety (unlike ingestBatch's live appends).
+      // The enclosing cacheScope's handle is re-installed on each worker
+      // thread (Dedup.withScope), so concurrently tracked intermediates
+      // still release at the single cacheScope exit.
+      val scope = Dedup.currentScope
+      val subWrites: Seq[() => Unit] = Seq(
+        () => GenDir.publish(spark, s"$building/edges") { g =>
+          edges
+            .repartition(col("jbucket"), col("id_a"))
+            .sortWithinPartitions(col("jbucket"), col("id_a"), col("id_b"))
+            .write.mode("overwrite").partitionBy("jbucket").parquet(g)
+        }())
       var docsSchema = ""; var bandsSchema = ""
-      if (storeDocs) {
+      val moreWrites: Seq[() => Unit] = if (!storeDocs) Nil else {
         val d = docs.select(col(idCol).as("id"), col(textCol).as("text"),
           lit(-1L).as("batch_id"))
         docsSchema = d.schema.toDDL
-        GenDir.publish(spark, s"$building/docs") { g =>
-          d.repartition(col("id")).sortWithinPartitions(col("id"))
-            .write.mode("overwrite").parquet(g)
-        }()
         val bands = Dedup.bandsFrame(docs, idCol, textCol, shingleN)
           .select(col(idCol).as("id"), col("band"), col("band_sig"),
             lit(-1L).as("batch_id"))
         bandsSchema = bands.schema.toDDL
-        GenDir.publish(spark, s"$building/bands") { g =>
-          bands.repartition(col("band_sig"))
-            .sortWithinPartitions(col("band"), col("band_sig"))
-            .write.mode("overwrite").parquet(g)
-        }()
-        val (bf, nIds) = bloomRowOf(docs, idCol)
-        GenDir.publish(spark, s"$building/idbloom") { g =>
-          import spark.implicits._
-          (if (bf == null) Seq.empty[(Array[Byte], Long, Long)]
-           else Seq((bf, nIds, -1L)))
-            .toDF("bf", "n_ids", "batch_id")
-            .coalesce(1).write.mode("overwrite").parquet(g)
-        }()
+        Seq(
+          () => GenDir.publish(spark, s"$building/docs") { g =>
+            d.repartition(col("id")).sortWithinPartitions(col("id"))
+              .write.mode("overwrite").parquet(g)
+          }(),
+          () => GenDir.publish(spark, s"$building/bands") { g =>
+            bands.repartition(col("band_sig"))
+              .sortWithinPartitions(col("band"), col("band_sig"))
+              .write.mode("overwrite").parquet(g)
+          }(),
+          () => {
+            val (bf, nIds) = bloomRowOf(docs, idCol)
+            GenDir.publish(spark, s"$building/idbloom") { g =>
+              import spark.implicits._
+              (if (bf == null) Seq.empty[(Array[Byte], Long, Long)]
+               else Seq((bf, nIds, -1L)))
+                .toDF("bf", "n_ids", "batch_id")
+                .coalesce(1).write.mode("overwrite").parquet(g)
+            }()
+          })
+      }
+      {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.traverse(subWrites ++ moreWrites) { w =>
+          Future { scope.fold(w())(s => Dedup.withScope(s)(w())) }
+        }, Duration.Inf)
       }
       // degrees + counts from the WRITTEN files — the artifact audits
       // itself, a derivation/write divergence cannot hide in meta

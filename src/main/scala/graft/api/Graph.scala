@@ -41,7 +41,8 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampingMicros: Long = 850000L,
-      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+      broadcastMaxNodes: Long = 10000000L,
+      symmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros out of (0, 1e6): $dampingMicros")
@@ -58,18 +59,38 @@ object Graph {
       if (small) broadcast else (df: DataFrame) => df.hint("shuffle_hash")
     val nodes = outdeg.select(col("src").as("id"))
     val baseMicros = 1000000L - dampingMicros
-    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
-    (1 to iterations).foreach { _ =>
-      val contrib = e
-        .join(perNode(ranks), e("src") === ranks("id"))
-        .select(col("dst"), expr("r div od").as("ct"))
-        .groupBy(col("dst")).agg(sum(col("ct")).as("c"))
-      ranks = nodes
+    // Round 1 unrolled: the initial rank is the CONSTANT 1e6 for every
+    // node, so the first contribution pass needs no rank join at all —
+    // one aggregation over the fused edge frame replaces a broadcast
+    // build + join stage wave (iterative rounds execute as SEQUENTIAL
+    // AQE stage waves, so on small graphs each eliminated wave is pure
+    // latency off the critical path; the eliminated work is exactly the
+    // identity join, so results are bit-identical).
+    def ranksOf(contrib: DataFrame): DataFrame =
+      // `symmetric = true` asserts every node has an in-edge (callers
+      // passing both directions of an undirected graph): contrib then
+      // covers every node and the nodes-left-join is the identity —
+      // skipping it drops one more broadcast+join wave per round,
+      // bit-identically (coalesce(c, 0) never fires on such graphs).
+      if (symmetric) contrib
+        .select(col("dst").as("id"),
+          (lit(baseMicros) +
+            expr(s"($dampingMicros * c) div 1000000")).as("r"))
+      else nodes
         .join(perNode(contrib.withColumnRenamed("dst", "id")),
           Seq("id"), "left")
         .select(col("id"),
           (lit(baseMicros) +
             expr(s"($dampingMicros * coalesce(c, 0L)) div 1000000")).as("r"))
+    var ranks = ranksOf(e
+      .select(col("dst"), expr("1000000 div od").as("ct"))
+      .groupBy(col("dst")).agg(sum(col("ct")).as("c")))
+    (2 to iterations).foreach { _ =>
+      val contrib = e
+        .join(perNode(ranks), e("src") === ranks("id"))
+        .select(col("dst"), expr("r div od").as("ct"))
+        .groupBy(col("dst")).agg(sum(col("ct")).as("c"))
+      ranks = ranksOf(contrib)
     }
     ranks.select(col("id"), col("r").as("rank_micros"))
   }
@@ -114,8 +135,18 @@ object Graph {
     var labels = und.select(col("src")).distinct()
       .select(col("src").as("id"), col("src").as("lbl"))
     (1 to iterations).foreach { i =>
-      val adopted = und
-        .join(labels.hint("shuffle_hash"), und("dst") === labels("id"))
+      // Round 1 unrolled: the initial labeling is the identity (every
+      // node labels itself), so joining the edge list against it just
+      // renames dst → lbl — skip the join and its stage wave outright;
+      // the doubled edge list's dst domain equals its src domain, so no
+      // row gains or loses a label. Bit-identical, one fewer sequential
+      // shuffle+join wave on the critical path.
+      val neighborLabels =
+        if (i == 1) und.select(col("src"), col("dst").as("lbl"))
+        else und
+          .join(labels.hint("shuffle_hash"), und("dst") === labels("id"))
+          .select(col("src"), col("lbl"))
+      val adopted = neighborLabels
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
         .groupBy(col("src"))
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
@@ -416,23 +447,33 @@ object Graph {
     */
   def adamicAdar(membership: DataFrame, idCol: String, itemCol: String,
       maxItemDegree: Int = 1000, packIds: Boolean = false): DataFrame = {
-    val rawIds = membership.select(col(idCol).as("id"), col(itemCol).as("item"))
-    val m = (if (packIds)
-      // fail-loud domain guard: an id >= 2^22 would silently corrupt the
-      // packed pair key (wrong pairs, no error). assert_true rides the
-      // existing narrow scan — no extra action, one comparison per row —
-      // and trips at the localCheckpoint materialization below.
-      rawIds.withColumn("id",
-        when(assert_true(col("id") >= 0 && col("id") < lit(4194304L),
-          lit(s"adamicAdar(packIds = true) requires 0 <= $idCol < 2^22; " +
-            "pass packIds = false for wider id domains")).isNull, col("id")))
-    else rawIds).distinct()
+    val m = membership
+      .select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
     val deg = m.groupBy(col("item")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= maxItemDegree)
       .withColumn("w_e6", round(lit(1e6) / log(col("deg"))).cast("long"))
     // both sides of the self-join read ONE materialization of the
     // weighted membership — never two dedup+degree recomputations
     val mw = m.join(deg, "item").localCheckpoint()
+    if (packIds) {
+      // fail-loud domain guard: an id >= 2^22 would silently corrupt the
+      // packed pair key (wrong pairs, no error). One 1-row aggregate over
+      // the ALREADY-materialized frame — mw holds exactly the ids that
+      // get packed below (ids whose every item fell to the degree cap
+      // never reach the pack), so the check covers the packed domain at
+      // the cost of a bounds fold, not a per-row conditional in the hot
+      // dedup/join path (the previous per-row assert_true measurably
+      // broke codegen fusion around the distinct).
+      val b = mw.agg(min(col("id").cast("long")).as("lo"),
+        max(col("id").cast("long")).as("hi")).head()
+      if (!b.isNullAt(0)) {
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        require(lo >= 0L && hi < 4194304L,
+          s"adamicAdar(packIds = true) requires 0 <= $idCol < 2^22 " +
+            s"(saw id range [$lo, $hi]); pass packIds = false for wider " +
+            "id domains")
+      }
+    }
     val joined = mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
       .join(mw.select(col("item"), col("id").as("id_b")), Seq("item"))
       .filter(col("id_a") < col("id_b"))

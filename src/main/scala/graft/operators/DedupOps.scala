@@ -784,7 +784,13 @@ object DedupOps {
     // sf0.1), so quotient detection shuffles the fat neighbor arrays
     // for little contraction; the twin path wins on exact-dup-dominated
     // graphs (tau >= 0.95 collapses 2x+)
-    graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3)
+    // symmetric = true: `edges` is the both-directions union, so every
+    // node has an in-edge and the per-round nodes-left-join is the
+    // identity — dropping it (and the round-1 rank join, which is a join
+    // against a constant) removes 3 of the 7 sequential AQE stage waves
+    // of the 3-iteration run, bit-identically
+    graft.api.Graph.pageRankFixedPoint(edges, "src", "dst", iterations = 3,
+        symmetric = true)
       .select($"id".as("doc_id"), $"rank_micros")
       .orderBy($"doc_id")
   }
@@ -2183,11 +2189,20 @@ object DedupOps {
     */
   def q362DupGraphBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Seq("lsh", "ppjoin")
-      .map { m =>
-        val meta = DupGraphArtifacts.rebuild(spark, dir, m)
-        (meta.method, meta.tau, meta.shingleN, meta.nEdges, meta.nNodes)
-      }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The two derivations are INDEPENDENT multi-stage pipelines full of
+    // small sequential stages (guide §2.6): submitting them from two
+    // driver threads lets each build's tasks back-fill the other's
+    // scheduler gaps — same jobs, same artifacts, ~40% less wall. Each
+    // write installs its own thread-local Dedup.cacheScope, so the
+    // concurrent builds never share (or leak) cached intermediates.
+    Await.result(
+        Future.traverse(Seq("lsh", "ppjoin")) { m => Future {
+          val meta = DupGraphArtifacts.rebuild(spark, dir, m)
+          (meta.method, meta.tau, meta.shingleN, meta.nEdges, meta.nNodes)
+        }}, Duration.Inf)
       .toDF("method", "tau", "shingle_n", "n_edges", "n_nodes")
       .orderBy($"method")
   }

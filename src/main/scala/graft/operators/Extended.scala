@@ -1626,7 +1626,9 @@ object Extended {
         Seq(s"(${shift("pm", i)} & 1) * ${1L << (2 * i + 1)}",
           s"(${shift("sm", i)} & 1) * ${1L << (2 * i)}")
       }.mkString(" + ")
-    val keyBounds = table(spark, dir, "lineitem")
+    // rawTable: a 5-value min/max/count fold over one scan task needs no
+    // parallelism — table()'s spread shuffle would cost more than the fold
+    val keyBounds = rawTable(spark, dir, "lineitem")
       .agg(count(lit(1)).as("n_rows"),
         min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
         min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
