@@ -870,8 +870,15 @@ object Dedup {
       explode(array_distinct(filter(split(col(textCol), " "),
         t => t =!= ""))).as("tok"))
       .localCheckpoint()
+    // both aggregates are read by MULTIPLE plan references downstream
+    // (dfreq: the vocab-size decision + the prefix ranking; sizes: the
+    // ranking plus the two per-side size joins of the verify) —
+    // materialize each once instead of re-running its shuffle per
+    // reference; both are vocab-/corpus-row-bounded small frames
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
     val smallVocab: Option[Array[String]] =
       if (dfreq.count() <= 62)
         Some(dfreq.select(col("tok")).orderBy(col("tok"))

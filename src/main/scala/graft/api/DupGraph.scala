@@ -404,8 +404,20 @@ object DupGraph {
     val bandsGen = GenDir.currentOrFail(spark, s"$path/bands")
     val bloomGen = GenDir.currentOrFail(spark, s"$path/idbloom")
     val edgesGen = GenDir.currentOrFail(spark, s"$path/edges")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val newDocs = newDocsOf(batch, spark, m, idCol, textCol, docsGen, bloomGen)
       .localCheckpoint()
+    // the four replay-guard reads are independent keyed probes of
+    // separate subtables — overlap them with the edge derivation's
+    // construction-time bucket-guard jobs (guide §2.6) instead of
+    // paying four more sequential job latencies at append time
+    val applied: Map[String, Future[Boolean]] =
+      Seq("edges" -> edgesGen, "bands" -> bandsGen, "bloom" -> bloomGen,
+        "docs" -> docsGen).map { case (n, g) =>
+        n -> Future(graft.Util.batchAlreadyApplied(spark, g, batchId))
+      }.toMap
     val edges = Dedup.cacheScope {
       deriveBatchEdges(newDocs, spark, m, idCol, textCol, docsGen, bandsGen,
           maxBucketSize)
@@ -413,19 +425,28 @@ object DupGraph {
         .withColumn("jbucket", jbucketCol)
         .localCheckpoint()
     }
-    if (!graft.Util.batchAlreadyApplied(spark, edgesGen, batchId) &&
-        !edges.isEmpty)
-      edges.write.mode("append").partitionBy("jbucket").parquet(edgesGen)
+    val docsEmpty = newDocs.isEmpty
+    // edges/bands/idbloom appends are mutually independent (the crash
+    // invariant only needs `docs/` to land LAST — a Bloom miss must
+    // prove novelty and a stored doc must be probe-able, both of which
+    // hold for any completion subset of the first three); run them
+    // concurrently, then commit docs after every sibling landed
+    val fEdges = Future {
+      if (!Await.result(applied("edges"), Duration.Inf) && !edges.isEmpty)
+        edges.write.mode("append").partitionBy("jbucket").parquet(edgesGen)
+    }
     // empty-guarded like the edges append: a redelivery-only batch must
     // not append zero-row files on every replay (its batch_id can never
     // commit, so the guard alone would admit the debris forever)
-    if (!newDocs.isEmpty) {
-      if (!graft.Util.batchAlreadyApplied(spark, bandsGen, batchId))
+    val fBands = Future {
+      if (!docsEmpty && !Await.result(applied("bands"), Duration.Inf))
         Dedup.bandsFrame(newDocs, idCol, textCol, m.shingleN)
           .select(col(idCol).as("id"), col("band"), col("band_sig"),
             lit(batchId).as("batch_id"))
           .write.mode("append").parquet(bandsGen)
-      if (!graft.Util.batchAlreadyApplied(spark, bloomGen, batchId)) {
+    }
+    val fBloom = Future {
+      if (!docsEmpty && !Await.result(applied("bloom"), Duration.Inf)) {
         val (bf, nIds) = bloomRowOf(newDocs, idCol)
         if (bf != null) {
           import spark.implicits._
@@ -433,11 +454,12 @@ object DupGraph {
             .coalesce(1).write.mode("append").parquet(bloomGen)
         }
       }
-      if (!graft.Util.batchAlreadyApplied(spark, docsGen, batchId))
-        newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
-            lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(docsGen)
     }
+    Await.result(Future.sequence(Seq(fEdges, fBands, fBloom)), Duration.Inf)
+    if (!docsEmpty && !Await.result(applied("docs"), Duration.Inf))
+      newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(docsGen)
     edges.select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
@@ -502,21 +524,36 @@ object DupGraph {
   private[graft] def deriveBatchEdges(newDocs: DataFrame, spark: SparkSession,
       m: Meta, idCol: String, textCol: String, docsGen: String,
       bandsGen: String, maxBucketSize: Int): DataFrame = {
-    val nn = Dedup.lshCandidatePairs(newDocs, idCol, textCol, m.shingleN,
-        maxBucketSize)
-      .filter(col("jaccard") >= m.tau)
-      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
-    val storedBands = spark.read.schema(m.bandsSchema).parquet(bandsGen)
-      .select(col("id"), col("band"), col("band_sig"))
-    val corpusDocs = spark.read.schema(m.docsSchema).parquet(docsGen)
-      .select(col("id").as(idCol), col("text").as(textCol))
-    val no = Dedup.lshCandidatePairsAgainstIndex(newDocs, storedBands,
-        corpusDocs, idCol, textCol, m.shingleN, maxBucketSize)
-      .filter(col("jaccard") >= m.tau)
-      .select(least(col("new_id"), col("corpus_id")).as("id_a"),
-        greatest(col("new_id"), col("corpus_id")).as("id_b"),
-        col("n_inter"), col("jaccard"))
-    nn.unionAll(no)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the batch×batch and batch×corpus candidate constructions each run
+    // an eager hot-bucket-guard count at build time; they are
+    // independent pipelines, so build them concurrently (each worker
+    // re-installs the caller's cacheScope so tracked intermediates
+    // still release at the single scope exit)
+    val scope = Dedup.currentScope
+    def scoped[A](body: => A): Future[A] =
+      Future(scope.fold(body)(s => Dedup.withScope(s)(body)))
+    val fNn = scoped {
+      Dedup.lshCandidatePairs(newDocs, idCol, textCol, m.shingleN,
+          maxBucketSize)
+        .filter(col("jaccard") >= m.tau)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+    }
+    val fNo = scoped {
+      val storedBands = spark.read.schema(m.bandsSchema).parquet(bandsGen)
+        .select(col("id"), col("band"), col("band_sig"))
+      val corpusDocs = spark.read.schema(m.docsSchema).parquet(docsGen)
+        .select(col("id").as(idCol), col("text").as(textCol))
+      Dedup.lshCandidatePairsAgainstIndex(newDocs, storedBands,
+          corpusDocs, idCol, textCol, m.shingleN, maxBucketSize)
+        .filter(col("jaccard") >= m.tau)
+        .select(least(col("new_id"), col("corpus_id")).as("id_a"),
+          greatest(col("new_id"), col("corpus_id")).as("id_b"),
+          col("n_inter"), col("jaccard"))
+    }
+    Await.result(fNn, Duration.Inf).unionAll(Await.result(fNo, Duration.Inf))
   }
 
   /** Maintenance policy for a continuously-ingested graph

@@ -46,18 +46,24 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros out of (0, 1e6): $dampingMicros")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint() // materialize the (possibly expensive) edge build ONCE
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // ONE setup materialization: the out-degree fuses onto the edge list
+    // as a count window over the src partitioning (the same hash
+    // distribution the big-graph iteration path wants), replacing the
+    // previous e0-checkpoint + outdeg-checkpoint + broadcast-join +
+    // fused-checkpoint chain — three edge-sized materialization jobs and
+    // a driver-blocking broadcast build collapse into one shuffle+job.
+    // Values are identical (count per src), so every round is bit-same.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val small = outdeg.count() <= broadcastMaxNodes
-    val fused = e0.join(broadcast(outdeg), "src")
-    val e =
-      if (small) fused.localCheckpoint()
-      else e0.join(outdeg, "src").repartition(col("src")).localCheckpoint()
+    val nNodes = e.select(col("src")).distinct().count()
+    val small = nNodes <= broadcastMaxNodes
     val perNode: DataFrame => DataFrame =
       if (small) broadcast else (df: DataFrame) => df.hint("shuffle_hash")
-    val nodes = outdeg.select(col("src").as("id"))
+    // one small materialization, used only by the general path's
+    // per-round left join (the symmetric path never touches it)
+    lazy val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
     val baseMicros = 1000000L - dampingMicros
     // Round 1 unrolled: the initial rank is the CONSTANT 1e6 for every
     // node, so the first contribution pass needs no rank join at all —
