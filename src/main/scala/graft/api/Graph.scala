@@ -295,23 +295,33 @@ object Graph {
       .select(col("v"), min(col("v")).over(Window.partitionBy(col("nb")))
         .as("cid"))
       .localCheckpoint()
-    val qsz = n2c.groupBy(col("cid")).agg(count(lit(1)).as("m"))
-      .localCheckpoint()
-    val qe = e
+    // class sizes and quotient edges both derive from the materialized
+    // class map and are independent of each other — materialize the two
+    // concurrently instead of as two sequential jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fQsz = Future(n2c.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+      .localCheckpoint())
+    val fQe = Future(e
       .join(n2c.select(col("v").as("a"), col("cid").as("ca")), "a")
       .join(n2c.select(col("v").as("b"), col("cid").as("cb")), "b")
       .filter(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("qa"),
         greatest(col("ca"), col("cb")).as("qb"))
       .distinct()
-      .localCheckpoint()
-    (n2c, qsz, qe)
+      .localCheckpoint())
+    (n2c, Await.result(fQsz, Duration.Inf), Await.result(fQe, Duration.Inf))
   }
 
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
-      broadcastMaxEdges: Long = 8000000L): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint()
+      broadcastMaxEdges: Long = 8000000L,
+      alreadyMaterialized: Boolean = false): DataFrame = {
+    // alreadyMaterialized: callers that hand in a frame they have
+    // localCheckpoint'd themselves ([[topologyCard]]) skip the redundant
+    // second edge materialization job
+    val sel = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = if (alreadyMaterialized) sel else sel.localCheckpoint()
     val (n2c, qsz, qe) = twinQuotient(e)
     val qszB = broadcast(qsz)
     // within-class triangles: C(m-1, 2) per member
@@ -383,7 +393,8 @@ object Graph {
           .withColumnRenamed("d", "d_dst"), Seq("dst"))
       .agg(sum(col("d_src").cast(dec) * col("d_dst").cast(dec)).as("sxy"),
         count(lit(1)).as("m2"))
-    val triAgg = triangleCounts(pairs, "id_a", "id_b")
+    val triAgg = triangleCounts(pairs, "id_a", "id_b",
+        alreadyMaterialized = true)
       .agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
       .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     val num = (col("m2").cast(dec) * col("sxy")) - (col("s1e") * col("s1e"))

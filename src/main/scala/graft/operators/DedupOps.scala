@@ -1277,10 +1277,13 @@ object DedupOps {
     // key still lands the pair in the other key's block, so only pairs
     // mutated in BOTH windows are missed — the standard multi-key
     // blocking recall argument.
+    // one scan: the two blocking keys explode out of a single pass over
+    // the heads instead of a two-branch union that scanned (and spread)
+    // the documents table twice; the row multiset is identical
     val keyed = heads
-      .select($"doc_id", $"head", substring($"head", 1, 8).as("blk"))
-      .unionAll(heads.select($"doc_id", $"head",
-        substring($"head", 33, 8).as("blk")))
+      .select($"doc_id", $"head",
+        explode(array(substring($"head", 1, 8),
+          substring($"head", 33, 8))).as("blk"))
       .filter(length($"blk") === 8)
     val blocks = keyed.groupBy($"blk").agg(count(lit(1)).as("bc"))
       .filter($"bc" >= 2 && $"bc" <= 256)
@@ -1609,10 +1612,13 @@ object DedupOps {
     graft.functions.StringSimFunctions.register(spark)
     val heads = docs(spark, dir)
       .select($"doc_id", lower(substring($"text", 1, 40)).as("head"))
+    // one scan: the two blocking keys explode out of a single pass over
+    // the heads instead of a two-branch union that scanned (and spread)
+    // the documents table twice; the row multiset is identical
     val keyed = heads
-      .select($"doc_id", $"head", substring($"head", 1, 8).as("blk"))
-      .unionAll(heads.select($"doc_id", $"head",
-        substring($"head", 33, 8).as("blk")))
+      .select($"doc_id", $"head",
+        explode(array(substring($"head", 1, 8),
+          substring($"head", 33, 8))).as("blk"))
       .filter(length($"blk") === 8)
     val blocks = keyed.groupBy($"blk").agg(count(lit(1)).as("bc"))
       .filter($"bc" >= 2 && $"bc" <= 256)
@@ -2328,17 +2334,32 @@ object DedupOps {
         storeDocs = true)
       val newEdges = graft.api.DupGraph.ingestBatch(batch, 0L, tmp,
         "doc_id", "text").localCheckpoint()
-      val nNewEdges = newEdges.count()
+      // the five summary jobs below are mutually independent once the
+      // ingest has committed (the edge count and endpoint count read the
+      // CHECKPOINTED newEdges; the stats refresh reads the stored edge
+      // table; the two shingle counts read the raw corpus) — submit them
+      // concurrently so their small stages back-fill each other's
+      // scheduler gaps (guide §2.6) instead of paying five sequential
+      // job latencies
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fNNew = Future(newEdges.count())
       // corpus endpoints of the batch's edges = the candidate docs whose
       // text the keyed fetch actually read (τ = 0 keeps every candidate)
-      val fetched = newEdges.select($"id_a".as("id"))
+      val fFetched = Future(newEdges.select($"id_a".as("id"))
         .unionAll(newEdges.select($"id_b".as("id")))
-        .filter($"id" % 8 =!= 0).distinct().count()
-      val total = graft.api.DupGraph.refreshStats(spark, tmp).nEdges
-      val batchShingled = graft.api.Dedup.shingleSets(batch, "doc_id", "text")
-        .count()
-      val corpusShingled = graft.api.Dedup.shingleSets(all, "doc_id", "text")
-        .count()
+        .filter($"id" % 8 =!= 0).distinct().count())
+      val fTotal = Future(graft.api.DupGraph.refreshStats(spark, tmp).nEdges)
+      val fBatchSh = Future(
+        graft.api.Dedup.shingleSets(batch, "doc_id", "text").count())
+      val fCorpusSh = Future(
+        graft.api.Dedup.shingleSets(all, "doc_id", "text").count())
+      val nNewEdges = Await.result(fNNew, Duration.Inf)
+      val fetched = Await.result(fFetched, Duration.Inf)
+      val total = Await.result(fTotal, Duration.Inf)
+      val batchShingled = Await.result(fBatchSh, Duration.Inf)
+      val corpusShingled = Await.result(fCorpusSh, Duration.Inf)
       Seq(
         ("full_rebuild", corpusShingled, total, total),
         ("ingest_batch", batchShingled + fetched, nNewEdges, total))
