@@ -472,38 +472,50 @@ object Graph {
     // both sides of the self-join read ONE materialization of the
     // weighted membership — never two dedup+degree recomputations
     val mw = m.join(deg, "item").localCheckpoint()
-    if (packIds) {
-      // fail-loud domain guard: an id >= 2^22 would silently corrupt the
-      // packed pair key (wrong pairs, no error). One 1-row aggregate over
-      // the ALREADY-materialized frame — mw holds exactly the ids that
-      // get packed below (ids whose every item fell to the degree cap
-      // never reach the pack), so the check covers the packed domain at
-      // the cost of a bounds fold, not a per-row conditional in the hot
-      // dedup/join path (the previous per-row assert_true measurably
-      // broke codegen fusion around the distinct).
-      val b = mw.agg(min(col("id").cast("long")).as("lo"),
-        max(col("id").cast("long")).as("hi")).head()
-      if (!b.isNullAt(0)) {
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        require(lo >= 0L && hi < 4194304L,
-          s"adamicAdar(packIds = true) requires 0 <= $idCol < 2^22 " +
-            s"(saw id range [$lo, $hi]); pass packIds = false for wider " +
-            "id domains")
-      }
-    }
     val joined = mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
       .join(mw.select(col("item"), col("id").as("id_b")), Seq("item"))
       .filter(col("id_a") < col("id_b"))
     val agg =
-      if (packIds) joined
-        .select((col("id_a").cast("long") * 4194304L +
-          col("id_b").cast("long")).as("pk"), col("w_e6"))
-        .groupBy(col("pk"))
-        .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
-        .select((col("pk") / 4194304L).cast("long").as("id_a"),
-          pmod(col("pk"), lit(4194304L)).as("id_b"),
-          col("n_shared"), col("score_e6"))
-      else joined.groupBy(col("id_a"), col("id_b"))
+      if (packIds) {
+        // fail-loud domain guard: an id >= 2^22 would silently corrupt
+        // the packed pair key (wrong pairs, no error). A 1-row bounds
+        // fold over the ALREADY-materialized frame — mw holds exactly
+        // the ids that get packed (ids whose every item fell to the
+        // degree cap never reach the pack) — rides the final job as a
+        // SCALAR-SUBQUERY filter (the bloomGated pattern): the subquery
+        // executes independently of the pair fold inside the same job,
+        // so the guard costs no separate blocking job, no join node
+        // (the q280 plan lock forbids nested-loop shapes), and — unlike
+        // the earlier per-row assert_true, which measured ~3x slower
+        // end-to-end — zero work in the hot dedup/join path. The filter
+        // is always true on valid domains; raise_error fires otherwise.
+        val sess = mw.sparkSession
+        val view = "__graft_aa_guard_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        mw.createOrReplaceTempView(view)
+        try joined
+          .select((col("id_a").cast("long") * 4194304L +
+            col("id_b").cast("long")).as("pk"), col("w_e6"))
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
+          // where() analyzes eagerly — the subquery inlines the view's
+          // resolved relation, so the temp view drops right away
+          .where(expr(
+            s"""(SELECT CASE WHEN min(id) IS NULL OR
+               |  (min(CAST(id AS BIGINT)) >= 0 AND
+               |   max(CAST(id AS BIGINT)) < 4194304)
+               |  THEN 1
+               |  ELSE raise_error(concat(
+               |    'adamicAdar(packIds = true) requires 0 <= id < 2^22',
+               |    ' (saw id range [', min(CAST(id AS BIGINT)), ', ',
+               |    max(CAST(id AS BIGINT)),
+               |    ']); pass packIds = false for wider id domains'))
+               |  END FROM $view) = 1""".stripMargin))
+          .select((col("pk") / 4194304L).cast("long").as("id_a"),
+            pmod(col("pk"), lit(4194304L)).as("id_b"),
+            col("n_shared"), col("score_e6"))
+        finally { sess.catalog.dropTempView(view); () }
+      } else joined.groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared"), sum(col("w_e6")).as("score_e6"))
     agg.withColumn("score", col("score_e6").cast("double") / 1e6)
   }
