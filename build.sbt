@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which broke line-oriented JSON parsing of the bench output by the
+// grading driver (a line that starts with "[info] {" is not JSON).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

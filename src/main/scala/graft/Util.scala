@@ -107,4 +107,69 @@ object Util {
 
   /** TIMESTAMP_NTZ literal (the testdata date columns are NTZ). */
   def ldt(s: String): Column = lit(java.time.LocalDateTime.parse(s))
+
+  /** Eagerly build a Bloom filter over a LONG hash expression of `df`,
+    * returning the serialized filter bytes (null when `df` is empty).
+    * Eager — not an inline aggregate subquery — for the reason
+    * [[graft.api.Dedup]]'s gate documents: Spark re-validates the
+    * bloom-aggregate size clamps (`runtime.bloomFilter.maxNumItems/
+    * maxNumBits`) in CheckAnalysis on EVERY later Dataset composition,
+    * so an embedded `bloom_filter_agg` would pin raised confs for the
+    * frame's whole lifetime. Here the clamps are raised only around the
+    * one-job build and restored before returning.
+    */
+  def bloomBytes(df: DataFrame, hashExpr: String, items: Long,
+      bits: Long): Array[Byte] = {
+    val sess = df.sparkSession
+    graft.functions.BloomFunctions.register(sess)
+    val ItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val BitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    def raise(key: String, v: Long): Option[String] = {
+      val cur = try sess.conf.getOption(key) catch { case _: Throwable => None }
+      if (v > cur.map(_.toLong).getOrElse(0L)) { sess.conf.set(key, v.toString); cur }
+      else None
+    }
+    val priorItems = raise(ItemsKey, items)
+    val priorBits = raise(BitsKey, bits)
+    try df.select(expr(s"bloom_filter_agg($hashExpr, ${items}L, ${bits}L)"))
+      .head().getAs[Array[Byte]](0)
+    finally {
+      priorItems.foreach(sess.conf.set(ItemsKey, _))
+      priorBits.foreach(sess.conf.set(BitsKey, _))
+    }
+  }
+
+  /** Bounded driver-side fan-out pools for overlapping independent Spark
+    * jobs (guide §2.6: 2-3 jobs in flight fills the scheduler tail;
+    * unbounded fan-out just fights for executors). Two levels so that a
+    * parent task awaiting its children can never starve them of threads:
+    *
+    *   - [[jobPool]] (4 threads) runs LEAF tasks only — each submits
+    *     Spark jobs and returns; a jobPool task must never await another
+    *     pool task.
+    *   - [[queryPool]] (2 threads) runs query-level tasks that MAY await
+    *     jobPool tasks (e.g. an artifact rebuild whose write fans its
+    *     subtable publishes onto jobPool).
+    *
+    * The pool graph is a DAG (queryPool → jobPool → nothing), so no
+    * interleaving can deadlock — the discipline the previous
+    * ExecutionContext.global + `blocking` arrangement enforced only by
+    * call-site convention. Threads are daemons; an abandoned task can
+    * never pin JVM shutdown.
+    */
+  private def daemonPool(name: String, n: Int) =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(n,
+        new java.util.concurrent.ThreadFactory {
+          private val i = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"$name-${i.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
+  lazy val jobPool: scala.concurrent.ExecutionContextExecutorService =
+    daemonPool("graft-job", 4)
+  lazy val queryPool: scala.concurrent.ExecutionContextExecutorService =
+    daemonPool("graft-query", 2)
 }

@@ -218,7 +218,11 @@ object DupGraph {
       {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        // leaf tasks (each submits jobs and returns) on the bounded
+        // jobPool: the fan-out width is capped by design, and a caller
+        // running on queryPool (q362's two concurrent rebuilds) can
+        // await these without starving them of threads
+        implicit val ec: scala.concurrent.ExecutionContext = graft.Util.jobPool
         Await.result(Future.traverse(subWrites ++ moreWrites) { w =>
           Future { scope.fold(w())(s => Dedup.withScope(s)(w())) }
         }, Duration.Inf)
@@ -406,18 +410,21 @@ object DupGraph {
     val edgesGen = GenDir.currentOrFail(spark, s"$path/edges")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Util.jobPool
     val newDocs = newDocsOf(batch, spark, m, idCol, textCol, docsGen, bloomGen)
       .localCheckpoint()
     // the four replay-guard reads are independent keyed probes of
     // separate subtables — overlap them with the edge derivation's
     // construction-time bucket-guard jobs (guide §2.6) instead of
-    // paying four more sequential job latencies at append time
-    val applied: Map[String, Future[Boolean]] =
+    // paying four more sequential job latencies at append time. They
+    // are LEAF tasks on the bounded jobPool and are awaited on the
+    // caller thread BEFORE any appender task spawns, so no pool task
+    // ever awaits another pool task (deadlock-free for any pool size).
+    val appliedF: Seq[(String, Future[Boolean])] =
       Seq("edges" -> edgesGen, "bands" -> bandsGen, "bloom" -> bloomGen,
         "docs" -> docsGen).map { case (n, g) =>
         n -> Future(graft.Util.batchAlreadyApplied(spark, g, batchId))
-      }.toMap
+      }
     val edges = Dedup.cacheScope {
       deriveBatchEdges(newDocs, spark, m, idCol, textCol, docsGen, bandsGen,
           maxBucketSize)
@@ -426,27 +433,31 @@ object DupGraph {
         .localCheckpoint()
     }
     val docsEmpty = newDocs.isEmpty
+    // by now the probes have long overlapped with the derivation above;
+    // collapse them to plain booleans on the caller thread
+    val applied: Map[String, Boolean] =
+      appliedF.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
     // edges/bands/idbloom appends are mutually independent (the crash
     // invariant only needs `docs/` to land LAST — a Bloom miss must
     // prove novelty and a stored doc must be probe-able, both of which
     // hold for any completion subset of the first three); run them
     // concurrently, then commit docs after every sibling landed
     val fEdges = Future {
-      if (!Await.result(applied("edges"), Duration.Inf) && !edges.isEmpty)
+      if (!applied("edges") && !edges.isEmpty)
         edges.write.mode("append").partitionBy("jbucket").parquet(edgesGen)
     }
     // empty-guarded like the edges append: a redelivery-only batch must
     // not append zero-row files on every replay (its batch_id can never
     // commit, so the guard alone would admit the debris forever)
     val fBands = Future {
-      if (!docsEmpty && !Await.result(applied("bands"), Duration.Inf))
+      if (!docsEmpty && !applied("bands"))
         Dedup.bandsFrame(newDocs, idCol, textCol, m.shingleN)
           .select(col(idCol).as("id"), col("band"), col("band_sig"),
             lit(batchId).as("batch_id"))
           .write.mode("append").parquet(bandsGen)
     }
     val fBloom = Future {
-      if (!docsEmpty && !Await.result(applied("bloom"), Duration.Inf)) {
+      if (!docsEmpty && !applied("bloom")) {
         val (bf, nIds) = bloomRowOf(newDocs, idCol)
         if (bf != null) {
           import spark.implicits._
@@ -456,7 +467,7 @@ object DupGraph {
       }
     }
     Await.result(Future.sequence(Seq(fEdges, fBands, fBloom)), Duration.Inf)
-    if (!docsEmpty && !Await.result(applied("docs"), Duration.Inf))
+    if (!docsEmpty && !applied("docs"))
       newDocs.select(col(idCol).as("id"), col(textCol).as("text"),
           lit(batchId).as("batch_id"))
         .write.mode("append").parquet(docsGen)
@@ -488,9 +499,13 @@ object DupGraph {
       df.join(spark.read.schema(m.docsSchema).parquet(docsGen)
         .select(col("id").as(idCol)), Seq(idCol), "left_anti")
     merged match {
-      // no Bloom rows committed => docs/ is empty (idbloom is written
-      // before docs on every path); still anti-join defensively rather
-      // than assume — the empty store makes it free
+      // no Bloom rows committed => docs/ is empty. The real invariant:
+      // on the append path docs/ commits strictly LAST (after idbloom),
+      // and the base build is atomic (all subtables appear together at
+      // the swap) — so idbloom/ is always a superset of docs/. Still
+      // anti-join defensively rather than assume — the empty store
+      // makes it free, and the anti-join is the exact fallback if the
+      // invariant were ever violated
       case None => antiJoin(batchRows)
       case Some(bf) =>
         val bytes = { val o = new java.io.ByteArrayOutputStream()
@@ -526,7 +541,7 @@ object DupGraph {
       bandsGen: String, maxBucketSize: Int): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Util.jobPool
     // the batch×batch and batch×corpus candidate constructions each run
     // an eager hot-bucket-guard count at build time; they are
     // independent pipelines, so build them concurrently (each worker

@@ -32,38 +32,94 @@ object Graph {
     * `broadcastMaxNodes`, rounds broadcast the rank/contribution frames
     * against the fused edges (measured fastest on small graphs — a
     * few-hundred-row broadcast build beats a 2-stage shuffle round);
-    * past the bound the fused frame is hash-partitioned by `src` and
-    * re-checkpointed, every round's edge⋈rank join reuses that layout
-    * with a shuffle-hash hint on the |nodes|-row side, and all rounds
-    * pipeline lazily in one job DAG with no per-round driver collect —
-    * the formulation that survives a 100M-node graph.
+    * past the bound every round's edge⋈rank join carries a shuffle-hash
+    * hint on the |nodes|-row side, and all rounds pipeline lazily in
+    * one job DAG with no per-round driver collect — the formulation
+    * that survives a 100M-node graph.
+    *
+    * `symmetric = true` is a CALLER CONTRACT, not a detected property:
+    * it asserts every node with an out-edge also has an in-edge — true
+    * exactly when the caller passes BOTH directions of every edge (an
+    * undirected graph doubled into (a,b)+(b,a) rows). Under it the
+    * per-round nodes-left-join is the identity and is skipped; passing
+    * a non-symmetric edge list with the flag set silently DROPS nodes
+    * whose in-degree is 0 from the output. Leave it false unless the
+    * edge frame is a both-directions union by construction.
     * Returns (id, rank_micros).
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampingMicros: Long = 850000L,
       broadcastMaxNodes: Long = 10000000L,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      windowSetupMaxBytes: Long = 32L << 20): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(dampingMicros > 0 && dampingMicros < 1000000L,
       s"dampingMicros out of (0, 1e6): $dampingMicros")
-    // ONE setup materialization: the out-degree fuses onto the edge list
-    // as a count window over the src partitioning (the same hash
-    // distribution the big-graph iteration path wants), replacing the
-    // previous e0-checkpoint + outdeg-checkpoint + broadcast-join +
-    // fused-checkpoint chain — three edge-sized materialization jobs and
-    // a driver-blocking broadcast build collapse into one shuffle+job.
-    // Values are identical (count per src), so every round is bit-same.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .withColumn("od", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
-    val nNodes = e.select(col("src")).distinct().count()
+    // Setup in two bounded materializations. (1) Out-degree as a
+    // partial-aggregating groupBy — |nodes| rows out, and a power-law
+    // hot src collapses map-side instead of streaming its whole edge
+    // set through one task (which is what a count-over-src window
+    // would do: an unbounded-frame window does no partial aggregation
+    // and buffers each src's edges in its sort task). (2) ONE fused
+    // edge checkpoint attaching `od`, so no round ever joins degrees
+    // again. While the node count fits `broadcastMaxNodes` the degree
+    // frame BROADCASTS onto the edges — the edge list is never
+    // shuffled in setup; past the bound the fused checkpoint pays the
+    // one src-hash shuffle via a shuffle-hash join (build side is the
+    // |nodes|-row degrees; the edge side streams through the probe
+    // with no sort and no per-key buffering). Values are identical
+    // (count per src) on both paths, so every round is bit-same.
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Setup dispatch on the optimizer's size estimate of the edge input
+    // (driver-side, no job). The regimes and their measured/derived
+    // rationale:
+    //   - TINY (≤ windowSetupMaxBytes, a data-bytes bound — not a core
+    //     count): out-degree as a count window over src, ONE setup job
+    //     and zero broadcast builds. At this size the whole edge list
+    //     fits one task's sort buffer trivially, and job-wave latency
+    //     dominates — measured: every groupBy+join form pays one extra
+    //     blocking job (a broadcast build or degree materialization)
+    //     and runs ~1s slower on a 7.7k-row graph, while at ≫ this
+    //     bound the window's single-task src sort is exactly the scale
+    //     bug to avoid (unbounded-frame windows do no partial
+    //     aggregation and buffer each src's edge set in one task).
+    //   - BIG: out-degree via partial-aggregating groupBy (a hot src
+    //     collapses map-side, never buffered), materialized once
+    //     (|nodes| rows — its count prices the transport decision),
+    //     then ONE fused edge checkpoint: degrees BROADCAST onto the
+    //     edges while the node count fits `broadcastMaxNodes` (the
+    //     edge list is never shuffled in setup), else a src-keyed
+    //     shuffle-hash join (build side = |nodes|-row degrees; the
+    //     edge side streams through the probe — no sort, no per-key
+    //     buffering). The extra degree job is noise against real work
+    //     at this size.
+    // Both forms compute the identical (src, dst, od) rows, so every
+    // round is bit-same regardless of the regime picked.
+    val estBytes = sel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (e, nNodes) =
+      if (estBytes <= windowSetupMaxBytes) {
+        val f = sel.withColumn("od", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+          .localCheckpoint()
+        (f, f.select(col("src")).distinct().count())
+      } else {
+        val od = sel.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          .localCheckpoint()
+        val n = od.count()
+        val f = sel.join(
+            if (n <= broadcastMaxNodes) broadcast(od)
+            else od.hint("shuffle_hash"), Seq("src"))
+          .select(col("src"), col("dst"), col("od"))
+          .localCheckpoint()
+        (f, n)
+      }
     val small = nNodes <= broadcastMaxNodes
     val perNode: DataFrame => DataFrame =
       if (small) broadcast else (df: DataFrame) => df.hint("shuffle_hash")
     // one small materialization, used only by the general path's
     // per-round left join (the symmetric path never touches it)
-    lazy val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    lazy val nodes = e.select(col("src")).distinct()
+      .select(col("src").as("id")).localCheckpoint()
     val baseMicros = 1000000L - dampingMicros
     // Round 1 unrolled: the initial rank is the CONSTANT 1e6 for every
     // node, so the first contribution pass needs no rank join at all —
@@ -127,10 +183,22 @@ object Graph {
     * scale it would also collect |nodes| to the driver per round —
     * strictly worse. A deterministic-`mode` single aggregation loses
     * codegen (ObjectHashAggregate) and benches slower still).
+    *
+    * `packLabels = true` (requires non-negative integral ids < 2²²,
+    * guarded fail-loud like [[adamicAdar]]'s packIds) encodes each
+    * round's argmax candidate (n, label) into ONE long —
+    * `n·2²² + (2²²−1−label)` is order-isomorphic to the (n asc,
+    * label desc) struct ordering, so `max` picks the identical winner —
+    * turning the per-round adoption aggregate from a struct `max`
+    * (which falls back to sort-based aggregation: two extra Sorts and
+    * two SortAggregates per round in the measured plan) into a
+    * primitive long `max` that stays in whole-stage-codegen'd
+    * HashAggregates with proper map-side partial aggregation.
     * Returns (id, community).
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-      iterations: Int = 5, checkpointEvery: Int = 4): DataFrame = {
+      iterations: Int = 5, checkpointEvery: Int = 4,
+      packLabels: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be positive: $checkpointEvery")
@@ -152,11 +220,21 @@ object Graph {
         else und
           .join(labels.hint("shuffle_hash"), und("dst") === labels("id"))
           .select(col("src"), col("lbl"))
-      val adopted = neighborLabels
+      val counted = neighborLabels
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
-        .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
+      val adopted =
+        if (packLabels) counted
+          .groupBy(col("src"))
+          // n·2²² + (2²²−1−lbl): max ⇔ (highest n, then smallest lbl).
+          // n ≤ degree < 2⁴¹ keeps the product far inside a long.
+          .agg(max(col("n") * lit(4194304L) +
+            (lit(4194303L) - col("lbl"))).as("enc"))
+          .select(col("src").as("id"),
+            (lit(4194303L) - pmod(col("enc"), lit(4194304L))).as("lbl"))
+        else counted
+          .groupBy(col("src"))
+          .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("best"))
+          .select(col("src").as("id"), (-col("best.neg")).as("lbl"))
       // Library contract: `iterations` is caller-chosen, and each round
       // composes lazily on the previous — without a periodic cut a
       // 50-round call plans a 50-deep tree with quadratic analyzer cost.
@@ -167,7 +245,33 @@ object Graph {
         if (i % checkpointEvery == 0 && i < iterations) adopted.localCheckpoint()
         else adopted
     }
-    labels.select(col("id"), col("lbl").as("community"))
+    val out = labels.select(col("id"), col("lbl").as("community"))
+    if (!packLabels) out
+    else {
+      // fail-loud domain guard (the adamicAdar packIds pattern): an id
+      // ≥ 2²² would silently decode to the wrong label. A 1-row min/max
+      // bounds fold over the checkpointed doubled edge list rides the
+      // final job as a scalar-subquery filter — always true on valid
+      // domains, raise_error otherwise; no join, no per-row work.
+      val sess = out.sparkSession
+      val view = "__graft_lpa_guard_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      und.createOrReplaceTempView(view)
+      // where() analyzes eagerly — the subquery inlines the view's
+      // resolved relation, so the temp view drops right away
+      try out.where(expr(
+        s"""(SELECT CASE WHEN min(src) IS NULL OR
+           |  (min(CAST(src AS BIGINT)) >= 0 AND
+           |   max(CAST(src AS BIGINT)) < 4194304)
+           |  THEN 1
+           |  ELSE raise_error(concat(
+           |    'labelPropagation(packLabels = true) requires 0 <= id < 2^22',
+           |    ' (saw id range [', min(CAST(src AS BIGINT)), ', ',
+           |    max(CAST(src AS BIGINT)),
+           |    ']); pass packLabels = false for wider id domains'))
+           |  END FROM $view) = 1""".stripMargin))
+      finally { sess.catalog.dropTempView(view); () }
+    }
   }
 
   /** Per-node triangle counts over an UNDIRECTED graph given as
@@ -298,9 +402,17 @@ object Graph {
     // class sizes and quotient edges both derive from the materialized
     // class map and are independent of each other — materialize the two
     // concurrently instead of as two sequential jobs
+    // class sizes and quotient edges both derive from the materialized
+    // class map and are independent of each other — materialize the two
+    // concurrently (bounded jobPool leaves) instead of as two
+    // sequential jobs. (Measured this round: leaving qsz lazy instead
+    // re-derives its agg once per consumer reference inside the final
+    // job and benches ~30% WORSE on the topology card — the
+    // materialization is off the critical path here, the recomputes
+    // are not.)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Util.jobPool
     val fQsz = Future(n2c.groupBy(col("cid")).agg(count(lit(1)).as("m"))
       .localCheckpoint())
     val fQe = Future(e
@@ -464,24 +576,38 @@ object Graph {
     */
   def adamicAdar(membership: DataFrame, idCol: String, itemCol: String,
       maxItemDegree: Int = 1000, packIds: Boolean = false): DataFrame = {
+    // ONE item-keyed exchange feeds everything downstream (§2.4):
+    // after the dedup shuffle, an explicit repartition(item) is the
+    // shared layout that (a) the degree aggregate folds on with no
+    // further exchange (hash(item) clusters the group key), (b) the
+    // weight join attaches on co-partitioned (shuffle-hash, build =
+    // |items|-per-partition degrees), and (c) BOTH sides of the pair
+    // self-join consume via ReuseExchange — so the membership is never
+    // re-shuffled for the join that used to reshuffle two checkpoint
+    // reads by item. The previous eager localCheckpoint (a blocking
+    // materialization job) is gone; the exchange itself is the reuse
+    // point. Hot-item exposure is unchanged (the same item-keyed
+    // shuffle existed before, post-checkpoint) and remains bounded by
+    // `maxItemDegree` for everything past the degree fold.
     val m = membership
       .select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+      .repartition(col("item"))
     val deg = m.groupBy(col("item")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2 && col("deg") <= maxItemDegree)
       .withColumn("w_e6", round(lit(1e6) / log(col("deg"))).cast("long"))
-    // both sides of the self-join read ONE materialization of the
-    // weighted membership — never two dedup+degree recomputations
-    val mw = m.join(deg, "item").localCheckpoint()
+    val mw = m.join(deg.hint("shuffle_hash"), "item")
     val joined = mw.select(col("item"), col("id").as("id_a"), col("w_e6"))
-      .join(mw.select(col("item"), col("id").as("id_b")), Seq("item"))
+      .join(mw.select(col("item"), col("id").as("id_b")).hint("shuffle_hash"),
+        Seq("item"))
       .filter(col("id_a") < col("id_b"))
     val agg =
       if (packIds) {
         // fail-loud domain guard: an id >= 2^22 would silently corrupt
         // the packed pair key (wrong pairs, no error). A 1-row bounds
-        // fold over the ALREADY-materialized frame — mw holds exactly
+        // fold over the weighted membership — mw holds exactly
         // the ids that get packed (ids whose every item fell to the
-        // degree cap never reach the pack) — rides the final job as a
+        // degree cap never reach the pack), and its subquery re-read
+        // rides the same reused item exchange — rides the final job as a
         // SCALAR-SUBQUERY filter (the bloomGated pattern): the subquery
         // executes independently of the pair fold inside the same job,
         // so the guard costs no separate blocking job, no join node

@@ -125,7 +125,7 @@ object DedupOps {
 
   /** PPJoin-graph edges (exact Jaccard ≥ minJaccard ≥ 0.8) from the
     * persisted artifact. */
-  private def ppJoinGraphEdges(spark: SparkSession, dir: String,
+  private[operators] def ppJoinGraphEdges(spark: SparkSession, dir: String,
       minJaccard: Double): DataFrame =
     DupGraphArtifacts.edges(spark, dir, "ppjoin", minJaccard)
 
@@ -862,7 +862,11 @@ object DedupOps {
     // within the 1.3× criterion). Remaining cost is three join+agg
     // label rounds over the tiny edge frame — scheduling-latency-bound.
     val pairs = ppJoinGraphEdges(spark, dir, 0.8).select($"id_a", $"id_b")
-    graft.api.Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 3)
+    // packLabels: doc ids are small non-negative ints (< 2²², guarded
+    // fail-loud) — the packed-long argmax keeps every round's adoption
+    // aggregate in codegen'd HashAggregates (no sort-based fallback)
+    graft.api.Graph.labelPropagation(pairs, "id_a", "id_b", iterations = 3,
+        packLabels = true)
       .select($"id".as("doc_id"), $"community")
       .orderBy($"doc_id")
   }
@@ -1291,16 +1295,21 @@ object DedupOps {
     val h = keyed.join(blocks, Seq("blk"), "left_semi")
     val pairs = h.as("a").join(h.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        $"a.head".as("ha"), $"b.head".as("hb"))
-      .distinct() // a pair can match in both blocking passes
       // threshold form: banded DP abandons a pair once its distance
       // provably exceeds 20 (returns -1) — O(len·k) instead of O(len²).
       // At k = len/2 the band is half the matrix, so this measures flat
       // here; it is the form that wins when the threshold tightens
       // relative to the compared length. Surviving distances identical.
-      .select($"id_a", $"id_b",
-        levenshtein($"ha", $"hb", 20).cast("long").as("dist"))
+      // Computed BELOW the dedup exchange (§2.3): the distinct then
+      // shuffles (id_a, id_b, dist) — 8 bytes of distance instead of
+      // two 40-char heads per candidate — and the distance evaluates
+      // once per candidate row instead of once per downstream consumer
+      // (perPair AND perDoc re-read the dedup exchange, not the DP).
+      // A pair's (ha, hb) is fixed, so dist is too: deduping after the
+      // DP keeps the multiset identical.
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        levenshtein($"a.head", $"b.head", 20).cast("long").as("dist"))
+      .distinct() // a pair can match in both blocking passes
       .filter($"dist" >= 0)
     val perPair = pairs.groupBy($"dist").agg(count(lit(1)).as("n_pairs"))
     val perDoc = pairs
@@ -2197,7 +2206,10 @@ object DedupOps {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // query-level pool: these tasks AWAIT the jobPool leaves that
+    // DupGraph.write fans its subtable publishes onto, so they must not
+    // share the leaf pool (Util.queryPool → Util.jobPool is a DAG)
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Util.queryPool
     // The two derivations are INDEPENDENT multi-stage pipelines full of
     // small sequential stages (guide §2.6): submitting them from two
     // driver threads lets each build's tasks back-fill the other's
@@ -2343,7 +2355,8 @@ object DedupOps {
       // job latencies
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // leaf tasks (plain aggregates/counts) on the bounded jobPool
+      implicit val ec: scala.concurrent.ExecutionContext = graft.Util.jobPool
       val fNNew = Future(newEdges.count())
       // corpus endpoints of the batch's edges = the candidate docs whose
       // text the keyed fetch actually read (τ = 0 keeps every candidate)

@@ -1636,6 +1636,20 @@ object Extended {
     // Each key NORMALIZES to the full 16-bit range before interleaving —
     // with raw keys a narrow dimension contributes no high bits and the
     // curve degenerates to a sort on the wide one.
+    // Two-phase parallel rank instead of one global row_number window
+    // per layout (which sorts each layout's whole table in ONE task —
+    // the classic unpartitioned-window scale bug, §2.5). Each row's key
+    // maps to an order-preserving BUCKET (equi-width on the layout's
+    // key domain: bucket is monotone non-decreasing in k, and equal k
+    // never splits across buckets), so
+    //   global_rank(row) = Σ counts of earlier buckets (same layout)
+    //                    + local rank within (layout, bucket).
+    // (k, ok, ln) is unique per layout — (ok, ln) is the lineitem PK —
+    // so both ranks are deterministic and the sum is BIT-IDENTICAL to
+    // the single-window form for ANY bucket count; nb only moves the
+    // parallelism. The bucket histogram is ≤ 3·nb rows: its cumulative
+    // fold is trivial and broadcasts back onto the data.
+    val nb = math.max(16L, spark.sparkContext.defaultParallelism.toLong * 8L)
     val rows = table(spark, dir, "lineitem")
       .select($"l_partkey".as("p"), $"l_suppkey".as("s"),
         $"l_orderkey".as("ok"), $"l_linenumber".as("ln"))
@@ -1643,12 +1657,24 @@ object Extended {
       .withColumn("pm", expr("((p - p_min) * 65536) div (p_max - p_min + 1)"))
       .withColumn("sm", expr("((s - s_min) * 65536) div (s_max - s_min + 1)"))
       .withColumn("z", expr(morton((c, i) => s"shiftright($c, $i)")))
-      .select($"p", $"s", $"ok", $"ln",
+      .select($"p", $"s", $"ok", $"ln", $"p_min", $"p_max", $"s_min", $"s_max",
         expr("stack(3, 'partkey', p, 'suppkey', s, 'zorder', z)")
           .as(Seq("layout", "k")))
-    val w = Window.partitionBy($"layout").orderBy($"k", $"ok", $"ln")
-    val files = rows
-      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("bucket", expr(
+        s"""CASE layout
+           |  WHEN 'partkey' THEN ((k - p_min) * $nb) div (p_max - p_min + 1)
+           |  WHEN 'suppkey' THEN ((k - s_min) * $nb) div (s_max - s_min + 1)
+           |  ELSE (k * $nb) div ${1L << 32} END""".stripMargin))
+      .select($"p", $"s", $"ok", $"ln", $"layout", $"k", $"bucket")
+      .localCheckpoint() // feeds the bucket histogram AND the rank pass
+    val offs = rows.groupBy($"layout", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum($"bn").over(
+        Window.partitionBy($"layout").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"layout", $"bucket", $"off")
+    val wb = Window.partitionBy($"layout", $"bucket").orderBy($"k", $"ok", $"ln")
+    val files = rows.join(broadcast(offs), Seq("layout", "bucket"))
+      .withColumn("rn", $"off" + (row_number().over(wb) - 1).cast("long"))
       .withColumn("fid", expr("rn div 4096"))
       .groupBy($"layout", $"fid")
       .agg(count(lit(1)).as("n"), min($"p").as("pmin"), max($"p").as("pmax"),

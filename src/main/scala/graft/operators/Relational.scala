@@ -2014,7 +2014,14 @@ object Relational {
     * hashing and exact counts; the audit join is keyed on (customer,
     * part), never a cross of candidates × positives.
     */
-  def q292NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+  def q292NegativeSampling(spark: SparkSession, dir: String): DataFrame =
+    q292NegativeSampling(spark, dir, 4000000L)
+
+  /** `broadcastCutover`: positives count at or below which the audit
+    * join broadcasts (tests pass 0 to force the Bloom-gated path).
+    */
+  private[graft] def q292NegativeSampling(spark: SparkSession, dir: String,
+      broadcastCutover: Long): DataFrame = {
     import spark.implicits._
     val positives = table(spark, dir, "orders")
       .join(table(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
@@ -2030,16 +2037,52 @@ object Relational {
       pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L +
         lo * 2654435761L, lit(4294967296L))
     }
+    // project the dead payload away before any exchange (§2.3): the
+    // audit only ever needs (cust, draw, neg_part)
     val draws = positives
       .crossJoin(Seq(1L, 2L, 3L).toDF("draw"))
-      .withColumn("neg_part", lit(1L) +
+      .select($"cust", $"draw", (lit(1L) +
         pmod(knuthLong($"cust" * 1000003L + $"part" * 31L + $"draw"),
-          lit(nParts)))
-    val audited = draws
-      .join(positives.select($"cust", $"part".as("neg_part"),
-        lit(1L).as("hit")), Seq("cust", "neg_part"), "left")
-    val deg = positives.groupBy($"cust").agg(count(lit(1)).as("d"))
-      .agg(sum($"d").as("sum_d"), count(lit(1)).as("n_cust"))
+          lit(nParts))).as("neg_part"))
+    val posHit = positives.select($"cust", $"part".as("neg_part"),
+      lit(1L).as("hit"))
+    // Collision audit = membership probe of (cust, neg_part) against the
+    // positives set. Plan is ADAPTIVE on the measured positives count
+    // (cheap — the frame is checkpointed): up to the cutover the
+    // positives broadcast into the left join and the 3x-larger draws
+    // side is never shuffled; above it, draws pre-filter through a
+    // Bloom over the positives' packed key (guide §3.2) so only true
+    // collisions plus ~1% false positives reach the shuffle join —
+    // definite misses keep hit = NULL with no join at all. Both paths
+    // are bit-identical: the exact join decides every surviving row,
+    // and Bloom false negatives are impossible.
+    val nPos = positives.count()
+    val audited =
+      if (nPos <= broadcastCutover)
+        draws.join(broadcast(posHit), Seq("cust", "neg_part"), "left")
+          .select($"draw", $"neg_part", $"hit")
+      else {
+        val bf = graft.Util.bloomBytes(positives, "xxhash64(cust, part)",
+          nPos, nPos * 10L)
+        val view = "__graft_q292_bloom_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        Seq(bf).toDF("bf").createOrReplaceTempView(view)
+        // filter() analyzes eagerly — the subquery inlines the view's
+        // resolved one-row relation, so the temp view drops right away
+        try {
+          val probe = expr(
+            s"might_contain((SELECT bf FROM $view), xxhash64(cust, neg_part))")
+          draws.filter(probe)
+            .join(posHit, Seq("cust", "neg_part"), "left")
+            .select($"draw", $"neg_part", $"hit")
+            .unionByName(draws.filter(!probe)
+              .select($"draw", $"neg_part", lit(null).cast("long").as("hit")))
+        } finally { spark.catalog.dropTempView(view); () }
+      }
+    // sum_d == |positives| and n_cust == distinct custs: one aggregate
+    // over the checkpoint instead of a per-cust groupBy plus a refold
+    val deg = positives.agg(count(lit(1)).as("sum_d"),
+      countDistinct($"cust").as("n_cust"))
     audited.groupBy($"draw")
       .agg(count(lit(1)).as("n_drawn"),
         sum(coalesce($"hit", lit(0L))).as("n_collisions"),

@@ -354,7 +354,11 @@ object SamplingOps {
         Seq("doc_id"))
       .localCheckpoint() // the feature explode runs once
     val mx = w.groupBy($"source").agg(max($"w_micros").as("mx"))
-    val e = w.join(mx, Seq("source"))
+    // mx is one row per source (bounded tiny by construction): hint it
+    // broadcast — unhinted, the checkpointed w frame's default stats
+    // push the planner to a SortMergeJoin that shuffles AND sorts the
+    // whole doc-weight frame on both sides just to attach 1 max each
+    val e = w.join(broadcast(mx), Seq("source"))
       .withColumn("wn", exp(($"w_micros" - $"mx").cast("double") / 1e6))
     e.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"wn").as("sw"),

@@ -45,4 +45,30 @@ class UtilSpec extends SparkSpec {
         ()
     }
   }
+
+  test("fan-out pools are bounded by design and layered as a DAG") {
+    // guide §2.6: 2-3 jobs in flight fills the scheduler tail; the pools
+    // cap driver-side concurrency structurally (not by call-site
+    // discipline). queryPool tasks may await jobPool leaves; saturating
+    // BOTH pools with that nesting must still complete (no starvation
+    // deadlock) because the leaf pool never waits on anything.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    def cap(ec: java.util.concurrent.ExecutorService): Int = ec match {
+      case t: java.util.concurrent.ThreadPoolExecutor => t.getMaximumPoolSize
+      case other => fail(s"expected a bounded ThreadPoolExecutor: $other")
+    }
+    assert(cap(Util.jobPool) === 4)
+    assert(cap(Util.queryPool) === 2)
+    // more parents than queryPool threads, each fanning more leaves than
+    // jobPool threads — completes only if the pool graph is deadlock-free
+    val parents = (1 to 4).map { p =>
+      Future {
+        val leaves = (1 to 8).map(l => Future(p * 100 + l)(Util.jobPool))
+        leaves.map(Await.result(_, 30.seconds)).sum
+      }(Util.queryPool)
+    }
+    val sums = parents.map(Await.result(_, 60.seconds))
+    assert(sums === (1 to 4).map(p => (1 to 8).map(p * 100 + _).sum))
+  }
 }

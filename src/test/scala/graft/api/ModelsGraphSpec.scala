@@ -65,6 +65,29 @@ class ModelsGraphSpec extends SparkSpec {
     val again = Graph.labelPropagation(edges.repartition(7), "a", "b", iterations = 5)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
     assert(again === got)
+
+    // r13: the packed-long argmax (primitive HashAggregate path) must
+    // pick the identical winner every round — n·2²²+(2²²−1−lbl) is
+    // order-isomorphic to the (n, -lbl) struct ordering
+    val packed = Graph.labelPropagation(edges, "a", "b", iterations = 5,
+        packLabels = true)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(packed === got)
+  }
+
+  test("labelPropagation packLabels: an id outside [0, 2^22) fails loudly, never decodes wrong") {
+    import spark.implicits._
+    // 4194304 = 2^22 — one past the packable domain; silently packing
+    // it would decode to label 0 instead of failing
+    val edges = Seq((1L, 4194304L), (1L, 2L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      Graph.labelPropagation(edges, "a", "b", iterations = 2,
+        packLabels = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packLabels = false")),
+      s"expected the packLabels domain error, got: $e")
   }
 
   test("covarianceMatrix: matches brute-force population covariance; symmetric") {

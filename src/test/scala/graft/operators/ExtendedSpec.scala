@@ -156,6 +156,67 @@ class ExtendedSpec extends SparkSpec {
         s"group $g p=$p")
   }
 
+  test("q317 bucketed two-phase rank is bit-identical to the global-window formulation") {
+    // r13 optimization: q317's per-layout file assignment runs as
+    // bucket-offset + within-bucket row_number instead of one global
+    // row_number window per layout (a single-task sort at scale). This
+    // pins the bit-identity claim: fid boundaries — hence every file's
+    // count and min/max stats — must match the single-window reference.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val got = Extended.q317ZorderLayout(spark, sf).collect().toSeq
+    // reference: the pre-r13 shape — same normalization/morton/stack,
+    // one global row_number per layout
+    def morton(shift: (String, Int) => String): String =
+      (0 until 16).flatMap { i =>
+        Seq(s"(${shift("pm", i)} & 1) * ${1L << (2 * i + 1)}",
+          s"(${shift("sm", i)} & 1) * ${1L << (2 * i)}")
+      }.mkString(" + ")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keyBounds = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("p_min"), max($"l_partkey").as("p_max"),
+        min($"l_suppkey").as("s_min"), max($"l_suppkey").as("s_max"))
+      .localCheckpoint()
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s"),
+        $"l_orderkey".as("ok"), $"l_linenumber".as("ln"))
+      .crossJoin(broadcast(keyBounds.drop("n_rows")))
+      .withColumn("pm", expr("((p - p_min) * 65536) div (p_max - p_min + 1)"))
+      .withColumn("sm", expr("((s - s_min) * 65536) div (s_max - s_min + 1)"))
+      .withColumn("z", expr(morton((c, i) => s"shiftright($c, $i)")))
+      .select($"p", $"s", $"ok", $"ln",
+        expr("stack(3, 'partkey', p, 'suppkey', s, 'zorder', z)")
+          .as(Seq("layout", "k")))
+    val w = Window.partitionBy($"layout").orderBy($"k", $"ok", $"ln")
+    val files = rows
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fid", expr("rn div 4096"))
+      .groupBy($"layout", $"fid")
+      .agg(count(lit(1)).as("n"), min($"p").as("pmin"), max($"p").as("pmax"),
+        min($"s").as("smin"), max($"s").as("smax"))
+    val bounds = keyBounds.select($"n_rows",
+      ($"p_max" - $"p_min").as("p_range"),
+      ($"s_max" - $"s_min").as("s_range"))
+    val want = files.crossJoin(broadcast(bounds))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n".cast(dec) * ($"pmax" - $"pmin").cast(dec)).as("p_mass"),
+        sum($"n".cast(dec) * ($"smax" - $"smin").cast(dec)).as("s_mass"),
+        max($"n_rows").as("n_rows"), max($"p_range").as("p_range"),
+        max($"s_range").as("s_range"))
+      .select($"layout", $"n_files",
+        round($"p_mass".cast("double") /
+          ($"n_rows".cast("double") * $"p_range"), 6)
+          .as("part_scan_fraction"),
+        round($"s_mass".cast("double") /
+          ($"n_rows".cast("double") * $"s_range"), 6)
+          .as("supp_scan_fraction"))
+      .orderBy($"layout")
+      .collect().toSeq
+    assert(got === want)
+  }
+
   test("q66 subquery result agrees with the join formulation") {
     import spark.implicits._
     val viaSql = Extended.q66Subqueries(spark, sf)

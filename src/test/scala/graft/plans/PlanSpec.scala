@@ -817,6 +817,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q363: stricter-tau degree recount prunes edge partitions by jbucket") {
+    val p = planOf(graft.operators.DedupOps.q363DupDegreeDist(spark, sf))
+    // readDegrees(tau = 0.5, above the lsh build floor) recounts over
+    // readEdges, whose jbucket predicate must reach the parquet scan as
+    // a PARTITION filter (the artifact's edges are directory-partitioned
+    // by jbucket = floor(jaccard·10)): a stricter-tau question reads
+    // only the partitions that can hold qualifying rows. floor(0.5·10)−ε
+    // ⇒ jbucket >= 4.
+    assert("PartitionFilters: \\[[^\\]]*jbucket[^\\]]*>= 4".r
+        .findFirstIn(p).isDefined,
+      s"jbucket pruning must reach the edges scan:\n${p.take(3000)}")
+    assert(p.contains("graft_dupgraph_") || p.contains("ExistingRDD"),
+      s"q363 must scan the persisted artifact:\n${p.take(2000)}")
+  }
+
   test("q196/q318: covariance folds in ONE scan — no explode, no self-join, no rows × d² shuffle") {
     for ((name, df) <- Seq(
         "q196" -> graft.operators.SimilarityOps.q196EmbedCovariance(spark, sf),
@@ -885,11 +900,18 @@ class PlanSpec extends SparkSpec {
     assert(!p16.contains("CartesianProduct"))
   }
 
-  test("q317: layout simulation windows stay keyed per layout; bounds broadcast") {
+  test("q317: rank windows are bucket-parallel per layout; bounds broadcast") {
     val p = planOf(graft.operators.Extended.q317ZorderLayout(spark, sf))
     assert(!p.contains("CartesianProduct"),
       "key bounds must ride a broadcast, not a cartesian")
-    assert(p.contains("layout"), "file windows must partition per layout")
+    // r13: the file-id rank must run as the two-phase bucket form — the
+    // row_number window partitions by (layout, bucket), never by layout
+    // alone (which sorts each layout's whole table in ONE task at scale)
+    assert("windowspecdefinition\\(layout#\\d+, bucket#\\d+, k#\\d+ ASC".r
+        .findFirstIn(p).isDefined,
+      s"rank window must partition by (layout, bucket):\n$p")
+    assert(!"windowspecdefinition\\(layout#\\d+, k#".r.findFirstIn(p).isDefined,
+      s"no single-partition-per-layout rank window may remain:\n$p")
     assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 2,
       "one layout pass + one bounds pass")
   }
